@@ -1,13 +1,442 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Combiners, Grouping, SideArtifacts, Transforms}
+import graft.operators.Grouping.Leg
+import graft.sources.GraftIO
+import graft.streaming.{Stateful, Windows}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
+  *
+  * Conventions for oracle parity:
+  *   - every float output is `round(x, n)` in BOTH engines (double
+  *     accumulation order differs only in final ulps);
+  *   - timestamps are emitted as epoch-second BIGINTs (testdata uses
+  *     ns-precision parquet timestamps: DuckDB reads TIMESTAMP_NS,
+  *     Spark reads long nanos via nanosAsLong — epoch ints compare
+  *     cleanly across both);
+  *   - every query has a total deterministic ORDER BY;
+  *   - DuckDB integer sums are cast back to BIGINT (DuckDB widens to
+  *     HUGEINT, Spark does not).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // typed rows used by the typed/stateful paths
+  case class Ev(event_id: Long, user_id: Long, ts_ns: Long, value: Double)
+  case class Run(event_id: Long, user_id: Long, running_raw: Double)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    GraftIO.readTable(spark, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  /** Headline subset used by Bench. */
+  val benchQueries: Seq[String] = Seq(
+    "q1_agg", "q_join", "q_join_left", "q_cogroup", "q_wordcount",
+    "q_window_fixed", "q_window_sliding", "q_session", "q_stateful",
+    "q_text_stats", "q_distinct_by", "q_side_input")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -------- aggregation: combine per-key, sum/mean/min/max/count ----
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_quantity"), 4).as("avg_qty"),
+          round(min($"l_quantity"), 2).as("min_qty"),
+          round(max($"l_quantity"), 2).as("max_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // -------- element-wise: map (columnar projection) -----------------
+    "q_map" -> ((s, dir) => {
+      import s.implicits._
+      Transforms.mapExpr(t(s, dir, "lineitem"),
+          $"l_orderkey", $"l_linenumber",
+          round($"l_extendedprice" * (lit(1) - $"l_discount"), 6).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -------- element-wise: filter ------------------------------------
+    "q_filter" -> ((s, dir) => {
+      import s.implicits._
+      Transforms.filterExpr(t(s, dir, "lineitem"),
+          $"l_returnflag" === "R" && $"l_quantity" > 45)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // -------- element-wise: keep (map + drop nils) --------------------
+    "q_keep" -> ((s, dir) => {
+      import s.implicits._
+      Transforms.keepExpr(
+          t(s, dir, "orders").withColumn("__disc",
+            when($"o_totalprice" > 150000, round($"o_totalprice" * 0.1, 4))),
+          col("__disc"), "big_rebate")
+        .orderBy("big_rebate")
+    }),
+
+    // -------- element-wise: mapcat / flatten (explode) ----------------
+    "q_mapcat" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", "\\s+")).as("token"))
+        .where(length($"token") > 0)
+        .orderBy("doc_id", "token")
+    }),
+
+    // -------- frequencies (wordcount core) ----------------------------
+    "q_wordcount" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split($"text", "\\s+")).as("token"))
+        .where(length($"token") > 0)
+      Combiners.frequencies(toks, $"token", "token").orderBy("token")
+    }),
+
+    "q_frequencies" -> ((s, dir) => {
+      import s.implicits._
+      Combiners.frequencies(t(s, dir, "events"), $"event_type", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // -------- with-keys + group-by-key (grouped list) -----------------
+    "q_group_collect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sort_array(collect_list($"o_orderkey")).as("order_keys"))
+        .orderBy("o_custkey")
+    }),
+
+    // -------- join-by, all sides required = inner ---------------------
+    "q_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
+      val ord  = t(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      Grouping.joinBy(Seq(
+          Leg(cust, "c_custkey", required = true),
+          Leg(ord, "o_custkey", required = true)), outKey = "custkey")
+        .select($"custkey", $"c_name", $"o_orderkey", round($"o_totalprice", 2).as("total"))
+        .orderBy("o_orderkey")
+    }),
+
+    // -------- join-by, one required = outer toward it -----------------
+    "q_join_left" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
+      val ord  = t(s, dir, "orders").select($"o_custkey", $"o_orderkey")
+      Grouping.joinBy(Seq(
+          Leg(cust, "c_custkey", required = true),
+          Leg(ord, "o_custkey")), outKey = "custkey")
+        .select($"custkey", coalesce($"o_orderkey", lit(-1L)).as("okey"))
+        .orderBy("custkey", "okey")
+    }),
+
+    // -------- cogroup-by (full-outer N-way grouped legs) --------------
+    "q_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
+      val ord  = t(s, dir, "orders").select($"o_custkey", $"o_totalprice")
+      Grouping.cogroupBy(Seq(
+          (Leg(cust, "c_custkey"), "cs"),
+          (Leg(ord, "o_custkey"), "os")), outKey = "custkey")
+        .select($"custkey",
+          size($"cs").cast("long").as("n_cust"),
+          size($"os").cast("long").as("n_ord"),
+          round(coalesce(aggregate($"os", lit(0.0), (acc, x) => acc + x.getField("o_totalprice")), lit(0.0)), 2).as("sum_total"))
+        .orderBy("custkey")
+    }),
+
+    // -------- distinct ------------------------------------------------
+    "q_distinct" -> ((s, dir) => {
+      Grouping.distinctRows(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -------- distinct-by (deterministic first-survivor variant) ------
+    "q_distinct_by" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.distinctByFirst(t(s, dir, "orders"), Seq("o_custkey"), Seq($"o_orderkey"))
+        .select($"o_custkey", $"o_orderkey", $"o_orderstatus")
+        .orderBy("o_custkey")
+    }),
+
+    // -------- set ops -------------------------------------------------
+    "q_union_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.unionDistinct(Seq(
+          t(s, dir, "customer").select($"c_nationkey".as("nationkey")),
+          t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))))
+        .orderBy("nationkey")
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.intersectDistinct(
+          t(s, dir, "customer").select($"c_nationkey".as("nationkey")),
+          t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.exceptDistinct(
+          t(s, dir, "customer").select($"c_nationkey".as("nationkey")),
+          Seq(t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))))
+        .orderBy("nationkey")
+    }),
+
+    // -------- combine :global (singleton) + juxt (multi-agg one pass) -
+    "q_combine_global" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+    }),
+
+    "q_juxt" -> ((s, dir) => {
+      import s.implicits._
+      Combiners.juxt(t(s, dir, "lineitem"),
+        round(sum($"l_quantity"), 2).as("sum_q"),
+        round(avg($"l_quantity"), 4).as("avg_q"),
+        round(min($"l_quantity"), 2).as("min_q"),
+        round(max($"l_quantity"), 2).as("max_q"),
+        count(lit(1)).as("n"))
+    }),
+
+    // -------- side input: broadcast dim join --------------------------
+    "q_side_input" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      SideArtifacts.withSideInput(cust, nation,
+          cust("c_nationkey") === nation("n_nationkey"), "inner")
+        .groupBy($"n_name").agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // -------- partition-by (N-way split) ------------------------------
+    "q_partition" -> ((s, dir) => {
+      import s.implicits._
+      val parts = SideArtifacts.partitionInto(t(s, dir, "customer"), 3, pmod($"c_nationkey", lit(3)))
+      parts.zipWithIndex.map { case (p, i) =>
+        p.agg(count(lit(1)).as("n")).select(lit(i).as("part"), $"n")
+      }.reduce(_ unionByName _).orderBy("part")
+    }),
+
+    // -------- fixed (tumbling) windows --------------------------------
+    "q_window_fixed" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(Windows.fixedWindow($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select(unix_timestamp($"w.start").as("w_start"), $"event_type", $"n", $"sum_value")
+        .orderBy("w_start", "event_type")
+    }),
+
+    // -------- sliding windows -----------------------------------------
+    "q_window_sliding" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(Windows.slidingWindow($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"w.start").as("w_start"), $"event_type", $"n")
+        .orderBy("w_start", "event_type")
+    }),
+
+    // -------- session windows -----------------------------------------
+    "q_session" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", Windows.sessionWindow($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", unix_timestamp($"sw.start").as("s_start"), $"n", $"sum_value")
+        .orderBy("user_id", "s_start")
+    }),
+
+    // -------- stateful per-key processing (running state) -------------
+    "q_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts_ns", $"value").as[Ev]
+      Stateful.runningByKey[Long, Ev, Double, Run, (Long, Long)](
+          ev, _.user_id, e => (e.ts_ns, e.event_id), 0.0) { (acc, e) =>
+          val next = acc + e.value
+          (next, Run(e.event_id, e.user_id, next))
+        }
+        .select($"event_id", $"user_id", round($"running_raw", 2).as("running"))
+        .orderBy("event_id")
+    }),
+
+    // -------- JSON column parsing -------------------------------------
+    "q_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id", get_json_object($"props", "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // -------- dedup: exact (hash-keyed survivor) ----------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.distinctByFirst(
+          t(s, dir, "documents").withColumn("__h", md5($"text")),
+          Seq("__h"), Seq($"doc_id"))
+        .select($"doc_id", $"source")
+        .orderBy("doc_id")
+    }),
+
+    // -------- text analysis: token stats / quality scoring ------------
+    "q_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      val toks = filter(split($"text", "\\s+"), t => length(t) > 0)
+      t(s, dir, "documents")
+        .withColumn("toks", toks)
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          size(array_distinct($"toks")).cast("long").as("n_uniq"),
+          round(size(filter($"toks", t => t.isin("the", "a"))).cast("double") / size($"toks"), 4).as("stop_ratio"),
+          round(aggregate($"toks", lit(0), (acc, x) => acc + length(x)).cast("double") / size($"toks"), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(min(l_quantity),2) AS min_qty,
+        | round(max(l_quantity),2) AS max_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*(1-l_discount),6) AS net_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag='R' AND l_quantity>45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_keep" ->
+      """SELECT round(o_totalprice*0.1,4) AS big_rebate
+        |FROM orders WHERE o_totalprice>150000
+        |ORDER BY big_rebate""".stripMargin,
+    "q_mapcat" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
+        |           FROM documents)
+        |SELECT doc_id, token FROM t WHERE len(token)>0
+        |ORDER BY doc_id, token""".stripMargin,
+    "q_wordcount" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text,'\s+')) AS token FROM documents)
+        |SELECT token, count(*) AS count FROM toks WHERE len(token)>0
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q_frequencies" ->
+      """SELECT event_type, count(*) AS count FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_collect" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_join" ->
+      """SELECT c_custkey AS custkey, c_name, o_orderkey, round(o_totalprice,2) AS total
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey AS custkey, coalesce(o_orderkey,-1) AS okey
+        |FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+        |ORDER BY custkey, okey""".stripMargin,
+    "q_cogroup" ->
+      """SELECT coalesce(c.k,o.k) AS custkey,
+        | coalesce(c.n,0) AS n_cust, coalesce(o.n,0) AS n_ord,
+        | round(coalesce(o.st,0),2) AS sum_total
+        |FROM (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n, sum(o_totalprice) AS st
+        |                 FROM orders GROUP BY 1) o ON c.k=o.k
+        |ORDER BY custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct_by" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)=1
+        |ORDER BY o_custkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q_combine_global" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |FROM lineitem""".stripMargin,
+    "q_juxt" ->
+      """SELECT round(sum(l_quantity),2) AS sum_q, round(avg(l_quantity),4) AS avg_q,
+        | round(min(l_quantity),2) AS min_q, round(max(l_quantity),2) AS max_q,
+        | count(*) AS n
+        |FROM lineitem""".stripMargin,
+    "q_side_input" ->
+      """SELECT n_name, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_partition" ->
+      """SELECT c_nationkey%3 AS part, count(*) AS n FROM customer
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_fixed" ->
+      """SELECT (epoch_us(ts)//3600000000)*3600 AS w_start, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_window_sliding" ->
+      """WITH w AS (SELECT unnest([(epoch_us(ts)//1800000000)*1800,
+        |                          (epoch_us(ts)//1800000000)*1800-1800]) AS w_start,
+        |                  event_type FROM events)
+        |SELECT w_start, event_type, count(*) AS n FROM w
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_session" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        | se AS (SELECT user_id, ts, value,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id, epoch_us(min(ts))//1000000 AS s_start,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM se GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    "q_stateful" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING),2) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json" ->
+      """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)=1
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        | len(list_distinct(toks))::BIGINT AS n_uniq,
+        | round(len(list_filter(toks, x -> x IN ('the','a')))::DOUBLE / len(toks), 4) AS stop_ratio,
+        | round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 4) AS avg_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouping / joining / co-grouping / set ops — reference §2.3
+  * (datasplash core.clj:926-1861).
+  *
+  * The reference's only join machinery is CoGroupByKey + a per-key
+  * cartesian ParDo (`cogroup-by` core.clj:1526-1691, `join-by`
+  * core.clj:1693-1739). Here both collapse onto Spark's relational
+  * `join`, so Catalyst + AQE pick broadcast / shuffled-hash / sort-merge
+  * physically — strategy selection the reference never had.
+  */
+object Grouping {
+
+  /** One input leg of a cogroup/join.
+    *
+    * @param required  reference `:type :required` (core.clj:1598-1617):
+    *                  groups missing on this side are dropped.
+    * @param dropNil   reference `:drop-nil?` (core.clj:1588-1595):
+    *                  pre-filter null-keyed rows on this side.
+    */
+  case class Leg(df: DataFrame, key: String, required: Boolean = false, dropNil: Boolean = false)
+
+  /** `group-by-key` (core.clj:926-935): key → all values, columnar:
+    * groupBy + collect_list of the remaining columns. */
+  def groupByKey(df: DataFrame, key: String, valuesAs: String = "values"): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == key).map(col)
+    df.groupBy(col(key)).agg(collect_list(struct(valueCols.toIndexedSeq: _*)).as(valuesAs))
+  }
+
+  /** `group-by` (core.clj:990-1020): key by an expression, then group. */
+  def groupByExpr(df: DataFrame, keyExpr: Column, keyAs: String = "key", valuesAs: String = "values"): DataFrame =
+    groupByKey(df.withColumn(keyAs, keyExpr), keyAs, valuesAs)
+
+  /** N-way relational join — reference `join-by` (core.clj:1693-1739).
+    *
+    * Join-type derivation from the reference's required/optional flags:
+    * we chain null-safe **full_outer** joins on the (renamed) key, add a
+    * per-leg presence marker, and filter `required` markers not-null;
+    * Catalyst's EliminateOuterJoin then rewrites each full_outer into
+    * inner/left/right — i.e. all-required = inner, one required = outer
+    * toward it, none = full_outer, exactly core.clj:1710-1727.
+    *
+    * Null keys do not join (SQL semantics) but null-keyed rows are kept
+    * as unmatched rows — matching the reference's "nil-keyed elements
+    * emit as their own group" default (core.clj:1618-1632). `joinNil`
+    * switches to null-safe equality (`:join-nil?`). Non-key column names
+    * must be distinct across legs (reference merges maps via collector;
+    * here the collector is any downstream `select`).
+    */
+  def joinBy(legs: Seq[Leg], outKey: String = "key", joinNil: Boolean = false): DataFrame = {
+    require(legs.size >= 2, "joinBy needs at least 2 inputs")
+    val marked = legs.zipWithIndex.map { case (l, i) =>
+      val keyed = l.df.withColumnRenamed(l.key, s"__k_$i").withColumn(s"__present_$i", lit(true))
+      if (l.dropNil) keyed.where(col(s"__k_$i").isNotNull) else keyed
+    }
+    val first = marked.head.withColumn(outKey, col("__k_0"))
+    val joined = marked.tail.zipWithIndex.foldLeft(first) { case (acc, (next, idx)) =>
+      val i = idx + 1
+      val cond = if (joinNil) acc(outKey) <=> next(s"__k_$i") else acc(outKey) === next(s"__k_$i")
+      acc.join(next, cond, "full_outer")
+        .withColumn(outKey, coalesce(acc(outKey), next(s"__k_$i")))
+    }
+    val filtered = legs.zipWithIndex.foldLeft(joined) { case (df, (l, i)) =>
+      if (l.required) df.where(col(s"__present_$i").isNotNull) else df
+    }
+    filtered.drop(legs.indices.flatMap(i => Seq(s"__k_$i", s"__present_$i")): _*)
+  }
+
+  /** N-way cogroup — reference `cogroup-by` (core.clj:1526-1691).
+    * Output: one row per key, one array-of-struct column per leg (tag),
+    * missing sides as empty arrays; `required` legs drop absent keys;
+    * null-keyed rows each form their own singleton group unless
+    * `joinNil` (core.clj:1618-1632) or dropped per-leg via `dropNil`.
+    */
+  def cogroupBy(legs: Seq[(Leg, String)], outKey: String = "key", joinNil: Boolean = false): DataFrame = {
+    require(legs.size >= 2, "cogroupBy needs at least 2 inputs")
+    val grouped = legs.map { case (l, tag) =>
+      val valueCols = l.df.columns.filterNot(_ == l.key).map(col)
+      val packed = l.df.select(col(l.key).as(outKey), struct(valueCols.toIndexedSeq: _*).as("__v"))
+      val nonNil = packed.where(col(outKey).isNotNull)
+        .groupBy(col(outKey)).agg(collect_list(col("__v")).as(tag))
+      val nilRows = packed.where(col(outKey).isNull)
+      val nilPart =
+        if (l.dropNil) None
+        else if (joinNil) Some(nilRows.groupBy(col(outKey)).agg(collect_list(col("__v")).as(tag)))
+        else Some(nilRows.select(col(outKey), array(col("__v")).as(tag))) // one group per nil element
+      nilPart.fold(nonNil)(nonNil.unionByName(_))
+    }
+    // chain full-outer joins on the key; null keys intentionally do not
+    // join (each nil singleton stays its own row) unless joinNil.
+    val joined = grouped.reduceLeft { (a, b) =>
+      val bTag = b.columns.filterNot(_ == outKey).head
+      if (joinNil)
+        a.join(b.withColumnRenamed(outKey, "__rk"), col(outKey) <=> col("__rk"), "full_outer")
+          .withColumn(outKey, coalesce(col(outKey), col("__rk"))).drop("__rk")
+      else
+        a.join(b.withColumnRenamed(outKey, "__rk"), col(outKey) === col("__rk"), "full_outer")
+          .withColumn(outKey, coalesce(col(outKey), col("__rk"))).drop("__rk")
+    }
+    val coalesced = legs.foldLeft(joined) { case (df, (_, tag)) =>
+      df.withColumn(tag, coalesce(col(tag), array()))
+    }
+    legs.foldLeft(coalesced) { case (df, (l, tag)) =>
+      if (l.required) df.where(size(col(tag)) > 0) else df
+    }
+  }
+
+  /** Typed 2-way cogroup (reference 2-input `cogroup-by`), via
+    * KeyValueGroupedDataset.cogroup. */
+  def cogroupTyped[K: Encoder, A, B, O: Encoder](
+      a: Dataset[A], keyA: A => K,
+      b: Dataset[B], keyB: B => K)(
+      f: (K, Iterator[A], Iterator[B]) => IterableOnce[O]): Dataset[O] =
+    a.groupByKey(keyA).cogroup(b.groupByKey(keyB))((k, as, bs) => f(k, as, bs).iterator)
+
+  /** `distinct` (core.clj:1741-1756). */
+  def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** `distinct-by` (core.clj:1948-1980): dedup by key, arbitrary
+    * survivor — Spark's dropDuplicates has the same contract. */
+  def distinctBy(df: DataFrame, keys: Seq[String]): DataFrame = df.dropDuplicates(keys)
+
+  /** Deterministic variant: survivor = first row by `order` within key.
+    * (The reference's contract is "arbitrary survivor"; determinism is
+    * what a differential-testing oracle needs.) */
+  def distinctByFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(order.toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** `sample` (core.clj:1758-1782), three scopes.
+    * - any:    cheap first-n (`limit`)
+    * - global: uniform fixed-size without replacement (seeded)
+    * - perKey: n per key via windowed rank over seeded rand —
+    *           never collects a whole group (SURVEY §7.4). */
+  def sampleAny(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  def sampleGlobal(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  def samplePerKey(df: DataFrame, keys: Seq[String], n: Int, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(rand(seed))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+  }
+
+  /** `flatten` (core.clj:1784-1797): iterable column → elements. */
+  def flattenCol(df: DataFrame, arr: Column, as: String): DataFrame =
+    df.select(explode(arr).as(as))
+
+  /** `concat` (core.clj:1799-1821): bag union, duplicates kept. */
+  def concat(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** Set ops (core.clj:1823-1861). */
+  def unionDistinct(dfs: Seq[DataFrame]): DataFrame = concat(dfs).distinct()
+  def intersectDistinct(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+  def exceptDistinct(a: DataFrame, rest: Seq[DataFrame]): DataFrame =
+    rest.foldLeft(a.distinct())(_ except _)
+}

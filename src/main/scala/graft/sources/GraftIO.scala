@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks — reference §2.2 (datasplash core.clj:1178-1518 file
+  * IO; bq.clj / datastore.clj / es.clj / pubsub.clj / kafka.clj
+  * connectors).
+  *
+  * The reference's EDN read/write (core.clj:1334-1394) is
+  * Clojure-specific; its capability ("typed literal lines") maps to
+  * JSON-lines here. Warehouse connectors (BigQuery bq.clj:25-353) map to
+  * parquet/table sinks with SaveMode + partitioning; Kafka/PubSub map to
+  * Structured Streaming sources (graft.streaming).
+  */
+object GraftIO {
+
+  // ---------------- text ----------------
+
+  /** `read-text-file` (core.clj:1284-1304): newline-delimited text,
+    * glob patterns, compression auto-detected by extension (the
+    * reference's `:auto`; explicit codecs are a write-side concern in
+    * Spark). */
+  def readTextFile(spark: SparkSession, paths: String*): Dataset[String] =
+    spark.read.textFile(paths: _*)
+
+  /** `read-text-files` (core.clj:1306-1332): read a *collection of
+    * paths*. The path list is small metadata (file names, not data), so
+    * collecting it to the driver is the Spark-native move — the read
+    * itself stays distributed. */
+  def readTextFiles(paths: Dataset[String]): Dataset[String] =
+    readTextFile(paths.sparkSession, paths.collect().toIndexedSeq: _*)
+
+  /** `write-text-file` (core.clj:1255-1282): `:num-shards` →
+    * repartition/coalesce; `:compression-type` → codec option;
+    * `:file-format :json` → encode first (see writeJsonFile).
+    * numShards = 0 lets Spark decide (reference semantics,
+    * core.clj:1240-1241). */
+  def writeTextFile(ds: Dataset[String], path: String,
+                    numShards: Int = 0,
+                    compression: Option[String] = None,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val shaped = if (numShards > 0) ds.coalesce(numShards) else ds
+    val w = shaped.write.mode(mode)
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
+
+  // ---------------- JSON lines ----------------
+
+  /** `read-json-file` (core.clj:1396-1470): schema inference, blank-line
+    * tolerant — both native to spark.read.json. An explicit schema is
+    * the scale path (skips the inference pass over 100 TB). */
+  def readJsonFile(spark: SparkSession, path: String,
+                   schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Parse a JSON string column in place (reference's per-element charred
+    * parse with `:key-fn`, core.clj:1420-1426) — columnar `from_json`
+    * keeps it inside codegen. */
+  def parseJsonCol(df: DataFrame, c: Column, schema: org.apache.spark.sql.types.DataType, as: String): DataFrame =
+    df.withColumn(as, from_json(c, schema))
+
+  /** `write-json-file` (core.clj:1472-1494). */
+  def writeJsonFile(df: DataFrame, path: String,
+                    numShards: Int = 0,
+                    compression: Option[String] = None,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val shaped = if (numShards > 0) df.coalesce(numShards) else df
+    val w = shaped.write.mode(mode)
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
+  // ---------------- parquet / tables (warehouse analog) ----------------
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Read one of the driver's testdata tables from an sf dir, fixing up
+    * ns-precision timestamps (nanosAsLong) into proper event-time
+    * columns where known. */
+  def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" if df.schema("ts").dataType == org.apache.spark.sql.types.LongType =>
+        // keep raw nanos as ts_ns; ts becomes a true TimestampType (µs)
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => df
+    }
+  }
+
+  /** BigQuery-write analog (bq.clj:256-353): parquet/table sink with
+    * create/write dispositions → SaveMode, time-partitioning/clustering →
+    * partitionBy/bucketBy, dynamic table destinations → partition
+    * column. */
+  def writeParquet(df: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite,
+                   partitionBy: Seq[String] = Nil,
+                   numShards: Int = 0): Unit = {
+    val shaped = if (numShards > 0) df.repartition(numShards) else df
+    val w = shaped.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** `write-text-file-by-transform` / FileIO.writeDynamic
+    * (core.clj:1276-1280, 1496-1518): dynamic destinations = partitioned
+    * write on a destination column. */
+  def writeDynamic(df: DataFrame, path: String, destCol: Column,
+                   format: String = "json", mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("__dest", destCol).write.mode(mode)
+      .partitionBy("__dest").format(format).save(path)
+
+  /** `:checkpoint` debug tee (core.clj:557-559, 498-519): cache the
+    * intermediate, dump it as JSON on the side, pass it through. */
+  def checkpointTee(df: DataFrame, path: String): DataFrame = {
+    val cached = df.cache()
+    cached.write.mode(SaveMode.Overwrite).json(path)
+    cached
+  }
+
+  /** `generate-input` (core.clj:693-714): in-memory rows → DataFrame
+    * (empty allowed). */
+  def generateInput[T <: Product : org.apache.spark.sql.Encoder](spark: SparkSession, rows: Seq[T]): Dataset[T] =
+    spark.createDataset(rows)
+}
