@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
 import graft.operators.{Combiners, Grouping, SideArtifacts, Transforms}
 import graft.operators.Grouping.Leg
 import graft.sources.GraftIO
@@ -39,7 +40,8 @@ object SparkEntry {
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join", "q_join_left", "q_cogroup", "q_wordcount",
     "q_window_fixed", "q_window_sliding", "q_session", "q_stateful",
-    "q_text_stats", "q_distinct_by", "q_side_input")
+    "q_text_stats", "q_distinct_by", "q_side_input",
+    "q_minhash_lsh", "q_simhash", "q_ann_cosine", "q_quality")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -310,6 +312,87 @@ object SparkEntry {
           round(size(filter($"toks", t => t.isin("the", "a"))).cast("double") / size($"toks"), 4).as("stop_ratio"),
           round(aggregate($"toks", lit(0), (acc, x) => acc + length(x)).cast("double") / size($"toks"), 4).as("avg_tok_len"))
         .orderBy("doc_id")
+    }),
+
+    // -------- dedup: exact all-pairs n-gram Jaccard (oracle form) -----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.65, blockBy = Some("source"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- dedup: MinHash + LSH (the 100 TB path; no SQL oracle) ---
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- dedup: SimHash hamming pairs (no SQL oracle) ------------
+    "q_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
+          TextFunctions.tokens($"text"), maxDist = 7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- similarity search: brute-force cosine top-k -------------
+    "q_ann_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding", k = 5)
+        .select($"q_id", $"c_id", $"sim", $"rank")
+        .orderBy("q_id", "rank")
+    }),
+
+    // -------- similarity search: LSH-bucketed pairs (no SQL oracle) ---
+    "q_ann_lsh" -> ((s, dir) => {
+      Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, planes = 10, tables = 6, minCosine = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- text: language ID heuristic (no SQL oracle) -------------
+    "q_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.langId(TextFunctions.tokens($"text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: quality scoring -----------------------------------
+    "q_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextFunctions.qualityScore($"text", TextFunctions.tokens($"text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: rolling-hash document fingerprint -----------------
+    "q_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: BPE-ish token counting ----------------------------
+    "q_token_bpeish" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.tokenCountBpeish($"text").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- multimodal: binary payload plumbing + stub decode -------
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromBinary(s, t(s, dir, "documents"), "doc_id",
+        encode($"text", "UTF-8"), "image")
+      Multimodal.extractFeatures(media)
+        .select($"media_id", $"n_bytes", $"head_byte")
+        .orderBy("media_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -438,5 +521,47 @@ object SparkEntry {
         | len(list_distinct(toks))::BIGINT AS n_uniq,
         | round(len(list_filter(toks, x -> x IN ('the','a')))::DOUBLE / len(toks), 4) AS stop_ratio,
         | round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 4) AS avg_tok_len
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |   list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-2,1)+1)]) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id<b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.65
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_cosine" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | r AS (SELECT q_id, c_id, sim,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM s)
+        |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
+        |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, round(
+        |   least(len(toks)::DOUBLE / 32.0, 1.0)*0.3 +
+        |   (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text),1)) * 0.3 +
+        |   (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)) * 0.4, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(0::BIGINT,
+        |   [unicode(substr(text,i,1))::BIGINT for i in range(1, greatest(len(text),1)+1)]),
+        |   (a, c) -> (a*31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_bpeish" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+        | unicode(substr(text,1,1)) AS head_byte
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

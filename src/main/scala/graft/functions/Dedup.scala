@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large-scale training-data pipelines (SURVEY §7.2
+  * step 7 north-star extensions; beyond the reference surface — the
+  * reference only has whole-element `distinct`, core.clj:1741-1756).
+  *
+  * Scale design: every variant here is expressed so the expensive part
+  * is a shuffle on a *small* key (band hash / chunk hash), never an
+  * all-pairs cross join. Exact all-pairs forms exist for oracle
+  * verification at small SF only.
+  *
+  * All columnar — higher-order functions stay inside Catalyst codegen;
+  * no UDFs.
+  */
+object Dedup {
+
+  // functions.substring/shiftright take Int literals only; the SQL
+  // builtin forms accept column args — call_function reaches them.
+  private def substr(s: Column, pos: Column, len: Int): Column =
+    call_function("substring", s, pos, lit(len))
+  private def shr(v: Column, bits: Column): Column =
+    call_function("shiftright", v, bits)
+  private def shru(v: Column, bits: Column): Column =
+    call_function("shiftrightunsigned", v, bits)
+  private def shl(v: Column, bits: Column): Column =
+    call_function("shiftleft", v, bits)
+
+  /** Distinct char n-gram shingles (columnar, codegen'd). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substr(text, i, n)))
+
+  /** Distinct word n-gram shingles from a token array. */
+  def tokenShingles(tokens: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(n)))))
+
+  /** Exact Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  /** Exact all-pairs n-gram Jaccard near-dup detection, optionally
+    * blocked by a column to bound the quadratic term. Oracle-friendly;
+    * the 100 TB path is [[minhashLshPairs]]. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+                        threshold: Double, blockBy: Option[String] = None): DataFrame = {
+    val withSh = df.select(Seq(col(id).as("__id"), charShingles(col(text), n).as("__sh")) ++
+      blockBy.map(c => col(c).as("__blk")): _*)
+    val l = withSh.select(Seq(col("__id").as("id_a"), col("__sh").as("sh_a")) ++
+      blockBy.map(_ => col("__blk").as("blk_a")): _*)
+    val r = withSh.select(Seq(col("__id").as("id_b"), col("__sh").as("sh_b")) ++
+      blockBy.map(_ => col("__blk").as("blk_b")): _*)
+    val joined = blockBy match {
+      case Some(_) => l.join(r, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+      case None    => l.join(r, col("id_a") < col("id_b"))
+    }
+    joined
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH (the scale path for near-dup at 100 TB)
+  // ------------------------------------------------------------------
+
+  /** MinHash signature (k values): each shingle is xxhash64'd once,
+    * then position i re-mixes with a per-position salt via a second
+    * xxhash64 (a proper mixing permutation — a linear a*x+b mod p over
+    * a 31-bit domain is near-monotone and degenerates every position
+    * to the same global-min shingle). ANSI-safe: no long arithmetic
+    * that can overflow. Returns array<bigint> of length k. */
+  def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val salts = Array.fill(k)(rnd.nextLong())
+    val hashes = transform(shingleArr, s => xxhash64(s))
+    val sig = (0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(salts(i)))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH banding: signature of length k split into `bands` bands of
+    * k/bands rows each; band identity = (band index, hash of the band
+    * slice). Two docs collide in a band iff that slice is identical. */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r)))).as("bh")))
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,
+    * bandhash) — never all-pairs. `estJaccard` = fraction of matching
+    * signature positions (unbiased Jaccard estimate); filter on it to
+    * drop band-collision false positives. */
+  def minhashLshPairs(df: DataFrame, id: String, text: String,
+                      n: Int = 3, k: Int = 128, bands: Int = 32,
+                      minEstJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sig = df.select(col(id).as("__id"),
+      minhashSignature(charShingles(col(text), n), k, seed).as("__sig"))
+    val banded = sig.select(col("__id"), col("__sig"),
+      explode(lshBands(col("__sig"), k, bands)).as("__b"))
+    val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val r = banded.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Survivor-selection on top of any pair set: drop the higher id of
+    * each near-dup pair (connected-component-free greedy dedup). */
+  def dropNearDups(df: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as("__drop")).distinct(),
+      col(id) === col("__drop"), "left_anti")
+
+  // ------------------------------------------------------------------
+  // SimHash (Hamming-space near-dup)
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over a token array: per bit j, sign of
+    * sum_tokens(bit_j(xxhash64(token)) ? +1 : -1). Columnar: fold a
+    * 64-vector of counts, then reassemble the sign bits. */
+  def simhash64(tokens: Column): Column = {
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        j => when(shr(xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)), (a, b) => a + b))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs with hamming distance <= maxDist (<= 3 with 4
+    * chunks), via the pigeonhole principle: split the fingerprint into
+    * maxDist+1 chunks; any pair within distance maxDist agrees on at
+    * least one chunk → shuffle on (chunkIdx, chunkValue), never
+    * all-pairs. */
+  def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val fp = df.select(col(id).as("__id"), simhash64(tokens).as("__fp"))
+    val chunked = fp.select(col("__id"), col("__fp"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("ci"),
+          shru(col("__fp"), c * lit(width))
+            .bitwiseAND(lit((1L << width) - 1)).as("cv")))).as("__c"))
+    val l = chunked.select(col("__c").as("c_a"), col("__id").as("id_a"), col("__fp").as("fp_a"))
+    val r = chunked.select(col("__c").as("c_b"), col("__id").as("id_b"), col("__fp").as("fp_b"))
+    l.join(r, col("c_a") === col("c_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .where(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — north-star extension (SURVEY §7.2
+  * step 7). Media payloads are opaque `binary` columns travelling next
+  * to typed metadata; decode/feature-extraction runs batched per
+  * partition (the Scala analog of arrow-batched UDFs). The actual
+  * codec calls are STUBBED (no image/audio libraries in this
+  * environment) behind [[MediaCodec]] — the Spark-side schema,
+  * batching, and partition-parallel plumbing are real and tested.
+  */
+object Multimodal {
+
+  /** Canonical media row schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),      // image|audio|video
+    StructField("content", BinaryType, nullable = true),     // opaque payload
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Long,
+                          head_byte: Int, byte_crc: Long, feat: Array[Float])
+
+  /** The codec seam. Real deployments swap this for an actual decoder
+    * (JNI image lib, ffmpeg, …); here it is a deterministic fake so
+    * the pipeline is testable end-to-end: "decode" = byte stats, and
+    * the "feature vector" is a seeded projection of the bytes. */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, content: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in decoder (STUB — not a real codec). */
+  object FakeCodec extends MediaCodec {
+    def decode(kind: String, content: Array[Byte]): Array[Float] = {
+      val dim = 8
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < content.length) {
+        out(i % dim) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Batched per-partition feature extraction: one codec instance per
+    * partition (the `:initialize-fn` pattern, datasplash
+    * core.clj:274-277), iterating a whole Arrow-sized batch without
+    * per-row setup. Input must have media_id/kind/content columns. */
+  def extractFeatures(df: DataFrame, codec: MediaCodec = FakeCodec)
+                     (implicit enc: Encoder[MediaFeature]): Dataset[MediaFeature] = {
+    import org.apache.spark.sql.Row
+    df.select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions { rows =>
+        // per-partition setup happens here (once), not per element
+        rows.map { r: Row =>
+          val id = r.getLong(0); val kind = r.getString(1)
+          val bytes = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)
+          val crc = { val c = new java.util.zip.CRC32(); c.update(bytes); c.getValue }
+          MediaFeature(id, kind, bytes.length.toLong,
+            if (bytes.isEmpty) -1 else bytes(0) & 0xff, crc,
+            codec.decode(kind, bytes))
+        }
+      }(enc)
+  }
+
+  /** Columnar byte-level features (no decode needed — stays in
+    * codegen): payload size and cheap integrity hash. */
+  def byteFeatures(df: DataFrame, content: String = "content"): DataFrame =
+    df.withColumn("n_bytes", length(col(content)).cast("long"))
+      .withColumn("byte_crc", crc32(col(content)))
+
+  /** Frame-sample stub: pick every `stride`-th chunk of `chunk` bytes
+    * from the payload — the partitioning/batching shape of video
+    * frame-sampling with the codec stubbed to byte-slicing. */
+  def frameSample(df: DataFrame, chunk: Int, stride: Int, content: String = "content"): DataFrame =
+    df.withColumn("frames",
+      transform(
+        sequence(lit(0), greatest((length(col(content)) / (chunk * stride)) - 1, lit(0)).cast("int")),
+        i => call_function("substring", col(content), (i * chunk * stride + 1).cast("int"), lit(chunk))))
+
+  /** Build a media table from any binary-bearing source (here: text
+    * bytes as stand-in payloads, for test determinism). */
+  def fromBinary(spark: SparkSession, src: DataFrame, id: String, bin: Column, kind: String): DataFrame =
+    src.select(col(id).cast("long").as("media_id"), lit(kind).as("kind"), bin.as("content"),
+      struct(lit("application/octet-stream").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"))
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over embedding
+  * columns (`array<float>`) — north-star extension (SURVEY §7.2 step 7;
+  * no reference analog).
+  *
+  * Baseline: brute-force cosine top-k (exact, oracle-checkable).
+  * Scale path: random-hyperplane LSH bucketing — the shuffle key is the
+  * bucket signature, and only within-bucket pairs are scored, so cost
+  * is Σ bucket² instead of N². All columnar (zip_with/aggregate are
+  * codegen'd); a custom Catalyst Expression is the next escalation if
+  * profiles demand it.
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns (cast to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, the k most
+    * similar corpus vectors (excluding itself when ids collide).
+    * Normalizes once per side, broadcasts the (small) query set —
+    * corpus-side stays partition-parallel with no shuffle until the
+    * per-query top-k window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     id: String, vec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("c_id"),
+      transform(col(vec), x => x.cast("double") / l2Norm(col(vec))).as("c_v"))
+    val q = queries.select(col(id).as("q_id"),
+      transform(col(vec), x => x.cast("double") / l2Norm(col(vec))).as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("c_v"), col("q_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("__rk").as("rank"))
+  }
+
+  /** Random-hyperplane signature: `planes` sign bits from fixed seeded
+    * Gaussian hyperplanes, packed into a bigint bucket id. Vectors with
+    * high cosine land in the same bucket with probability
+    * (1 - theta/pi)^planes. */
+  def hyperplaneBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val hp = Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, array(hp(p).map(lit).toIndexedSeq: _*), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN near-neighbor pairs via LSH bucketing with multiple tables
+    * (OR-amplification): `tables` independent signatures; pairs sharing
+    * any bucket are scored, then filtered on true cosine. */
+  def lshCosinePairs(df: DataFrame, id: String, vec: String, dim: Int,
+                     planes: Int = 12, tables: Int = 4,
+                     minCosine: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val normed = df.select(col(id).as("__id"),
+      transform(col(vec), x => x.cast("double") / l2Norm(col(vec))).as("__v"))
+    val bucketed = normed.select(col("__id"), col("__v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), hyperplaneBucket(col("__v"), dim, planes, seed + t).as("bkt"))): _*)).as("__b"))
+    val l = bucketed.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__v").as("v_a"))
+    val r = bucketed.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__v").as("v_b"))
+    l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+      .withColumn("cosine", dot(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines — north-star extension
+  * (SURVEY §7.2 step 7). The reference has no scalar-function catalog
+  * at all (SURVEY §2.7); these are the operations an LLM-data pipeline
+  * needs over a `documents`-shaped table. All columnar/codegen'd.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap, deterministic proxy for subword
+    * tokenizers. */
+  def tokenCountBpeish(text: Column): Column =
+    size(call_function("regexp_extract_all", lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Language ID by stopword voting: score each candidate language by
+    * its stopword hits, pick the argmax (deterministic tie-break by
+    * list order). N-gram-free heuristic; swap the word lists per
+    * deployment. */
+  val defaultStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"))
+
+  def langId(toks: Column, stopwords: Map[String, Seq[String]] = defaultStopwords): Column = {
+    val scored = stopwords.toSeq.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score, then stable insertion order): array_max on
+    // (score, -index) structs would invert lang order; emulate with a
+    // left fold keeping the strictly-greater candidate.
+    scored.reduceLeft((best, cand) =>
+      when(cand.getField("score") > best.getField("score"), cand).otherwise(best))
+      .getField("lang")
+  }
+
+  /** Heuristic quality score in [0,1]: penalizes very short docs, low
+    * alphabetic ratio, and high repetition. Deterministic and
+    * SQL-expressible for oracle checks. */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / 32.0, lit(1.0))
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val uniqRatio = size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1.0))
+    round(lenScore * 0.3 + alphaRatio * 0.3 + uniqRatio * 0.4, 6)
+  }
+
+  /** Rolling polynomial document fingerprint: fold (acc*31 + codepoint)
+    * mod 1e9+7 over the characters. Small modulus keeps every
+    * intermediate well inside 63 bits so the same fold is expressible
+    * in engines with checked integer arithmetic. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(text), lit(1))),
+        i => call_function("ascii", call_function("substring", text, i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** Punctuation ratio over characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+}
