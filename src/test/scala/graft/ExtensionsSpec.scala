@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+
+class DedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // corpus with one engineered near-dup pair and distinct others
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 1
+    (3L, "completely different content about database query engines"),
+    (4L, "yet another unrelated string talking about sailing ships")
+  ).toDF("id", "text")
+
+  test("charShingles distinct n-grams") {
+    val sh = docs.select(Dedup.charShingles($"text", 3).as("s")).head().getSeq[String](0)
+    assert(sh.contains("the") && sh.distinct.size == sh.size)
+  }
+
+  test("exact ngram jaccard finds the engineered pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH recall matches exact jaccard (candidates superset, est close)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "id", "text", n = 3, k = 128, bands = 32,
+      minEstJaccard = 0.6)
+    val got = lsh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.subsetOf(got.keySet)) // full recall on true near-dups
+    // estimate within ~0.15 of exact for the engineered pair
+    val trueJ = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.0)
+      .where($"id_a" === 1 && $"id_b" === 2).head().getDouble(2)
+    assert(math.abs(got((1L, 2L)) - trueJ) < 0.15)
+  }
+
+  test("simhash: near-dups close in hamming, unrelated far") {
+    val fps = docs.select($"id", Dedup.simhash64(TextFunctions.tokens($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+    assert(ham(fps(1L), fps(2L)) <= 16)
+  }
+
+  test("simhashPairs pigeonhole finds close pair") {
+    val pairs = Dedup.simhashPairs(docs, "id", TextFunctions.tokens($"text"), maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("dropNearDups removes the higher id of each pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.7)
+    val kept = Dedup.dropNearDups(docs, "id", pairs).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.3f)),  // closest to 2
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK exact ranking") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("cosine column matches manual computation") {
+    val c = vecs.where($"vec_id" === 0).crossJoin(
+        vecs.where($"vec_id" === 4).select($"embedding".as("e2")))
+      .select(Similarity.cosine($"embedding", $"e2")).head().getDouble(0)
+    assert(math.abs(c - (-1.0)) < 1e-9)
+  }
+
+  test("LSH cosine pairs find high-similarity neighbors") {
+    val pairs = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dim = 3,
+      planes = 6, tables = 8, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => (a, b) == (0L, 4L) })
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId stopword voting on natural-ish text") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day"),
+      (2L, "le chat est sur le tapis et les jours de la vie"),
+      (3L, "der hund ist nicht das problem und die katze auch")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.langId(TextFunctions.tokens($"text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+  }
+
+  test("fingerprint deterministic and content-sensitive") {
+    val fps = Seq("abc", "abd", "abc").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    // matches the explicit fold
+    val expect = "abc".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(fps(0) == expect)
+  }
+
+  test("qualityScore higher for longer varied text") {
+    val df = Seq(
+      (1L, "word " * 40 + "tail"),
+      (2L, "x x")
+    ).toDF("id", "text")
+    val q = df.select($"id",
+        TextFunctions.qualityScore($"text", TextFunctions.tokens($"text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("tokenCountBpeish counts letter runs, digit runs, symbols") {
+    val n = Seq("hello world42 x!").toDF("t")
+      .select(TextFunctions.tokenCountBpeish($"t")).head().getLong(0)
+    // hello, world, 42, x, !
+    assert(n == 5L)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  def media = Multimodal.fromBinary(spark,
+    Seq((1L, "hello"), (2L, "")).toDF("id", "payload"), "id",
+    encode($"payload", "UTF-8"), "image")
+
+  test("schema plumbing: binary + typed metadata") {
+    assert(media.schema("content").dataType.typeName == "binary")
+    assert(media.select($"meta.mime").head().getString(0) == "application/octet-stream")
+  }
+
+  test("extractFeatures deterministic, batch-shaped, empty-safe") {
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).n_bytes == 5L && f(1L).head_byte == 'h'.toInt)
+    assert(f(2L).n_bytes == 0L && f(2L).head_byte == -1)
+    assert(f(1L).feat.length == 8)
+    val again = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x.byte_crc).toMap
+    assert(again(1L) == f(1L).byte_crc)
+  }
+
+  test("byteFeatures columnar") {
+    val out = Multimodal.byteFeatures(media).where($"media_id" === 1)
+      .select($"n_bytes").head().getLong(0)
+    assert(out == 5L)
+  }
+
+  test("frameSample slices payload chunks") {
+    val big = Multimodal.fromBinary(spark,
+      Seq((1L, "a" * 100)).toDF("id", "p"), "id", encode($"p", "UTF-8"), "video")
+    val frames = Multimodal.frameSample(big, chunk = 10, stride = 2)
+      .select(size($"frames")).head().getInt(0)
+    assert(frames == 5)
+  }
+}
+
+/** Smoke: every declared query runs and returns rows at sf0.001, and
+  * the flagship entry is non-empty (driver t1 analog). */
+class EntrySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  test("entry flagship non-empty") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query non-empty at sf0.001 and oracle coverage complete") {
+    val dir = "/root/testdata/sf0.001"
+    val counts = SparkEntry.queries.map { case (name, fn) => name -> fn(spark, dir).count() }
+    val empty = counts.filter(_._2 == 0).keys.toSeq.sorted
+    // pair-finding queries may legitimately be empty at tiny SF
+    val allowedEmpty = Set("q_except", "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_ann_lsh")
+    assert(empty.forall(allowedEmpty.contains), s"unexpected empty: $empty")
+    // every oracle key has a query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // bench queries exist
+    assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
+  }
+}

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftIO
+import graft.streaming.{Stateful, Windows}
+
+class IOSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  test("text round-trip with shards + gzip (core.clj:1284-1304, core_test.clj:34-75)") {
+    val dir = tmp() + "/t"
+    GraftIO.writeTextFile(Seq("foo", "bar", "baz").toDS, dir, numShards = 1,
+      compression = Some("gzip"))
+    val back = GraftIO.readTextFile(spark, dir).collect().toSet
+    assert(back == Set("foo", "bar", "baz"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
+  }
+
+  test("readTextFiles from a path collection (core.clj:1306-1332)") {
+    val d1 = tmp() + "/a"; val d2 = tmp() + "/b"
+    GraftIO.writeTextFile(Seq("x").toDS, d1); GraftIO.writeTextFile(Seq("y").toDS, d2)
+    val out = GraftIO.readTextFiles(Seq(d1, d2).toDS).collect().toSet
+    assert(out == Set("x", "y"))
+  }
+
+  test("json-lines round-trip, blank-line tolerant (core.clj:1396-1494)") {
+    val dir = tmp() + "/j"
+    GraftIO.writeJsonFile(Seq(("a", 1L), ("b", 2L)).toDF("id", "n"), dir, numShards = 1)
+    // inject a blank line like the reference's tolerance test (api_test.clj:196-209)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json")).head
+    val withBlank = "\n" + new String(Files.readAllBytes(f.toPath)) + "\n\n"
+    Files.write(f.toPath, withBlank.getBytes)
+    // drop stale hadoop checksums for the edited file
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val back = GraftIO.readJsonFile(spark, dir)
+    assert(back.count() == 2)
+    assert(back.select("id").collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
+  test("parseJsonCol columnar from_json") {
+    val df = Seq("""{"k": 7}""").toDF("props")
+    val out = GraftIO.parseJsonCol(df, $"props",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))), "p")
+    assert(out.select($"p.k").head().getLong(0) == 7L)
+  }
+
+  test("dynamic destination write = partitionBy (core.clj:1276-1280, 1496-1518)") {
+    val dir = tmp() + "/d"
+    GraftIO.writeDynamic(Seq(("x", "t1"), ("y", "t2")).toDF("v", "dest"), dir, $"dest")
+    val dests = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("__dest="))
+    assert(dests.toSet == Set("__dest=t1", "__dest=t2"))
+  }
+
+  test("checkpoint tee dumps and passes through (core.clj:557-559)") {
+    val dir = tmp() + "/c"
+    val df = Seq(1, 2, 3).toDF("n")
+    val out = GraftIO.checkpointTee(df, dir)
+    assert(out.count() == 3)
+    assert(spark.read.json(dir).count() == 3)
+  }
+
+  test("generateInput incl. empty (core.clj:693-714, api_test.clj:279-325)") {
+    assert(GraftIO.generateInput(spark, Seq(IOSpec.P("x", 1))).count() == 1)
+    assert(GraftIO.generateInput(spark, Seq.empty[IOSpec.P]).count() == 0)
+  }
+}
+
+object IOSpec {
+  case class P(a: String, b: Long)
+}
+
+class WindowsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // sessionEvents fixture (api_test.clj:973-986): [(k0,0)(k1,1)(k1,2)(k0,4)],
+  // gap 2s ⇒ per-session sums [0 3 4]
+  def sessionEvents = Seq(("k0", 0, 0), ("k1", 1, 1), ("k1", 2, 2), ("k0", 4, 4))
+    .toDF("k", "sec", "v")
+    .withColumn("ts", timestamp_seconds($"sec"))
+
+  test("session windows per key, gap merge (core.clj:2137-2155)") {
+    val out = sessionEvents
+      .groupBy($"k", Windows.sessionWindow($"ts", "2 seconds"))
+      .agg(sum($"v").as("s"))
+      .select($"s").collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(0L, 3L, 4L))
+  }
+
+  test("fixed windows tumble (core.clj:2096-2114)") {
+    val out = sessionEvents
+      .groupBy(Windows.fixedWindow($"ts", "2 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select($"n").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 1L, 2L)) // [0,2):2 elems, [2,4):1, [4,6):1
+  }
+
+  test("sliding windows assign to multiple (core.clj:2116-2135)") {
+    val out = sessionEvents
+      .groupBy(Windows.slidingWindow($"ts", "4 seconds", "2 seconds"))
+      .agg(count(lit(1)).as("n"))
+    // each element in 2 windows → total count across windows = 8
+    assert(out.agg(sum($"n")).head().getLong(0) == 8L)
+  }
+
+  test("streaming: windowed agg with watermark over memory sink") {
+    val dir = Files.createTempDirectory("graft-stream").toString + "/data"
+    sessionEvents.select($"k", $"ts", $"v").write.parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val agg = Windows.withLateness(stream, "ts", "10 seconds")
+      .groupBy(Windows.fixedWindow($"ts", "2 seconds"), $"k")
+      .agg(sum($"v").as("s"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_out").select($"k", $"s").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // 2s tumbling windows: k1's events at sec 1 and 2 straddle [0,2)/[2,4)
+      assert(rows == Set(("k0", 0L), ("k1", 1L), ("k1", 2L), ("k0", 4L)))
+    } finally q.stop()
+  }
+
+  test("streaming: stateful flatMapGroupsWithState running max") {
+    val dir = Files.createTempDirectory("graft-stream2").toString + "/data"
+    Seq(("a", 1L), ("a", 5L), ("b", 2L)).toDF("k", "v").write.parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .as[(String, Long)]
+    val out = Stateful.statefulFlatMap[String, (String, Long), Long, (String, Long)](
+      stream, _._1, OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k, it: Iterator[(String, Long)], st: GroupState[Long]) =>
+        val prev = st.getOption.getOrElse(Long.MinValue)
+        val mx = (it.map(_._2) ++ Iterator(prev)).max
+        st.update(mx)
+        Iterator((k, mx))
+    }
+    val q = out.toDF("k", "mx").writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("state_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("a", 5L), ("b", 2L)))
+    } finally q.stop()
+  }
+
+  test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
+    val ds = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0)).toDS
+    val out = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
+      ds, _._1, _._2, 0.0) { (acc, v) => val n = acc + v._3; (n, (v._1, v._2, n)) }
+      .collect().toSet
+    assert(out == Set(("a", 1, 1.0), ("a", 2, 11.0), ("b", 1, 5.0)))
+  }
+}

@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Prop, Test => SCTest}
+
+import graft.operators._
+import graft.operators.Grouping.Leg
+
+/** Per-operator e2e tests mirroring the reference's api_test.clj
+  * (inline inputs, unordered multiset assertions). */
+class TransformsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import Transforms._
+
+  test("mapElements 1→1 (api_test.clj:327-341)") {
+    assert(Seq(1, 2, 3).toDS.mapElements(_ * 10).collect().toSet == Set(10, 20, 30))
+  }
+
+  test("mapKv + withKeys (api_test.clj:382-397, 437-449)") {
+    val kv = Seq("aa", "b").toDS.mapKv(s => (s.length, s)).collect().toSet
+    assert(kv == Set((2, "aa"), (1, "b")))
+    val wk = Seq("aa", "b").toDS.withKeys(_.length).collect().toSet
+    assert(wk == Set((2, "aa"), (1, "b")))
+  }
+
+  test("mapcat flattens (api_test.clj:399-410)") {
+    assert(Seq(1, 3).toDS.mapcat(x => Seq(x, x + 1)).collect().toSet == Set(1, 2, 3, 4))
+  }
+
+  test("filter keeps original element (api_test.clj:412-419)") {
+    assert(Seq(1, 2, 3, 4).toDS.filterElements(_ % 2 == 0).collect().toSet == Set(2, 4))
+  }
+
+  test("keep drops only nil, keeps falsy (api_test.clj:421-435)") {
+    // reference: (keep #(when (even? %) (zero? %))) over 0..5 → [true false false]
+    val out = Seq(0, 1, 2, 3, 4, 5).toDS
+      .keep(x => if (x % 2 == 0) Some(x == 0) else None).collect().toSeq
+    assert(out.sorted == Seq(false, false, true))
+  }
+
+  test("pardo per-partition with setup prologue (core.clj:602-610)") {
+    val out = Seq(1, 2, 3).toDS.pardo { it =>
+      val base = 100 // once-per-partition setup (initialize-fn analog)
+      it.map(_ + base)
+    }.collect().toSet
+    assert(out == Set(101, 102, 103))
+  }
+
+  test("columnar keepExpr drops nulls") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("s", "n")
+    val out = Transforms.keepExpr(df, when($"n" > 1, $"s"), "kept").collect().toSeq
+    assert(out == Seq(Row("b")))
+  }
+}
+
+class CombinersSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("combineFn contract: mean via (sum,count) buffer (core.clj:2004-2017)") {
+    val mean = Combiners.meanFn[Double](identity)
+    val out = Seq(1.0, 2.0, 6.0).toDS.select(mean.toColumn).head()
+    assert(out == 3.0)
+    assert(mean.finish(mean.zero) == 0.0) // empty input → 0.0 like the reference
+  }
+
+  test("countFn with predicate and weight (core.clj:1982-1990)") {
+    val c = Combiners.countFn[Int](pred = _ % 2 == 0)
+    assert(Seq(1, 2, 3, 4).toDS.select(c.toColumn).head() == 2L)
+  }
+
+  test("min/max nil-safe on empty (core.clj:2019-2050)") {
+    val mx = Combiners.maxFn[Double](identity)
+    assert(mx.finish(mx.zero).isEmpty)
+    assert(Seq(1.0, 5.0, 2.0).toDS.select(mx.toColumn).head().contains(5.0))
+  }
+
+  test("reduceFn bare-fn sugar (core.clj:855-862)") {
+    val sum = Combiners.reduceFn[Int](_ + _, 0)
+    assert(Seq(1, 2, 3).toDS.select(sum.toColumn).head() == 6)
+  }
+
+  test("frequenciesFn map accumulator (core.clj:2052-2063)") {
+    val f = Combiners.frequenciesFn[String, String](identity)
+    val out = Seq("a", "b", "a").toDS.select(f.toColumn).head()
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("combiner merge law: associative+commutative ⇒ partial agg safe") {
+    val m = Combiners.meanFn[Double](identity)
+    val prop = Prop.forAll { (a: (Double, Int), b: (Double, Int), c: (Double, Int)) =>
+      val x = (a._1, a._2.toLong.abs); val y = (b._1, b._2.toLong.abs)
+      val z = (c._1, c._2.toLong.abs)
+      m.merge(x, y) == m.merge(y, x) &&
+        m.merge(m.merge(x, y), z) == m.merge(x, m.merge(y, z))
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
+  test("juxt = one-pass multi-agg (core.clj:864-897)") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val r = Combiners.juxt(df, sum($"v"), avg($"v"), count(lit(1))).head()
+    assert(r == Row(6.0, 2.0, 3L))
+  }
+}
+
+class GroupingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // keyVal fixture shape (api_test.clj:546-681): overlapping + nil keys
+  def tblA = Seq((Some("a"), 1L), (Some("a"), 2L), (Some("b"), 3L), (None, 4L))
+    .toDF("k", "va")
+  def tblB = Seq((Some("a"), 10L), (Some("c"), 30L), (None, 40L))
+    .toDF("k", "vb")
+
+  test("joinBy all-required = inner (api_test.clj:655-669)") {
+    val j = Grouping.joinBy(Seq(
+      Leg(tblA, "k", required = true), Leg(tblB, "k", required = true)), "key")
+    val got = j.select($"key", $"va", $"vb").collect().toSet
+    assert(got == Set(Row("a", 1L, 10L), Row("a", 2L, 10L)))
+  }
+
+  test("joinBy one-required = outer toward it; nil keys don't join (core.clj:1618-1632)") {
+    val j = Grouping.joinBy(Seq(
+      Leg(tblA, "k", required = true), Leg(tblB, "k")), "key")
+    val got = j.select($"key", $"va", $"vb").collect().toSet
+    // all of A kept (incl. its nil-key row, alone); B's nil + 'c' dropped
+    assert(got == Set(
+      Row("a", 1L, 10L), Row("a", 2L, 10L), Row("b", 3L, null), Row(null, 4L, null)))
+  }
+
+  test("joinBy none-required = full outer") {
+    val j = Grouping.joinBy(Seq(Leg(tblA, "k"), Leg(tblB, "k")), "key")
+    assert(j.count() == 6) // a:2 + b:1 + c:1 + nilA:1 + nilB:1
+    val nils = j.where($"key".isNull).count()
+    assert(nils == 2) // each nil-key element its own row, not joined
+  }
+
+  test("joinBy dropNil pre-filters nil keys (core.clj:1588-1595)") {
+    val j = Grouping.joinBy(Seq(
+      Leg(tblA, "k", dropNil = true), Leg(tblB, "k", dropNil = true)), "key")
+    assert(j.where($"key".isNull).count() == 0)
+  }
+
+  test("joinBy joinNil groups nil keys together (core.clj join-nil?)") {
+    val j = Grouping.joinBy(Seq(Leg(tblA, "k"), Leg(tblB, "k")), "key", joinNil = true)
+    val nilRows = j.where($"key".isNull).select($"va", $"vb").collect().toSet
+    assert(nilRows == Set(Row(4L, 40L)))
+  }
+
+  test("cogroupBy shapes + required (api_test.clj:560-653)") {
+    val cg = Grouping.cogroupBy(Seq(
+      (Leg(tblA, "k"), "as"), (Leg(tblB, "k"), "bs")), "key")
+    val byKey = cg.collect().map(r => Option(r.getString(0)) ->
+      (r.getSeq[Row](1).size, r.getSeq[Row](2).size)).toMap
+    assert(byKey(Some("a")) == (2, 1))
+    assert(byKey(Some("b")) == (1, 0))
+    assert(byKey(Some("c")) == (0, 1))
+    // nil-keyed elements each form a singleton group
+    val nilGroups = cg.collect().filter(r => r.isNullAt(0))
+    assert(nilGroups.length == 2)
+    val req = Grouping.cogroupBy(Seq(
+      (Leg(tblA, "k", required = true), "as"), (Leg(tblB, "k", required = true), "bs")), "key")
+    assert(req.select($"key").collect().map(_.getString(0)).toSet == Set("a"))
+  }
+
+  test("cogroupTyped 2-way (core.clj 2-input cogroup)") {
+    val a = Seq(("a", 1), ("b", 2)).toDS
+    val b = Seq(("a", 10)).toDS
+    val out = Grouping.cogroupTyped(a, (x: (String, Int)) => x._1, b, (x: (String, Int)) => x._1) {
+      (k, as, bs) => Iterator((k, as.size, bs.size))
+    }.collect().toSet
+    assert(out == Set(("a", 1, 1), ("b", 1, 0)))
+  }
+
+  test("distinct / distinctBy arbitrary survivor (api_test.clj:683-704)") {
+    val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    assert(Grouping.distinctRows(df.select("k")).count() == 2)
+    val db = Grouping.distinctBy(df, Seq("k")).collect()
+    assert(db.map(_.getInt(0)).toSet == Set(1, 2)) // key set exact
+    assert(db.forall(r => Set("x", "y", "z").contains(r.getString(1)))) // member of input
+    val dbf = Grouping.distinctByFirst(df, Seq("k"), Seq($"v"))
+    assert(dbf.collect().map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "x"), (2, "z")))
+  }
+
+  test("sample three scopes (core.clj:1758-1782)") {
+    val df = (1 to 100).toDF("n")
+    assert(Grouping.sampleAny(df, 7).count() == 7)
+    assert(Grouping.sampleGlobal(df, 7).count() == 7)
+    val keyed = (1 to 100).map(i => (i % 4, i)).toDF("k", "n")
+    val per = Grouping.samplePerKey(keyed, Seq("k"), 3)
+    assert(per.groupBy("k").count().collect().forall(_.getLong(1) == 3))
+  }
+
+  test("concat keeps duplicates; set ops distinct (core.clj:1799-1861)") {
+    val a = Seq(1, 2, 2).toDF("n"); val b = Seq(2, 3).toDF("n")
+    assert(Grouping.concat(Seq(a, b)).count() == 5)
+    assert(Grouping.unionDistinct(Seq(a, b)).collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    assert(Grouping.intersectDistinct(a, b).collect().map(_.getInt(0)).toSet == Set(2))
+    assert(Grouping.exceptDistinct(a, Seq(b)).collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
+  test("groupByKey collects values (core.clj:926-935)") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val g = Grouping.groupByKey(df, "k")
+    val m = g.collect().map(r => r.getString(0) -> r.getSeq[Row](1).map(_.getInt(0)).toSet).toMap
+    assert(m == Map("a" -> Set(1, 2), "b" -> Set(3)))
+  }
+}
+
+class SideArtifactsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("view shapes (core.clj:789-808)") {
+    val df = Seq(("a", 1), ("b", 2), ("b", 3)).toDF("k", "v")
+    assert(SideArtifacts.viewList(df).size == 3)
+    assert(SideArtifacts.viewMap(df.dropDuplicates("k"), "k", "v").keySet == Set("a", "b"))
+    assert(SideArtifacts.viewMultiMap(df, "k", "v")("b").toSet == Set(2, 3))
+    assert(SideArtifacts.viewSingleton(df.where($"k" === "a")) == Row("a", 1))
+  }
+
+  test("sideOutputs tag routing (core.clj:302-360)") {
+    val df = Seq(1, 2, 3, 4).toDF("n")
+    val outs = SideArtifacts.sideOutputs(df, when($"n" % 2 === 0, "even").otherwise("odd"),
+      Seq("even", "odd"))
+    assert(outs("even").collect().map(_.getInt(0)).toSet == Set(2, 4))
+    assert(outs("odd").collect().map(_.getInt(0)).toSet == Set(1, 3))
+  }
+
+  test("partitionInto N-way split (core.clj:831-853)") {
+    val parts = SideArtifacts.partitionInto(Seq(1, 2, 3, 4, 5).toDF("n"), 2, $"n" % 2)
+    assert(parts(0).collect().map(_.getInt(0)).toSet == Set(2, 4))
+    assert(parts(1).collect().map(_.getInt(0)).toSet == Set(1, 3, 5))
+  }
+}
