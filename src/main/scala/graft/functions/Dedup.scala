@@ -75,15 +75,40 @@ object Dedup {
     * xxhash64 (a proper mixing permutation — a linear a*x+b mod p over
     * a 31-bit domain is near-monotone and degenerates every position
     * to the same global-min shingle). ANSI-safe: no long arithmetic
-    * that can overflow. Returns array<bigint> of length k. */
+    * that can overflow. Returns array<bigint> of length k.
+    *
+    * NOTE: this expression form re-evaluates the shingle array once per
+    * position — fine for ad-hoc use on short arrays. The scale path is
+    * [[minhashSignatures]] (explode + k min-aggregates, one codegen'd
+    * hash-aggregate pass with map-side partials). */
   def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val salts = Array.fill(k)(rnd.nextLong())
+    val salts = minhashSalts(k, seed)
     val hashes = transform(shingleArr, s => xxhash64(s))
     val sig = (0 until k).map { i =>
       array_min(transform(hashes, h => xxhash64(h, lit(salts(i)))))
     }
     array(sig: _*)
+  }
+
+  private def minhashSalts(k: Int, seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)(rnd.nextLong())
+  }
+
+  /** Scale-path MinHash: one row per (id, shingle-hash), then the k
+    * signature positions as k `min(xxhash64(h, salt_i))` aggregates in a
+    * single groupBy — partial (map-side) aggregation and whole-stage
+    * codegen apply, unlike the nested-lambda expression form. Returns
+    * (id, sig array<bigint>). */
+  def minhashSignatures(df: DataFrame, id: String, shingleArr: Column,
+                        k: Int, seed: Long = 42L): DataFrame = {
+    val salts = minhashSalts(k, seed)
+    val exploded = df.select(col(id).as("__id"), explode(shingleArr).as("__sh"))
+      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("__h"), lit(salts(i)))).as(s"__m$i"))
+    exploded.groupBy(col("__id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"), array((0 until k).map(i => col(s"__m$i")): _*).as("__sig"))
   }
 
   /** LSH banding: signature of length k split into `bands` bands of
@@ -102,19 +127,20 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 128, bands: Int = 32,
                       minEstJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val sig = df.select(col(id).as("__id"),
-      minhashSignature(charShingles(col(text), n), k, seed).as("__sig"))
+    val sig = minhashSignatures(df, id, charShingles(col(text), n), k, seed)
     val banded = sig.select(col("__id"), col("__sig"),
       explode(lshBands(col("__sig"), k, bands)).as("__b"))
     val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val r = banded.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    // compute the estimate per collision, then dedup on the narrow
+    // (id_a, id_b) key — never shuffles the wide signature arrays.
     l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(k))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
-      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("est_jaccard")), 6).as("est_jaccard"))
   }
 
   /** Survivor-selection on top of any pair set: drop the higher id of
@@ -127,9 +153,25 @@ object Dedup {
   // SimHash (Hamming-space near-dup)
   // ------------------------------------------------------------------
 
+  /** Scale-path SimHash: one row per (id, token), then 64 signed-bit
+    * sum aggregates in a single groupBy (map-side partials + codegen),
+    * reassembled into the 64-bit fingerprint. Returns (id, __fp). */
+  def simhashFingerprints(df: DataFrame, id: String, tokens: Column): DataFrame = {
+    val exploded = df.select(col(id).as("__id"), explode(tokens).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__h"))
+    val aggs = (0 until 64).map(j =>
+      sum(when(shr(col("__h"), lit(j)).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__c$j"))
+    exploded.groupBy(col("__id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        (0 until 64).map(j => when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("__fp"))
+  }
+
   /** 64-bit SimHash over a token array: per bit j, sign of
     * sum_tokens(bit_j(xxhash64(token)) ? +1 : -1). Columnar: fold a
-    * 64-vector of counts, then reassemble the sign bits. */
+    * 64-vector of counts, then reassemble the sign bits. Expression
+    * form — for the scale path use [[simhashFingerprints]]. */
   def simhash64(tokens: Column): Column = {
     val counts = aggregate(
       tokens,
@@ -153,7 +195,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val fp = df.select(col(id).as("__id"), simhash64(tokens).as("__fp"))
+    val fp = simhashFingerprints(df, id, tokens)
     val chunked = fp.select(col("__id"), col("__fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),
