@@ -161,6 +161,40 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // -------- concat (bag union, duplicates kept) ---------------------
+    "q_concat" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.concat(Seq(
+          t(s, dir, "customer").select($"c_nationkey".as("nationkey")),
+          t(s, dir, "supplier").select($"s_nationkey".as("nationkey"))))
+        .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    }),
+
+    // -------- flatten (pcoll-of-iterables → elements) -----------------
+    "q_flatten" -> ((s, dir) => {
+      import s.implicits._
+      val grouped = t(s, dir, "orders")
+        .groupBy($"o_custkey").agg(collect_list($"o_orderkey").as("ks"))
+      Grouping.flattenCol(grouped, $"ks", "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
+
+    // -------- sample (size contract only; no value oracle) ------------
+    "q_sample" -> ((s, dir) => {
+      Grouping.sampleGlobal(t(s, dir, "orders"), 100).select("o_orderkey")
+    }),
+
+    // -------- combine-by (with-keys + combine :per-key composed) ------
+    "q_combine_by" -> ((s, dir) => {
+      import s.implicits._
+      Combiners.combineBy(t(s, dir, "orders"),
+          substring($"o_orderpriority", 1, 1).as("prio"),
+          round(sum($"o_totalprice"), 2).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy("prio")
+    }),
+
     // -------- distinct ------------------------------------------------
     "q_distinct" -> ((s, dir) => {
       Grouping.distinctRows(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
@@ -449,6 +483,16 @@ object SparkEntry {
         |FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n, sum(o_totalprice) AS st
         |                 FROM orders GROUP BY 1) o ON c.k=o.k
         |ORDER BY custkey""".stripMargin,
+    "q_concat" ->
+      """WITH u AS (SELECT c_nationkey AS nationkey FROM customer
+        |           UNION ALL SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, count(*) AS n FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_flatten" ->
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_combine_by" ->
+      """SELECT substr(o_orderpriority,1,1) AS prio,
+        | round(sum(o_totalprice),2) AS total, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -112,6 +112,11 @@ object Combiners {
   def juxt(df: org.apache.spark.sql.DataFrame, aggs: Column*): org.apache.spark.sql.DataFrame =
     df.agg(aggs.head, aggs.tail: _*)
 
+  /** `combine-by` (core.clj:1915-1946): with-keys + combine :per-key
+    * composed = groupBy(expr).agg(...). */
+  def combineBy(df: org.apache.spark.sql.DataFrame, keyExpr: Column, aggs: Column*): org.apache.spark.sql.DataFrame =
+    df.groupBy(keyExpr).agg(aggs.head, aggs.tail: _*)
+
   /** `frequencies` (core.clj:2065-2080, Beam Count.perElement). */
   def frequencies(df: org.apache.spark.sql.DataFrame, e: Column, as: String = "value"): org.apache.spark.sql.DataFrame =
     df.groupBy(e.as(as)).agg(count(lit(1)).as("count"))

@@ -77,4 +77,10 @@ object Transforms {
   /** Columnar `with-keys`: append a key column. */
   def withKeyCol(df: DataFrame, key: Column, as: String = "key"): DataFrame =
     df.withColumn(as, key)
+
+  /** `ptransform` / `pt->>` composite transforms (core.clj:937-988):
+    * Beam's named-composite machinery dissolves into plain function
+    * composition; apply with `df.transform(compose(...))`. */
+  def compose(stages: (DataFrame => DataFrame)*): DataFrame => DataFrame =
+    stages.reduceLeft(_ andThen _)
 }

