@@ -17,7 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns (cast to double). */
+  import org.apache.spark.sql.graft.Bridge
+  import graft.plans.{VectorSimilarity => VS}
+
+  /** Fused single-pass forms (custom codegen'd Catalyst expression,
+    * graft.plans.VectorSimilarity) — no intermediate array per pair;
+    * the hot-loop choice for ANN scoring. */
+  def dotFused(a: Column, b: Column): Column =
+    Bridge.column(VS(Bridge.expression(a), Bridge.expression(b), "dot"))
+
+  def cosineFused(a: Column, b: Column): Column =
+    Bridge.column(VS(Bridge.expression(a), Bridge.expression(b), "cosine"))
+
+  /** Dot product of two numeric array columns (cast to double).
+    * Composable built-in form; see [[dotFused]] for the fused hot path. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -34,13 +47,11 @@ object Similarity {
     * per-query top-k window. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: String, vec: String, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("c_id"),
-      transform(col(vec), x => x.cast("double") / l2Norm(col(vec))).as("c_v"))
-    val q = queries.select(col(id).as("q_id"),
-      transform(col(vec), x => x.cast("double") / l2Norm(col(vec))).as("q_v"))
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_v"))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_v"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("c_v"), col("q_v")))
+      .withColumn("sim", cosineFused(col("c_v"), col("q_v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
       .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("__rk").as("rank"))
@@ -68,17 +79,19 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, id: String, vec: String, dim: Int,
                      planes: Int = 12, tables: Int = 4,
                      minCosine: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val normed = df.select(col(id).as("__id"),
-      transform(col(vec), x => x.cast("double") / l2Norm(col(vec))).as("__v"))
+    // hyperplane signs are scale-invariant and the fused cosine
+    // normalizes internally — raw vectors throughout, no transform pass
+    val normed = df.select(col(id).as("__id"), col(vec).as("__v"))
     val bucketed = normed.select(col("__id"), col("__v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), hyperplaneBucket(col("__v"), dim, planes, seed + t).as("bkt"))): _*)).as("__b"))
     val l = bucketed.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__v").as("v_a"))
     val r = bucketed.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__v").as("v_b"))
     l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
-      .withColumn("cosine", dot(col("v_a"), col("v_b")))
+      .select(col("id_a"), col("id_b"),
+        cosineFused(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("cosine")), 6).as("cosine"))
   }
 }
