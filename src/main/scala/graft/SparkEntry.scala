@@ -41,7 +41,8 @@ object SparkEntry {
     "q1_agg", "q_join", "q_join_left", "q_cogroup", "q_wordcount",
     "q_window_fixed", "q_window_sliding", "q_session", "q_stateful",
     "q_text_stats", "q_distinct_by", "q_side_input",
-    "q_minhash_lsh", "q_simhash", "q_ann_cosine", "q_quality")
+    "q_minhash_lsh", "q_simhash", "q_ann_cosine", "q_quality",
+    "q_tpch3", "q_tpch5", "q_count_distinct")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -324,6 +325,55 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -------- composite analytics: TPC-H Q3-style top-k ----------------
+    "q_tpch3" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").where($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val ord = t(s, dir, "orders")
+        .where($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .where($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, $"o_orderkey" === li("l_orderkey"))
+        .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+          $"o_orderpriority", $"revenue")
+        .orderBy($"revenue".desc, $"o_orderkey").limit(10)
+    }),
+
+    // -------- composite analytics: Q5-style multi-join revenue --------
+    "q_tpch5" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount")
+      val ord = t(s, dir, "orders")
+        .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+               $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        .select($"o_orderkey")
+      val supp = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val nat = t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      li.join(ord, $"l_orderkey" === ord("o_orderkey"))
+        .join(broadcast(supp), $"l_suppkey" === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // -------- exact distinct counting ---------------------------------
+    "q_count_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        count_distinct($"l_orderkey").as("n_orders"),
+        count_distinct($"l_partkey").as("n_parts"),
+        count_distinct($"l_suppkey").as("n_supps"))
+    }),
+
     // -------- dedup: exact (hash-keyed survivor) ----------------------
     "q_dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -553,6 +603,26 @@ object SparkEntry {
     "q_json" ->
       """SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_tpch3" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment='BUILDING' AND c_custkey=o_custkey AND l_orderkey=o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_tpch5" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem, orders, supplier, nation
+        |WHERE l_orderkey=o_orderkey AND l_suppkey=s_suppkey AND s_nationkey=n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)=1
