@@ -415,8 +415,7 @@ object SparkEntry {
     // -------- dedup: SimHash hamming pairs (no SQL oracle) ------------
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
-          TextFunctions.tokens($"text"), maxDist = 7)
+      Dedup.simhashPairsText(t(s, dir, "documents"), "doc_id", $"text", maxDist = 7)
         .orderBy("id_a", "id_b")
     }),
 

@@ -95,10 +95,22 @@ object Dedup {
     Array.fill(k)(rnd.nextLong())
   }
 
-  /** Scale-path MinHash: one row per (id, shingle-hash), then the k
-    * signature positions as k `min(xxhash64(h, salt_i))` aggregates in a
-    * single groupBy — partial (map-side) aggregation and whole-stage
-    * codegen apply, unlike the nested-lambda expression form. Returns
+  /** Fastest path for char n-grams of a string column: the one-pass
+    * custom expression (graft.plans.MinHashSignature) — no substring
+    * materialization, no explode, no shuffle; bit-identical signatures
+    * to [[minhashSignatures]]. */
+  def minhashSignaturesFused(df: DataFrame, id: String, text: Column,
+                             n: Int, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.select(col(id).as("__id"),
+      Bridge.column(graft.plans.MinHashSignature(Bridge.expression(text), n, k, seed)).as("__sig"))
+  }
+
+  /** Generic scale-path MinHash over any shingle array: one row per
+    * (id, shingle-hash), then the k signature positions as k
+    * `min(xxhash64(h, salt_i))` aggregates in a single groupBy —
+    * partial (map-side) aggregation and whole-stage codegen apply,
+    * unlike the nested-lambda expression form. Returns
     * (id, sig array<bigint>). */
   def minhashSignatures(df: DataFrame, id: String, shingleArr: Column,
                         k: Int, seed: Long = 42L): DataFrame = {
@@ -127,7 +139,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 128, bands: Int = 32,
                       minEstJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val sig = minhashSignatures(df, id, charShingles(col(text), n), k, seed)
+    // one-pass fused signatures, materialized once so both sides of
+    // the self-join reuse them
+    val sig = minhashSignaturesFused(df, id, col(text), n, k, seed).localCheckpoint()
     val banded = sig.select(col("__id"), col("__sig"),
       explode(lshBands(col("__sig"), k, bands)).as("__b"))
     val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
@@ -153,9 +167,20 @@ object Dedup {
   // SimHash (Hamming-space near-dup)
   // ------------------------------------------------------------------
 
-  /** Scale-path SimHash: one row per (id, token), then 64 signed-bit
-    * sum aggregates in a single groupBy (map-side partials + codegen),
-    * reassembled into the 64-bit fingerprint. Returns (id, __fp). */
+  /** Fastest path for whitespace tokens of a string column: the
+    * one-pass custom expression (graft.plans.SimHash64) — inline
+    * tokenization, no split/explode/shuffle; bit-identical fingerprints
+    * to [[simhashFingerprints]] over TextFunctions.tokens. */
+  def simhashFingerprintsFused(df: DataFrame, id: String, text: Column): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.select(col(id).as("__id"),
+      Bridge.column(graft.plans.SimHash64(Bridge.expression(text))).as("__fp"))
+  }
+
+  /** Generic scale-path SimHash over any token array: one row per
+    * (id, token), then 64 signed-bit sum aggregates in a single groupBy
+    * (map-side partials + codegen), reassembled into the 64-bit
+    * fingerprint. Returns (id, __fp). */
   def simhashFingerprints(df: DataFrame, id: String, tokens: Column): DataFrame = {
     val exploded = df.select(col(id).as("__id"), explode(tokens).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__h"))
@@ -192,10 +217,16 @@ object Dedup {
     * maxDist+1 chunks; any pair within distance maxDist agrees on at
     * least one chunk → shuffle on (chunkIdx, chunkValue), never
     * all-pairs. */
-  def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3): DataFrame =
+    simhashPairsFromFp(simhashFingerprints(df, id, tokens).localCheckpoint(), maxDist)
+
+  /** Pigeonhole pairing over a text column via the fused expression. */
+  def simhashPairsText(df: DataFrame, id: String, text: Column, maxDist: Int = 3): DataFrame =
+    simhashPairsFromFp(simhashFingerprintsFused(df, id, text).localCheckpoint(), maxDist)
+
+  private def simhashPairsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val fp = simhashFingerprints(df, id, tokens)
     val chunked = fp.select(col("__id"), col("__fp"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),

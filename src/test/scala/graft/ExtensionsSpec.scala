@@ -55,6 +55,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("fused MinHashSignature expression == explode+agg signatures bit-for-bit") {
+    val viaAgg = Dedup.minhashSignatures(docs, "id", Dedup.charShingles($"text", 5), 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = Dedup.minhashSignaturesFused(docs, "id", $"text", 5, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
+  test("fused SimHash64 expression == explode+agg fingerprints bit-for-bit") {
+    val viaAgg = Dedup.simhashFingerprints(docs, "id", TextFunctions.tokens($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Dedup.simhashFingerprintsFused(docs, "id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("dropNearDups removes the higher id of each pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.7)
     val kept = Dedup.dropNearDups(docs, "id", pairs).select("id")
