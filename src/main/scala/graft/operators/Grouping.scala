@@ -139,8 +139,15 @@ object Grouping {
     *           never collects a whole group (SURVEY §7.4). */
   def sampleAny(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
-  def sampleGlobal(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
-    df.orderBy(rand(seed)).limit(n)
+  /** Fixed-size uniform global sample without a total sort: distributed
+    * reservoir via RDD takeSample (two narrow passes — count + sampled
+    * scan — instead of a full shuffle sort; the sample itself is small
+    * by contract, like Beam's Sample.fixedSizeGlobally). */
+  def sampleGlobal(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.rdd.takeSample(withReplacement = false, n, seed)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema)
+  }
 
   def samplePerKey(df: DataFrame, keys: Seq[String], n: Int, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(rand(seed))
@@ -153,6 +160,24 @@ object Grouping {
 
   /** `concat` (core.clj:1799-1821): bag union, duplicates kept. */
   def concat(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** Skew-mitigation join (SURVEY §7.4 rule 5): when one side has hot
+    * keys too large for a single shuffle partition and the other side
+    * is too big to broadcast, salt the skewed side with a random
+    * 0..salt-1 column and replicate the other side across all salt
+    * values, joining on (keys, salt). Inner/left-outer only (the
+    * replicated side would double-count under right/full outer).
+    * Complementary to AQE's automatic skew-join splitting, which only
+    * covers sort-merge joins without downstream constraints. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner", seed: Long = 42L): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val sl = skewed.withColumn("__salt", (rand(seed) * salt).cast("int"))
+    val ol = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    sl.join(ol, keys :+ "__salt", joinType).drop("__salt")
+  }
 
   /** Set ops (core.clj:1823-1861). */
   def unionDistinct(dfs: Seq[DataFrame]): DataFrame = concat(dfs).distinct()

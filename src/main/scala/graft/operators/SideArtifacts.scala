@@ -37,14 +37,16 @@ object SideArtifacts {
   /** Side outputs (reference core.clj:302-360): one pass computes a tag,
     * result cached, one filtered DataFrame per tag. */
   def sideOutputs(df: DataFrame, tagExpr: Column, tags: Seq[String]): Map[String, DataFrame] = {
-    val tagged = df.withColumn("__tag", tagExpr).cache()
+    val tagged = df.withColumn("__tag", tagExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     tags.map(t => t -> tagged.where(col("__tag") === t).drop("__tag")).toMap
   }
 
   /** `partition-by` (core.clj:831-853, Beam Partition): split into N
     * DataFrames by a partition-index expression in [0, n). */
   def partitionInto(df: DataFrame, n: Int, idxExpr: Column): Seq[DataFrame] = {
-    val tagged = df.withColumn("__part", idxExpr.cast("int")).cache()
+    val tagged = df.withColumn("__part", idxExpr.cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (0 until n).map(i => tagged.where(col("__part") === i).drop("__part"))
   }
 }

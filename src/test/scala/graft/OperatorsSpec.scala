@@ -204,6 +204,20 @@ class GroupingSpec extends AnyFunSuite {
     assert(Grouping.exceptDistinct(a, Seq(b)).collect().map(_.getInt(0)).toSet == Set(1))
   }
 
+  test("saltedJoin matches plain join results (skew recipe)") {
+    val skewed = (1 to 1000).map(i => ("hot", i)) ++ Seq(("cold", 1), ("cold", 2))
+    val left = skewed.toDF("k", "v")
+    val right = Seq(("hot", 10), ("cold", 20), ("unmatched", 30)).toDF("k", "w")
+    val plain = left.join(right, Seq("k"), "left")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.get(2)))).toSet
+    val salted = Grouping.saltedJoin(left, right, Seq("k"), salt = 8, joinType = "left")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.get(2)))).toSet
+    assert(salted == plain)
+    val inner = Grouping.saltedJoin(left, right, Seq("k"), 8).count()
+    assert(inner == left.join(right, Seq("k")).count())
+    intercept[IllegalArgumentException](Grouping.saltedJoin(left, right, Seq("k"), 8, "full"))
+  }
+
   test("groupByKey collects values (core.clj:926-935)") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val g = Grouping.groupByKey(df, "k")
