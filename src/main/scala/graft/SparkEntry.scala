@@ -435,7 +435,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // -------- text: language ID heuristic (no SQL oracle) -------------
+    // -------- text: language ID heuristic -----------------------------
     "q_lang_id" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
@@ -654,6 +654,22 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM s)
         |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | sc AS (SELECT doc_id,
+        |   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |   len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','nicht'))) AS s_de,
+        |   len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por'))) AS s_es
+        |  FROM t)
+        |SELECT doc_id,
+        | CASE WHEN s_es > greatest(s_en, s_fr, s_de) THEN 'es'
+        |      WHEN s_de > greatest(s_en, s_fr) THEN 'de'
+        |      WHEN s_fr > s_en THEN 'fr'
+        |      ELSE 'en' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks

@@ -25,19 +25,19 @@ object TextFunctions {
     * its stopword hits, pick the argmax (deterministic tie-break by
     * list order). N-gram-free heuristic; swap the word lists per
     * deployment. */
-  val defaultStopwords: Map[String, Seq[String]] = Map(
+  /** Ordered (deterministic tie-break = earlier entry wins). */
+  val defaultStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"))
 
-  def langId(toks: Column, stopwords: Map[String, Seq[String]] = defaultStopwords): Column = {
-    val scored = stopwords.toSeq.map { case (lang, words) =>
+  def langId(toks: Column, stopwords: Seq[(String, Seq[String])] = defaultStopwords): Column = {
+    val scored = stopwords.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
     }
-    // argmax by (score, then stable insertion order): array_max on
-    // (score, -index) structs would invert lang order; emulate with a
-    // left fold keeping the strictly-greater candidate.
+    // left fold keeping the strictly-greater candidate: a language wins
+    // iff its score strictly exceeds every earlier language's score.
     scored.reduceLeft((best, cand) =>
       when(cand.getField("score") > best.getField("score"), cand).otherwise(best))
       .getField("lang")

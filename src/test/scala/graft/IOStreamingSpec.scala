@@ -23,6 +23,16 @@ class IOSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
   }
 
+  test("compression round-trip matrix (core_test.clj:34-75)") {
+    for (codec <- Seq("gzip", "bzip2", "deflate", "snappy", "lz4")) {
+      val dir = tmp() + s"/c_$codec"
+      GraftIO.writeTextFile(Seq("alpha", "beta").toDS, dir, numShards = 1,
+        compression = Some(codec))
+      assert(GraftIO.readTextFile(spark, dir).collect().toSet == Set("alpha", "beta"),
+        s"codec $codec")
+    }
+  }
+
   test("readTextFiles from a path collection (core.clj:1306-1332)") {
     val d1 = tmp() + "/a"; val d2 = tmp() + "/b"
     GraftIO.writeTextFile(Seq("x").toDS, d1); GraftIO.writeTextFile(Seq("y").toDS, d2)
