@@ -136,14 +136,21 @@ object Dedup {
     * bandhash) — never all-pairs. `estJaccard` = fraction of matching
     * signature positions (unbiased Jaccard estimate); filter on it to
     * drop band-collision false positives. */
+  /** @param maxBucketSize drop degenerate LSH buckets holding more
+    *        than this many docs (0 = no cap). A pathological band value
+    *        shared by M docs contributes M² candidate pairs; capping
+    *        bounds the blow-up at the cost of recall on those docs —
+    *        standard practice at corpus scale. */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 128, bands: Int = 32,
-                      minEstJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+                      minEstJaccard: Double = 0.5, seed: Long = 42L,
+                      maxBucketSize: Int = 0): DataFrame = {
     // one-pass fused signatures, materialized once so both sides of
     // the self-join reuse them
     val sig = minhashSignaturesFused(df, id, col(text), n, k, seed).localCheckpoint()
-    val banded = sig.select(col("__id"), col("__sig"),
+    val banded0 = sig.select(col("__id"), col("__sig"),
       explode(lshBands(col("__sig"), k, bands)).as("__b"))
+    val banded = capBuckets(banded0, col("__b"), maxBucketSize)
     val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
     val r = banded.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
     // compute the estimate per collision, then dedup on the narrow
@@ -156,6 +163,17 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(first(col("est_jaccard")), 6).as("est_jaccard"))
   }
+
+  /** Bucket-skew guard: drop rows of buckets larger than the cap
+    * (0 = off). Counting rides the same shuffle key the downstream
+    * self-join uses. */
+  private def capBuckets(banded: DataFrame, bucket: Column, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(bucket)
+      banded.withColumn("__bn", count(lit(1)).over(w))
+        .where(col("__bn") <= cap).drop("__bn")
+    }
 
   /** Survivor-selection on top of any pair set: drop the higher id of
     * each near-dup pair (connected-component-free greedy dedup). */

@@ -63,6 +63,16 @@ class DedupSpec extends AnyFunSuite {
     assert(viaAgg == viaExpr)
   }
 
+  test("minhash bucket cap: generous cap is a no-op, cap=1 kills all pairs") {
+    val base = Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6,
+      maxBucketSize = 1000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == base)
+    assert(Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6,
+      maxBucketSize = 1).count() == 0)
+  }
+
   test("fused SimHash64 expression == explode+agg fingerprints bit-for-bit") {
     val viaAgg = Dedup.simhashFingerprints(docs, "id", TextFunctions.tokens($"text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
