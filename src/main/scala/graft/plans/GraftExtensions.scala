@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's custom
+  * expressions in the SQL function registry so they are usable from
+  * `spark.sql(...)` as well as the Column API. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * SQL surface:
+  *   minhash_signature(text, n, k, seed) → array<bigint>
+  *   simhash64(text)                     → bigint
+  *   vector_dot(a, b) / vector_cosine(a, b) → double
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)  => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "one-pass MinHash signature over char n-grams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n, k, seed) =>
+          MinHashSignature(text, intArg(n, "n"), intArg(k, "k"), longArg(seed, "seed"))
+        case Seq(text, n, k) =>
+          MinHashSignature(text, intArg(n, "n"), intArg(k, "k"), 42L)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(text, n, k[, seed])")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "one-pass 64-bit SimHash over whitespace tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => SimHash64(text)
+        case _ => throw new IllegalArgumentException("simhash64(text)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("vector_dot"),
+      info("vector_dot", "fused dot product of two float/double arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VectorSimilarity(a, b, "dot")
+        case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("vector_cosine"),
+      info("vector_cosine", "fused cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VectorSimilarity(a, b, "cosine")
+        case _ => throw new IllegalArgumentException("vector_cosine(a, b)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+  }
+}

@@ -50,6 +50,33 @@ class SchemaDslSpec extends AnyFunSuite {
   }
 }
 
+class ExtensionsRegistrySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("custom expressions callable from SQL via GraftExtensions") {
+    val fp = spark.sql("SELECT simhash64('a b c') AS fp").head().getLong(0)
+    assert(fp == graft.plans.SimHash64.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    val sig = spark.sql("SELECT minhash_signature('hello world', 3, 16) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 16)
+    val cos = spark.sql(
+      "SELECT vector_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val dot = spark.sql(
+      "SELECT vector_dot(array(2.0D, 1.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(dot == 10.0)
+  }
+
+  test("GraftSession.fromArgs CLI parsing (core.clj:1048-1069)") {
+    val cfg = GraftSession.fromArgs(Array(
+      "--appName=x", "--shufflePartitions=7", "--spark.foo=bar"))
+    assert(cfg.appName == "x" && cfg.shufflePartitions == 7)
+    assert(cfg.extraConf == Map("spark.foo" -> "bar"))
+  }
+}
+
 class SourcesSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
