@@ -29,8 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", cfg.adaptive.toString)
       .config("spark.ui.enabled", "false")
       // ns-precision parquet timestamps (testdata) read as long nanos;
-      // GraftIO.tsNanos converts to a proper TimestampType column.
+      // GraftIO.readTable converts to a proper TimestampType column.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft's custom expressions as SQL functions (first-session only)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     cfg.extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

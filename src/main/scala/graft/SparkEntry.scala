@@ -405,6 +405,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: survivor selection over near-dup pairs -----------
+    "q_dedup_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.65, blockBy = Some("source"))
+      Dedup.dropNearDups(docs, "doc_id", pairs)
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- dedup: MinHash + LSH (the 100 TB path; no SQL oracle) ---
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -644,6 +654,15 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id<b.doc_id
         |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.65
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_survivors" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |   list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-2,1)+1)]) AS sh
+        |  FROM documents),
+        | drops AS (SELECT DISTINCT b.doc_id AS d
+        |  FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id<b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.65)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "q_ann_cosine" ->
       """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
