@@ -58,6 +58,21 @@ object Sources {
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
 
+  /** Streaming side outputs (reference side-outputs on unbounded
+    * pcolls, core.clj:302-360): route each micro-batch to per-tag
+    * sinks via foreachBatch — one pass over the batch, cached, then
+    * N filtered writes. */
+  def foreachBatchRoute(df: DataFrame, tagCol: org.apache.spark.sql.Column,
+                        tags: Seq[String])(
+      sink: (String, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val tagged = batch.withColumn("__tag", tagCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try tags.foreach { t =>
+        sink(t, tagged.where(org.apache.spark.sql.functions.col("__tag") === t).drop("__tag"), batchId)
+      } finally tagged.unpersist()
+    }
+
   /** Rate source — the local stand-in for an unbounded source in tests
     * (rows of (timestamp, value) at rowsPerSecond). */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =

@@ -164,6 +164,43 @@ class WindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: session windows + watermark over real events (append mode)") {
+    import graft.sources.GraftIO
+    val batch = GraftIO.readTable(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"ts", $"value")
+    val dir = Files.createTempDirectory("graft-sess").toString + "/data"
+    batch.write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val agg = Windows.withLateness(stream, "ts", "1 hour")
+      .groupBy($"user_id", Windows.sessionWindow($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out").agg(sum($"n")).head().getLong(0)
+      // append mode emits only sessions closed by the watermark; all
+      // but the tail sessions close, so the bulk of events must appear
+      val total = batch.count()
+      assert(streamed > total / 2 && streamed <= total)
+    } finally q.stop()
+  }
+
+  test("streaming: foreachBatch side-output routing") {
+    import graft.streaming.Sources
+    val dir = Files.createTempDirectory("graft-route").toString + "/data"
+    Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("n", "t").write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val seen = scala.collection.concurrent.TrieMap[String, Long]()
+    val q = Sources.foreachBatchRoute(stream, $"t", Seq("a", "b")) { (tag, df, _) =>
+      seen.updateWith(tag)(prev => Some(prev.getOrElse(0L) + df.count()))
+    }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen("a") == 2L && seen("b") == 1L && !seen.contains("c"))
+    } finally q.stop()
+  }
+
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
     val ds = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0)).toDS
     val out = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
