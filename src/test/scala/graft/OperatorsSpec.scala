@@ -100,6 +100,17 @@ class CombinersSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("extremum merge laws (partial-agg safety for min/max)") {
+    val mx = Combiners.maxFn[Double](identity)
+    val prop = Prop.forAll { (xs: List[Double], ys: List[Double]) =>
+      val a = xs.foldLeft(mx.zero)(mx.reduce)
+      val b = ys.foldLeft(mx.zero)(mx.reduce)
+      mx.merge(a, b) == mx.merge(b, a) &&
+        mx.finish(mx.merge(a, b)) == (xs ++ ys).foldLeft(mx.zero)(mx.reduce)
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("juxt = one-pass multi-agg (core.clj:864-897)") {
     val df = Seq(1.0, 2.0, 3.0).toDF("v")
     val r = Combiners.juxt(df, sum($"v"), avg($"v"), count(lit(1))).head()
@@ -166,6 +177,16 @@ class GroupingSpec extends AnyFunSuite {
     val req = Grouping.cogroupBy(Seq(
       (Leg(tblA, "k", required = true), "as"), (Leg(tblB, "k", required = true), "bs")), "key")
     assert(req.select($"key").collect().map(_.getString(0)).toSet == Set("a"))
+  }
+
+  test("cogroupBy N-way (reference tests to 101 inputs, api_test.clj:577-601)") {
+    val legs = (0 until 10).map { i =>
+      (Grouping.Leg(Seq(("k", i.toLong)).toDF("k", s"v$i"), "k"), s"t$i")
+    }
+    val cg = Grouping.cogroupBy(legs, "key")
+    assert(cg.count() == 1)
+    val row = cg.head()
+    (1 to 10).foreach(i => assert(row.getSeq[org.apache.spark.sql.Row](i).size == 1))
   }
 
   test("cogroupTyped 2-way (core.clj 2-input cogroup)") {

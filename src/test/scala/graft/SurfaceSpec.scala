@@ -77,6 +77,20 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
   }
 }
 
+class ExamplesSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("WordCount example end-to-end (examples.clj:23-54)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-wc").toString
+    Seq("the quick fox", "the lazy dog", "fox!").toDS.write.text(base + "/in")
+    graft.examples.WordCount.run(spark, base + "/in", base + "/out")
+    val counts = spark.read.json(base + "/out")
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+    assert(counts("the") == 2L && counts("fox") == 2L && counts("dog") == 1L)
+  }
+}
+
 class SourcesSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
