@@ -104,6 +104,19 @@ object GraftIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles once at write time so
+    * subsequent joins/aggregations on the bucket keys are co-located —
+    * zero-shuffle joins between tables bucketed the same way (the
+    * 100 TB recipe for repeatedly-joined fact tables; verified
+    * exchange-free in IOSpec). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(tableName)
+  }
+
   /** `write-text-file-by-transform` / FileIO.writeDynamic
     * (core.clj:1276-1280, 1496-1518): dynamic destinations = partitioned
     * write on a destination column. */

@@ -46,6 +46,13 @@ object Windows {
   */
 object Stateful {
 
+  /** Streaming exact dedup bounded by the watermark: state for a key
+    * is dropped once the watermark passes it, so the state store stays
+    * bounded on unbounded streams — the streaming form of the
+    * training-pipeline exact-dedup operator. */
+  def streamingDedup(df: DataFrame, keys: Seq[String], tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Batch/streaming stateful map over groups. In streaming this is
     * Spark's flatMapGroupsWithState (true per-key state store); in batch
     * Spark executes the same code with a one-shot state. */

@@ -77,6 +77,33 @@ class IOSpec extends AnyFunSuite {
     assert(spark.read.json(dir).count() == 3)
   }
 
+  test("bucketed tables join without a shuffle (co-location recipe)") {
+    // managed-table locations can survive a previous JVM's in-memory
+    // catalog; clear both catalog entries and stale dirs
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    GraftIO.writeBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "bkt_left", Seq("k"), 4, sortCols = Seq("k"))
+    GraftIO.writeBucketed(Seq((1L, 10.0), (3L, 30.0)).toDF("k", "w"),
+      "bkt_right", Seq("k"), 4, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("generateInput incl. empty (core.clj:693-714, api_test.clj:279-325)") {
     assert(GraftIO.generateInput(spark, Seq(IOSpec.P("x", 1))).count() == 1)
     assert(GraftIO.generateInput(spark, Seq.empty[IOSpec.P]).count() == 0)
@@ -198,6 +225,21 @@ class WindowsSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       assert(seen("a") == 2L && seen("b") == 1L && !seen.contains("c"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark (exact-dedup streaming form)") {
+    val dir = Files.createTempDirectory("graft-dedup").toString + "/data"
+    Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val deduped = Stateful.streamingDedup(stream, Seq("k"), "ts", "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select($"k").collect().map(_.getString(0)).sorted.toSeq
+        == Seq("a", "b"))
     } finally q.stop()
   }
 

@@ -111,6 +111,14 @@ class CombinersSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("approximate aggregates (Spark superset; reference has none, SURVEY §2.4)") {
+    val df = (1 to 10000).map(i => i % 1000).toDF("v")
+    val approx = df.agg(approx_count_distinct($"v")).head().getLong(0)
+    assert(math.abs(approx - 1000) < 100) // default 5% rsd
+    val p50 = df.agg(percentile_approx($"v", lit(0.5), lit(1000))).head().getInt(0)
+    assert(math.abs(p50 - 500) < 50)
+  }
+
   test("juxt = one-pass multi-agg (core.clj:864-897)") {
     val df = Seq(1.0, 2.0, 3.0).toDF("v")
     val r = Combiners.juxt(df, sum($"v"), avg($"v"), count(lit(1))).head()
