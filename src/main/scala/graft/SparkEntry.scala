@@ -42,7 +42,7 @@ object SparkEntry {
     "q_window_fixed", "q_window_sliding", "q_session", "q_stateful",
     "q_text_stats", "q_distinct_by", "q_side_input",
     "q_minhash_lsh", "q_simhash", "q_ann_cosine", "q_quality",
-    "q_tpch3", "q_tpch5", "q_count_distinct")
+    "q_tpch3", "q_tpch5", "q_count_distinct", "q_ann_ivf")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -435,6 +435,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding", k = 5)
         .select($"q_id", $"c_id", $"sim", $"rank")
+        .orderBy("q_id", "rank")
+    }),
+
+    // -------- similarity search: IVF probe-list top-k (no SQL oracle) -
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 16, iters = 3)
+      Similarity.ivfTopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding",
+          cents, nprobe = 4, k = 5)
         .orderBy("q_id", "rank")
     }),
 

@@ -57,6 +57,67 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("__rk").as("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: coarse k-means quantizer + probe lists
+  // ------------------------------------------------------------------
+
+  /** Distance-to-centroid list for a vector against a literal centroid
+    * table (k is small — the coarse quantizer, not the corpus). */
+  private def centroidsLit(cents: Array[Array[Double]]): Column =
+    array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+  /** 1-based index of the nearest centroid by cosine. */
+  def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+    val dists = transform(centroidsLit(cents), c => -cosineFused(vec, c))
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Train a coarse quantizer with Lloyd's iterations. Centroids are
+    * driver-held (k × dim doubles — tiny) and broadcast as literals;
+    * each iteration is one distributed assign pass + one narrow
+    * per-dimension mean aggregation. */
+  def trainIvfCentroids(df: DataFrame, vec: String, k: Int,
+                        iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val vecs = df.select(transform(col(vec), _.cast("double")).as("__v"))
+    var cents = graft.operators.Grouping.sampleGlobal(vecs, k, seed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = vecs.withColumn("__cid", nearestCentroid(col("__v"), cents))
+      val dims = assigned.select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cid"), col("__pos")).agg(avg(col("__x")).as("__m"))
+        .collect()
+      val updated = cents.map(_.clone())
+      dims.foreach(r => updated(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2))
+      cents = updated
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF top-k search: corpus rows are assigned to their nearest
+    * centroid (the inverted file); each query probes its `nprobe`
+    * closest lists only, so scored pairs ≈ corpus × nprobe/k instead
+    * of the full cross join. Exactness degrades gracefully with
+    * nprobe — set nprobe=k for brute-force-equal results. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              cents: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_v"),
+      nearestCentroid(col(vec), cents).as("__cid"))
+    val probes = transform(sequence(lit(0), lit(cents.length - 1)),
+      i => struct((-cosineFused(col(vec), element_at(centroidsLit(cents), i + 1))).as("d"),
+        (i + 1).as("cid")))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_v"),
+        explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+      .select(col("q_id"), col("q_v"), col("__p.cid").as("__cid"))
+    val scored = c.join(broadcast(q), "__cid")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineFused(col("c_v"), col("q_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("__rk").as("rank"))
+  }
+
   /** Random-hyperplane signature: `planes` sign bits from fixed seeded
     * Gaussian hyperplanes, packed into a bigint bucket id. Vectors with
     * high cosine land in the same bucket with probability

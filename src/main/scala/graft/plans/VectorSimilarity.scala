@@ -34,7 +34,7 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (elemType(left), elemType(right)) match {
-      case (Some(a), Some(b)) if a == b =>
+      case (Some(_), Some(_)) =>
         if (metric == "dot" || metric == "cosine") TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"unknown metric $metric")
       case _ => TypeCheckResult.TypeCheckFailure(
@@ -42,24 +42,20 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
           s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
 
-  private def isFloat: Boolean = elemType(left).contains(FloatType)
+  private def leftIsFloat: Boolean = elemType(left).contains(FloatType)
+  private def rightIsFloat: Boolean = elemType(right).contains(FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val lf = leftIsFloat; val rf = rightIsFloat
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    if (isFloat) {
-      while (i < n) {
-        val u = x.getFloat(i).toDouble; val v = y.getFloat(i).toDouble
-        dot += u * v; nx += u * u; ny += v * v; i += 1
-      }
-    } else {
-      while (i < n) {
-        val u = x.getDouble(i); val v = y.getDouble(i)
-        dot += u * v; nx += u * u; ny += v * v; i += 1
-      }
+    while (i < n) {
+      val u = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val v = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += u * v; nx += u * u; ny += v * v; i += 1
     }
     if (metric == "dot") dot
     else {
@@ -70,7 +66,8 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val get = if (isFloat) "getFloat" else "getDouble"
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny"); val u = ctx.freshName("u")
@@ -84,8 +81,8 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $u = (double) $x.$get($i);
-         |  double $v = (double) $y.$get($i);
+         |  double $u = (double) $x.$getL($i);
+         |  double $v = (double) $y.$getR($i);
          |  $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
          |}
          |$finish

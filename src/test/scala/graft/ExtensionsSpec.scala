@@ -114,6 +114,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c - (-1.0)) < 1e-9)
   }
 
+  test("IVF: clustered data, full recall at small nprobe") {
+    // 3 well-separated clusters in 4d, 6 points each
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val pts = for (c <- centers.indices; j <- 0 until 6) yield
+      ((c * 6 + j).toLong, centers(c).map(x => x + rnd.nextFloat() * 0.2f))
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, "embedding", k = 3, iters = 4)
+    assert(cents.length == 3)
+    val exact = Similarity.bruteForceTopK(df, df.where($"vec_id" === 0), "vec_id", "embedding", 3)
+      .collect().map(_.getLong(1)).toSet
+    val ivf = Similarity.ivfTopK(df, df.where($"vec_id" === 0), "vec_id", "embedding",
+      cents, nprobe = 1, k = 3).collect().map(_.getLong(1)).toSet
+    assert(ivf == exact) // neighbors live in the same cluster ⇒ nprobe=1 suffices
+  }
+
   test("LSH cosine pairs find high-similarity neighbors") {
     val pairs = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dim = 3,
       planes = 6, tables = 8, minCosine = 0.9)
