@@ -86,6 +86,30 @@ object Combiners {
       identity)
   }
 
+  /** Bounded top-k combiner: the accumulator never exceeds k elements,
+    * so partial (map-side) aggregation ships only k candidates per
+    * partition to the shuffle — the scalable alternative to
+    * row_number-over-window when groups are huge and k is small.
+    * Returns the top k projections in descending order. */
+  def topKFn[IN, B](k: Int, proj: IN => B)(
+      implicit ord: Ordering[B], be: Encoder[Seq[B]]): Aggregator[IN, Seq[B], Seq[B]] =
+    combineFn[IN, Seq[B], Seq[B]](
+      Seq.empty[B],
+      (buf, x) => (buf :+ proj(x)).sorted(ord.reverse).take(k),
+      (a, b) => (a ++ b).sorted(ord.reverse).take(k),
+      identity)(be, be)
+
+  /** Columnar top-k rows per key (windowed rank — sorts within groups;
+    * prefer [[topKFn]] when groups are huge and only k values are
+    * needed). */
+  def topKPerKey(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                 order: Seq[Column], k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .orderBy(order.toIndexedSeq: _*)
+    df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
+  }
+
   /** `frequencies-fn` (core.clj:2052-2063): value→count map as one
     * accumulator. At scale prefer the columnar `frequencies` (a groupBy),
     * which shuffles counts, not maps. */

@@ -111,6 +111,17 @@ class CombinersSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
 
+  test("topK combiner: bounded buffer, matches windowed rank") {
+    val data = (1 to 100).map(i => (i % 3, i.toDouble))
+    val topAgg = Combiners.topKFn[(Int, Double), Double](3, _._2)
+    val viaAgg = data.toDS.groupByKey(_._1).agg(topAgg.toColumn)
+      .collect().map { case (k, vs) => k -> vs.toList }.toMap
+    val viaWindow = Combiners.topKPerKey(data.toDF("k", "v"), Seq("k"), Seq($"v".desc), 3)
+      .collect().groupBy(_.getInt(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted.reverse.toList }
+    assert(viaAgg == viaWindow)
+    assert(viaAgg(0) == List(99.0, 96.0, 93.0))
+  }
+
   test("approximate aggregates (Spark superset; reference has none, SURVEY §2.4)") {
     val df = (1 to 10000).map(i => i % 1000).toDF("v")
     val approx = df.agg(approx_count_distinct($"v")).head().getLong(0)
