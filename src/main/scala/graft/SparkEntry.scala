@@ -374,6 +374,24 @@ object SparkEntry {
         count_distinct($"l_suppkey").as("n_supps"))
     }),
 
+    // -------- exact percentiles per group -----------------------------
+    "q_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -------- arg-extremes (max_by / min_by) --------------------------
+    "q_arg_extremes" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").groupBy($"o_orderpriority").agg(
+        max_by($"o_orderkey", $"o_totalprice").as("max_price_key"),
+        min_by($"o_orderkey", $"o_totalprice").as("min_price_key"))
+        .orderBy("o_orderpriority")
+    }),
+
     // -------- dedup: exact (hash-keyed survivor) ----------------------
     "q_dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -642,6 +660,16 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_arg_extremes" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey, o_totalprice) AS max_price_key,
+        | arg_min(o_orderkey, o_totalprice) AS min_price_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)=1

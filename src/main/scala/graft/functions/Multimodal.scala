@@ -77,6 +77,22 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(content)).cast("long"))
       .withColumn("byte_crc", crc32(col(content)))
 
+  /** Resize stub: downsample the payload by keeping every `factor`-th
+    * byte — the per-partition batch shape of an image resize with the
+    * codec stubbed to byte striding (swap the loop body for a real
+    * scaler via [[MediaCodec]]-style injection). */
+  def resizeStub(df: DataFrame, factor: Int)(
+      implicit enc: Encoder[(Long, Array[Byte])]): Dataset[(Long, Array[Byte])] =
+    df.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        (r.getLong(0), out)
+      }
+    }
+
   /** Frame-sample stub: pick every `stride`-th chunk of `chunk` bytes
     * from the payload — the partitioning/batching shape of video
     * frame-sampling with the codec stubbed to byte-slicing. */

@@ -210,6 +210,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == 5L)
   }
 
+  test("resizeStub strides payload bytes") {
+    val out = Multimodal.resizeStub(media, factor = 2)
+      .collect().toMap
+    assert(new String(out(1L)) == "hlo") // "hello" striding every 2nd byte
+    assert(out(2L).isEmpty)
+  }
+
   test("frameSample slices payload chunks") {
     val big = Multimodal.fromBinary(spark,
       Seq((1L, "a" * 100)).toDF("id", "p"), "id", encode($"p", "UTF-8"), "video")
