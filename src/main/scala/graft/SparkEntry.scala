@@ -365,6 +365,34 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // -------- composite: Q6-style filtered revenue --------------------
+    "q_tpch6" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+               $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz") &&
+               $"l_discount".between(0.02, 0.04) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // -------- composite: Q10-style top customers by return revenue ----
+    "q_tpch10" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name", $"c_mktsegment")
+      val ord = t(s, dir, "orders")
+        .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+               $"o_orderdate" < lit("1997-07-01").cast("timestamp_ntz"))
+        .select($"o_orderkey", $"o_custkey")
+      val li = t(s, dir, "lineitem").where($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, $"o_orderkey" === li("l_orderkey"))
+        .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey").limit(20)
+    }),
+
     // -------- exact distinct counting ---------------------------------
     "q_count_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -655,6 +683,18 @@ object SparkEntry {
         |WHERE l_orderkey=o_orderkey AND l_suppkey=s_suppkey AND s_nationkey=n_nationkey
         |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_tpch6" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+    "q_tpch10" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey=o_custkey AND l_orderkey=o_orderkey AND l_returnflag='R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,

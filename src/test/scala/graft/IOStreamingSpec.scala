@@ -191,6 +191,24 @@ class WindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unified API: identical window helper gives identical batch and streaming results") {
+    val dir = Files.createTempDirectory("graft-parity").toString + "/data"
+    sessionEvents.select($"k", $"ts", $"v").write.parquet(dir)
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(Windows.fixedWindow($"ts", "2 seconds"), $"k").agg(sum($"v").as("s"))
+    val batch = pipeline(spark.read.parquet(dir))
+      .select($"k", $"s").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = pipeline(stream).writeStream.outputMode("complete")
+      .format("memory").queryName("parity_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity_out").select($"k", $"s")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming: session windows + watermark over real events (append mode)") {
     import graft.sources.GraftIO
     val batch = GraftIO.readTable(spark, "/root/testdata/sf0.001", "events")
