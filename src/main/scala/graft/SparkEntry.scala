@@ -42,7 +42,8 @@ object SparkEntry {
     "q_window_fixed", "q_window_sliding", "q_session", "q_stateful",
     "q_text_stats", "q_distinct_by", "q_side_input",
     "q_minhash_lsh", "q_simhash", "q_ann_cosine", "q_quality",
-    "q_tpch3", "q_tpch5", "q_count_distinct", "q_ann_ivf")
+    "q_tpch3", "q_tpch5", "q_count_distinct", "q_ann_ivf",
+    "q_chunks", "q_curation")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -534,6 +535,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: overlapping chunking for long documents -----------
+    "q_chunks" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", posexplode(
+          TextFunctions.chunkTokens(TextFunctions.tokens($"text"), chunkSize = 32, overlap = 8)))
+        .select($"doc_id", $"pos".cast("long").as("chunk_idx"), $"col".as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // -------- flagship: end-to-end training-data curation pipeline ----
+    // near-dup removal → quality gate → predicted-language filter →
+    // chunking, composed purely from library operators.
+    "q_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.65, blockBy = Some("source"))
+      val deduped = Dedup.dropNearDups(docs, "doc_id", pairs)
+      val toks = TextFunctions.tokens($"text")
+      deduped
+        .where(TextFunctions.qualityScore($"text", toks) >= 0.5)
+        .where(TextFunctions.langId(toks) === "en")
+        .select($"doc_id",
+          size(TextFunctions.chunkTokens(toks, 32, 8)).cast("long").as("n_chunks"),
+          size(toks).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // -------- multimodal: binary payload plumbing + stub decode -------
     "q_multimodal" -> ((s, dir) => {
       import s.implicits._
@@ -786,6 +816,43 @@ object SparkEntry {
       """SELECT doc_id,
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | c AS (SELECT doc_id, toks,
+        |   unnest(range(1, greatest(len(toks)-8,1)+1, 24)) AS st FROM t)
+        |SELECT doc_id, (st-1)//24 AS chunk_idx,
+        | array_to_string(toks[st:st+31], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_curation" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |   list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-2,1)+1)]) AS sh
+        |  FROM documents),
+        | drops AS (SELECT DISTINCT b.doc_id AS d
+        |  FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id<b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.65),
+        | surv AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT d FROM drops)),
+        | t AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks FROM surv),
+        | sc AS (SELECT doc_id, toks,
+        |   round(least(len(toks)::DOUBLE / 32.0, 1.0)*0.3 +
+        |     (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text),1)) * 0.3 +
+        |     (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)) * 0.4, 6) AS quality,
+        |   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |   len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','nicht'))) AS s_de,
+        |   len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por'))) AS s_es
+        |  FROM t)
+        |SELECT doc_id,
+        | ((greatest(len(toks)-8,1)-1)//24 + 1)::BIGINT AS n_chunks,
+        | len(toks)::BIGINT AS n_tokens
+        |FROM sc
+        |WHERE quality >= 0.5
+        |  AND NOT (s_es > greatest(s_en, s_fr, s_de))
+        |  AND NOT (s_de > greatest(s_en, s_fr))
+        |  AND NOT (s_fr > s_en)
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
         | unicode(substr(text,1,1)) AS head_byte

@@ -66,6 +66,18 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
 
+  /** Split a token array into fixed-size chunks with overlap — the
+    * standard long-document segmentation for training pipelines.
+    * Chunk i covers tokens [1 + i*step, 1 + i*step + size); the tail
+    * chunk may be shorter; step = size - overlap. */
+  def chunkTokens(toks: Column, chunkSize: Int, overlap: Int = 0): Column = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val step = chunkSize - overlap
+    transform(
+      sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step)),
+      i => concat_ws(" ", slice(toks, i, lit(chunkSize))))
+  }
+
   /** Punctuation ratio over characters. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
