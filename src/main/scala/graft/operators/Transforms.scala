@@ -83,4 +83,9 @@ object Transforms {
     * composition; apply with `df.transform(compose(...))`. */
   def compose(stages: (DataFrame => DataFrame)*): DataFrame => DataFrame =
     stages.reduceLeft(_ andThen _)
+
+  /** `pt-cond->>` (core.clj:975-988): apply the stage only when the
+    * build-time condition holds. */
+  def composeIf(cond: Boolean, stage: DataFrame => DataFrame): DataFrame => DataFrame =
+    if (cond) stage else identity
 }

@@ -21,6 +21,20 @@ class ComposeSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == Set((2, 4), (3, 9)))
   }
 
+  test("composeIf applies conditionally (pt-cond->>, core.clj:975-988)") {
+    val df = Seq(1, 2, 3).toDF("n")
+    val on = df.transform(Transforms.composeIf(cond = true, _.where($"n" > 1)))
+    val off = df.transform(Transforms.composeIf(cond = false, _.where($"n" > 1)))
+    assert(on.count() == 2 && off.count() == 3)
+  }
+
+  test("groupByExpr keys by expression then groups (core.clj:990-1020)") {
+    val g = graft.operators.Grouping.groupByExpr(
+      Seq("aa", "ab", "b").toDF("s"), substring($"s", 1, 1), "k")
+    val m = g.collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).size).toMap
+    assert(m == Map("a" -> 2, "b" -> 1))
+  }
+
   test("combineBy = with-keys + per-key combine (core.clj:1915-1946)") {
     val out = Combiners.combineBy(Seq(("aa", 1), ("ab", 2), ("b", 3)).toDF("s", "v"),
       substring($"s", 1, 1).as("k"), sum($"v").as("sv"))
