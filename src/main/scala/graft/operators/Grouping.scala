@@ -109,6 +109,34 @@ object Grouping {
     }
   }
 
+  /** Aggregate-form cogroup: when downstream only needs per-leg
+    * aggregates (counts/sums/…), skip materializing the per-key value
+    * lists entirely — each leg pre-aggregates, then the grouped legs
+    * full-outer join exactly like [[cogroupBy]]. The scale variant for
+    * unbounded per-key cardinality (SCALING.md known-limit 1). Aggs
+    * are coalesced to `emptyValue` for keys absent on a leg. */
+  def cogroupAgg(legs: Seq[(Leg, Seq[(Column, String)])], outKey: String = "key",
+                 emptyValue: Column = lit(0)): DataFrame = {
+    require(legs.size >= 2, "cogroupAgg needs at least 2 inputs")
+    val grouped = legs.zipWithIndex.map { case ((l, aggs), i) =>
+      val named = aggs.map { case (c, as) => c.as(as) } :+ count(lit(1)).as(s"__present_$i")
+      l.df.where(col(l.key).isNotNull)
+        .groupBy(col(l.key).as(outKey))
+        .agg(named.head, named.tail: _*)
+    }
+    val joined = grouped.reduceLeft { (a, b) =>
+      a.join(b.withColumnRenamed(outKey, "__rk"), col(outKey) === col("__rk"), "full_outer")
+        .withColumn(outKey, coalesce(col(outKey), col("__rk"))).drop("__rk")
+    }
+    val filtered = legs.zipWithIndex.foldLeft(joined) { case (df, ((l, _), i)) =>
+      if (l.required) df.where(col(s"__present_$i").isNotNull) else df
+    }
+    val coalesced = legs.flatMap(_._2.map(_._2)).foldLeft(filtered) { (df, as) =>
+      df.withColumn(as, coalesce(col(as), emptyValue))
+    }
+    coalesced.drop(legs.indices.map(i => s"__present_$i"): _*)
+  }
+
   /** Typed 2-way cogroup (reference 2-input `cogroup-by`), via
     * KeyValueGroupedDataset.cogroup. */
   def cogroupTyped[K: Encoder, A, B, O: Encoder](

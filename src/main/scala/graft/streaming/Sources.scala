@@ -58,6 +58,36 @@ object Sources {
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
 
+  /** Pub/Sub message shape (pubsub.clj:57-121): payload + attributes
+    * map + event time taken from a timestamp attribute
+    * (`:timestamp-label`). Works on any source carrying those columns
+    * (batch or streaming — for local tests, a file source). */
+  def asMessages(df: DataFrame, payload: org.apache.spark.sql.Column,
+                 attrs: org.apache.spark.sql.Column,
+                 timestampAttr: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = df.select(payload.as("payload"), attrs.as("attributes"))
+    timestampAttr.fold(base.withColumn("event_time", current_timestamp())) { k =>
+      base.withColumn("event_time",
+        timestamp_seconds(element_at(col("attributes"), k).cast("long")))
+    }
+  }
+
+  /** Windowed file sink: streaming windowed aggregates land in
+    * per-window directories via partitionBy — the Spark-native
+    * approximation of the reference's windowed FileNamePolicy
+    * (core.clj:2157-2209; filenames are committer-owned in Spark,
+    * directories are the contract). */
+  def windowedFileSink(agg: DataFrame, path: String, checkpointDir: String,
+                       format: String = "parquet"): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions._
+    agg.withColumn("window_start", date_format(col("window.start"), "yyyy-MM-dd_HH-mm-ss"))
+      .drop("window")
+      .writeStream.outputMode("append").format(format)
+      .option("path", path).option("checkpointLocation", checkpointDir)
+      .partitionBy("window_start")
+  }
+
   /** Streaming side outputs (reference side-outputs on unbounded
     * pcolls, core.clj:302-360): route each micro-batch to per-tag
     * sinks via foreachBatch — one pass over the batch, cached, then

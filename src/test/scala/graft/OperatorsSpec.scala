@@ -208,6 +208,21 @@ class GroupingSpec extends AnyFunSuite {
     (1 to 10).foreach(i => assert(row.getSeq[org.apache.spark.sql.Row](i).size == 1))
   }
 
+  test("cogroupAgg: aggregate-form cogroup, no list materialization") {
+    val cg = Grouping.cogroupAgg(Seq(
+      (Grouping.Leg(tblA, "k"), Seq((count(lit(1)), "n_a"), (sum($"va"), "s_a"))),
+      (Grouping.Leg(tblB, "k"), Seq((count(lit(1)), "n_b")))), "key")
+    val m = cg.where($"key".isNotNull).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("a") == (2L, 3L, 1L))
+    assert(m("b") == (1L, 3L, 0L))
+    assert(m("c") == (0L, 0L, 1L))
+    val req = Grouping.cogroupAgg(Seq(
+      (Grouping.Leg(tblA, "k", required = true), Seq((count(lit(1)), "n_a"))),
+      (Grouping.Leg(tblB, "k", required = true), Seq((count(lit(1)), "n_b")))), "key")
+    assert(req.select($"key").collect().map(_.getString(0)).toSet == Set("a"))
+  }
+
   test("cogroupTyped 2-way (core.clj 2-input cogroup)") {
     val a = Seq(("a", 1), ("b", 2)).toDS
     val b = Seq(("a", 10)).toDS

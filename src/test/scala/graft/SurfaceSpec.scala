@@ -109,6 +109,31 @@ class SourcesSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
+  test("pubsub-shaped messages with timestamp attribute (pubsub.clj:57-121)") {
+    val df = Seq(("hello", Map("ts" -> "100", "k" -> "v"))).toDF("body", "attrs")
+    val msgs = Sources.asMessages(df, $"body", $"attrs", timestampAttr = Some("ts"))
+    val r = msgs.head()
+    assert(r.getAs[String]("payload") == "hello")
+    assert(r.getAs[Map[String, String]]("attributes")("k") == "v")
+    assert(r.getAs[java.sql.Timestamp]("event_time").getTime == 100000L)
+  }
+
+  test("windowed file sink: per-window directories (FileNamePolicy analog)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-winsink").toString
+    Seq(("k", 0, 1.0), ("k", 3700, 2.0)).toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds($"sec")).write.parquet(base + "/in")
+    val stream = spark.readStream.schema(spark.read.parquet(base + "/in").schema)
+      .parquet(base + "/in")
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 hour")).agg(sum($"v").as("s"))
+    val q = Sources.windowedFileSink(agg, base + "/out", base + "/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val dirs = new java.io.File(base + "/out").listFiles()
+      .filter(_.getName.startsWith("window_start=")).map(_.getName).sorted
+    assert(dirs.length == 1) // watermark closes only the first window
+    assert(dirs.head.contains("1970-01-01_00-00-00"))
+  }
+
   test("file-watch source + synchronous memory run (core.clj:1207-1217)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-watch").toString + "/in"
     Seq("a", "b", "c").toDS.write.text(dir)
