@@ -154,6 +154,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("chunkTokens: overlap, tail chunk, degenerate sizes") {
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextFunctions.chunkTokens(TextFunctions.tokens($"t"), size, overlap))
+        .head().getSeq[String](0)
+    assert(chunksOf("a b c d e", 2, 0) == Seq("a b", "c d", "e"))
+    assert(chunksOf("a b c d e", 3, 1) == Seq("a b c", "c d e"))
+    assert(chunksOf("a", 4, 2) == Seq("a")) // doc shorter than a chunk
+    intercept[IllegalArgumentException](chunksOf("a b", 2, 2))
+  }
+
   test("fingerprint deterministic and content-sensitive") {
     val fps = Seq("abc", "abd", "abc").toDF("t")
       .select(TextFunctions.fingerprint($"t")).collect().map(_.getLong(0))
