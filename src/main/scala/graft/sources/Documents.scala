@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Document-store connector analogs.
+  *
+  * Elasticsearch (reference es.clj:96-156): the engine-side capability
+  * is a JSON-document sink with dynamic routing (`index-fn`) and
+  * explicit ids (`id-fn`) — here a routed JSON-lines write; a real
+  * cluster client would consume the same shape.
+  *
+  * Datastore (reference datastore.clj:44-176): a bidirectional
+  * row ⇄ entity codec — entities are (key{kind,name}, properties{...})
+  * structs with optional ancestor path, exactly the reference's
+  * Clojure⇄Entity mapping re-expressed as nested columns.
+  */
+object Documents {
+
+  /** ES-style routed document write: `indexCol` = dynamic index
+    * (es.clj `index-fn`), `idCol` = document id (`id-fn`). */
+  def writeDocuments(df: DataFrame, path: String, indexCol: Column, idCol: Column,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("_id", idCol.cast("string"))
+      .withColumn("__index", indexCol)
+      .write.mode(mode).partitionBy("__index").json(path)
+
+  /** Rows → entities: key(kind, name[, parent path]) + properties
+    * struct of all remaining columns (datastore.clj:164-176
+    * `make-ds-entity`). */
+  def toEntities(df: DataFrame, kind: String, keyCol: String,
+                 ancestors: Seq[(String, Column)] = Nil): DataFrame = {
+    val props = df.columns.filterNot(_ == keyCol).map(col)
+    val path = array(ancestors.map { case (k, n) =>
+      struct(lit(k).as("kind"), n.cast("string").as("name"))
+    } :+ struct(lit(kind).as("kind"), col(keyCol).cast("string").as("name")): _*)
+    df.select(struct(path.as("path")).as("key"),
+      struct(props.toIndexedSeq: _*).as("properties"))
+  }
+
+  /** Entities → rows: re-flatten properties and surface the leaf key
+    * (datastore.clj:73-94 `entity->clj`). */
+  def fromEntities(df: DataFrame, keyAs: String = "key_name"): DataFrame =
+    df.select(element_at(col("key.path"), -1).getField("name").as(keyAs) +:
+      df.select(col("properties.*")).columns.map(c => col(s"properties.$c")).toIndexedSeq: _*)
+}

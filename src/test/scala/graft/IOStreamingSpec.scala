@@ -104,6 +104,30 @@ class IOSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("ES-style routed document sink (es.clj:96-156)") {
+    import graft.sources.Documents
+    val dir = tmp() + "/docs"
+    Documents.writeDocuments(
+      Seq((1L, "x", "idx_a"), (2L, "y", "idx_b")).toDF("id", "body", "dest"),
+      dir, $"dest", $"id")
+    val dests = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("__index="))
+    assert(dests.toSet == Set("__index=idx_a", "__index=idx_b"))
+    val back = spark.read.json(dir + "/__index=idx_a")
+    assert(back.select("_id").head().getString(0) == "1")
+  }
+
+  test("Datastore entity codec round-trip (datastore.clj:44-176)") {
+    import graft.sources.Documents
+    val src = Seq((7L, "alice", 3.5)).toDF("uid", "name", "score")
+    val ents = Documents.toEntities(src, "User", "uid",
+      ancestors = Seq("Org" -> lit("acme")))
+    val key = ents.select($"key.path").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(key.map(r => (r.getString(0), r.getString(1))) == Seq(("Org", "acme"), ("User", "7")))
+    val back = Documents.fromEntities(ents)
+    assert(back.columns.toSeq == Seq("key_name", "name", "score"))
+    assert(back.head() == org.apache.spark.sql.Row("7", "alice", 3.5))
+  }
+
   test("generateInput incl. empty (core.clj:693-714, api_test.clj:279-325)") {
     assert(GraftIO.generateInput(spark, Seq(IOSpec.P("x", 1))).count() == 1)
     assert(GraftIO.generateInput(spark, Seq.empty[IOSpec.P]).count() == 0)
