@@ -208,6 +208,22 @@ class GroupingSpec extends AnyFunSuite {
     (1 to 10).foreach(i => assert(row.getSeq[org.apache.spark.sql.Row](i).size == 1))
   }
 
+  test("cogroupBy dropNil and joinNil variants (core.clj:1588-1595, join-nil?)") {
+    // dropNil on A only: A's nil row vanishes, B's nil row stays a
+    // singleton group
+    val dn = Grouping.cogroupBy(Seq(
+      (Grouping.Leg(tblA, "k", dropNil = true), "as"), (Grouping.Leg(tblB, "k"), "bs")), "key")
+    val nilRows = dn.where($"key".isNull).collect()
+    assert(nilRows.length == 1)
+    assert(nilRows.head.getSeq[Row](1).isEmpty && nilRows.head.getSeq[Row](2).size == 1)
+    // joinNil: all nil-keyed elements group together across legs
+    val jn = Grouping.cogroupBy(Seq(
+      (Grouping.Leg(tblA, "k"), "as"), (Grouping.Leg(tblB, "k"), "bs")), "key", joinNil = true)
+    val nilJoined = jn.where($"key".isNull).collect()
+    assert(nilJoined.length == 1)
+    assert(nilJoined.head.getSeq[Row](1).size == 1 && nilJoined.head.getSeq[Row](2).size == 1)
+  }
+
   test("cogroupAgg: aggregate-form cogroup, no list materialization") {
     val cg = Grouping.cogroupAgg(Seq(
       (Grouping.Leg(tblA, "k"), Seq((count(lit(1)), "n_a"), (sum($"va"), "s_a"))),
