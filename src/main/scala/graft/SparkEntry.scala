@@ -462,10 +462,15 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
-    // -------- dedup: MinHash + LSH (the 100 TB path; no SQL oracle) ---
+    // -------- dedup: MinHash + LSH (the 100 TB path). Oracle: the
+    // exact 5-gram Jaccard >= 0.9 pair set — equal to LSH at
+    // est >= 0.8 because the corpus similarity distribution is bimodal
+    // (see q_curation note). est values themselves are hash-dependent
+    // and stay out of the oracle-compared columns.
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -766,6 +771,14 @@ object SparkEntry {
         | round(len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))), 6) AS jaccard
         |FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id<b.doc_id
         |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.65
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id<b.doc_id
+        |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_survivors" ->
       """WITH sh AS (SELECT doc_id, source,
