@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => ReplaceSizeOfCollectList)
+
     e.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "one-pass MinHash signature over char n-grams"),
       (args: Seq[Expression]) => args match {

@@ -83,6 +83,16 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     assert(dot == 10.0)
   }
 
+  test("optimizer rule rewrites size(collect_list) to count") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      .groupBy($"k").agg(size(collect_list($"v")).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("collect_list"), s"collect_list not rewritten:\n$optimized")
+    assert(optimized.contains("count"))
+    assert(df.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a", 2), ("b", 1)))
+  }
+
   test("GraftSession.fromArgs CLI parsing (core.clj:1048-1069)") {
     val cfg = GraftSession.fromArgs(Array(
       "--appName=x", "--shufflePartitions=7", "--spark.foo=bar"))
