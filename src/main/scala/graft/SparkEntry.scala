@@ -124,6 +124,19 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // -------- grouped counting via the size(collect_*) rewrite rule ---
+    "q_group_count" -> ((s, dir) => {
+      import s.implicits._
+      // written as the list-materializing anti-pattern on purpose: the
+      // ReplaceSizeOfCollectList rule rewrites both aggregates to
+      // (distinct) counts — see ExtensionsRegistrySpec plan assertion.
+      t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(size(collect_list($"l_linenumber")).cast("long").as("n_lines"),
+          size(collect_set($"l_suppkey")).cast("long").as("n_supps"))
+        .orderBy("l_orderkey")
+    }),
+
     // -------- join-by, all sides required = inner ---------------------
     "q_join" -> ((s, dir) => {
       import s.implicits._
@@ -622,6 +635,10 @@ object SparkEntry {
     "q_group_collect" ->
       """SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_group_count" ->
+      """SELECT l_orderkey, count(l_linenumber) AS n_lines,
+        | count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join" ->
       """SELECT c_custkey AS custkey, c_name, o_orderkey, round(o_totalprice,2) AS total
         |FROM customer JOIN orders ON c_custkey=o_custkey

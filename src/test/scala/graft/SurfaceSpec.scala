@@ -91,6 +91,10 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     assert(optimized.contains("count"))
     assert(df.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
       Set(("a", 2), ("b", 1)))
+    val dfSet = Seq(("a", 1), ("a", 1), ("a", 2)).toDF("k", "v")
+      .groupBy($"k").agg(size(collect_set($"v")).as("n"))
+    assert(!dfSet.queryExecution.optimizedPlan.toString.contains("collect_set"))
+    assert(dfSet.head().getInt(1) == 2)
   }
 
   test("GraftSession.fromArgs CLI parsing (core.clj:1048-1069)") {
