@@ -74,25 +74,38 @@ object Similarity {
 
   /** Train a coarse quantizer with Lloyd's iterations. Centroids are
     * driver-held (k × dim doubles — tiny) and broadcast as literals;
-    * each iteration is one distributed assign pass + one narrow
-    * per-dimension mean aggregation. */
+    * each iteration is one pass over a persisted bounded training
+    * sample (`maxTrainRows`, standard IVF practice — FAISS trains on
+    * ~256 vectors per centroid) + one narrow per-dimension mean
+    * aggregation, so a 100 TB corpus is scanned exactly once for
+    * sampling, never once per iteration. */
   def trainIvfCentroids(df: DataFrame, vec: String, k: Int,
-                        iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+                        iters: Int = 5, seed: Long = 42L,
+                        maxTrainRows: Int = 100000): Array[Array[Double]] = {
     val vecs = df.select(transform(col(vec), _.cast("double")).as("__v"))
-    var cents = graft.operators.Grouping.sampleGlobal(vecs, k, seed)
-      .collect().map(_.getSeq[Double](0).toArray)
-    var it = 0
-    while (it < iters) {
-      val assigned = vecs.withColumn("__cid", nearestCentroid(col("__v"), cents))
-      val dims = assigned.select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("__cid"), col("__pos")).agg(avg(col("__x")).as("__m"))
-        .collect()
-      val updated = cents.map(_.clone())
-      dims.foreach(r => updated(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2))
-      cents = updated
-      it += 1
-    }
-    cents
+    // parquet count is metadata-only (no data scan); bounds the sample
+    val n = df.count()
+    val train =
+      (if (n <= maxTrainRows) vecs
+       else vecs.sample(withReplacement = false, maxTrainRows.toDouble / n, seed))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // init: k random rows of the (already cached, bounded) sample
+      var cents = train.orderBy(rand(seed)).limit(k)
+        .collect().map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val assigned = train.withColumn("__cid", nearestCentroid(col("__v"), cents))
+        val dims = assigned.select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy(col("__cid"), col("__pos")).agg(avg(col("__x")).as("__m"))
+          .collect()
+        val updated = cents.map(_.clone())
+        dims.foreach(r => updated(r.getInt(0) - 1)(r.getInt(1)) = r.getDouble(2))
+        cents = updated
+        it += 1
+      }
+      cents
+    } finally { train.unpersist(blocking = false); () }
   }
 
   /** IVF top-k search: corpus rows are assigned to their nearest
