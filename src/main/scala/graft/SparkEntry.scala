@@ -324,15 +324,13 @@ object SparkEntry {
     }),
 
     // -------- stateful per-key processing (running state) -------------
+    // Windowed (spilling-sort) form — the 100 TB path. The typed
+    // runningByKey / runningByKeySorted forms are equality-tested
+    // against this plan in IOStreamingSpec.
     "q_stateful" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"event_id", $"user_id", $"ts_ns", $"value").as[Ev]
-      Stateful.runningByKey[Long, Ev, Double, Run, (Long, Long)](
-          ev, _.user_id, e => (e.ts_ns, e.event_id), 0.0) { (acc, e) =>
-          val next = acc + e.value
-          (next, Run(e.event_id, e.user_id, next))
-        }
+      Stateful.runningAgg(t(s, dir, "events"),
+          Seq($"user_id"), Seq($"ts_ns", $"event_id"), sum($"value"), "running_raw")
         .select($"event_id", $"user_id", round($"running_raw", 2).as("running"))
         .orderBy("event_id")
     }),

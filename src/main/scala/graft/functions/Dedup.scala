@@ -132,6 +132,16 @@ object Dedup {
       b => struct(b.as("band"), xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r)))).as("bh")))
   }
 
+  /** Materialize a self-join input exactly once. Reliable when the
+    * session has a checkpoint dir (survives executor loss — set one on
+    * any real cluster: `sc.setCheckpointDir("hdfs://...")`); otherwise
+    * falls back to `localCheckpoint` (executor-memory blocks, fine for
+    * local/test runs). Both cut the lineage so the signature pass runs
+    * once, not once per join side. */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,
     * bandhash) — never all-pairs. `estJaccard` = fraction of matching
     * signature positions (unbiased Jaccard estimate); filter on it to
@@ -140,14 +150,19 @@ object Dedup {
     *        than this many docs (0 = no cap). A pathological band value
     *        shared by M docs contributes M² candidate pairs; capping
     *        bounds the blow-up at the cost of recall on those docs —
-    *        standard practice at corpus scale. */
+    *        standard practice at corpus scale, so it defaults ON
+    *        (1000: ≤ ~500k candidate pairs per degenerate bucket).
+    *        True near-dup clusters are tiny relative to this; recall
+    *        is only affected when a single band value collects >1000
+    *        docs, which at that point is a degenerate hash, not a
+    *        duplicate cluster. */
   def minhashLshPairs(df: DataFrame, id: String, text: String,
                       n: Int = 3, k: Int = 128, bands: Int = 32,
                       minEstJaccard: Double = 0.5, seed: Long = 42L,
-                      maxBucketSize: Int = 0): DataFrame = {
+                      maxBucketSize: Int = 1000): DataFrame = {
     // one-pass fused signatures, materialized once so both sides of
     // the self-join reuse them
-    val sig = minhashSignaturesFused(df, id, col(text), n, k, seed).localCheckpoint()
+    val sig = materializeOnce(minhashSignaturesFused(df, id, col(text), n, k, seed))
     val banded0 = sig.select(col("__id"), col("__sig"),
       explode(lshBands(col("__sig"), k, bands)).as("__b"))
     val banded = capBuckets(banded0, col("__b"), maxBucketSize)
@@ -236,11 +251,11 @@ object Dedup {
     * least one chunk → shuffle on (chunkIdx, chunkValue), never
     * all-pairs. */
   def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3): DataFrame =
-    simhashPairsFromFp(simhashFingerprints(df, id, tokens).localCheckpoint(), maxDist)
+    simhashPairsFromFp(materializeOnce(simhashFingerprints(df, id, tokens)), maxDist)
 
   /** Pigeonhole pairing over a text column via the fused expression. */
   def simhashPairsText(df: DataFrame, id: String, text: Column, maxDist: Int = 3): DataFrame =
-    simhashPairsFromFp(simhashFingerprintsFused(df, id, text).localCheckpoint(), maxDist)
+    simhashPairsFromFp(materializeOnce(simhashFingerprintsFused(df, id, text)), maxDist)
 
   private def simhashPairsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document-store connector analogs.
@@ -24,6 +24,23 @@ object Documents {
     df.withColumn("_id", idCol.cast("string"))
       .withColumn("__index", indexCol)
       .write.mode(mode).partitionBy("__index").json(path)
+
+  /** ES-style document read (es.clj:17-95: scroll `:query` over an
+    * index → maps). Reads a routed document tree (the shape
+    * [[writeDocuments]] produces), restoring the dynamic index as
+    * `_index`; `query` is the `:query` analog — a plain predicate that
+    * Catalyst pushes into the scan, the batch equivalent of a filtered
+    * scroll; `fields` mirrors the `_source` include list. Scroll
+    * pagination itself dissolves: a distributed scan is already
+    * batched per partition. */
+  def readDocuments(spark: SparkSession, path: String,
+                    query: Option[Column] = None,
+                    fields: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.json(path).withColumnRenamed("__index", "_index")
+    val filtered = query.fold(df)(df.filter)
+    if (fields.isEmpty) filtered
+    else filtered.select(("_index" +: "_id" +: fields).distinct.map(col): _*)
+  }
 
   /** Rows → entities: key(kind, name[, parent path]) + properties
     * struct of all remaining columns (datastore.clj:164-176

@@ -20,9 +20,31 @@ object GraftIO {
   /** `read-text-file` (core.clj:1284-1304): newline-delimited text,
     * glob patterns, compression auto-detected by extension (the
     * reference's `:auto`; explicit codecs are a write-side concern in
-    * Spark). */
+    * Spark).
+    *
+    * Reference read-side options (core.clj:1190-1217) and their fates:
+    * `:delimiter` → [[readTextFileOpts]] `delimiter` (Spark `lineSep`);
+    * `:empty-match-treatment` → `emptyMatchAllowed` (Beam's ALLOW /
+    * DISALLOW; ALLOW_IF_WILDCARD dissolves — Spark globs match empty
+    * silently, only fully-missing paths throw); `:many-files` (a
+    * Beam file-listing hint) is Spark-native — driver-side listing is
+    * already parallelized (`spark.sql.sources.parallelPartitionDiscovery
+    * .threshold`), no per-read flag needed. */
   def readTextFile(spark: SparkSession, paths: String*): Dataset[String] =
     spark.read.textFile(paths: _*)
+
+  /** [[readTextFile]] with the reference's read-side options. */
+  def readTextFileOpts(spark: SparkSession, paths: Seq[String],
+                       delimiter: Option[String] = None,
+                       emptyMatchAllowed: Boolean = false): Dataset[String] = {
+    val r = delimiter.fold(spark.read)(d => spark.read.option("lineSep", d))
+    try r.textFile(paths: _*)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if emptyMatchAllowed && e.getCondition == "PATH_NOT_FOUND" =>
+        spark.emptyDataset(org.apache.spark.sql.Encoders.STRING)
+    }
+  }
 
   /** `read-text-files` (core.clj:1306-1332): read a *collection of
     * paths*. The path list is small metadata (file names, not data), so

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -66,7 +67,13 @@ object Stateful {
   /** Ordered running-state transform: for each key, sort the group by
     * `ord` and thread a state through it, emitting one output per
     * element — the deterministic batch analog of per-key ValueState
-    * (processing order fixed by `ord` instead of arrival order). */
+    * (processing order fixed by `ord` instead of arrival order).
+    *
+    * Reference-parity form: the in-memory group sort bounds per-key
+    * cardinality by executor memory. The scale paths are
+    * [[runningAgg]] (columnar window aggregate, spilling sort) for
+    * aggregate-shaped state and [[runningByKeySorted]] (external-sort
+    * partitions, streamed state) for arbitrary step functions. */
   def runningByKey[K: Encoder, V, S, O: Encoder, B: Ordering](
       ds: Dataset[V], key: V => K, ord: V => B, zero: S)(
       step: (S, V) => (S, O)): Dataset[O] =
@@ -76,4 +83,44 @@ object Stateful {
         case ((s, _), v) => step(s, v)
       }.drop(1).map(_._2)
     }
+
+  /** Spill-safe running aggregate: `agg` over an ordered per-key
+    * running window (rows unbounded-preceding → current). Spark's
+    * window operator sorts with the external (spilling) sorter, so a
+    * hot key degrades to disk instead of OOMing an executor — the
+    * 100 TB path for aggregate-shaped running state. */
+  def runningAgg(df: DataFrame, keys: Seq[Column], ord: Seq[Column],
+                 agg: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, agg.over(w))
+  }
+
+  /** Spill-safe generic running state for arbitrary step functions:
+    * repartition by key, external-sort each partition on (key, ord),
+    * then stream every partition once, resetting state at key
+    * boundaries. Never holds a whole group in memory (unlike
+    * [[runningByKey]]'s group sort). `ord` values sort by Spark's
+    * column ordering of the encoded type — tuples compare
+    * lexicographically field-by-field, matching Scala's Ordering for
+    * the usual numeric/string cases. */
+  def runningByKeySorted[K: Encoder, V: Encoder, S, O: Encoder, B: Encoder](
+      ds: Dataset[V], key: V => K, ord: V => B, zero: S)(
+      step: (S, V) => (S, O)): Dataset[O] = {
+    implicit val kbv: Encoder[(K, B, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[B]], implicitly[Encoder[V]])
+    ds.map(v => (key(v), ord(v), v))
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .mapPartitions { it =>
+        var cur: Option[K] = None
+        var state = zero
+        it.map { case (k, _, v) =>
+          if (!cur.contains(k)) { cur = Some(k); state = zero }
+          val (s2, o) = step(state, v)
+          state = s2
+          o
+        }
+      }
+  }
 }

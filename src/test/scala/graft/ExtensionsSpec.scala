@@ -87,6 +87,31 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("default bucket cap drops degenerate buckets, keeps sane ones") {
+    // 40 identical docs: one signature, so every band bucket holds all
+    // 40 docs — the degenerate-hash skew shape the cap guards against
+    val dup = (1L to 40L).map(i => (i, "identical degenerate text shared by every document"))
+      .toDF("id", "text")
+    // default cap (1000) >> 40: all C(40,2) pairs survive
+    assert(Dedup.minhashLshPairs(dup, "id", "text", 3, 32, 8, 0.5).count() == 40L * 39 / 2)
+    // cap below the bucket size removes every candidate from it
+    assert(Dedup.minhashLshPairs(dup, "id", "text", 3, 32, 8, 0.5,
+      maxBucketSize = 10).count() == 0)
+  }
+
+  test("reliable checkpoint engages when a checkpoint dir is set; pairs unchanged") {
+    val base = Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val got = Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == base)
+    // the signature table was checkpointed reliably (files on disk),
+    // not pinned in executor memory
+    assert(dir.listFiles().nonEmpty)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {

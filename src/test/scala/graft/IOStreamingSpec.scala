@@ -24,12 +24,33 @@ class IOSpec extends AnyFunSuite {
   }
 
   test("compression round-trip matrix (core_test.clj:34-75)") {
+    // zstd omitted: Hadoop's ZStandardCodec needs libzstd, absent in
+    // this container (parquet zstd works — different codec path)
     for (codec <- Seq("gzip", "bzip2", "deflate", "snappy", "lz4")) {
       val dir = tmp() + s"/c_$codec"
       GraftIO.writeTextFile(Seq("alpha", "beta").toDS, dir, numShards = 1,
         compression = Some(codec))
       assert(GraftIO.readTextFile(spark, dir).collect().toSet == Set("alpha", "beta"),
         s"codec $codec")
+      val jdir = tmp() + s"/j_$codec"
+      GraftIO.writeJsonFile(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), jdir,
+        numShards = 1, compression = Some(codec))
+      assert(GraftIO.readJsonFile(spark, jdir).select($"k").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L), s"json codec $codec")
+    }
+  }
+
+  test("read-side options: custom delimiter and empty-match treatment (core.clj:1190-1217)") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "d.txt"), "a;b;c")
+    val out = GraftIO.readTextFileOpts(spark, Seq(dir + "/d.txt"),
+      delimiter = Some(";")).collect().toSet
+    assert(out == Set("a", "b", "c"))
+    // missing path: ALLOW → empty dataset, DISALLOW (default) → throw
+    assert(GraftIO.readTextFileOpts(spark, Seq(dir + "/nope_dir"),
+      emptyMatchAllowed = true).isEmpty)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      GraftIO.readTextFileOpts(spark, Seq(dir + "/nope_dir")).collect()
     }
   }
 
@@ -114,6 +135,22 @@ class IOSpec extends AnyFunSuite {
     assert(dests.toSet == Set("__index=idx_a", "__index=idx_b"))
     val back = spark.read.json(dir + "/__index=idx_a")
     assert(back.select("_id").head().getString(0) == "1")
+  }
+
+  test("ES-style document read: query + fields over routed docs (es.clj:17-95)") {
+    import graft.sources.Documents
+    val dir = tmp() + "/docs_r"
+    Documents.writeDocuments(
+      Seq((1L, "x", "idx_a"), (2L, "y", "idx_b"), (3L, "z", "idx_a"))
+        .toDF("id", "body", "dest"),
+      dir, $"dest", $"id")
+    val all = Documents.readDocuments(spark, dir)
+    assert(all.count() == 3 && all.columns.contains("_index"))
+    val q = Documents.readDocuments(spark, dir,
+      query = Some($"_index" === "idx_a" && $"body" =!= "z"),
+      fields = Seq("body"))
+    assert(q.columns.toSeq == Seq("_index", "_id", "body"))
+    assert(q.collect().map(_.getString(2)).toSeq == Seq("x"))
   }
 
   test("Datastore entity codec round-trip (datastore.clj:44-176)") {
@@ -291,5 +328,23 @@ class WindowsSpec extends AnyFunSuite {
       ds, _._1, _._2, 0.0) { (acc, v) => val n = acc + v._3; (n, (v._1, v._2, n)) }
       .collect().toSet
     assert(out == Set(("a", 1, 1.0), ("a", 2, 11.0), ("b", 1, 5.0)))
+  }
+
+  test("running-state forms agree: group-sort, external-sort, window aggregate") {
+    val data = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0), ("a", 3, 2.5), ("b", 2, -1.0))
+    val ds = data.toDS
+    def step(acc: Double, v: (String, Int, Double)) = {
+      val n = acc + v._3; (n, (v._1, v._2, n))
+    }
+    val typed = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
+      ds, _._1, _._2, 0.0)(step).collect().toSet
+    val sorted = Stateful.runningByKeySorted[String, (String, Int, Double), Double, (String, Int, Double), Int](
+      ds, _._1, _._2, 0.0)(step).collect().toSet
+    val windowed = Stateful.runningAgg(ds.toDF("k", "i", "v"),
+        Seq($"k"), Seq($"i"), sum($"v"), "run")
+      .select($"k", $"i", $"run")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(sorted == typed)
+    assert(windowed == typed)
   }
 }
