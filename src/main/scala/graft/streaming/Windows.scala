@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Windowing & streaming — reference §2.5 (datasplash core.clj:2082-2155
   * fixed/sliding/session windows; ClojureStatefulDoFn.java stateful
@@ -39,6 +39,37 @@ object Windows {
 
   def withLateness(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
+
+  /** Beam `:accumulate-mode` (core.clj:2082-2094) → Spark output mode:
+    * `:accumulate` ≈ Update — every trigger re-emits the refined pane,
+    * so late data within the watermark updates the emitted row;
+    * `:discard` ≈ Append — exactly one final firing per window, once
+    * the watermark closes it. Spark has no per-pane delta firing; the
+    * mapping (and its limits) is documented in SURVEY §2.5 and
+    * spec-exercised on a late-data file stream. */
+  def accumulationMode(mode: String): OutputMode = mode match {
+    case "accumulate" => OutputMode.Update()
+    case "discard"    => OutputMode.Append()
+    case other => throw new IllegalArgumentException(s"unknown accumulate-mode: $other")
+  }
+
+  /** Beam `:trigger` (core.clj:2082-2094) → Spark query trigger:
+    * repeated processing-time firings, a one-shot drain of available
+    * data (AvailableNow), or continuous processing. Triggers are
+    * per-query in Spark, not per-window. */
+  def triggerOf(kind: String, interval: String = "0 seconds"): Trigger = kind match {
+    case "processing-time" => Trigger.ProcessingTime(interval)
+    case "available-now"   => Trigger.AvailableNow()
+    case "continuous"      => Trigger.Continuous(interval)
+    case other => throw new IllegalArgumentException(s"unknown trigger kind: $other")
+  }
+
+  /** Apply the reference's window output options to a stream writer
+    * (`:allowed-lateness` lives on the DataFrame via [[withLateness]]). */
+  def withWindowOptions[T](w: DataStreamWriter[T],
+                           accumulateMode: String = "discard",
+                           trigger: Trigger = Trigger.ProcessingTime(0)): DataStreamWriter[T] =
+    w.outputMode(accumulationMode(accumulateMode)).trigger(trigger)
 }
 
 /** Stateful per-key processing — reference stateful ParDo

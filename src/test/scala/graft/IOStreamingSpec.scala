@@ -330,6 +330,88 @@ class WindowsSpec extends AnyFunSuite {
     assert(out == Set(("a", 1, 1.0), ("a", 2, 11.0), ("b", 1, 5.0)))
   }
 
+  test("window options: accumulate (Update) refines late panes, discard (Append) fires finals once") {
+    def evs(rows: Seq[(String, Long)]) = rows.toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).select($"k", $"ts")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      Windows.withLateness(df, "ts", "5 seconds")
+        .groupBy(Windows.fixedWindow($"ts", "2 seconds").as("w"), $"k")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"w.start").as("ws"), $"k", $"n")
+
+    // ---- accumulate ≈ Update: the [0,2) pane fires at n=1, then
+    // refires refined at n=2 when the late row lands within lateness
+    val dir1 = Files.createTempDirectory("graft-acc").toString + "/data"
+    evs(Seq(("a", 1L))).write.parquet(dir1)
+    val s1 = spark.readStream.schema(spark.read.parquet(dir1).schema).parquet(dir1)
+    val q1 = Windows.withWindowOptions(
+        agg(s1).writeStream.format("memory").queryName("acc_out"),
+        accumulateMode = "accumulate",
+        trigger = Windows.triggerOf("processing-time", "0 seconds")).start()
+    try {
+      q1.processAllAvailable()
+      evs(Seq(("a", 1L), ("a", 30L))).write.mode("append").parquet(dir1)
+      q1.processAllAvailable()
+      val panes = spark.table("acc_out").where($"ws" === 0)
+        .select($"n").collect().map(_.getLong(0)).toSet
+      assert(panes == Set(1L, 2L), s"expected refinement firings, got $panes")
+    } finally q1.stop()
+
+    // ---- discard ≈ Append: one final firing per watermark-closed
+    // window, late row folded into the single final pane
+    val dir2 = Files.createTempDirectory("graft-disc").toString + "/data"
+    evs(Seq(("a", 1L), ("a", 1L), ("a", 30L))).write.parquet(dir2)
+    val s2 = spark.readStream.schema(spark.read.parquet(dir2).schema).parquet(dir2)
+    val q2 = Windows.withWindowOptions(
+        agg(s2).writeStream.format("memory").queryName("disc_out"),
+        accumulateMode = "discard",
+        trigger = Windows.triggerOf("available-now")).start()
+    try {
+      q2.awaitTermination()
+      val rows = spark.table("disc_out").select($"ws", $"n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // [0,2) closed by wm=25: exactly one firing, with both rows;
+      // [30,32) still open: not emitted
+      assert(rows == Seq((0L, 2L)))
+    } finally q2.stop()
+  }
+
+  test("statefulFlatMap event-time timeout emits on state expiry (ClojureStatefulDoFn.java:14-42)") {
+    val dir = Files.createTempDirectory("graft-ett").toString + "/data"
+    Seq(("a", 1L)).toDF("k", "sec").withColumn("ts", timestamp_seconds($"sec"))
+      .select($"k", $"ts").write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .as[(String, java.sql.Timestamp)]
+    val out = Stateful.statefulFlatMap[String, (String, java.sql.Timestamp), Long, (String, Long)](
+      stream, _._1, OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (k, it, st) =>
+        if (st.hasTimedOut) {
+          val n = st.get; st.remove()
+          Iterator((k, n)) // flush the expired key's state downstream
+        } else {
+          val vs = it.toSeq
+          st.update(st.getOption.getOrElse(0L) + vs.size)
+          // expire 1s of event time after the key's latest event
+          st.setTimeoutTimestamp(vs.map(_._2.getTime).max + 1000L)
+          Iterator.empty
+        }
+    }
+    val q = out.toDF("k", "n").writeStream.outputMode("append")
+      .format("memory").queryName("ett_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ett_out").isEmpty) // watermark still at 1s: no expiry
+      // a 10s event pushes the watermark past the 2s timeout → "a" expires
+      Seq(("b", 10L)).toDF("k", "sec").withColumn("ts", timestamp_seconds($"sec"))
+        .select($"k", $"ts").write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val rows = spark.table("ett_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("a", 1L)))
+    } finally q.stop()
+  }
+
   test("running-state forms agree: group-sort, external-sort, window aggregate") {
     val data = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0), ("a", 3, 2.5), ("b", 2, -1.0))
     val ds = data.toDS

@@ -198,14 +198,20 @@ class GroupingSpec extends AnyFunSuite {
     assert(req.select($"key").collect().map(_.getString(0)).toSet == Set("a"))
   }
 
-  test("cogroupBy N-way (reference tests to 101 inputs, api_test.clj:577-601)") {
-    val legs = (0 until 10).map { i =>
+  test("cogroupBy N-way at reference arity (101 inputs, api_test.clj:577-601)") {
+    // validates the chained full-outer-join plan is analyzable and
+    // correct at the reference's max tested arity, in bounded time
+    val arity = 101
+    val legs = (0 until arity).map { i =>
       (Grouping.Leg(Seq(("k", i.toLong)).toDF("k", s"v$i"), "k"), s"t$i")
     }
+    val t0 = System.nanoTime()
     val cg = Grouping.cogroupBy(legs, "key")
     assert(cg.count() == 1)
     val row = cg.head()
-    (1 to 10).foreach(i => assert(row.getSeq[org.apache.spark.sql.Row](i).size == 1))
+    (1 to arity).foreach(i => assert(row.getSeq[org.apache.spark.sql.Row](i).size == 1))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 300.0, s"101-leg cogroup took ${secs}s")
   }
 
   test("cogroupBy dropNil and joinNil variants (core.clj:1588-1595, join-nil?)") {
