@@ -180,14 +180,18 @@ object Dedup {
   }
 
   /** Bucket-skew guard: drop rows of buckets larger than the cap
-    * (0 = off). Counting rides the same shuffle key the downstream
-    * self-join uses. */
+    * (0 = off). The count aggregates only the narrow bucket key
+    * (columns pruned — the wide signature arrays never shuffle) and
+    * the oversized-bucket list is tiny by construction (degenerate
+    * hashes only), so it broadcast-anti-joins back as a map-side
+    * filter. A window-function formulation would shuffle + sort the
+    * full wide rows instead. */
   private def capBuckets(banded: DataFrame, bucket: Column, cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(bucket)
-      banded.withColumn("__bn", count(lit(1)).over(w))
-        .where(col("__bn") <= cap).drop("__bn")
+      val big = banded.groupBy(bucket.as("__bk")).agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") > cap).select(col("__bk"))
+      banded.join(broadcast(big), bucket === col("__bk"), "left_anti")
     }
 
   /** Survivor-selection on top of any pair set: drop the higher id of
