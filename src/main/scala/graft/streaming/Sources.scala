@@ -88,6 +88,58 @@ object Sources {
       .partitionBy("window_start")
   }
 
+  /** Pub/Sub-shaped streaming source: tail a directory of JSON-lines
+    * messages `{payload, attributes{...}}` (the shape a Pub/Sub relay
+    * would drop) and surface the reference message contract —
+    * payload + attributes map + event time from a timestamp attribute
+    * (pubsub.clj:57-121 `:timestamp-label`). */
+  def watchMessages(spark: SparkSession, path: String,
+                    timestampAttr: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("payload", StringType),
+      StructField("attributes", MapType(StringType, StringType))))
+    asMessages(spark.readStream.schema(schema).json(path),
+      col("payload"), col("attributes"), timestampAttr)
+  }
+
+  /** Windowed FileNamePolicy analog with real shard *filenames*
+    * (core.clj:2157-2209: `prefix-windowstart-shard-of-n.suffix`).
+    * Spark's committer owns in-flight names, so the policy is applied
+    * as a per-window atomic rename after each micro-batch commit —
+    * the set of windows per batch is small by contract (only panes the
+    * batch touched), and renames go through the Hadoop FileSystem API
+    * so the sink works on any FS, not just local disk. */
+  def windowedNamedFileSink(agg: DataFrame, path: String, checkpointDir: String,
+                            prefix: String = "output", suffix: String = ".json",
+                            numShards: Int = 1): DataStreamWriter[Row] =
+    agg.writeStream.option("checkpointLocation", checkpointDir).foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val rows = batch
+          .withColumn("__w", date_format(col("window.start"), "yyyy-MM-dd'T'HH-mm-ss"))
+          .drop("window")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val windows = rows.select("__w").distinct().collect().map(_.getString(0))
+          val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+          windows.foreach { w =>
+            val tmp = s"$path/.inprogress-$batchId-$w"
+            rows.where(col("__w") === w).drop("__w")
+              .coalesce(math.max(numShards, 1)).write.mode("overwrite").json(tmp)
+            val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
+            val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*"))
+              .sortBy(_.getPath.getName)
+            parts.zipWithIndex.foreach { case (st, i) =>
+              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path,
+                f"$prefix-$w-$i%05d-of-${parts.length}%05d$suffix"))
+            }
+            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          }
+        } finally { rows.unpersist(); () }
+    }
+
   /** Streaming side outputs (reference side-outputs on unbounded
     * pcolls, core.clj:302-360): route each micro-batch to per-tag
     * sinks via foreachBatch — one pass over the batch, cached, then

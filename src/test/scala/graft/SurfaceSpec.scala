@@ -148,6 +148,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(dirs.head.contains("1970-01-01_00-00-00"))
   }
 
+  test("pub/sub-shaped streaming source from a message directory (pubsub.clj:57-121)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psrc").toString + "/msgs"
+    Seq(("m1", Map("ts" -> "100")), ("m2", Map("ts" -> "200")))
+      .toDF("payload", "attributes").write.json(dir)
+    val stream = Sources.watchMessages(spark, dir, timestampAttr = Some("ts"))
+    assert(stream.isStreaming)
+    val name = Sources.runToMemory(stream, "psrc_out")
+    val rows = spark.table(name).collect()
+      .map(r => r.getAs[String]("payload") ->
+        r.getAs[java.sql.Timestamp]("event_time").getTime).toMap
+    assert(rows == Map("m1" -> 100000L, "m2" -> 200000L))
+  }
+
+  test("windowed named file sink: FileNamePolicy shard filenames (core.clj:2157-2209)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-namesink").toString
+    Seq(("k", 0, 1.0), ("k", 10, 2.0), ("k", 3700, 4.0)).toDF("k", "sec", "v")
+      .withColumn("ts", timestamp_seconds($"sec")).write.parquet(base + "/in")
+    val stream = spark.readStream.schema(spark.read.parquet(base + "/in").schema)
+      .parquet(base + "/in")
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 hour")).agg(sum($"v").as("s"))
+    val q = Sources.windowedNamedFileSink(agg.select($"window", $"s"),
+      base + "/out", base + "/ckpt", prefix = "counts", suffix = ".json").start()
+    try q.processAllAvailable() finally q.stop()
+    val files = new java.io.File(base + "/out").listFiles().map(_.getName)
+      .filter(_.startsWith("counts-")).sorted
+    // watermark (max ts 3700 - 0s) closes only the [00:00,01:00) window
+    assert(files.toSeq == Seq("counts-1970-01-01T00-00-00-00000-of-00001.json"))
+    val s = spark.read.json(base + "/out/" + files.head).head().getAs[Double]("s")
+    assert(s == 3.0)
+  }
+
   test("file-watch source + synchronous memory run (core.clj:1207-1217)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-watch").toString + "/in"
     Seq("a", "b", "c").toDS.write.text(dir)
