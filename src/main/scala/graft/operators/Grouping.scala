@@ -145,6 +145,27 @@ object Grouping {
       f: (K, Iterator[A], Iterator[B]) => IterableOnce[O]): Dataset[O] =
     a.groupByKey(keyA).cogroup(b.groupByKey(keyB))((k, as, bs) => f(k, as, bs).iterator)
 
+  /** Sorted-iterator group-by-key — the huge-key variant of
+    * [[groupByKey]]: each group's values stream in `sortExprs` order
+    * straight off Spark's external (spilling) sort, with no
+    * `collect_list` and no per-group memory, so an unbounded hot key
+    * degrades to disk instead of OOMing an executor. */
+  def groupByKeySorted[K: Encoder, V, O: Encoder](
+      ds: Dataset[V], key: V => K, sortExprs: Column*)(
+      f: (K, Iterator[V]) => IterableOnce[O]): Dataset[O] =
+    ds.groupByKey(key).flatMapSortedGroups(sortExprs: _*)((k, it) => f(k, it).iterator)
+
+  /** Sorted-iterator 2-way cogroup for huge keys: both legs' iterators
+    * stream in sorted order off the external sort (nothing
+    * materialized per key) — the escape hatch when per-key cardinality
+    * is unbounded and [[cogroupAgg]]'s aggregate form doesn't fit. */
+  def cogroupTypedSorted[K: Encoder, A, B, O: Encoder](
+      a: Dataset[A], keyA: A => K, sortA: Seq[Column],
+      b: Dataset[B], keyB: B => K, sortB: Seq[Column])(
+      f: (K, Iterator[A], Iterator[B]) => IterableOnce[O]): Dataset[O] =
+    a.groupByKey(keyA).cogroupSorted(b.groupByKey(keyB))(sortA: _*)(sortB: _*)(
+      (k, as, bs) => f(k, as, bs).iterator)
+
   /** `distinct` (core.clj:1741-1756). */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
 

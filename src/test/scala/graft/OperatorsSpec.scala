@@ -245,6 +245,21 @@ class GroupingSpec extends AnyFunSuite {
     assert(req.select($"key").collect().map(_.getString(0)).toSet == Set("a"))
   }
 
+  test("sorted-iterator grouping streams groups in order (huge-key variants)") {
+    val ds = Seq(("a", 3), ("a", 1), ("b", 2), ("a", 2)).toDS
+    val grouped = Grouping.groupByKeySorted(ds, (x: (String, Int)) => x._1, $"_2") {
+      (k, it) => Iterator((k, it.map(_._2).mkString(",")))
+    }.collect().toMap
+    assert(grouped == Map("a" -> "1,2,3", "b" -> "2"))
+    val a = Seq(("a", 2), ("a", 1)).toDS
+    val b = Seq(("a", 9), ("b", 8)).toDS
+    val cg = Grouping.cogroupTypedSorted(a, (x: (String, Int)) => x._1, Seq($"_2"),
+        b, (x: (String, Int)) => x._1, Seq($"_2")) {
+      (k, as, bs) => Iterator((k, as.map(_._2).mkString(","), bs.map(_._2).mkString(",")))
+    }.collect().toSet
+    assert(cg == Set(("a", "1,2", "9"), ("b", "", "8")))
+  }
+
   test("cogroupTyped 2-way (core.clj 2-input cogroup)") {
     val a = Seq(("a", 1), ("b", 2)).toDS
     val b = Seq(("a", 10)).toDS
