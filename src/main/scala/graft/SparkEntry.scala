@@ -130,6 +130,19 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // -------- group-by-key via streamed sorted iterators --------------
+    // Same answer as q_group_collect, but through groupByKeySorted
+    // (flatMapSortedGroups): values stream in sorted order off the
+    // external sort, nothing materialized per key — the huge-key path,
+    // here oracle-checked against the same DuckDB aggregate.
+    "q_group_iter" -> ((s, dir) => {
+      import s.implicits._
+      val kv = t(s, dir, "orders").select($"o_custkey", $"o_orderkey").as[(Long, Long)]
+      Grouping.groupByKeySorted(kv, (x: (Long, Long)) => x._1, $"o_orderkey") {
+        (k, it) => Iterator((k, it.map(_._2).mkString(",")))
+      }.toDF("o_custkey", "order_keys").orderBy("o_custkey")
+    }),
+
     // -------- grouped counting via the size(collect_*) rewrite rule ---
     "q_group_count" -> ((s, dir) => {
       import s.implicits._
@@ -331,6 +344,23 @@ object SparkEntry {
       import s.implicits._
       Stateful.runningAgg(t(s, dir, "events"),
           Seq($"user_id"), Seq($"ts_ns", $"event_id"), sum($"value"), "running_raw")
+        .select($"event_id", $"user_id", round($"running_raw", 2).as("running"))
+        .orderBy("event_id")
+    }),
+
+    // -------- running state via the external-sort typed path ----------
+    // Same oracle as q_stateful; exercises runningByKeySorted
+    // (repartition + spilling sortWithinPartitions + streamed state)
+    // end-to-end against DuckDB.
+    "q_stateful_sorted" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts_ns", $"value").as[Ev]
+      Stateful.runningByKeySorted[Long, Ev, Double, Run, (Long, Long)](
+          ev, _.user_id, e => (e.ts_ns, e.event_id), 0.0) { (acc, e) =>
+          val next = acc + e.value
+          (next, Run(e.event_id, e.user_id, next))
+        }
         .select($"event_id", $"user_id", round($"running_raw", 2).as("running"))
         .orderBy("event_id")
     }),
@@ -645,6 +675,9 @@ object SparkEntry {
     "q_group_collect" ->
       """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_group_iter" ->
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_group_count" ->
       """SELECT l_orderkey, count(l_linenumber) AS n_lines,
         | count(DISTINCT l_suppkey) AS n_supps
@@ -728,6 +761,11 @@ object SparkEntry {
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM se GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
     "q_stateful" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING),2) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_stateful_sorted" ->
       """SELECT event_id, user_id,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING),2) AS running
