@@ -441,6 +441,86 @@ object SparkEntry {
         .orderBy($"revenue".desc, $"c_custkey").limit(20)
     }),
 
+    // -------- composite: Q4-style EXISTS via left-semi join -----------
+    // The semi join never widens rows or duplicates matches — Catalyst
+    // broadcasts the filtered build side; at 100 TB it degrades to a
+    // shuffled hash semi join keyed on l_orderkey, still no fanout.
+    "q_tpch4" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+        .where($"o_orderdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+               $"o_orderdate" < lit("1997-07-01").cast("timestamp_ntz"))
+        .select($"o_orderkey", $"o_orderpriority")
+      val ret = t(s, dir, "lineitem").where($"l_returnflag" === "R")
+        .select($"l_orderkey")
+      ord.join(ret, ord("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // -------- composite: Q14-style conditional-aggregate ratio --------
+    "q_tpch14" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1997-06-01").cast("timestamp_ntz") &&
+               $"l_shipdate" < lit("1997-07-01").cast("timestamp_ntz"))
+        .select($"l_partkey", ($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      val part = t(s, dir, "part").select($"p_partkey", $"p_type")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .agg(
+          round(lit(100) * sum(when($"p_type" === "PROMO", $"rev").otherwise(0.0)) / sum($"rev"), 4)
+            .as("promo_pct"),
+          round(sum($"rev"), 4).as("total_rev"))
+    }),
+
+    // -------- composite: Q16-style anti-join supplier exclusion -------
+    "q_tpch16" -> ((s, dir) => {
+      import s.implicits._
+      val bad = t(s, dir, "supplier").where($"s_acctbal" < 0).select($"s_suppkey")
+      val part = t(s, dir, "part").where($"p_type" =!= "PROMO")
+        .select($"p_partkey", $"p_brand", $"p_size")
+      t(s, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+        .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_size")
+        .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+    }),
+
+    // -------- composite: Q18-style large-volume orders (HAVING) -------
+    "q_tpch18" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_quantity"), 4).as("total_qty"))
+        .where($"total_qty" > 300)
+      val ord = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
+      big.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"o_orderkey", $"total_qty")
+        .orderBy($"total_qty".desc, $"o_orderkey")
+    }),
+
+    // -------- composite: Q22-style scalar subquery + anti join --------
+    // The global average is a 1-row aggregate cross-joined in — Spark
+    // broadcasts it, so the filter stays map-side at any scale.
+    "q_tpch22" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.where($"c_acctbal" > 0)
+        .agg(avg($"c_acctbal").as("__avg_bal"))
+      val pending = t(s, dir, "orders").where($"o_orderstatus" === "P")
+        .select($"o_custkey")
+      cust.crossJoin(broadcast(avgBal))
+        .where($"c_acctbal" > $"__avg_bal")
+        .join(pending, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 4).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
     // -------- exact distinct counting ---------------------------------
     "q_count_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -558,6 +638,27 @@ object SparkEntry {
       Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64, planes = 10, tables = 6, minCosine = 0.3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // -------- dedup: embedding-cosine near-dup pairs (oracle form) ----
+    // Exact quadratic form (test/oracle scale); the production path is
+    // Similarity.lshCosinePairs (q_ann_lsh). Threshold 0.46 sits in a
+    // ~0.007 empty band of the sf0.01 pair distribution (nearest sims
+    // 0.4597 / 0.4666), so double-vs-double ulp noise cannot flip
+    // membership.
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.46)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- dedup: embedding near-dup survivor selection ------------
+    "q_embed_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", minCosine = 0.46)
+      Dedup.dropNearDups(emb, "vec_id", pairs)
+        .select($"vec_id", $"label").orderBy("vec_id")
     }),
 
     // -------- text: language ID heuristic -----------------------------
@@ -800,6 +901,41 @@ object SparkEntry {
         |WHERE c_custkey=o_custkey AND l_orderkey=o_orderkey AND l_returnflag='R'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
         |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch4" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch14" ->
+      """SELECT
+        | round(100 * sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+        |       / sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct,
+        | round(sum(l_extendedprice*(1-l_discount)), 4) AS total_rev
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "q_tpch16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2 ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    "q_tpch18" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity),4) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),4) > 300)
+        |SELECT c_name, o_orderkey, total_qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q_tpch22" ->
+      """WITH a AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_cust, round(sum(c_acctbal),4) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,
@@ -874,6 +1010,21 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM s)
         |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+        |                        list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+        |                       list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= 0.46
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_dedup" ->
+      """WITH drops AS (SELECT DISTINCT b.vec_id AS d
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+        |                         list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= 0.46)
+        |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT d FROM drops)
+        |ORDER BY vec_id""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks

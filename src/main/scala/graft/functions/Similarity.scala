@@ -131,6 +131,30 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("__rk").as("rank"))
   }
 
+  /** Exact embedding near-dup pairs: every (id_a < id_b) pair whose
+    * true cosine clears `minCosine`. QUADRATIC BY DESIGN — this is the
+    * oracle/test form (the vector twin of `Dedup.ngramJaccardPairs`);
+    * the 100 TB production path is [[lshCosinePairs]]. `blockBy`
+    * bounds the pair space to a blocking key when the data has one
+    * (language, source, cluster id); without it the plan is a
+    * broadcast nested-loop self-join — only sound when `df` itself is
+    * small-by-contract. */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+                         minCosine: Double,
+                         blockBy: Option[String] = None): DataFrame = {
+    val base = df.select((Seq(col(id), col(vec)) ++ blockBy.map(col)): _*)
+    val l = base.toDF(Seq("id_a", "v_a") ++ blockBy.map(_ => "blk_a"): _*)
+    val r = base.toDF(Seq("id_b", "v_b") ++ blockBy.map(_ => "blk_b"): _*)
+    val cond = blockBy match {
+      case Some(_) => col("blk_a") === col("blk_b") && col("id_a") < col("id_b")
+      case None    => col("id_a") < col("id_b")
+    }
+    l.join(r, cond)
+      .withColumn("cosine", cosineFused(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Random-hyperplane signature: `planes` sign bits from fixed seeded
     * Gaussian hyperplanes, packed into a bigint bucket id. Vectors with
     * high cosine land in the same bucket with probability

@@ -155,6 +155,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == exact) // neighbors live in the same cluster ⇒ nprobe=1 suffices
   }
 
+  test("cosineNearDupPairs: exact thresholded pair set, ordered ids") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only (0,1) clears 0.9: cos(0,1)≈0.994; (2,3)≈0.953 also qualifies
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("cosineNearDupPairs blockBy restricts pairs to the blocking key") {
+    val blocked = vecs.withColumn("blk",
+      when($"vec_id" % 2 === 0, "even").otherwise("odd"))
+    val pairs = Similarity.cosineNearDupPairs(blocked, "vec_id", "embedding",
+        minCosine = 0.9, blockBy = Some("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) and (2,3) each straddle the even/odd split — never scored
+    assert(pairs.isEmpty)
+  }
+
   test("LSH cosine pairs find high-similarity neighbors") {
     val pairs = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dim = 3,
       planes = 6, tables = 8, minCosine = 0.9)
