@@ -736,6 +736,35 @@ object SparkEntry {
       Multimodal.extractFeatures(media)
         .select($"media_id", $"n_bytes", $"head_byte")
         .orderBy("media_id")
+    }),
+
+    // -------- multimodal: video frame-sampling shape ------------------
+    // frameSample picks every stride-th chunk of the payload; the
+    // frames array stays columnar (codegen'd substring over binary).
+    // Payloads are ASCII text bytes here, so frames decode to strings
+    // the oracle can reproduce with substr arithmetic.
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromBinary(s, t(s, dir, "documents"), "doc_id",
+        encode($"text", "UTF-8"), "video")
+      Multimodal.frameSample(media, chunk = 16, stride = 4)
+        .select($"media_id",
+          size($"frames").cast("long").as("n_frames"),
+          element_at($"frames", 1).cast("string").as("first_frame"),
+          element_at($"frames", -1).cast("string").as("last_frame"))
+        .orderBy("media_id")
+    }),
+
+    // -------- multimodal: batched resize shape ------------------------
+    "q_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.fromBinary(s, t(s, dir, "documents"), "doc_id",
+        encode($"text", "UTF-8"), "image")
+      Multimodal.resizeStub(media, factor = 4)
+        .toDF("media_id", "resized_bin")
+        .select($"media_id", $"resized_bin".cast("string").as("resized"),
+          length($"resized_bin").cast("long").as("n_bytes"))
+        .orderBy("media_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1100,5 +1129,17 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
         | unicode(substr(text,1,1)) AS head_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |   greatest(strlen(text)//64 - 1, 0) AS last_i FROM documents)
+        |SELECT doc_id AS media_id, (last_i + 1)::BIGINT AS n_frames,
+        | substr(text, 1, 16) AS first_frame,
+        | substr(text, last_i*64 + 1, 16) AS last_frame
+        |FROM f ORDER BY media_id""".stripMargin,
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id,
+        | array_to_string([substr(text, i, 1) for i in range(1, strlen(text)+1, 4)], '') AS resized,
+        | ((strlen(text) + 3)//4)::BIGINT AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin)
 }
