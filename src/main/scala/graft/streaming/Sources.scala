@@ -33,21 +33,33 @@ object Sources {
     * shape mirrors the reference's map: payload/key/offset/partition/
     * timestamp/topic(/headers). Untestable without a broker — the
     * option mapping is the deliverable. */
+  /** The reference's read-kafka knob map as Spark reader options —
+    * pure (unit-testable without a broker); `extra` wins on conflict
+    * like the reference's `:consumer-properties` merge. */
+  def kafkaReadOptions(bootstrapServers: String, topics: Seq[String],
+                       startingOffsets: String = "latest",
+                       readCommitted: Boolean = false,
+                       includeHeaders: Boolean = false,
+                       extra: Map[String, String] = Map.empty): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets,
+      "includeHeaders" -> includeHeaders.toString) ++
+      (if (readCommitted) Map("kafka.isolation.level" -> "read_committed") else Map.empty)
+    base ++ extra
+  }
+
   def readKafka(spark: SparkSession, bootstrapServers: String, topics: Seq[String],
                 startingOffsets: String = "latest",
                 readCommitted: Boolean = false,
                 includeHeaders: Boolean = false,
-                extra: Map[String, String] = Map.empty): DataFrame = {
-    var r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", startingOffsets)
-      .option("includeHeaders", includeHeaders.toString)
-    if (readCommitted) r = r.option("kafka.isolation.level", "read_committed")
-    extra.foreach { case (k, v) => r = r.option(k, v) }
-    r.load().selectExpr(
-      "value AS payload", "key", "offset", "partition", "timestamp", "topic")
-  }
+                extra: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format("kafka")
+      .options(kafkaReadOptions(bootstrapServers, topics, startingOffsets,
+        readCommitted, includeHeaders, extra))
+      .load().selectExpr(
+        "value AS payload", "key", "offset", "partition", "timestamp", "topic")
 
   /** Kafka write (kafka.clj:134-194 `write-kafka`): expects key/value
     * columns; EOS maps to checkpointed exactly-once sink semantics. */

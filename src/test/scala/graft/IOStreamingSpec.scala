@@ -169,6 +169,22 @@ class IOSpec extends AnyFunSuite {
     assert(GraftIO.generateInput(spark, Seq(IOSpec.P("x", 1))).count() == 1)
     assert(GraftIO.generateInput(spark, Seq.empty[IOSpec.P]).count() == 0)
   }
+
+  test("kafka read-option mapping mirrors the reference knob map (kafka.clj:79-132)") {
+    import graft.streaming.Sources
+    val opts = Sources.kafkaReadOptions("b1:9092,b2:9092", Seq("t1", "t2"),
+      startingOffsets = "earliest", readCommitted = true, includeHeaders = true,
+      extra = Map("maxOffsetsPerTrigger" -> "1000", "startingOffsets" -> "latest"))
+    assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(opts("subscribe") == "t1,t2")
+    assert(opts("kafka.isolation.level") == "read_committed")
+    assert(opts("includeHeaders") == "true")
+    assert(opts("maxOffsetsPerTrigger") == "1000")
+    // consumer-properties merge wins on conflict, like the reference
+    assert(opts("startingOffsets") == "latest")
+    // no isolation override when read-committed is off
+    assert(!Sources.kafkaReadOptions("b", Seq("t")).contains("kafka.isolation.level"))
+  }
 }
 
 object IOSpec {
