@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.examples.Examples
+import graft.sources.Documents
+import graft.streaming.Sources
+
+/** End-to-end runs of the reference example pipelines
+  * (examples.clj:17-328) on local data. */
+class ExamplePipelinesSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("word-count: tokenize, frequencies, formatted output (examples.clj:17-54)") {
+    val in = tmp("ex-wc-in"); val out = tmp("ex-wc-out") + "/res"
+    Seq("the cat and the hat", "the   cat's   hat!").toDF("l")
+      .coalesce(1).write.mode("overwrite").text(in)
+    Examples.runWordCount(spark, in, out, numShards = 1)
+    val got = spark.read.text(out).as[String].collect().toSet
+    assert(got == Set("the: 3", "cat: 1", "and: 1", "hat: 2", "cat's: 1"))
+  }
+
+  test("dedup: distinct lines round-trip (examples.clj:56-75)") {
+    val in = tmp("ex-dd-in"); val out = tmp("ex-dd-out") + "/res"
+    Seq("a", "b", "a", "c", "b").toDF("l").coalesce(1).write.mode("overwrite").text(in)
+    Examples.runDedup(spark, in, out)
+    assert(spark.read.text(out).as[String].collect().toSet == Set("a", "b", "c"))
+  }
+
+  test("filter: below-global-mean via broadcast side input (examples.clj:77-122)") {
+    // global mean = 15; july rows below 15 → only (2000,7,1,10.0)
+    val readings = Seq(
+      (2000, 7, 1, 10.0), (2000, 7, 2, 20.0),
+      (2000, 8, 1, 10.0), (2000, 8, 2, 20.0)
+    ).toDF("year", "month", "day", "mean_temp")
+    val got = Examples.filterBelowGlobalMean(readings, monthFilter = 7)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((2000, 7, 1, 10.0)))
+  }
+
+  test("combine-per-key: per-word play join (examples.clj:124-156)") {
+    val words = Seq(
+      ("profoundest", "hamlet"), ("profoundest", "macbeth"),
+      ("profoundest", "hamlet"), ("short", "lear")
+    ).toDF("word", "corpus")
+    val got = Examples.combinePerKey(words, minWordLength = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("profoundest", "hamlet,macbeth")))
+  }
+
+  test("max-per-key: month -> max temp (examples.clj:158-187)") {
+    val readings = Seq((7, 10.0), (7, 30.0), (8, 20.0)).toDF("month", "mean_temp")
+    val got = Examples.maxPerKey(readings)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(got == Map(7 -> 30.0, 8 -> 20.0))
+  }
+
+  test("standard-sql word count over the SQL surface (examples.clj:189-214)") {
+    val words = Seq(("the", 400L), ("the", 200L), ("rare", 100L))
+      .toDF("word", "word_count")
+    val got = Examples.sqlWordCount(spark, words, minCount = 500)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("the", 600L)))
+  }
+
+  test("datastore word count: entity write + codec round-trip (examples.clj:216-282)") {
+    val in = tmp("ex-ds-in"); val out = tmp("ex-ds-out") + "/res"
+    Seq("b a", "a").toDF("l").coalesce(1).write.mode("overwrite").text(in)
+    Examples.datastoreWordCount(spark, in, out, ancestor = "kinglear")
+    val ents = spark.read.parquet(out)
+    val path0 = ents.orderBy(element_at(col("key.path"), -1).getField("name"))
+      .select(col("key.path")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(path0.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("Line", "kinglear"), ("WordCount", "a")))
+    val back = Documents.fromEntities(ents, keyAs = "word")
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("pub-sub: forwarded interactions keep payload/attrs/event-time shape (examples.clj:284-327)") {
+    val raw = Seq(("click", Map("uid" -> "7"), 100L)).toDF("p", "a", "sec")
+    val msgs = Sources.asMessages(raw, col("p"),
+      col("a"), timestampAttr = None)
+      .withColumn("event_time", timestamp_seconds(lit(100L)))
+    val fwd = Examples.forwardInteractions(msgs).head()
+    assert(fwd.getString(0) == "CLICK")
+    assert(fwd.getMap[String, String](1) == Map("uid" -> "7", "forwarded" -> "true"))
+  }
+}
