@@ -548,6 +548,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // -------- top-k per key (windowed rank, spills at scale) ----------
+    "q_topk_per_key" -> ((s, dir) => {
+      import s.implicits._
+      Combiners.topKPerKey(
+          t(s, dir, "orders").select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+          Seq("o_orderpriority"), Seq($"o_totalprice".desc, $"o_orderkey"), k = 3)
+        .select($"o_orderpriority", $"o_orderkey", round($"o_totalprice", 4).as("price"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // -------- dedup: exact (hash-keyed survivor) ----------------------
     "q_dedup_exact" -> ((s, dir) => {
       import s.implicits._
@@ -980,6 +990,12 @@ object SparkEntry {
         | arg_max(o_orderkey, o_totalprice) AS max_price_key,
         | arg_min(o_orderkey, o_totalprice) AS min_price_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice,4) AS price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)=1
