@@ -521,6 +521,51 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // -------- composite: Q11-style share-of-total HAVING --------------
+    // Per-key aggregate filtered against a fraction of the global
+    // aggregate over the SAME derived table — one shuffle to build it,
+    // then a broadcast 1-row total; nothing recomputed.
+    "q_tpch11" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      val total = rev.agg(sum($"rev").as("__total"))
+      rev.crossJoin(broadcast(total))
+        .where($"rev" > lit(0.0006) * $"__total")
+        .select($"l_partkey", round($"rev", 4).as("part_rev"))
+        .orderBy("l_partkey")
+    }),
+
+    // -------- composite: Q15-style argmax over an aggregate view ------
+    "q_tpch15" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .groupBy($"l_suppkey")
+        .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("rev"))
+      val top = rev.agg(max($"rev").as("__top"))
+      rev.crossJoin(broadcast(top))
+        .where($"rev" === $"__top")
+        .join(broadcast(t(s, dir, "supplier").select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", round($"rev", 4).as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // -------- composite: Q17-style correlated per-group average -------
+    // The correlated scalar subquery (avg quantity for THIS part)
+    // becomes a per-part aggregate joined back — one extra shuffle on
+    // l_partkey instead of a per-row subquery.
+    "q_tpch17" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy($"l_partkey").agg(avg($"l_quantity").as("__avg_qty"))
+      li.join(avgQty, "l_partkey")
+        .where($"l_quantity" < lit(0.5) * $"__avg_qty")
+        .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // -------- exact distinct counting ---------------------------------
     "q_count_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -968,6 +1013,26 @@ object SparkEntry {
         |FROM big, orders, customer
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q_tpch11" ->
+      """WITH r AS (SELECT l_partkey, sum(l_extendedprice*(1-l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, round(rev,4) AS part_rev
+        |FROM r, (SELECT sum(rev) AS t FROM r) g
+        |WHERE rev > 0.0006 * g.t
+        |ORDER BY l_partkey""".stripMargin,
+    "q_tpch15" ->
+      """WITH r AS (SELECT l_suppkey, sum(l_extendedprice*(1-l_discount)) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, round(rev,4) AS total_rev
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch17" ->
+      """WITH a AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+        |SELECT round(sum(l_extendedprice)/7.0, 4) AS avg_yearly,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < 0.5 * a.aq""".stripMargin,
     "q_tpch22" ->
       """WITH a AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
         |SELECT c_nationkey, count(*)::BIGINT AS n_cust, round(sum(c_acctbal),4) AS total_bal
