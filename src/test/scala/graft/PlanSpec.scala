@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the shapes the 100 TB posture
+  * depends on (SCALING.md). These assert against the sf0.001 testdata
+  * plans so a refactor that silently de-optimizes a query family
+  * (loses a pushdown, widens a semi join, un-broadcasts a scalar
+  * subquery) fails CI, not a cluster run. */
+class PlanSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("EXISTS composite runs as a broadcast left-semi join with pushed filters (q_tpch4)") {
+    val p = planOf("q_tpch4")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("NOT IN composite runs as a broadcast left-anti join (q_tpch16)") {
+    val p = planOf("q_tpch16")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("LessThan(s_acctbal,0.0)"))
+  }
+
+  test("scalar-subquery composites broadcast the 1-row aggregate (q_tpch22, q_tpch11)") {
+    val p22 = planOf("q_tpch22")
+    assert(p22.contains("BroadcastNestedLoopJoin"))
+    val p11 = planOf("q_tpch11")
+    assert(p11.contains("BroadcastNestedLoopJoin") || p11.contains("BroadcastExchange"))
+  }
+
+  test("top-k per key is a rank over sort-within-partitions, no extra exchange (q_topk_per_key)") {
+    val p = planOf("q_topk_per_key")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+    // one exchange for the window partition key, one for the final sort
+    assert("Exchange".r.findAllIn(p).size <= 3)
+  }
+
+  test("date-range composites push predicates into the parquet scan (q_tpch3)") {
+    val p = planOf("q_tpch3")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(l_shipdate,"))
+  }
+
+  test("embedding near-dup oracle form stays a broadcast nested-loop self-join (q_embed_neardup)") {
+    val p = planOf("q_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+}
