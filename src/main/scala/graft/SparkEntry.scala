@@ -593,6 +593,38 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // -------- as-of join: point-in-time snapshot lookup ---------------
+    // Every 7th event is a "snapshot"; each event picks the latest
+    // snapshot at-or-before its timestamp per user (inclusive — an
+    // event that is itself a snapshot matches itself), LEFT semantics.
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"ts_ns", $"value")
+      val snaps = ev.where($"event_id" % 7 === 0)
+        .select($"user_id", $"ts_ns", $"event_id", $"value")
+      operators.Temporal.asOfJoin(ev, snaps, key = "user_id", lts = "ts_ns", rts = "ts_ns")
+        .select($"event_id", $"user_id",
+          $"asof.event_id".as("snap_event_id"), $"asof.value".as("snap_value"))
+        .orderBy("event_id")
+    }),
+
+    // -------- range join: event-in-interval attribution ---------------
+    // Every 101st event opens a 2-hour interval; all events inside any
+    // interval are attributed to it (no equi key — the chunk id is the
+    // derived shuffle key).
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val points = ev.select($"event_id", $"ts_ns")
+      val ivals = ev.where($"event_id" % 101 === 0)
+        .select($"event_id".as("interval_id"), $"ts_ns".as("start_ns"),
+          ($"ts_ns" + lit(7200000000000L)).as("end_ns"))
+      operators.Temporal.rangeJoin(points, ivals, "ts_ns", "start_ns", "end_ns",
+          chunkWidth = 7200000000000L)
+        .select($"interval_id", $"event_id")
+        .orderBy("interval_id", "event_id")
+    }),
+
     // -------- top-k per key (windowed rank, spills at scale) ----------
     "q_topk_per_key" -> ((s, dir) => {
       import s.implicits._
@@ -1055,6 +1087,21 @@ object SparkEntry {
         | arg_max(o_orderkey, o_totalprice) AS max_price_key,
         | arg_min(o_orderkey, o_totalprice) AS min_price_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH snaps AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_id % 7 = 0)
+        |SELECT e.event_id, e.user_id,
+        | s.event_id AS snap_event_id, s.value AS snap_value
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH i AS (SELECT event_id AS interval_id, epoch_ns(ts) AS start_ns
+        |  FROM events WHERE event_id % 101 = 0)
+        |SELECT interval_id, e.event_id
+        |FROM i JOIN events e
+        |  ON epoch_ns(e.ts) >= start_ns AND epoch_ns(e.ts) < start_ns + 7200000000000
+        |ORDER BY interval_id, event_id""".stripMargin,
     "q_topk_per_key" ->
       """SELECT o_orderpriority, o_orderkey, round(o_totalprice,4) AS price
         |FROM orders

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  def left = Seq((1L, "a", 1L), (2L, "a", 5L), (3L, "a", 10L), (4L, "b", 3L))
+    .toDF("id", "k", "t")
+  def right = Seq(("a", 2L, "s2"), ("a", 10L, "s10"), ("c", 1L, "sc"))
+    .toDF("k", "rt", "tag")
+
+  test("asOfJoin: latest right at-or-before each left ts, LEFT semantics") {
+    val got = Temporal.asOfJoin(left, right, key = "k", lts = "t", rts = "rt")
+      .select($"id", $"asof.tag")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      1L -> None,        // t=1 before first snapshot
+      2L -> Some("s2"),  // latest <= 5
+      3L -> Some("s10"), // inclusive at equal ts
+      4L -> None))       // key 'b' has no right rows
+  }
+
+  test("asOfJoin tolerance nulls out stale matches") {
+    val got = Temporal.asOfJoin(left, right, key = "k", lts = "t", rts = "rt",
+        tolerance = Some(2L))
+      .select($"id", $"asof.tag")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // id=2: t=5, match rt=2 → age 3 > 2 → nulled; id=3 age 0 kept
+    assert(got(2L).isEmpty && got(3L).contains("s10") && got(1L).isEmpty)
+  }
+
+  test("rangeJoin: [start, end) membership incl. chunk-straddling intervals") {
+    val points = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 15L), (5L, 19L), (6L, 20L))
+      .toDF("pid", "t")
+    // width 10: interval [9, 21) covers chunks 0,1,2; [0, 10) covers chunk 0
+    val ivals = Seq((100L, 9L, 21L), (200L, 0L, 10L)).toDF("iid", "s", "e")
+    val got = Temporal.rangeJoin(points, ivals, "t", "s", "e", chunkWidth = 10L)
+      .select($"iid", $"pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (100L, 2L), (100L, 3L), (100L, 4L), (100L, 5L), (100L, 6L), // 9..20 in [9,21)
+      (200L, 1L), (200L, 2L)))                                    // 0, 9 in [0,10)
+  }
+
+  test("rangeJoin emits each match exactly once (no chunk-dup)") {
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    val ivals = Seq((100L, 0L, 30L)).toDF("iid", "s", "e") // spans 3 chunks
+    assert(Temporal.rangeJoin(points, ivals, "t", "s", "e", chunkWidth = 10L).count() == 1L)
+  }
+}
