@@ -688,6 +688,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: near-dup clusters via connected components -------
+    // LSH pairs (≡ the exact 5-gram Jaccard >= 0.9 set, same bimodal
+    // gap argument as q_minhash_lsh) → min-label components; oracle is
+    // a recursive-CTE transitive closure over the exact pair set.
+    "q_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select($"id".as("doc_id"), $"component")
+        .orderBy("doc_id")
+    }),
+
+    // -------- dedup: cluster-representative survivors -----------------
+    "q_dedup_cluster_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      Dedup.dropNearDupsByCluster(docs, "doc_id", pairs)
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- dedup: SimHash hamming pairs (no SQL oracle) ------------
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -1138,6 +1161,33 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id<b.doc_id
         |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+        | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(src, dst) AS (SELECT src, dst FROM ee
+        |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_survivors" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+        | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(src, dst) AS (SELECT src, dst FROM ee
+        |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
+        | comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_survivors" ->
       """WITH sh AS (SELECT doc_id, source,
         |   list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-2,1)+1)]) AS sh

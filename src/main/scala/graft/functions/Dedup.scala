@@ -142,6 +142,54 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Connected components over an undirected pair list (`id_a`,
+    * `id_b`) by min-label propagation: each round every node adopts
+    * the smallest label in its one-hop neighborhood (its own
+    * included), so labels converge in O(max cluster diameter) rounds —
+    * near-dup clusters are shallow (pairs/triangles/short chains), and
+    * `maxIter` bounds pathological paths. Each round is one shuffle on
+    * the node id over |edges| rows; the label state is O(#nodes that
+    * appear in pairs) — a tiny fraction of the corpus — and lineage is
+    * cut per round (reliable checkpoint when a checkpoint dir is set)
+    * so plans stay flat at any round count. Convergence is detected
+    * with a `limit(1)` existence probe, not a full count.
+    *
+    * Returns (id, component) for every node in `pairs`, component =
+    * min id of its cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = materializeOnce(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = materializeOnce(
+        labels.union(nbr).groupBy("id").agg(min("component").as("component")))
+      val changed = next.join(labels.withColumnRenamed("component", "__prev"), "id")
+        .where(col("component") =!= col("__prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster-aware survivor selection: one representative (the min id)
+    * per near-dup cluster survives. The transitive upgrade of
+    * [[dropNearDups]], which drops every right-hand id of a pair and
+    * can over-drop chains — e.g. pairs (a,b),(b,c) without (a,c) drop
+    * both b and c pairwise, where the cluster {a,b,c} should keep
+    * exactly a. */
+  def dropNearDupsByCluster(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .where(col("id") =!= col("component")).select(col("id").as("__drop"))
+    df.join(drops, col(id) === col("__drop"), "left_anti")
+  }
+
   /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,
     * bandhash) — never all-pairs. `estJaccard` = fraction of matching
     * signature positions (unbiased Jaccard estimate); filter on it to

@@ -88,6 +88,25 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("connectedComponents: chains collapse to min-id labels, multi-round convergence") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDupsByCluster keeps exactly one representative per cluster") {
+    val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "text")
+    // chain {1,2,3} keeps 1; the unnormalized pair (5,4) distinguishes
+    // the forms: pairwise dropNearDups drops id_b=4 and keeps 5, the
+    // cluster form keeps the component minimum 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDupsByCluster(df, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
   test("default bucket cap drops degenerate buckets, keeps sane ones") {
     // 40 identical docs: one signature, so every band bucket holds all
     // 40 docs — the degenerate-hash skew shape the cap guards against
