@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Corpus
+
+class CorpusSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("mixByWeights samples each source at its rate, deterministically per seed") {
+    val a = docs.withColumn("src", lit("a"))
+    val b = docs.withColumn("src", lit("b"))
+    val mixed = Corpus.mixByWeights(Seq(a -> 0.8, b -> 0.2), seed = 7L)
+    val bySrc = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(bySrc("a") / n - 0.8) < 0.05)
+    assert(math.abs(bySrc("b") / n - 0.2) < 0.05)
+    // same seed → identical mixture (stable under re-execution)
+    val again = Corpus.mixByWeights(Seq(a -> 0.8, b -> 0.2), seed = 7L)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
+
+  test("splitByHash: disjoint, exhaustive, deterministic, ~proportional") {
+    val (train, hold) = Corpus.splitByHash(docs, col("o_orderkey"), 1, 10)
+    val nT = train.count(); val nH = hold.count(); val n = docs.count()
+    assert(nT + nH == n)
+    assert(train.join(hold, Seq("o_orderkey"), "inner").count() == 0)
+    assert(math.abs(nH.toDouble / n - 0.1) < 0.03)
+    // re-split after a repartition gives the identical holdout set
+    val (_, hold2) = Corpus.splitByHash(docs.repartition(7), col("o_orderkey"), 1, 10)
+    assert(hold.select("o_orderkey").exceptAll(hold2.select("o_orderkey")).isEmpty)
+  }
+
+  test("sketches: HLL and approx percentile land within advertised error") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.agg(count_distinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.agg(Corpus.approxCountDistinct(col("l_orderkey"), 0.01))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+    val exactP50 = li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    val approxP50 = li.agg(Corpus.approxPercentile(col("l_extendedprice"), 0.5))
+      .head().getDouble(0)
+    assert(math.abs(approxP50 - exactP50) / exactP50 < 0.02)
+  }
+}
