@@ -446,3 +446,42 @@ class WindowsSpec extends AnyFunSuite {
     assert(windowed == typed)
   }
 }
+
+/** Stream-stream joins — Beam's windowed CoGroupByKey join shape
+  * (SURVEY §2.5): two watermarked streams joined on key + event-time
+  * bound; Spark buffers both sides in watermark-bounded state. */
+class StreamJoinSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stream-stream inner join with watermark + time-range bound") {
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    Seq(("u1", 10, "imp1"), ("u2", 20, "imp2"), ("u3", 30, "imp3"))
+      .toDF("k", "sec", "imp")
+      .withColumn("imp_ts", timestamp_seconds($"sec")).drop("sec")
+      .write.parquet(dir + "/imps")
+    // u1 clicks 5s after the impression (in bound), u2 clicks 400s
+    // later (outside the 60s bound), u3 never clicks
+    Seq(("u1", 15, "c1"), ("u2", 420, "c2"))
+      .toDF("k", "sec", "clk")
+      .withColumn("clk_ts", timestamp_seconds($"sec")).drop("sec")
+      .write.parquet(dir + "/clicks")
+    val imps = spark.readStream
+      .schema(spark.read.parquet(dir + "/imps").schema).parquet(dir + "/imps")
+      .withWatermark("imp_ts", "10 minutes")
+    val clicks = spark.readStream
+      .schema(spark.read.parquet(dir + "/clicks").schema).parquet(dir + "/clicks")
+      .withWatermark("clk_ts", "10 minutes")
+    val joined = imps.alias("i").join(clicks.alias("c"),
+      expr("""i.k = c.k AND
+              clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 60 seconds"""))
+    val q = joined.selectExpr("i.k AS k", "imp", "clk")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(rows == Set(("u1", "imp1", "c1")))
+    } finally q.stop()
+  }
+}

@@ -47,6 +47,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(l_shipdate,"))
   }
 
+  test("as-of join is one keyed exchange + window carry-forward, no subquery join (q_asof_join)") {
+    val p = planOf("q_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // union → one hash exchange on the key (+ final range sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("range join shuffles on the derived chunk id, never a theta join (q_range_join)") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("__chunk"))
+  }
+
   test("embedding near-dup oracle form stays a broadcast nested-loop self-join (q_embed_neardup)") {
     val p = planOf("q_embed_neardup")
     assert(p.contains("BroadcastNestedLoopJoin"))
