@@ -134,7 +134,10 @@ object Examples {
     def opt(k: String, dflt: String) = rest.collectFirst {
       case a if a.startsWith(s"--$k=") => a.substring(k.length + 3)
     }.getOrElse(dflt)
-    val spark = GraftSession.build(GraftSession.fromArgs(rest,
+    // example-local args stay out of the Spark conf (fromArgs pass-through)
+    val appKeys = Set("input", "output", "numShards")
+    val sparkArgs = rest.filterNot(a => appKeys.exists(k => a.startsWith(s"--$k=")))
+    val spark = GraftSession.build(GraftSession.fromArgs(sparkArgs,
       GraftSession.Config(appName = s"graft-example-$name")))
     name match {
       case "word-count" =>

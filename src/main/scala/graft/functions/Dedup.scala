@@ -152,14 +152,19 @@ object Dedup {
     * appear in pairs) — a tiny fraction of the corpus — and lineage is
     * cut per round (reliable checkpoint when a checkpoint dir is set)
     * so plans stay flat at any round count. Convergence is detected
-    * with a `limit(1)` existence probe, not a full count.
+    * with a `limit(1)` existence probe, not a full count; if labels
+    * are still moving after `maxIter` rounds (a path longer than
+    * maxIter hops — not a near-dup cluster shape) the call FAILS
+    * rather than silently returning split components.
     *
     * Returns (id, component) for every node in `pairs`, component =
     * min id of its cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = materializeOnce(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // materialize the (possibly expensive) pair plan once — the two
+    // union orientations would otherwise execute it twice
+    val p = materializeOnce(pairs.select(col("id_a"), col("id_b")))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -175,6 +180,9 @@ object Dedup {
       converged = changed == 0L
       it += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a component has diameter > maxIter; raise maxIter")
     labels
   }
 
@@ -230,16 +238,19 @@ object Dedup {
   /** Bucket-skew guard: drop rows of buckets larger than the cap
     * (0 = off). The count aggregates only the narrow bucket key
     * (columns pruned — the wide signature arrays never shuffle) and
-    * the oversized-bucket list is tiny by construction (degenerate
-    * hashes only), so it broadcast-anti-joins back as a map-side
-    * filter. A window-function formulation would shuffle + sort the
-    * full wide rows instead. */
+    * anti-joins back. With the default cap (1000) the oversized list
+    * is degenerate hashes only — tiny, and AQE broadcasts it on its
+    * own; no broadcast hint is forced, so a small user-supplied cap
+    * (where the list can be a large fraction of all buckets) degrades
+    * to a shuffled anti-join instead of a driver-side size cliff. A
+    * window-function formulation would shuffle + sort the full wide
+    * rows instead. */
   private def capBuckets(banded: DataFrame, bucket: Column, cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
       val big = banded.groupBy(bucket.as("__bk")).agg(count(lit(1)).as("__bn"))
         .where(col("__bn") > cap).select(col("__bk"))
-      banded.join(broadcast(big), bucket === col("__bk"), "left_anti")
+      banded.join(big, bucket === col("__bk"), "left_anti")
     }
 
   /** Survivor-selection on top of any pair set: drop the higher id of

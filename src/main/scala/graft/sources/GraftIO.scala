@@ -33,17 +33,25 @@ object GraftIO {
   def readTextFile(spark: SparkSession, paths: String*): Dataset[String] =
     spark.read.textFile(paths: _*)
 
-  /** [[readTextFile]] with the reference's read-side options. */
+  /** [[readTextFile]] with the reference's read-side options. Beam's
+    * ALLOW empty-match treatment reads whatever paths DO resolve and
+    * only tolerates the ones that don't — so missing paths are
+    * filtered per-path (a driver-side metadata check, like Beam's own
+    * match step), never by discarding the whole read. */
   def readTextFileOpts(spark: SparkSession, paths: Seq[String],
                        delimiter: Option[String] = None,
                        emptyMatchAllowed: Boolean = false): Dataset[String] = {
     val r = delimiter.fold(spark.read)(d => spark.read.option("lineSep", d))
-    try r.textFile(paths: _*)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if emptyMatchAllowed && e.getCondition == "PATH_NOT_FOUND" =>
-        spark.emptyDataset(org.apache.spark.sql.Encoders.STRING)
-    }
+    val effective =
+      if (!emptyMatchAllowed) paths
+      else paths.filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // globs need a glob check; plain paths an existence check
+        fs.exists(hp) || Option(fs.globStatus(hp)).exists(_.nonEmpty)
+      }
+    if (effective.isEmpty) spark.emptyDataset(org.apache.spark.sql.Encoders.STRING)
+    else r.textFile(effective: _*)
   }
 
   /** `read-text-files` (core.clj:1306-1332): read a *collection of

@@ -29,13 +29,10 @@ object Sources {
                    schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
-  /** Kafka streaming read (kafka.clj:79-132 `read-kafka`). The record
-    * shape mirrors the reference's map: payload/key/offset/partition/
-    * timestamp/topic(/headers). Untestable without a broker — the
-    * option mapping is the deliverable. */
-  /** The reference's read-kafka knob map as Spark reader options —
-    * pure (unit-testable without a broker); `extra` wins on conflict
-    * like the reference's `:consumer-properties` merge. */
+  /** The reference's read-kafka knob map (kafka.clj:79-132) as Spark
+    * reader options — pure (unit-testable without a broker); `extra`
+    * wins on conflict like the reference's `:consumer-properties`
+    * merge. */
   def kafkaReadOptions(bootstrapServers: String, topics: Seq[String],
                        startingOffsets: String = "latest",
                        readCommitted: Boolean = false,
@@ -50,16 +47,23 @@ object Sources {
     base ++ extra
   }
 
+  /** Kafka streaming read (kafka.clj:79-132 `read-kafka`). The record
+    * shape mirrors the reference's map: payload/key/offset/partition/
+    * timestamp/topic, plus headers when `includeHeaders` asked the
+    * source for them. Untestable without a broker — the option
+    * mapping ([[kafkaReadOptions]]) is the tested deliverable. */
   def readKafka(spark: SparkSession, bootstrapServers: String, topics: Seq[String],
                 startingOffsets: String = "latest",
                 readCommitted: Boolean = false,
                 includeHeaders: Boolean = false,
-                extra: Map[String, String] = Map.empty): DataFrame =
+                extra: Map[String, String] = Map.empty): DataFrame = {
+    val base = Seq("value AS payload", "key", "offset", "partition", "timestamp", "topic")
     spark.readStream.format("kafka")
       .options(kafkaReadOptions(bootstrapServers, topics, startingOffsets,
         readCommitted, includeHeaders, extra))
       .load().selectExpr(
-        "value AS payload", "key", "offset", "partition", "timestamp", "topic")
+        (if (includeHeaders) base :+ "headers" else base): _*)
+  }
 
   /** Kafka write (kafka.clj:134-194 `write-kafka`): expects key/value
     * columns; EOS maps to checkpointed exactly-once sink semantics. */
@@ -144,8 +148,15 @@ object Sources {
             val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*"))
               .sortBy(_.getPath.getName)
             parts.zipWithIndex.foreach { case (st, i) =>
-              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path,
-                f"$prefix-$w-$i%05d-of-${parts.length}%05d$suffix"))
+              val target = new org.apache.hadoop.fs.Path(path,
+                f"$prefix-$w-$i%05d-of-${parts.length}%05d$suffix")
+              // a refined pane (accumulate mode) or batch replay may
+              // re-emit a window: HDFS rename refuses to overwrite and
+              // returns false, so replace explicitly and fail loudly —
+              // a silent false here would drop the refined data
+              if (fs.exists(target)) fs.delete(target, false)
+              if (!fs.rename(st.getPath, target))
+                throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
             }
             fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
           }

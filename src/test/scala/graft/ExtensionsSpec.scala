@@ -96,6 +96,13 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents fails loudly instead of returning split components") {
+    val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+  }
+
   test("dropNearDupsByCluster keeps exactly one representative per cluster") {
     val df = (1L to 6L).map(i => (i, s"doc$i")).toDF("id", "text")
     // chain {1,2,3} keeps 1; the unnormalized pair (5,4) distinguishes

@@ -52,6 +52,12 @@ class IOSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       GraftIO.readTextFileOpts(spark, Seq(dir + "/nope_dir")).collect()
     }
+    // ALLOW with a mix of matching and missing paths reads the
+    // matching ones (Beam ALLOW semantics), not an empty set
+    assert(GraftIO.readTextFileOpts(spark,
+      Seq(dir + "/d.txt", dir + "/nope_dir"),
+      delimiter = Some(";"), emptyMatchAllowed = true)
+      .collect().toSet == Set("a", "b", "c"))
   }
 
   test("readTextFiles from a path collection (core.clj:1306-1332)") {
