@@ -750,6 +750,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- text: budgeted token packing (whole-unit chunking) ------
+    "q_pack_tokens" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.packTokens(t(s, dir, "documents"), $"doc_id", $"text",
+          charBudget = 200)
+        .select($"doc_id", $"chunk_id", $"chunk", $"n_units", $"total_weight")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // -------- dedup: embedding-cosine near-dup pairs (oracle form) ----
     // Exact quadratic form (test/oracle scale); the production path is
     // Similarity.lshCosinePairs (q_ann_lsh). Threshold 0.46 sits in a
@@ -1217,6 +1226,20 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM s)
         |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_pack_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(trim(x))>0) AS toks
+        |  FROM documents),
+        | u AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks,1) AS pos FROM t),
+        | c AS (SELECT doc_id, tok, pos, len(tok) AS wt,
+        |   coalesce(sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM u)
+        |SELECT doc_id, (cb // 200)::BIGINT AS chunk_id,
+        | string_agg(tok, ' ' ORDER BY pos) AS chunk,
+        | count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS total_weight
+        |FROM c GROUP BY doc_id, (cb // 200)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),

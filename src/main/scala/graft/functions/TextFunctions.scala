@@ -82,4 +82,51 @@ object TextFunctions {
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** Budgeted chunking kernel: split `text` into units on
+    * `splitRegex`, weigh each unit with `weight`, then pack whole
+    * units into chunks of ~`budget` cumulative weight — a unit never
+    * splits, so a chunk can overflow by at most one unit (the
+    * boundary unit goes to the chunk its *preceding* cumulative
+    * weight selects, the standard greedy bin rule that both engines
+    * can reproduce deterministically). One explode + one windowed
+    * running sum (spilling sort) + one group-back — scale cost is the
+    * unit count, never a cross join.
+    * Output: (doc_id, chunk_id, chunk, n_units, total_weight). */
+  def chunkUnits(df: DataFrame, id: Column, text: Column,
+                 splitRegex: String, budget: Long)
+                (weight: Column => Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val units = filter(split(text, splitRegex), u => length(trim(u)) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id.as("doc_id"), posexplode(units).as(Seq("__pos", "__unit")))
+      .withColumn("__wt", weight(col("__unit")).cast("long"))
+      .withColumn("__cb", coalesce(sum(col("__wt")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"__cb div ${budget}L"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__unit")))),
+          x => x.getField("__unit")), " ").as("chunk"),
+        count(lit(1)).as("n_units"),
+        sum(col("__wt")).as("total_weight"))
+  }
+
+  /** Sentence-aware chunking: whole sentences packed to a token
+    * budget — the segmentation that keeps sentence boundaries intact
+    * (vs the fixed-window [[chunkTokens]]). */
+  def chunkBySentences(df: DataFrame, id: Column, text: Column,
+                       tokenBudget: Long): DataFrame =
+    chunkUnits(df, id, text, "[.!?]\\s+", tokenBudget)(s =>
+      size(filter(split(s, "\\s+"), t => length(t) > 0)))
+
+  /** Character-budget packing of whole tokens — pack-to-length
+    * chunking for corpora without sentence structure. */
+  def packTokens(df: DataFrame, id: Column, text: Column,
+                 charBudget: Long): DataFrame =
+    chunkUnits(df, id, text, "\\s+", charBudget)(t => length(t))
 }

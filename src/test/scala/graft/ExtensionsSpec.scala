@@ -233,6 +233,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](chunksOf("a b", 2, 2))
   }
 
+  test("chunkBySentences packs whole sentences to a token budget") {
+    val df = Seq((1L, "One two three. Four five! Six seven eight? Nine.")).toDF("id", "t")
+    val got = TextFunctions.chunkBySentences(df, $"id", $"t", tokenBudget = 5)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(4)))
+    // budget 5: [One two three | Four five] = 5 tokens, then the rest
+    assert(got.toSeq == Seq(
+      (0L, "One two three Four five", 5L),
+      (1L, "Six seven eight Nine.", 4L)))
+  }
+
+  test("packTokens never splits a token and respects the char budget rule") {
+    val df = Seq((1L, "aa bb cc dd")).toDF("id", "t")
+    // weights 2,2,2,2 cumulative-before 0,2,4,6 → budget 4: chunks {aa,bb},{cc,dd}
+    val got = TextFunctions.packTokens(df, $"id", $"t", charBudget = 4)
+      .orderBy("chunk_id").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((0L, "aa bb"), (1L, "cc dd")))
+  }
+
   test("fingerprint deterministic and content-sensitive") {
     val fps = Seq("abc", "abd", "abc").toDF("t")
       .select(TextFunctions.fingerprint($"t")).collect().map(_.getLong(0))
