@@ -75,36 +75,49 @@ object Grouping {
     * missing sides as empty arrays; `required` legs drop absent keys;
     * null-keyed rows each form their own singleton group unless
     * `joinNil` (core.clj:1618-1632) or dropped per-leg via `dropNil`.
+    *
+    * Execution: every leg is widened to one nullable struct slot per
+    * leg and unioned, so the whole cogroup is ONE shuffle on the key +
+    * one aggregate (`collect_list` skips the other legs' null slots) —
+    * not N per-leg aggregates chained through full-outer joins, which
+    * re-exchange at every join because union breaks partitioning
+    * propagation. N legs: same shuffled volume, 1 stage, any arity.
     */
   def cogroupBy(legs: Seq[(Leg, String)], outKey: String = "key", joinNil: Boolean = false): DataFrame = {
     require(legs.size >= 2, "cogroupBy needs at least 2 inputs")
-    val grouped = legs.map { case (l, tag) =>
+    val slotTypes = legs.map { case (l, _) =>
+      org.apache.spark.sql.types.StructType(l.df.schema.fields.filterNot(_.name == l.key))
+    }
+    val tagged = legs.zipWithIndex.map { case ((l, _), i) =>
       val valueCols = l.df.columns.filterNot(_ == l.key).map(col)
-      val packed = l.df.select(col(l.key).as(outKey), struct(valueCols.toIndexedSeq: _*).as("__v"))
-      val nonNil = packed.where(col(outKey).isNotNull)
-        .groupBy(col(outKey)).agg(collect_list(col("__v")).as(tag))
-      val nilRows = packed.where(col(outKey).isNull)
-      val nilPart =
-        if (l.dropNil) None
-        else if (joinNil) Some(nilRows.groupBy(col(outKey)).agg(collect_list(col("__v")).as(tag)))
-        else Some(nilRows.select(col(outKey), array(col("__v")).as(tag))) // one group per nil element
-      nilPart.fold(nonNil)(nonNil.unionByName(_))
+      val slots = legs.indices.map { j =>
+        if (j == i) struct(valueCols.toIndexedSeq: _*).as(s"__v_$j")
+        else lit(null).cast(slotTypes(j)).as(s"__v_$j")
+      }
+      l.df.select(col(l.key).as(outKey) +: slots: _*)
     }
-    // chain full-outer joins on the key; null keys intentionally do not
-    // join (each nil singleton stays its own row) unless joinNil.
-    val joined = grouped.reduceLeft { (a, b) =>
-      val bTag = b.columns.filterNot(_ == outKey).head
-      if (joinNil)
-        a.join(b.withColumnRenamed(outKey, "__rk"), col(outKey) <=> col("__rk"), "full_outer")
-          .withColumn(outKey, coalesce(col(outKey), col("__rk"))).drop("__rk")
-      else
-        a.join(b.withColumnRenamed(outKey, "__rk"), col(outKey) === col("__rk"), "full_outer")
-          .withColumn(outKey, coalesce(col(outKey), col("__rk"))).drop("__rk")
+    val all = tagged.reduce(_ unionByName _)
+    val nonNil = all.where(col(outKey).isNotNull)
+    // nil-keyed rows: drop per-leg (dropNil), group together (joinNil —
+    // GROUP BY puts all null keys in one group, matching <=> joins), or
+    // default: one singleton group per nil element
+    val nilRows = legs.zipWithIndex.foldLeft(all.where(col(outKey).isNull)) {
+      case (df, ((l, _), i)) => if (l.dropNil) df.where(col(s"__v_$i").isNull) else df
     }
-    val coalesced = legs.foldLeft(joined) { case (df, (_, tag)) =>
-      df.withColumn(tag, coalesce(col(tag), array()))
+    val aggs = legs.zipWithIndex.map { case ((_, tag), i) =>
+      collect_list(col(s"__v_$i")).as(tag)
     }
-    legs.foldLeft(coalesced) { case (df, (l, tag)) =>
+    val grouped = (if (joinNil) nonNil.unionByName(nilRows) else nonNil)
+      .groupBy(col(outKey)).agg(aggs.head, aggs.tail: _*)
+    val withSingletons =
+      if (joinNil) grouped
+      else grouped.unionByName(nilRows.select(
+        col(outKey) +: legs.zipWithIndex.map { case ((_, tag), i) =>
+          when(col(s"__v_$i").isNotNull, array(col(s"__v_$i")))
+            .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(slotTypes(i))))
+            .as(tag)
+        }: _*))
+    legs.foldLeft(withSingletons) { case (df, (l, tag)) =>
       if (l.required) df.where(size(col(tag)) > 0) else df
     }
   }
