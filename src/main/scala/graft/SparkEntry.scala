@@ -847,6 +847,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- curation with cluster-accurate dedup --------------------
+    // Same pipeline as q_curation but survivors come from
+    // connected-components over the LSH pairs (one representative per
+    // transitive cluster) — the production dedup semantics; oracle
+    // swaps the pairwise drop CTE for the recursive closure.
+    "q_curation_clustered" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      val deduped = Dedup.dropNearDupsByCluster(docs, "doc_id", pairs)
+      val toks = TextFunctions.tokens($"text")
+      deduped
+        .where(TextFunctions.qualityScore($"text", toks) >= 0.5)
+        .where(TextFunctions.langId(toks) === "en")
+        .select($"doc_id",
+          size(TextFunctions.chunkTokens(toks, 32, 8)).cast("long").as("n_chunks"),
+          size(toks).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // -------- multimodal: binary payload plumbing + stub decode -------
     "q_multimodal" -> ((s, dir) => {
       import s.implicits._
@@ -1307,6 +1328,40 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id<b.doc_id
         |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
         | surv AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT d FROM drops)),
+        | t AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks FROM surv),
+        | sc AS (SELECT doc_id, toks,
+        |   round(least(len(toks)::DOUBLE / 32.0, 1.0)*0.3 +
+        |     (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text),1)) * 0.3 +
+        |     (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)) * 0.4, 6) AS quality,
+        |   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |   len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) AS s_fr,
+        |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','ein','nicht'))) AS s_de,
+        |   len(list_filter(toks, x -> x IN ('el','la','de','que','y','los','las','por'))) AS s_es
+        |  FROM t)
+        |SELECT doc_id,
+        | ((greatest(len(toks)-8,1)-1)//24 + 1)::BIGINT AS n_chunks,
+        | len(toks)::BIGINT AS n_tokens
+        |FROM sc
+        |WHERE quality >= 0.5
+        |  AND NOT (s_es > greatest(s_en, s_fr, s_de))
+        |  AND NOT (s_de > greatest(s_en, s_fr))
+        |  AND NOT (s_fr > s_en)
+        |ORDER BY doc_id""".stripMargin,
+    "q_curation_clustered" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+        | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(src, dst) AS (SELECT src, dst FROM ee
+        |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
+        | comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        | surv AS (SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)),
         | t AS (SELECT doc_id, text,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks FROM surv),
         | sc AS (SELECT doc_id, toks,
