@@ -96,6 +96,32 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents matches in-memory union-find on random graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: representative = min id in component
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expect = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
   test("connectedComponents fails loudly instead of returning split components") {
     val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {

@@ -51,4 +51,46 @@ class TemporalSpec extends AnyFunSuite {
     val ivals = Seq((100L, 0L, 30L)).toDF("iid", "s", "e") // spans 3 chunks
     assert(Temporal.rangeJoin(points, ivals, "t", "s", "e", chunkWidth = 10L).count() == 1L)
   }
+
+  test("asOfJoin matches an in-memory brute force on random data") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Vector("a", "b", "c", "d")
+      val ls = (1 to 60).map(i => (i.toLong, keys(rnd.nextInt(4)), rnd.nextInt(500).toLong))
+      // distinct (k, rt) so the match is deterministic by contract
+      val rs = rnd.shuffle(
+        for (k <- keys; rt <- 0 until 500 by 7) yield (k, rt.toLong))
+        .take(50).zipWithIndex.map { case ((k, rt), i) => (k, rt, i.toLong) }
+      val got = Temporal.asOfJoin(
+          ls.toDF("id", "k", "t"), rs.toDF("k", "rt", "tag"),
+          key = "k", lts = "t", rts = "rt")
+        .select($"id", $"asof.tag")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expect = ls.map { case (id, k, t) =>
+        id -> rs.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("rangeJoin matches an in-memory brute force on random intervals") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val w = 50L
+      val ps = (1 to 80).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+      val is = (1 to 30).map { i =>
+        val s = rnd.nextInt(1000).toLong
+        (100L + i, s, s + 1 + rnd.nextInt(w.toInt - 1)) // 1 <= len <= w
+      }
+      val got = Temporal.rangeJoin(ps.toDF("pid", "t"), is.toDF("iid", "s", "e"),
+          "t", "s", "e", chunkWidth = w)
+        .select($"iid", $"pid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (pid, t) <- ps; (iid, s, e) <- is if t >= s && t < e
+      } yield (iid, pid)).toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
 }
