@@ -134,6 +134,24 @@ object GraftIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Range-clustered parquet write: `repartitionByRange` +
+    * `sortWithinPartitions` on the cluster keys, so every output file
+    * covers a disjoint key range and its row-group min/max statistics
+    * actually prune — the 100 TB recipe for selective scans on a
+    * non-partition column (partitionBy handles low-cardinality keys;
+    * this handles high-cardinality ones). One range shuffle at write
+    * time buys data skipping on every subsequent filtered read. */
+  def writeSortedParquet(df: DataFrame, path: String, sortCols: Seq[String],
+                         numShards: Int = 0,
+                         mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty, "writeSortedParquet needs at least one sort column")
+    val cols = sortCols.map(col)
+    val ranged =
+      if (numShards > 0) df.repartitionByRange(numShards, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols.toIndexedSeq: _*).write.mode(mode).parquet(path)
+  }
+
   /** Bucketed table write: pre-shuffles once at write time so
     * subsequent joins/aggregations on the bucket keys are co-located —
     * zero-shuffle joins between tables bucketed the same way (the

@@ -104,6 +104,27 @@ class IOSpec extends AnyFunSuite {
     assert(spark.read.json(dir).count() == 3)
   }
 
+  test("range-clustered parquet write yields disjoint per-file key ranges") {
+    val dir = tmp() + "/sorted"
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    GraftIO.writeSortedParquet(df, dir, Seq("o_custkey"), numShards = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 4)
+    // each file covers a disjoint o_custkey range → min/max stats prune
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"o_custkey"), max($"o_custkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+      case _ =>
+    }
+    // nothing lost in the reshape
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
+
   test("bucketed tables join without a shuffle (co-location recipe)") {
     // managed-table locations can survive a previous JVM's in-memory
     // catalog; clear both catalog entries and stale dirs
