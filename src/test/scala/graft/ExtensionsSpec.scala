@@ -63,6 +63,29 @@ class DedupSpec extends AnyFunSuite {
     assert(viaAgg == viaExpr)
   }
 
+  test("fused MinHashSignature stays bit-equal on multi-byte UTF-8 text") {
+    // 2- and 3-byte chars exercise the char-aligned byte-window walk
+    val uni = Seq(
+      (1L, "héllo wörld — ünïcode tëst ééé"),
+      (2L, "日本語のテキストです これはテスト"),
+      (3L, "mixed ascii and 中文 and ελληνικά")
+    ).toDF("id", "text")
+    val viaAgg = Dedup.minhashSignatures(uni, "id", Dedup.charShingles($"text", 5), 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = Dedup.minhashSignaturesFused(uni, "id", $"text", 5, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaExpr)
+  }
+
+  test("empty-input edges: LSH pairs, components, near-dup drops") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("id", "text")
+    assert(Dedup.minhashLshPairs(empty, "id", "text", 3, 32, 8, 0.5).count() == 0)
+    val noPairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    assert(Dedup.dropNearDups(docs, "id", noPairs).count() == docs.count())
+    assert(Dedup.dropNearDupsByCluster(docs, "id", noPairs).count() == docs.count())
+  }
+
   test("minhash bucket cap: generous cap is a no-op, cap=1 kills all pairs") {
     val base = Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

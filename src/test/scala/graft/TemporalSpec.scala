@@ -52,6 +52,16 @@ class TemporalSpec extends AnyFunSuite {
     assert(Temporal.rangeJoin(points, ivals, "t", "s", "e", chunkWidth = 10L).count() == 1L)
   }
 
+  test("empty-side edges: no right rows → all-null asof; no intervals → no pairs") {
+    val emptyR = spark.emptyDataset[(String, Long, String)].toDF("k", "rt", "tag")
+    val got = Temporal.asOfJoin(left, emptyR, key = "k", lts = "t", rts = "rt")
+    assert(got.count() == left.count())
+    assert(got.where($"asof".isNotNull).count() == 0)
+    val emptyI = spark.emptyDataset[(Long, Long, Long)].toDF("iid", "s", "e")
+    assert(Temporal.rangeJoin(left.select($"id".as("pid"), $"t"), emptyI,
+      "t", "s", "e", chunkWidth = 10L).count() == 0)
+  }
+
   test("asOfJoin matches an in-memory brute force on random data") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
