@@ -743,6 +743,20 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // -------- similarity search: persisted IVF index (oracle as above)
+    // Index written partitionBy(list id); probing dynamic-partition-
+    // prunes the scan to the probed lists. nprobe = #lists ≡ brute
+    // force, so the same exact SQL is a true oracle for build + query.
+    "q_ann_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, kLists = 16, iters = 3)
+      Similarity.ivfTopKIndexed(s, idx, emb.where($"vec_id" < 10),
+          "vec_id", "embedding", nprobe = 16, k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // -------- similarity search: LSH-bucketed pairs (no SQL oracle) ---
     "q_ann_lsh" -> ((s, dir) => {
       Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1238,6 +1252,16 @@ object SparkEntry {
         |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_ann_ivf" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | r AS (SELECT q_id, c_id, sim,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM s)
+        |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
+        |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf_index" ->
       """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
         |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim

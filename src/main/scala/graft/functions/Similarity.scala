@@ -108,27 +108,69 @@ object Similarity {
     } finally { train.unpersist(blocking = false); () }
   }
 
-  /** IVF top-k search: corpus rows are assigned to their nearest
-    * centroid (the inverted file); each query probes its `nprobe`
-    * closest lists only, so scored pairs ≈ corpus × nprobe/k instead
-    * of the full cross join. Exactness degrades gracefully with
-    * nprobe — set nprobe=k for brute-force-equal results. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              cents: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_v"),
-      nearestCentroid(col(vec), cents).as("__cid"))
+  /** Probe-list scoring shared by the in-memory and persisted-index
+    * IVF paths: queries explode to their `nprobe` closest list ids and
+    * broadcast; only same-list corpus rows are scored. */
+  private def probeScore(assigned: DataFrame, queries: DataFrame, id: String,
+                         vec: String, cents: Array[Array[Double]],
+                         nprobe: Int, k: Int): DataFrame = {
     val probes = transform(sequence(lit(0), lit(cents.length - 1)),
       i => struct((-cosineFused(col(vec), element_at(centroidsLit(cents), i + 1))).as("d"),
         (i + 1).as("cid")))
     val q = queries.select(col(id).as("q_id"), col(vec).as("q_v"),
         explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
       .select(col("q_id"), col("q_v"), col("__p.cid").as("__cid"))
-    val scored = c.join(broadcast(q), "__cid")
+    val scored = assigned.join(broadcast(q), "__cid")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("sim", cosineFused(col("c_v"), col("q_v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
       .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"), col("__rk").as("rank"))
+  }
+
+  /** IVF top-k search: corpus rows are assigned to their nearest
+    * centroid (the inverted file); each query probes its `nprobe`
+    * closest lists only, so scored pairs ≈ corpus × nprobe/k instead
+    * of the full cross join. Exactness degrades gracefully with
+    * nprobe — set nprobe=k for brute-force-equal results. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              cents: Array[Array[Double]], nprobe: Int, k: Int): DataFrame =
+    probeScore(
+      corpus.select(col(id).as("c_id"), col(vec).as("c_v"),
+        nearestCentroid(col(vec), cents).as("__cid")),
+      queries, id, vec, cents, nprobe, k)
+
+  /** Build and persist the inverted file: corpus assigned to lists and
+    * written `partitionBy(__cid)` (+ centroids in a sibling dir), so
+    * probing reads ONLY the probed lists — at 100 TB the probe join on
+    * the partition column dynamic-partition-prunes the scan to
+    * nprobe/k of the files instead of filtering after a full read.
+    * Returns the trained centroids. */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String, path: String,
+                    kLists: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    val cents = trainIvfCentroids(corpus, vec, kLists, iters, seed)
+    corpus.select(col(id).as("c_id"), col(vec).as("c_v"),
+        nearestCentroid(col(vec), cents).as("__cid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__cid").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"${path}__centroids")
+    cents
+  }
+
+  /** Query a persisted IVF index ([[buildIvfIndex]]): same semantics
+    * as [[ivfTopK]], but the corpus scan is the partitioned inverted
+    * file, so Spark prunes to the probed lists. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, id: String, vec: String,
+                     nprobe: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"${path}__centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    probeScore(spark.read.parquet(path), queries, id, vec, cents, nprobe, k)
   }
 
   /** Exact embedding near-dup pairs: every (id_a < id_b) pair whose

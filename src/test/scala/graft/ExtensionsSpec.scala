@@ -247,6 +247,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.isEmpty)
   }
 
+  test("persisted IVF index: indexed results == in-memory results; scan is partition-pruned") {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val pts = for (c <- centers.indices; j <- 0 until 6) yield
+      ((c * 6 + j).toLong, centers(c).map(x => x + rnd.nextFloat() * 0.2f))
+    val df = pts.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(df, "vec_id", "embedding", path, kLists = 3, iters = 4)
+    val qs = df.where($"vec_id" === 0)
+    val indexed = Similarity.ivfTopKIndexed(spark, path, qs, "vec_id", "embedding",
+      nprobe = 1, k = 3)
+    val inMem = Similarity.ivfTopK(df, qs, "vec_id", "embedding", cents, nprobe = 1, k = 3)
+    assert(indexed.collect().toSeq == inMem.collect().toSeq)
+    // the probe join keys on the partition column → the scan carries a
+    // partition filter (dynamic pruning reads only probed lists)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(__cid"),
+      s"expected partition-pruned index scan:\n$plan")
+  }
+
   test("LSH cosine pairs find high-similarity neighbors") {
     val pairs = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dim = 3,
       planes = 6, tables = 8, minCosine = 0.9)
