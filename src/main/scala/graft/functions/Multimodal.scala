@@ -71,6 +71,51 @@ object Multimodal {
       }(enc)
   }
 
+  /** Vectorized codec seam: decode a whole batch in one call — the
+    * slot for decoders that amortize per-call overhead (GPU image
+    * decode, JNI ffmpeg, an Arrow-based library). Output must align
+    * 1:1 with the input arrays. */
+  trait BatchCodec extends Serializable {
+    def decodeBatch(kinds: Array[String], contents: Array[Array[Byte]]): Array[Array[Float]]
+    def batchSize: Int = 256
+  }
+
+  /** Per-row codec lifted to the batch contract (the identity
+    * adapter; swap for a genuinely vectorized decoder in deployment). */
+  def batching(codec: MediaCodec, size: Int = 256): BatchCodec = new BatchCodec {
+    override def batchSize: Int = size
+    def decodeBatch(kinds: Array[String], contents: Array[Array[Byte]]): Array[Array[Float]] = {
+      val out = new Array[Array[Float]](kinds.length)
+      var i = 0
+      while (i < kinds.length) { out(i) = codec.decode(kinds(i), contents(i)); i += 1 }
+      out
+    }
+  }
+
+  /** Batched feature extraction: partitions are consumed in
+    * `codec.batchSize` slices and decoded one batch per call — the
+    * Arrow-batched UDF shape with the decode amortized across the
+    * batch (how a GPU decoder wants to be fed). Row order and output
+    * schema are identical to [[extractFeatures]] (spec-asserted). */
+  def extractFeaturesBatched(df: DataFrame, codec: BatchCodec)
+                            (implicit enc: Encoder[MediaFeature]): Dataset[MediaFeature] = {
+    import org.apache.spark.sql.Row
+    df.select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions { rows =>
+        rows.grouped(codec.batchSize).flatMap { batch =>
+          val kinds = batch.map(_.getString(1)).toArray
+          val bytes = batch.map(r =>
+            Option(r.getAs[Array[Byte]](2)).getOrElse(Array.emptyByteArray)).toArray
+          val feats = codec.decodeBatch(kinds, bytes)
+          batch.iterator.zipWithIndex.map { case (r: Row, i) =>
+            val crc = { val c = new java.util.zip.CRC32(); c.update(bytes(i)); c.getValue }
+            MediaFeature(r.getLong(0), kinds(i), bytes(i).length.toLong,
+              if (bytes(i).isEmpty) -1 else bytes(i)(0) & 0xff, crc, feats(i))
+          }
+        }
+      }(enc)
+  }
+
   /** Columnar byte-level features (no decode needed — stays in
     * codegen): payload size and cheap integrity hash. */
   def byteFeatures(df: DataFrame, content: String = "content"): DataFrame =

@@ -362,6 +362,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.select($"meta.mime").head().getString(0) == "application/octet-stream")
   }
 
+  test("extractFeaturesBatched == extractFeatures for the lifted per-row codec") {
+    import spark.implicits._
+    val perRow = Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> (f.n_bytes, f.byte_crc, f.feat.toSeq)).toMap
+    // batch size 2 forces multiple decodeBatch calls per partition
+    val batched = Multimodal.extractFeaturesBatched(media,
+        Multimodal.batching(Multimodal.FakeCodec, size = 2))
+      .collect().map(f => f.media_id -> (f.n_bytes, f.byte_crc, f.feat.toSeq)).toMap
+    assert(batched == perRow)
+  }
+
   test("extractFeatures deterministic, batch-shaped, empty-safe") {
     val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
     assert(f(1L).n_bytes == 5L && f(1L).head_byte == 'h'.toInt)

@@ -481,6 +481,22 @@ class StreamJoinSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
+  test("stream-static join: streaming side input enrichment (broadcast dim)") {
+    val dir = Files.createTempDirectory("graft-ssd").toString
+    Seq(("u1", 1.0), ("u2", 2.0)).toDF("k", "v").write.parquet(dir + "/facts")
+    val dim = Seq(("u1", "gold"), ("u2", "silver")).toDF("k", "tier")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir + "/facts").schema).parquet(dir + "/facts")
+    val q = stream.join(org.apache.spark.sql.functions.broadcast(dim), "k")
+      .writeStream.outputMode("append").format("memory").queryName("ssd_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssd_out").collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+      assert(rows == Set(("u1", "gold"), ("u2", "silver")))
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermark + time-range bound") {
     val dir = Files.createTempDirectory("graft-ssj").toString
     Seq(("u1", 10, "imp1"), ("u2", 20, "imp2"), ("u3", 30, "imp3"))
