@@ -348,6 +348,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -------- event-level sessionization (gap rule, per-event ids) ----
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      Windows.sessionize(
+          t(s, dir, "events").select($"event_id", $"user_id", $"ts_ns"),
+          $"user_id", $"ts_ns", gap = 30L * 60 * 1000000000L)
+        .select($"event_id", $"user_id", $"session_idx")
+        .orderBy("event_id")
+    }),
+
     // -------- running state via the external-sort typed path ----------
     // Same oracle as q_stateful; exercises runningByKeySorted
     // (repartition + spilling sortWithinPartitions + streamed state)
@@ -1049,6 +1059,16 @@ object SparkEntry {
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING),2) AS running
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (SELECT event_id, user_id, epoch_ns(ts) AS tn,
+        |   lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id,
+        | sum(CASE WHEN prev IS NULL THEN 0
+        |          WHEN tn - prev >= 1800000000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY tn
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_idx
+        |FROM g ORDER BY event_id""".stripMargin,
     "q_stateful_sorted" ->
       """SELECT event_id, user_id,
         | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

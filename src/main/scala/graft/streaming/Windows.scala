@@ -31,6 +31,24 @@ object Windows {
     * grouping key. */
   def sessionWindow(ts: Column, gap: String): Column = session_window(ts, gap)
 
+  /** Event-level sessionization: assign each row its per-key session
+    * index (0-based) under the gap rule — a new session starts when
+    * the time since the previous event reaches `gap` (same units as
+    * `ts`, e.g. nanos with a ns gap; `>= gap` breaks, matching
+    * Beam/Spark session windows' `[t, t+gap)` merge rule). The
+    * event-granular complement of [[sessionWindow]] (which
+    * aggregates): one shuffle on the key, one spilling sort, a lag +
+    * running sum — no per-group materialization. */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gap: Long,
+                 as: String = "session_idx"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+    val prev = lag(ts, 1).over(w)
+    val isBreak = when(prev.isNull, lit(0L))
+      .otherwise(when(ts - prev >= gap, lit(1L)).otherwise(lit(0L)))
+    df.withColumn(as,
+      sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** `with-timestamp` (core.clj:316-326): event time is just a column;
     * in streaming add the watermark (allowed-lateness analog,
     * core.clj:2087-2090). */

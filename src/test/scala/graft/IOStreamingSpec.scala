@@ -228,6 +228,20 @@ class WindowsSpec extends AnyFunSuite {
     .toDF("k", "sec", "v")
     .withColumn("ts", timestamp_seconds($"sec"))
 
+  test("sessionize: per-event session ids agree with session_window aggregation") {
+    val ev = sessionEvents.withColumn("tn", $"sec".cast("long"))
+    val ids = Windows.sessionize(ev, $"k", $"tn", gap = 2L)
+      .groupBy($"k").agg(countDistinct($"session_idx").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val agg = sessionEvents
+      .groupBy($"k", Windows.sessionWindow($"ts", "2 seconds"))
+      .count()
+      .groupBy($"k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids == agg) // same session count per key under the same gap
+    assert(ids == Map("k0" -> 2L, "k1" -> 1L))
+  }
+
   test("session windows per key, gap merge (core.clj:2137-2155)") {
     val out = sessionEvents
       .groupBy($"k", Windows.sessionWindow($"ts", "2 seconds"))
