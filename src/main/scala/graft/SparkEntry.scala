@@ -721,6 +721,16 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- dedup: keep-best survivor per cluster (by length) -------
+    "q_dedup_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      Dedup.keepBestPerCluster(docs, "doc_id", pairs, length($"text"))
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- dedup: SimHash hamming pairs (no SQL oracle) ------------
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -1251,6 +1261,24 @@ object SparkEntry {
         |  FROM reach GROUP BY src)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_best" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+        | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(src, dst) AS (SELECT src, dst FROM ee
+        |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
+        | comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        | x AS (SELECT d.doc_id, strlen(d.text) AS sc,
+        |   coalesce(c.component, d.doc_id) AS comp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id FROM x
+        |QUALIFY row_number() OVER (PARTITION BY comp ORDER BY sc DESC, doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_survivors" ->
       """WITH sh AS (SELECT doc_id, source,

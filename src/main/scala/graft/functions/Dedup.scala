@@ -198,6 +198,25 @@ object Dedup {
     df.join(drops, col(id) === col("__drop"), "left_anti")
   }
 
+  /** Quality-aware survivor selection: keep the best-scoring row of
+    * each near-dup cluster (ties broken by lowest id) — what corpus
+    * dedup actually wants (keep the cleanest copy, not the lowest id).
+    * Rows in no pair are their own cluster and always survive. One
+    * extra shuffle on the cluster id + a windowed rank (spills;
+    * cluster sizes are small so no skew). */
+  def keepBestPerCluster(df: DataFrame, id: String, pairs: DataFrame,
+                         score: Column): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__cid"), col("component").as("__comp_raw"))
+    val withComp = df.join(comp, col(id) === col("__cid"), "left")
+      .withColumn("__comp", coalesce(col("__comp_raw"), col(id)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__comp")).orderBy(score.desc, col(id))
+    withComp.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__cid", "__comp_raw", "__comp", "__rk")
+  }
+
   /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,
     * bandhash) — never all-pairs. `estJaccard` = fraction of matching
     * signature positions (unbiased Jaccard estimate); filter on it to

@@ -119,6 +119,15 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepBestPerCluster keeps the top-scoring row, singletons survive") {
+    val df = Seq((1L, "short"), (2L, "the longest text here"), (3L, "mid text"),
+      (4L, "alone")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // cluster {1,2,3}
+    val kept = Dedup.keepBestPerCluster(df, "id", pairs, length($"text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L)) // 2 is longest in its cluster; 4 unpaired
+  }
+
   test("connectedComponents matches in-memory union-find on random graphs") {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(seed)
