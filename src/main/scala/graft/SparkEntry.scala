@@ -770,7 +770,9 @@ object SparkEntry {
     "q_ann_ivf_index" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      // fresh dir per invocation — concurrent runs must not share an index
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+        .toString + "/idx"
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, kLists = 16, iters = 3)
       Similarity.ivfTopKIndexed(s, idx, emb.where($"vec_id" < 10),
           "vec_id", "embedding", nprobe = 16, k = 5)
@@ -1274,7 +1276,7 @@ object SparkEntry {
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
         | comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
         |  FROM reach GROUP BY src),
-        | x AS (SELECT d.doc_id, strlen(d.text) AS sc,
+        | x AS (SELECT d.doc_id, len(d.text) AS sc,
         |   coalesce(c.component, d.doc_id) AS comp
         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
         |SELECT doc_id FROM x
@@ -1328,7 +1330,8 @@ object SparkEntry {
         |   coalesce(sum(len(tok)) OVER (PARTITION BY doc_id ORDER BY pos
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM u)
-        |SELECT doc_id, (cb // 200)::BIGINT AS chunk_id,
+        |SELECT doc_id,
+        | (dense_rank() OVER (PARTITION BY doc_id ORDER BY (cb // 200)) - 1)::BIGINT AS chunk_id,
         | string_agg(tok, ' ' ORDER BY pos) AS chunk,
         | count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS total_weight
         |FROM c GROUP BY doc_id, (cb // 200)

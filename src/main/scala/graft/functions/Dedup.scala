@@ -201,20 +201,22 @@ object Dedup {
   /** Quality-aware survivor selection: keep the best-scoring row of
     * each near-dup cluster (ties broken by lowest id) — what corpus
     * dedup actually wants (keep the cleanest copy, not the lowest id).
-    * Rows in no pair are their own cluster and always survive. One
-    * extra shuffle on the cluster id + a windowed rank (spills;
-    * cluster sizes are small so no skew). */
+    * Rows in no pair always survive untouched: the rank runs over the
+    * NARROW (id, score) projection of paired nodes only — O(#nodes in
+    * pairs), not a full-corpus shuffle — and losers anti-join back
+    * (the [[dropNearDupsByCluster]] shape). */
   def keepBestPerCluster(df: DataFrame, id: String, pairs: DataFrame,
                          score: Column): DataFrame = {
     val comp = connectedComponents(pairs)
-      .select(col("id").as("__cid"), col("component").as("__comp_raw"))
-    val withComp = df.join(comp, col(id) === col("__cid"), "left")
-      .withColumn("__comp", coalesce(col("__comp_raw"), col(id)))
+      .select(col("id").as("__nid"), col("component").as("__comp"))
+    val scored = df.select(col(id).as("__sid"), score.as("__score"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__comp")).orderBy(score.desc, col(id))
-    withComp.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .drop("__cid", "__comp_raw", "__comp", "__rk")
+      .partitionBy(col("__comp")).orderBy(col("__score").desc, col("__nid"))
+    val losers = comp.join(scored, col("__nid") === col("__sid"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
+      .select(col("__nid").as("__drop"))
+    df.join(losers, col(id) === col("__drop"), "left_anti")
   }
 
   /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,

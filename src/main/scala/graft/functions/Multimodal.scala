@@ -99,6 +99,7 @@ object Multimodal {
     * schema are identical to [[extractFeatures]] (spec-asserted). */
   def extractFeaturesBatched(df: DataFrame, codec: BatchCodec)
                             (implicit enc: Encoder[MediaFeature]): Dataset[MediaFeature] = {
+    require(codec.batchSize > 0, "codec.batchSize must be positive")
     import org.apache.spark.sql.Row
     df.select(col("media_id"), col("kind"), col("content"))
       .mapPartitions { rows =>

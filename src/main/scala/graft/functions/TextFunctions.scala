@@ -92,9 +92,11 @@ object TextFunctions {
     * splits, so a chunk can overflow by at most one unit (the
     * boundary unit goes to the chunk its *preceding* cumulative
     * weight selects, the standard greedy bin rule that both engines
-    * can reproduce deterministically). One explode + one windowed
-    * running sum (spilling sort) + one group-back — scale cost is the
-    * unit count, never a cross join.
+    * can reproduce deterministically). `chunk_id` is densely
+    * renumbered per doc (0,1,2,…) — a single unit heavier than a
+    * whole budget multiple would otherwise leave gaps. One explode +
+    * one windowed running sum (spilling sort) + one group-back —
+    * scale cost is the unit count, never a cross join.
     * Output: (doc_id, chunk_id, chunk, n_units, total_weight). */
   def chunkUnits(df: DataFrame, id: Column, text: Column,
                  splitRegex: String, budget: Long)
@@ -103,17 +105,22 @@ object TextFunctions {
     val units = filter(split(text, splitRegex), u => length(trim(u)) > 0)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(id.as("doc_id"), posexplode(units).as(Seq("__pos", "__unit")))
+    val grouped = df
+      .select(id.as("doc_id"), posexplode(units).as(Seq("__pos", "__unit")))
       .withColumn("__wt", weight(col("__unit")).cast("long"))
       .withColumn("__cb", coalesce(sum(col("__wt")).over(w), lit(0L)))
-      .withColumn("chunk_id", expr(s"__cb div ${budget}L"))
-      .groupBy(col("doc_id"), col("chunk_id"))
+      .withColumn("__bin", expr(s"__cb div ${budget}L"))
+      .groupBy(col("doc_id"), col("__bin"))
       .agg(
         array_join(transform(
           sort_array(collect_list(struct(col("__pos"), col("__unit")))),
           x => x.getField("__unit")), " ").as("chunk"),
         count(lit(1)).as("n_units"),
         sum(col("__wt")).as("total_weight"))
+    val dw = Window.partitionBy(col("doc_id")).orderBy(col("__bin"))
+    grouped.withColumn("chunk_id", dense_rank().over(dw).cast("long") - 1)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        col("n_units"), col("total_weight"))
   }
 
   /** Sentence-aware chunking: whole sentences packed to a token

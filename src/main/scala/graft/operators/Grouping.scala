@@ -81,7 +81,11 @@ object Grouping {
     * one aggregate (`collect_list` skips the other legs' null slots) —
     * not N per-leg aggregates chained through full-outer joins, which
     * re-exchange at every join because union breaks partitioning
-    * propagation. N legs: same shuffled volume, 1 stage, any arity.
+    * propagation. Cost model: 1 stage at any arity, but each shuffled
+    * row carries one fixed-width slot word per leg (~8 bytes + null
+    * bit), so per-row overhead grows O(N) with arity — the stage win
+    * dominates at typical arities; at extreme arity (≥~100 legs)
+    * weigh the slot overhead against the old chained-join plan.
     */
   def cogroupBy(legs: Seq[(Leg, String)], outKey: String = "key", joinNil: Boolean = false): DataFrame = {
     require(legs.size >= 2, "cogroupBy needs at least 2 inputs")

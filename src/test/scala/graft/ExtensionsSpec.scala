@@ -330,6 +330,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, "aa bb"), (1L, "cc dd")))
   }
 
+  test("chunkUnits: chunk ids stay dense when one unit spans budget multiples") {
+    // weights 1, 10, 1 with budget 5: raw bins 0,0,2 → dense ids 0,1
+    val df = Seq((1L, "a bbbbbbbbbb c")).toDF("id", "t")
+    val got = TextFunctions.packTokens(df, $"id", $"t", charBudget = 5)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((0L, "a bbbbbbbbbb"), (1L, "c")))
+  }
+
   test("fingerprint deterministic and content-sensitive") {
     val fps = Seq("abc", "abd", "abc").toDF("t")
       .select(TextFunctions.fingerprint($"t")).collect().map(_.getLong(0))
