@@ -686,26 +686,27 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
-    // -------- dedup: MinHash + LSH (the 100 TB path). Oracle: the
-    // exact 5-gram Jaccard >= 0.9 pair set — equal to LSH at
-    // est >= 0.8 because the corpus similarity distribution is bimodal
-    // (see q_curation note). est values themselves are hash-dependent
-    // and stay out of the oracle-compared columns.
+    // -------- dedup: MinHash + LSH + exact verify (the 100 TB path).
+    // Candidate pairs from banding/estimate, then the standard exact
+    // verification stage re-scores candidates with true Jaccard — so
+    // the result set IS the exact 5-gram Jaccard >= 0.9 pair set at
+    // any corpus scale (structural equality, not a distribution-gap
+    // argument; profiled at sf0.1 the gap alone no longer holds).
     "q_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      Dedup.minhashLshPairsVerified(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
 
     // -------- dedup: near-dup clusters via connected components -------
-    // LSH pairs (≡ the exact 5-gram Jaccard >= 0.9 set, same bimodal
-    // gap argument as q_minhash_lsh) → min-label components; oracle is
-    // a recursive-CTE transitive closure over the exact pair set.
+    // Verified LSH pairs (≡ the exact 5-gram Jaccard >= 0.9 set by the
+    // exact-verify stage) → min-label components; oracle is a
+    // recursive-CTE transitive closure over the exact pair set.
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
-      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      val pairs = Dedup.minhashLshPairsVerified(t(s, dir, "documents"), "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9)
       Dedup.connectedComponents(pairs)
         .select($"id".as("doc_id"), $"component")
         .orderBy("doc_id")
@@ -715,8 +716,8 @@ object SparkEntry {
     "q_dedup_cluster_survivors" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9)
       Dedup.dropNearDupsByCluster(docs, "doc_id", pairs)
         .select($"doc_id").orderBy("doc_id")
     }),
@@ -725,8 +726,8 @@ object SparkEntry {
     "q_dedup_best" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9)
       Dedup.keepBestPerCluster(docs, "doc_id", pairs, length($"text"))
         .select($"doc_id").orderBy("doc_id")
     }),
@@ -860,18 +861,17 @@ object SparkEntry {
     }),
 
     // -------- flagship: end-to-end training-data curation pipeline ----
-    // near-dup removal (MinHash LSH — the scale path) → quality gate →
-    // predicted-language filter → chunking, composed purely from
-    // library operators. The oracle's exact 5-gram Jaccard at 0.9
-    // equals LSH at est>=0.8 because the corpus similarity
-    // distribution is bimodal (true dups >=0.9, everything else
-    // <=0.35) — the est error (sigma ~0.03 at k=128) can't cross the
-    // gap.
+    // near-dup removal (MinHash LSH + exact verify — the scale path) →
+    // quality gate → predicted-language filter → chunking, composed
+    // purely from library operators. The verify stage makes the pair
+    // set structurally equal to the oracle's exact 5-gram Jaccard
+    // >= 0.9 set at any scale (candidate recall at J>=0.9 is ~1:
+    // banding miss ~1e-4, est-filter miss ~7e-5 at k=128).
     "q_curation" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9)
       val deduped = Dedup.dropNearDups(docs, "doc_id", pairs)
       val toks = TextFunctions.tokens($"text")
       deduped
@@ -891,8 +891,8 @@ object SparkEntry {
     "q_curation_clustered" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8)
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9)
       val deduped = Dedup.dropNearDupsByCluster(docs, "doc_id", pairs)
       val toks = TextFunctions.tokens($"text")
       deduped

@@ -256,6 +256,36 @@ object Dedup {
       .agg(round(first(col("est_jaccard")), 6).as("est_jaccard"))
   }
 
+  /** LSH candidates + the standard exact-verification stage: candidate
+    * pairs from [[minhashLshPairs]] are re-scored with their TRUE
+    * n-gram Jaccard and filtered at `minJaccard` — the textbook
+    * candidate→verify design. The exact pass touches only candidate
+    * docs (semi-joined) and candidate pairs (≈ dup pairs, tiny), so
+    * the quadratic exact computation never runs corpus-wide; the
+    * result is exactly the J >= minJaccard pair set at ANY corpus
+    * scale, independent of the estimate's noise or the similarity
+    * distribution's shape. */
+  def minhashLshPairsVerified(df: DataFrame, id: String, text: String,
+                              n: Int = 3, k: Int = 128, bands: Int = 32,
+                              minEstJaccard: Double = 0.5,
+                              minJaccard: Double = 0.9,
+                              seed: Long = 42L,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    val cand = minhashLshPairs(df, id, text, n, k, bands, minEstJaccard, seed, maxBucketSize)
+    val ids = cand.select(col("id_a").as("__cid")).union(cand.select(col("id_b").as("__cid")))
+      .distinct()
+    val sh = df.join(ids, col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__sh_id"), charShingles(col(text), n).as("__sh"))
+    val withA = cand.join(sh, col("id_a") === col("__sh_id"))
+      .select(col("id_a"), col("id_b"), col("__sh").as("__sh_a"))
+    withA.join(sh, col("id_b") === col("__sh_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sh_a"), col("__sh"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh")))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Bucket-skew guard: drop rows of buckets larger than the cap
     * (0 = off). The count aggregates only the narrow bucket key
     * (columns pruned — the wide signature arrays never shuffle) and

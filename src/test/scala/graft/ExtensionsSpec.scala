@@ -86,6 +86,27 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dropNearDupsByCluster(docs, "id", noPairs).count() == docs.count())
   }
 
+  test("minhashLshPairsVerified: exact-verify stage filters sub-threshold candidates") {
+    // docs 1,2 are true near-dups; 5,6 share enough 3-grams to collide
+    // in bands but sit below 0.9 true Jaccard — verify must drop them
+    val mixed = docs.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and never more"),
+      (6L, "the quick brown fox jumps over the lazy dog but somewhere else entirely")
+    ).toDF("id", "text"))
+    val unverified = Dedup.minhashLshPairs(mixed, "id", "text", 3, 128, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashLshPairsVerified(mixed, "id", "text", 3, 128, 32,
+        minEstJaccard = 0.5, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // candidates include sub-0.9 collisions; the verified set is
+    // exactly the true >= 0.9 pairs
+    assert(unverified.nonEmpty)
+    assert(verified.forall(_._3 >= 0.9))
+    val exact = Dedup.ngramJaccardPairs(mixed, "id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.map(p => (p._1, p._2)) == exact)
+  }
+
   test("minhash bucket cap: generous cap is a no-op, cap=1 kills all pairs") {
     val base = Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
