@@ -271,7 +271,10 @@ object Dedup {
                               minJaccard: Double = 0.9,
                               seed: Long = 42L,
                               maxBucketSize: Int = 1000): DataFrame = {
-    val cand = minhashLshPairs(df, id, text, n, k, bands, minEstJaccard, seed, maxBucketSize)
+    // candidates are tiny (≈ dup pairs) but their plan is the whole
+    // banded self-join — materialize once, not once per re-reference
+    val cand = materializeOnce(
+      minhashLshPairs(df, id, text, n, k, bands, minEstJaccard, seed, maxBucketSize))
     val ids = cand.select(col("id_a").as("__cid")).union(cand.select(col("id_b").as("__cid")))
       .distinct()
     val sh = df.join(ids, col(id) === col("__cid"), "left_semi")
