@@ -261,10 +261,16 @@ object Dedup {
     * n-gram Jaccard and filtered at `minJaccard` — the textbook
     * candidate→verify design. The exact pass touches only candidate
     * docs (semi-joined) and candidate pairs (≈ dup pairs, tiny), so
-    * the quadratic exact computation never runs corpus-wide; the
-    * result is exactly the J >= minJaccard pair set at ANY corpus
-    * scale, independent of the estimate's noise or the similarity
-    * distribution's shape. */
+    * the quadratic exact computation never runs corpus-wide.
+    *
+    * Correctness contract: PRECISION is exact at any scale (every
+    * returned pair truly has J >= minJaccard — the verify stage
+    * guarantees it regardless of estimate noise). RECALL is ~1 but
+    * not exact: candidate generation can miss a true pair (a) with
+    * banding probability (1-J^r)^b (~1e-4 at J=0.9 with k=128/b=32),
+    * and (b) inside a bucket dropped by `maxBucketSize` — pass
+    * maxBucketSize = 0 when exact recall matters (the oracle-checked
+    * queries do); capped buckets are reported by [[lshBucketStats]]. */
   def minhashLshPairsVerified(df: DataFrame, id: String, text: String,
                               n: Int = 3, k: Int = 128, bands: Int = 32,
                               minEstJaccard: Double = 0.5,
@@ -298,14 +304,39 @@ object Dedup {
     * (where the list can be a large fraction of all buckets) degrades
     * to a shuffled anti-join instead of a driver-side size cliff. A
     * window-function formulation would shuffle + sort the full wide
-    * rows instead. */
+    * rows instead.
+    *
+    * Recall loss is never silent: the dropped-bucket count is
+    * registered as the "graft.lsh.cap"/`capped_buckets` observed
+    * metric (Spark UI SQL tab; `queryExecution.observedMetrics` with
+    * AQE off — under AQE the node sits inside a materialized query
+    * stage that the metric traversal cannot see, a Spark limitation),
+    * and [[lshBucketStats]] reports the exact over-cap buckets with a
+    * single narrow aggregate — the reliable audit path at any scale. */
   private def capBuckets(banded: DataFrame, bucket: Column, cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
       val big = banded.groupBy(bucket.as("__bk")).agg(count(lit(1)).as("__bn"))
         .where(col("__bn") > cap).select(col("__bk"))
+        .observe("graft.lsh.cap", count(lit(1)).as("capped_buckets"))
       banded.join(big, bucket === col("__bk"), "left_anti")
     }
+
+  /** Audit the LSH bucket-size distribution for a corpus: one row per
+    * band bucket holding more than `minSize` docs, with its size —
+    * exactly the buckets [[minhashLshPairs]] would drop at
+    * `maxBucketSize = minSize`, so the recall cost of a cap is
+    * measurable before (or after) committing to it. Cost: the fused
+    * signature projection + one narrow (band, count) aggregate; no
+    * join, no pair blow-up — safe to run at full corpus scale. */
+  def lshBucketStats(df: DataFrame, id: String, text: String,
+                     n: Int = 3, k: Int = 128, bands: Int = 32,
+                     seed: Long = 42L, minSize: Int = 1000): DataFrame =
+    minhashSignaturesFused(df, id, col(text), n, k, seed)
+      .select(explode(lshBands(col("__sig"), k, bands)).as("__b"))
+      .groupBy(col("__b.band").as("band"), col("__b.bh").as("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > minSize)
 
   /** Survivor-selection on top of any pair set: drop the higher id of
     * each near-dup pair (connected-component-free greedy dedup). */

@@ -77,17 +77,26 @@ object Similarity {
     * each iteration is one pass over a persisted bounded training
     * sample (`maxTrainRows`, standard IVF practice — FAISS trains on
     * ~256 vectors per centroid) + one narrow per-dimension mean
-    * aggregation, so a 100 TB corpus is scanned exactly once for
-    * sampling, never once per iteration. */
+    * aggregation, so iterations never rescan the corpus.
+    *
+    * Sampling cost: no count() pass over the input (an arbitrary
+    * filtered/projected plan would execute in full just to size the
+    * sample). Instead `trainFraction` pre-thins (Bernoulli sample —
+    * a narrow scan) and `limit(maxTrainRows)` hard-bounds; Spark's
+    * limit stops consuming input once satisfied. At corpus scale set
+    * trainFraction ≈ maxTrainRows / estimated_rows for an unbiased
+    * spread across files; the default 1.0 takes the first
+    * maxTrainRows rows in scan order (fine for a coarse quantizer,
+    * zero extra passes). */
   def trainIvfCentroids(df: DataFrame, vec: String, k: Int,
                         iters: Int = 5, seed: Long = 42L,
-                        maxTrainRows: Int = 100000): Array[Array[Double]] = {
+                        maxTrainRows: Int = 100000,
+                        trainFraction: Double = 1.0): Array[Array[Double]] = {
     val vecs = df.select(transform(col(vec), _.cast("double")).as("__v"))
-    // parquet count is metadata-only (no data scan); bounds the sample
-    val n = df.count()
     val train =
-      (if (n <= maxTrainRows) vecs
-       else vecs.sample(withReplacement = false, maxTrainRows.toDouble / n, seed))
+      (if (trainFraction >= 1.0) vecs
+       else vecs.sample(withReplacement = false, trainFraction, seed))
+        .limit(maxTrainRows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // init: k random rows of the (already cached, bounded) sample

