@@ -125,11 +125,15 @@ object Dedup {
 
   /** LSH banding: signature of length k split into `bands` bands of
     * k/bands rows each; band identity = (band index, hash of the band
-    * slice). Two docs collide in a band iff that slice is identical. */
+    * slice). Two docs collide in a band iff that slice is identical.
+    * The slice array is hashed directly (xxhash64 folds array elements
+    * natively) — an earlier concat_ws form built a ~160-char string
+    * per band per doc and showed up as the top cost of the banded
+    * self-join at sf0.1. */
   def lshBands(sig: Column, k: Int, bands: Int): Column = {
     val r = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(concat_ws(",", slice(sig, b * lit(r) + 1, lit(r)))).as("bh")))
+      b => struct(b.as("band"), xxhash64(slice(sig, b * lit(r) + 1, lit(r))).as("bh")))
   }
 
   /** Materialize a self-join input exactly once. Reliable when the
@@ -237,23 +241,30 @@ object Dedup {
                       n: Int = 3, k: Int = 128, bands: Int = 32,
                       minEstJaccard: Double = 0.5, seed: Long = 42L,
                       maxBucketSize: Int = 1000): DataFrame = {
-    // one-pass fused signatures, materialized once so both sides of
-    // the self-join reuse them
+    // one-pass fused signatures, materialized once so the band
+    // explosion and the two estimate joins all reuse them
     val sig = materializeOnce(minhashSignaturesFused(df, id, col(text), n, k, seed))
-    val banded0 = sig.select(col("__id"), col("__sig"),
-      explode(lshBands(col("__sig"), k, bands)).as("__b"))
+    // The self-join runs over NARROW (band, id) rows only — profiling
+    // at sf0.1 showed the wide k-long signature arrays shuffling
+    // through both join sides (~2 kB/row × bands×N rows) dominated the
+    // whole pipeline. Collisions dedup to distinct candidate pairs
+    // first (map-side partial dedup on 2-long rows), and the
+    // signatures re-attach to that tiny pair set via two joins that
+    // AQE turns into broadcasts of the candidate side.
+    val banded0 = sig.select(col("__id"), explode(lshBands(col("__sig"), k, bands)).as("__b"))
     val banded = capBuckets(banded0, col("__b"), maxBucketSize)
-    val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val r = banded.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__sig").as("sig_b"))
-    // compute the estimate per collision, then dedup on the narrow
-    // (id_a, id_b) key — never shuffles the wide signature arrays.
-    l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+    val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"))
+    val r = banded.select(col("__b").as("b_b"), col("__id").as("id_b"))
+    val cand = l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sig.select(col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val sb = sig.select(col("__id").as("id_b"), col("__sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(k)).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("est_jaccard")), 6).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
   /** LSH candidates + the standard exact-verification stage: candidate

@@ -93,6 +93,13 @@ object Similarity {
                         maxTrainRows: Int = 100000,
                         trainFraction: Double = 1.0): Array[Array[Double]] = {
     val vecs = df.select(transform(col(vec), _.cast("double")).as("__v"))
+    // The limit is a safety bound, not the sampling mechanism: set
+    // trainFraction so the Bernoulli sample (which keeps the input's
+    // partitioning — Lloyd stays partition-parallel) lands near
+    // maxTrainRows, and the limit only trims the tail. A deliberate
+    // repartition of the bounded sample measured SLOWER than leaving
+    // it alone at every size tried — the sample is small by
+    // construction, so extra stages cost more than parallelism buys.
     val train =
       (if (trainFraction >= 1.0) vecs
        else vecs.sample(withReplacement = false, trainFraction, seed))
