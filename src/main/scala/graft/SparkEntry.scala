@@ -595,6 +595,236 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // -------- composite: Q7-style cross-nation volume by year ---------
+    // (A 4-nation trade bloc instead of TPC-H's 2 — the sf0.001 smoke
+    // data has only 10 suppliers, so any specific nation pair can be
+    // vacuously empty.) Both nation joins broadcast the filtered dim;
+    // the cross-nation predicate is evaluated AFTER the dims attach, so
+    // each fact row is read once. Shuffles: one (the final group-by).
+    "q_tpch7" -> ((s, dir) => {
+      import s.implicits._
+      val nat = t(s, dir, "nation")
+        .where($"n_name".isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+        .select($"n_nationkey", $"n_name")
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cus = t(s, dir, "customer")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      t(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+               $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(cus, $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .where($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // -------- composite: Q8-style market share by year ----------------
+    // Region restriction travels through broadcast dims to the fact
+    // scan; the share is a conditional aggregate over one grouped pass
+    // (no second scan for the denominator).
+    "q_tpch8" -> ((s, dir) => {
+      import s.implicits._
+      val rkey = t(s, dir, "region").where($"r_name" === "AMERICA").select($"r_regionkey")
+      val amNat = t(s, dir, "nation")
+        .join(broadcast(rkey), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")
+      val cus = t(s, dir, "customer")
+        .join(broadcast(amNat), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val supNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val promo = t(s, dir, "part").where($"p_type" === "PROMO").select($"p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "orders")
+            .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp_ntz") &&
+                   $"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+            .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(cus, $"o_custkey" === $"c_custkey", "left_semi")
+        .join(broadcast(supNat), $"l_suppkey" === $"s_suppkey")
+        .select(year($"o_orderdate").cast("long").as("o_year"),
+          ($"l_extendedprice" * (lit(1) - $"l_discount")).as("volume"),
+          $"supp_nation")
+        .groupBy($"o_year")
+        .agg(round(sum(when($"supp_nation" === "NATION_3", $"volume").otherwise(0.0))
+          / sum($"volume"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // -------- composite: Q9-style profit by nation and year -----------
+    // No partsupp table in the testdata schema, so supply cost is the
+    // Q9 formula with 0.6*p_retailprice standing in for ps_supplycost.
+    // part and supplier→nation broadcast; one grouped shuffle.
+    "q_tpch9" -> ((s, dir) => {
+      import s.implicits._
+      val redParts = t(s, dir, "part")
+        .where($"p_name".contains("red"))
+        .select($"p_partkey", $"p_retailprice")
+      val supNat = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(supNat), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")
+          - lit(0.6) * $"p_retailprice" * $"l_quantity"), 4).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    }),
+
+    // -------- composite: Q12-style priority counts by line status -----
+    // (No l_shipmode column — l_linestatus plays its role.) The CASE
+    // aggregate folds both counters into the single grouped pass.
+    "q_tpch12" -> ((s, dir) => {
+      import s.implicits._
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+               $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // -------- composite: Q13-style order-count distribution -----------
+    // LEFT OUTER with the filter in the join condition (not WHERE — a
+    // post-filter would turn customers with only filtered-out orders
+    // into missing rows instead of c_count=0), then a second, tiny
+    // group-by over the per-customer counts.
+    "q_tpch13" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      t(s, dir, "customer").select($"c_custkey")
+        .join(ord, $"c_custkey" === $"o_custkey" && $"o_orderstatus" =!= "P", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // -------- composite: Q19-style disjunctive predicate revenue ------
+    // The OR-of-ANDs lands post-join (it mixes both tables' columns),
+    // but each disjunct's part-side half could prune the broadcast dim;
+    // Catalyst keeps the common p_partkey equi-key as the join key and
+    // evaluates the disjunction as a join residual — one pass, no
+    // union-of-three-scans.
+    "q_tpch19" -> ((s, dir) => {
+      import s.implicits._
+      val part = t(s, dir, "part").select($"p_partkey", $"p_brand", $"p_size")
+      t(s, dir, "lineitem")
+        .join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .where(($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+                  $"l_quantity".between(1, 21)) ||
+               ($"p_brand" === "Brand#23" && $"p_size".between(10, 30) &&
+                  $"l_quantity".between(10, 30)) ||
+               ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) &&
+                  $"l_quantity".between(20, 40)))
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // -------- composite: Q2-style min-cost supplier per part ----------
+    // No partsupp: the (part, supplier) supply-cost fact derives from
+    // lineitem as min(l_extendedprice) per pair — min of raw column
+    // values, so both engines agree bit-for-bit with no rounding. The
+    // correlated "= (SELECT min(...))" becomes a per-part min joined
+    // back: two shuffles over the derived fact, dims broadcast.
+    "q_tpch2" -> ((s, dir) => {
+      import s.implicits._
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").where($"r_name" === "EUROPE")
+              .select($"r_regionkey")), $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val cost = t(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice").as("min_price"))
+        .join(broadcast(eu), $"l_suppkey" === $"s_suppkey")
+      val best = cost.groupBy($"l_partkey".as("__pk"))
+        .agg(min($"min_price").as("__best"))
+      val parts = t(s, dir, "part")
+        .where($"p_size" === 15 && $"p_type" === "STANDARD")
+        .select($"p_partkey", $"p_name")
+      cost.join(best, $"l_partkey" === $"__pk" && $"min_price" === $"__best")
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+          $"min_price")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    }),
+
+    // -------- composite: Q20-style excess-share suppliers -------------
+    // Nested aggregates (per-pair qty vs per-part total over the SAME
+    // derived fact) + a semi-join chain down to the supplier dim. The
+    // 0.3*total threshold compares sums of integer-valued quantities —
+    // exact in both engines, no fp boundary risk.
+    "q_tpch20" -> ((s, dir) => {
+      import s.implicits._
+      val blue = t(s, dir, "part").where($"p_name".contains("blue"))
+        .select($"p_partkey")
+      val ship = t(s, dir, "lineitem")
+        .where($"l_shipdate" >= lit("1997-01-01").cast("timestamp_ntz") &&
+               $"l_shipdate" < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(broadcast(blue), $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity").as("qty"))
+      val tot = ship.groupBy($"l_partkey".as("__pk")).agg(sum($"qty").as("part_qty"))
+      val excess = ship.join(tot, $"l_partkey" === $"__pk")
+        .where($"qty" > lit(0.3) * $"part_qty")
+        .select($"l_suppkey")
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(excess, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name", $"n_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // -------- composite: Q21-style sole-blame suppliers ---------------
+    // (No commit/receipt dates — l_returnflag='R' stands in for "kept
+    // the order waiting".) EXISTS(other supplier on the order) is a
+    // left-semi, NOT EXISTS(other R supplier) a left-anti, both keyed
+    // on l_orderkey with the supplier inequality as a join residual —
+    // never an all-pairs expansion.
+    "q_tpch21" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      val l1 = li.where($"l_returnflag" === "R")
+        .join(t(s, dir, "orders").where($"o_orderstatus" === "F").select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey")
+      val l2 = li.select($"l_orderkey".as("__ok2"), $"l_suppkey".as("__sk2"))
+      val l3 = li.where($"l_returnflag" === "R")
+        .select($"l_orderkey".as("__ok3"), $"l_suppkey".as("__sk3"))
+      l1.join(l2, $"l_orderkey" === $"__ok2" && $"l_suppkey" =!= $"__sk2", "left_semi")
+        .join(l3, $"l_orderkey" === $"__ok3" && $"l_suppkey" =!= $"__sk3", "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select($"s_suppkey", $"s_name")),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
+    }),
+
     // -------- exact distinct counting ---------------------------------
     "q_count_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -1196,6 +1426,114 @@ object SparkEntry {
         |WHERE c_acctbal > a.avg_bal
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS l_year,
+        | round(sum(l_extendedprice*(1-l_discount)), 4) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation sn, nation cn
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = sn.n_nationkey AND c_nationkey = cn.n_nationkey
+        |  AND sn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND cn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q_tpch8" ->
+      """SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |               THEN l_extendedprice*(1-l_discount) ELSE 0 END)
+        |       / sum(l_extendedprice*(1-l_discount)), 6) AS mkt_share
+        |FROM lineitem, orders, customer, supplier, part,
+        |     nation cn, nation sn, region
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+        |  AND r_name = 'AMERICA' AND s_nationkey = sn.n_nationkey
+        |  AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch9" ->
+      """SELECT n_name AS nation, CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+        | round(sum(l_extendedprice*(1-l_discount) - 0.6*p_retailprice*l_quantity), 4)
+        |   AS sum_profit
+        |FROM lineitem, orders, supplier, part, nation
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_tpch12" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+        |   AS high_line_count,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+        |   AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch13" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM c_orders GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch19" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)), 4) AS revenue,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    "q_tpch2" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'EUROPE'),
+        | cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY 1,2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+        |FROM part, cost, eu
+        |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+        |  AND p_size = 15 AND p_type = 'STANDARD'
+        |  AND min_price = (SELECT min(c2.min_price)
+        |                   FROM cost c2, eu e2
+        |                   WHERE c2.l_partkey = p_partkey AND c2.l_suppkey = e2.s_suppkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q_tpch20" ->
+      """WITH ship AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+        |  GROUP BY 1,2),
+        | tot AS (SELECT l_partkey, sum(qty) AS part_qty FROM ship GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey
+        |  AND s_suppkey IN (SELECT ship.l_suppkey FROM ship, tot
+        |                    WHERE ship.l_partkey = tot.l_partkey
+        |                      AND qty > 0.3 * part_qty)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch21" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_count_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS n_orders,
         | count(DISTINCT l_partkey) AS n_parts,

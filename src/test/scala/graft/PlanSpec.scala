@@ -65,4 +65,36 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_embed_neardup")
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("two-nation volume query broadcasts both filtered dims (q_tpch7)") {
+    val p = planOf("q_tpch7")
+    assert(p.contains("BroadcastHashJoin"))
+    // the 2-nation IN filter reaches the nation scan
+    assert(p.contains("In(n_name,") || p.contains("n_name"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("disjunctive-predicate query is one joined pass, no union of scans (q_tpch19)") {
+    val p = planOf("q_tpch19")
+    assert(!p.contains("Union"))
+    assert(p.contains("BroadcastHashJoin"))
+    // lineitem scanned exactly once
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("sole-blame composite runs semi+anti joins with residuals, never all-pairs (q_tpch21)") {
+    val p = planOf("q_tpch21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("order-count distribution keeps the status filter in the outer join (q_tpch13)") {
+    val p = planOf("q_tpch13")
+    assert(p.contains("LeftOuter"))
+    // the o_orderstatus <> 'P' predicate must NOT become a post-join
+    // filter (that would drop c_count=0 customers); it belongs to the
+    // orders side / join condition
+    assert(p.contains("Not(EqualTo(o_orderstatus,P))") || p.contains("NOT (o_orderstatus"))
+  }
 }
