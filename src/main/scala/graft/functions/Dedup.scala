@@ -223,6 +223,40 @@ object Dedup {
     df.join(losers, col(id) === col("__drop"), "left_anti")
   }
 
+  /** All ordered pairs (id_a < id_b) from a sorted id array — the
+    * in-bucket pair emission of the LSH/pigeonhole designs. Columnar
+    * (nested transform + flatten), evaluated after the bucket shuffle,
+    * so pair blow-up is streamed through the explode that follows, not
+    * shuffled. */
+  private def pairsFromSorted(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+
+  /** Distinct candidate pairs from banded signatures: ONE shuffle — the
+    * (band, bandhash) groupBy — collecting each bucket's sorted ids,
+    * then in-place pair emission + a narrow distinct. (The previous
+    * self-join form shuffled the banded rows twice — once per join
+    * side — and needed a separate count+anti-join pass to apply the
+    * bucket cap; here the cap is a size filter on the collected
+    * bucket, and a capped bucket's list costs 8·M bytes in the
+    * aggregation buffer vs the join's M² output rows.) Capped-bucket
+    * recall loss stays observable via [[lshBucketStats]]. */
+  private def lshCandidates(sig: DataFrame, k: Int, bands: Int,
+                            maxBucketSize: Int): DataFrame = {
+    val banded = sig.select(col("__id"),
+      explode(lshBands(col("__sig"), k, bands)).as("__b"))
+    val keep =
+      if (maxBucketSize > 0) size(col("__ids")).between(2, maxBucketSize)
+      else size(col("__ids")) >= 2
+    banded.groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(keep)
+      .select(explode(pairsFromSorted(col("__ids"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,
     * bandhash) — never all-pairs. `estJaccard` = fraction of matching
     * signature positions (unbiased Jaccard estimate); filter on it to
@@ -244,19 +278,11 @@ object Dedup {
     // one-pass fused signatures, materialized once so the band
     // explosion and the two estimate joins all reuse them
     val sig = materializeOnce(minhashSignaturesFused(df, id, col(text), n, k, seed))
-    // The self-join runs over NARROW (band, id) rows only — profiling
-    // at sf0.1 showed the wide k-long signature arrays shuffling
-    // through both join sides (~2 kB/row × bands×N rows) dominated the
-    // whole pipeline. Collisions dedup to distinct candidate pairs
-    // first (map-side partial dedup on 2-long rows), and the
-    // signatures re-attach to that tiny pair set via two joins that
-    // AQE turns into broadcasts of the candidate side.
-    val banded0 = sig.select(col("__id"), explode(lshBands(col("__sig"), k, bands)).as("__b"))
-    val banded = capBuckets(banded0, col("__b"), maxBucketSize)
-    val l = banded.select(col("__b").as("b_a"), col("__id").as("id_a"))
-    val r = banded.select(col("__b").as("b_b"), col("__id").as("id_b"))
-    val cand = l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // Candidates are generated on NARROW (band, id) rows only and
+    // dedup to a tiny distinct pair set before the signatures
+    // re-attach via two joins that AQE turns into broadcasts of the
+    // candidate side (the wide k-long arrays never shuffle).
+    val cand = lshCandidates(sig, k, bands, maxBucketSize)
     val sa = sig.select(col("__id").as("id_a"), col("__sig").as("sig_a"))
     val sb = sig.select(col("__id").as("id_b"), col("__sig").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
