@@ -233,9 +233,10 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // -------- sample (size contract only; no value oracle) ------------
+    // -------- sample (deterministic hash-ordered draw, full oracle) ----
     "q_sample" -> ((s, dir) => {
-      Grouping.sampleGlobal(t(s, dir, "orders"), 100).select("o_orderkey")
+      Grouping.sampleByHash(t(s, dir, "orders"), "o_orderkey", 100)
+        .select("o_orderkey").orderBy("o_orderkey")
     }),
 
     // -------- combine-by (with-keys + combine :per-key composed) ------
@@ -1034,9 +1035,12 @@ object SparkEntry {
     }),
 
     // -------- similarity search: LSH-bucketed pairs (no SQL oracle) ---
+    // Cap off on the driver-checked path (same convention as the
+    // minhash oracle queries — no silent recall loss); production runs
+    // keep the default cap + Similarity.cosineBucketStats audit.
     "q_ann_lsh" -> ((s, dir) => {
       Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, planes = 10, tables = 6, minCosine = 0.3)
+          dim = 64, planes = 10, tables = 6, minCosine = 0.3, maxBucketSize = 0)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1265,6 +1269,11 @@ object SparkEntry {
         |SELECT nationkey, count(*) AS n FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_flatten" ->
       """SELECT o_orderkey FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_sample" ->
+      """WITH s AS (SELECT o_orderkey FROM orders
+        |           ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '42'), o_orderkey
+        |           LIMIT 100)
+        |SELECT o_orderkey FROM s ORDER BY o_orderkey""".stripMargin,
     "q_combine_by" ->
       """SELECT substr(o_orderpriority,1,1) AS prio,
         | round(sum(o_totalprice),2) AS total, count(*) AS n

@@ -228,7 +228,7 @@ object Dedup {
     * (nested transform + flatten), evaluated after the bucket shuffle,
     * so pair blow-up is streamed through the explode that follows, not
     * shuffled. */
-  private def pairsFromSorted(ids: Column): Column =
+  private[functions] def pairsFromSorted(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
         b => struct(a.as("id_a"), b.as("id_b")))))

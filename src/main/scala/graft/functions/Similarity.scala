@@ -229,25 +229,71 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Per-table bucket column set shared by [[lshCosinePairs]] and
+    * [[cosineBucketStats]]: one (tbl, bkt) struct per table, exploded. */
+  private def tableBuckets(vec: Column, dim: Int, planes: Int,
+                           tables: Int, seed: Long): Column =
+    explode(array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), hyperplaneBucket(vec, dim, planes, seed + t).as("bkt"))): _*))
+
   /** ANN near-neighbor pairs via LSH bucketing with multiple tables
     * (OR-amplification): `tables` independent signatures; pairs sharing
-    * any bucket are scored, then filtered on true cosine. */
+    * any bucket are scored, then filtered on true cosine.
+    *
+    * Scale shape mirrors `Dedup.minhashLshPairs`: candidates are
+    * generated on NARROW (tbl, bkt, id) rows — ONE groupBy shuffle on
+    * the bucket key collecting each bucket's sorted ids, in-place pair
+    * emission, then a distinct — so a pair colliding in T tables is
+    * scored ONCE, and the wide vectors never ride the bucket shuffle;
+    * they re-attach via two joins that AQE broadcasts (candidates ≈
+    * near-dup pairs, tiny).
+    *
+    * @param maxBucketSize drop buckets holding more than this many
+    *        vectors (0 = no cap). A dense embedding region that
+    *        collapses into one hyperplane bucket contributes M²
+    *        candidate pairs; the cap bounds the blow-up at the cost of
+    *        recall on those vectors — audit the actual distribution
+    *        with [[cosineBucketStats]] before (or after) committing to
+    *        a cap. Pairs lost to a capped bucket in one table can
+    *        still surface via another table (OR-amplification). */
   def lshCosinePairs(df: DataFrame, id: String, vec: String, dim: Int,
                      planes: Int = 12, tables: Int = 4,
-                     minCosine: Double = 0.8, seed: Long = 42L): DataFrame = {
+                     minCosine: Double = 0.8, seed: Long = 42L,
+                     maxBucketSize: Int = 1000): DataFrame = {
     // hyperplane signs are scale-invariant and the fused cosine
     // normalizes internally — raw vectors throughout, no transform pass
-    val normed = df.select(col(id).as("__id"), col(vec).as("__v"))
-    val bucketed = normed.select(col("__id"), col("__v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("tbl"), hyperplaneBucket(col("__v"), dim, planes, seed + t).as("bkt"))): _*)).as("__b"))
-    val l = bucketed.select(col("__b").as("b_a"), col("__id").as("id_a"), col("__v").as("v_a"))
-    val r = bucketed.select(col("__b").as("b_b"), col("__id").as("id_b"), col("__v").as("v_b"))
-    l.join(r, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosineFused(col("v_a"), col("v_b")).as("cosine"))
+    val base = df.select(col(id).as("__id"), col(vec).as("__v"))
+    val bucketed = base.select(col("__id"),
+      tableBuckets(col("__v"), dim, planes, tables, seed).as("__b"))
+    val keep =
+      if (maxBucketSize > 0) size(col("__ids")).between(2, maxBucketSize)
+      else size(col("__ids")) >= 2
+    val cand = bucketed.groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(keep)
+      .select(explode(Dedup.pairsFromSorted(col("__ids"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct()
+    val va = base.select(col("__id").as("id_a"), col("__v").as("v_a"))
+    val vb = base.select(col("__id").as("id_b"), col("__v").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", cosineFused(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("cosine")), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Audit the hyperplane-bucket size distribution: one row per (table,
+    * bucket) holding more than `minSize` vectors, with its size —
+    * exactly the buckets [[lshCosinePairs]] would drop at
+    * `maxBucketSize = minSize`, so a cap's recall cost is measurable.
+    * Cost: the bucket projection + one narrow (tbl, bkt, count)
+    * aggregate; no join, no pair blow-up — safe at full corpus scale.
+    * The twin of `Dedup.lshBucketStats`. */
+  def cosineBucketStats(df: DataFrame, id: String, vec: String, dim: Int,
+                        planes: Int = 12, tables: Int = 4,
+                        seed: Long = 42L, minSize: Int = 1000): DataFrame =
+    df.select(tableBuckets(col(vec), dim, planes, tables, seed).as("__b"))
+      .groupBy(col("__b.tbl").as("tbl"), col("__b.bkt").as("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > minSize)
 }

@@ -215,6 +215,20 @@ object Grouping {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), df.schema)
   }
 
+  /** Deterministic fixed-size global sample: order by a stable salted
+    * hash of the id and take the first n. Unlike [[sampleGlobal]] the
+    * result is reproducible across partitioning/cluster changes and
+    * retries, DataFrame-native (Spark compiles orderBy+limit to
+    * TakeOrderedAndProject — per-partition top-n merged on the driver,
+    * no full sort shuffle, no driver round-trip of the corpus), and
+    * SQL-expressible for differential testing. md5 is the hash because
+    * the oracle side computes the identical lowercase hex; the seed
+    * salts it so different seeds draw different (but each fully
+    * reproducible) samples. */
+  def sampleByHash(df: DataFrame, id: String, n: Int, seed: Long = 42L): DataFrame =
+    df.orderBy(md5(org.apache.spark.sql.functions.concat(
+      col(id).cast("string"), lit(seed.toString))), col(id)).limit(n)
+
   def samplePerKey(df: DataFrame, keys: Seq[String], n: Int, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(rand(seed))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")

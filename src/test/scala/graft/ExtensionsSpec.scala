@@ -322,6 +322,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => (a, b) == (0L, 4L) })
   }
+
+  test("lshCosinePairs: exact precision (every pair clears the true-cosine threshold)") {
+    val exact = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dim = 3,
+        planes = 6, tables = 8, minCosine = 0.9, maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH pairs $lsh not a subset of exact $exact")
+  }
+
+  test("lshCosinePairs: each pair scored once, no duplicate rows across tables") {
+    // identical vectors collide in EVERY table; the narrow candidate
+    // distinct must still emit each pair exactly once, and the plan
+    // must contain exactly one cosine-scoring projection
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.lshCosinePairs(dup, "vec_id", "embedding", dim = 3,
+      planes = 4, tables = 6, minCosine = 0.99, maxBucketSize = 0)
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "duplicate pair rows")
+    assert(rows.toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // the candidate pair-dedup aggregate sits UPSTREAM of the vector
+    // re-attach joins — each pair reaches the scoring projection once,
+    // however many tables it collided in
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate(keys=[id_a"),
+      s"expected pair-dedup aggregate before scoring:\n$plan")
+  }
+
+  test("lshCosinePairs: maxBucketSize drops dense buckets; cosineBucketStats reports them") {
+    // 5 identical vectors → one bucket of 5 in every table
+    val dense = (0L until 5L).map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.lshCosinePairs(dense, "vec_id", "embedding", dim = 3,
+      planes = 4, tables = 2, minCosine = 0.99, maxBucketSize = 0).count()
+    assert(uncapped == 10) // C(5,2)
+    val capped = Similarity.lshCosinePairs(dense, "vec_id", "embedding", dim = 3,
+      planes = 4, tables = 2, minCosine = 0.99, maxBucketSize = 4).count()
+    assert(capped == 0) // both tables' buckets hold 5 > 4 → dropped
+    val stats = Similarity.cosineBucketStats(dense, "vec_id", "embedding", dim = 3,
+      planes = 4, tables = 2, minSize = 4).collect()
+    assert(stats.length == 2 && stats.forall(_.getLong(2) == 5L),
+      s"expected one size-5 bucket per table: ${stats.mkString(",")}")
+  }
 }
 
 class TextFunctionsSpec extends AnyFunSuite {

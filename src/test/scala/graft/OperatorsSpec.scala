@@ -296,6 +296,18 @@ class GroupingSpec extends AnyFunSuite {
     assert(per.groupBy("k").count().collect().forall(_.getLong(1) == 3))
   }
 
+  test("sampleByHash: deterministic across partitioning, seed-sensitive") {
+    val df = (1 to 100).toDF("n")
+    val a = Grouping.sampleByHash(df, "n", 10).collect().map(_.getInt(0)).toSeq
+    assert(a.length == 10 && a.distinct.length == 10)
+    // same rows in the same order regardless of physical partitioning
+    val b = Grouping.sampleByHash(df.repartition(13), "n", 10).collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+    // a different seed draws a different sample (md5 salt moves everything)
+    val c = Grouping.sampleByHash(df, "n", 10, seed = 7L).collect().map(_.getInt(0)).toSeq
+    assert(a != c)
+  }
+
   test("concat keeps duplicates; set ops distinct (core.clj:1799-1861)") {
     val a = Seq(1, 2, 2).toDF("n"); val b = Seq(2, 3).toDF("n")
     assert(Grouping.concat(Seq(a, b)).count() == 5)
