@@ -75,6 +75,32 @@ object GraftIO {
     compression.fold(w)(c => w.option("compression", c)).text(path)
   }
 
+  /** [[writeTextFile]] with the reference's batch filename policy
+    * (`:prefix/:suffix/:naming-fn`, core.clj:1219-1253; default policy
+    * core.clj:2170-2176): shards land as
+    * `prefix-00000-of-0000N.suffix` — or `namingFn(shard, count)` —
+    * directly under `path`, via [[FileNaming.stagedRename]]'s
+    * crash-safe post-commit rename. Returns the final paths in shard
+    * order. Re-emitting to the same path replaces the previous
+    * emission atomically even when the shard count changed (see
+    * [[FileNaming]]); with a custom `namingFn` pass a `cleanupGlob`
+    * covering its output shape to keep that guarantee. */
+  def writeTextFileNamed(ds: Dataset[String], path: String,
+                         prefix: String = "part", suffix: String = ".txt",
+                         numShards: Int = 0,
+                         compression: Option[String] = None,
+                         namingFn: Option[(Int, Int) => String] = None,
+                         cleanupGlob: Option[String] = None): Seq[String] = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$path/.staging-$tag"
+    writeTextFile(ds, staging, numShards, compression)
+    FileNaming.stagedRename(ds.sparkSession.sparkContext.hadoopConfiguration,
+      staging, path,
+      namingFn.getOrElse(FileNaming.defaultName(prefix, suffix) _),
+      cleanupGlob.orElse(if (namingFn.isEmpty) Some(s"$prefix-*$suffix") else None),
+      tag)
+  }
+
   // ---------------- JSON lines ----------------
 
   /** `read-json-file` (core.clj:1396-1470): schema inference, blank-line
@@ -100,6 +126,25 @@ object GraftIO {
     val shaped = if (numShards > 0) df.coalesce(numShards) else df
     val w = shaped.write.mode(mode)
     compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
+  /** [[writeJsonFile]] with the batch filename policy — the JSON twin
+    * of [[writeTextFileNamed]] (reference `:file-format :json` +
+    * `:naming-fn`, core.clj:1219-1253). */
+  def writeJsonFileNamed(df: DataFrame, path: String,
+                         prefix: String = "part", suffix: String = ".json",
+                         numShards: Int = 0,
+                         compression: Option[String] = None,
+                         namingFn: Option[(Int, Int) => String] = None,
+                         cleanupGlob: Option[String] = None): Seq[String] = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = s"$path/.staging-$tag"
+    writeJsonFile(df, staging, numShards, compression)
+    FileNaming.stagedRename(df.sparkSession.sparkContext.hadoopConfiguration,
+      staging, path,
+      namingFn.getOrElse(FileNaming.defaultName(prefix, suffix) _),
+      cleanupGlob.orElse(if (namingFn.isEmpty) Some(s"$prefix-*$suffix") else None),
+      tag)
   }
 
   // ---------------- parquet / tables (warehouse analog) ----------------

@@ -125,8 +125,11 @@ object Sources {
     * Spark's committer owns in-flight names, so the policy is applied
     * as a per-window atomic rename after each micro-batch commit —
     * the set of windows per batch is small by contract (only panes the
-    * batch touched), and renames go through the Hadoop FileSystem API
-    * so the sink works on any FS, not just local disk. */
+    * batch touched). The crash-safe staged-rename sequence (handles
+    * pane refinement / replay with a changed shard count) is shared
+    * with the batch writers in [[graft.sources.FileNaming]]; renames
+    * go through the Hadoop FileSystem API so the sink works on any FS,
+    * not just local disk. */
   def windowedNamedFileSink(agg: DataFrame, path: String, checkpointDir: String,
                             prefix: String = "output", suffix: String = ".json",
                             numShards: Int = 1): DataStreamWriter[Row] =
@@ -144,36 +147,10 @@ object Sources {
             val tmp = s"$path/.inprogress-$batchId-$w"
             rows.where(col("__w") === w).drop("__w")
               .coalesce(math.max(numShards, 1)).write.mode("overwrite").json(tmp)
-            val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), conf)
-            val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*"))
-              .sortBy(_.getPath.getName)
-            // A refined pane (accumulate mode) or batch replay re-emits
-            // a window, possibly with a DIFFERENT shard count than the
-            // previous emission — exact-name replacement would leave
-            // stale `w-i-of-oldN` files beside the new set and a reader
-            // globbing the window would double-count. So: (1) stage the
-            // new shards into the target dir under dot-temp names
-            // (hidden from globs), (2) delete the window's ENTIRE
-            // previous emission, (3) same-dir rename temp → final (each
-            // rename atomic). A crash mid-sequence leaves either the
-            // old emission intact or only hidden temps; the replayed
-            // batch redoes the window either way.
-            val staged = parts.zipWithIndex.map { case (st, i) =>
-              val pending = new org.apache.hadoop.fs.Path(path,
-                f".pending-$batchId-$prefix-$w-$i%05d-of-${parts.length}%05d$suffix")
-              if (fs.exists(pending)) fs.delete(pending, false)
-              if (!fs.rename(st.getPath, pending))
-                throw new java.io.IOException(s"rename ${st.getPath} -> $pending failed")
-              (pending, new org.apache.hadoop.fs.Path(path,
-                f"$prefix-$w-$i%05d-of-${parts.length}%05d$suffix"))
-            }
-            fs.globStatus(new org.apache.hadoop.fs.Path(path, s"$prefix-$w-*$suffix"))
-              .foreach(st => fs.delete(st.getPath, false))
-            staged.foreach { case (pending, target) =>
-              if (!fs.rename(pending, target))
-                throw new java.io.IOException(s"rename $pending -> $target failed")
-            }
-            fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+            graft.sources.FileNaming.stagedRename(conf, tmp, path,
+              graft.sources.FileNaming.defaultName(s"$prefix-$w", suffix) _,
+              cleanupGlob = Some(s"$prefix-$w-*$suffix"),
+              stageTag = s"$batchId-$w")
           }
         } finally { rows.unpersist(); () }
     }

@@ -40,6 +40,56 @@ class IOSpec extends AnyFunSuite {
     }
   }
 
+  test("batch filename policy: exact shard names + re-emission overwrite safety (core.clj:1219-1253, 2157-2209)") {
+    val dir = tmp() + "/named"
+    // default policy: prefix-00000-of-0000N.suffix
+    val first = GraftIO.writeTextFileNamed(
+      (1 to 40).map(i => s"row$i").toDS.repartition(3), dir,
+      prefix = "report", suffix = ".txt", numShards = 3)
+    def listed() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(!_.startsWith(".")).sorted.toSeq
+    assert(listed() == Seq(
+      "report-00000-of-00003.txt", "report-00001-of-00003.txt",
+      "report-00002-of-00003.txt"))
+    assert(first.map(p => new java.io.File(p).getName) == listed())
+    assert(GraftIO.readTextFile(spark, dir + "/report-*").count() == 40)
+    // re-emission with FEWER shards: the old 3-shard emission must be
+    // fully replaced — no stale report-...-of-00003 tails double-counting
+    GraftIO.writeTextFileNamed(Seq("a", "b").toDS, dir,
+      prefix = "report", suffix = ".txt", numShards = 1)
+    assert(listed() == Seq("report-00000-of-00001.txt"))
+    assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSet == Set("a", "b"))
+  }
+
+  test("batch filename policy: custom naming-fn hook (core.clj:1249-1251)") {
+    val dir = tmp() + "/custom"
+    GraftIO.writeTextFileNamed(Seq("x", "y").toDS, dir,
+      numShards = 2,
+      namingFn = Some((i, n) => s"chunk_${i}_$n.dat"),
+      cleanupGlob = Some("chunk_*.dat"))
+    val names = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(!_.startsWith(".")).sorted.toSeq
+    assert(names == Seq("chunk_0_2.dat", "chunk_1_2.dat"))
+    // cleanupGlob makes the custom policy replayable too
+    GraftIO.writeTextFileNamed(Seq("z").toDS, dir, numShards = 1,
+      namingFn = Some((i, n) => s"chunk_${i}_$n.dat"),
+      cleanupGlob = Some("chunk_*.dat"))
+    assert(new java.io.File(dir).listFiles()
+      .map(_.getName).filter(!_.startsWith(".")).toSeq == Seq("chunk_0_1.dat"))
+  }
+
+  test("batch filename policy: json twin with compression (core.clj:1219-1253)") {
+    val dir = tmp() + "/namedjson"
+    GraftIO.writeJsonFileNamed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,
+      prefix = "data", suffix = ".json.gz", numShards = 1,
+      compression = Some("gzip"))
+    val names = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(!_.startsWith(".")).toSeq
+    assert(names == Seq("data-00000-of-00001.json.gz"))
+    assert(GraftIO.readJsonFile(spark, dir + "/data-*").select($"k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("read-side options: custom delimiter and empty-match treatment (core.clj:1190-1217)") {
     val dir = tmp()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "d.txt"), "a;b;c")
