@@ -223,14 +223,19 @@ object Dedup {
     df.join(losers, col(id) === col("__drop"), "left_anti")
   }
 
-  /** All ordered pairs (id_a < id_b) from a sorted id array — the
-    * in-bucket pair emission of the LSH/pigeonhole designs. Columnar
+  /** All ordered pairs (id_a < id_b, strictly) from a sorted id array —
+    * the in-bucket pair emission of the LSH/pigeonhole designs. Columnar
     * (nested transform + flatten), evaluated after the bucket shuffle,
     * so pair blow-up is streamed through the explode that follows, not
-    * shuffled. */
+    * shuffled. Duplicate ids in the array never yield self-pairs (the
+    * equal-id filter below); callers' downstream `.distinct()` collapses
+    * the repeated (a, b) structs a duplicated id would emit. Note the
+    * vector/text re-attach joins in the callers still multiply output
+    * rows when the SOURCE id column itself is duplicated — ids are
+    * expected unique (see the caller Scaladocs). */
   private[functions] def pairsFromSorted(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+      transform(filter(slice(ids, i + lit(2), size(ids) - i - lit(1)), b => b =!= a),
         b => struct(a.as("id_a"), b.as("id_b")))))
 
   /** Distinct candidate pairs from banded signatures: ONE shuffle — the
@@ -260,7 +265,13 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash LSH. Shuffle key = (band,
     * bandhash) — never all-pairs. `estJaccard` = fraction of matching
     * signature positions (unbiased Jaccard estimate); filter on it to
-    * drop band-collision false positives. */
+    * drop band-collision false positives.
+    *
+    * Precondition: `id` values are unique (same contract as
+    * `Similarity.lshCosinePairs`). Self-pairs are filtered
+    * structurally, but a duplicated id multiplies rows at the
+    * signature re-attach joins — dedupe by id first if the source may
+    * repeat ids. */
   /** @param maxBucketSize drop degenerate LSH buckets holding more
     *        than this many docs (0 = no cap). A pathological band value
     *        shared by M docs contributes M² candidate pairs; capping

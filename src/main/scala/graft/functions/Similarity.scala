@@ -248,6 +248,12 @@ object Similarity {
     * they re-attach via two joins that AQE broadcasts (candidates ≈
     * near-dup pairs, tiny).
     *
+    * Precondition: `id` values are unique (same contract as
+    * `Dedup.minhashLshPairs`). Self-pairs are filtered structurally
+    * (pair emission skips equal ids), but a duplicated id multiplies
+    * rows at the vector re-attach joins — dedupe by id first if the
+    * source may repeat ids.
+    *
     * @param maxBucketSize drop buckets holding more than this many
     *        vectors (0 = no cap). A dense embedding region that
     *        collapses into one hyperplane bucket contributes M²
