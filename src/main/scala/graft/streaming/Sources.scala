@@ -21,13 +21,40 @@ import org.apache.spark.sql.Row
 object Sources {
 
   /** File-watch streaming read (`:watch-new-files` core.clj:1207-1217):
-    * Spark's file source tails a directory natively. */
-  def watchTextFiles(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.text(path).toDF("line")
+    * Spark's file source tails a directory natively.
+    * `maxFilesPerTrigger` is the poll-pacing analog of the reference's
+    * watch interval: it bounds how many newly-seen files each
+    * micro-batch ingests, so a backlog drains in bounded-memory batches
+    * instead of one giant catch-up batch. Termination (the reference's
+    * `Watch.Growth` terminate-after strategy) is driver-side in Spark —
+    * see [[runFor]]. */
+  def watchTextFiles(spark: SparkSession, path: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(path).toDF("line")
+  }
 
   def watchParquet(spark: SparkSession, path: String,
-                   schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+                   schema: org.apache.spark.sql.types.StructType,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(path)
+  }
+
+  /** Terminate-after helper (core.clj:1207-1217 `:watch-new-files`
+    * termination strategy analog): run an already-started query for at
+    * most `timeoutMs`, then stop it if still active. Returns true if
+    * the query terminated on its own within the budget (Beam's
+    * afterTotalOf / afterTimeSinceNewOutput strategies collapse to a
+    * wall-clock budget here — Spark file sources never self-terminate
+    * on continuous triggers). */
+  def runFor(query: StreamingQuery, timeoutMs: Long): Boolean = {
+    val done = query.awaitTermination(timeoutMs)
+    if (!done) query.stop()
+    done
+  }
 
   /** The reference's read-kafka knob map (kafka.clj:79-132) as Spark
     * reader options — pure (unit-testable without a broker); `extra`
@@ -110,14 +137,16 @@ object Sources {
     * payload + attributes map + event time from a timestamp attribute
     * (pubsub.clj:57-121 `:timestamp-label`). */
   def watchMessages(spark: SparkSession, path: String,
-                    timestampAttr: Option[String] = None): DataFrame = {
+                    timestampAttr: Option[String] = None,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("payload", StringType),
       StructField("attributes", MapType(StringType, StringType))))
-    asMessages(spark.readStream.schema(schema).json(path),
-      col("payload"), col("attributes"), timestampAttr)
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    asMessages(r.json(path), col("payload"), col("attributes"), timestampAttr)
   }
 
   /** Windowed FileNamePolicy analog with real shard *filenames*

@@ -591,4 +591,37 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(rows == Set(("u1", "imp1", "c1")))
     } finally q.stop()
   }
+
+  test("file-watch pacing: maxFilesPerTrigger bounds each micro-batch (core.clj:1207-1217)") {
+    val dir = Files.createTempDirectory("graft-watch").toString + "/watch"
+    new java.io.File(dir).mkdirs()
+    for (i <- 1 to 3)
+      Files.writeString(java.nio.file.Paths.get(dir, s"f$i.txt"), s"line$i\n")
+    val paced = graft.streaming.Sources.watchTextFiles(spark, dir,
+      maxFilesPerTrigger = Some(1))
+    val q = paced.writeStream.format("memory").queryName("paced_watch")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      assert(spark.table("paced_watch").count() == 3)
+      // the backlog drains as 3 one-file batches, not one catch-up batch
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        q.recentProgress.map(_.numInputRows).mkString("batches: ", ",", ""))
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("runFor: terminate-after wall-clock budget stops an unbounded watch (core.clj:1207-1217)") {
+    val dir = Files.createTempDirectory("graft-watch").toString + "/watch_budget"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "x\n")
+    val q = graft.streaming.Sources.watchTextFiles(spark, dir)
+      .writeStream.format("memory").queryName("watch_budget")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    q.processAllAvailable() // first batch is in before the budget starts
+    val selfTerminated = graft.streaming.Sources.runFor(q, 1500)
+    assert(!selfTerminated) // a continuous-trigger watch never self-terminates
+    assert(!q.isActive)
+    assert(spark.table("watch_budget").count() == 1)
+  }
 }
