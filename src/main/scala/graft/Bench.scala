@@ -23,17 +23,23 @@ object Bench {
     try SparkEntry.queries(SparkEntry.benchQueries.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.benchQueries.map { name =>
+    def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = time(SparkEntry.benchQueries)
+    // v2 tier: never-timed families, separate total — the headline
+    // `value` stays the frozen 22-query series for comparability
+    val resultsV2 = time(SparkEntry.benchQueriesV2)
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalV2 = resultsV2.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
+      s""""total_v2":$totalV2,"queries_v2":${json(resultsV2)},"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt sets run/outputStrategy) AND a file
     // copy, so the driver can parse either way.
     println(line)

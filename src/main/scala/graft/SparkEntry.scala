@@ -55,7 +55,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** Headline subset used by Bench. */
+  /** Headline subset used by Bench — FROZEN at 22 queries since round 1
+    * for round-over-round comparability; additions go to
+    * [[benchQueriesV2]]. */
   val benchQueries: Seq[String] = Seq(
     "q1_agg", "q_join", "q_join_left", "q_cogroup", "q_wordcount",
     "q_window_fixed", "q_window_sliding", "q_session", "q_stateful",
@@ -63,6 +65,16 @@ object SparkEntry {
     "q_minhash_lsh", "q_simhash", "q_ann_cosine", "q_quality",
     "q_tpch3", "q_tpch5", "q_count_distinct", "q_ann_ivf",
     "q_chunks", "q_curation")
+
+  /** Second bench tier: families the frozen headline set never times —
+    * heavier TPC-H composites (the 3-plus-way join/anti-join shapes),
+    * temporal joins, token packing, near-dup clustering, and the
+    * round-4-rewritten cosine LSH. Timed and reported as a separate
+    * total so the headline series stays comparable. */
+  val benchQueriesV2: Seq[String] = Seq(
+    "q_tpch9", "q_tpch13", "q_tpch18", "q_tpch21",
+    "q_asof_join", "q_range_join", "q_pack_tokens",
+    "q_dedup_clusters", "q_ann_lsh", "q_sessionize")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -237,6 +249,14 @@ object SparkEntry {
     "q_sample" -> ((s, dir) => {
       Grouping.sampleByHash(t(s, dir, "orders"), "o_orderkey", 100)
         .select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    // -------- per-key sample (deterministic hash-ranked window) --------
+    "q_sample_per_key" -> ((s, dir) => {
+      Grouping.samplePerKeyByHash(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_orderkey", 5)
+        .select("o_orderpriority", "o_orderkey")
+        .orderBy("o_orderpriority", "o_orderkey")
     }),
 
     // -------- combine-by (with-keys + combine :per-key composed) ------
@@ -1274,6 +1294,14 @@ object SparkEntry {
         |           ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '42'), o_orderkey
         |           LIMIT 100)
         |SELECT o_orderkey FROM s ORDER BY o_orderkey""".stripMargin,
+    "q_sample_per_key" ->
+      """WITH s AS (SELECT o_orderpriority, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '42'),
+        |                        o_orderkey) AS rn
+        |           FROM orders)
+        |SELECT o_orderpriority, o_orderkey FROM s WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_combine_by" ->
       """SELECT substr(o_orderpriority,1,1) AS prio,
         | round(sum(o_totalprice),2) AS total, count(*) AS n

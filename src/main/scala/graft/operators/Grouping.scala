@@ -208,7 +208,11 @@ object Grouping {
   /** Fixed-size uniform global sample without a total sort: distributed
     * reservoir via RDD takeSample (two narrow passes — count + sampled
     * scan — instead of a full shuffle sort; the sample itself is small
-    * by contract, like Beam's Sample.fixedSizeGlobally). */
+    * by contract, like Beam's Sample.fixedSizeGlobally). Retained as
+    * the RDD-takeSample parity form; production pipelines should
+    * prefer [[sampleByHash]] — same cost shape, but reproducible
+    * across partitioning/retries and SQL-expressible for differential
+    * testing. */
   def sampleGlobal(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val rows = df.rdd.takeSample(withReplacement = false, n, seed)
@@ -229,8 +233,28 @@ object Grouping {
     df.orderBy(md5(org.apache.spark.sql.functions.concat(
       col(id).cast("string"), lit(seed.toString))), col(id)).limit(n)
 
+  /** n per key via windowed rank over seeded rand. Parity twin of
+    * Beam's Sample.fixedSizePerKey — but `rand(seed)` is evaluated
+    * per-partition, so the drawn rows depend on physical partitioning
+    * and are NOT stable across repartitioning or retries; prefer
+    * [[samplePerKeyByHash]] when reproducibility matters. */
   def samplePerKey(df: DataFrame, keys: Seq[String], n: Int, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(rand(seed))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Deterministic n-per-key sample: the [[sampleByHash]] trick inside
+    * the window — rank each key's rows by a salted md5 of the id and
+    * keep the first n. Same single-shuffle window cost as
+    * [[samplePerKey]], but the draw depends only on (id, seed), so it
+    * is identical across partitioning, cluster size, and retries, and
+    * SQL-expressible for differential testing. The id tie-break keeps
+    * the order total even if two ids ever hashed alike. */
+  def samplePerKeyByHash(df: DataFrame, keys: Seq[String], id: String, n: Int,
+                         seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(md5(org.apache.spark.sql.functions.concat(
+        col(id).cast("string"), lit(seed.toString))), col(id))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n).drop("__rn")
   }
 

@@ -308,6 +308,19 @@ class GroupingSpec extends AnyFunSuite {
     assert(a != c)
   }
 
+  test("samplePerKeyByHash: repartition-invariant, seed-sensitive, n per key") {
+    val keyed = (1 to 100).map(i => (i % 4, i)).toDF("k", "n")
+    def draw(df: org.apache.spark.sql.DataFrame, seed: Long = 42L) =
+      Grouping.samplePerKeyByHash(df, Seq("k"), "n", 3, seed)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    val a = draw(keyed)
+    assert(a.length == 12 && a.groupBy(_._1).forall(_._2.length == 3))
+    // unlike samplePerKey's rand(seed) ordering, the drawn rows do not
+    // depend on physical partitioning
+    assert(draw(keyed.repartition(13)) == a)
+    assert(draw(keyed, seed = 7L) != a)
+  }
+
   test("concat keeps duplicates; set ops distinct (core.clj:1799-1861)") {
     val a = Seq(1, 2, 2).toDF("n"); val b = Seq(2, 3).toDF("n")
     assert(Grouping.concat(Seq(a, b)).count() == 5)
