@@ -34,13 +34,14 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Long)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a string input, got ${child.dataType.catalogString}")
 
-  @transient private lazy val salts: Array[Long] = MinHashSignature.salts(k, seed)
+  @transient private lazy val mixedSalts: Array[Long] =
+    MinHashSignature.premixedSalts(MinHashSignature.salts(k, seed))
 
   protected override def nullSafeEval(input: Any): Any =
-    MinHashSignature.signature(input.asInstanceOf[UTF8String], n, salts)
+    MinHashSignature.signature(input.asInstanceOf[UTF8String], n, mixedSalts)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val saltsRef = ctx.addReferenceObj("salts", salts, "long[]")
+    val saltsRef = ctx.addReferenceObj("mixedSalts", mixedSalts, "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.MinHashSignature.signature($c, $n, $saltsRef)")
   }
@@ -51,13 +52,40 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Long)
 
 object MinHashSignature {
 
+  // xxHash64 primes (public xxHash constants, identical to Spark's
+  // catalyst XXH64) — the specialized per-salt loop below must stay
+  // bit-identical to XXH64.hashLong(salt, seed); DedupSpec asserts
+  // equality against Spark's own xxhash64 SQL function.
+  private final val P1 = -7046029288634856825L
+  private final val P2 = -4417276706812531889L
+  private final val P3 = 1609587929392839161L
+  private final val P4 = -8796714831421723037L
+  private final val P5 = 2870177450012600261L
+
   def salts(k: Int, seed: Long): Array[Long] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(k)(rnd.nextLong())
   }
 
-  /** Tight-loop signature kernel; also called from generated code. */
-  def signature(s: UTF8String, n: Int, salts: Array[Long]): ArrayData = {
+  /** The salt-dependent lane of `XXH64.hashLong(salt, seed)`,
+    * precomputed once per expression instead of once per (window × k):
+    * {{{ hashLong(salt, seed) = fmix(rotl27((seed+P5+8) ^ k1) * P1 + P4)
+    *     k1 = rotl31(salt * P2) * P1            // depends only on salt }}}
+    * so the hot loop keeps only the seed-dependent half — 2 multiplies
+    * and a rotate fewer per signature position per window. */
+  def premixedSalts(salts: Array[Long]): Array[Long] = {
+    val out = new Array[Long](salts.length)
+    var j = 0
+    while (j < salts.length) {
+      out(j) = java.lang.Long.rotateLeft(salts(j) * P2, 31) * P1
+      j += 1
+    }
+    out
+  }
+
+  /** Tight-loop signature kernel; also called from generated code.
+    * Takes [[premixedSalts]] output, not raw salts. */
+  def signature(s: UTF8String, n: Int, mixedSalts: Array[Long]): ArrayData = {
     val base = s.getBaseObject
     val offset = s.getBaseOffset
     val numBytes = s.numBytes()
@@ -79,7 +107,7 @@ object MinHashSignature {
     }
     starts(numChars) = numBytes
 
-    val k = salts.length
+    val k = mixedSalts.length
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val windows = math.max(numChars - n + 1, 1)
@@ -89,10 +117,13 @@ object MinHashSignature {
       val to = starts(math.min(w + n, numChars))
       val h = XXH64.hashUnsafeBytes(base, offset + from, to - from, 42L)
       val h42 = XXH64.hashLong(h, 42L)
+      // mirror xxhash64(h, salt) = XXH64.hashLong(salt, h42) with the
+      // salt lane premixed; fmix inlined (bit-identical, see premix doc)
+      val hashBase = h42 + P5 + 8L
       var j = 0
       while (j < k) {
-        // mirror xxhash64(h, salt): seed-chained long hashing
-        val r = XXH64.hashLong(salts(j), h42)
+        var r = java.lang.Long.rotateLeft(hashBase ^ mixedSalts(j), 27) * P1 + P4
+        r ^= r >>> 33; r *= P2; r ^= r >>> 29; r *= P3; r ^= r >>> 32
         if (r < mins(j)) mins(j) = r
         j += 1
       }
