@@ -103,6 +103,32 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // -------- element-wise: map-kv (typed keyed-pair transform) -------
+    "q_map_kv" -> ((s, dir) => {
+      import s.implicits._
+      import Transforms._
+      t(s, dir, "customer").select($"c_custkey", $"c_acctbal").as[(Long, Double)]
+        .mapKv { case (ck, bal) => (ck % 7, bal) }
+        .toDF("kmod", "bal")
+        .groupBy($"kmod")
+        .agg(round(sum($"bal"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("kmod")
+    }),
+
+    // -------- pardo (per-partition escape hatch; init in prologue) ----
+    "q_pardo" -> ((s, dir) => {
+      import s.implicits._
+      import Transforms._
+      t(s, dir, "customer").select($"c_custkey", $"c_name").as[(Long, String)]
+        .pardo { rows =>
+          // :initialize-fn analog: once-per-partition setup runs here,
+          // before the first element
+          rows.map { case (ck, name) => (ck, name.length.toLong) }
+        }
+        .toDF("c_custkey", "name_len")
+        .orderBy("c_custkey")
+    }),
+
     // -------- element-wise: filter ------------------------------------
     "q_filter" -> ((s, dir) => {
       import s.implicits._
@@ -159,6 +185,21 @@ object SparkEntry {
         .agg(array_join(transform(sort_array(collect_list($"o_orderkey")),
           _.cast("string")), ",").as("order_keys"))
         .orderBy("o_custkey")
+    }),
+
+    // -------- group-by (derived-key grouping) -------------------------
+    // groupByExpr returns (key, array<struct>); emitted as a sorted
+    // comma-joined key list for the same array-hashing reason as
+    // q_group_collect above.
+    "q_group_by" -> ((s, dir) => {
+      import s.implicits._
+      Grouping.groupByExpr(
+          t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+          substring($"c_mktsegment", 1, 1), "seg", "vals")
+        .select($"seg",
+          array_join(transform(sort_array(col("vals.c_custkey")),
+            _.cast("string")), ",").as("custkeys"))
+        .orderBy("seg")
     }),
 
     // -------- group-by-key via streamed sorted iterators --------------
@@ -257,6 +298,24 @@ object SparkEntry {
           Seq("o_orderpriority"), "o_orderkey", 5)
         .select("o_orderpriority", "o_orderkey")
         .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // -------- generate-input (literal in-memory source) ---------------
+    "q_generate_input" -> ((s, _) => {
+      import s.implicits._
+      GraftIO.generateInput(s, Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+        .toDF("id", "name").orderBy("id")
+    }),
+
+    // -------- ptransform / pt->> (named composite as composition) -----
+    "q_ptransform" -> ((s, dir) => {
+      val pipeline = Transforms.compose(
+        df => df.where(col("o_totalprice") > 150000),
+        df => df.groupBy(col("o_orderpriority")).agg(
+          count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 4).as("avg_total")),
+        df => df.orderBy("o_orderpriority"))
+      t(s, dir, "orders").transform(pipeline)
     }),
 
     // -------- combine-by (with-keys + combine :per-key composed) ------
@@ -1241,6 +1300,25 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag='R' AND l_quantity>45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_map_kv" ->
+      """SELECT c_custkey%7 AS kmod, round(sum(c_acctbal),2) AS total,
+        | count(*)::BIGINT AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pardo" ->
+      """SELECT c_custkey, length(c_name)::BIGINT AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_group_by" ->
+      """SELECT substr(c_mktsegment,1,1) AS seg,
+        | array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_generate_input" ->
+      """SELECT * FROM (VALUES (1::BIGINT,'alpha'),(2::BIGINT,'beta'),
+        | (3::BIGINT,'gamma')) AS t(id, name) ORDER BY id""".stripMargin,
+    "q_ptransform" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        | round(avg(o_totalprice),4) AS avg_total
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_keep" ->
       """SELECT round(o_totalprice*0.1,4) AS big_rebate
         |FROM orders WHERE o_totalprice>150000
