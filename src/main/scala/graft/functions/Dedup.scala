@@ -155,11 +155,16 @@ object Dedup {
     * the node id over |edges| rows; the label state is O(#nodes that
     * appear in pairs) — a tiny fraction of the corpus — and lineage is
     * cut per round (reliable checkpoint when a checkpoint dir is set)
-    * so plans stay flat at any round count. Convergence is detected
-    * with a `limit(1)` existence probe, not a full count; if labels
-    * are still moving after `maxIter` rounds (a path longer than
-    * maxIter hops — not a near-dup cluster shape) the call FAILS
-    * rather than silently returning split components.
+    * so plans stay flat at any round count. Convergence detection
+    * rides the update's monotonicity: a node's label is the min over
+    * its own and its neighbors' labels, so labels are pointwise
+    * non-increasing and the label SUM strictly decreases until the
+    * fixpoint — sum unchanged ⟺ no label changed. That makes the
+    * check a 1-row aggregate over the already-checkpointed labels
+    * (no prev/next join, no extra shuffle per round). If labels are
+    * still moving after `maxIter` rounds (a path longer than maxIter
+    * hops — not a near-dup cluster shape) the call FAILS rather than
+    * silently returning split components.
     *
     * Returns (id, component) for every node in `pairs`, component =
     * min id of its cluster. */
@@ -171,17 +176,22 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-    var converged = false
+    // decimal(38,0) keeps the monotone label sum exact (ANSI long sum
+    // could overflow on large id spaces); null = empty label set
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // no edges → nothing to propagate
     var it = 0
     while (!converged && it < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
       val next = materializeOnce(
         labels.union(nbr).groupBy("id").agg(min("component").as("component")))
-      val changed = next.join(labels.withColumnRenamed("component", "__prev"), "id")
-        .where(col("component") =!= col("__prev")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     if (!converged) throw new IllegalStateException(
