@@ -97,4 +97,22 @@ class PlanSpec extends AnyFunSuite {
     // orders side / join condition
     assert(p.contains("Not(EqualTo(o_orderstatus,P))") || p.contains("NOT (o_orderstatus"))
   }
+
+  test("sampleByHash is a per-partition top-n driver merge, not a global sort") {
+    val df = spark.read.parquet(dir + "/orders.parquet")
+    val p = graft.operators.Grouping.sampleByHash(df, "o_orderkey", 100)
+      .queryExecution.executedPlan.toString
+    // orderBy+limit must compile to TakeOrderedAndProject: each
+    // partition keeps its local top-n, the driver merges n rows —
+    // no Exchange rangepartitioning of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("samplePerKeyByHash is one window exchange on the key (q_sample_per_key)") {
+    val p = planOf("q_sample_per_key")
+    assert(p.contains("Window"))
+    // window key exchange + deterministic output sort, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
