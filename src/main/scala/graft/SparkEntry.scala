@@ -1170,6 +1170,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: Gopher-style repetition/format signals ------------
+    "q_gopher_signals" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
+        .select($"doc_id", $"g.mean_word_len", $"g.dup_line_frac",
+          $"g.symbol_ratio", $"g.alpha_tok_frac")
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: PII redaction (email/phone scrub) -----------------
+    // PII is injected inline (the synthetic corpus has none), so the
+    // oracle actually exercises both replacement passes.
+    "q_redact_pii" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.redactPii(concat($"text",
+          lit(" Contact alice.smith+spam@example.co.uk or +1 (555) 123-4567 now."))).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // -------- text: rolling-hash document fingerprint -----------------
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -1854,6 +1876,28 @@ object SparkEntry {
         |   (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text),1)) * 0.3 +
         |   (len(list_distinct(toks))::DOUBLE / greatest(len(toks),1)) * 0.4, 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_gopher_signals" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks,
+        |   list_filter(string_split(text, chr(10)), l -> len(trim(l))>0) AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        | round(coalesce(list_sum(list_transform(toks, x -> len(x)::DOUBLE)), 0)
+        |   / greatest(len(toks),1), 6) AS mean_word_len,
+        | round(1.0 - len(list_distinct(lines))::DOUBLE
+        |   / greatest(len(lines),1), 6) AS dup_line_frac,
+        | round(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        |   / greatest(len(text),1), 6) AS symbol_ratio,
+        | round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |   / greatest(len(toks),1), 6) AS alpha_tok_frac
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(text || ' Contact alice.smith+spam@example.co.uk or +1 (555) 123-4567 now.',
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(0::BIGINT,

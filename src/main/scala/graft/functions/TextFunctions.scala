@@ -78,6 +78,46 @@ object TextFunctions {
       i => concat_ws(" ", slice(toks, i, lit(chunkSize))))
   }
 
+  /** Repetition/format signals in the style of the published Gopher
+    * data-quality rules (Rae et al. 2021, §A1.1): the per-document
+    * statistics those filters threshold — mean word length, duplicate
+    * line fraction, symbol-to-character ratio, fraction of tokens with
+    * at least one alphabetic character. Returned as one struct so a
+    * curation pass computes them in a single projection; every field
+    * is independently SQL-expressible for differential testing.
+    * Thresholding is the caller's policy (e.g. keep docs with
+    * 3 ≤ mean_word_len ≤ 10, dup_line_frac ≤ 0.3, alpha_tok_frac ≥
+    * 0.8). */
+  def gopherSignals(text: Column, toks: Column): Column = {
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val meanWordLen = round(
+      aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) / nTok, 6)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val dupLineFrac = round(lit(1.0) -
+      size(array_distinct(lines)).cast("double") /
+        greatest(size(lines), lit(1)).cast("double"), 6)
+    val symbolRatio = round(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double"), 6)
+    val alphaTokFrac = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok, 6)
+    struct(meanWordLen.as("mean_word_len"), dupLineFrac.as("dup_line_frac"),
+      symbolRatio.as("symbol_ratio"), alphaTokFrac.as("alpha_tok_frac"))
+  }
+
+  /** PII redaction: emails then phone-number-shaped digit runs replaced
+    * with placeholder tags — the standard scrub pass before a corpus
+    * ships to training. The patterns are deliberately conservative and
+    * dialect-portable (plain character classes and greedy counted
+    * repetition behave identically in Java regex and RE2) so the pass
+    * is differential-testable; swap in deployment-grade patterns per
+    * corpus. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
+  }
+
   /** Punctuation ratio over characters. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /

@@ -404,6 +404,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("gopherSignals: mean word length, dup lines, symbols, alpha fraction") {
+    val df = Seq(
+      (1L, "aa bbbb\ncc dd\ncc dd\ncc dd"),      // 4 lines, 3 identical
+      (2L, "$$ ## !!"),                           // all symbols
+      (3L, "one two three")
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
+      .select($"id", $"g.mean_word_len", $"g.dup_line_frac",
+        $"g.symbol_ratio", $"g.alpha_tok_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: 8 tokens (aa bbbb cc dd cc dd cc dd) mean len 18/8 = 2.25;
+    // lines [aa bbbb, cc dd, cc dd, cc dd] → 2 distinct of 4 → dup 0.5
+    assert(got(1L) == (2.25, 0.5, 0.0, 1.0))
+    // doc 2: three 2-char symbol tokens: symbol ratio 6/8, no alpha
+    assert(got(2L) == (2.0, 0.0, 0.75, 0.0))
+    assert(got(3L) == (3.666667, 0.0, 0.0, 1.0)) // round(11/3, 6)
+  }
+
+  test("redactPii replaces emails and phone shapes, leaves prose alone") {
+    val df = Seq(
+      (1L, "mail bob_1.x+y@sub.example.org today"),
+      (2L, "call +44 (0) 2079 460-958 now"),
+      (3L, "plain text with the number 7 in it")
+    ).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.redactPii($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail <EMAIL> today")
+    assert(got(2L) == "call <PHONE> now")
+    assert(got(3L) == "plain text with the number 7 in it")
+  }
+
   test("chunkTokens: overlap, tail chunk, degenerate sizes") {
     def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
       Seq(text).toDF("t")
