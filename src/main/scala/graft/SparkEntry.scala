@@ -1005,6 +1005,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: benchmark decontamination ------------------------
+    // The "benchmark" is carved from the corpus itself (every 50th
+    // doc), so flagged docs = the bench docs (overlap 1 with
+    // themselves) plus any doc sharing >= half its 8-gram shingles
+    // with one of them.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"), $"text".as("bench_text"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "bench_id", "bench_text",
+          n = 8, minOverlap = 0.5)
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- dedup: survivor selection over near-dup pairs -----------
     "q_dedup_survivors" -> ((s, dir) => {
       import s.implicits._
@@ -1729,6 +1744,17 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.source=b.source AND a.doc_id<b.doc_id
         |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.65
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 8) for i in range(1, greatest(len(text)-7,1)+1)]) AS sh
+        |  FROM documents),
+        | bench AS (SELECT doc_id AS bid, sh AS bsh FROM sh WHERE doc_id % 50 = 0),
+        | flagged AS (SELECT DISTINCT a.doc_id
+        |   FROM sh a JOIN bench b
+        |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH sh AS (SELECT doc_id,
         |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh

@@ -66,6 +66,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Benchmark decontamination: drop corpus docs that share at least
+    * `minOverlap` of their distinct character n-gram shingles with any
+    * single benchmark/eval document — the published n-gram-overlap
+    * decontamination recipe, expressed as a shingle-hash join.
+    *
+    * Scale shape: both sides explode to narrow (id, shingle-hash)
+    * rows; the match join shuffles on the 64-bit hash key — never
+    * corpus×benchmark — per-(corpus doc, bench doc) match counts
+    * aggregate on those narrow keys, and the flagged id set anti-joins
+    * back against the untouched corpus. The benchmark side is small by
+    * nature (an eval set), so AQE broadcasts its exploded hashes; the
+    * corpus side streams map-side. Overlap = |C ∩ B| / |C| per
+    * (corpus doc C, bench doc B) — the corpus-doc-relative fraction,
+    * so a short eval prompt embedded verbatim in a long page does NOT
+    * flag the page unless it dominates it; lower `n` / `minOverlap`
+    * to tighten. */
+  def decontaminate(corpus: DataFrame, id: String, text: String,
+                    benchmark: DataFrame, benchId: String, benchText: String,
+                    n: Int = 8, minOverlap: Double = 0.5): DataFrame = {
+    val c = corpus.select(col(id).as("__cid"),
+        explode(charShingles(col(text), n)).as("__s"))
+      .select(col("__cid"), xxhash64(col("__s")).as("__h"))
+    // charShingles is distinct per doc → count == |shingle set|
+    val sizes = c.groupBy("__cid").agg(count(lit(1)).as("__n"))
+    val b = benchmark.select(col(benchId).as("__bid"),
+        explode(charShingles(col(benchText), n)).as("__s"))
+      .select(col("__bid"), xxhash64(col("__s")).as("__h"))
+    val flagged = c.join(b, "__h")
+      .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
+      .join(sizes, "__cid")
+      .where(col("__m").cast("double") / col("__n") >= minOverlap)
+      .select(col("__cid")).distinct()
+    corpus.join(flagged, col(id) === col("__cid"), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH (the scale path for near-dup at 100 TB)
   // ------------------------------------------------------------------

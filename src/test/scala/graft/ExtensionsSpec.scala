@@ -28,6 +28,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("decontaminate drops verbatim and dominant-overlap docs, keeps clean ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim copy
+      (3L, "the quick brown fox jumps over something else entirely here"), // partial
+      (4L, "completely unrelated text about spark execution engines")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("bench_id", "bench_text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 8, minOverlap = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2 are verbatim (overlap 1.0); 3 shares a long prefix but under
+    // half its 8-gram set; 4 shares nothing
+    assert(kept == Set(3L, 4L))
+    // tightening the threshold flags the partial-overlap doc too
+    val strict = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 8, minOverlap = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(4L))
+  }
+
   test("minhash LSH recall matches exact jaccard (candidates superset, est close)") {
     val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
