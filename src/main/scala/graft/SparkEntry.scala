@@ -1196,6 +1196,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: top-bigram repetition fraction --------------------
+    "q_top_ngram" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.topNgramFraction(t(s, dir, "documents"),
+          $"doc_id", TextFunctions.tokens($"text"), n = 2)
+        .orderBy("doc_id")
+    }),
+
     // -------- text: PII redaction (email/phone scrub) -----------------
     // PII is injected inline (the synthetic corpus has none), so the
     // oracle actually exercises both replacement passes.
@@ -1917,6 +1925,17 @@ object SparkEntry {
         | round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
         |   / greatest(len(toks),1), 6) AS alpha_tok_frac
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_top_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | g AS (SELECT doc_id,
+        |   unnest([array_to_string(toks[i:i+1], ' ')
+        |           for i in range(1, greatest(len(toks)-1,1)+1)]) AS g
+        |  FROM t),
+        | c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_ngram_frac
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_redact_pii" ->
       """SELECT doc_id,
         | regexp_replace(

@@ -105,6 +105,27 @@ object TextFunctions {
       symbolRatio.as("symbol_ratio"), alphaTokFrac.as("alpha_tok_frac"))
   }
 
+  /** The remaining Gopher repetition rule: the fraction of a document's
+    * word n-grams taken by its single most frequent n-gram (high →
+    * boilerplate/spam). DataFrame-shaped (explode + two aggregations on
+    * (id, gram) keys) rather than a per-row expression, because the
+    * per-doc gram frequency map can exceed row memory on pathological
+    * docs — as an aggregation, partial (map-side) combine and spilling
+    * handle that for free. N-grams here are NOT deduplicated (unlike
+    * `Dedup.tokenShingles`) — frequency is the point. Output:
+    * (doc_id, top_ngram_frac); a doc shorter than n tokens is one
+    * (short) gram → fraction 1.0. */
+  def topNgramFraction(df: org.apache.spark.sql.DataFrame, id: Column, toks: Column,
+                       n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(id.as("doc_id"),
+      explode(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))).as("__g"))
+    grams.groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("__c")).cast("double") / sum(col("__c")), 6)
+        .as("top_ngram_frac"))
+  }
+
   /** PII redaction: emails then phone-number-shaped digit runs replaced
     * with placeholder tags — the standard scrub pass before a corpus
     * ships to training. The patterns are deliberately conservative and

@@ -446,6 +446,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == (3.666667, 0.0, 0.0, 1.0)) // round(11/3, 6)
   }
 
+  test("topNgramFraction: repeated bigram dominates, varied text scores low") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),     // "buy now"/"now buy" repeat
+      (2L, "one two three four five six seven"),   // all bigrams unique
+      (3L, "solo")                                 // shorter than n
+    ).toDF("id", "text")
+    val got = TextFunctions.topNgramFraction(df, $"id", TextFunctions.tokens($"text"), 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1: 7 bigrams, "buy now" ×4 → 4/7
+    assert(got(1L) == 0.571429)
+    assert(got(2L) == 0.166667) // round(1/6, 6)
+    assert(got(3L) == 1.0)
+  }
+
   test("redactPii replaces emails and phone shapes, leaves prose alone") {
     val df = Seq(
       (1L, "mail bob_1.x+y@sub.example.org today"),
