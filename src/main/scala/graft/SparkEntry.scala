@@ -74,7 +74,8 @@ object SparkEntry {
   val benchQueriesV2: Seq[String] = Seq(
     "q_tpch9", "q_tpch13", "q_tpch18", "q_tpch21",
     "q_asof_join", "q_range_join", "q_pack_tokens",
-    "q_dedup_clusters", "q_ann_lsh", "q_sessionize")
+    "q_dedup_clusters", "q_ann_lsh", "q_sessionize",
+    "q_decontaminate", "q_curation_v2")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1020,6 +1021,26 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- curation v2: decontaminate → quality-gate → scrub -------
+    // The round-5 curation chain composed end-to-end from library ops:
+    // benchmark decontamination, Gopher-signal thresholds, PII scrub,
+    // then a token count of the shipped text.
+    "q_curation_v2" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"), $"text".as("bench_text"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "bench_id", "bench_text",
+          n = 8, minOverlap = 0.5)
+        .withColumn("g", TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")))
+        .where($"g.alpha_tok_frac" >= 0.8 && $"g.mean_word_len".between(2, 12))
+        .select($"doc_id",
+          size(TextFunctions.tokens(TextFunctions.redactPii($"text")))
+            .cast("long").as("n_tokens"),
+          $"g.mean_word_len")
+        .orderBy("doc_id")
+    }),
+
     // -------- dedup: survivor selection over near-dup pairs -----------
     "q_dedup_survivors" -> ((s, dir) => {
       import s.implicits._
@@ -1762,6 +1783,34 @@ object SparkEntry {
         |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+    "q_curation_v2" ->
+      """WITH sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 8) for i in range(1, greatest(len(text)-7,1)+1)]) AS sh
+        |  FROM documents),
+        | bench AS (SELECT doc_id AS bid, sh AS bsh FROM sh WHERE doc_id % 50 = 0),
+        | flagged AS (SELECT DISTINCT a.doc_id
+        |   FROM sh a JOIN bench b
+        |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5),
+        | clean AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        | t AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM clean),
+        | g AS (SELECT doc_id, text,
+        |   round(coalesce(list_sum(list_transform(toks, x -> len(x)::DOUBLE)), 0)
+        |     / greatest(len(toks),1), 6) AS mean_word_len,
+        |   round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |     / greatest(len(toks),1), 6) AS atf
+        |  FROM t)
+        |SELECT doc_id,
+        | len(list_filter(string_split_regex(
+        |   regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+        |   '\s+'), x -> len(x)>0))::BIGINT AS n_tokens,
+        | mean_word_len
+        |FROM g WHERE atf >= 0.8 AND mean_word_len BETWEEN 2 AND 12
         |ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH sh AS (SELECT doc_id,

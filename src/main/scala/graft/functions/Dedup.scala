@@ -88,8 +88,11 @@ object Dedup {
     val c = corpus.select(col(id).as("__cid"),
         explode(charShingles(col(text), n)).as("__s"))
       .select(col("__cid"), xxhash64(col("__s")).as("__h"))
-    // charShingles is distinct per doc → count == |shingle set|
-    val sizes = c.groupBy("__cid").agg(count(lit(1)).as("__n"))
+    // |shingle set| straight off the (distinct) array — no second
+    // explode pass, no count shuffle; joins the small per-pair match
+    // counts via broadcast
+    val sizes = corpus.select(col(id).as("__cid"),
+      size(charShingles(col(text), n)).cast("long").as("__n"))
     val b = benchmark.select(col(benchId).as("__bid"),
         explode(charShingles(col(benchText), n)).as("__s"))
       .select(col("__bid"), xxhash64(col("__s")).as("__h"))
