@@ -34,6 +34,16 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substr(text, i, n)))
 
+  /** Distinct xxhash64 shingle hashes, fused: one pass over the UTF-8
+    * buffer, no substring materialization (the scale twin of
+    * `transform(charShingles(text, n), xxhash64)` — bit-equal modulo
+    * order, spec-asserted). Use when only hash identity matters
+    * (joins, overlap counts), not the shingle strings themselves. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.ShingleHashes(Bridge.expression(text), n))
+  }
+
   /** Distinct word n-gram shingles from a token array. */
   def tokenShingles(tokens: Column, n: Int): Column =
     array_distinct(transform(
@@ -86,16 +96,14 @@ object Dedup {
                     benchmark: DataFrame, benchId: String, benchText: String,
                     n: Int = 8, minOverlap: Double = 0.5): DataFrame = {
     val c = corpus.select(col(id).as("__cid"),
-        explode(charShingles(col(text), n)).as("__s"))
-      .select(col("__cid"), xxhash64(col("__s")).as("__h"))
+      explode(shingleHashes(col(text), n)).as("__h"))
     // |shingle set| straight off the (distinct) array — no second
     // explode pass, no count shuffle; joins the small per-pair match
     // counts via broadcast
     val sizes = corpus.select(col(id).as("__cid"),
-      size(charShingles(col(text), n)).cast("long").as("__n"))
+      size(shingleHashes(col(text), n)).cast("long").as("__n"))
     val b = benchmark.select(col(benchId).as("__bid"),
-        explode(charShingles(col(benchText), n)).as("__s"))
-      .select(col("__bid"), xxhash64(col("__s")).as("__h"))
+      explode(shingleHashes(col(benchText), n)).as("__h"))
     val flagged = c.join(b, "__h")
       .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
       .join(sizes, "__cid")

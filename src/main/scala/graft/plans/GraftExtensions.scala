@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * SQL surface:
   *   minhash_signature(text, n, k, seed) → array<bigint>
+  *   shingle_hashes(text, n)             → array<bigint> (distinct, sorted)
   *   simhash64(text)                     → bigint
   *   vector_dot(a, b) / vector_cosine(a, b) → double
   */
@@ -44,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashSignature(text, intArg(n, "n"), intArg(k, "k"), 42L)
         case _ => throw new IllegalArgumentException(
           "minhash_signature(text, n, k[, seed])")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "distinct xxhash64 set of char n-gram shingles, one pass"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => ShingleHashes(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(text, n)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     e.injectFunction((FunctionIdentifier("simhash64"),

@@ -28,6 +28,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("fused ShingleHashes == sorted xxhash64 of charShingles, incl. multi-byte text") {
+    val df = Seq(
+      "the quick brown fox", "héllo wörld déjà vu", "", "ab", "日本語のテキスト"
+    ).toDF("text")
+    val both = df.select(
+      Dedup.shingleHashes($"text", 3).as("fused"),
+      array_sort(transform(Dedup.charShingles($"text", 3), s => xxhash64(s))).as("composed"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1).distinct.sorted)
+    }
+  }
+
   test("decontaminate drops verbatim and dominant-overlap docs, keeps clean ones") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -75,6 +75,8 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     val sig = spark.sql("SELECT minhash_signature('hello world', 3, 16) AS s")
       .head().getSeq[Long](0)
     assert(sig.length == 16)
+    val sh = spark.sql("SELECT shingle_hashes('abcd', 3) AS h").head().getSeq[Long](0)
+    assert(sh.length == 2 && sh == sh.sorted) // "abc","bcd" → 2 sorted hashes
     val cos = spark.sql(
       "SELECT vector_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
