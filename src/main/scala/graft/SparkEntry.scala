@@ -1021,6 +1021,17 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- dedup: word-n-gram decontamination ----------------------
+    "q_decontaminate_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"), $"text".as("bench_text"))
+      Dedup.decontaminateByTokens(docs, "doc_id", "text",
+          bench, "bench_id", "bench_text", n = 5, minOverlap = 0.5)
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- curation v2: decontaminate → quality-gate → scrub -------
     // The round-5 curation chain composed end-to-end from library ops:
     // benchmark decontamination, Gopher-signal thresholds, PII scrub,
@@ -1777,6 +1788,21 @@ object SparkEntry {
       """WITH sh AS (SELECT doc_id,
         |   list_distinct([substr(text, i, 8) for i in range(1, greatest(len(text)-7,1)+1)]) AS sh
         |  FROM documents),
+        | bench AS (SELECT doc_id AS bid, sh AS bsh FROM sh WHERE doc_id % 50 = 0),
+        | flagged AS (SELECT DISTINCT a.doc_id
+        |   FROM sh a JOIN bench b
+        |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(
+        |   [array_to_string(toks[i:i+4], ' ')
+        |    for i in range(1, greatest(len(toks)-4,1)+1)]) AS sh
+        |  FROM t),
         | bench AS (SELECT doc_id AS bid, sh AS bsh FROM sh WHERE doc_id % 50 = 0),
         | flagged AS (SELECT DISTINCT a.doc_id
         |   FROM sh a JOIN bench b

@@ -94,16 +94,37 @@ object Dedup {
     * to tighten. */
   def decontaminate(corpus: DataFrame, id: String, text: String,
                     benchmark: DataFrame, benchId: String, benchText: String,
-                    n: Int = 8, minOverlap: Double = 0.5): DataFrame = {
-    val c = corpus.select(col(id).as("__cid"),
-      explode(shingleHashes(col(text), n)).as("__h"))
+                    n: Int = 8, minOverlap: Double = 0.5): DataFrame =
+    decontaminateBy(corpus, id, benchmark, benchId,
+      shingleHashes(col(text), n), shingleHashes(col(benchText), n), minOverlap)
+
+  /** Word-n-gram variant of [[decontaminate]] — the published
+    * decontamination recipes threshold WORD n-gram overlap (13-grams
+    * in the GPT-3-era writeups; lower n tightens). Same scale shape;
+    * shingles are hashed word n-grams of the whitespace tokens. */
+  def decontaminateByTokens(corpus: DataFrame, id: String, text: String,
+                            benchmark: DataFrame, benchId: String, benchText: String,
+                            n: Int = 13, minOverlap: Double = 0.5): DataFrame = {
+    def sh(t: Column) = transform(
+      tokenShingles(TextFunctions.tokens(t), n), s => xxhash64(s))
+    decontaminateBy(corpus, id, benchmark, benchId,
+      sh(col(text)), sh(col(benchText)), minOverlap)
+  }
+
+  /** Shared decontamination kernel over any distinct shingle-hash
+    * array expressions (evaluated against the corpus / benchmark rows
+    * respectively). Overlap is per (corpus doc, SINGLE bench doc) —
+    * matches against different bench docs never pool. See
+    * [[decontaminate]] for the scale analysis. */
+  private def decontaminateBy(corpus: DataFrame, id: String,
+                              benchmark: DataFrame, benchId: String,
+                              cSh: Column, bSh: Column, minOverlap: Double): DataFrame = {
+    val c = corpus.select(col(id).as("__cid"), explode(cSh).as("__h"))
     // |shingle set| straight off the (distinct) array — no second
     // explode pass, no count shuffle; joins the small per-pair match
     // counts via broadcast
-    val sizes = corpus.select(col(id).as("__cid"),
-      size(shingleHashes(col(text), n)).cast("long").as("__n"))
-    val b = benchmark.select(col(benchId).as("__bid"),
-      explode(shingleHashes(col(benchText), n)).as("__h"))
+    val sizes = corpus.select(col(id).as("__cid"), size(cSh).cast("long").as("__n"))
+    val b = benchmark.select(col(benchId).as("__bid"), explode(bSh).as("__h"))
     val flagged = c.join(b, "__h")
       .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
       .join(sizes, "__cid")
@@ -192,6 +213,14 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Lazy twin of [[materializeOnce]]: the checkpoint materializes on
+    * the first action that touches it instead of eagerly — lets a
+    * caller fold the materialization into an aggregate it was about to
+    * run anyway (one Spark job instead of two). */
+  private def materializeLazily(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Connected components over an undirected pair list (`id_a`,
     * `id_b`) by min-label propagation: each round every node adopts
     * the smallest label in its one-hop neighborhood (its own
@@ -232,7 +261,9 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
-      val next = materializeOnce(
+      // lazy checkpoint: the labelSum aggregate below is the action
+      // that materializes it — one job per round, not two
+      val next = materializeLazily(
         labels.union(nbr).groupBy("id").agg(min("component").as("component")))
       val nextSum = labelSum(next)
       labels = next

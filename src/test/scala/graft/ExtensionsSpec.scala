@@ -62,6 +62,30 @@ class DedupSpec extends AnyFunSuite {
     assert(strict == Set(4L))
   }
 
+  test("decontaminateByTokens: word-n-gram recipe; no cross-bench-doc pooling") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma completely different tail here now"),
+      (3L, "unrelated words entirely on their own path today")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "completely different tail here now plus extras")
+    ).toDF("bench_id", "bench_text")
+    // doc 2's trigram overlap: 1/6 vs bench 100, 3/6 vs bench 101 —
+    // per-pair max is 0.5, pooled across bench docs would be 4/6.
+    // At 0.6 only pooling could flag it; it must survive.
+    val kept = Dedup.decontaminateByTokens(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 3, minOverlap = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // doc 1 is verbatim bench 100
+    // at 0.5 the bench-101 overlap alone legitimately flags doc 2
+    val tight = Dedup.decontaminateByTokens(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 3, minOverlap = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tight == Set(3L))
+  }
+
   test("minhash LSH recall matches exact jaccard (candidates superset, est close)") {
     val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
