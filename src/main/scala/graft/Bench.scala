@@ -23,11 +23,15 @@ object Bench {
     try SparkEntry.queries(SparkEntry.benchQueries.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     def json(rs: Seq[(String, Double)]): String =
@@ -38,8 +42,12 @@ object Bench {
     val resultsV2 = time(SparkEntry.benchQueriesV2)
     val total = results.map(_._2).sum
     val totalV2 = resultsV2.map(_._2).sum
+    // a failed query's (partial) duration stays in its per-query slot
+    // for series continuity, but the failure is named — a totals diff
+    // must never read a crash as a speedup
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""total_v2":$totalV2,"queries_v2":${json(resultsV2)},"sf":"$sfDir"}"""
+      s""""total_v2":$totalV2,"queries_v2":${json(resultsV2)},"failed":$failedJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt sets run/outputStrategy) AND a file
     // copy, so the driver can parse either way.
     println(line)

@@ -1993,8 +1993,9 @@ object SparkEntry {
         |SELECT doc_id,
         | round(coalesce(list_sum(list_transform(toks, x -> len(x)::DOUBLE)), 0)
         |   / greatest(len(toks),1), 6) AS mean_word_len,
-        | round(1.0 - len(list_distinct(lines))::DOUBLE
-        |   / greatest(len(lines),1), 6) AS dup_line_frac,
+        | CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+        |                       / len(lines), 6) END AS dup_line_frac,
         | round(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
         |   / greatest(len(text),1), 6) AS symbol_ratio,
         | round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE

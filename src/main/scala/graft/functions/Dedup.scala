@@ -119,15 +119,17 @@ object Dedup {
   private def decontaminateBy(corpus: DataFrame, id: String,
                               benchmark: DataFrame, benchId: String,
                               cSh: Column, bSh: Column, minOverlap: Double): DataFrame = {
-    val c = corpus.select(col(id).as("__cid"), explode(cSh).as("__h"))
-    // |shingle set| straight off the (distinct) array — no second
-    // explode pass, no count shuffle; joins the small per-pair match
-    // counts via broadcast
-    val sizes = corpus.select(col(id).as("__cid"), size(cSh).cast("long").as("__n"))
+    // alias the shingle array FIRST so the (expensive) expression runs
+    // once per row; size and explode then read the materialized array —
+    // one corpus scan, and |shingle set| rides each narrow exploded row
+    // (8 bytes) instead of a separate size pass + re-attach join
+    val c = corpus.select(col(id).as("__cid"), cSh.as("__arr"))
+      .select(col("__cid"), size(col("__arr")).cast("long").as("__n"),
+        explode(col("__arr")).as("__h"))
     val b = benchmark.select(col(benchId).as("__bid"), explode(bSh).as("__h"))
     val flagged = c.join(b, "__h")
-      .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
-      .join(sizes, "__cid")
+      .groupBy(col("__cid"), col("__bid"))
+      .agg(count(lit(1)).as("__m"), max(col("__n")).as("__n"))
       .where(col("__m").cast("double") / col("__n") >= minOverlap)
       .select(col("__cid")).distinct()
     corpus.join(flagged, col(id) === col("__cid"), "left_anti")
@@ -262,7 +264,11 @@ object Dedup {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
       // lazy checkpoint: the labelSum aggregate below is the action
-      // that materializes it — one job per round, not two
+      // that materializes it. On the localCheckpoint path that is one
+      // job per round instead of two; a RELIABLE checkpoint still runs
+      // Spark's separate checkpoint-writing job after the action (an
+      // engine behavior), so there the win is only skipping the eager
+      // pre-materialization.
       val next = materializeLazily(
         labels.union(nbr).groupBy("id").agg(min("component").as("component")))
       val nextSum = labelSum(next)

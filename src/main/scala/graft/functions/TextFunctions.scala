@@ -93,9 +93,11 @@ object TextFunctions {
     val meanWordLen = round(
       aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) / nTok, 6)
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val dupLineFrac = round(lit(1.0) -
-      size(array_distinct(lines)).cast("double") /
-        greatest(size(lines), lit(1)).cast("double"), 6)
+    // no non-empty lines → nothing is duplicated (0.0), not "all
+    // duplicated" — 1 - 0/1 would report the opposite of the data
+    val dupLineFrac = when(size(lines) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(lines)).cast("double") /
+        size(lines).cast("double"), 6))
     val symbolRatio = round(
       length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
         greatest(length(text), lit(1)).cast("double"), 6)

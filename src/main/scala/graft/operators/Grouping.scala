@@ -249,7 +249,10 @@ object Grouping {
     * [[samplePerKey]], but the draw depends only on (id, seed), so it
     * is identical across partitioning, cluster size, and retries, and
     * SQL-expressible for differential testing. The id tie-break keeps
-    * the order total even if two ids ever hashed alike. */
+    * the order total even if two ids ever hashed alike — PROVIDED ids
+    * are unique within a key: rows sharing an id tie on both hash and
+    * id, and which of them ranks first is partition-dependent, so the
+    * reproducibility contract requires a unique id column. */
   def samplePerKeyByHash(df: DataFrame, keys: Seq[String], id: String, n: Int,
                          seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)

@@ -16,12 +16,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * may carry a DIFFERENT shard count than the previous emission —
   * exact-name replacement would leave stale `prefix-i-of-oldN` files
   * beside the new set, and a reader globbing the prefix would
-  * double-count. So: (1) stage the new shards into the target dir under
-  * dot-temp names (hidden from globs), (2) delete the ENTIRE previous
-  * emission matching `cleanupGlob`, (3) same-dir rename temp → final
-  * (each rename atomic). A crash mid-sequence leaves either the old
-  * emission intact or only hidden temps; a replayed write redoes the
-  * rename either way.
+  * double-count. So: (0) sweep hidden debris left by crashed prior
+  * attempts, (1) stage the new shards into the target dir under
+  * dot-temp names (hidden from globs), (2) move the ENTIRE previous
+  * emission matching `cleanupGlob` aside to hidden `.trash-*` names
+  * (NOT deleted — a crash between here and step 3 must not lose the
+  * only durable copy of the data; batch callers have no replay to
+  * redo the write), (3) same-dir rename temp → final (each rename
+  * atomic), (4) drop the trash. A crash mid-sequence leaves the old
+  * emission either visible or recoverable from `.trash-*`; the next
+  * successful emission's sweep clears any leftovers. Single writer
+  * per destination directory is the caller's contract (concurrent
+  * emissions to one dir already race on `cleanupGlob`).
   */
 object FileNaming {
 
@@ -51,6 +57,16 @@ object FileNaming {
     val fs = FileSystem.get(src.toUri, conf)
     val dest = new Path(destDir)
     if (!fs.exists(dest)) fs.mkdirs(dest)
+    def glob(pattern: String): Array[org.apache.hadoop.fs.FileStatus] =
+      Option(fs.globStatus(new Path(dest, pattern)))
+        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+    // (0) sweep hidden debris from crashed prior attempts (their tags
+    //     are unknowable, so match the name shapes); the current src
+    //     may itself be a .staging-* dir inside dest — keep it
+    val qualifiedSrc = fs.makeQualified(src)
+    (glob(".pending-*") ++ glob(".trash-*") ++
+        glob(".staging-*").filterNot(st => fs.makeQualified(st.getPath) == qualifiedSrc))
+      .foreach(st => fs.delete(st.getPath, true))
     val parts = Option(fs.globStatus(new Path(src, "part-*")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .sortBy(_.getPath.getName)
@@ -64,21 +80,29 @@ object FileNaming {
         throw new java.io.IOException(s"rename ${st.getPath} -> $pending failed")
       (pending, new Path(dest, finalName))
     }
-    // (2) drop the previous emission wholesale
-    cleanupGlob.foreach { g =>
-      Option(fs.globStatus(new Path(dest, g)))
-        .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-        .foreach(st => fs.delete(st.getPath, false))
-    }
-    // exact-name replacement for targets the glob didn't cover
-    staged.foreach { case (_, target) =>
-      if (fs.exists(target)) fs.delete(target, false)
+    // (2) move the previous emission aside — hidden but recoverable
+    //     until the new emission is fully in place: everything the
+    //     cleanup glob matches plus exact-name targets a custom-policy
+    //     glob didn't cover, deduped by name (same dir)
+    val toTrash = (cleanupGlob.map(glob).getOrElse(Array.empty)
+        .map(_.getPath).filterNot(_.getName.startsWith(".")) ++
+        staged.map(_._2).filter(fs.exists))
+      .groupBy(_.getName).map(_._2.head).toSeq
+    val trashed = toTrash.map { p =>
+      val aside = new Path(dest, s".trash-$stageTag-${p.getName}")
+      if (fs.exists(aside)) fs.delete(aside, false)
+      if (!fs.rename(p, aside))
+        throw new java.io.IOException(s"rename $p -> $aside failed")
+      aside
     }
     // (3) same-dir rename into place, each atomic
     staged.foreach { case (pending, target) =>
+      if (fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(pending, target))
         throw new java.io.IOException(s"rename $pending -> $target failed")
     }
+    // (4) the new emission is durable — drop the superseded one
+    trashed.foreach(p => fs.delete(p, false))
     fs.delete(src, true)
     staged.map(_._2.toString).toIndexedSeq
   }

@@ -90,11 +90,25 @@ object GraftIO {
                          numShards: Int = 0,
                          compression: Option[String] = None,
                          namingFn: Option[(Int, Int) => String] = None,
-                         cleanupGlob: Option[String] = None): Seq[String] = {
+                         cleanupGlob: Option[String] = None): Seq[String] =
+    writeNamed(ds.sparkSession, path, prefix, suffix, namingFn, cleanupGlob)(
+      staging => writeTextFile(ds, staging, numShards, compression))
+
+  /** Shared batch filename-policy sequence: write to a hidden staging
+    * dir, then [[FileNaming.stagedRename]] into place. The random tag
+    * only disambiguates THIS attempt's hidden names; debris from
+    * crashed attempts (whose tags are lost) is swept by stagedRename's
+    * step 0, so stranded `.staging-*`/`.pending-*` copies never
+    * accumulate. */
+  private def writeNamed(spark: SparkSession, path: String,
+                         prefix: String, suffix: String,
+                         namingFn: Option[(Int, Int) => String],
+                         cleanupGlob: Option[String])(
+                         write: String => Unit): Seq[String] = {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"$path/.staging-$tag"
-    writeTextFile(ds, staging, numShards, compression)
-    FileNaming.stagedRename(ds.sparkSession.sparkContext.hadoopConfiguration,
+    write(staging)
+    FileNaming.stagedRename(spark.sparkContext.hadoopConfiguration,
       staging, path,
       namingFn.getOrElse(FileNaming.defaultName(prefix, suffix) _),
       cleanupGlob.orElse(if (namingFn.isEmpty) Some(s"$prefix-*$suffix") else None),
@@ -136,16 +150,9 @@ object GraftIO {
                          numShards: Int = 0,
                          compression: Option[String] = None,
                          namingFn: Option[(Int, Int) => String] = None,
-                         cleanupGlob: Option[String] = None): Seq[String] = {
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = s"$path/.staging-$tag"
-    writeJsonFile(df, staging, numShards, compression)
-    FileNaming.stagedRename(df.sparkSession.sparkContext.hadoopConfiguration,
-      staging, path,
-      namingFn.getOrElse(FileNaming.defaultName(prefix, suffix) _),
-      cleanupGlob.orElse(if (namingFn.isEmpty) Some(s"$prefix-*$suffix") else None),
-      tag)
-  }
+                         cleanupGlob: Option[String] = None): Seq[String] =
+    writeNamed(df.sparkSession, path, prefix, suffix, namingFn, cleanupGlob)(
+      staging => writeJsonFile(df, staging, numShards, compression))
 
   // ---------------- parquet / tables (warehouse analog) ----------------
 

@@ -466,7 +466,8 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "aa bbbb\ncc dd\ncc dd\ncc dd"),      // 4 lines, 3 identical
       (2L, "$$ ## !!"),                           // all symbols
-      (3L, "one two three")
+      (3L, "one two three"),
+      (4L, " \n \n ")                             // no non-empty lines
     ).toDF("id", "text")
     val got = df.select($"id",
         TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
@@ -480,6 +481,8 @@ class TextFunctionsSpec extends AnyFunSuite {
     // doc 2: three 2-char symbol tokens: symbol ratio 6/8, no alpha
     assert(got(2L) == (2.0, 0.0, 0.75, 0.0))
     assert(got(3L) == (3.666667, 0.0, 0.0, 1.0)) // round(11/3, 6)
+    // whitespace-only: zero non-empty lines means nothing duplicated
+    assert(got(4L)._2 == 0.0)
   }
 
   test("topNgramFraction: repeated bigram dominates, varied text scores low") {

@@ -61,6 +61,24 @@ class IOSpec extends AnyFunSuite {
     assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSet == Set("a", "b"))
   }
 
+  test("batch filename policy: crashed-attempt debris is swept on the next emission") {
+    val dir = tmp() + "/swept"
+    new java.io.File(dir).mkdirs()
+    // plant the hidden leftovers a crashed prior attempt would strand
+    Files.writeString(java.nio.file.Paths.get(dir, ".pending-deadbeef-report-00000-of-00002.txt"), "stale")
+    Files.writeString(java.nio.file.Paths.get(dir, ".trash-deadbeef-report-00000-of-00001.txt"), "stale")
+    val deadStaging = new java.io.File(dir, ".staging-deadbeef")
+    deadStaging.mkdirs()
+    Files.writeString(deadStaging.toPath.resolve("part-00000"), "stale")
+    GraftIO.writeTextFileNamed(Seq("fresh").toDS, dir,
+      prefix = "report", suffix = ".txt", numShards = 1)
+    // .crc = local-FS checksum sidecar; everything else hidden must be gone
+    val all = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).toSet
+    assert(all == Set("report-00000-of-00001.txt"), all.toString)
+    assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSeq == Seq("fresh"))
+  }
+
   test("batch filename policy: custom naming-fn hook (core.clj:1249-1251)") {
     val dir = tmp() + "/custom"
     GraftIO.writeTextFileNamed(Seq("x", "y").toDS, dir,
