@@ -119,17 +119,23 @@ object Dedup {
   private def decontaminateBy(corpus: DataFrame, id: String,
                               benchmark: DataFrame, benchId: String,
                               cSh: Column, bSh: Column, minOverlap: Double): DataFrame = {
-    // alias the shingle array FIRST so the (expensive) expression runs
-    // once per row; size and explode then read the materialized array —
-    // one corpus scan, and |shingle set| rides each narrow exploded row
-    // (8 bytes) instead of a separate size pass + re-attach join
-    val c = corpus.select(col(id).as("__cid"), cSh.as("__arr"))
-      .select(col("__cid"), size(col("__arr")).cast("long").as("__n"),
-        explode(col("__arr")).as("__h"))
+    // The shingle expression is deliberately INLINE in both the explode
+    // and the size projection (two evaluations per corpus row). The
+    // tempting alias-once form — select(id, cSh.as("__arr")) then
+    // size/explode of the attribute — measures ~2x SLOWER: with an
+    // attribute as the generator child, InferFiltersFromGenerate adds
+    // `size(__arr) > 0 AND isnotnull(__arr)` and pushdown substitutes
+    // the alias back through the projection, so the kernel runs THREE
+    // times per row (filter x2 + project). Inline, that rule skips
+    // non-cheap generator children and each side evaluates exactly
+    // once per use. (Verified against the physical plan; see the
+    // round-5 bench.)
+    val c = corpus.select(col(id).as("__cid"), explode(cSh).as("__h"))
+    val sizes = corpus.select(col(id).as("__cid"), size(cSh).cast("long").as("__n"))
     val b = benchmark.select(col(benchId).as("__bid"), explode(bSh).as("__h"))
     val flagged = c.join(b, "__h")
-      .groupBy(col("__cid"), col("__bid"))
-      .agg(count(lit(1)).as("__m"), max(col("__n")).as("__n"))
+      .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
+      .join(sizes, "__cid")
       .where(col("__m").cast("double") / col("__n") >= minOverlap)
       .select(col("__cid")).distinct()
     corpus.join(flagged, col(id) === col("__cid"), "left_anti")
