@@ -115,4 +115,20 @@ class PlanSpec extends AnyFunSuite {
     // window key exchange + deterministic output sort, nothing else
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("decontaminate explode branch carries no inferred shingle-kernel filter") {
+    // guard against the InferFiltersFromGenerate trap (see CLAUDE.md):
+    // aliasing the array to an attribute before explode gets
+    // `size(arr) > 0 AND isnotnull(arr)` inferred and alias-substituted
+    // back through the projection — the kernel then runs 3x per row.
+    // Its plan signature is a bare isnotnull(shingle_hashes(...)) /
+    // size(shingle_hashes(...)) > 0 filter; the inline form never has
+    // one. (The sizes branch's isnotnull(size(...)) from join
+    // constraint propagation is fine — same codegen stage, CSE'd.)
+    val p = planOf("q_decontaminate")
+    assert(!p.contains("isnotnull(shingle_hashes("),
+      "inferred generate filter on the shingle kernel — alias-before-explode regression")
+    assert(!"size\\(shingle_hashes\\([^)]*\\)[^\\n]*> 0".r.findFirstIn(p).isDefined,
+      "size(shingle_hashes) > 0 generate filter — alias-before-explode regression")
+  }
 }
