@@ -25,9 +25,11 @@ object Bench {
     catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
     def time(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // lookup inside the try: a stale name in a bench tier must land
+      // in failed[], not abort the run before any JSON is emitted
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name: ${e.getMessage}")

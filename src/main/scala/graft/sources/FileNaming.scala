@@ -25,9 +25,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * redo the write), (3) same-dir rename temp → final (each rename
   * atomic), (4) drop the trash. A crash mid-sequence leaves the old
   * emission either visible or recoverable from `.trash-*`; the next
-  * successful emission's sweep clears any leftovers. Single writer
-  * per destination directory is the caller's contract (concurrent
-  * emissions to one dir already race on `cleanupGlob`).
+  * successful emission of the SAME name shape sweeps the leftovers.
+  * Writers emitting different name shapes may share a directory
+  * (the sweep and cleanup are scoped to `cleanupGlob`); concurrent
+  * writers of the SAME shape race by nature of the contract.
+  *
+  * Cost note for rename-as-copy object stores (S3-style): step 2
+  * copies the previous emission aside before dropping it, so a
+  * replacement pays one extra copy of the OLD data's size — the
+  * price of the crash-recoverability guarantee. On HDFS/local
+  * (atomic metadata rename) it is free.
   */
 object FileNaming {
 
@@ -60,13 +67,19 @@ object FileNaming {
     def glob(pattern: String): Array[org.apache.hadoop.fs.FileStatus] =
       Option(fs.globStatus(new Path(dest, pattern)))
         .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
-    // (0) sweep hidden debris from crashed prior attempts (their tags
-    //     are unknowable, so match the name shapes); the current src
-    //     may itself be a .staging-* dir inside dest — keep it
-    val qualifiedSrc = fs.makeQualified(src)
-    (glob(".pending-*") ++ glob(".trash-*") ++
-        glob(".staging-*").filterNot(st => fs.makeQualified(st.getPath) == qualifiedSrc))
-      .foreach(st => fs.delete(st.getPath, true))
+    // (0) sweep hidden debris from crashed prior attempts of THIS
+    //     emission's output shape ONLY — `.pending-<anytag>-<name>` /
+    //     `.trash-<anytag>-<name>` where <name> matches the cleanup
+    //     glob. Debris of other writers/windows sharing the dir (their
+    //     names don't match) and in-flight `.staging-*` dirs (not
+    //     name-scoped — a concurrent writer may own them) are left
+    //     alone; custom-policy emissions without a cleanupGlob keep
+    //     only the exact-name replacement below (the Beam custom
+    //     FileNaming contract).
+    cleanupGlob.foreach { g =>
+      (glob(s".pending-*$g") ++ glob(s".trash-*$g"))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     val parts = Option(fs.globStatus(new Path(src, "part-*")))
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .sortBy(_.getPath.getName)

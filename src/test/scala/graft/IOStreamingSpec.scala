@@ -61,22 +61,38 @@ class IOSpec extends AnyFunSuite {
     assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSet == Set("a", "b"))
   }
 
-  test("batch filename policy: crashed-attempt debris is swept on the next emission") {
+  test("batch filename policy: crashed-attempt debris is swept; other shapes untouched") {
     val dir = tmp() + "/swept"
     new java.io.File(dir).mkdirs()
-    // plant the hidden leftovers a crashed prior attempt would strand
+    // hidden leftovers a crashed prior attempt of THIS shape strands…
     Files.writeString(java.nio.file.Paths.get(dir, ".pending-deadbeef-report-00000-of-00002.txt"), "stale")
     Files.writeString(java.nio.file.Paths.get(dir, ".trash-deadbeef-report-00000-of-00001.txt"), "stale")
-    val deadStaging = new java.io.File(dir, ".staging-deadbeef")
-    deadStaging.mkdirs()
-    Files.writeString(deadStaging.toPath.resolve("part-00000"), "stale")
+    // …and another writer's in-flight state, which must survive
+    Files.writeString(java.nio.file.Paths.get(dir, ".pending-cafe-other-00000-of-00001.log"), "not ours")
     GraftIO.writeTextFileNamed(Seq("fresh").toDS, dir,
       prefix = "report", suffix = ".txt", numShards = 1)
-    // .crc = local-FS checksum sidecar; everything else hidden must be gone
+    // .crc = local-FS checksum sidecar
+    val all = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).toSet
+    assert(all == Set("report-00000-of-00001.txt", ".pending-cafe-other-00000-of-00001.log"),
+      all.toString)
+    assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSeq == Seq("fresh"))
+  }
+
+  test("batch filename policy: re-emission converges from a mid-sequence crash state") {
+    // crash between steps 2 and 3: previous emission moved aside to
+    // .trash-*, new shards still hidden as .pending-*, no final files —
+    // the old data is recoverable, and the next emission converges
+    val dir = tmp() + "/crashed"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(dir, ".trash-oldtag-report-00000-of-00001.txt"), "old emission")
+    Files.writeString(java.nio.file.Paths.get(dir, ".pending-oldtag-report-00000-of-00001.txt"), "crashed attempt")
+    GraftIO.writeTextFileNamed(Seq("recovered").toDS, dir,
+      prefix = "report", suffix = ".txt", numShards = 1)
     val all = new java.io.File(dir).listFiles().map(_.getName)
       .filterNot(_.endsWith(".crc")).toSet
     assert(all == Set("report-00000-of-00001.txt"), all.toString)
-    assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSeq == Seq("fresh"))
+    assert(GraftIO.readTextFile(spark, dir + "/report-*").collect().toSeq == Seq("recovered"))
   }
 
   test("batch filename policy: custom naming-fn hook (core.clj:1249-1251)") {
