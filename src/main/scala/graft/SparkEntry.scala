@@ -75,7 +75,8 @@ object SparkEntry {
     "q_tpch9", "q_tpch13", "q_tpch18", "q_tpch21",
     "q_asof_join", "q_range_join", "q_pack_tokens",
     "q_dedup_clusters", "q_ann_lsh", "q_sessionize",
-    "q_decontaminate", "q_curation_v2")
+    "q_decontaminate", "q_curation_v2",
+    "q_decontaminate_tokens", "q_curation_clustered")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
