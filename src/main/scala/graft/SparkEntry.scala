@@ -1997,7 +1997,7 @@ object SparkEntry {
         | CASE WHEN len(lines) = 0 THEN 0.0
         |      ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
         |                       / len(lines), 6) END AS dup_line_frac,
-        | round(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        | round(len(regexp_replace(text, '[A-Za-z0-9 \t\n\f\r]', '', 'g'))::DOUBLE
         |   / greatest(len(text),1), 6) AS symbol_ratio,
         | round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
         |   / greatest(len(toks),1), 6) AS alpha_tok_frac

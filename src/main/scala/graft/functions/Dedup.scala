@@ -244,7 +244,10 @@ object Dedup {
     * non-increasing and the label SUM strictly decreases until the
     * fixpoint — sum unchanged ⟺ no label changed. That makes the
     * check a 1-row aggregate over the already-checkpointed labels
-    * (no prev/next join, no extra shuffle per round). If labels are
+    * (no prev/next join, no extra shuffle per round) when ids are
+    * integral; other id types (string/UUID/double) use a join-based
+    * change probe instead — the sum trick would throw (ANSI cast) or
+    * silently round there. If labels are
     * still moving after `maxIter` rounds (a path longer than maxIter
     * hops — not a near-dup cluster shape) the call FAILS rather than
     * silently returning split components.
@@ -259,17 +262,30 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    // The 1-row sum probe is only sound for INTEGRAL ids: a string id
+    // throws under Spark 4's ANSI decimal cast, and a fractional double
+    // id silently rounds (1.4→1.2 leaves the decimal(38,0) sum
+    // unchanged → false convergence with split components). Non-integral
+    // id types fall back to the type-agnostic join-based change probe
+    // (one extra equi-join per round — correct beats cheap here).
+    val integralId = p.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     // decimal(38,0) keeps the monotone label sum exact (ANSI long sum
     // could overflow on large id spaces); null = empty label set
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = prevSum == null // no edges → nothing to propagate
+    var prevSum = if (integralId) labelSum(labels) else null
+    var converged =
+      if (integralId) prevSum == null // no edges → nothing to propagate
+      else labels.isEmpty
     var it = 0
     while (!converged && it < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
-      // lazy checkpoint: the labelSum aggregate below is the action
+      // lazy checkpoint: the convergence probe below is the action
       // that materializes it. On the localCheckpoint path that is one
       // job per round instead of two; a RELIABLE checkpoint still runs
       // Spark's separate checkpoint-writing job after the action (an
@@ -277,10 +293,16 @@ object Dedup {
       // pre-materialization.
       val next = materializeLazily(
         labels.union(nbr).groupBy("id").agg(min("component").as("component")))
-      val nextSum = labelSum(next)
+      if (integralId) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .where(col("n.component") =!= col("p.component")).isEmpty
+      }
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
       it += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -98,8 +98,11 @@ object TextFunctions {
     val dupLineFrac = when(size(lines) === 0, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(lines)).cast("double") /
         size(lines).cast("double"), 6))
+    // explicit whitespace class, NOT \s: Java \s includes vertical tab
+    // \x0B where RE2/DuckDB \s does not — the explicit class keeps the
+    // value identical across dialects (the struct is differential-tested)
     val symbolRatio = round(
-      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(regexp_replace(text, "[A-Za-z0-9 \\t\\n\\f\\r]", "")).cast("double") /
         greatest(length(text), lit(1)).cast("double"), 6)
     val alphaTokFrac = round(
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok, 6)

@@ -30,9 +30,13 @@ case class MinHashSignature(child: Expression, n: Int, k: Int, seed: Long)
   override def prettyName: String = "minhash_signature"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a string input, got ${child.dataType.catalogString}")
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs n >= 1, got $n")
+    else if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs k >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val mixedSalts: Array[Long] =
     MinHashSignature.premixedSalts(MinHashSignature.salts(k, seed))

@@ -27,9 +27,11 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a string input, got ${child.dataType.catalogString}")
+    else if (n < 1) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs n >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
 
   protected override def nullSafeEval(input: Any): Any =
     ShingleHashes.hashes(input.asInstanceOf[UTF8String], n)

@@ -84,6 +84,26 @@ object FileNaming {
       .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
       .sortBy(_.getPath.getName)
     val n = parts.length
+    // (0b) custom-policy path (no cleanupGlob): debris of a crashed
+    //      prior attempt can't be glob-scoped, but its trailing name is
+    //      a final name this emission is about to (re)produce — sweep
+    //      exactly those `.pending-*`/`.trash-*` entries (listStatus +
+    //      suffix match, NOT globStatus: a custom naming fn's output may
+    //      contain glob metacharacters). Debris from an attempt with a
+    //      different shard count keeps different names and stays — the
+    //      same shrink caveat the exact-name replacement contract above
+    //      already documents.
+    if (cleanupGlob.isEmpty && n > 0) {
+      val finalNames = (0 until n).map(i => nameFor(i, n))
+      Option(fs.listStatus(dest)).getOrElse(Array.empty)
+        .map(_.getPath)
+        .filter { p =>
+          val nm = p.getName
+          (nm.startsWith(".pending-") || nm.startsWith(".trash-")) &&
+            finalNames.exists(f => nm.endsWith(s"-$f"))
+        }
+        .foreach(p => fs.delete(p, true))
+    }
     // (1) stage under hidden names in the destination dir
     val staged = parts.zipWithIndex.map { case (st, i) =>
       val finalName = nameFor(i, n)

@@ -251,6 +251,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents handles string ids (join-probe path, multi-round)") {
+    // string ids make the decimal-sum probe unsound (ANSI cast throws) —
+    // the type-agnostic join-based change probe must run instead; the
+    // chain needs >1 round so a premature "converged" would split it
+    val pairs = Seq(("b", "c"), ("c", "d"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
+  test("connectedComponents handles fractional double ids without false convergence") {
+    // 1.4→1.2 is invisible to a decimal(38,0)-rounded sum — doubles must
+    // take the change-probe path and keep propagating to the fixpoint
+    val pairs = Seq((1.4, 1.2), (1.2, 1.0)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(comp == Map(1.4 -> 1.0, 1.2 -> 1.0, 1.0 -> 1.0))
+  }
+
   test("connectedComponents fails loudly instead of returning split components") {
     val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
@@ -483,6 +503,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == (3.666667, 0.0, 0.0, 1.0)) // round(11/3, 6)
     // whitespace-only: zero non-empty lines means nothing duplicated
     assert(got(4L)._2 == 0.0)
+  }
+
+  test("gopherSignals symbol_ratio counts vertical tab as a symbol (RE2/DuckDB parity)") {
+    // Java \s strips \x0B but RE2/DuckDB \s does not — the explicit
+    // whitespace class must agree with the DuckDB oracle: "ab"
+    // keeps the vertical tab as a symbol → ratio 1/3
+    val got = Seq((1L, "ab")).toDF("id", "text")
+      .select(TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text"))
+        .getField("symbol_ratio"))
+      .head().getDouble(0)
+    assert(got == 0.333333, got.toString)
   }
 
   test("topNgramFraction: repeated bigram dominates, varied text scores low") {

@@ -112,6 +112,23 @@ class IOSpec extends AnyFunSuite {
       .map(_.getName).filter(!_.startsWith(".")).toSeq == Seq("chunk_0_1.dat"))
   }
 
+  test("batch filename policy: custom naming-fn without cleanupGlob sweeps its own trash debris") {
+    // crash between steps 2 and 4 on the cleanupGlob=None path strands
+    // hidden .trash/.pending copies; the next emission of the same final
+    // names must sweep them (name-suffix match), leaving other debris
+    val dir = tmp() + "/customcrash"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(dir, ".trash-oldtag-chunk_0_1.dat"), "stranded")
+    Files.writeString(java.nio.file.Paths.get(dir, ".pending-oldtag-chunk_0_1.dat"), "stranded")
+    Files.writeString(java.nio.file.Paths.get(dir, ".trash-oldtag-unrelated.dat"), "not ours")
+    GraftIO.writeTextFileNamed(Seq("z").toDS, dir, numShards = 1,
+      namingFn = Some((i, n) => s"chunk_${i}_$n.dat"))
+    val all = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).toSet
+    assert(all == Set("chunk_0_1.dat", ".trash-oldtag-unrelated.dat"), all.toString)
+    assert(GraftIO.readTextFile(spark, dir + "/chunk_*").collect().toSeq == Seq("z"))
+  }
+
   test("batch filename policy: json twin with compression (core.clj:1219-1253)") {
     val dir = tmp() + "/namedjson"
     GraftIO.writeJsonFileNamed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir,

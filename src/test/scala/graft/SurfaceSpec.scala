@@ -85,6 +85,20 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     assert(dot == 10.0)
   }
 
+  test("shingle_hashes/minhash_signature reject n < 1 / k < 1 at analysis") {
+    // n < 1 used to surface as an ArrayIndexOutOfBoundsException at
+    // EXECUTION; checkInputDataTypes must fail the query at analysis
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT shingle_hashes('abcd', 0)").collect())
+    assert(e1.getMessage.contains("n >= 1"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT minhash_signature('abcd', 0, 16)").collect())
+    assert(e2.getMessage.contains("n >= 1"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT minhash_signature('abcd', 3, 0)").collect())
+    assert(e3.getMessage.contains("k >= 1"), e3.getMessage)
+  }
+
   test("optimizer rule rewrites size(collect_list) to count") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
       .groupBy($"k").agg(size(collect_list($"v")).as("n"))
