@@ -353,10 +353,17 @@ object Dedup {
     * the repeated (a, b) structs a duplicated id would emit. Note the
     * vector/text re-attach joins in the callers still multiply output
     * rows when the SOURCE id column itself is duplicated — ids are
-    * expected unique (see the caller Scaladocs). */
-  private[functions] def pairsFromSorted(ids: Column): Column =
+    * expected unique (see the caller Scaladocs).
+    *
+    * `key` extracts the identity used for the equal-id filter — pass a
+    * field accessor when the array elements are structs carrying
+    * payload beside the id (the simhash buckets carry the fingerprint
+    * so no re-attach join is needed). */
+  private[functions] def pairsFromSorted(ids: Column,
+                                         key: Column => Column = identity): Column =
     flatten(transform(ids, (a, i) =>
-      transform(filter(slice(ids, i + lit(2), size(ids) - i - lit(1)), b => b =!= a),
+      transform(filter(slice(ids, i + lit(2), size(ids) - i - lit(1)),
+          b => key(b) =!= key(a)),
         b => struct(a.as("id_a"), b.as("id_b")))))
 
   /** Distinct candidate pairs from banded signatures: ONE shuffle — the
@@ -574,20 +581,32 @@ object Dedup {
   def simhashPairsText(df: DataFrame, id: String, text: Column, maxDist: Int = 3): DataFrame =
     simhashPairsFromFp(materializeOnce(simhashFingerprintsFused(df, id, text)), maxDist)
 
-  private def simhashPairsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
+  /** Single-shuffle bucket form (the shape proven by [[lshCandidates]]):
+    * ONE exchange on the (chunkIdx, chunkValue) key collecting each
+    * bucket's sorted (id, fp) structs, in-bucket pair emission, hamming
+    * filter, then the narrow pair distinct. The previous self-join form
+    * exchanged the chunked rows TWICE (once per join side); and because
+    * the fingerprint is a single long — unlike minhash's k-long
+    * signature — it rides inside the bucket list, so no re-attach join
+    * runs at all. A pair agreeing on several chunks is emitted once per
+    * agreeing chunk; the distinct collapses those on narrow
+    * (id_a, id_b, hamming) rows. */
+  private[graft] def simhashPairsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val chunked = fp.select(col("__id"), col("__fp"),
+    val chunked = fp.select(
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),
           shru(col("__fp"), c * lit(width))
-            .bitwiseAND(lit((1L << width) - 1)).as("cv")))).as("__c"))
-    val l = chunked.select(col("__c").as("c_a"), col("__id").as("id_a"), col("__fp").as("fp_a"))
-    val r = chunked.select(col("__c").as("c_b"), col("__id").as("id_b"), col("__fp").as("fp_b"))
-    l.join(r, col("c_a") === col("c_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
-      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+            .bitwiseAND(lit((1L << width) - 1)).as("cv")))).as("__c"),
+      struct(col("__id").as("id"), col("__fp").as("fp")).as("__r"))
+    chunked.groupBy(col("__c"))
+      .agg(sort_array(collect_list(col("__r"))).as("__rs"))
+      .where(size(col("__rs")) >= 2)
+      .select(explode(pairsFromSorted(col("__rs"), _.getField("id"))).as("__p"))
+      .select(col("__p.id_a.id").as("id_a"), col("__p.id_b.id").as("id_b"),
+        hamming64(col("__p.id_a.fp"), col("__p.id_b.fp")).as("hamming"))
       .where(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 }

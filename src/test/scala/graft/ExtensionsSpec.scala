@@ -113,6 +113,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash pigeonhole pairs == in-memory brute force on random fingerprints") {
+    // the single-shuffle bucket rewrite must emit EXACTLY the hamming
+    // <= maxDist pair set (pigeonhole recall is complete by
+    // construction); brute-force over seeded random fingerprints with
+    // planted near-dups catches an emission/dedup/filter regression
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 60).map(i => i.toLong -> rnd.nextLong())
+      // planted near-dups: flip 1-6 bits of an existing fingerprint
+      val planted = (60 until 80).map { i =>
+        val (_, src) = base(rnd.nextInt(base.size))
+        val flips = 1 + rnd.nextInt(6)
+        val fp = (1 to flips).foldLeft(src)((f, _) => f ^ (1L << rnd.nextInt(64)))
+        i.toLong -> fp
+      }
+      val all = base ++ planted
+      val maxDist = 7
+      val got = Dedup.simhashPairsFromFp(all.toDF("__id", "__fp"), maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        (ia, fa) <- all; (ib, fb) <- all if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= maxDist
+      } yield (ia, ib, h)).toSet
+      assert(got == expect, s"seed=$seed: got ${got.size}, expect ${expect.size}")
+    }
+  }
+
   test("fused MinHashSignature expression == explode+agg signatures bit-for-bit") {
     val viaAgg = Dedup.minhashSignatures(docs, "id", Dedup.charShingles($"text", 5), 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

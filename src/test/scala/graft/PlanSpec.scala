@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("simhash pairs are the single-shuffle bucket form: no join, two hash exchanges (q_simhash)") {
+    val p = planOf("q_simhash")
+    // fingerprint rides inside the bucket list — no re-attach join at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin"), p)
+    // one exchange for the (chunk) bucket groupBy + one for the pair
+    // distinct (the old self-join form exchanged the chunked rows twice)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("decontaminate explode branch carries no inferred shingle-kernel filter") {
     // guard against the InferFiltersFromGenerate trap (see CLAUDE.md):
     // aliasing the array to an attribute before explode gets
