@@ -50,6 +50,17 @@ object Dedup {
       sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(tokens, i, lit(n)))))
 
+  /** Distinct xxhash64 word-n-gram shingle hashes, fused: one pass over
+    * the UTF-8 buffer, no token-array or joined-gram string
+    * materialization (the scale twin of
+    * `transform(tokenShingles(TextFunctions.tokens(text), n), xxhash64)`
+    * — bit-equal modulo order, spec-asserted). Use when only hash
+    * identity matters (decontamination joins, overlap counts). */
+  def tokenShingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.TokenShingleHashes(Bridge.expression(text), n))
+  }
+
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, lit(0.0))
@@ -104,12 +115,9 @@ object Dedup {
     * shingles are hashed word n-grams of the whitespace tokens. */
   def decontaminateByTokens(corpus: DataFrame, id: String, text: String,
                             benchmark: DataFrame, benchId: String, benchText: String,
-                            n: Int = 13, minOverlap: Double = 0.5): DataFrame = {
-    def sh(t: Column) = transform(
-      tokenShingles(TextFunctions.tokens(t), n), s => xxhash64(s))
+                            n: Int = 13, minOverlap: Double = 0.5): DataFrame =
     decontaminateBy(corpus, id, benchmark, benchId,
-      sh(col(text)), sh(col(benchText)), minOverlap)
-  }
+      tokenShingleHashes(col(text), n), tokenShingleHashes(col(benchText), n), minOverlap)
 
   /** Shared decontamination kernel over any distinct shingle-hash
     * array expressions (evaluated against the corpus / benchmark rows

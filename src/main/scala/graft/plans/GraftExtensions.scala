@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SQL surface:
   *   minhash_signature(text, n, k, seed) → array<bigint>
   *   shingle_hashes(text, n)             → array<bigint> (distinct, sorted)
+  *   token_shingle_hashes(text, n)       → array<bigint> (distinct, sorted)
   *   simhash64(text)                     → bigint
   *   vector_dot(a, b) / vector_cosine(a, b) → double
   */
@@ -52,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text, n) => ShingleHashes(text, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("shingle_hashes(text, n)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("token_shingle_hashes"),
+      info("token_shingle_hashes", "distinct xxhash64 set of word n-gram shingles, one pass"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => TokenShingleHashes(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("token_shingle_hashes(text, n)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     e.injectFunction((FunctionIdentifier("simhash64"),

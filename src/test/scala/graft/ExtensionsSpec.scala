@@ -40,6 +40,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused TokenShingleHashes == sorted xxhash64 of tokenShingles, incl. edge shapes") {
+    // the bit-compat twin matrix: multi-byte UTF-8 tokens, every Java
+    // \s separator (incl. vertical tab \x0B), leading/trailing runs,
+    // short docs (< n tokens → one gram of all tokens), whitespace-only
+    // and empty docs (→ the empty-string hash), repeated grams (dedup)
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld déjà vu 日本語 テキスト",
+      "a\tb\ncd\fe\rf  g   h",
+      "  leading and trailing  ",
+      "one two",   // fewer tokens than n
+      "solo", "", "   \t\n ",
+      "rep rep rep rep rep rep"  // one distinct trigram repeated
+    ).toDF("text")
+    for (n <- Seq(1, 3, 5)) {
+      val both = df.select(
+        Dedup.tokenShingleHashes($"text", n).as("fused"),
+        array_sort(transform(
+          Dedup.tokenShingles(TextFunctions.tokens($"text"), n),
+          s => xxhash64(s))).as("composed"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1).distinct.sorted, s"n=$n")
+      }
+    }
+  }
+
   test("decontaminate drops verbatim and dominant-overlap docs, keeps clean ones") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -140,5 +140,11 @@ class PlanSpec extends AnyFunSuite {
       "inferred generate filter on the shingle kernel — alias-before-explode regression")
     assert(!"size\\(shingle_hashes\\([^)]*\\)[^\\n]*> 0".r.findFirstIn(p).isDefined,
       "size(shingle_hashes) > 0 generate filter — alias-before-explode regression")
+    // same trap guard for the fused word-gram kernel
+    val pt = planOf("q_decontaminate_tokens")
+    assert(!pt.contains("isnotnull(token_shingle_hashes("),
+      "inferred generate filter on the token-shingle kernel — alias-before-explode regression")
+    assert(!"size\\(token_shingle_hashes\\([^)]*\\)[^\\n]*> 0".r.findFirstIn(pt).isDefined,
+      "size(token_shingle_hashes) > 0 generate filter — alias-before-explode regression")
   }
 }

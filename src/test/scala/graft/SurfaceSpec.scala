@@ -77,6 +77,9 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     assert(sig.length == 16)
     val sh = spark.sql("SELECT shingle_hashes('abcd', 3) AS h").head().getSeq[Long](0)
     assert(sh.length == 2 && sh == sh.sorted) // "abc","bcd" → 2 sorted hashes
+    val tsh = spark.sql("SELECT token_shingle_hashes('a b c d', 3) AS h")
+      .head().getSeq[Long](0)
+    assert(tsh.length == 2 && tsh == tsh.sorted) // "a b c","b c d"
     val cos = spark.sql(
       "SELECT vector_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
