@@ -1033,6 +1033,22 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- dedup: normalized decontamination ------------------------
+    // The bench side carries case-mangled, re-whitespaced copies of
+    // every 50th doc (UPPERCASED, doubled spaces) — raw 8-gram hashing
+    // would miss every one of them; the normalizeText hook must flag
+    // them exactly as the un-mangled q_decontaminate does.
+    "q_decontaminate_norm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"),
+          upper(regexp_replace($"text", " ", "  ")).as("bench_text"))
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "bench_id", "bench_text",
+          n = 8, minOverlap = 0.5, normalize = Dedup.normalizeText)
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- curation v2: decontaminate → quality-gate → scrub -------
     // The round-5 curation chain composed end-to-end from library ops:
     // benchmark decontamination, Gopher-signal thresholds, PII scrub,
@@ -1790,6 +1806,26 @@ object SparkEntry {
         |   list_distinct([substr(text, i, 8) for i in range(1, greatest(len(text)-7,1)+1)]) AS sh
         |  FROM documents),
         | bench AS (SELECT doc_id AS bid, sh AS bsh FROM sh WHERE doc_id % 50 = 0),
+        | flagged AS (SELECT DISTINCT a.doc_id
+        |   FROM sh a JOIN bench b
+        |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_norm" ->
+      """WITH nc AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |     lower(text), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |     '[ \t\n\f\r]+', ' ', 'g')) AS nt FROM documents),
+        | nb AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |     lower(upper(replace(text, ' ', '  '))), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |     '[ \t\n\f\r]+', ' ', 'g')) AS nt
+        |   FROM documents WHERE doc_id % 50 = 0),
+        | sh AS (SELECT doc_id,
+        |   list_distinct([substr(nt, i, 8) for i in range(1, greatest(len(nt)-7,1)+1)]) AS sh
+        |  FROM nc),
+        | bench AS (SELECT doc_id AS bid,
+        |   list_distinct([substr(nt, i, 8) for i in range(1, greatest(len(nt)-7,1)+1)]) AS bsh
+        |  FROM nb),
         | flagged AS (SELECT DISTINCT a.doc_id
         |   FROM sh a JOIN bench b
         |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5)

@@ -61,6 +61,20 @@ object Dedup {
     Bridge.column(graft.plans.TokenShingleHashes(Bridge.expression(text), n))
   }
 
+  /** Standard decontamination text normalizer — the published
+    * decontamination recipes normalize before shingling so a
+    * case/punctuation/whitespace variant of an eval prompt cannot
+    * escape: lowercase, punctuation → space, whitespace runs collapsed
+    * to one space, trimmed. ASCII-scoped with explicit character
+    * classes (identical semantics in Java regex and RE2/DuckDB — Java
+    * `\s` would diverge on vertical tab) so normalized decontamination
+    * stays differential-testable; pass a deployment-grade normalizer
+    * through the `normalize` hook where needed. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 \\t\\n\\f\\r]", " "),
+      "[ \\t\\n\\f\\r]+", " "))
+
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, lit(0.0))
@@ -102,12 +116,20 @@ object Dedup {
     * (corpus doc C, bench doc B) — the corpus-doc-relative fraction,
     * so a short eval prompt embedded verbatim in a long page does NOT
     * flag the page unless it dominates it; lower `n` / `minOverlap`
-    * to tighten. */
+    * to tighten.
+    *
+    * `normalize` runs on BOTH sides before shingling (map-side, inside
+    * the same projection — no extra pass); pass [[normalizeText]] for
+    * the published lowercase/punctuation/whitespace normalization so a
+    * case-mangled eval prompt still flags. Default identity = raw
+    * text, byte-exact matching. */
   def decontaminate(corpus: DataFrame, id: String, text: String,
                     benchmark: DataFrame, benchId: String, benchText: String,
-                    n: Int = 8, minOverlap: Double = 0.5): DataFrame =
+                    n: Int = 8, minOverlap: Double = 0.5,
+                    normalize: Column => Column = identity): DataFrame =
     decontaminateBy(corpus, id, benchmark, benchId,
-      shingleHashes(col(text), n), shingleHashes(col(benchText), n), minOverlap)
+      shingleHashes(normalize(col(text)), n),
+      shingleHashes(normalize(col(benchText)), n), minOverlap)
 
   /** Word-n-gram variant of [[decontaminate]] — the published
     * decontamination recipes threshold WORD n-gram overlap (13-grams
@@ -115,9 +137,11 @@ object Dedup {
     * shingles are hashed word n-grams of the whitespace tokens. */
   def decontaminateByTokens(corpus: DataFrame, id: String, text: String,
                             benchmark: DataFrame, benchId: String, benchText: String,
-                            n: Int = 13, minOverlap: Double = 0.5): DataFrame =
+                            n: Int = 13, minOverlap: Double = 0.5,
+                            normalize: Column => Column = identity): DataFrame =
     decontaminateBy(corpus, id, benchmark, benchId,
-      tokenShingleHashes(col(text), n), tokenShingleHashes(col(benchText), n), minOverlap)
+      tokenShingleHashes(normalize(col(text)), n),
+      tokenShingleHashes(normalize(col(benchText)), n), minOverlap)
 
   /** Shared decontamination kernel over any distinct shingle-hash
     * array expressions (evaluated against the corpus / benchmark rows

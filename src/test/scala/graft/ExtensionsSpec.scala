@@ -40,6 +40,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate normalize hook catches case/punct/whitespace-mangled eval prompts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark execution engines")
+    ).toDF("doc_id", "text")
+    // mangled copy of doc 1: uppercased, extra punctuation, doubled spaces
+    val bench = Seq((100L, "The  QUICK brown fox, jumps OVER the  lazy dog tonight!"))
+      .toDF("bench_id", "bench_text")
+    def kept(norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.decontaminate(corpus, "doc_id", "text", bench, "bench_id", "bench_text",
+          n = 8, minOverlap = 0.5, normalize = norm)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(identity) == Set(1L, 2L)) // raw hashing misses the mangled copy
+    assert(kept(Dedup.normalizeText) == Set(2L)) // normalized hashing flags it
+    // the token-gram twin takes the same hook
+    val keptTok = Dedup.decontaminateByTokens(corpus, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 5, minOverlap = 0.5,
+        normalize = Dedup.normalizeText)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTok == Set(2L))
+  }
+
   test("fused TokenShingleHashes == sorted xxhash64 of tokenShingles, incl. edge shapes") {
     // the bit-compat twin matrix: multi-byte UTF-8 tokens, every Java
     // \s separator (incl. vertical tab \x0B), leading/trailing runs,
