@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.functions.{Corpus, Dedup, Multimodal, Similarity, TextFunctions}
 import graft.operators.{Combiners, Grouping, SideArtifacts, Transforms}
 import graft.operators.Grouping.Leg
 import graft.sources.GraftIO
@@ -300,6 +300,29 @@ object SparkEntry {
           Seq("o_orderpriority"), "o_orderkey", 5)
         .select("o_orderpriority", "o_orderkey")
         .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // -------- corpus: deterministic train/holdout split (md5 twin) ----
+    "q_split_hash" -> ((s, dir) => {
+      import s.implicits._
+      val (train, holdout) = Corpus.splitByMd5(t(s, dir, "documents"), $"doc_id",
+        holdoutNumer = 2, holdoutDenom = 10)
+      train.select($"doc_id", lit("train").as("split"))
+        .unionByName(holdout.select($"doc_id", lit("holdout").as("split")))
+        .orderBy("doc_id")
+    }),
+
+    // -------- corpus: weighted source mixing (md5 twin) ---------------
+    // Two "sources" carved from documents by doc_id parity, mixed at
+    // exact-binary weights 0.75/0.25 so the keep-threshold literal is
+    // unambiguous across engines.
+    "q_mix_weights" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Corpus.mixByWeightsByHash(Seq(
+          (docs.where($"doc_id" % 2 === 0), $"doc_id", 0.75),
+          (docs.where($"doc_id" % 2 === 1), $"doc_id", 0.25)))
+        .select($"doc_id", $"source").orderBy("doc_id")
     }),
 
     // -------- generate-input (literal in-memory source) ---------------
@@ -1474,6 +1497,18 @@ object SparkEntry {
         |           FROM orders)
         |SELECT o_orderpriority, o_orderkey FROM s WHERE rn <= 5
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_split_hash" ->
+      """SELECT doc_id,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 15))::BIGINT % 10 < 2
+        |      THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mix_weights" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id % 2 = 0 AND
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 15))::BIGINT < 864691128455135232)
+        |   OR (doc_id % 2 = 1 AND
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '43'), 1, 15))::BIGINT < 288230376151711744)
+        |ORDER BY doc_id""".stripMargin,
     "q_combine_by" ->
       """SELECT substr(o_orderpriority,1,1) AS prio,
         | round(sum(o_totalprice),2) AS total, count(*) AS n

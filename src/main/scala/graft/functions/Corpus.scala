@@ -36,6 +36,50 @@ object Corpus {
     (df.where(bucket >= holdoutNumer), df.where(bucket < holdoutNumer))
   }
 
+  /** Deterministic twin of [[mixByWeights]]: each (df, id, weight)
+    * source keeps a row iff the 60-bit md5 value of (id ‖ per-source
+    * seed) falls below floor(weight · 2^60) — an exact integer
+    * threshold, so there is no float rounding at the keep boundary and
+    * an oracle engine computes the identical draw. Unlike `df.sample`
+    * (whose seeded Bernoulli draw depends on physical partitioning),
+    * this is repartition/retry-invariant: the training-pipeline
+    * contract. Map-side, no shuffle. Prefer weights that are exact
+    * binary fractions (0.25, 0.75, …) when differential-testing, so
+    * the threshold literal is unambiguous across languages. */
+  def mixByWeightsByHash(sources: Seq[(DataFrame, Column, Double)],
+                         seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.zipWithIndex.map { case ((df, id, w), i) =>
+      require(w >= 0 && w <= 1, s"weight $w outside [0,1]")
+      df.where(md5Bucket(id, seed + i) < lit(weightThreshold(w)))
+    }.reduce(_ unionByName _)
+  }
+
+  /** floor(w · 2^60): the exact keep-threshold for a 60-bit hash draw. */
+  def weightThreshold(w: Double): Long = (w * (1L << 60).toDouble).toLong
+
+  /** First 15 hex chars (60 bits) of md5(id ‖ seed) as a bigint — the
+    * [[graft.operators.Grouping.sampleByHash]] md5 trick as a uniform
+    * integer draw. An oracle computes the identical value:
+    * `('0x' || substr(md5(id::VARCHAR || seed), 1, 15))::BIGINT`. */
+  private def md5Bucket(id: Column, seed: Long): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(seed.toString))), 1, 15),
+      16, 10).cast("long")
+
+  /** Deterministic train/holdout split twin of [[splitByHash]] with an
+    * oracle-computable hash: bucket = 60-bit md5 prefix of (id ‖ seed)
+    * mod `holdoutDenom`, holdout iff bucket < `holdoutNumer`. Same
+    * contract as [[splitByHash]] (survives retries, repartitioning,
+    * incremental reruns; map-side) — xxhash64 stays the faster
+    * in-engine path; use this form when cross-engine reproducibility
+    * or differential testing matters. Returns (train, holdout). */
+  def splitByMd5(df: DataFrame, id: Column, holdoutNumer: Int,
+                 holdoutDenom: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(holdoutNumer >= 0 && holdoutNumer <= holdoutDenom && holdoutDenom > 0)
+    val bucket = pmod(md5Bucket(id, seed), lit(holdoutDenom))
+    (df.where(bucket >= holdoutNumer), df.where(bucket < holdoutNumer))
+  }
+
   /** HyperLogLog++ distinct-count sketch (mergeable partial aggregate;
     * `rsd` = target relative standard deviation). The approximate twin
     * of `count_distinct` for 100 TB cardinalities where the exact

@@ -37,6 +37,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(hold.select("o_orderkey").exceptAll(hold2.select("o_orderkey")).isEmpty)
   }
 
+  test("splitByMd5: disjoint, exhaustive, repartition-invariant, ~proportional") {
+    val (train, hold) = Corpus.splitByMd5(docs, col("o_orderkey"), 2, 10)
+    val nT = train.count(); val nH = hold.count(); val n = docs.count()
+    assert(nT + nH == n)
+    assert(train.join(hold, Seq("o_orderkey"), "inner").count() == 0)
+    assert(math.abs(nH.toDouble / n - 0.2) < 0.04)
+    val (_, hold2) = Corpus.splitByMd5(docs.repartition(7), col("o_orderkey"), 2, 10)
+    assert(hold.select("o_orderkey").exceptAll(hold2.select("o_orderkey")).isEmpty)
+    // different seed draws a different holdout
+    val (_, hold3) = Corpus.splitByMd5(docs, col("o_orderkey"), 2, 10, seed = 7L)
+    assert(hold.select("o_orderkey").exceptAll(hold3.select("o_orderkey")).count() > 0)
+  }
+
+  test("mixByWeightsByHash: ~proportional and invariant under repartitioning") {
+    val a = docs.withColumn("src", lit("a"))
+    val b = docs.withColumn("src", lit("b"))
+    val mixed = Corpus.mixByWeightsByHash(Seq(
+      (a, col("o_orderkey"), 0.75), (b, col("o_orderkey"), 0.25)))
+    val bySrc = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(bySrc("a") / n - 0.75) < 0.05)
+    assert(math.abs(bySrc("b") / n - 0.25) < 0.05)
+    // unlike df.sample, the hash draw survives repartitioning untouched
+    val again = Corpus.mixByWeightsByHash(Seq(
+      (a.repartition(13), col("o_orderkey"), 0.75),
+      (b.repartition(3), col("o_orderkey"), 0.25)))
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // weight edges: 0 keeps nothing, 1 keeps everything
+    assert(Corpus.mixByWeightsByHash(Seq((a, col("o_orderkey"), 0.0))).isEmpty)
+    assert(Corpus.mixByWeightsByHash(Seq((a, col("o_orderkey"), 1.0))).count() == n.toLong)
+  }
+
   test("sketches: HLL and approx percentile land within advertised error") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(count_distinct(col("l_orderkey"))).head().getLong(0)
