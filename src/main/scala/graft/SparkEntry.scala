@@ -1264,7 +1264,8 @@ object SparkEntry {
         .select($"doc_id",
           TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
         .select($"doc_id", $"g.mean_word_len", $"g.dup_line_frac",
-          $"g.symbol_ratio", $"g.alpha_tok_frac")
+          $"g.symbol_ratio", $"g.alpha_tok_frac", $"g.bullet_line_frac",
+          $"g.ellipsis_line_frac", $"g.n_words", $"g.n_chars")
         .orderBy("doc_id")
     }),
 
@@ -2071,7 +2072,15 @@ object SparkEntry {
         | round(len(regexp_replace(text, '[A-Za-z0-9 \t\n\f\r]', '', 'g'))::DOUBLE
         |   / greatest(len(text),1), 6) AS symbol_ratio,
         | round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
-        |   / greatest(len(toks),1), 6) AS alpha_tok_frac
+        |   / greatest(len(toks),1), 6) AS alpha_tok_frac,
+        | CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE
+        |                 / len(lines), 6) END AS bullet_line_frac,
+        | CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE
+        |                 / len(lines), 6) END AS ellipsis_line_frac,
+        | len(toks)::BIGINT AS n_words,
+        | len(text)::BIGINT AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_top_ngram" ->
       """WITH t AS (SELECT doc_id,

@@ -106,8 +106,22 @@ object TextFunctions {
         greatest(length(text), lit(1)).cast("double"), 6)
     val alphaTokFrac = round(
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nTok, 6)
+    // remaining published Gopher format rules: bullet-started and
+    // ellipsis-ended line fractions ("≥90% of lines not bullets,
+    // ≤30% not ellipses"), and raw word/char counts for the min/max
+    // document-length gates — thresholds stay caller policy.
+    // ltrim/rtrim strip spaces only in BOTH dialects (parity); the
+    // bullet/ellipsis classes include the unicode forms.
+    val bulletLineFrac = when(size(lines) === 0, lit(0.0)).otherwise(
+      round(size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") /
+        size(lines).cast("double"), 6))
+    val ellipsisLineFrac = when(size(lines) === 0, lit(0.0)).otherwise(
+      round(size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+        size(lines).cast("double"), 6))
     struct(meanWordLen.as("mean_word_len"), dupLineFrac.as("dup_line_frac"),
-      symbolRatio.as("symbol_ratio"), alphaTokFrac.as("alpha_tok_frac"))
+      symbolRatio.as("symbol_ratio"), alphaTokFrac.as("alpha_tok_frac"),
+      bulletLineFrac.as("bullet_line_frac"), ellipsisLineFrac.as("ellipsis_line_frac"),
+      size(toks).cast("long").as("n_words"), length(text).cast("long").as("n_chars"))
   }
 
   /** The remaining Gopher repetition rule: the fraction of a document's

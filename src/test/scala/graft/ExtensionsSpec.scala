@@ -580,6 +580,28 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(4L)._2 == 0.0)
   }
 
+  test("gopherSignals: bullet/ellipsis line fractions and doc-length counts") {
+    val df = Seq(
+      (1L, "- first item\n* second\n  • indented bullet\nplain line"),
+      (2L, "trailing dots...\nunicode ellipsis…\nnope\nalso nope"),
+      (3L, "no lists here"),
+      (4L, " \n \n ")                             // no non-empty lines
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
+      .select($"id", $"g.bullet_line_frac", $"g.ellipsis_line_frac",
+        $"g.n_words", $"g.n_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 3 of 4 non-empty lines start (after space-trim) with -/*/•
+    assert(got(1L)._1 == 0.75)
+    // doc 2: 2 of 4 lines end with ... or … (the unicode form counts)
+    assert(got(2L)._2 == 0.5)
+    assert(got(3L) == (0.0, 0.0, 3L, 13L))
+    // whitespace-only doc: zero lines → both fractions 0, not NaN
+    assert(got(4L)._1 == 0.0 && got(4L)._2 == 0.0 && got(4L)._3 == 0L)
+  }
+
   test("gopherSignals symbol_ratio counts vertical tab as a symbol (RE2/DuckDB parity)") {
     // Java \s strips \x0B but RE2/DuckDB \s does not — the explicit
     // whitespace class must agree with the DuckDB oracle: "ab"
