@@ -1108,9 +1108,14 @@ object SparkEntry {
     // the result set IS the exact 5-gram Jaccard >= 0.9 pair set at
     // any corpus scale (structural equality, not a distribution-gap
     // argument; profiled at sf0.1 the gap alone no longer holds).
+    // minEstJaccard is a verify-fan-in bound, NOT a correctness knob:
+    // 0.7 leaves ~0.13 margin under the OPH estimate of a true J>=0.9
+    // pair (round-6 profile: min est over the 255 true sf0.1 pairs =
+    // 0.828, and zero extra candidates land in [0.7, 0.8) — the
+    // banding-candidate estimate distribution is strongly bimodal).
     "q_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLshPairsVerified(t(s, dir, "documents"), "doc_id", "text",
-          n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9,
+          n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
           maxBucketSize = 0)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
@@ -1123,7 +1128,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) => {
       import s.implicits._
       val pairs = Dedup.minhashLshPairsVerified(t(s, dir, "documents"), "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9,
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
         maxBucketSize = 0)
       Dedup.connectedComponents(pairs)
         .select($"id".as("doc_id"), $"component")
@@ -1135,7 +1140,7 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9,
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
         maxBucketSize = 0)
       Dedup.dropNearDupsByCluster(docs, "doc_id", pairs)
         .select($"doc_id").orderBy("doc_id")
@@ -1146,7 +1151,7 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9,
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
         maxBucketSize = 0)
       Dedup.keepBestPerCluster(docs, "doc_id", pairs, length($"text"))
         .select($"doc_id").orderBy("doc_id")
@@ -1325,7 +1330,7 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9,
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
         maxBucketSize = 0)
       val deduped = Dedup.dropNearDups(docs, "doc_id", pairs)
       val toks = TextFunctions.tokens($"text")
@@ -1347,7 +1352,7 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
-        n = 5, k = 128, bands = 16, minEstJaccard = 0.8, minJaccard = 0.9,
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
         maxBucketSize = 0)
       val deduped = Dedup.dropNearDupsByCluster(docs, "doc_id", pairs)
       val toks = TextFunctions.tokens($"text")

@@ -177,29 +177,39 @@ object Dedup {
   // MinHash + LSH (the scale path for near-dup at 100 TB)
   // ------------------------------------------------------------------
 
-  /** MinHash signature (k values): each shingle is xxhash64'd once,
-    * then position i re-mixes with a per-position salt via a second
-    * xxhash64 (a proper mixing permutation — a linear a*x+b mod p over
-    * a 31-bit domain is near-monotone and degenerates every position
-    * to the same global-min shingle). ANSI-safe: no long arithmetic
+  /** MinHash signature (k values) by ONE-PERMUTATION HASHING: each
+    * shingle is hashed once — h = xxhash64(shingle), g = xxhash64(h,
+    * seed) — then routed to bin pmod(g, k); position j of the
+    * signature is the min g in bin j, and empty bins copy the nearest
+    * non-empty bin at or after j (rightward cyclic rotation
+    * densification). O(m) hash work per document instead of the k·m of
+    * the retired k-permutation scheme. ANSI-safe: no long arithmetic
     * that can overflow. Returns array<bigint> of length k.
     *
-    * NOTE: this expression form re-evaluates the shingle array once per
-    * position — fine for ad-hoc use on short arrays. The scale path is
-    * [[minhashSignatures]] (explode + k min-aggregates, one codegen'd
-    * hash-aggregate pass with map-side partials). */
+    * NOTE: this expression form scans the hash array once per bin —
+    * fine for ad-hoc use on short arrays. The scale paths are
+    * [[minhashSignaturesFused]] (string n-grams, one-pass kernel) and
+    * [[minhashSignatures]] (generic arrays, explode + agg). All three
+    * produce bit-identical signatures (DedupSpec). */
   def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column = {
-    val salts = minhashSalts(k, seed)
-    val hashes = transform(shingleArr, s => xxhash64(s))
-    val sig = (0 until k).map { i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(salts(i)))))
-    }
-    array(sig: _*)
+    val g = transform(shingleArr, s => xxhash64(xxhash64(s), lit(seed)))
+    val binned = transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(filter(g, x => pmod(x, lit(k.toLong)) === j.cast("long"))))
+    densifySignature(binned, k)
   }
 
-  private def minhashSalts(k: Int, seed: Long): Array[Long] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(k)(rnd.nextLong())
+  /** Rotation densification over a k-length array with nulls at empty
+    * bins: position j takes the first non-null at or after j, scanning
+    * rightward cyclically — the doubled-array slice makes the wrap a
+    * plain linear scan. Shared by both composable signature forms;
+    * must stay bit-identical to the fused kernel's densify pass. */
+  private def densifySignature(binned: Column, k: Int): Column = {
+    val doubled = concat(binned, binned)
+    // try_element_at: an all-null bin array (empty shingle input, only
+    // reachable through the ad-hoc form) yields nulls, not an ANSI
+    // out-of-bounds error
+    transform(sequence(lit(1), lit(k)),
+      j => try_element_at(filter(slice(doubled, j, lit(k)), x => x.isNotNull), lit(1)))
   }
 
   /** Fastest path for char n-grams of a string column: the one-pass
@@ -213,21 +223,25 @@ object Dedup {
       Bridge.column(graft.plans.MinHashSignature(Bridge.expression(text), n, k, seed)).as("__sig"))
   }
 
-  /** Generic scale-path MinHash over any shingle array: one row per
-    * (id, shingle-hash), then the k signature positions as k
-    * `min(xxhash64(h, salt_i))` aggregates in a single groupBy —
-    * partial (map-side) aggregation and whole-stage codegen apply,
-    * unlike the nested-lambda expression form. Returns
-    * (id, sig array<bigint>). */
+  /** Generic scale-path MinHash over any shingle array (one-permutation
+    * hashing, same bit contract as [[minhashSignature]] and the fused
+    * expression): one row per (id, shingle), hashed once and routed to
+    * its bin, then a single `min` aggregate per (id, bin) — partial
+    * (map-side) aggregation applies and the hash work is O(m) per doc,
+    * not k·m. The k-array assembly + densification is a narrow
+    * per-id projection. Returns (id, sig array<bigint>). */
   def minhashSignatures(df: DataFrame, id: String, shingleArr: Column,
                         k: Int, seed: Long = 42L): DataFrame = {
-    val salts = minhashSalts(k, seed)
     val exploded = df.select(col(id).as("__id"), explode(shingleArr).as("__sh"))
-      .select(col("__id"), xxhash64(col("__sh")).as("__h"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("__h"), lit(salts(i)))).as(s"__m$i"))
-    exploded.groupBy(col("__id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("__id"), array((0 until k).map(i => col(s"__m$i")): _*).as("__sig"))
+      .select(col("__id"), xxhash64(xxhash64(col("__sh")), lit(seed)).as("__g"))
+    exploded
+      .groupBy(col("__id"), pmod(col("__g"), lit(k.toLong)).as("__bin"))
+      .agg(min(col("__g")).as("__mn"))
+      .groupBy(col("__id"))
+      .agg(map_from_entries(collect_list(struct(col("__bin"), col("__mn")))).as("__m"))
+      .select(col("__id"), densifySignature(
+        transform(sequence(lit(0), lit(k - 1)),
+          j => try_element_at(col("__m"), j.cast("long"))), k).as("__sig"))
   }
 
   /** LSH banding: signature of length k split into `bands` bands of
