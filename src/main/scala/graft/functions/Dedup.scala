@@ -627,16 +627,23 @@ object Dedup {
   def simhashPairsText(df: DataFrame, id: String, text: Column, maxDist: Int = 3): DataFrame =
     simhashPairsFromFp(materializeOnce(simhashFingerprintsFused(df, id, text)), maxDist)
 
-  /** Single-shuffle bucket form (the shape proven by [[lshCandidates]]):
-    * ONE exchange on the (chunkIdx, chunkValue) key collecting each
-    * bucket's sorted (id, fp) structs, in-bucket pair emission, hamming
-    * filter, then the narrow pair distinct. The previous self-join form
-    * exchanged the chunked rows TWICE (once per join side); and because
-    * the fingerprint is a single long — unlike minhash's k-long
-    * signature — it rides inside the bucket list, so no re-attach join
-    * runs at all. A pair agreeing on several chunks is emitted once per
+  /** Streamed self-join form — measured, NOT the collect_list bucket
+    * shape that [[lshCandidates]] proved for minhash. The two differ in
+    * chunk-key cardinality: a minhash band hash is a full 64-bit value
+    * (buckets ≈ duplicate groups, tiny), while a pigeonhole chunk key
+    * is only 64/(maxDist+1) bits wide and natural-text simhash bits are
+    * biased, so buckets grow with the corpus (sf0.1: max bucket 1460 of
+    * 5000 docs, ~6.8M in-bucket pairs). The bucket form materializes
+    * each bucket's pair array in one row (O(bucket²) allocation — 4.3 s
+    * at sf0.1, and fusing the hamming predicate into the emission still
+    * pays the per-element slice copies, 3.0 s); the join STREAMS the
+    * same quadratic candidate set through codegen'd hamming+filter with
+    * no per-bucket materialization (1.2 s). Two exchanges of narrow
+    * (chunk, id, fp) rows are the cheap side of that trade at any
+    * scale. A pair agreeing on several chunks is emitted once per
     * agreeing chunk; the distinct collapses those on narrow
-    * (id_a, id_b, hamming) rows. */
+    * (id_a, id_b, hamming) rows. Ids are expected unique (id_a < id_b
+    * kills self-pairs; see the caller Scaladocs). */
   private[graft] def simhashPairsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
@@ -645,13 +652,14 @@ object Dedup {
         c => struct(c.as("ci"),
           shru(col("__fp"), c * lit(width))
             .bitwiseAND(lit((1L << width) - 1)).as("cv")))).as("__c"),
-      struct(col("__id").as("id"), col("__fp").as("fp")).as("__r"))
-    chunked.groupBy(col("__c"))
-      .agg(sort_array(collect_list(col("__r"))).as("__rs"))
-      .where(size(col("__rs")) >= 2)
-      .select(explode(pairsFromSorted(col("__rs"), _.getField("id"))).as("__p"))
-      .select(col("__p.id_a.id").as("id_a"), col("__p.id_b.id").as("id_b"),
-        hamming64(col("__p.id_a.fp"), col("__p.id_b.fp")).as("hamming"))
+      col("__id"), col("__fp"))
+    val l = chunked.select(col("__c").as("__ca"), col("__id").as("id_a"),
+      col("__fp").as("fp_a"))
+    val r = chunked.select(col("__c").as("__cb"), col("__id").as("id_b"),
+      col("__fp").as("fp_b"))
+    l.join(r, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .where(col("hamming") <= maxDist)
       .distinct()
   }

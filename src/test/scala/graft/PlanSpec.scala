@@ -116,14 +116,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
-  test("simhash pairs are the single-shuffle bucket form: no join, two hash exchanges (q_simhash)") {
+  test("simhash pairs stream through an equi-join on the chunk key, never a theta join (q_simhash)") {
     val p = planOf("q_simhash")
-    // fingerprint rides inside the bucket list — no re-attach join at all
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
-      !p.contains("ShuffledHashJoin"), p)
-    // one exchange for the (chunk) bucket groupBy + one for the pair
-    // distinct (the old self-join form exchanged the chunked rows twice)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // the pairing must be a hash/sort join ON THE CHUNK KEY (quadratic
+    // work stays inside skewed buckets and STREAMS through codegen) —
+    // a nested-loop/cartesian plan would mean the equi key got lost.
+    // The collect_list bucket form was measured 3.6x slower here: the
+    // pigeonhole chunk key is only 64/(maxDist+1) bits wide, buckets
+    // grow with the corpus, and per-bucket pair arrays materialize
+    // O(bucket^2) — see simhashPairsFromFp's Scaladoc.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("decontaminate explode branch carries no inferred shingle-kernel filter") {
