@@ -401,15 +401,14 @@ object Dedup {
     * rows when the SOURCE id column itself is duplicated — ids are
     * expected unique (see the caller Scaladocs).
     *
-    * `key` extracts the identity used for the equal-id filter — pass a
-    * field accessor when the array elements are structs carrying
-    * payload beside the id (the simhash buckets carry the fingerprint
-    * so no re-attach join is needed). */
-  private[functions] def pairsFromSorted(ids: Column,
-                                         key: Column => Column = identity): Column =
+    * Emission suits HIGH-CARDINALITY bucket keys (64-bit band/bucket
+    * hashes → tiny buckets). For low-width keys whose buckets grow
+    * with the corpus, a streamed equi-join wins — see
+    * [[simhashPairsFromFp]] for the measured trade. */
+  private[functions] def pairsFromSorted(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(filter(slice(ids, i + lit(2), size(ids) - i - lit(1)),
-          b => key(b) =!= key(a)),
+          b => b =!= a),
         b => struct(a.as("id_a"), b.as("id_b")))))
 
   /** Distinct candidate pairs from banded signatures: ONE shuffle — the
