@@ -614,49 +614,90 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup pairs with hamming distance <= maxDist (<= 3 with 4
-    * chunks), via the pigeonhole principle: split the fingerprint into
-    * maxDist+1 chunks; any pair within distance maxDist agrees on at
-    * least one chunk → shuffle on (chunkIdx, chunkValue), never
-    * all-pairs. */
-  def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3): DataFrame =
-    simhashPairsFromFp(materializeOnce(simhashFingerprints(df, id, tokens)), maxDist)
+  /** Near-dup pairs with hamming distance <= maxDist via multi-block
+    * pigeonhole tables (see [[simhashPairsFromFp]]): shuffles on
+    * derived block-combination keys, never all-pairs. `agreeBlocks`
+    * trades rows-per-doc (C(maxDist+agreeBlocks, agreeBlocks) keys)
+    * for key width; 0 (default) auto-selects by key width, 1 is the
+    * classic single-block pigeonhole. Output is identical at any
+    * setting (complete recall by construction + exact hamming
+    * re-check). */
+  def simhashPairs(df: DataFrame, id: String, tokens: Column, maxDist: Int = 3,
+                   agreeBlocks: Int = 0): DataFrame =
+    simhashPairsFromFp(materializeOnce(simhashFingerprints(df, id, tokens)),
+      maxDist, agreeBlocks)
 
   /** Pigeonhole pairing over a text column via the fused expression. */
-  def simhashPairsText(df: DataFrame, id: String, text: Column, maxDist: Int = 3): DataFrame =
-    simhashPairsFromFp(materializeOnce(simhashFingerprintsFused(df, id, text)), maxDist)
+  def simhashPairsText(df: DataFrame, id: String, text: Column, maxDist: Int = 3,
+                       agreeBlocks: Int = 0): DataFrame =
+    simhashPairsFromFp(materializeOnce(simhashFingerprintsFused(df, id, text)),
+      maxDist, agreeBlocks)
 
-  /** Streamed self-join form — measured, NOT the collect_list bucket
-    * shape that [[lshCandidates]] proved for minhash. The two differ in
-    * chunk-key cardinality: a minhash band hash is a full 64-bit value
-    * (buckets ≈ duplicate groups, tiny), while a pigeonhole chunk key
-    * is only 64/(maxDist+1) bits wide and natural-text simhash bits are
-    * biased, so buckets grow with the corpus (sf0.1: max bucket 1460 of
-    * 5000 docs, ~6.8M in-bucket pairs). The bucket form materializes
-    * each bucket's pair array in one row (O(bucket²) allocation — 4.3 s
-    * at sf0.1, and fusing the hamming predicate into the emission still
-    * pays the per-element slice copies, 3.0 s); the join STREAMS the
-    * same quadratic candidate set through codegen'd hamming+filter with
-    * no per-bucket materialization (1.2 s). Two exchanges of narrow
-    * (chunk, id, fp) rows are the cheap side of that trade at any
-    * scale. A pair agreeing on several chunks is emitted once per
-    * agreeing chunk; the distinct collapses those on narrow
-    * (id_a, id_b, hamming) rows. Ids are expected unique (id_a < id_b
-    * kills self-pairs; see the caller Scaladocs). */
-  private[graft] def simhashPairsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
-    val chunks = maxDist + 1
-    val width = 64 / chunks
-    val chunked = fp.select(
-      explode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => struct(c.as("ci"),
-          shru(col("__fp"), c * lit(width))
-            .bitwiseAND(lit((1L << width) - 1)).as("cv")))).as("__c"),
-      col("__id"), col("__fp"))
-    val l = chunked.select(col("__c").as("__ca"), col("__id").as("id_a"),
+  /** Multi-block pigeonhole candidate generation in the style of
+    * Manku/Jain/Sarma 2007 (near-duplicate detection for web
+    * crawling), streamed through a self-join.
+    *
+    * The fingerprint splits into `blocks = maxDist + agreeBlocks`
+    * bit-blocks; a pair within hamming distance maxDist differs in at
+    * most maxDist blocks, so it agrees ENTIRELY on at least
+    * `agreeBlocks` of them — some C(blocks, agreeBlocks) combination
+    * matches on all its blocks. Each table keys on one combination's
+    * concatenated block values, so key cardinality is
+    * ~2^(agreeBlocks·64/blocks) instead of the single-block form's
+    * 2^(64/(maxDist+1)): at maxDist=7, agreeBlocks=2 that is 36 tables
+    * on ~14-bit keys vs 8 tables on 8-bit keys — ~120× fewer candidate
+    * pairs at sf0.1, and the gap GROWS with the corpus since in-bucket
+    * work is quadratic in corpus/2^keyBits. agreeBlocks=1 degenerates
+    * to the classic one-block pigeonhole. Recall is complete by
+    * construction at any setting; candidates re-check exact hamming.
+    *
+    * Shape notes (measured, sf0.1): the candidate join must STREAM —
+    * the collect_list bucket form that [[lshCandidates]] proved for
+    * minhash materializes each bucket's pair array in one row
+    * (O(bucket²) allocation; 4.3 s vs 1.2 s here even with the 8-bit
+    * keys, and natural-text simhash bits are biased so buckets skew).
+    * Two exchanges of narrow (key, id, fp) rows are the cheap side of
+    * that trade at any scale. A pair agreeing on several tables is
+    * emitted once per agreeing table; the distinct collapses those on
+    * narrow (id_a, id_b, hamming) rows. Ids are expected unique
+    * (id_a < id_b kills self-pairs; see the caller Scaladocs).
+    *
+    * `agreeBlocks = 0` (default) auto-selects: 1 when the single-block
+    * key is already >= 16 bits (maxDist <= 3), else 2. The crossover is
+    * corpus-size-dependent — at sf0.1 (5k docs) single-block measures
+    * faster even at maxDist=7 (0.9 s vs 1.6 s: the C(9,2)=36-keys/doc
+    * explosion outweighs the 6.8M→55k candidate reduction when
+    * candidates are this cheap) — but in-bucket work grows with
+    * corpus²/2^keyBits, so at corpus scale the wide-key form is the
+    * only shape that survives; the auto rule bounds the per-key
+    * collision rate rather than chasing the small-corpus constant. */
+  private[graft] def simhashPairsFromFp(fp: DataFrame, maxDist: Int,
+                                        agreeBlocksOpt: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(agreeBlocksOpt >= 0, s"agreeBlocks must be >= 0 (0 = auto), got $agreeBlocksOpt")
+    val agreeBlocks =
+      if (agreeBlocksOpt > 0) agreeBlocksOpt
+      else if (64 / (maxDist + 1) >= 16) 1 else 2
+    val blocks = maxDist + agreeBlocks
+    require(blocks <= 64, s"maxDist + agreeBlocks must be <= 64, got $blocks")
+    // uneven split: the first 64 % blocks blocks get one extra bit
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(c: Column, i: Int): Column =
+      if (widths(i) == 64) c
+      else shru(c, lit(offsets(i))).bitwiseAND(lit((1L << widths(i)) - 1))
+    val combs = (0 until blocks).combinations(agreeBlocks).toArray
+    val keys = array(combs.zipWithIndex.map { case (comb, t) =>
+      struct(lit(t).as("t") +:
+        comb.zipWithIndex.map { case (b, pos) =>
+          blockVal(col("__fp"), b).as(s"k$pos") }: _*)
+    }: _*)
+    val keyed = fp.select(explode(keys).as("__k"), col("__id"), col("__fp"))
+    val l = keyed.select(col("__k").as("__ka"), col("__id").as("id_a"),
       col("__fp").as("fp_a"))
-    val r = chunked.select(col("__c").as("__cb"), col("__id").as("id_b"),
+    val r = keyed.select(col("__k").as("__kb"), col("__id").as("id_b"),
       col("__fp").as("fp_b"))
-    l.join(r, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
+    l.join(r, col("__ka") === col("__kb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("fp_a"), col("fp_b")).as("hamming"))
       .where(col("hamming") <= maxDist)

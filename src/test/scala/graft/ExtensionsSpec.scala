@@ -188,6 +188,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-block pigeonhole (agreeBlocks=2) emits the same pair set as single-block") {
+    // the Manku-style block-combination tables must be output-identical
+    // to the classic one-block pigeonhole — both are complete-recall
+    // candidate schemes in front of the same exact hamming filter
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 80).map(i => i.toLong -> rnd.nextLong())
+    val planted = (80 until 120).map { i =>
+      val (_, src) = base(rnd.nextInt(base.size))
+      val fp = (1 to 1 + rnd.nextInt(8)).foldLeft(src)((f, _) => f ^ (1L << rnd.nextInt(64)))
+      i.toLong -> fp
+    }
+    val fps = (base ++ planted).toDF("__id", "__fp")
+    for (maxDist <- Seq(3, 7)) {
+      val one = Dedup.simhashPairsFromFp(fps, maxDist, agreeBlocksOpt = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val two = Dedup.simhashPairsFromFp(fps, maxDist, agreeBlocksOpt = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(one == two, s"maxDist=$maxDist: ${one.size} vs ${two.size}")
+    }
+  }
+
   test("fused MinHashSignature expression == explode+agg signatures bit-for-bit") {
     val viaAgg = Dedup.minhashSignatures(docs, "id", Dedup.charShingles($"text", 5), 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
