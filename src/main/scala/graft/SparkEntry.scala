@@ -1072,6 +1072,19 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- dedup: corpus-wide repeated-block strip -----------------
+    // Fixed-window exact substring dedup: any 10-token block appearing
+    // >= 2 times anywhere in the corpus is deleted from every document
+    // (the aligned runs shared by near-dup doc pairs repeat here); all
+    // docs survive, possibly emptied.
+    "q_strip_repeats" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.stripRepeatedBlocks(t(s, dir, "documents"), "doc_id", "text",
+          blockTokens = 10, minRepeats = 2)
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation v2: decontaminate → quality-gate → scrub -------
     // The round-5 curation chain composed end-to-end from library ops:
     // benchmark decontamination, Gopher-signal thresholds, PII scrub,
@@ -1873,6 +1886,18 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
         |ORDER BY doc_id""".stripMargin,
+    "q_strip_repeats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | i AS (SELECT doc_id, toks, unnest(range((len(toks)+9)//10)) AS pos FROM t),
+        | b AS (SELECT doc_id, pos,
+        |   array_to_string(toks[(pos*10+1):(pos*10+10)], ' ') AS blk FROM i),
+        | rep AS (SELECT blk FROM b GROUP BY blk HAVING count(*) >= 2),
+        | kept AS (SELECT b.* FROM b ANTI JOIN rep USING (blk)),
+        | reb AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS text2
+        |   FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text2, '') AS text
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_decontaminate_tokens" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks

@@ -173,6 +173,59 @@ object Dedup {
     corpus.join(flagged, col(id) === col("__cid"), "left_anti")
   }
 
+  /** Corpus-wide repeated-block removal — the fixed-window form of
+    * exact substring deduplication from the published training-data
+    * dedup recipes (suffix-array substring dedup, approximated at
+    * whole-block granularity so it distributes as plain aggregation):
+    * split each document's space-separated tokens into consecutive
+    * `blockTokens`-token blocks, count identical blocks across the
+    * WHOLE corpus, delete every occurrence of any block appearing
+    * >= `minRepeats` times, and reassemble the survivors in order.
+    * Every document survives (possibly with empty text), so the op
+    * composes with downstream per-doc stages. Idempotent: removal
+    * only lowers the counts of the remaining (unchanged) blocks.
+    *
+    * Scale shape: blocks explode to (id, pos, block) rows map-side in
+    * each consuming stage (three passes over the corpus scan — split +
+    * slice is cheap columnar work, and recomputing beats materializing
+    * a corpus-sized exploded intermediate at 100 TB). The
+    * corpus-wide count aggregates on xxhash64(block) — an 8-byte
+    * shuffle key with map-side partial aggregation — and only rows
+    * whose HASH repeats are re-checked by string equality (semi-join
+    * + exact count), so a 64-bit collision can never delete an
+    * innocent block. Only the anti-join back and the per-document
+    * reassembly shuffle block text, and the anti-join's build side is
+    * the boilerplate set (small; AQE broadcasts it when it fits).
+    * Reference: whole-element distinct is core.clj:1741-1756; this
+    * extends dedup below document granularity. */
+  def stripRepeatedBlocks(df: DataFrame, id: String, text: String,
+                          blockTokens: Int = 10, minRepeats: Int = 2): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val toks = split(col(text), " ")
+    val nBlocks = call_function("div", size(toks) + lit(blockTokens - 1), lit(blockTokens))
+    val blocksExpr = transform(sequence(lit(0L), nBlocks - 1),
+      i => array_join(slice(toks, (i * blockTokens + 1).cast("int"), lit(blockTokens)), " "))
+    // Block expression stays INLINE in the explode — aliasing a
+    // generator child re-evaluates the kernel 3x (see decontaminateBy).
+    val units = df
+      .select(col(id).as("__id"), posexplode(blocksExpr).as(Seq("__pos", "__blk")))
+      .withColumn("__h", xxhash64(col("__blk")))
+    val repHash = units.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minRepeats).select("__h")
+    val repBlk = units.join(repHash, Seq("__h"), "left_semi")
+      .groupBy("__h", "__blk").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minRepeats).select("__h", "__blk")
+    val rebuilt = units.join(repBlk, Seq("__h", "__blk"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__blk")))),
+        s => s.getField("__blk")), " ").as("__text"))
+    df.join(rebuilt, col(id) === col("__id"), "left")
+      .withColumn(text, coalesce(col("__text"), lit("")))
+      .drop("__id", "__text")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH (the scale path for near-dup at 100 TB)
   // ------------------------------------------------------------------

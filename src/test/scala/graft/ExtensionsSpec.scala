@@ -110,6 +110,52 @@ class DedupSpec extends AnyFunSuite {
     assert(strict == Set(4L))
   }
 
+  test("stripRepeatedBlocks deletes corpus-repeated blocks, keeps all docs, idempotent") {
+    // block size 3: docs 1, 2, 3 and 5 all open with the aligned block
+    // "aa bb cc" (4 occurrences); doc 4 is untouched; doc 5 is ONLY
+    // the repeated block → survives emptied.
+    val corpus = Seq(
+      (1L, "aa bb cc one two three"),
+      (2L, "aa bb cc four five six"),
+      (3L, "aa bb cc seven eight"),
+      (4L, "unique content stays here intact"),
+      (5L, "aa bb cc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedBlocks(corpus, "doc_id", "text",
+        blockTokens = 3, minRepeats = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "one two three"), (2L, "four five six"), (3L, "seven eight"),
+      (4L, "unique content stays here intact"), (5L, "")))
+    // idempotent: survivors' blocks only lost occurrences, so a second
+    // pass strips nothing new
+    val once = Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 3, 2)
+    val twice = Dedup.stripRepeatedBlocks(once, "doc_id", "text", 3, 2)
+    assert(twice.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sameElements(out))
+    // threshold: minRepeats = 5 keeps everything (max count is 4)
+    val loose = Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 3, 5)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(loose.toSeq == corpus.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("stripRepeatedBlocks is repartition-invariant and validates args") {
+    val corpus = Seq(
+      (1L, "aa bb cc one two three"), (2L, "aa bb cc four five six")
+    ).toDF("doc_id", "text")
+    val a = Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = Dedup.stripRepeatedBlocks(corpus.repartition(7), "doc_id", "text", 3, 2)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 3, 1)
+    }
+  }
+
   test("decontaminateByTokens: word-n-gram recipe; no cross-bench-doc pooling") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
