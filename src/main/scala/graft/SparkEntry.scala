@@ -76,7 +76,8 @@ object SparkEntry {
     "q_asof_join", "q_range_join", "q_pack_tokens",
     "q_dedup_clusters", "q_ann_lsh", "q_sessionize",
     "q_decontaminate", "q_curation_v2",
-    "q_decontaminate_tokens", "q_curation_clustered")
+    "q_decontaminate_tokens", "q_curation_clustered",
+    "q_strip_repeats")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
