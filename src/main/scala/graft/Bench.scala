@@ -25,48 +25,62 @@ object Bench {
     catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    // Each query runs `iters` times in-JVM and reports the MEDIAN: the
-    // single-iteration timing carried ±15-20% machine noise, which made
-    // round-over-round per-query deltas meaningless (two straight rounds
-    // of >20% phantom swings on untouched queries). `queries` keeps the
-    // name→seconds shape (now the median) so the series stays parseable;
-    // the raw runs land in `runs` for anyone auditing the spread.
-    def time(names: Seq[String]): Seq[(String, Seq[Double])] = names.map { name =>
-      val runs = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        // lookup inside the try: a stale name in a bench tier must land
-        // in failed[], not abort the run before any JSON is emitted
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      // lookup inside the try: a stale name in a bench tier must land
+      // in failed[], not abort the run before any JSON is emitted
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) failed += name
+        System.err.println(s"[bench] $name: ${e.getMessage}")
       }
-      name -> runs
+      (System.nanoTime() - t0) / 1e9
     }
+    // Iterations are INTERLEAVED round-robin across BOTH tiers
+    // (q1..qN, q1..qN, q1..qN), not 3 back-to-back runs per query:
+    // back-to-back runs share whatever transient machine load hits
+    // that one 10-second window, which manufactured 1.5-2.6x phantom
+    // regressions in the r6 driver run (q_count_distinct's runs were
+    // monotone [1.08, 1.90, 2.67] — a load ramp, not the query).
+    // Spreading a query's iterations across the whole bench makes its
+    // min (and to a lesser degree its median) load-insensitive.
+    val allNames = SparkEntry.benchQueries ++ SparkEntry.benchQueriesV2
+    val runsByName: Map[String, Seq[Double]] = {
+      val rounds = (1 to iters).map(_ => allNames.map(n => n -> runOnce(n)))
+      allNames.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
+    }
+    def runsOf(names: Seq[String]): Seq[(String, Seq[Double])] =
+      names.map(n => n -> runsByName(n))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    def json(rs: Seq[(String, Seq[Double])]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + median(v) }.mkString("{", ",", "}")
+    // `queries` stays the MEDIAN (series continuity with r6); `mins`
+    // is the load-insensitive statistic round-over-round deltas should
+    // be quoted on — a min over interleaved runs needs ALL iterations
+    // hit by load to be polluted, not just one unlucky window.
+    def json(rs: Seq[(String, Seq[Double])], stat: Seq[Double] => Double): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + stat(v) }.mkString("{", ",", "}")
     def jsonRuns(rs: Seq[(String, Seq[Double])]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
         .mkString("{", ",", "}")
-    val results = time(SparkEntry.benchQueries)
+    val results = runsOf(SparkEntry.benchQueries)
     // v2 tier: never-timed families, separate total — the headline
     // `value` stays the frozen 22-query series for comparability
-    val resultsV2 = time(SparkEntry.benchQueriesV2)
+    val resultsV2 = runsOf(SparkEntry.benchQueriesV2)
     val total = results.map(r => median(r._2)).sum
     val totalV2 = resultsV2.map(r => median(r._2)).sum
+    val totalMin = results.map(_._2.min).sum
+    val totalMinV2 = resultsV2.map(_._2.min).sum
     // a failed query's (partial) duration stays in its per-query slot
     // for series continuity, but the failure is named — a totals diff
     // must never read a crash as a speedup
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},""" +
-      s""""total_v2":$totalV2,"queries_v2":${json(resultsV2)},""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results, median)},""" +
+      s""""total_v2":$totalV2,"queries_v2":${json(resultsV2, median)},""" +
+      s""""total_min":$totalMin,"mins":${json(results, _.min)},""" +
+      s""""total_min_v2":$totalMinV2,"mins_v2":${json(resultsV2, _.min)},""" +
       s""""iters":$iters,"runs":${jsonRuns(results)},"runs_v2":${jsonRuns(resultsV2)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt sets run/outputStrategy) AND a file

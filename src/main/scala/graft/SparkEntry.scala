@@ -77,7 +77,7 @@ object SparkEntry {
     "q_dedup_clusters", "q_ann_lsh", "q_sessionize",
     "q_decontaminate", "q_curation_v2",
     "q_decontaminate_tokens", "q_curation_clustered",
-    "q_strip_repeats")
+    "q_strip_repeats", "q_strip_lines")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1086,6 +1086,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- dedup: corpus-wide repeated-line strip ------------------
+    // C4-style exact line dedup. The synthetic documents have no
+    // newlines, so the query first breaks each doc into 6-token lines
+    // (a deterministic regex both dialects apply identically), then
+    // drops every line whose NORMALIZED form appears >= 2 times
+    // corpus-wide, keeping original lines in order.
+    "q_strip_lines" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("text",
+        regexp_replace($"text", "((?:\\S+ ){5}\\S+) ", "$1\n"))
+      Dedup.stripRepeatedLines(docs, "doc_id", "text",
+          minRepeats = 2, normalize = Dedup.normalizeText)
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation v2: decontaminate → quality-gate → scrub -------
     // The round-5 curation chain composed end-to-end from library ops:
     // benchmark decontamination, Gopher-signal thresholds, PII scrub,
@@ -1899,6 +1915,22 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_strip_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g'),
+        |   chr(10)) AS lns FROM documents),
+        | i AS (SELECT doc_id, lns, unnest(range(len(lns))) AS pos FROM d),
+        | u AS (SELECT doc_id, pos, lns[pos+1] AS ln FROM i),
+        | n AS (SELECT doc_id, pos, ln, trim(regexp_replace(regexp_replace(
+        |   lower(ln), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |   '[ \t\n\f\r]+', ' ', 'g')) AS k FROM u),
+        | rep AS (SELECT k FROM n GROUP BY k HAVING count(*) >= 2),
+        | kept AS (SELECT n.* FROM n ANTI JOIN rep USING (k)),
+        | reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text2
+        |   FROM kept GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text2, '') AS text
+        |FROM documents d2 LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
     "q_decontaminate_tokens" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks

@@ -194,8 +194,20 @@ object Dedup {
     * whose HASH repeats are re-checked by string equality (semi-join
     * + exact count), so a 64-bit collision can never delete an
     * innocent block. Only the anti-join back and the per-document
-    * reassembly shuffle block text, and the anti-join's build side is
+    * reassembly shuffle block text; the exact-recount step also
+    * touches block text, but only for the hash-repeated population
+    * (rows surviving the 8-byte-key semi-join — on a typical corpus a
+    * small fraction; on a pathologically repetitive one it approaches
+    * the boilerplate volume itself, which is exactly the data that
+    * must be compared byte-wise anyway). The anti-join's build side is
     * the boilerplate set (small; AQE broadcasts it when it fits).
+    *
+    * PRECONDITION: `id` must be unique (as with the LSH pair APIs) —
+    * duplicate ids double-count a document's own blocks toward
+    * `minRepeats` and fan out the final reassembly join. Run exact
+    * dedup / [[graft.operators.Grouping]] distinctBy first on dirty
+    * inputs.
+    *
     * Reference: whole-element distinct is core.clj:1741-1756; this
     * extends dedup below document granularity. */
   def stripRepeatedBlocks(df: DataFrame, id: String, text: String,
@@ -221,6 +233,59 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__blk")))),
         s => s.getField("__blk")), " ").as("__text"))
+    df.join(rebuilt, col(id) === col("__id"), "left")
+      .withColumn(text, coalesce(col("__text"), lit("")))
+      .drop("__id", "__text")
+  }
+
+  /** Corpus-wide repeated-LINE removal — the exact line-dedup recipe
+    * from the published web-curation pipelines (C4 dropped any line
+    * appearing three-plus times in the corpus; RefinedWeb and friends
+    * run the same rule with their own thresholds): split each document
+    * on `\n`, count lines across the WHOLE corpus on a normalized key,
+    * delete every occurrence of any line whose normalized form appears
+    * >= `minRepeats` times, and reassemble the surviving ORIGINAL
+    * lines in order. Every document survives (possibly with empty
+    * text), so the op composes with downstream per-doc stages.
+    * Idempotent: removal only lowers the counts of remaining lines.
+    *
+    * `normalize` maps a line to its counting key (default identity =
+    * byte-exact lines); pass [[normalizeText]] for the published
+    * lowercase/punctuation/whitespace normalization so a case-variant
+    * of boilerplate still counts toward the same key. The ORIGINAL
+    * line text is what's kept or dropped — normalization only affects
+    * matching.
+    *
+    * Scale shape: identical to [[stripRepeatedBlocks]] — the
+    * corpus-wide count aggregates on xxhash64(key) (8-byte shuffle
+    * key, map-side partials); only hash-repeated rows are re-checked
+    * by key equality (a 64-bit collision can never delete an innocent
+    * line, and that recount's text shuffle is bounded by the
+    * hash-repeated population); the anti-join build side is the
+    * boilerplate line set (small; AQE broadcasts it); per-document
+    * reassembly is the one unavoidable wide-text shuffle.
+    *
+    * PRECONDITION: `id` must be unique — duplicate ids double-count a
+    * document's own lines toward `minRepeats` and fan out the final
+    * reassembly join. */
+  def stripRepeatedLines(df: DataFrame, id: String, text: String,
+                         minRepeats: Int = 2,
+                         normalize: Column => Column = identity): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val units = df
+      .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("__pos", "__ln")))
+      .withColumn("__k", normalize(col("__ln")))
+      .withColumn("__h", xxhash64(col("__k")))
+    val repHash = units.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minRepeats).select("__h")
+    val repKey = units.join(repHash, Seq("__h"), "left_semi")
+      .groupBy("__h", "__k").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minRepeats).select("__h", "__k")
+    val rebuilt = units.join(repKey, Seq("__h", "__k"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        s => s.getField("__ln")), "\n").as("__text"))
     df.join(rebuilt, col(id) === col("__id"), "left")
       .withColumn(text, coalesce(col("__text"), lit("")))
       .drop("__id", "__text")

@@ -156,6 +156,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stripRepeatedLines drops corpus-repeated lines, normalized match, order kept") {
+    // "cookie notice here" repeats in docs 1, 2, 3 — in doc 3 as a
+    // case/punctuation variant that only the normalized key catches.
+    // Unique lines survive in original form and original order.
+    val corpus = Seq(
+      (1L, "cookie notice here\nreal article one\nreal article two"),
+      (2L, "intro line\ncookie notice here\noutro line"),
+      (3L, "Cookie  Notice, HERE!\nfresh content"),
+      (4L, "standalone document with one line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedLines(corpus, "doc_id", "text",
+        minRepeats = 2, normalize = Dedup.normalizeText)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "real article one\nreal article two"),
+      (2L, "intro line\noutro line"),
+      (3L, "fresh content"),
+      (4L, "standalone document with one line")))
+    // byte-exact mode: the doc-3 variant no longer matches, so the
+    // notice only counts twice (docs 1, 2) — still stripped there, but
+    // doc 3 keeps its variant line
+    val exact = Dedup.stripRepeatedLines(corpus, "doc_id", "text", minRepeats = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(exact(2) == (3L, "Cookie  Notice, HERE!\nfresh content"))
+    // idempotent + repartition-invariant
+    val once = Dedup.stripRepeatedLines(corpus, "doc_id", "text", 2, Dedup.normalizeText)
+    val twice = Dedup.stripRepeatedLines(once, "doc_id", "text", 2, Dedup.normalizeText)
+    assert(twice.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sameElements(out))
+    val repart = Dedup.stripRepeatedLines(corpus.repartition(7), "doc_id", "text",
+        2, Dedup.normalizeText)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(repart.sameElements(out))
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedLines(corpus, "doc_id", "text", 1)
+    }
+  }
+
   test("decontaminateByTokens: word-n-gram recipe; no cross-bench-doc pooling") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
