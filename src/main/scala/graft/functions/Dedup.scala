@@ -380,18 +380,46 @@ object Dedup {
     * any real cluster: `sc.setCheckpointDir("hdfs://...")`); otherwise
     * falls back to `localCheckpoint` (executor-memory blocks, fine for
     * local/test runs). Both cut the lineage so the signature pass runs
-    * once, not once per join side. */
-  private def materializeOnce(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    * once, not once per join side. The persisted RDD is name-tagged so
+    * [[releaseMaterialized]] can sweep it — the blocks otherwise live
+    * until the session dies. */
+  private def materializeOnce(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.tagMaterialized(
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint())
+  }
 
   /** Lazy twin of [[materializeOnce]]: the checkpoint materializes on
     * the first action that touches it instead of eagerly — lets a
     * caller fold the materialization into an aggregate it was about to
     * run anyway (one Spark job instead of two). */
-  private def materializeLazily(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
-    else df.localCheckpoint(eager = false)
+  private def materializeLazily(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.tagMaterialized(
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false))
+  }
+
+  /** Release the executor blocks persisted by graft's internal
+    * materialization (the LSH / simhash / connected-components
+    * families checkpoint their self-join inputs and per-round label
+    * state). One-shot jobs never need this — the session's death
+    * releases everything — but a long-lived session (a notebook, a
+    * serving layer, a bench loop) accumulates one persisted RDD per
+    * call, so sweep after consuming the RESULTS of those ops. Safe any
+    * time: only graft-tagged RDDs are touched (never user persists),
+    * and an already-consumed result never re-reads the blocks. Callers
+    * that still hold an unconsumed dedup-family DataFrame should
+    * materialize it first — after release its checkpoint RDD
+    * recomputes from a truncated lineage and would fail.
+    *
+    * Returns the number of RDDs released. */
+  def releaseMaterialized(spark: org.apache.spark.sql.SparkSession,
+                          blocking: Boolean = false): Int = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.releaseMaterialized(spark, blocking)
+  }
 
   /** Connected components over an undirected pair list (`id_a`,
     * `id_b`) by min-label propagation: each round every node adopts

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Column ⇄ catalyst Expression bridge. Spark 4 made `Column`
   * implementation-agnostic; the classic converters are private[sql],
@@ -11,4 +12,31 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** RDD name applied by [[tagMaterialized]] so graft-internal
+    * checkpoint blocks can be found and swept without touching any
+    * user-persisted RDD. */
+  val MaterializedTag = "graft-materialized"
+
+  /** Tag the RDD backing a Dataset returned by
+    * `checkpoint`/`localCheckpoint` (its analyzed plan is a
+    * [[LogicalRDD]] holding the persisted RDD). No-op on any other
+    * plan shape. Needs this package: `LogicalRDD` is private[sql]. */
+  def tagMaterialized(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.setName(MaterializedTag)
+      case _             => ()
+    }
+    df
+  }
+
+  /** Unpersist every RDD carrying [[MaterializedTag]]. Returns the
+    * number of RDDs released. `blocking = true` waits for the executor
+    * blocks to actually drop (deterministic for tests). */
+  def releaseMaterialized(spark: SparkSession, blocking: Boolean = false): Int = {
+    val tagged = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.name == MaterializedTag).toSeq
+    tagged.foreach(_.unpersist(blocking))
+    tagged.size
+  }
 }

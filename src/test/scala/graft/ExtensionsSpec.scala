@@ -194,6 +194,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseMaterialized sweeps graft checkpoint blocks, leaves user persists") {
+    import org.apache.spark.sql.graft.Bridge
+    // start clean: earlier suites may have left tagged blocks behind
+    Dedup.releaseMaterialized(spark, blocking = true)
+    def taggedRdds() = spark.sparkContext.getPersistentRDDs.values
+      .count(_.name == Bridge.MaterializedTag)
+    assert(taggedRdds() == 0)
+    // a user persist that must survive the sweep
+    val userDf = docs.persist()
+    userDf.count()
+    // both materialization users: LSH (materializeOnce) and the
+    // components loop (materializeLazily per round)
+    val pairs = Dedup.minhashLshPairsVerified(docs, "id", "text",
+      n = 3, k = 16, bands = 8, minJaccard = 0.5)
+    val comps = Dedup.connectedComponents(pairs).collect()
+    assert(comps.nonEmpty)
+    assert(taggedRdds() > 0)
+    val released = Dedup.releaseMaterialized(spark, blocking = true)
+    assert(released > 0)
+    assert(taggedRdds() == 0)
+    // no graft-tagged blocks remain in the store; the user persist does
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .forall(_.name != Bridge.MaterializedTag))
+    assert(userDf.count() == 4)
+    userDf.unpersist(true)
+  }
+
   test("decontaminateByTokens: word-n-gram recipe; no cross-bench-doc pooling") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
