@@ -1086,6 +1086,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- dedup: repeated-block strip, half-stride two-pass -------
+    // Same recipe as q_strip_repeats plus a second pass with blocks
+    // carved from token offset 5 — catches repeated runs that straddle
+    // a phase-0 block boundary (4.7% of deletable tokens at sf0.1,
+    // measured by tools/StrideProbe).
+    "q_strip_stride" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.stripRepeatedBlocks(t(s, dir, "documents"), "doc_id", "text",
+          blockTokens = 10, minRepeats = 2, offsets = Seq(0, 5))
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- dedup: corpus-wide repeated-line strip ------------------
     // C4-style exact line dedup. The synthetic documents have no
     // newlines, so the query first breaks each doc into 6-token lines
@@ -1914,6 +1927,32 @@ object SparkEntry {
         |   FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_strip_stride" ->
+      """WITH t1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | i1 AS (SELECT doc_id, toks, unnest(range((len(toks)+9)//10)) AS pos FROM t1),
+        | b1 AS (SELECT doc_id, pos,
+        |   array_to_string(toks[(pos*10+1):(pos*10+10)], ' ') AS blk FROM i1),
+        | rep1 AS (SELECT blk FROM b1 GROUP BY blk HAVING count(*) >= 2),
+        | k1 AS (SELECT b1.* FROM b1 ANTI JOIN rep1 USING (blk)),
+        | r1 AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS text
+        |   FROM k1 GROUP BY doc_id),
+        | p1 AS (SELECT d.doc_id, coalesce(r1.text, '') AS text
+        |   FROM documents d LEFT JOIN r1 USING (doc_id)),
+        | t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM p1),
+        | s2 AS (SELECT doc_id, -1 AS pos, array_to_string(toks[1:5], ' ') AS blk
+        |   FROM t2),
+        | i2 AS (SELECT doc_id, toks,
+        |   unnest(range((greatest(len(toks)-5,0)+9)//10)) AS pos FROM t2),
+        | b2 AS (SELECT doc_id, pos,
+        |   array_to_string(toks[(pos*10+6):(pos*10+15)], ' ') AS blk FROM i2),
+        | rep2 AS (SELECT blk FROM b2 GROUP BY blk HAVING count(*) >= 2),
+        | k2 AS (SELECT b2.* FROM b2 ANTI JOIN rep2 USING (blk)
+        |   UNION ALL SELECT * FROM s2),
+        | r2 AS (SELECT doc_id, string_agg(blk, ' ' ORDER BY pos) AS text2
+        |   FROM k2 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text2, '') AS text
+        |FROM documents d LEFT JOIN r2 r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "q_strip_lines" ->
       """WITH d AS (SELECT doc_id, string_split(

@@ -211,24 +211,61 @@ object Dedup {
     * Reference: whole-element distinct is core.clj:1741-1756; this
     * extends dedup below document granularity. */
   def stripRepeatedBlocks(df: DataFrame, id: String, text: String,
-                          blockTokens: Int = 10, minRepeats: Int = 2): DataFrame = {
+                          blockTokens: Int = 10, minRepeats: Int = 2,
+                          offsets: Seq[Int] = Seq(0)): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    require(offsets.nonEmpty && offsets.forall(o => o >= 0 && o < blockTokens) &&
+      offsets.distinct == offsets,
+      s"offsets must be distinct values in [0, blockTokens), got $offsets")
+    // Phase-aligned carving misses a repeated run that straddles a
+    // block boundary (a run aligned at offset 5 never produces the
+    // same block as its offset-0 twin). Each extra offset runs one
+    // more full pass with blocks carved from that token offset — the
+    // published boundary fix is a second pass at blockTokens/2.
+    // Measured at sf0.1 (tools/StrideProbe): phase-0 alone deletes
+    // 95.3% of the tokens covered by corpus-repeated SLIDING windows;
+    // adding the half-stride pass closes the gap (the slight >100% is
+    // the trailing-partial-block semantics both passes share).
+    offsets.foldLeft(df)((d, off) =>
+      stripAlignedPass(d, id, text, blockTokens, minRepeats, off))
+  }
+
+  /** One aligned strip pass with blocks carved from token offset
+    * `off`: tokens [1..off] form a head stub that is never counted and
+    * never deleted (it is shorter than a block and would spuriously
+    * match other stubs); blocks cover [off+1..]. See
+    * [[stripRepeatedBlocks]] for the scale analysis. */
+  private def stripAlignedPass(df: DataFrame, id: String, text: String,
+                               b: Int, minRepeats: Int, off: Int): DataFrame = {
     val toks = split(col(text), " ")
-    val nBlocks = call_function("div", size(toks) + lit(blockTokens - 1), lit(blockTokens))
-    val blocksExpr = transform(sequence(lit(0L), nBlocks - 1),
-      i => array_join(slice(toks, (i * blockTokens + 1).cast("int"), lit(blockTokens)), " "))
+    val tail = greatest(size(toks) - off, lit(0))
+    val nBlocks = call_function("div", tail + lit(b - 1), lit(b))
     // Block expression stays INLINE in the explode — aliasing a
     // generator child re-evaluates the kernel 3x (see decontaminateBy).
+    // The off>0 guard avoids sequence(0,-1) (which would DESCEND) on
+    // docs shorter than the offset; off=0 always has >= 1 block
+    // (split("") is [""]).
+    val carved = transform(sequence(lit(0L), greatest(nBlocks, lit(1L)) - 1),
+      j => array_join(slice(toks, (j * b + off + 1).cast("int"), lit(b)), " "))
+    val blocksArr =
+      if (off == 0) carved
+      else when(nBlocks > lit(0L), carved).otherwise(array().cast("array<string>"))
     val units = df
-      .select(col(id).as("__id"), posexplode(blocksExpr).as(Seq("__pos", "__blk")))
+      .select(col(id).as("__id"), posexplode(blocksArr).as(Seq("__pos", "__blk")))
       .withColumn("__h", xxhash64(col("__blk")))
     val repHash = units.groupBy("__h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minRepeats).select("__h")
     val repBlk = units.join(repHash, Seq("__h"), "left_semi")
       .groupBy("__h", "__blk").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minRepeats).select("__h", "__blk")
-    val rebuilt = units.join(repBlk, Seq("__h", "__blk"), "left_anti")
+    val kept = units.join(repBlk, Seq("__h", "__blk"), "left_anti")
+      .select(col("__id"), col("__pos"), col("__blk"))
+    val withStub =
+      if (off == 0) kept
+      else kept.union(df.select(col(id).as("__id"), lit(-1).as("__pos"),
+        array_join(slice(toks, 1, off), " ").as("__blk")))
+    val rebuilt = withStub
       .groupBy("__id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__blk")))),

@@ -156,6 +156,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("stripRepeatedBlocks offsets: half-stride pass catches boundary-straddling runs") {
+    // the 4-token run "rr ss tt uu" repeats at token offset 2 in both
+    // docs — phase-0 carving (blocks [0..3], [4..7]) never isolates it
+    val corpus = Seq(
+      (1L, "p1 p2 rr ss tt uu x1 x2"),
+      (2L, "q1 q2 rr ss tt uu y1 y2")
+    ).toDF("doc_id", "text")
+    val phase0 = Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 4, 2)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(phase0.toSeq == Seq("p1 p2 rr ss tt uu x1 x2", "q1 q2 rr ss tt uu y1 y2"))
+    // the offset-2 pass carves [2..5] — the straddling run repeats and
+    // is stripped; the 2-token head stubs are never counted or deleted
+    val strided = Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 4, 2,
+        offsets = Seq(0, 2))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(strided.toSeq == Seq("p1 p2 x1 x2", "q1 q2 y1 y2"))
+    // docs shorter than the offset survive intact through the off>0 pass
+    val short = Seq((1L, "aa"), (2L, "aa"), (3L, "bb cc dd ee ff")).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedBlocks(short, "doc_id", "text", 4, 2, Seq(0, 2))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    // "aa" repeats as a (partial) phase-0 block and is stripped there;
+    // doc 3 is untouched
+    assert(out.toSeq == Seq("", "", "bb cc dd ee ff"))
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 4, 2, Seq(0, 4))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stripRepeatedBlocks(corpus, "doc_id", "text", 4, 2, Seq.empty)
+    }
+  }
+
   test("stripRepeatedLines drops corpus-repeated lines, normalized match, order kept") {
     // "cookie notice here" repeats in docs 1, 2, 3 — in doc 3 as a
     // case/punctuation variant that only the normalized key catches.
