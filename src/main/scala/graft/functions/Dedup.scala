@@ -540,6 +540,83 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round rewrites the edge set so every node's neighborhood
+    * points closer to its component minimum — large-star hangs every
+    * larger neighbor off the neighborhood min, small-star contracts
+    * the smaller neighbors onto it — converging in O(log n) rounds on
+    * ANY graph shape, vs [[connectedComponents]]' O(diameter).
+    *
+    * Each round is two grouped-min shuffles + two equi-joins over the
+    * CURRENT edge set (which only shrinks toward one edge per
+    * non-root node); convergence is an (edge count, xor of edge
+    * hashes) checksum — order-insensitive, no extra join, and a false
+    * fixpoint needs a 2^-64 xor collision AT equal counts.
+    *
+    * A/B-measured against min-label propagation (tools/CCProbe): on
+    * the REAL sf0.1 LSH near-dup pair set (255 pairs, shallow
+    * clusters) propagation wins — 1.2-1.3 s vs 2.2 s warm, its
+    * one-shuffle rounds beating star's two-phase rounds — so the
+    * oracle queries keep [[connectedComponents]]. On 200 synthetic
+    * 100-node chains (diameter 99) THIS form wins ~4x (6.5-8.6 s vs
+    * 25-34 s: ~7 star rounds vs 100 propagation rounds). Use star
+    * when components can be deep (long chains: co-citation graphs,
+    * session stitching, record-linkage transitive closures), where
+    * O(diameter) rounds is the scale killer; labelings are identical
+    * (probe + spec-asserted).
+    *
+    * Returns (id, component) for every node in `pairs`, component =
+    * min id of its cluster — same contract as [[connectedComponents]]
+    * (equivalence spec-asserted on randomized graphs). */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    var edges = materializeOnce(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .where(col("u") =!= col("v")).distinct())
+    // all nodes, for re-attaching roots and singletons at the end
+    val nodes = materializeOnce(
+      edges.select(col("u").as("id")).union(edges.select(col("v").as("id"))).distinct())
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = prev._1 == 0
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: for each node u (both orientations), every
+      // neighbor v > u re-attaches to m = min(N(u) ∪ {u})
+      val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("m"))
+      val ls = both.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: each node u's SMALLER neighbors (plus u itself)
+      // contract onto their min
+      val both2 = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
+      val small = both2.where(col("v") < col("u"))
+      val mins2 = small.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = small.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+      val next = materializeLazily(ss)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds; raise maxIter")
+    // at the fixpoint every edge is (node, component-min); roots and
+    // isolated-by-contraction nodes label themselves
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
   /** Cluster-aware survivor selection: one representative (the min id)
     * per near-dup cluster survives. The transitive upgrade of
     * [[dropNearDups]], which drops every right-hand id of a pair and

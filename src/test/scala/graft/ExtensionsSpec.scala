@@ -509,6 +509,32 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1.4 -> 1.0, 1.2 -> 1.0, 1.0 -> 1.0))
   }
 
+  test("connectedComponentsStar matches min-label propagation on random graphs + chains") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val pairs = (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      val df = pairs.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"seed=$seed")
+    }
+    // a 12-node chain (deep diameter — the star algorithm's home turf)
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (1L to 12L).map(_ -> 1L).toMap)
+    // empty pair set → empty labels; string ids work (no numeric probe)
+    assert(Dedup.connectedComponentsStar(Seq.empty[(Long, Long)]
+      .toDF("id_a", "id_b")).count() == 0)
+    val sc = Dedup.connectedComponentsStar(
+        Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("connectedComponents fails loudly instead of returning split components") {
     val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
