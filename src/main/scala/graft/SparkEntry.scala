@@ -1115,6 +1115,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- decontamination: span removal (keep doc remainder) ------
+    // Line-level span decontamination: docs broken into 6-token lines
+    // (as q_strip_lines); the bench set is every 50th doc UPPERCASED —
+    // only the normalized key catches those lines. Contaminated lines
+    // vanish, the remainder survives in order.
+    "q_decontaminate_spans" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("text",
+        regexp_replace($"text", "((?:\\S+ ){5}\\S+) ", "$1\n"))
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"), upper($"text").as("bench_text"))
+      Dedup.removeContaminatedSpans(docs, "doc_id", "text", bench, "bench_text",
+          normalize = Dedup.normalizeText)
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation v2: decontaminate → quality-gate → scrub -------
     // The round-5 curation chain composed end-to-end from library ops:
     // benchmark decontamination, Gopher-signal thresholds, PII scrub,
@@ -1965,6 +1982,27 @@ object SparkEntry {
         |   '[ \t\n\f\r]+', ' ', 'g')) AS k FROM u),
         | rep AS (SELECT k FROM n GROUP BY k HAVING count(*) >= 2),
         | kept AS (SELECT n.* FROM n ANTI JOIN rep USING (k)),
+        | reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text2
+        |   FROM kept GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text2, '') AS text
+        |FROM documents d2 LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
+    "q_decontaminate_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g'),
+        |   chr(10)) AS lns FROM documents),
+        | i AS (SELECT doc_id, lns, unnest(range(len(lns))) AS pos FROM d),
+        | u AS (SELECT doc_id, pos, lns[pos+1] AS ln FROM i),
+        | n AS (SELECT doc_id, pos, ln, trim(regexp_replace(regexp_replace(
+        |   lower(ln), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |   '[ \t\n\f\r]+', ' ', 'g')) AS k FROM u),
+        | bl AS (SELECT unnest(string_split(upper(
+        |    regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g')),
+        |    chr(10))) AS bln FROM documents WHERE doc_id % 50 = 0),
+        | bk AS (SELECT DISTINCT k FROM (SELECT trim(regexp_replace(regexp_replace(
+        |   lower(bln), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |   '[ \t\n\f\r]+', ' ', 'g')) AS k FROM bl) WHERE len(k) > 0),
+        | kept AS (SELECT n.* FROM n ANTI JOIN bk USING (k)),
         | reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text2
         |   FROM kept GROUP BY doc_id)
         |SELECT d2.doc_id, coalesce(r.text2, '') AS text

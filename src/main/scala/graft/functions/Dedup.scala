@@ -275,6 +275,45 @@ object Dedup {
       .drop("__id", "__text")
   }
 
+  /** Span-level decontamination: REMOVE the contaminated lines and
+    * keep the document remainder, instead of dropping whole documents
+    * like [[decontaminate]] — the span-removal variant some published
+    * pipelines run so a page quoting one eval prompt keeps its other
+    * content. A corpus line is contaminated when its `normalize`d form
+    * equals the normalized form of ANY line of any benchmark document
+    * (exact line match — the conservative span unit; pair with
+    * [[decontaminate]]'s n-gram overlap for fuzzy whole-doc flags).
+    * Empty normalized lines never match (a blank line in an eval file
+    * must not delete every blank line in the corpus). Every document
+    * survives, possibly emptied; line order is preserved.
+    *
+    * Scale shape: corpus lines explode to narrow (id, pos, line) rows
+    * map-side; the benchmark's distinct normalized line set is small
+    * by nature (an eval suite) so the anti-join broadcasts it — no
+    * corpus shuffle at all until the per-document positional
+    * reassembly, the one unavoidable wide-text exchange (same as
+    * [[stripRepeatedLines]]). */
+  def removeContaminatedSpans(corpus: DataFrame, id: String, text: String,
+                              benchmark: DataFrame, benchText: String,
+                              normalize: Column => Column = normalizeText): DataFrame = {
+    val units = corpus
+      .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("__pos", "__ln")))
+      .withColumn("__k", normalize(col("__ln")))
+    val benchKeys = benchmark
+      .select(explode(split(col(benchText), "\n")).as("__bln"))
+      .select(normalize(col("__bln")).as("__k"))
+      .where(length(col("__k")) > 0)
+      .distinct()
+    val rebuilt = units.join(benchKeys, Seq("__k"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        s => s.getField("__ln")), "\n").as("__text"))
+    corpus.join(rebuilt, col(id) === col("__id"), "left")
+      .withColumn(text, coalesce(col("__text"), lit("")))
+      .drop("__id", "__text")
+  }
+
   /** Corpus-wide repeated-LINE removal — the exact line-dedup recipe
     * from the published web-curation pipelines (C4 dropped any line
     * appearing three-plus times in the corpus; RefinedWeb and friends

@@ -252,6 +252,31 @@ class DedupSpec extends AnyFunSuite {
     userDf.unpersist(true)
   }
 
+  test("removeContaminatedSpans drops matched lines, keeps remainder in order") {
+    val corpus = Seq(
+      (1L, "what is the capital of france\nparis has great food\nmore prose here"),
+      (2L, "intro text\nWhat is the CAPITAL of France?\noutro text"),
+      (3L, "nothing from any benchmark\n\nblank line above survives")
+    ).toDF("doc_id", "text")
+    // bench doc contains the eval prompt plus a blank line — the blank
+    // must NOT wipe corpus blanks
+    val bench = Seq((100L, "what is the capital of france\n\nname the largest ocean"))
+      .toDF("bench_id", "bench_text")
+    val out = Dedup.removeContaminatedSpans(corpus, "doc_id", "text",
+        bench, "bench_text", normalize = Dedup.normalizeText)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "paris has great food\nmore prose here"),
+      (2L, "intro text\noutro text"), // normalized match catches the variant
+      (3L, "nothing from any benchmark\n\nblank line above survives")))
+    // a doc that is ONLY the prompt survives emptied
+    val onlyPrompt = Seq((9L, "what is the capital of france")).toDF("doc_id", "text")
+    val emptied = Dedup.removeContaminatedSpans(onlyPrompt, "doc_id", "text",
+        bench, "bench_text", normalize = Dedup.normalizeText)
+      .head().getString(1)
+    assert(emptied == "")
+  }
+
   test("decontaminateByTokens: word-n-gram recipe; no cross-bench-doc pooling") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
