@@ -77,7 +77,8 @@ object SparkEntry {
     "q_dedup_clusters", "q_ann_lsh", "q_sessionize",
     "q_decontaminate", "q_curation_v2",
     "q_decontaminate_tokens", "q_curation_clustered",
-    "q_strip_repeats", "q_strip_lines")
+    "q_strip_repeats", "q_strip_lines", "q_strip_stride",
+    "q_decontaminate_spans")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
