@@ -130,6 +130,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("span decontamination broadcasts the bench line set; strips never go quadratic") {
+    // the benchmark's normalized-line set is eval-suite-small: the
+    // anti-join must BUILD on it (broadcast), leaving the corpus side
+    // streaming — and none of the strip/span family may degrade to a
+    // nested-loop/cartesian pairing.
+    val p = planOf("q_decontaminate_spans")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    for (q <- Seq("q_decontaminate_spans", "q_strip_lines", "q_strip_stride")) {
+      val s = planOf(q)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q pairing degraded to a quadratic join")
+      // the strips' corpus-wide counting must key on the 8-byte hash,
+      // not raw text (spans joins on the broadcast normalized key)
+      if (q.startsWith("q_strip"))
+        assert(s.contains("xxhash64"), s"$q lost its hash-keyed count")
+    }
+  }
+
   test("decontaminate explode branch carries no inferred shingle-kernel filter") {
     // guard against the InferFiltersFromGenerate trap (see CLAUDE.md):
     // aliasing the array to an attribute before explode gets
