@@ -1116,6 +1116,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- dedup: within-document line dedup -----------------------
+    // Keep the first occurrence of each line inside a document, drop
+    // later repeats. Docs broken into 2-token lines (every doc in the
+    // synthetic corpus has within-doc repeats at that granularity).
+    "q_dedup_lines_doc" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("text",
+        regexp_replace($"text", "(\\S+ \\S+) ", "$1\n"))
+      Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- decontamination: span removal (keep doc remainder) ------
     // Line-level span decontamination: docs broken into 6-token lines
     // (as q_strip_lines); the bench set is every 50th doc UPPERCASED —
@@ -1985,6 +1998,18 @@ object SparkEntry {
         | kept AS (SELECT n.* FROM n ANTI JOIN rep USING (k)),
         | reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text2
         |   FROM kept GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text2, '') AS text
+        |FROM documents d2 LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
+    "q_dedup_lines_doc" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g'),
+        |   chr(10)) AS lns FROM documents),
+        | i AS (SELECT doc_id, lns, unnest(range(len(lns))) AS pos FROM d),
+        | u AS (SELECT doc_id, pos, lns[pos+1] AS ln FROM i),
+        | f AS (SELECT doc_id, ln, min(pos) AS pos FROM u GROUP BY doc_id, ln),
+        | reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text2
+        |   FROM f GROUP BY doc_id)
         |SELECT d2.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d2 LEFT JOIN reb r USING (doc_id)
         |ORDER BY d2.doc_id""".stripMargin,

@@ -275,6 +275,38 @@ object Dedup {
       .drop("__id", "__text")
   }
 
+  /** WITHIN-document line dedup — the published web-curation rule that
+    * complements [[stripRepeatedLines]]' corpus-wide counts: inside
+    * each document, keep only the FIRST occurrence of every line
+    * (matched on its `normalize`d form; the kept line is the original
+    * first-occurrence text) and drop later repeats, preserving order.
+    * Use for boilerplate that repeats within a page (nav fragments,
+    * cookie banners repeated per section) without any corpus-global
+    * state.
+    *
+    * Scale shape: fully per-document — lines explode to narrow
+    * (id, pos, line) rows; first-occurrence selection is a
+    * min-struct aggregate on (id, key) and reassembly groups on id,
+    * both partial-aggregated, no corpus-wide key ever shuffles. */
+  def dedupLinesWithinDoc(df: DataFrame, id: String, text: String,
+                          normalize: Column => Column = identity): DataFrame = {
+    val units = df
+      .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("__pos", "__ln")))
+      .withColumn("__k", normalize(col("__ln")))
+    // min over (pos, line) structs = the first occurrence's row (pos
+    // is unique within a doc, so the line tiebreak never fires)
+    val firsts = units.groupBy("__id", "__k")
+      .agg(min(struct(col("__pos"), col("__ln"))).as("__f"))
+      .select(col("__id"), col("__f.__pos").as("__pos"), col("__f.__ln").as("__ln"))
+    val rebuilt = firsts.groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        s => s.getField("__ln")), "\n").as("__text"))
+    df.join(rebuilt, col(id) === col("__id"), "left")
+      .withColumn(text, coalesce(col("__text"), lit("")))
+      .drop("__id", "__text")
+  }
+
   /** Span-level decontamination: REMOVE the contaminated lines and
     * keep the document remainder, instead of dropping whole documents
     * like [[decontaminate]] — the span-removal variant some published

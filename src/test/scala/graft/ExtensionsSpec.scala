@@ -252,6 +252,30 @@ class DedupSpec extends AnyFunSuite {
     userDf.unpersist(true)
   }
 
+  test("dedupLinesWithinDoc keeps first occurrence per doc, independent across docs") {
+    val corpus = Seq(
+      (1L, "nav bar\ncontent one\nnav bar\ncontent two\nnav bar"),
+      (2L, "nav bar\nother page"), // doc 2's copy is untouched by doc 1's
+      (3L, "Cookie Notice\nbody\ncookie notice!")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesWithinDoc(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "nav bar\ncontent one\ncontent two"),
+      (2L, "nav bar\nother page"),
+      (3L, "Cookie Notice\nbody\ncookie notice!"))) // byte-exact: variant kept
+    // normalized matching folds the doc-3 variant; first ORIGINAL kept
+    val norm = Dedup.dedupLinesWithinDoc(corpus, "doc_id", "text",
+        normalize = Dedup.normalizeText)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(norm(2) == (3L, "Cookie Notice\nbody"))
+    // idempotent
+    val twice = Dedup.dedupLinesWithinDoc(
+      Dedup.dedupLinesWithinDoc(corpus, "doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(twice.sameElements(out))
+  }
+
   test("removeContaminatedSpans drops matched lines, keeps remainder in order") {
     val corpus = Seq(
       (1L, "what is the capital of france\nparis has great food\nmore prose here"),
