@@ -47,7 +47,16 @@ object Bench {
     // min (and to a lesser degree its median) load-insensitive.
     val allNames = SparkEntry.benchQueries ++ SparkEntry.benchQueriesV2
     val runsByName: Map[String, Seq[Double]] = {
-      val rounds = (1 to iters).map(_ => allNames.map(n => n -> runOnce(n)))
+      val rounds = (1 to iters).map { _ =>
+        val r = allNames.map(n => n -> runOnce(n))
+        // free the dedup family's checkpoint blocks between rounds:
+        // every LSH/components query pins executor memory until the
+        // session dies, and 3 rounds x the full tier would otherwise
+        // accumulate — keeping the later rounds' memory profile (and
+        // GC) comparable to round 1 (outside any timed window)
+        graft.functions.Dedup.releaseMaterialized(spark)
+        r
+      }
       allNames.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
     def runsOf(names: Seq[String]): Seq[(String, Seq[Double])] =

@@ -375,13 +375,19 @@ object Dedup {
     *
     * PRECONDITION: `id` must be unique — duplicate ids double-count a
     * document's own lines toward `minRepeats` and fan out the final
-    * reassembly join. */
+    * reassembly join.
+    *
+    * `delimiter` is a REGEX for splitting and a literal for
+    * reassembly: the default "\n" dedups lines; "\n\n" dedups
+    * paragraphs (blank-line separated). */
   def stripRepeatedLines(df: DataFrame, id: String, text: String,
                          minRepeats: Int = 2,
-                         normalize: Column => Column = identity): DataFrame = {
+                         normalize: Column => Column = identity,
+                         delimiter: String = "\n"): DataFrame = {
     require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
     val units = df
-      .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("__pos", "__ln")))
+      .select(col(id).as("__id"),
+        posexplode(split(col(text), delimiter)).as(Seq("__pos", "__ln")))
       .withColumn("__k", normalize(col("__ln")))
       .withColumn("__h", xxhash64(col("__k")))
     val repHash = units.groupBy("__h").agg(count(lit(1)).as("__c"))
@@ -393,7 +399,7 @@ object Dedup {
       .groupBy("__id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__ln")))),
-        s => s.getField("__ln")), "\n").as("__text"))
+        s => s.getField("__ln")), delimiter).as("__text"))
     df.join(rebuilt, col(id) === col("__id"), "left")
       .withColumn(text, coalesce(col("__text"), lit("")))
       .drop("__id", "__text")

@@ -223,6 +223,16 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.stripRepeatedLines(corpus, "doc_id", "text", 1)
     }
+    // paragraph mode: delimiter "\n\n" dedups blank-line-separated
+    // units — single newlines inside a paragraph are preserved
+    val paras = Seq(
+      (1L, "shared para\nline two\n\nunique one"),
+      (2L, "shared para\nline two\n\nunique two")
+    ).toDF("doc_id", "text")
+    val pOut = Dedup.stripRepeatedLines(paras, "doc_id", "text",
+        minRepeats = 2, delimiter = "\n\n")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(pOut.toSeq == Seq("unique one", "unique two"))
   }
 
   test("releaseMaterialized sweeps graft checkpoint blocks, leaves user persists") {
