@@ -227,8 +227,21 @@ object Dedup {
     // 95.3% of the tokens covered by corpus-repeated SLIDING windows;
     // adding the half-stride pass closes the gap (the slight >100% is
     // the trailing-partial-block semantics both passes share).
-    offsets.foldLeft(df)((d, off) =>
-      stripAlignedPass(d, id, text, blockTokens, minRepeats, off))
+    //
+    // Each pass consumes its input ~5x (the units view three times,
+    // the head-stub union, and the reassembly join), so chaining
+    // passes over raw lineage recomputes the whole upstream plan per
+    // consumer. Later passes therefore checkpoint their input — lazily,
+    // so materialization folds into the pass's first aggregate
+    // (measured at sf0.1 by tools/StrideTimeProbe: 2.95 -> 2.30 s
+    // warm, 7.5 -> 3.4 s cold). Blocks are graft-tagged: sweep with
+    // [[releaseMaterialized]] in long-lived sessions, and set a
+    // checkpoint dir on a real cluster for reliable (non-executor-
+    // memory) materialization.
+    offsets.zipWithIndex.foldLeft(df) { case (d, (off, i)) =>
+      stripAlignedPass(if (i == 0) d else materializeLazily(d),
+        id, text, blockTokens, minRepeats, off)
+    }
   }
 
   /** One aligned strip pass with blocks carved from token offset
