@@ -1116,6 +1116,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- dedup: paragraph-mode corpus-wide strip -----------------
+    // Exercises stripRepeatedLines' delimiter parameter: docs shaped
+    // into 3-token lines grouped into 12-token (4-line) paragraphs,
+    // then any paragraph whose NORMALIZED form appears >= 2 times
+    // corpus-wide is dropped whole; intra-paragraph newlines survive
+    // (normalizeText collapses them identically in both dialects).
+    "q_strip_paras" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("text",
+        regexp_replace(
+          regexp_replace($"text", "((?:\\S+ ){11}\\S+) ", "$1\n\n"),
+          "((?:\\S+ ){2}\\S+) ", "$1\n"))
+      Dedup.stripRepeatedLines(docs, "doc_id", "text",
+          minRepeats = 2, normalize = Dedup.normalizeText, delimiter = "\n\n")
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- dedup: within-document line dedup -----------------------
     // Keep the first occurrence of each line inside a document, drop
     // later repeats. Docs broken into 2-token lines (every doc in the
@@ -1997,6 +2015,26 @@ object SparkEntry {
         | rep AS (SELECT k FROM n GROUP BY k HAVING count(*) >= 2),
         | kept AS (SELECT n.* FROM n ANTI JOIN rep USING (k)),
         | reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text2
+        |   FROM kept GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(r.text2, '') AS text
+        |FROM documents d2 LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
+    "q_strip_paras" ->
+      """WITH d AS (SELECT doc_id, string_split(
+        |   regexp_replace(
+        |     regexp_replace(text, '((?:\S+ ){11}\S+) ',
+        |       '\1' || chr(10) || chr(10), 'g'),
+        |     '((?:\S+ ){2}\S+) ', '\1' || chr(10), 'g'),
+        |   chr(10) || chr(10)) AS ps FROM documents),
+        | i AS (SELECT doc_id, ps, unnest(range(len(ps))) AS pos FROM d),
+        | u AS (SELECT doc_id, pos, ps[pos+1] AS p FROM i),
+        | n AS (SELECT doc_id, pos, p, trim(regexp_replace(regexp_replace(
+        |   lower(p), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),
+        |   '[ \t\n\f\r]+', ' ', 'g')) AS k FROM u),
+        | rep AS (SELECT k FROM n GROUP BY k HAVING count(*) >= 2),
+        | kept AS (SELECT n.* FROM n ANTI JOIN rep USING (k)),
+        | reb AS (SELECT doc_id,
+        |   string_agg(p, chr(10) || chr(10) ORDER BY pos) AS text2
         |   FROM kept GROUP BY doc_id)
         |SELECT d2.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d2 LEFT JOIN reb r USING (doc_id)
