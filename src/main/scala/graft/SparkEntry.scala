@@ -1147,6 +1147,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- dedup: canonical-URL dedup ------------------------------
+    // URL canonicalization + keep-one-per-canonical — the stage
+    // published web-curation stacks run before any content dedup. The
+    // corpus has no URL column, so the query synthesizes four
+    // deterministic variants per group of 4 docs (uppercased host +
+    // default port / trailing slash / tracking params / fragment)
+    // that must all collapse to one canonical form; the kept row is
+    // the min doc_id of each group.
+    "q_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val k = expr("CAST(doc_id DIV 4 AS STRING)")
+      val urls = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 4 === 0,
+            concat(lit("HTTPS://Example.COM:443/p/"), k))
+          .when($"doc_id" % 4 === 1,
+            concat(lit("https://example.com/p/"), k, lit("/")))
+          .when($"doc_id" % 4 === 2,
+            concat(lit("https://example.com/p/"), k,
+              lit("?utm_source=feed&gclid=x1")))
+          .otherwise(concat(lit("https://example.com/p/"), k, lit("#sec")))
+          .as("url"))
+      Dedup.dedupByCanonicalUrl(urls, "url", "doc_id")
+        .select($"canonical_url", $"n_variants", $"doc_id")
+        .orderBy("canonical_url")
+    }),
+
     // -------- decontamination: span removal (keep doc remainder) ------
     // Line-level span decontamination: docs broken into 6-token lines
     // (as q_strip_lines); the bench set is every 50th doc UPPERCASED —
@@ -2051,6 +2077,42 @@ object SparkEntry {
         |SELECT d2.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d2 LEFT JOIN reb r USING (doc_id)
         |ORDER BY d2.doc_id""".stripMargin,
+    "q_url_dedup" ->
+      """WITH urls AS (SELECT doc_id,
+        |   CASE doc_id % 4
+        |     WHEN 0 THEN 'HTTPS://Example.COM:443/p/' || (doc_id // 4)::VARCHAR
+        |     WHEN 1 THEN 'https://example.com/p/' || (doc_id // 4)::VARCHAR || '/'
+        |     WHEN 2 THEN 'https://example.com/p/' || (doc_id // 4)::VARCHAR
+        |       || '?utm_source=feed&gclid=x1'
+        |     ELSE 'https://example.com/p/' || (doc_id // 4)::VARCHAR || '#sec'
+        |   END AS u FROM documents),
+        | ex AS (SELECT doc_id, trim(u) AS u,
+        |   lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |   lower(regexp_extract(trim(u),
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |   regexp_extract(trim(u),
+        |     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        |  FROM urls),
+        | np AS (SELECT doc_id, u, sch,
+        |   CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
+        |        WHEN sch = 'https' THEN regexp_replace(auth, ':443$', '')
+        |        ELSE auth END AS auth2,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(rest,
+        |     '(?i)&(utm_[^=&]*|fbclid|gclid|msclkid|ref)=[^&]*', '', 'g'),
+        |     '(?i)\?(utm_[^=&]*|fbclid|gclid|msclkid|ref)=[^&]*&', '?', 'g'),
+        |     '(?i)\?(utm_[^=&]*|fbclid|gclid|msclkid|ref)=[^&]*$', '', 'g'),
+        |     '\?$', '', 'g') AS q4
+        |  FROM ex),
+        | canon AS (SELECT doc_id,
+        |   CASE WHEN sch = '' THEN u
+        |        ELSE sch || '://' || auth2 ||
+        |          (CASE WHEN contains(q4, '?') THEN q4
+        |                ELSE regexp_replace(q4, '/+$', '', 'g') END) END
+        |   AS canonical_url FROM np)
+        |SELECT canonical_url, count(*)::BIGINT AS n_variants,
+        |  min(doc_id) AS doc_id
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin,
     "q_decontaminate_spans" ->
       """WITH d AS (SELECT doc_id, string_split(
         |   regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g'),

@@ -502,6 +502,27 @@ object Dedup {
       b => struct(b.as("band"), xxhash64(slice(sig, b * lit(r) + 1, lit(r))).as("bh")))
   }
 
+  /** Canonical-URL dedup — the first stage of the published
+    * web-curation recipes (see
+    * [[graft.functions.TextFunctions.canonicalizeUrl]]): keep ONE row
+    * per canonical form of `url`, deterministically the row with the
+    * smallest `id` (full-struct compare breaks id ties), and report
+    * how many variants collapsed into it. Output: `canonical_url`,
+    * `n_variants`, then every original column of the kept row.
+    *
+    * Scale shape: a single shuffle on the canonical key with map-side
+    * partial `min`/`count` — a viral URL repeated across the crawl
+    * partially aggregates before the exchange, so key skew never
+    * concentrates raw rows. `id` must be non-null and orderable. */
+  def dedupByCanonicalUrl(df: DataFrame, url: String, id: String): DataFrame = {
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(graft.functions.TextFunctions.canonicalizeUrl(col(url))
+        .as("canonical_url"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(struct(col(id).as("__k"), rowStruct.as("__row"))).as("__best"))
+      .select(col("canonical_url"), col("n_variants"), col("__best.__row.*"))
+  }
+
   /** Materialize a self-join input exactly once. Reliable when the
     * session has a checkpoint dir (survives executor loss — set one on
     * any real cluster: `sc.setCheckpointDir("hdfs://...")`); otherwise

@@ -158,6 +158,53 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
   }
 
+  /** URL canonicalization — the dedup key published web-curation
+    * pipelines derive before anything else touches the corpus (CCNet /
+    * RefinedWeb drop exact-URL duplicates ahead of content dedup; it
+    * removes a large share of raw crawl rows for the cost of a string
+    * kernel). Conservative, dialect-portable rules (plain character
+    * classes, inline (?i), no lookaround — the same steps run in Java
+    * regex and RE2, so the pass is differential-testable):
+    *
+    *  1. trim;
+    *  2. scheme and authority lowercased (userinfo included — a
+    *     simplification; path/query case preserved);
+    *  3. default ports stripped (`http…:80`, `https…:443`);
+    *  4. fragment removed;
+    *  5. tracking params removed case-insensitively (`utm_*`,
+    *     `fbclid`, `gclid`, `msclkid`, `ref`); other params keep
+    *     their original order — reordering could merge distinct
+    *     resources on servers that treat order as meaningful;
+    *  6. a bare leftover `?` and, when no query remains, trailing
+    *     `/` runs on the path are dropped
+    *     (`https://a.com/` == `https://a.com`).
+    *
+    * A value without a `scheme://authority` shape passes through
+    * trimmed (never null, so the column composes with grouping).
+    * Pair with [[graft.functions.Dedup.dedupByCanonicalUrl]]. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // capture up to '#': the fragment never reaches the canonical form
+    val rest = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    // three RE2-safe passes: '&'-led tracking params anywhere, a
+    // tracking param right after '?' followed by a kept param, and a
+    // tracking param that is the whole remaining query
+    val tr = "(utm_[^=&]*|fbclid|gclid|msclkid|ref)"
+    val q1 = regexp_replace(rest, "(?i)&" + tr + "=[^&]*", "")
+    val q2 = regexp_replace(q1, "(?i)\\?" + tr + "=[^&]*&", "?")
+    val q3 = regexp_replace(q2, "(?i)\\?" + tr + "=[^&]*$", "")
+    val q4 = regexp_replace(q3, "\\?$", "")
+    val path = when(instr(q4, "?") > 0, q4)
+      .otherwise(regexp_replace(q4, "/+$", ""))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), authNoPort, path))
+  }
+
   /** Punctuation ratio over characters. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /

@@ -805,6 +805,56 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("canonicalizeUrl: case, ports, fragments, tracking params, slashes") {
+    val cases = Seq(
+      // scheme+host lowercased, default https port stripped
+      ("HTTPS://Example.COM:443/Path/X", "https://example.com/Path/X"),
+      // path case preserved; http default port stripped
+      ("HTTP://A.com:80/P", "http://a.com/P"),
+      // non-default port kept
+      ("https://a.com:8080/x", "https://a.com:8080/x"),
+      // fragment removed
+      ("https://a.com/x#section-2", "https://a.com/x"),
+      // tracking-only query removed entirely (case-insensitive)
+      ("https://a.com/x?UTM_Source=feed&gclid=abc", "https://a.com/x"),
+      // tracking removed, real params kept in order
+      ("https://a.com/x?utm_medium=m&page=2&ref=tw&size=10",
+        "https://a.com/x?page=2&size=10"),
+      // leading tracking param followed by kept param
+      ("https://a.com/x?fbclid=z&q=term", "https://a.com/x?q=term"),
+      // trailing slash runs dropped when no query remains
+      ("https://a.com/dir///", "https://a.com/dir"),
+      ("https://a.com/", "https://a.com"),
+      // slash inside a surviving query value untouched
+      ("https://a.com/x?next=/home/", "https://a.com/x?next=/home/"),
+      // bare '?' dropped
+      ("https://a.com/x?", "https://a.com/x"),
+      // non-URL passes through trimmed
+      ("  not a url  ", "not a url"))
+    val got = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("i", "u")
+      .select($"i", TextFunctions.canonicalizeUrl($"u").as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"input: $in")
+    }
+  }
+
+  test("dedupByCanonicalUrl keeps min-id row per canonical form with variant count") {
+    val df = Seq(
+      (7L, "HTTPS://Example.COM:443/p/1", "a"),
+      (3L, "https://example.com/p/1?utm_source=s", "b"),
+      (5L, "https://example.com/p/1#frag", "c"),
+      (9L, "https://example.com/p/2", "d")
+    ).toDF("doc_id", "url", "payload")
+    val out = Dedup.dedupByCanonicalUrl(df, "url", "doc_id")
+      .orderBy("canonical_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("https://example.com/p/1", 3L, 3L, "b"),
+      ("https://example.com/p/2", 1L, 9L, "d")))
+  }
+
   test("gopherSignals: mean word length, dup lines, symbols, alpha fraction") {
     val df = Seq(
       (1L, "aa bbbb\ncc dd\ncc dd\ncc dd"),      // 4 lines, 3 identical
