@@ -300,11 +300,16 @@ object Dedup {
     * Scale shape: fully per-document — lines explode to narrow
     * (id, pos, line) rows; first-occurrence selection is a
     * min-struct aggregate on (id, key) and reassembly groups on id,
-    * both partial-aggregated, no corpus-wide key ever shuffles. */
+    * both partial-aggregated, no corpus-wide key ever shuffles.
+    *
+    * `delimiter` as in [[stripRepeatedLines]]: a regex for splitting,
+    * a literal for reassembly ("\n\n" dedups paragraphs). */
   def dedupLinesWithinDoc(df: DataFrame, id: String, text: String,
-                          normalize: Column => Column = identity): DataFrame = {
+                          normalize: Column => Column = identity,
+                          delimiter: String = "\n"): DataFrame = {
     val units = df
-      .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("__pos", "__ln")))
+      .select(col(id).as("__id"),
+        posexplode(split(col(text), delimiter)).as(Seq("__pos", "__ln")))
       .withColumn("__k", normalize(col("__ln")))
     // min over (pos, line) structs = the first occurrence's row (pos
     // is unique within a doc, so the line tiebreak never fires)
@@ -314,7 +319,7 @@ object Dedup {
     val rebuilt = firsts.groupBy("__id")
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__ln")))),
-        s => s.getField("__ln")), "\n").as("__text"))
+        s => s.getField("__ln")), delimiter).as("__text"))
     df.join(rebuilt, col(id) === col("__id"), "left")
       .withColumn(text, coalesce(col("__text"), lit("")))
       .drop("__id", "__text")

@@ -284,6 +284,12 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dedupLinesWithinDoc(corpus, "doc_id", "text"), "doc_id", "text")
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(twice.sameElements(out))
+    // paragraph mode: "\n\n" units — intra-paragraph newlines kept
+    val paras = Seq((1L, "ad block\nline two\n\nbody\n\nad block\nline two"))
+      .toDF("doc_id", "text")
+    val pOut = Dedup.dedupLinesWithinDoc(paras, "doc_id", "text",
+        delimiter = "\n\n").collect().map(_.getString(1))
+    assert(pOut.toSeq == Seq("ad block\nline two\n\nbody"))
   }
 
   test("removeContaminatedSpans drops matched lines, keeps remainder in order") {

@@ -148,6 +148,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical-URL dedup is one keyed exchange with map-side partial aggregation") {
+    // the whole op must be aggregate-shaped: partial min/count before
+    // the single hashpartitioning exchange on the canonical key (plus
+    // the final presentation sort), never a join of any kind — a
+    // viral URL pre-aggregates map-side instead of concentrating rows
+    val p = planOf("q_url_dedup")
+    assert(!p.contains("Join"), s"q_url_dedup grew a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q_url_dedup should shuffle once on the canonical key:\n$p")
+    // two aggregate nodes = partial + final (min(struct) aggregates
+    // via SortAggregate; HashAggregate acceptable if Spark changes it)
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size == 2,
+      s"q_url_dedup lost its partial aggregation:\n$p")
+  }
+
   test("decontaminate explode branch carries no inferred shingle-kernel filter") {
     // guard against the InferFiltersFromGenerate trap (see CLAUDE.md):
     // aliasing the array to an attribute before explode gets
