@@ -1147,6 +1147,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- quality: corpus-unigram log-prob score ------------------
+    // CCNet-shaped statistical quality: fit the corpus's own unigram
+    // distribution (one token-count aggregate), then score each doc by
+    // its tokens' mean log-probability — rare-garbage-heavy docs score
+    // low. Both dialects compute avg(ln(count)) - ln(total), round 6.
+    "q_unigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.unigramLogProbScore(t(s, dir, "documents"), "doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- dedup: canonical-URL dedup ------------------------------
     // URL canonicalization + keep-one-per-canonical — the stage
     // published web-curation stacks run before any content dedup. The
@@ -2077,6 +2088,17 @@ object SparkEntry {
         |SELECT d2.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d2 LEFT JOIN reb r USING (doc_id)
         |ORDER BY d2.doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |   FROM documents),
+        | f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        | n AS (SELECT sum(c) AS n FROM f),
+        | s AS (SELECT t.doc_id, avg(ln(f.c::DOUBLE)) AS a
+        |   FROM t JOIN f USING (tok) GROUP BY t.doc_id)
+        |SELECT s.doc_id,
+        |  round(a - ln((SELECT n FROM n)::DOUBLE), 6) AS uni_logprob
+        |FROM s ORDER BY s.doc_id""".stripMargin,
     "q_url_dedup" ->
       """WITH urls AS (SELECT doc_id,
         |   CASE doc_id % 4

@@ -158,6 +158,41 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
   }
 
+  import org.apache.spark.sql.{DataFrame => DF}
+
+  /** Corpus-statistical quality score — the CCNet recipe's shape with
+    * a unigram proxy for the language model: score each document by
+    * the mean natural-log probability of its tokens under the
+    * corpus's OWN unigram distribution (higher = more typical text;
+    * rare-garbage-heavy documents score low). CCNet buckets documents
+    * by KenLM perplexity; no LM ships in a Spark job's classpath, so
+    * the unigram estimate is the honest distributable stand-in — the
+    * pipeline shape (corpus-wide model fit, then per-doc scoring) is
+    * identical, and a real LM drops in by replacing the frequency
+    * table with externally-trained scores.
+    *
+    * Scale shape: tokens explode map-side; the frequency fit is ONE
+    * narrow (token, count) aggregate with map-side partials; scoring
+    * re-joins tokens to the fitted table on the token key (Zipf keeps
+    * the vocabulary tiny relative to the corpus — AQE broadcasts it
+    * when it fits; not forced, so a pathological vocabulary still
+    * shuffle-joins safely) and partial-aggregates the per-doc mean.
+    * The corpus total rides a broadcast 1-row scalar. Rounded to 6
+    * per the cross-dialect double convention (SparkEntry Scaladoc).
+    * Output: (`id`, uni_logprob). */
+  def unigramLogProbScore(df: DF, id: String, text: Column): DF = {
+    val toks = df.select(col(id).as("__id"), explode(tokens(text)).as("__t"))
+    val freq = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = freq.agg(sum(col("__c")).as("__n"))
+    toks.join(freq, "__t")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(avg(log(col("__c").cast("double"))).as("__a"),
+        first(col("__n")).as("__n"))
+      .select(col("__id").as(id),
+        round(col("__a") - log(col("__n").cast("double")), 6).as("uni_logprob"))
+  }
+
   /** URL canonicalization — the dedup key published web-curation
     * pipelines derive before anything else touches the corpus (CCNet /
     * RefinedWeb drop exact-URL duplicates ahead of content dedup; it

@@ -811,6 +811,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("unigramLogProbScore: mean log-prob under the corpus's own unigram fit") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextFunctions.unigramLogProbScore(df, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // freq: a=2 b=2 c=1, total=5
+    // doc 1: avg(ln2,ln2,ln2) - ln5 = ln(2/5) = -0.916291
+    // doc 2: (ln2+ln1)/2 - ln5 = -1.262864
+    assert(got(1L) == -0.916291)
+    assert(got(2L) == -1.262864)
+  }
+
   test("canonicalizeUrl: case, ports, fragments, tracking params, slashes") {
     val cases = Seq(
       // scheme+host lowercased, default https port stripped
