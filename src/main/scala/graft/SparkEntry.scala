@@ -1147,6 +1147,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: TF-IDF top-k terms per document -------------------
+    // Keyword extraction over the corpus's own statistics. Scores
+    // rounded to 6 BEFORE ranking with a term tiebreak, so both
+    // dialects select and order identically.
+    "q_tfidf_topk" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.tfidfTopTerms(t(s, dir, "documents"), "doc_id", $"text", 5)
+        .orderBy("doc_id", "rank")
+    }),
+
     // -------- quality: corpus-unigram log-prob score ------------------
     // CCNet-shaped statistical quality: fit the corpus's own unigram
     // distribution (one token-count aggregate), then score each doc by
@@ -2088,6 +2098,20 @@ object SparkEntry {
         |SELECT d2.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d2 LEFT JOIN reb r USING (doc_id)
         |ORDER BY d2.doc_id""".stripMargin,
+    "q_tfidf_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |   FROM documents),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        | df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        | sc AS (SELECT doc_id, tok,
+        |   round(tf * ln((SELECT nd FROM nd)::DOUBLE / df), 6) AS score
+        |  FROM tf JOIN df USING (tok)),
+        | rk AS (SELECT doc_id, tok, score, row_number() OVER
+        |   (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn FROM sc)
+        |SELECT doc_id, rn AS rank, tok AS term, score AS tfidf
+        |FROM rk WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin,
     "q_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(
         |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok

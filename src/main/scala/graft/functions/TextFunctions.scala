@@ -285,6 +285,38 @@ object TextFunctions {
         col("n_units"), col("total_weight"))
   }
 
+  /** TF-IDF top-`k` terms per document — the classic keyword
+    * extraction over a corpus's own statistics: term frequency per
+    * (doc, token), document frequency per token, score
+    * `tf * ln(nDocs / df)`, keep each document's `k` highest-scoring
+    * terms. Scores are rounded to 6 BEFORE ranking and ties break on
+    * the term itself, so the selection is deterministic and
+    * dialect-reproducible (near-equal doubles collapse to equal at
+    * the rounding grain, then the term tiebreak decides identically
+    * everywhere). Output: (id, rank, term, tfidf).
+    *
+    * Scale shape: one (doc, token) aggregate with map-side partials;
+    * the document-frequency fit is a narrow (token, count) aggregate
+    * over it; scoring re-joins on the token key (Zipf vocabulary —
+    * AQE broadcasts when it fits); nDocs rides a broadcast 1-row
+    * scalar; top-k is a rank over the doc-partitioned window (sort
+    * spills, never collects). */
+  def tfidfTopTerms(df: DataFrame, id: String, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(id).as("__id"), explode(tokens(text)).as("__t"))
+    val tf = toks.groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val nDocs = df.select(col(id)).distinct().agg(count(lit(1)).as("__nd"))
+    val scored = tf.join(dfreq, "__t").crossJoin(broadcast(nDocs))
+      .withColumn("__score",
+        round(col("__tf") * log(col("__nd").cast("double") / col("__df")), 6))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("__t").asc)
+    scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(col("__id").as(id), col("__rn").cast("long").as("rank"),
+        col("__t").as("term"), col("__score").as("tfidf"))
+  }
+
   /** Sentence-aware chunking: whole sentences packed to a token
     * budget — the segmentation that keeps sentence boundaries intact
     * (vs the fixed-window [[chunkTokens]]). */

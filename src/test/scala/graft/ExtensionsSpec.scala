@@ -811,6 +811,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("tfidfTopTerms ranks by rounded score with term tiebreak") {
+    // corpus of 4 docs; "common" appears in all (idf = ln(1) = 0)
+    val df = Seq(
+      (1L, "common rare rare"),
+      (2L, "common mid"),
+      (3L, "common mid"),
+      (4L, "common")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.tfidfTopTerms(df, "doc_id", $"text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .groupBy(_._1)
+    // doc 1: rare tf=2 df=1 → 2*ln4 = 2.772589; common tf=1 df=4 → 0
+    assert(got(1L).sortBy(_._2).toSeq == Seq(
+      (1L, 1L, "rare", 2.772589), (1L, 2L, "common", 0.0)))
+    // doc 2: mid tf=1 df=2 → ln2 = 0.693147; common 0
+    assert(got(2L).sortBy(_._2).toSeq == Seq(
+      (2L, 1L, "mid", 0.693147), (2L, 2L, "common", 0.0)))
+    // doc 4: only one term, k=2 returns just it
+    assert(got(4L).toSeq == Seq((4L, 1L, "common", 0.0)))
+  }
+
   test("unigramLogProbScore: mean log-prob under the corpus's own unigram fit") {
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextFunctions.unigramLogProbScore(df, "doc_id", $"text")
