@@ -159,16 +159,33 @@ object GraftIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Read one of the driver's testdata tables from an sf dir, fixing up
-    * ns-precision timestamps (nanosAsLong) into proper event-time
-    * columns where known. */
+  /** Read one of the driver's testdata tables from an sf dir,
+    * normalizing the events timestamp to a stable two-column contract
+    * regardless of how the generator encoded it: `ts` is always a true
+    * TimestampType (µs, UTC session zone — required by streaming
+    * watermarks) and `ts_ns` is always the raw epoch-nanos long (the
+    * exact-arithmetic column the temporal joins key on). Three
+    * generator encodings are handled: int64 nanos (read via
+    * nanosAsLong), naive timestamp_ntz µs (cast is an exact UTC
+    * interpretation — every graft session pins
+    * spark.sql.session.timeZone=UTC, matching DuckDB's naive epoch
+    * math), and tz-adjusted timestamp µs. */
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     name match {
-      case "events" if df.schema("ts").dataType == org.apache.spark.sql.types.LongType =>
-        // keep raw nanos as ts_ns; ts becomes a true TimestampType (µs)
-        df.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case "events" => df.schema("ts").dataType match {
+        case LongType =>
+          // keep raw nanos as ts_ns; ts becomes a true TimestampType (µs)
+          df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case TimestampType =>
+          df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case other => df // unknown encoding: leave untouched
+      }
       case _ => df
     }
   }
