@@ -1168,6 +1168,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- retrieval: BM25 scoring + top-k -------------------------
+    // Probabilistic retrieval over the corpus ("dup" is rare ~5% df,
+    // "spark" common ~77% — exercises both idf regimes). Scores are
+    // rounded to 6 before any ranking; top-k ranks round-first with a
+    // doc_id tiebreak so both dialects pick identical rows.
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.bm25Scores(t(s, dir, "documents"), "doc_id", $"text",
+          Seq("dup", "spark"))
+        .orderBy("doc_id")
+    }),
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.bm25TopK(t(s, dir, "documents"), "doc_id", $"text",
+          Seq("dup", "spark"), k = 10)
+        .orderBy("rank")
+    }),
+
     // -------- dedup: canonical-URL dedup ------------------------------
     // URL canonicalization + keep-one-per-canonical — the stage
     // published web-curation stacks run before any content dedup. The
@@ -2123,6 +2141,51 @@ object SparkEntry {
         |SELECT s.doc_id,
         |  round(a - ln((SELECT n FROM n)::DOUBLE), 6) AS uni_logprob
         |FROM s ORDER BY s.doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |   FROM documents),
+        | st AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+        |   FROM d),
+        | t AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS tok
+        |   FROM d),
+        | m AS (SELECT * FROM t WHERE tok IN ('dup', 'spark')),
+        | tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+        |   FROM m GROUP BY doc_id, tok),
+        | df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        | sc AS (SELECT tf.doc_id,
+        |   ln(1 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM st)))
+        |     AS s
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, round(sum(s), 6) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |   FROM documents),
+        | st AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+        |   FROM d),
+        | t AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS tok
+        |   FROM d),
+        | m AS (SELECT * FROM t WHERE tok IN ('dup', 'spark')),
+        | tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+        |   FROM m GROUP BY doc_id, tok),
+        | df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        | sc AS (SELECT tf.doc_id,
+        |   ln(1 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM st)))
+        |     AS s
+        |  FROM tf JOIN df USING (tok)),
+        | agg AS (SELECT doc_id, round(sum(s), 6) AS bm25
+        |   FROM sc GROUP BY doc_id),
+        | top AS (SELECT doc_id, bm25,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        |  FROM agg)
+        |SELECT doc_id, rank, bm25 FROM top WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     "q_url_dedup" ->
       """WITH urls AS (SELECT doc_id,
         |   CASE doc_id % 4

@@ -317,6 +317,71 @@ object TextFunctions {
         col("__t").as("term"), col("__score").as("tfidf"))
   }
 
+  /** BM25 relevance of every document against a fixed bag of query
+    * terms — the classic probabilistic retrieval score (Robertson/
+    * Sparck Jones; the reference's corpus has no search surface, so
+    * this is part of the engine's LLM-pipeline tier: retrieval-based
+    * corpus triage at 100 TB). Per matching (doc, term):
+    * `idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))` with the
+    * always-positive idf `ln(1 + (N - df + 0.5)/(df + 0.5))`; a
+    * document's score is the sum over its matching terms. Scores are
+    * rounded to 6 decimals so downstream ranking is
+    * dialect-deterministic.
+    *
+    * Scale shape: the query-term filter runs INSIDE the generator
+    * child (`explode(filter(tokens, isin(...)))` — kept inline, never
+    * aliased, per the InferFiltersFromGenerate 3×-eval trap), so
+    * non-matching tokens never become rows and the only wide work is
+    * a (doc, term) count over documents that actually contain a query
+    * term. Document length and the corpus (N, avgdl) stats are
+    * map-side projections; (N, avgdl) and the per-term document
+    * frequencies (at most |queryTerms| rows) ride broadcast joins.
+    * Output: (id, bm25) for documents matching >= 1 term. */
+  def bm25Scores(df: DataFrame, id: String, text: Column,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val stats = df.agg(
+      count(lit(1)).as("__n"),
+      avg(size(tokens(text))).as("__avgdl"))
+    val matched = df.select(
+      col(id).as("__id"),
+      size(tokens(text)).cast("double").as("__dl"),
+      explode(filter(tokens(text), t => t.isin(queryTerms: _*))).as("__t"))
+    val tf = matched.groupBy("__id", "__t")
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "__t").crossJoin(broadcast(stats))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy("__id")
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+      .select(col("__id").as(id), col("bm25"))
+  }
+
+  /** Top-`k` documents by [[bm25Scores]] — round-before-rank with an
+    * id tiebreak (the [[tfidfTopTerms]] determinism recipe), so the
+    * ranking reproduces across engines. The global top-k runs as
+    * `orderBy(...).limit(k)` — Spark plans that as a distributed
+    * TakeOrderedAndProject (per-partition partial top-k, merge on the
+    * driver side of the exchange), never a single-partition global
+    * sort; the rank window then only ever sees `k` rows.
+    * Output: (id, rank, bm25). */
+  def bm25TopK(df: DataFrame, id: String, text: Column,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = bm25Scores(df, id, text, queryTerms, k1, b)
+      .orderBy(col("bm25").desc, col(id).asc).limit(k)
+    val w = Window.orderBy(col("bm25").desc, col(id).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(id), col("rank"), col("bm25"))
+  }
+
   /** Sentence-aware chunking: whole sentences packed to a token
     * budget — the segmentation that keeps sentence boundaries intact
     * (vs the fixed-window [[chunkTokens]]). */

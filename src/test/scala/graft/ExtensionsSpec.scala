@@ -843,6 +843,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(2L) == -1.262864)
   }
 
+  test("bm25Scores: sums per-term probabilistic scores over matching docs") {
+    val df = Seq(
+      (1L, "dup dup other"),
+      (2L, "dup spark"),
+      (3L, "other words here")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.bm25Scores(df, "doc_id", $"text", Seq("dup", "spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=8/3; dup: df=2 idf=ln(1.6); spark: df=1 idf=ln(8/3)
+    // doc 1: dup tf=2 dl=3 -> 0.624307; doc 2: dup+spark dl=2 -> 1.616118
+    // doc 3: no query term -> absent
+    assert(got == Map(1L -> 0.624307, 2L -> 1.616118))
+  }
+
+  test("bm25TopK ranks rounded scores with doc_id tiebreak, caps at k") {
+    val df = Seq(
+      (1L, "dup dup other"),
+      (2L, "dup spark"),
+      (3L, "other words here"),
+      (4L, "dup spark") // identical to doc 2 -> tied score, id tiebreak
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.bm25TopK(df, "doc_id", $"text", Seq("dup", "spark"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sortBy(_._2).toSeq == Seq((2L, 1L), (4L, 2L)))
+  }
+
   test("canonicalizeUrl: case, ports, fragments, tracking params, slashes") {
     val cases = Seq(
       // scheme+host lowercased, default https port stripped
