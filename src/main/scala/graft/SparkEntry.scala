@@ -1212,6 +1212,47 @@ object SparkEntry {
         .orderBy("canonical_url")
     }),
 
+    // -------- dedup: incremental cross-snapshot (exact anti-join) -----
+    // Recurring-crawl dedup: the "snapshot" is the half of the corpus
+    // whose md5(text) starts below '8' (a deterministic hash twin of a
+    // previous crawl's retained set); the query keeps only docs whose
+    // text is NOT in the snapshot. Bloom pre-filter enabled — no false
+    // negatives, so the result is the exact text-equality anti-join.
+    "q_snapshot_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val snap = docs.where(substring(md5($"text"), 1, 1) < "8")
+        .select($"text".as("snap_text"))
+      Dedup.dedupAgainstSnapshot(docs, "doc_id", "text", snap, "snap_text",
+          bloomExpectedItems = 1000000L)
+        .select($"doc_id", $"source")
+        .orderBy("doc_id")
+    }),
+
+    // -------- curation: CCNet head/middle/tail quality buckets --------
+    // The CCNet bucketing stage: score every doc with the corpus-unigram
+    // log-prob model (q_unigram_logprob), then ntile into 3 buckets on
+    // (score desc, doc_id) — bucket 1 = "head" (most natural text).
+    // Ordering runs on the ROUNDED score, which q_unigram_logprob
+    // already proves bit-identical across engines, so the tie-broken
+    // total order (and therefore every bucket) is dialect-exact.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val scored = TextFunctions.unigramLogProbScore(
+        t(s, dir, "documents"), "doc_id", $"text")
+      Corpus.bucketByRank(scored, Seq($"uni_logprob".desc, $"doc_id"), 3)
+        .select($"doc_id", $"uni_logprob", $"bucket".cast("long").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- text analysis: corpus-wide top-k n-gram heavy hitters ---
+    "q_top_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.topNgramsCorpus(t(s, dir, "documents"), $"text",
+          n = 2, k = 20)
+        .orderBy(col("cnt").desc, col("ngram"))
+    }),
+
     // -------- decontamination: span removal (keep doc remainder) ------
     // Line-level span decontamination: docs broken into 6-token lines
     // (as q_strip_lines); the bench set is every 50th doc UPPERCASED —
@@ -2222,6 +2263,33 @@ object SparkEntry {
         |  min(doc_id) AS doc_id
         |FROM canon GROUP BY canonical_url
         |ORDER BY canonical_url""".stripMargin,
+    "q_snapshot_dedup" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents s
+        |  WHERE substr(md5(s.text), 1, 1) < '8' AND s.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |   FROM documents),
+        | f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+        | n AS (SELECT sum(c) AS n FROM f),
+        | s AS (SELECT t.doc_id, avg(ln(f.c::DOUBLE)) AS a
+        |   FROM t JOIN f USING (tok) GROUP BY t.doc_id),
+        | sc AS (SELECT s.doc_id,
+        |   round(a - ln((SELECT n FROM n)::DOUBLE), 6) AS uni_logprob
+        |  FROM s)
+        |SELECT doc_id, uni_logprob,
+        |  ntile(3) OVER (ORDER BY uni_logprob DESC, doc_id) AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0) AS toks FROM documents),
+        | g AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+        |     for i in range(1, greatest(len(toks)-1, 1)+1)]) AS ngram
+        |   FROM d)
+        |SELECT ngram, count(*)::BIGINT AS cnt FROM g
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
     "q_decontaminate_spans" ->
       """WITH d AS (SELECT doc_id, string_split(
         |   regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g'),

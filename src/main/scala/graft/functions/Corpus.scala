@@ -80,6 +80,44 @@ object Corpus {
     (df.where(bucket >= holdoutNumer), df.where(bucket < holdoutNumer))
   }
 
+  /** CCNet-style quality bucketing, exact-rank twin: append a `bucket`
+    * column (1..`buckets`, 1 = first in `order`) via `ntile` over a
+    * deterministic GLOBAL order — CCNet's head/middle/tail split is
+    * exactly `buckets = 3` over perplexity ascending (here: a quality
+    * score descending, e.g.
+    * [[graft.functions.TextFunctions.unigramLogProbScore]]). The
+    * global window is a single-partition sort — the oracle/parity
+    * form (NTILE is exact and engine-portable given a total order;
+    * include a unique tiebreak column in `order`). Production path at
+    * scale: [[bucketByQuantiles]]. */
+  def bucketByRank(df: DataFrame, order: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("bucket", ntile(buckets).over(Window.orderBy(order: _*)))
+  }
+
+  /** Production twin of [[bucketByRank]]: bucket by approximate
+    * quantile cutoffs of `score` instead of a global sort. One
+    * partial-aggregable Greenwald-Khanna pass computes the
+    * `buckets - 1` cutoffs (driver-side array, small by construction),
+    * which fold back in as literals — every row is then bucketed
+    * map-side; no shuffle, no single-partition window. Bucket 1 holds
+    * the LOWEST scores (ascending, matching `bucketByRank(df,
+    * Seq(col(score)), n)`); rows equal to a cutoff land in the lower
+    * bucket. `relativeError = 0` makes the cutoffs exact quantiles;
+    * boundary assignment can still differ from the rank form by the
+    * rows tied at a cutoff. */
+  def bucketByQuantiles(df: DataFrame, score: String, buckets: Int,
+                        relativeError: Double = 1e-4): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = df.stat.approxQuantile(score, probs, relativeError)
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(score) > lit(c), 1).otherwise(0)
+    }
+    df.withColumn("bucket", bucket)
+  }
+
   /** HyperLogLog++ distinct-count sketch (mergeable partial aggregate;
     * `rsd` = target relative standard deviation). The approximate twin
     * of `count_distinct` for 100 TB cardinalities where the exact

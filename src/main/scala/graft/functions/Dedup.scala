@@ -528,6 +528,74 @@ object Dedup {
       .select(col("canonical_url"), col("n_variants"), col("__best.__row.*"))
   }
 
+  /** Incremental (cross-snapshot) exact dedup — the recurring-crawl
+    * stage: drop every corpus row whose `text` already appears in a
+    * previously-retained `snapshot`, so each new crawl only contributes
+    * unseen content. Result is EXACT (same rows as a text-equality
+    * anti-join): hash matches are re-checked by string equality, so a
+    * 64-bit collision can never drop an innocent document.
+    *
+    * Scale shape (the corpus and the snapshot may both be huge):
+    *  1. both sides reduce to narrow 8-byte `xxhash64(text)` keys; the
+    *     only corpus-wide exchange is the hash semi-join (16 bytes/row);
+    *  2. full text is re-read (second scan — recomputation over
+    *     materialization, as in [[stripRepeatedBlocks]]) ONLY for rows
+    *     whose hash intersects the other side, so text shuffle is
+    *     bounded by the cross-snapshot duplicate population, and those
+    *     small sides broadcast under AQE;
+    *  3. optionally, a Bloom filter over the snapshot hash set
+    *     (`bloomExpectedItems` > 0 enables; sized for that many
+    *     distinct hashes at `bloomFpp`) is broadcast as a codegen'd
+    *     probe ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
+    *     not a UDF) so corpus rows that cannot match never enter the
+    *     hash exchange at all — the win when the corpus dwarfs the
+    *     snapshot. No false negatives → the result is unchanged.
+    *
+    * Precondition (as for the LSH pair APIs): `id` values are unique —
+    * the final keep-set is applied by an `id` anti-join, so a
+    * duplicated id would drop every row sharing it. */
+  def dedupAgainstSnapshot(df: DataFrame, id: String, text: String,
+                           snapshot: DataFrame, snapshotText: String,
+                           bloomExpectedItems: Long = 0L,
+                           bloomFpp: Double = 0.03): DataFrame = {
+    val snapHashes = snapshot
+      .select(xxhash64(col(snapshotText)).as("__sh")).distinct()
+    val corpusKeys0 = df.select(col(id).as("__cid"), xxhash64(col(text)).as("__h"))
+    val corpusKeys =
+      if (bloomExpectedItems > 0L) {
+        val bloom = snapHashes.stat.bloomFilter("__sh", bloomExpectedItems, bloomFpp)
+        val bytes = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bytes)
+        import org.apache.spark.sql.graft.Bridge
+        val might = Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            Bridge.expression(lit(bytes.toByteArray)),
+            Bridge.expression(col("__h"))))
+        corpusKeys0.where(might)
+      } else corpusKeys0
+    // Narrow hash-only exchanges: which corpus rows / snapshot hashes
+    // might have a partner on the other side.
+    val suspectIds = corpusKeys
+      .join(snapHashes, col("__h") === col("__sh"), "left_semi")
+      .select(col("__cid"))
+    val snapSuspectHashes = snapHashes
+      .join(corpusKeys.select(col("__h")), col("__sh") === col("__h"), "left_semi")
+    // Fetch text only for the suspect populations (both small by
+    // contract: true cross-snapshot dups + ~0 hash collisions).
+    val suspectRows = df
+      .join(suspectIds.withColumnRenamed("__cid", id), Seq(id), "left_semi")
+      .select(col(id).as("__cid"), col(text).as("__ct"),
+        xxhash64(col(text)).as("__h"))
+    val snapSuspects = snapshot
+      .select(col(snapshotText).as("__st"), xxhash64(col(snapshotText)).as("__sh2"))
+      .join(snapSuspectHashes, col("__sh2") === col("__sh"), "left_semi")
+    val confirmed = suspectRows
+      .join(snapSuspects, col("__h") === col("__sh2"))
+      .where(col("__ct") === col("__st"))
+      .select(col("__cid")).distinct()
+    df.join(confirmed.withColumnRenamed("__cid", id), Seq(id), "left_anti")
+  }
+
   /** Materialize a self-join input exactly once. Reliable when the
     * session has a checkpoint dir (survives executor loss — set one on
     * any real cluster: `sc.setCheckpointDir("hdfs://...")`); otherwise

@@ -145,6 +145,30 @@ object TextFunctions {
         .as("top_ngram_frac"))
   }
 
+  /** Corpus-wide top-k word-n-gram heavy hitters (exact): the audit
+    * that surfaces boilerplate candidates BEFORE choosing strip
+    * thresholds for [[graft.functions.Dedup.stripRepeatedLines]] /
+    * `stripRepeatedBlocks`. N-grams are per-position (not deduplicated
+    * within a doc — frequency is the point; a doc shorter than n
+    * tokens contributes its single short gram, matching
+    * [[topNgramFraction]]). One aggregation on the gram string with
+    * map-side partial combine — a viral gram collapses to one row per
+    * map partition before the exchange, so heavy hitters are exactly
+    * the rows that shuffle LEAST; the top-k sort runs on the already
+    * aggregated (gram, count) set. Deterministic: count desc, gram asc.
+    * Output: (ngram, cnt). */
+  def topNgramsCorpus(df: org.apache.spark.sql.DataFrame, text: Column,
+                      n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"n $n and k $k must be >= 1")
+    val toks = tokens(text)
+    df.select(explode(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** PII redaction: emails then phone-number-shaped digit runs replaced
     * with placeholder tags — the standard scrub pass before a corpus
     * ships to training. The patterns are deliberately conservative and

@@ -235,6 +235,51 @@ class DedupSpec extends AnyFunSuite {
     assert(pOut.toSeq == Seq("unique one", "unique two"))
   }
 
+  test("dedupAgainstSnapshot = exact text anti-join; bloom changes nothing") {
+    val corpus = Seq(
+      (1L, "seen before"), (2L, "brand new one"),
+      (3L, "seen before"),          // duplicate of a snapshot text
+      (4L, "also new"), (5L, "previous crawl only text")
+    ).toDF("doc_id", "text")
+    val snapshot = Seq("seen before", "previous crawl only text", "never in corpus")
+      .toDF("snap_text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val out = Dedup.dedupAgainstSnapshot(corpus, "doc_id", "text",
+      snapshot, "snap_text")
+    assert(ids(out) == Seq(2L, 4L))
+    // brute-force equivalence: plain text-equality anti-join
+    val brute = corpus.join(snapshot,
+      corpus("text") === snapshot("snap_text"), "left_anti")
+    assert(ids(out) == ids(brute))
+    // bloom pre-filter has no false negatives → identical result
+    val bloomed = Dedup.dedupAgainstSnapshot(corpus, "doc_id", "text",
+      snapshot, "snap_text", bloomExpectedItems = 1000L, bloomFpp = 0.01)
+    assert(ids(bloomed) == Seq(2L, 4L))
+    // repartition-invariant; empty snapshot keeps everything
+    assert(ids(Dedup.dedupAgainstSnapshot(corpus.repartition(7), "doc_id",
+      "text", snapshot, "snap_text")) == Seq(2L, 4L))
+    assert(ids(Dedup.dedupAgainstSnapshot(corpus, "doc_id", "text",
+      snapshot.limit(0), "snap_text")) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("topNgramsCorpus: exact corpus-wide counts, deterministic tie-break") {
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "solo")                  // shorter than n → its one short gram
+    ).toDF("doc_id", "text")
+    val top = TextFunctions.topNgramsCorpus(corpus, col("text"), n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "the cat" ×3, "cat sat" ×2, then alphabetical among count-1 grams
+    assert(top == Seq(("the cat", 3L), ("cat sat", 2L), ("cat ran", 1L)))
+    val all = TextFunctions.topNgramsCorpus(corpus, col("text"), n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all.contains(("solo", 1L)) && all.length == 4)
+    intercept[IllegalArgumentException] {
+      TextFunctions.topNgramsCorpus(corpus, col("text"), n = 0, k = 3)
+    }
+  }
+
   test("releaseMaterialized sweeps graft checkpoint blocks, leaves user persists") {
     import org.apache.spark.sql.graft.Bridge
     // start clean: earlier suites may have left tagged blocks behind
