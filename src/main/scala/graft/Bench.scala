@@ -59,6 +59,22 @@ object Bench {
       }
       allNames.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
+    // Back-to-back tier over the headline queries only: each query runs
+    // `iters`x consecutively AFTER the interleaved rounds. The r8 probe
+    // (tools/BenchABProbe, bench/abprobe_r8.txt) measured interleaved
+    // mins 1.47x back-to-back mins in one JVM with ABBA counter-
+    // balancing — per-query warm shuffle/JIT/page-cache state is worth
+    // ~30% — which fully explains the r6->r7 "+15%" phantom regression
+    // (r6 ran b2b, r7 interleaved). Reporting BOTH statistics keeps
+    // every past and future round comparable on a schedule-matched
+    // number: quote r6-and-earlier deltas on mins_b2b, r7+ deltas on
+    // mins. Cost: one extra ~iters-pass over the 22 headline queries.
+    val runsB2b: Map[String, Seq[Double]] =
+      SparkEntry.benchQueries.map { n =>
+        val r = n -> (1 to iters).map(_ => runOnce(n))
+        graft.functions.Dedup.releaseMaterialized(spark)
+        r
+      }.toMap
     def runsOf(names: Seq[String]): Seq[(String, Seq[Double])] =
       names.map(n => n -> runsByName(n))
     def median(xs: Seq[Double]): Double = {
@@ -82,6 +98,8 @@ object Bench {
     val totalV2 = resultsV2.map(r => median(r._2)).sum
     val totalMin = results.map(_._2.min).sum
     val totalMinV2 = resultsV2.map(_._2.min).sum
+    val resultsB2b = SparkEntry.benchQueries.map(n => n -> runsB2b(n))
+    val totalMinB2b = resultsB2b.map(_._2.min).sum
     // a failed query's (partial) duration stays in its per-query slot
     // for series continuity, but the failure is named — a totals diff
     // must never read a crash as a speedup
@@ -89,6 +107,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results, median)},""" +
       s""""total_v2":$totalV2,"queries_v2":${json(resultsV2, median)},""" +
       s""""total_min":$totalMin,"mins":${json(results, _.min)},""" +
+      s""""total_min_b2b":$totalMinB2b,"mins_b2b":${json(resultsB2b, _.min)},""" +
       s""""total_min_v2":$totalMinV2,"mins_v2":${json(resultsV2, _.min)},""" +
       s""""iters":$iters,"runs":${jsonRuns(results)},"runs_v2":${jsonRuns(resultsV2)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""

@@ -1216,16 +1216,69 @@ object SparkEntry {
     // Recurring-crawl dedup: the "snapshot" is the half of the corpus
     // whose md5(text) starts below '8' (a deterministic hash twin of a
     // previous crawl's retained set); the query keeps only docs whose
-    // text is NOT in the snapshot. Bloom pre-filter enabled — no false
-    // negatives, so the result is the exact text-equality anti-join.
+    // text is NOT in the snapshot. Bloom pre-filter enabled in
+    // auto-size mode (sized from the snapshot's distinct-hash count,
+    // not a fixed guess that would embed an oversized bloom literal in
+    // every task) — no false negatives, so the result is the exact
+    // text-equality anti-join.
     "q_snapshot_dedup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val snap = docs.where(substring(md5($"text"), 1, 1) < "8")
         .select($"text".as("snap_text"))
       Dedup.dedupAgainstSnapshot(docs, "doc_id", "text", snap, "snap_text",
-          bloomExpectedItems = 1000000L)
+          bloomExpectedItems = -1L)
         .select($"doc_id", $"source")
+        .orderBy("doc_id")
+    }),
+
+    // -------- dedup: incremental cross-snapshot NEAR-dup (LSH) --------
+    // The recurring-crawl near-dup recipe: the retained snapshot (md5
+    // half, as q_snapshot_dedup) persists its narrow band table; the
+    // new crawl (here: the full corpus) band-joins against it on
+    // (band, bh), exact-Jaccard-verifies candidates, and keeps only
+    // docs with NO snapshot near-dup at J >= 0.9. Snapshot docs
+    // self-match at J = 1 (identical signatures collide in every
+    // band — no banding-miss risk on the exact matches).
+    "q_snapshot_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val snap = docs.where(substring(md5($"text"), 1, 1) < "8")
+        .select($"doc_id".as("snap_id"), $"text".as("snap_text"))
+      val snapBands = Dedup.minhashBandTable(snap, "snap_id", "snap_text",
+        n = 5, k = 128, bands = 16)
+      Dedup.dedupNearDupsAgainstSnapshot(docs, "doc_id", "text",
+          snap, "snap_id", "snap_text", snapBands,
+          n = 5, k = 128, bands = 16, minJaccard = 0.9, maxBucketSize = 0)
+        .select($"doc_id", $"source")
+        .orderBy("doc_id")
+    }),
+
+    // -------- curation: model-based quality filter (hashed BoW) -------
+    // The learned-classifier gate (DCLM / FineWeb-Edu shape): hashed
+    // bag-of-words logistic APPLY with a deterministic 64-bucket
+    // coefficient table standing in for an offline-trained model.
+    // md5-bucket twin on the oracle path (cross-engine exact hash);
+    // integer weights make the pooled mean order-independent, so the
+    // rounded sigmoid is bit-identical across engines.
+    "q_quality_model" -> ((s, dir) => {
+      import s.implicits._
+      val dim = 64
+      val weights = s.range(dim).select($"id".as("bucket"),
+        (pmod($"id", lit(7L)) - lit(3L)).cast("double").as("weight"))
+      TextFunctions.hashedLogisticScoreByMd5(t(s, dir, "documents"),
+          "doc_id", $"text", weights, bias = 0.0, dim = dim, seed = 42L)
+        .orderBy("doc_id")
+    }),
+
+    // -------- curation: interpolated-bigram LM quality score ----------
+    // The CCNet-shaped scorer one rung up from q_unigram_logprob:
+    // Jelinek-Mercer bigram/unigram interpolation (λ=0.5) fit on the
+    // corpus's own text; map-side shifted-zip pair generation, two
+    // narrow count fits, per-doc mean log-prob.
+    "q_bigram_logprob" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.bigramLogProbScore(t(s, dir, "documents"), "doc_id", $"text")
         .orderBy("doc_id")
     }),
 
@@ -1420,6 +1473,19 @@ object SparkEntry {
           charBudget = 200)
         .select($"doc_id", $"chunk_id", $"chunk", $"n_units", $"total_weight")
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // -------- text: cross-document corpus packing ---------------------
+    // Whole-corpus fixed-budget sequence packing across doc boundaries
+    // (docs kept whole, deterministic id order, 8 hash-ish shards —
+    // the per-shard window is the scale path; see packCorpus Scaladoc).
+    "q_pack_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TextFunctions.packCorpus(docs, $"doc_id",
+          size(TextFunctions.tokens($"text")), budget = 512,
+          shard = pmod($"doc_id", lit(8L)))
+        .orderBy("shard", "seq_id")
     }),
 
     // -------- dedup: embedding-cosine near-dup pairs (oracle form) ----
@@ -2268,6 +2334,53 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM documents s
         |  WHERE substr(md5(s.text), 1, 1) < '8' AND s.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_snapshot_neardup" ->
+      """WITH sh AS (SELECT doc_id, text,
+        |   list_distinct([substr(text, i, 5)
+        |     for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | snap AS (SELECT s.sh FROM sh s WHERE substr(md5(s.text),1,1) < '8')
+        |SELECT d.doc_id, d.source FROM documents d JOIN sh c USING (doc_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM snap s
+        |  WHERE len(list_intersect(c.sh, s.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(c.sh, s.sh))) >= 0.9)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_quality_model" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS t
+        |   FROM documents),
+        | b AS (SELECT doc_id,
+        |     ('0x' || substr(md5(t || '42'), 1, 15))::BIGINT % 64 AS bucket
+        |   FROM toks),
+        | w AS (SELECT range AS bucket, ((range % 7) - 3)::DOUBLE AS weight
+        |   FROM range(64)),
+        | s AS (SELECT doc_id, avg(coalesce(weight, 0)) AS z
+        |   FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(1 / (1 + exp(-coalesce(s.z, 0.0))), 6) AS quality_score
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0) AS toks FROM documents),
+        | i AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+        |   FROM d WHERE len(toks) >= 1),
+        | u AS (SELECT doc_id, toks[pos+1] AS tok,
+        |     CASE WHEN pos = 0 THEN NULL ELSE toks[pos] END AS prev FROM i),
+        | f AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+        | n AS (SELECT sum(c) AS n FROM f),
+        | b AS (SELECT prev, tok, count(*) AS c2 FROM u
+        |   WHERE prev IS NOT NULL GROUP BY prev, tok),
+        | s AS (SELECT u.doc_id, avg(ln(CASE WHEN u.prev IS NULL
+        |       THEN f.c::DOUBLE / (SELECT n FROM n)::DOUBLE
+        |       ELSE 0.5 * coalesce(b.c2, 0)::DOUBLE / fp.c::DOUBLE
+        |          + 0.5 * f.c::DOUBLE / (SELECT n FROM n)::DOUBLE END)) AS a
+        |   FROM u JOIN f ON u.tok = f.tok
+        |   LEFT JOIN b ON u.prev = b.prev AND u.tok = b.tok
+        |   LEFT JOIN f fp ON u.prev = fp.tok
+        |   GROUP BY u.doc_id)
+        |SELECT doc_id, round(a, 6) AS bi_logprob FROM s
+        |ORDER BY doc_id""".stripMargin,
     "q_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(
         |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
@@ -2287,7 +2400,7 @@ object SparkEntry {
         |     x -> len(x) > 0) AS toks FROM documents),
         | g AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
         |     for i in range(1, greatest(len(toks)-1, 1)+1)]) AS ngram
-        |   FROM d)
+        |   FROM d WHERE len(toks) >= 1)
         |SELECT ngram, count(*)::BIGINT AS cnt FROM g
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
     "q_decontaminate_spans" ->
@@ -2461,6 +2574,23 @@ object SparkEntry {
         | count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS total_weight
         |FROM c GROUP BY doc_id, (cb // 200)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pack_corpus" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   len(list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0)) AS wt
+        |  FROM documents),
+        | c AS (SELECT doc_id, shard, wt,
+        |   coalesce(sum(wt) OVER (PARTITION BY shard ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM d),
+        | g AS (SELECT shard, cb // 512 AS bin,
+        |   array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids,
+        |   count(*)::BIGINT AS n_docs, sum(wt)::BIGINT AS total_weight
+        |  FROM c GROUP BY shard, (cb // 512))
+        |SELECT shard,
+        | (dense_rank() OVER (PARTITION BY shard ORDER BY bin) - 1)::BIGINT AS seq_id,
+        | doc_ids, n_docs, total_weight
+        |FROM g ORDER BY shard, seq_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         | round(list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),

@@ -101,21 +101,33 @@ object Corpus {
     * partial-aggregable Greenwald-Khanna pass computes the
     * `buckets - 1` cutoffs (driver-side array, small by construction),
     * which fold back in as literals — every row is then bucketed
-    * map-side; no shuffle, no single-partition window. Bucket 1 holds
-    * the LOWEST scores (ascending, matching `bucketByRank(df,
-    * Seq(col(score)), n)`); rows equal to a cutoff land in the lower
-    * bucket. `relativeError = 0` makes the cutoffs exact quantiles;
-    * boundary assignment can still differ from the rank form by the
-    * rows tied at a cutoff. */
+    * map-side; no shuffle, no single-partition window.
+    *
+    * Orientation matches the rank form it twins: `descending = false`
+    * ⇒ bucket 1 holds the LOWEST scores (as `bucketByRank(df,
+    * Seq(col(score)), n)`); `descending = true` ⇒ bucket 1 holds the
+    * HIGHEST (as the `.desc`-ordered call in q_ccnet_buckets, where
+    * bucket 1 = CCNet "head"). Rows tied exactly at a cutoff land with
+    * the LOWER scores' bucket in both orientations (bucket 1 when
+    * ascending, the higher-numbered bucket when descending) — exactly
+    * where ntile puts the boundary row when the cutoffs are exact
+    * order statistics at bucket boundaries. A null score maps
+    * to a null bucket — never silently to bucket 1 (approxQuantile
+    * already ignores nulls when fitting the cutoffs). `relativeError =
+    * 0` makes the cutoffs exact quantiles; boundary assignment can
+    * still differ from the rank form by the rows tied at a cutoff. */
   def bucketByQuantiles(df: DataFrame, score: String, buckets: Int,
-                        relativeError: Double = 1e-4): DataFrame = {
+                        relativeError: Double = 1e-4,
+                        descending: Boolean = false): DataFrame = {
     require(buckets >= 1, s"buckets $buckets must be >= 1")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val cuts = df.stat.approxQuantile(score, probs, relativeError)
-    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
-      acc + when(col(score) > lit(c), 1).otherwise(0)
+    val ordered = if (descending) cuts.reverse else cuts
+    val step = ordered.foldLeft(lit(0)) { (acc, c) =>
+      val crossed = if (descending) col(score) <= lit(c) else col(score) > lit(c)
+      acc + when(crossed, 1).otherwise(0)
     }
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket", when(col(score).isNotNull, lit(1) + step))
   }
 
   /** HyperLogLog++ distinct-count sketch (mergeable partial aggregate;

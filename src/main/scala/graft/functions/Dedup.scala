@@ -544,8 +544,11 @@ object Dedup {
     *     bounded by the cross-snapshot duplicate population, and those
     *     small sides broadcast under AQE;
     *  3. optionally, a Bloom filter over the snapshot hash set
-    *     (`bloomExpectedItems` > 0 enables; sized for that many
-    *     distinct hashes at `bloomFpp`) is broadcast as a codegen'd
+    *     (`bloomExpectedItems` > 0 enables, sized for that many
+    *     distinct hashes at `bloomFpp`; < 0 auto-sizes from the
+    *     snapshot's distinct-hash count — one extra cheap job, right
+    *     whenever the caller can't bound the snapshot; 0 disables) is
+    *     broadcast as a codegen'd
     *     probe ([[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]],
     *     not a UDF) so corpus rows that cannot match never enter the
     *     hash exchange at all — the win when the corpus dwarfs the
@@ -562,8 +565,16 @@ object Dedup {
       .select(xxhash64(col(snapshotText)).as("__sh")).distinct()
     val corpusKeys0 = df.select(col(id).as("__cid"), xxhash64(col(text)).as("__h"))
     val corpusKeys =
-      if (bloomExpectedItems > 0L) {
-        val bloom = snapHashes.stat.bloomFilter("__sh", bloomExpectedItems, bloomFpp)
+      if (bloomExpectedItems != 0L) {
+        // auto-size (< 0): one cheap count job over the hash projection
+        // sizes the filter to the snapshot's true distinct-hash count —
+        // a fixed guess embeds a bloom literal proportional to the
+        // GUESS in every task (1M expected ≈ 0.9 MB serialized even
+        // for a 256-row snapshot)
+        val expected =
+          if (bloomExpectedItems > 0L) bloomExpectedItems
+          else math.max(snapHashes.count(), 1L)
+        val bloom = snapHashes.stat.bloomFilter("__sh", expected, bloomFpp)
         val bytes = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bytes)
         import org.apache.spark.sql.graft.Bridge
@@ -594,6 +605,89 @@ object Dedup {
       .where(col("__ct") === col("__st"))
       .select(col("__cid")).distinct()
     df.join(confirmed.withColumnRenamed("__cid", id), Seq(id), "left_anti")
+  }
+
+  /** Narrow MinHash-LSH band table of a corpus — the artifact a
+    * recurring-crawl pipeline PERSISTS at snapshot time: one
+    * (`id`, band, bh) row per doc-band (8-byte hash key; no text, no
+    * wide signature arrays), so the NEXT crawl's near-dup screen
+    * against this snapshot is a plain equi-join on (band, bh) instead
+    * of any re-scan of snapshot text. Write with
+    * `GraftIO.writeParquet(..., partitionBy = Seq("band"))` so a
+    * probe of one band prunes to its own files. The same
+    * (n, k, bands, seed) MUST be used when banding the new crawl —
+    * [[nearDupPairsAgainstSnapshot]] recomputes this exact table for
+    * the incoming side. */
+  def minhashBandTable(df: DataFrame, id: String, text: String,
+                       n: Int = 5, k: Int = 128, bands: Int = 16,
+                       seed: Long = 42L): DataFrame =
+    minhashSignaturesFused(df, id, col(text), n, k, seed)
+      .select(col("__id").as(id),
+        explode(lshBands(col("__sig"), k, bands)).as("__b"))
+      .select(col(id), col("__b.band").as("band"), col("__b.bh").as("bh"))
+
+  /** Cross-snapshot NEAR-dup pairs — [[dedupAgainstSnapshot]]'s recall
+    * extended from exact text equality to MinHash-LSH near-duplicates,
+    * against a PERSISTED snapshot band table ([[minhashBandTable]]):
+    *
+    *  1. the new crawl is banded with the identical parameters and
+    *     equi-joined to the snapshot bands on the narrow (band, bh)
+    *     key — the shuffle is two slim band tables, never
+    *     crawl × snapshot;
+    *  2. candidate (new, snap) pairs dedup tiny (≈ true near-dups +
+    *     band collisions) and materialize once;
+    *  3. the exact char-n-gram Jaccard verify stage re-touches only
+    *     candidate docs on each side (semi-joins) — the
+    *     [[minhashLshPairsVerified]] contract across two corpora:
+    *     PRECISION exact at any scale, recall 1-(1-J^r)^b (+ optional
+    *     `maxBucketSize` cap loss; 0 = uncapped, the oracle setting).
+    *
+    * Ids must be unique on each side (anti-join / re-attach contract).
+    * Output: (new_id, snap_id, jaccard), jaccard >= `minJaccard`. */
+  def nearDupPairsAgainstSnapshot(df: DataFrame, id: String, text: String,
+                                  snapshot: DataFrame, snapId: String,
+                                  snapText: String, snapshotBands: DataFrame,
+                                  n: Int = 5, k: Int = 128, bands: Int = 16,
+                                  minJaccard: Double = 0.9, seed: Long = 42L,
+                                  maxBucketSize: Int = 0): DataFrame = {
+    val nb0 = minhashBandTable(df, id, text, n, k, bands, seed)
+      .select(col(id).as("__na"), col("band"), col("bh"))
+    val sb0 = snapshotBands.select(col(snapId).as("__sb"), col("band"), col("bh"))
+    val bucket = struct(col("band"), col("bh"))
+    val (nb, sb) =
+      if (maxBucketSize > 0)
+        (capBuckets(nb0, bucket, maxBucketSize), capBuckets(sb0, bucket, maxBucketSize))
+      else (nb0, sb0)
+    val cand = materializeOnce(
+      nb.join(sb, Seq("band", "bh")).select(col("__na"), col("__sb")).distinct())
+    val shNew = df
+      .join(cand.select(col("__na")).distinct(), col(id) === col("__na"), "left_semi")
+      .select(col(id).as("__vna"), charShingles(col(text), n).as("__shn"))
+    val shSnap = snapshot
+      .join(cand.select(col("__sb")).distinct(), col(snapId) === col("__sb"), "left_semi")
+      .select(col(snapId).as("__vsb"), charShingles(col(snapText), n).as("__shs"))
+    cand.join(shNew, col("__na") === col("__vna"))
+      .join(shSnap, col("__sb") === col("__vsb"))
+      .select(col("__na").as("new_id"), col("__sb").as("snap_id"),
+        (size(array_intersect(col("__shn"), col("__shs"))).cast("double") /
+          size(array_union(col("__shn"), col("__shs")))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("snap_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dup dedup against a retained snapshot: drop every
+    * crawl row with at least one [[nearDupPairsAgainstSnapshot]] match.
+    * The anti-join runs on the tiny matched-id set. */
+  def dedupNearDupsAgainstSnapshot(df: DataFrame, id: String, text: String,
+                                   snapshot: DataFrame, snapId: String,
+                                   snapText: String, snapshotBands: DataFrame,
+                                   n: Int = 5, k: Int = 128, bands: Int = 16,
+                                   minJaccard: Double = 0.9, seed: Long = 42L,
+                                   maxBucketSize: Int = 0): DataFrame = {
+    val matched = nearDupPairsAgainstSnapshot(df, id, text, snapshot, snapId,
+        snapText, snapshotBands, n, k, bands, minJaccard, seed, maxBucketSize)
+      .select(col("new_id").as("__mid")).distinct()
+    df.join(matched, col(id) === col("__mid"), "left_anti")
   }
 
   /** Materialize a self-join input exactly once. Reliable when the

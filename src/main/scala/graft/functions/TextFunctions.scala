@@ -161,7 +161,11 @@ object TextFunctions {
                       n: Int, k: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1 && k >= 1, s"n $n and k $k must be >= 1")
     val toks = tokens(text)
-    df.select(explode(transform(
+    // zero-token docs are dropped BEFORE the generator: greatest(…, 1)
+    // would force one sequence element whose slice of the empty token
+    // array concat_ws's to "" — a meaningless gram in heavy-hitter output
+    df.where(size(toks) >= 1)
+      .select(explode(transform(
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n))))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
@@ -215,6 +219,120 @@ object TextFunctions {
         first(col("__n")).as("__n"))
       .select(col("__id").as(id),
         round(col("__a") - log(col("__n").cast("double")), 6).as("uni_logprob"))
+  }
+
+  /** Interpolated-bigram LM quality score — one step closer to the
+    * CCNet perplexity recipe than [[unigramLogProbScore]]: score each
+    * document by the mean natural-log probability of its tokens under
+    * a Jelinek-Mercer-interpolated bigram model fit on the corpus's
+    * OWN text:
+    *
+    *   P(t_i | t_{i-1}) = λ · c(t_{i-1}, t_i)/c(t_{i-1})
+    *                    + (1-λ) · c(t_i)/N
+    *
+    * (first token of a doc has no context → pure unigram). The bigram
+    * maximum-likelihood term backs off through the unigram term, so an
+    * unseen bigram never yields ln 0. Context counts use the token's
+    * corpus frequency (the standard simplification; a doc-final token
+    * also counts as a context).
+    *
+    * Scale shape mirrors the unigram form: (prev, cur) pairs are built
+    * MAP-SIDE (the shifted-array zip — no per-doc window shuffle), the
+    * bigram fit is one (prev, tok) count aggregate with map-side
+    * partials, and scoring joins tokens back to the two fitted tables
+    * (Zipf-small; AQE broadcasts when they fit) before one per-doc
+    * partial-aggregated mean. Corpus total rides a broadcast 1-row
+    * scalar. Output: (`id`, bi_logprob rounded to 6). */
+  def bigramLogProbScore(df: DF, id: String, text: Column,
+                         lambda: Double = 0.5): DF = {
+    require(lambda >= 0 && lambda <= 1, s"lambda $lambda outside [0,1]")
+    val toks = tokens(text)
+    // shifted zip: prev(pos 0) = null, prev(pos i) = toks[i-1]; built
+    // inline so the explode stays a single map-side generator
+    val shifted = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    val pairs = df
+      .where(size(toks) >= 1)
+      .select(col(id).as("__id"),
+        explode(arrays_zip(shifted.as("p"), toks.as("t"))).as("__pt"))
+      .select(col("__id"), col("__pt.p").as("__p"), col("__pt.t").as("__t"))
+    val uni = pairs.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum(col("__c")).as("__n"))
+    val bi = pairs.where(col("__p").isNotNull)
+      .groupBy("__p", "__t").agg(count(lit(1)).as("__c2"))
+    val ctx = uni.select(col("__t").as("__p"), col("__c").as("__cp"))
+    val punct = col("__c").cast("double") / col("__n").cast("double")
+    val pbi = col("__c2").cast("double") / col("__cp").cast("double")
+    val p = when(col("__p").isNull, punct)
+      .otherwise(lit(lambda) * coalesce(pbi, lit(0.0)) + lit(1 - lambda) * punct)
+    pairs
+      .join(uni, "__t")
+      .join(bi, Seq("__p", "__t"), "left")
+      .join(ctx, Seq("__p"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(round(avg(log(p)), 6).as("bi_logprob"))
+      .select(col("__id").as(id), col("bi_logprob"))
+  }
+
+  /** Model-based quality filter: hashed bag-of-words logistic scoring —
+    * the learned-classifier gate published pipelines (DCLM, FineWeb-Edu,
+    * fastText-style CCNet filtering) apply on top of heuristic signals.
+    * Each token hashes into one of `dim` feature buckets; the document
+    * logit is `bias + mean(weight[bucket])` (mean pooling, fastText
+    * shape) and the score is the sigmoid. Coefficients are supplied as
+    * a (`bucket` long, `weight` double) DataFrame — trained OFFLINE
+    * (hashing-trick models train on a driver/SKLearn/fastText side
+    * path); this operator is the distributed APPLY step.
+    *
+    * Scale shape: tokens explode map-side; the weights table is `dim`
+    * rows at most (AQE broadcasts it — not forced, so a huge dim still
+    * shuffle-joins safely); per-doc mean partial-aggregates. Zero-token
+    * docs keep `sigmoid(bias)` via the id left-join re-attach — no row
+    * is silently dropped by the explode. Unmatched buckets (weights
+    * table sparser than `dim`) contribute weight 0, matching the
+    * hashing-trick convention that absent coordinates are zero.
+    *
+    * Two bucket hashers, same pipeline: [[hashedLogisticScore]] uses
+    * xxhash64 (codegen'd, the production path);
+    * [[hashedLogisticScoreByMd5]] uses the 60-bit md5 prefix
+    * ([[Corpus]] sampleByHash trick) so an oracle engine computes the
+    * identical bucket: `('0x' || substr(md5(tok || seed), 1, 15))::
+    * BIGINT % dim`. Keep integer-valued weights in differential tests:
+    * integer sums are exact in doubles, making the mean (and the
+    * rounded sigmoid) bit-identical regardless of aggregation order.
+    * Output: (`id`, quality_score — sigmoid rounded to 6). */
+  def hashedLogisticScore(df: DF, id: String, text: Column, weights: DF,
+                          bias: Double = 0.0, dim: Int = 1 << 18,
+                          seed: Long = 42L): DF =
+    hashedLogisticCore(df, id, text, weights, bias, dim,
+      t => pmod(xxhash64(t, lit(seed)), lit(dim.toLong)))
+
+  /** Oracle/differential twin of [[hashedLogisticScore]] — md5-prefix
+    * bucket hashing, cross-engine exact. */
+  def hashedLogisticScoreByMd5(df: DF, id: String, text: Column, weights: DF,
+                               bias: Double = 0.0, dim: Int = 1 << 18,
+                               seed: Long = 42L): DF =
+    hashedLogisticCore(df, id, text, weights, bias, dim,
+      t => pmod(conv(substring(md5(concat(t, lit(seed.toString))), 1, 15),
+        16, 10).cast("long"), lit(dim.toLong)))
+
+  private def hashedLogisticCore(df: DF, id: String, text: Column,
+                                 weights: DF, bias: Double, dim: Int,
+                                 bucketOf: Column => Column): DF = {
+    require(dim >= 1, s"dim $dim must be >= 1")
+    val toks = df.select(col(id).as("__id"), explode(tokens(text)).as("__t"))
+    val w = weights.select(col("bucket").as("__b"), col("weight").as("__w"))
+    val pooled = toks
+      .select(col("__id"), bucketOf(col("__t")).as("__b"))
+      .join(w, Seq("__b"), "left")
+      .groupBy("__id")
+      .agg(avg(coalesce(col("__w"), lit(0.0))).as("__z"))
+    df.select(col(id))
+      .join(pooled.withColumnRenamed("__id", id), Seq(id), "left")
+      .select(col(id),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))), 6)
+          .as("quality_score"))
   }
 
   /** URL canonicalization — the dedup key published web-curation
@@ -307,6 +425,49 @@ object TextFunctions {
     grouped.withColumn("chunk_id", dense_rank().over(dw).cast("long") - 1)
       .select(col("doc_id"), col("chunk_id"), col("chunk"),
         col("n_units"), col("total_weight"))
+  }
+
+  /** Cross-document sequence packing — the corpus-level training-data
+    * step ([[packTokens]] packs within one document; training
+    * pipelines pack the WHOLE corpus into fixed-budget sequences
+    * across document boundaries, keeping each document whole):
+    * documents are laid out in deterministic ascending-`id` order
+    * within each `shard` and greedily binned by the running weight —
+    * bin = floor(cumulative weight of EARLIER docs / budget), the
+    * [[chunkUnits]] rule lifted one level, with the same dense
+    * renumbering so a document heavier than a whole budget multiple
+    * never leaves sequence-id gaps.
+    *
+    * `shard` is the scale lever: a global running sum would be a
+    * single-partition window sort over the corpus, so packing runs per
+    * shard (PARTITIONED window — parallel, spilling) and sequences are
+    * keyed (shard, seq_id). Packing greedily per shard is what
+    * production packers do anyway (they pack per output shard); the
+    * cost is at most one under-full tail sequence per shard. Pass a
+    * deterministic derivation (`pmod(xxhash64(id), n)`, an id-range
+    * split, a date partition, …); the single-shard default is for
+    * small corpora and tests only. Output: (shard, seq_id, doc_ids —
+    * comma-joined in pack order, n_docs, total_weight). */
+  def packCorpus(df: DF, id: Column, weight: Column, budget: Long,
+                 shard: Column = lit(0L)): DF = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = df
+      .select(shard.cast("long").as("__shard"), id.as("__id"),
+        weight.cast("long").as("__wt"))
+      .withColumn("__cb", coalesce(sum(col("__wt")).over(w), lit(0L)))
+      .withColumn("__bin", expr(s"__cb div ${budget}L"))
+      .groupBy(col("__shard"), col("__bin"))
+      .agg(
+        array_join(transform(sort_array(collect_list(col("__id"))),
+          x => x.cast("string")), ",").as("doc_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__wt")).as("total_weight"))
+    val dw = Window.partitionBy(col("__shard")).orderBy(col("__bin"))
+    binned.withColumn("seq_id", dense_rank().over(dw).cast("long") - 1)
+      .select(col("__shard").as("shard"), col("seq_id"), col("doc_ids"),
+        col("n_docs"), col("total_weight"))
   }
 
   /** TF-IDF top-`k` terms per document — the classic keyword

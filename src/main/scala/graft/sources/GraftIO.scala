@@ -166,10 +166,11 @@ object GraftIO {
     * watermarks) and `ts_ns` is always the raw epoch-nanos long (the
     * exact-arithmetic column the temporal joins key on). Three
     * generator encodings are handled: int64 nanos (read via
-    * nanosAsLong), naive timestamp_ntz µs (cast is an exact UTC
-    * interpretation — every graft session pins
-    * spark.sql.session.timeZone=UTC, matching DuckDB's naive epoch
-    * math), and tz-adjusted timestamp µs. */
+    * nanosAsLong), naive timestamp_ntz µs (epoch derived by NTZ-NTZ
+    * timestampdiff — pure calendar arithmetic, SESSION-TIMEZONE-FREE,
+    * i.e. the naive value is always read as UTC epoch, matching
+    * DuckDB's naive epoch math even if a caller overrides
+    * GraftSession's UTC default), and tz-adjusted timestamp µs. */
   def readTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -180,8 +181,15 @@ object GraftIO {
           df.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         case TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-            .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+          // tz-independent: epoch micros via NTZ-NTZ timestampdiff (pure
+          // calendar arithmetic — a cast to TimestampType would instead
+          // interpret the naive value in the SESSION zone, silently
+          // shifting ts/ts_ns on any non-UTC session), then rebuild ts
+          // from the epoch value
+          df.withColumn("ts_ns",
+              expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                * lit(1000L))
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         case TimestampType =>
           df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
         case other => df // unknown encoding: leave untouched

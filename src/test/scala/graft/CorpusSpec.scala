@@ -70,6 +70,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.mixByWeightsByHash(Seq((a, col("o_orderkey"), 1.0))).count() == n.toLong)
   }
 
+  test("bucketByQuantiles: parity with bucketByRank in both orientations, ties, nulls") {
+    // 90 distinct scores, 3 buckets: ntile boundaries fall exactly on
+    // the 1/3 and 2/3 order statistics, so the quantile form (exact
+    // cutoffs, relativeError = 0) must reproduce ntile bucket-for-bucket
+    val df = spark.range(1, 91).select(col("id"), (col("id") * 10).cast("double").as("score"))
+    val asc = Corpus.bucketByQuantiles(df, "score", 3, relativeError = 0)
+      .select(col("id"), col("bucket"))
+    val ascRank = Corpus.bucketByRank(df, Seq(col("score"), col("id")), 3)
+      .select(col("id"), col("bucket"))
+    assert(asc.exceptAll(ascRank).isEmpty && ascRank.exceptAll(asc).isEmpty)
+    val desc = Corpus.bucketByQuantiles(df, "score", 3, relativeError = 0, descending = true)
+      .select(col("id"), col("bucket"))
+    val descRank = Corpus.bucketByRank(df, Seq(col("score").desc, col("id")), 3)
+      .select(col("id"), col("bucket"))
+    assert(desc.exceptAll(descRank).isEmpty && descRank.exceptAll(desc).isEmpty)
+    // orientation is actually inverted: top score is bucket 1 only desc
+    assert(desc.where(col("id") === 90).head().getInt(1) == 1)
+    assert(asc.where(col("id") === 90).head().getInt(1) == 3)
+    // tie-at-cutoff: all rows sharing the cutoff score land in ONE
+    // bucket — the lower scores' side in both orientations
+    val ties = Seq(1.0, 2.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0).toDF("score")
+    val tAsc = Corpus.bucketByQuantiles(ties, "score", 2, relativeError = 0)
+    val cutoff = ties.stat.approxQuantile("score", Array(0.5), 0)(0)
+    val tiedBuckets = tAsc.where(col("score") === cutoff)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    assert(tiedBuckets == Seq(1), s"asc ties split: $tiedBuckets")
+    val tDesc = Corpus.bucketByQuantiles(ties, "score", 2, relativeError = 0,
+      descending = true)
+    val tiedDesc = tDesc.where(col("score") === cutoff)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    assert(tiedDesc == Seq(2), s"desc ties split: $tiedDesc")
+    // null score -> null bucket, never silently bucket 1
+    val withNull = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("score")
+    val nb = Corpus.bucketByQuantiles(withNull, "score", 2, relativeError = 0)
+    assert(nb.where(col("score").isNull).head().isNullAt(1))
+    assert(nb.where(col("score").isNotNull && col("bucket").isNull).count() == 0)
+  }
+
   test("sketches: HLL and approx percentile land within advertised error") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(count_distinct(col("l_orderkey"))).head().getLong(0)

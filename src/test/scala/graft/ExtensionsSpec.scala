@@ -263,6 +263,54 @@ class DedupSpec extends AnyFunSuite {
       snapshot.limit(0), "snap_text")) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("cross-snapshot NEAR-dup: band-join candidates, exact-Jaccard verify, persisted table round-trip") {
+    // long repeated base text so 5-gram Jaccard of the near pair is high
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val crawl = Seq(
+      (1L, base),                     // exact dup of snapshot 10
+      (2L, base + "zz"),              // near-dup of snapshot 10 (J ~ 0.95:
+                                      // ~58 distinct 5-grams + 2 new)
+      (3L, "completely unrelated text about spark physical plans"),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val snapshot = Seq(
+      (10L, base),
+      (11L, "another retained snapshot document entirely different")
+    ).toDF("snap_id", "snap_text")
+    val snapBands = Dedup.minhashBandTable(snapshot, "snap_id", "snap_text")
+    val pairs = Dedup.nearDupPairsAgainstSnapshot(crawl, "doc_id", "text",
+        snapshot, "snap_id", "snap_text", snapBands, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 10L), (2L, 10L)))
+    assert(pairs.find(_._1 == 1L).get._3 == 1.0) // exact dup verifies at J=1
+    // verify stage is the gate: raising the threshold above the near
+    // pair's true Jaccard keeps only the exact dup
+    val strict = Dedup.nearDupPairsAgainstSnapshot(crawl, "doc_id", "text",
+        snapshot, "snap_id", "snap_text", snapBands, minJaccard = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSet == Set((1L, 10L)))
+    // dedup wrapper drops exactly the matched crawl docs
+    val kept = Dedup.dedupNearDupsAgainstSnapshot(crawl, "doc_id", "text",
+        snapshot, "snap_id", "snap_text", snapBands)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(3L, 4L))
+    // the band table survives a parquet round-trip (the persisted-
+    // artifact contract) and produces the identical pair set
+    val dir = java.nio.file.Files.createTempDirectory("bandtable").toString
+    graft.sources.GraftIO.writeParquet(snapBands, dir,
+      partitionBy = Seq("band"))
+    val reread = spark.read.parquet(dir)
+    val pairs2 = Dedup.nearDupPairsAgainstSnapshot(crawl, "doc_id", "text",
+        snapshot, "snap_id", "snap_text", reread, minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((1L, 10L), (2L, 10L)))
+    // empty snapshot: nothing matches, everything kept
+    val keptAll = Dedup.dedupNearDupsAgainstSnapshot(crawl, "doc_id", "text",
+        snapshot.limit(0), "snap_id", "snap_text", snapBands.limit(0))
+      .count()
+    assert(keptAll == 4L)
+  }
+
   test("topNgramsCorpus: exact corpus-wide counts, deterministic tie-break") {
     val corpus = Seq(
       (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
@@ -888,6 +936,73 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(2L) == -1.262864)
   }
 
+  test("bigramLogProbScore: JM-interpolated bigram/unigram mean log-prob") {
+    val df = Seq((1L, "a a b"), (2L, "b a"), (3L, " ")).toDF("doc_id", "text")
+    val got = TextFunctions.bigramLogProbScore(df, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(d: Double): Double = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: uni a=3 b=2 N=5; bi (a,a)=1 (a,b)=1 (b,a)=1
+    // doc1: ln(3/5), ln(.5/3 + .5*3/5), ln(.5/3 + .5*2/5)
+    val d1 = Seq(math.log(3.0 / 5),
+      math.log(0.5 * (1.0 / 3) + 0.5 * (3.0 / 5)),
+      math.log(0.5 * (1.0 / 3) + 0.5 * (2.0 / 5)))
+    assert(got(1L) == r6(d1.sum / 3))
+    val d2 = Seq(math.log(2.0 / 5), math.log(0.5 * (1.0 / 2) + 0.5 * (3.0 / 5)))
+    assert(got(2L) == r6(d2.sum / 2))
+    // zero-token doc contributes nothing and is absent (as the unigram form)
+    assert(!got.contains(3L))
+    // unseen bigram backs off to the unigram term alone: with lambda=1
+    // an unseen pair would be ln 0 — guard the interpolation floor
+    val lam0 = TextFunctions.bigramLogProbScore(df, "doc_id", $"text", lambda = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // lambda=0 degenerates to pure unigram scoring
+    val uni = TextFunctions.unigramLogProbScore(df, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lam0 == uni)
+  }
+
+  test("hashedLogisticScore: mean-pooled bucket weights through the sigmoid; twins agree in shape") {
+    val df = Seq((1L, "a a b"), (2L, "zz"), (3L, "   ")).toDF("doc_id", "text")
+    val dim = 8
+    // every bucket weighted: w(b) = b - 4 (integer-valued; exact mean)
+    val weights = spark.range(dim).select($"id".as("bucket"),
+      ($"id" - lit(4L)).cast("double").as("weight"))
+    def scoresOf(got: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val md5Got = scoresOf(TextFunctions.hashedLogisticScoreByMd5(
+      df, "doc_id", $"text", weights, bias = 0.0, dim = dim, seed = 7L))
+    // manual recompute with the same md5 bucket rule
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest((t + "7").getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(15), 16) % dim
+    def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+    def r6(d: Double): Double = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z1 = Seq("a", "a", "b").map(t => (bucket(t) - 4).toDouble).sum / 3
+    assert(md5Got(1L) == r6(sigmoid(z1)))
+    assert(md5Got(2L) == r6(sigmoid((bucket("zz") - 4).toDouble)))
+    // zero-token doc survives with sigmoid(bias)
+    assert(md5Got(3L) == r6(sigmoid(0.0)))
+    val biased = scoresOf(TextFunctions.hashedLogisticScoreByMd5(
+      df, "doc_id", $"text", weights, bias = 2.0, dim = dim, seed = 7L))
+    assert(biased(3L) == r6(sigmoid(2.0)))
+    // production (xxhash64) twin: same schema/contract, all in (0,1),
+    // zero-token row identical (hash never runs for it)
+    val xxGot = scoresOf(TextFunctions.hashedLogisticScore(
+      df, "doc_id", $"text", weights, bias = 0.0, dim = dim, seed = 7L))
+    assert(xxGot.keySet == md5Got.keySet)
+    assert(xxGot.values.forall(s => s > 0.0 && s < 1.0))
+    assert(xxGot(3L) == md5Got(3L))
+    // sparse coefficient table: unmatched buckets pool weight 0
+    val oneBucket = spark.range(1).select(lit(bucket("a")).as("bucket"),
+      lit(3.0).as("weight"))
+    val sparse = scoresOf(TextFunctions.hashedLogisticScoreByMd5(
+      df, "doc_id", $"text", oneBucket, bias = 0.0, dim = dim, seed = 7L))
+    val expectB = if (bucket("b") == bucket("a")) 3.0 else 0.0
+    assert(sparse(1L) == r6(sigmoid((3.0 + 3.0 + expectB) / 3)))
+  }
+
   test("bm25Scores: sums per-term probabilistic scores over matching docs") {
     val df = Seq(
       (1L, "dup dup other"),
@@ -1075,6 +1190,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     val got = TextFunctions.packTokens(df, $"id", $"t", charBudget = 4)
       .orderBy("chunk_id").collect().map(r => (r.getLong(1), r.getString(2)))
     assert(got.toSeq == Seq((0L, "aa bb"), (1L, "cc dd")))
+  }
+
+  test("packCorpus: greedy running-sum packing, whole docs, dense seq ids, per-shard") {
+    // weights: 4, 5, 3, 25 (heavier than 2 budgets), 1
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d e"), (3L, "a b c"),
+      (4L, ("w " * 25).trim), (5L, "z")
+    ).toDF("doc_id", "text")
+    val packed = TextFunctions.packCorpus(docs, col("doc_id"),
+        size(TextFunctions.tokens(col("text"))), budget = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(r => (r._1, r._2)).toSeq
+    // cb: 0,4,9,12,37 -> bins 0,0,0,1,3 -> dense seq ids 0,1,2
+    assert(packed == Seq(
+      (0L, 0L, "1,2,3", 3L, 12L),
+      (0L, 1L, "4", 1L, 25L),
+      (0L, 2L, "5", 1L, 1L)))
+    // every doc lands in exactly one sequence
+    assert(packed.map(_._4).sum == 5L)
+    // sharded: packing runs independently per shard, ids keyed (shard, seq)
+    val sharded = TextFunctions.packCorpus(docs, col("doc_id"),
+        size(TextFunctions.tokens(col("text"))), budget = 10,
+        shard = pmod(col("doc_id"), lit(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    // shard 0: docs 2 (wt 5), 4 (wt 25): cb 0, 5 -> bins 0, 0
+    // shard 1: docs 1 (4), 3 (3), 5 (1): cb 0, 4, 7 -> all bin 0
+    assert(sharded == Seq((0L, 0L, "2,4"), (1L, 0L, "1,3,5")))
+    // repartition-invariant (hash shard + id order are data-derived)
+    val re = TextFunctions.packCorpus(docs.repartition(7), col("doc_id"),
+        size(TextFunctions.tokens(col("text"))), budget = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(re == packed.map(r => (r._1, r._2, r._3)))
   }
 
   test("chunkUnits: chunk ids stay dense when one unit spans budget multiples") {
