@@ -55,6 +55,82 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Tiny VALID BPE merges fixture for q_bpe_tokens (each rule side is
+    * a single char or an earlier rule's product — the precondition for
+    * min-rank-greedy ≡ sequential-by-rank, which the replace-chain
+    * oracle relies on). A real deployment loads a trained table via
+    * TextFunctions.bpeMergesFromTable. */
+  private[graft] val bpeMergesFixture: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("in", "g"))
+
+  /** Seed corpus for q_lang_id_ngram — tiny per-language samples
+    * (ASCII-only, no apostrophes so the oracle VALUES list needs no
+    * escaping; deliberately different lengths so the per-language
+    * unseen-trigram floors never tie exactly). A real deployment fits
+    * profiles from curated per-language corpora. */
+  private[graft] val langSeedFixture: Seq[(String, String)] = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and then it runs " +
+      "through the green fields in the morning light with the wind"),
+    ("fr", "le renard brun saute par dessus le chien paresseux et il court " +
+      "ensuite dans les champs verts sous la lumiere du matin avec le vent " +
+      "et la pluie"),
+    ("de", "der braune fuchs springt ueber den faulen hund und dann laeuft " +
+      "er durch die gruenen felder im morgenlicht mit dem wind und dem " +
+      "regen zusammen"),
+    ("es", "el zorro marron salta sobre el perro perezoso y luego corre por " +
+      "los campos verdes bajo la luz de la manana con el viento y la lluvia"))
+
+  private def langIdNgramOracle: String = {
+    val values = langSeedFixture
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n        | ")
+    s"""WITH seed(lang, t) AS (VALUES $values),
+       | stri AS (SELECT lang, unnest([substr(lower(t), i, 3)
+       |     for i in range(1, greatest(len(t)-2, 1)+1)]) AS tri FROM seed),
+       | cnt AS (SELECT lang, tri, count(*) AS c FROM stri GROUP BY lang, tri),
+       | nl AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang),
+       | v AS (SELECT count(DISTINCT tri) AS v FROM stri),
+       | prof AS (SELECT lang, tri, ln((c + 1)::DOUBLE / (n + v)::DOUBLE) AS logp
+       |   FROM cnt JOIN nl USING (lang) CROSS JOIN v),
+       | fl AS (SELECT lang, ln(1::DOUBLE / (n + v)::DOUBLE) AS floor
+       |   FROM nl CROSS JOIN v),
+       | dtri AS (SELECT doc_id, unnest([substr(lower(text), i, 3)
+       |     for i in range(1, greatest(len(text)-2, 1)+1)]) AS tri
+       |   FROM documents),
+       | sc AS (SELECT d.doc_id, f.lang, sum(coalesce(p.logp, f.floor)) AS score
+       |   FROM dtri d CROSS JOIN fl f
+       |   LEFT JOIN prof p ON p.lang = f.lang AND p.tri = d.tri
+       |   GROUP BY d.doc_id, f.lang),
+       | best AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |   FROM sc)
+       |SELECT doc_id, lang FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q_bpe_tokens oracle: the same merges applied SEQUENTIALLY in
+    * rank order as a replace() chain over words whose code points are
+    * joined by chr(31) (words joined by chr(30) — merges never cross a
+    * word boundary because patterns contain only chr(31) separators).
+    * Single-pass replace per rule is exact: replace() merges
+    * left-to-right non-overlapping, and a rule's product can only feed
+    * LATER rules on a valid table. */
+  private def bpeOracle: String = {
+    val chain = bpeMergesFixture.foldLeft("s0") { case (acc, (l, r)) =>
+      s"replace($acc, '$l' || chr(31) || '$r', '$l$r')"
+    }
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |     x -> len(x) > 0) AS words FROM documents),
+       | j AS (SELECT doc_id, array_to_string(
+       |     [array_to_string([word[i] for i in range(1, len(word)+1)], chr(31))
+       |      for word in words], chr(30)) AS s0
+       |   FROM w WHERE len(words) >= 1),
+       | m AS (SELECT doc_id, $chain AS s FROM j)
+       |SELECT doc_id,
+       |  len(string_split_regex(s, '[' || chr(30) || chr(31) || ']'))::BIGINT AS n_bpe,
+       |  replace(replace(s, chr(31), ' '), chr(30), ' ') AS bpe_text
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Headline subset used by Bench — FROZEN at 22 queries since round 1
     * for round-over-round comparability; additions go to
     * [[benchQueriesV2]]. */
@@ -1475,6 +1551,34 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // -------- text: char-trigram Naive Bayes language ID --------------
+    // The learned-profile upgrade over q_lang_id's stopword voting:
+    // profiles fit from the seed fixture, docs labeled by argmax
+    // trigram likelihood (lang-ascending tiebreak). Oracle refits the
+    // identical model in SQL.
+    "q_lang_id_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val seed = s.createDataFrame(langSeedFixture).toDF("lang", "seed_text")
+      val profiles = TextFunctions.fitLangTrigramProfiles(seed, $"lang", $"seed_text")
+      TextFunctions.langIdNgram(t(s, dir, "documents"), "doc_id", $"text", profiles)
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: true-BPE tokenization (real-tokenizer seam) -------
+    // The codegen'd greedy min-rank BPE expression vs the DuckDB
+    // sequential replace-chain — equivalent on a valid merges table,
+    // so the oracle checks the expression's full per-word merge loop.
+    "q_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .where(size(TextFunctions.tokens($"text")) >= 1)
+        .select($"doc_id",
+          TextFunctions.bpeTokens($"text", bpeMergesFixture).as("__toks"))
+        .select($"doc_id", size($"__toks").cast("long").as("n_bpe"),
+          concat_ws(" ", $"__toks").as("bpe_text"))
+        .orderBy("doc_id")
+    }),
+
     // -------- text: cross-document corpus packing ---------------------
     // Whole-corpus fixed-budget sequence packing across doc boundaries
     // (docs kept whole, deterministic id order, 8 hash-ish shards —
@@ -2574,6 +2678,8 @@ object SparkEntry {
         | count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS total_weight
         |FROM c GROUP BY doc_id, (cb // 200)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_lang_id_ngram" -> langIdNgramOracle,
+    "q_bpe_tokens" -> bpeOracle,
     "q_pack_corpus" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |   len(list_filter(string_split_regex(text, '\s+'),

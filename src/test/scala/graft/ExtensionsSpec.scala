@@ -904,6 +904,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("langIdNgram: trigram NB labels natural text, floors handle unseen, ties break on lang") {
+    val seed = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog in the field"),
+      ("fr", "le renard brun saute par dessus le chien paresseux dans le champ"),
+      ("de", "der braune fuchs springt ueber den faulen hund auf dem feld")
+    ).toDF("lang", "seed_text")
+    val profiles = TextFunctions.fitLangTrigramProfiles(seed, $"lang", $"seed_text")
+    // model sanity: every (lang, tri) has floor < logp <= 0, one floor per lang
+    val pr = profiles.collect()
+    assert(pr.forall(r => r.getDouble(3) < r.getDouble(2) && r.getDouble(2) < 0))
+    assert(profiles.select("lang", "floor").distinct().count() == 3)
+    val docs = Seq(
+      (1L, "the dog jumps over the brown fox"),
+      (2L, "le chien saute par dessus le renard"),
+      (3L, "der hund springt ueber den fuchs"),
+      (4L, "zzz qqq xxx")  // nothing seen: decided by floors alone
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.langIdNgram(docs, "doc_id", $"text", profiles)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "fr" && got(3L) == "de")
+    // doc 4: all trigrams unseen -> score_l = n * floor_l; the largest
+    // floor (smallest N_l + V penalty) wins — recompute it directly
+    val floors = profiles.select("lang", "floor").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected4 = floors.toSeq.sortBy { case (l, f) => (-f, l) }.head._1
+    assert(got(4L) == expected4)
+    // exact tie (empty-ish doc impossible here, engineer one: single
+    // trigram seen by no language) -> smallest lang wins when floors
+    // tie; with distinct floors the max floor decides — both covered
+    // by expected4 above. Also: argmax is repartition-invariant.
+    val re = TextFunctions.langIdNgram(docs.repartition(5), "doc_id", $"text", profiles)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == got)
+  }
+
   test("tfidfTopTerms ranks by rounded score with term tiebreak") {
     // corpus of 4 docs; "common" appears in all (idf = ln(1) = 0)
     val df = Seq(
@@ -1160,6 +1195,69 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(1L) == "mail <EMAIL> today")
     assert(got(2L) == "call <PHONE> now")
     assert(got(3L) == "plain text with the number 7 in it")
+  }
+
+  test("bpeTokens: greedy min-rank merges per word, table from DataFrame, code points") {
+    // classic fixture: l+o -> lo, lo+w -> low, e+r -> er
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    def toks(text: String): Seq[String] = {
+      val df = Seq(Tuple1(text)).toDF("text")
+      df.select(TextFunctions.bpeTokens(col("text"), merges).as("t"))
+        .head().getSeq[String](0)
+    }
+    assert(toks("low") == Seq("low"))
+    assert(toks("lower") == Seq("low", "er"))         // low then er
+    assert(toks("lowest") == Seq("low", "e", "s", "t"))
+    assert(toks("hello") == Seq("h", "e", "l", "lo")) // lo merges, rest are chars
+    assert(toks("low lower") == Seq("low", "low", "er")) // per-word, word boundary kept
+    assert(toks("xyz") == Seq("x", "y", "z"))          // nothing merges
+    assert(toks("") == Seq())                          // empty text -> empty array
+    assert(toks("  low  ") == Seq("low"))              // whitespace runs dropped
+    // multi-byte code points stay whole
+    assert(toks("léo") == Seq("l", "é", "o"))
+    // repeated-pair sweep is left-to-right non-overlapping
+    assert(Seq(Tuple1("aaaa")).toDF("text")
+      .select(TextFunctions.bpeTokens(col("text"), Seq(("a", "a"))).as("t"))
+      .head().getSeq[String](0) == Seq("aa", "aa"))
+    assert(Seq(Tuple1("aaa")).toDF("text")
+      .select(TextFunctions.bpeTokens(col("text"), Seq(("a", "a"))).as("t"))
+      .head().getSeq[String](0) == Seq("aa", "a"))
+    // count helper and the DataFrame loading seam
+    val mergesDf = merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }.toDF("rank", "left", "right")
+    assert(TextFunctions.bpeMergesFromTable(mergesDf) == merges)
+    val counted = Seq((1L, "lower lowest")).toDF("doc_id", "text")
+      .select(TextFunctions.bpeTokenCount(col("text"), merges).as("n"))
+      .head().getLong(0)
+    assert(counted == 6L) // [low, er] + [low, e, s, t]
+  }
+
+  test("bpeTokens: min-rank-greedy == sequential-by-rank on a valid table (oracle equivalence)") {
+    // the q_bpe_tokens fixture + real-ish text; sequential reference
+    // applies each rule in rank order as a full left-to-right sweep
+    val merges = Seq(
+      ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+      ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("in", "g"))
+    def sequential(word: String): Seq[String] = {
+      var parts = word.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < parts.length) {
+          if (j < parts.length - 1 && parts(j) == l && parts(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += parts(j); j += 1 }
+        }
+        parts = out.result()
+      }
+      parts
+    }
+    val words = Seq("the", "thunder", "standing", "outrunning", "and",
+      "inner", "thinking", "bound", "theron", "rethink", "andante")
+    val got = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      .select(TextFunctions.bpeTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    assert(got == words.flatMap(sequential))
   }
 
   test("chunkTokens: overlap, tail chunk, degenerate sizes") {
