@@ -201,6 +201,12 @@ object Dedup {
     * the boilerplate volume itself, which is exactly the data that
     * must be compared byte-wise anyway). The anti-join's build side is
     * the boilerplate set (small; AQE broadcasts it when it fits).
+    * A (second-hash, length) prefilter before the exact recount was
+    * probed and REJECTED (tools/RecountProbe, sf0.1, ABBA: 0.95 vs
+    * 0.60 s min — 59% slower): hash-repeated rows are true repeats at
+    * ~(1 - 2^-64), so the narrow stage eliminates nothing and only
+    * adds its own shuffle; it could pay off only under a 64-bit
+    * collision flood no real corpus reaches.
     *
     * PRECONDITION: `id` must be unique (as with the LSH pair APIs) —
     * duplicate ids double-count a document's own blocks toward
