@@ -154,7 +154,11 @@ object SparkEntry {
     "q_decontaminate", "q_curation_v2",
     "q_decontaminate_tokens", "q_curation_clustered",
     "q_strip_repeats", "q_strip_lines", "q_strip_stride",
-    "q_decontaminate_spans")
+    "q_decontaminate_spans",
+    // r8 additions (per-query numbers are the comparable statistic;
+    // total_v2 grows with the tier)
+    "q_snapshot_neardup", "q_bigram_logprob", "q_lang_id_ngram",
+    "q_bpe_tokens", "q_quality_model")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -401,6 +405,20 @@ object SparkEntry {
           (docs.where($"doc_id" % 2 === 0), $"doc_id", 0.75),
           (docs.where($"doc_id" % 2 === 1), $"doc_id", 0.25)))
         .select($"doc_id", $"source").orderBy("doc_id")
+    }),
+
+    // -------- corpus: upsampled mixture (rates > 1) -------------------
+    // The multi-epoch mixture recipe: a curated set (src0-4) at 2.25
+    // epochs (2 full copies + an exact-2^58-threshold quarter draw),
+    // web remainder at 0.5. `copy` keeps (doc_id, copy) unique.
+    "q_mix_upsample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source")
+      val curatedSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      Corpus.mixByWeightsUpsampled(Seq(
+          (docs.where($"source".isin(curatedSrcs: _*)), $"doc_id", 2.25),
+          (docs.where(!$"source".isin(curatedSrcs: _*)), $"doc_id", 0.5)))
+        .orderBy("doc_id", "copy")
     }),
 
     // -------- generate-input (literal in-memory source) ---------------
@@ -1883,6 +1901,23 @@ object SparkEntry {
         |   OR (doc_id % 2 = 1 AND
         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '43'), 1, 15))::BIGINT < 288230376151711744)
         |ORDER BY doc_id""".stripMargin,
+    "q_mix_upsample" ->
+      """WITH cur AS (SELECT doc_id, source FROM documents
+        |   WHERE source IN ('src0','src1','src2','src3','src4')),
+        | web AS (SELECT doc_id, source FROM documents
+        |   WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        | fullc AS (SELECT doc_id, source, c.copy FROM cur
+        |   CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) AS c(copy)),
+        | curfrac AS (SELECT doc_id, source, 2::BIGINT AS copy FROM cur
+        |   WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 15))::BIGINT
+        |     < 288230376151711744),
+        | webfrac AS (SELECT doc_id, source, 0::BIGINT AS copy FROM web
+        |   WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '43'), 1, 15))::BIGINT
+        |     < 576460752303423488)
+        |SELECT doc_id, source, copy FROM fullc
+        |UNION ALL SELECT doc_id, source, copy FROM curfrac
+        |UNION ALL SELECT doc_id, source, copy FROM webfrac
+        |ORDER BY doc_id, copy""".stripMargin,
     "q_combine_by" ->
       """SELECT substr(o_orderpriority,1,1) AS prio,
         | round(sum(o_totalprice),2) AS total, count(*) AS n

@@ -55,6 +55,35 @@ object Corpus {
     }.reduce(_ unionByName _)
   }
 
+  /** Weighted mixture with UPSAMPLING — `mixByWeightsByHash` restricted
+    * rates to [0, 1]; real mixture recipes repeat high-quality sources
+    * (2-5 epochs of a small curated set against 1 of web text). Each
+    * (df, id, weight >= 0) source contributes floor(weight) full copies
+    * plus a frac(weight) hash-drawn subset (same exact 60-bit md5
+    * threshold as [[mixByWeightsByHash]] — repartition/retry-invariant
+    * and oracle-computable). A `copy` column (0-based) distinguishes
+    * repeats so downstream ids stay unique as (id, copy). Map-side:
+    * the repeats are plan-level unions of the same scan, no shuffle.
+    * Order the fractional draw LAST (copy = floor(weight)) so raising
+    * a weight only ADDS rows — incremental remixes stay supersets. */
+  def mixByWeightsUpsampled(sources: Seq[(DataFrame, Column, Double)],
+                            seed: Long = 42L): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.zipWithIndex.map { case ((df, id, w), i) =>
+      require(w >= 0, s"weight $w must be >= 0")
+      val full = math.floor(w).toInt
+      val frac = w - full
+      val parts =
+        (0 until full).map(c => df.withColumn("copy", lit(c.toLong))) ++
+          (if (frac > 0)
+            Seq(df.where(md5Bucket(id, seed + i) < lit(weightThreshold(frac)))
+              .withColumn("copy", lit(full.toLong)))
+          else Nil)
+      parts.reduceOption(_ unionByName _)
+        .getOrElse(df.limit(0).withColumn("copy", lit(0L)))
+    }.reduce(_ unionByName _)
+  }
+
   /** floor(w · 2^60): the exact keep-threshold for a 60-bit hash draw. */
   def weightThreshold(w: Double): Long = (w * (1L << 60).toDouble).toLong
 

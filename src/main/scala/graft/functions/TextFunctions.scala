@@ -80,23 +80,48 @@ object TextFunctions {
   }
 
   /** Label each document with the argmax-likelihood language under
-    * [[fitLangTrigramProfiles]] profiles: trigram occurrences explode
-    * map-side, cross the (tiny, broadcast) language list, left-join
-    * the profile table (Zipf-small — AQE broadcasts it), unseen
-    * trigrams take the language floor, and two partial-aggregated
-    * passes compute per-(doc, lang) scores then the per-doc argmax
-    * (min of (-score, lang) struct — deterministic lang-ascending
-    * tiebreak). Nothing here is quadratic in the corpus; the only
-    * blow-up is #langs × trigram count, with #langs a small constant.
-    * Output: (`id`, lang). */
+    * [[fitLangTrigramProfiles]] profiles. The naive shape (every
+    * trigram occurrence × every language, coalescing misses to the
+    * floor) multiplies the corpus's trigram stream by #langs; here the
+    * unseen mass is folded in arithmetically instead:
+    *
+    *   score(d,l) = Σ_seen cnt(d,t)·logp(l,t) + (n_d − n_seen(d,l))·floor(l)
+    *
+    * so the heavy work is the fused per-row
+    * [[graft.plans.ShingleHashCounts]] kernel (one pass per doc, one
+    * 12-byte struct per DISTINCT trigram) inner-joined to the profile
+    * table on the 8-byte trigram hash (Zipf-small — AQE broadcasts
+    * it); the language grid exists only at (doc, lang) granularity
+    * (#docs × #langs rows, never trigram-level). Argmax = min of the
+    * (-score, lang) struct — deterministic lang-ascending tiebreak.
+    * Measured 5.1 → 1.2 s at sf0.1 vs the naive
+    * occurrence-explode × langs form (tools/NewQueryProbe). Output:
+    * (`id`, lang). */
   def langIdNgram(df: DF, id: String, text: Column, profiles: DF): DF = {
-    val tris = df.select(col(id).as("__id"), explode(charTrigrams(text)).as("__tri"))
-    val floors = profiles.groupBy("lang").agg(first(col("floor")).as("__floor"))
-    val prof = profiles.select(col("lang"), col("tri").as("__tri"), col("logp"))
-    tris.crossJoin(broadcast(floors))
-      .join(prof, Seq("lang", "__tri"), "left")
+    import org.apache.spark.sql.graft.Bridge
+    // fused kernel: (xxhash64, count) per distinct trigram in one pass
+    // — no per-occurrence substring rows, hash-only join keys (the
+    // composable explode form was O(len²) in character seeks and
+    // shuffled trigram STRINGS; measured 5.1 -> 1.2 s at sf0.1)
+    val triCnt = df
+      .select(col(id).as("__id"), explode(Bridge.column(
+        graft.plans.ShingleHashCounts(Bridge.expression(lower(text)), 3))).as("__e"))
+      .select(col("__id"), col("__e.h").as("__th"),
+        col("__e.c").cast("long").as("__cnt"))
+    val docTotals = triCnt.groupBy("__id").agg(sum(col("__cnt")).as("__ntot"))
+    val prof = profiles.select(col("lang"), xxhash64(col("tri")).as("__th"),
+      col("logp"))
+    val matched = triCnt.join(prof, "__th")
       .groupBy(col("__id"), col("lang"))
-      .agg(sum(coalesce(col("logp"), col("__floor"))).as("__score"))
+      .agg(sum(col("__cnt") * col("logp")).as("__sseen"),
+        sum(col("__cnt")).as("__nseen"))
+    val floors = profiles.groupBy("lang").agg(first(col("floor")).as("__floor"))
+    docTotals.crossJoin(broadcast(floors))
+      .join(matched, Seq("__id", "lang"), "left")
+      .select(col("__id"), col("lang"),
+        (coalesce(col("__sseen"), lit(0.0)) +
+          (col("__ntot") - coalesce(col("__nseen"), lit(0L))) * col("__floor"))
+          .as("__score"))
       .groupBy(col("__id"))
       .agg(min(struct((-col("__score")).as("s"), col("lang").as("l"))).as("__best"))
       .select(col("__id").as(id), col("__best.l").as("lang"))

@@ -70,6 +70,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.mixByWeightsByHash(Seq((a, col("o_orderkey"), 1.0))).count() == n.toLong)
   }
 
+  test("mixByWeightsUpsampled: full copies + exact fractional draw, superset on raise") {
+    val a = docs.select(col("o_orderkey")).withColumn("src", lit("a"))
+    val n = a.count()
+    // 2.25: exactly 2 full copies plus a ~quarter draw at copy index 2
+    val up = Corpus.mixByWeightsUpsampled(Seq((a, col("o_orderkey"), 2.25)))
+    val byCopy = up.groupBy("copy").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCopy(0L) == n && byCopy(1L) == n)
+    assert(math.abs(byCopy(2L).toDouble / n - 0.25) < 0.05)
+    assert(byCopy.keySet == Set(0L, 1L, 2L))
+    // integer weight: no fractional tier at all
+    val two = Corpus.mixByWeightsUpsampled(Seq((a, col("o_orderkey"), 2.0)))
+    assert(two.count() == 2 * n &&
+      two.select("copy").distinct().count() == 2)
+    // weight 0 contributes nothing (schema preserved); [0,1] weights
+    // reproduce the plain hash mixture rows at copy 0
+    assert(Corpus.mixByWeightsUpsampled(Seq((a, col("o_orderkey"), 0.0))).isEmpty)
+    val q = Corpus.mixByWeightsUpsampled(Seq((a, col("o_orderkey"), 0.25)))
+    val plain = Corpus.mixByWeightsByHash(Seq((a, col("o_orderkey"), 0.25)))
+    assert(q.drop("copy").exceptAll(plain).isEmpty &&
+      plain.exceptAll(q.drop("copy")).isEmpty)
+    // raising a weight only ADDS (id, copy) rows — incremental remixes
+    val low = Corpus.mixByWeightsUpsampled(Seq((a, col("o_orderkey"), 1.25)))
+    assert(low.exceptAll(up).isEmpty)
+    // repartition-invariant
+    val re = Corpus.mixByWeightsUpsampled(Seq((a.repartition(7), col("o_orderkey"), 2.25)))
+    assert(up.exceptAll(re).isEmpty && re.exceptAll(up).isEmpty)
+  }
+
   test("bucketByQuantiles: parity with bucketByRank in both orientations, ties, nulls") {
     // 90 distinct scores, 3 buckets: ntile boundaries fall exactly on
     // the 1/3 and 2/3 order statistics, so the quantile form (exact

@@ -904,6 +904,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("fused ShingleHashCounts == explode+count of charTrigrams, incl. edge shapes") {
+    import org.apache.spark.sql.graft.Bridge
+    val texts = Seq("the quick brown fox", "aaaa", "ab", "a", "",
+      "héllo wörld déjà vu", "日本語のテキスト例", "x y z " * 40)
+    for (t <- texts) {
+      val df = Seq(Tuple1(t)).toDF("text")
+      val fused = df.select(explode(Bridge.column(
+          graft.plans.ShingleHashCounts(Bridge.expression(col("text")), 3))).as("e"))
+        .select(col("e.h"), col("e.c").cast("long").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val composable = df.select(explode(TextFunctions.charTrigrams(col("text"))).as("tri"))
+        .groupBy(xxhash64(lower(col("tri"))).as("h")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      // charTrigrams lowercases internally; the fused caller lowercases
+      // before the kernel — compare against lowered text
+      val fusedLowered = df.select(explode(Bridge.column(
+          graft.plans.ShingleHashCounts(Bridge.expression(lower(col("text"))), 3))).as("e"))
+        .select(col("e.h"), col("e.c").cast("long").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(fusedLowered == composable, s"mismatch on '$t'")
+      // counts always sum to the window rule
+      val expectWindows = math.max(t.codePointCount(0, t.length) - 2, 1)
+      assert(fused.map(_._2).sum == expectWindows, s"window count on '$t'")
+    }
+  }
+
   test("langIdNgram: trigram NB labels natural text, floors handle unseen, ties break on lang") {
     val seed = Seq(
       ("en", "the quick brown fox jumps over the lazy dog in the field"),
