@@ -163,6 +163,44 @@ class PlanSpec extends AnyFunSuite {
       s"q_url_dedup lost its partial aggregation:\n$p")
   }
 
+  test("round-8 curation queries: equi-joins only, no single-partition windows (q_snapshot_neardup, q_pack_corpus, q_quality_model)") {
+    // snapshot near-dup: band join + verify joins are all equi —
+    // never a theta/cartesian between crawl and snapshot
+    val ps = planOf("q_snapshot_neardup")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"q_snapshot_neardup grew a non-equi join:\n$ps")
+    // corpus packing: every window is shard-partitioned — a refactor
+    // that drops the shard key would single-partition-sort the corpus
+    val pp = planOf("q_pack_corpus")
+    assert(!pp.contains("Exchange SinglePartition"),
+      s"q_pack_corpus lost its shard partitioning (global window):\n$pp")
+    // quality model: the coefficient join must not be a cartesian; the
+    // weights side is dim rows and broadcast-eligible
+    val pq = planOf("q_quality_model")
+    assert(!pq.contains("CartesianProduct"),
+      s"q_quality_model weights join went cartesian:\n$pq")
+  }
+
+  test("round-8 LM/langid queries: fused kernels carry no inferred generate filters") {
+    // same InferFiltersFromGenerate trap guard as the decontaminate
+    // family, for the new fused trigram-counts kernel
+    val pl = planOf("q_lang_id_ngram")
+    assert(!pl.contains("isnotnull(shingle_hash_counts("),
+      "inferred generate filter on the trigram-counts kernel — alias-before-explode regression")
+    assert(!"size\\(shingle_hash_counts\\([^)]*\\)[^\\n]*> 0".r.findFirstIn(pl).isDefined,
+      "size(shingle_hash_counts) > 0 generate filter — alias-before-explode regression")
+    // at most the 4-row floors broadcast rides a nested-loop join; the
+    // profile join itself must stay an equi join
+    assert(!pl.contains("CartesianProduct"), s"q_lang_id_ngram went cartesian:\n$pl")
+    // bigram LM: the shifted-zip pair generator stays inline (no
+    // per-doc window shuffle for prev-token derivation)
+    val pb = planOf("q_bigram_logprob")
+    assert(!pb.contains("CartesianProduct"), s"q_bigram_logprob went cartesian:\n$pb")
+    // bpe tokenization is a pure projection pipeline: no joins at all
+    val pt = planOf("q_bpe_tokens")
+    assert(!pt.contains("Join"), s"q_bpe_tokens grew a join:\n$pt")
+  }
+
   test("decontaminate explode branch carries no inferred shingle-kernel filter") {
     // guard against the InferFiltersFromGenerate trap (see CLAUDE.md):
     // aliasing the array to an attribute before explode gets
