@@ -407,6 +407,12 @@ object SparkEntry {
         .select($"doc_id", $"source").orderBy("doc_id")
     }),
 
+    // -------- corpus: one-pass stats audit ----------------------------
+    "q_corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.corpusStats(t(s, dir, "documents"), $"text", $"source")
+    }),
+
     // -------- corpus: upsampled mixture (rates > 1) -------------------
     // The multi-epoch mixture recipe: a curated set (src0-4) at 2.25
     // epochs (2 full copies + an exact-2^58-threshold quarter draw),
@@ -1901,6 +1907,21 @@ object SparkEntry {
         |   OR (doc_id % 2 = 1 AND
         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '43'), 1, 15))::BIGINT < 288230376151711744)
         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT text, source,
+        |   len(list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0)) AS nt
+        |  FROM documents)
+        |SELECT count(*)::BIGINT AS n_docs,
+        | sum(nt)::BIGINT AS n_tokens,
+        | sum(len(text))::BIGINT AS n_chars,
+        | count(DISTINCT source)::BIGINT AS n_sources,
+        | round(avg(nt), 6) AS avg_tokens,
+        | min(nt)::BIGINT AS min_tokens,
+        | max(nt)::BIGINT AS max_tokens,
+        | round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        | round(quantile_cont(nt, 0.9), 6) AS p90_tokens
+        |FROM t""".stripMargin,
     "q_mix_upsample" ->
       """WITH cur AS (SELECT doc_id, source FROM documents
         |   WHERE source IN ('src0','src1','src2','src3','src4')),

@@ -159,6 +159,30 @@ object Corpus {
     df.withColumn("bucket", when(col(score).isNotNull, lit(1) + step))
   }
 
+  /** One-pass corpus audit — the summary a pipeline logs before and
+    * after every curation stage (doc/token/char totals, source
+    * cardinality, token-length distribution): ONE aggregate over the
+    * corpus with map-side partials; no joins, no second scan. The
+    * exact `percentile` is interpolated identically in Spark and
+    * DuckDB, so the whole row is oracle-checkable; swap
+    * [[approxPercentile]] in when the exact sort-based percentile is
+    * too heavy at full scale. Output: 1 row (n_docs, n_tokens,
+    * n_chars, n_sources, avg_tokens, min_tokens, max_tokens,
+    * p50_tokens, p90_tokens). */
+  def corpusStats(df: DataFrame, text: Column, source: Column): DataFrame = {
+    val nTok = size(graft.functions.TextFunctions.tokens(text))
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTok).cast("long").as("n_tokens"),
+      sum(length(text)).cast("long").as("n_chars"),
+      count_distinct(source).as("n_sources"),
+      round(avg(nTok), 6).as("avg_tokens"),
+      min(nTok).cast("long").as("min_tokens"),
+      max(nTok).cast("long").as("max_tokens"),
+      round(percentile(nTok, lit(0.5)), 6).as("p50_tokens"),
+      round(percentile(nTok, lit(0.9)), 6).as("p90_tokens"))
+  }
+
   /** HyperLogLog++ distinct-count sketch (mergeable partial aggregate;
     * `rsd` = target relative standard deviation). The approximate twin
     * of `count_distinct` for 100 TB cardinalities where the exact

@@ -213,6 +213,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): the
+    * published semantic-dedup recipe is exactly cluster-then-compare —
+    * k-means the embeddings with the coarse quantizer
+    * ([[trainIvfCentroids]]: bounded sample, driver-held centroids),
+    * assign every row to its nearest centroid map-side, and compute
+    * exact cosine pairs WITHIN each cluster only
+    * ([[cosineNearDupPairs]] blocked on the cluster id). Pair work is
+    * Σ cluster² instead of N²; a true near-dup pair split across
+    * clusters is never compared — the recipe's accepted recall trade
+    * (more clusters = cheaper and lower recall; SemDeDup used
+    * k = 11k on 1.3B embeddings). No SQL oracle (k-means is
+    * iterative); the cosine-pair core is oracle-checked by
+    * q_embed_neardup and the blocking semantics by the
+    * cosineNearDupPairs blockBy spec. Output: (id_a, id_b, cosine,
+    * cluster). */
+  def semanticNearDupPairs(df: DataFrame, id: String, vec: String,
+                           kClusters: Int, minCosine: Double,
+                           iters: Int = 3, seed: Long = 42L,
+                           maxTrainRows: Int = 100000): DataFrame = {
+    require(kClusters >= 1, s"kClusters must be >= 1, got $kClusters")
+    val cents = trainIvfCentroids(df, vec, kClusters, iters, seed, maxTrainRows)
+    val assigned = df.withColumn("__cluster", nearestCentroid(col(vec), cents))
+    cosineNearDupPairs(assigned, id, vec, minCosine, blockBy = Some("__cluster"))
+      .join(assigned.select(col(id).as("id_a"), col("__cluster").as("cluster")), "id_a")
+  }
+
+  /** Drop the higher id of every [[semanticNearDupPairs]] pair — the
+    * SemDeDup keep-one policy at cluster granularity. */
+  def dropSemanticNearDups(df: DataFrame, id: String, vec: String,
+                           kClusters: Int, minCosine: Double,
+                           iters: Int = 3, seed: Long = 42L,
+                           maxTrainRows: Int = 100000): DataFrame = {
+    val drops = semanticNearDupPairs(df, id, vec, kClusters, minCosine,
+        iters, seed, maxTrainRows)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(drops, col(id) === col("__drop"), "left_anti")
+  }
+
   /** Random-hyperplane signature: `planes` sign bits from fixed seeded
     * Gaussian hyperplanes, packed into a bigint bucket id. Vectors with
     * high cosine land in the same bucket with probability

@@ -137,6 +137,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(nb.where(col("score").isNotNull && col("bucket").isNull).count() == 0)
   }
 
+  test("corpusStats: one-row audit with exact counts and percentiles") {
+    val df = Seq(
+      ("a b c", "s1"),      // 3 tokens, 5 chars
+      ("a b", "s1"),        // 2 tokens, 3 chars
+      ("onetoken", "s2"),   // 1 token, 8 chars
+      ("", "s2")            // 0 tokens, 0 chars
+    ).toDF("text", "source")
+    val r = Corpus.corpusStats(df, col("text"), col("source")).head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("n_chars") == 16L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Double]("avg_tokens") == 1.5)
+    assert(r.getAs[Long]("min_tokens") == 0L)
+    assert(r.getAs[Long]("max_tokens") == 3L)
+    // sorted token counts [0,1,2,3]: p50 interpolates to 1.5, p90 to 2.7
+    assert(r.getAs[Double]("p50_tokens") == 1.5)
+    assert(r.getAs[Double]("p90_tokens") == 2.7)
+  }
+
   test("sketches: HLL and approx percentile land within advertised error") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(count_distinct(col("l_orderkey"))).head().getLong(0)

@@ -815,6 +815,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected partition-pruned index scan:\n$plan")
   }
 
+  test("semanticNearDupPairs: SemDeDup cluster-then-compare finds in-cluster dups only") {
+    import graft.functions.Similarity
+    // two well-separated clusters in R^4, each with a near-dup pair
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.999, 0.01, 0, 0)),   // cluster A near-dups
+      (3L, v(0.7, -0.7, 0, 0)),                           // cluster A loner
+      (10L, v(0, 0, 1, 0)), (11L, v(0, 0, 0.999, 0.01)),  // cluster B near-dups
+      (12L, v(0, 0, 0.7, -0.7))                           // cluster B loner
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        kClusters = 2, minCosine = 0.98, iters = 5, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (10L, 11L)))
+    // keep-one policy drops exactly the higher id of each pair
+    val kept = Similarity.dropSemanticNearDups(emb, "vec_id", "embedding",
+        kClusters = 2, minCosine = 0.98, iters = 5, seed = 3L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 10L, 12L))
+    // one cluster degenerates to plain (unblocked) near-dup pairs
+    val one = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+        kClusters = 1, minCosine = 0.98, iters = 2, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unblocked = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSet == unblocked.toSet)
+  }
+
   test("LSH cosine pairs find high-similarity neighbors") {
     val pairs = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dim = 3,
       planes = 6, tables = 8, minCosine = 0.9)
@@ -1284,6 +1312,50 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.bpeTokens(col("text"), merges).as("t"))
       .head().getSeq[String](0)
     assert(got == words.flatMap(sequential))
+  }
+
+  test("bpeTokens: applying a TRAINED table reproduces the training-end tokenization (randomized)") {
+    // Simulated BPE training produces valid tables by construction
+    // (every rule side is a char or an earlier product). The invariant:
+    // applying the learned table to the training corpus must land on
+    // exactly the tokenization training ended with — this exercises
+    // the greedy min-rank apply loop against ground truth far beyond
+    // hand fixtures.
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val alphabet = "abcd"
+      val words = (1 to 12).map(_ =>
+        (1 to (2 + rng.nextInt(8))).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+      var state: Map[String, Vector[String]] =
+        words.distinct.map(w => w -> w.map(_.toString).toVector).toMap
+      val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      for (_ <- 1 to 6) {
+        val pairCounts = scala.collection.mutable.Map[(String, String), Int]().withDefaultValue(0)
+        for (w <- words; parts = state(w); j <- 0 until parts.length - 1)
+          pairCounts((parts(j), parts(j + 1))) += 1
+        if (pairCounts.nonEmpty) {
+          val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+          merges += best
+          state = state.map { case (w, parts) =>
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < parts.length) {
+              if (j < parts.length - 1 && parts(j) == best._1 && parts(j + 1) == best._2) {
+                out += (best._1 + best._2); j += 2
+              } else { out += parts(j); j += 1 }
+            }
+            w -> out.result()
+          }
+        }
+      }
+      val text = words.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.bpeTokens(col("text"), merges.toSeq).as("t"))
+        .head().getSeq[String](0)
+      val expected = words.flatMap(state)
+      assert(got == expected,
+        s"trial $trial: merges=$merges words=$words\ngot=$got\nexpected=$expected")
+    }
   }
 
   test("chunkTokens: overlap, tail chunk, degenerate sizes") {
