@@ -37,6 +37,24 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Back-to-back tier over the headline queries, run FIRST —
+    // schedule-matched to r6-and-earlier drivers, which ran each query
+    // 3x consecutively at the START of the JVM. Position matters: the
+    // b2b min comes from one contiguous block, so running it last
+    // would hand it whatever late-session drift/load exists (the
+    // interleaved min below is position-robust by construction — it
+    // spreads each query's iterations across the whole session). The
+    // r8 probe (tools/BenchABProbe, bench/abprobe_r8.txt) measured
+    // interleaved mins 1.47x b2b mins in one ABBA-counterbalanced JVM
+    // — per-query warm shuffle/JIT/page-cache state — which fully
+    // explains the r6->r7 "+15%" phantom regression. Quote
+    // r6-and-earlier deltas on mins_b2b, r7+ deltas on mins.
+    val runsB2b: Map[String, Seq[Double]] =
+      SparkEntry.benchQueries.map { n =>
+        val r = n -> (1 to iters).map(_ => runOnce(n))
+        graft.functions.Dedup.releaseMaterialized(spark)
+        r
+      }.toMap
     // Iterations are INTERLEAVED round-robin across BOTH tiers
     // (q1..qN, q1..qN, q1..qN), not 3 back-to-back runs per query:
     // back-to-back runs share whatever transient machine load hits
@@ -59,22 +77,6 @@ object Bench {
       }
       allNames.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
-    // Back-to-back tier over the headline queries only: each query runs
-    // `iters`x consecutively AFTER the interleaved rounds. The r8 probe
-    // (tools/BenchABProbe, bench/abprobe_r8.txt) measured interleaved
-    // mins 1.47x back-to-back mins in one JVM with ABBA counter-
-    // balancing — per-query warm shuffle/JIT/page-cache state is worth
-    // ~30% — which fully explains the r6->r7 "+15%" phantom regression
-    // (r6 ran b2b, r7 interleaved). Reporting BOTH statistics keeps
-    // every past and future round comparable on a schedule-matched
-    // number: quote r6-and-earlier deltas on mins_b2b, r7+ deltas on
-    // mins. Cost: one extra ~iters-pass over the 22 headline queries.
-    val runsB2b: Map[String, Seq[Double]] =
-      SparkEntry.benchQueries.map { n =>
-        val r = n -> (1 to iters).map(_ => runOnce(n))
-        graft.functions.Dedup.releaseMaterialized(spark)
-        r
-      }.toMap
     def runsOf(names: Seq[String]): Seq[(String, Seq[Double])] =
       names.map(n => n -> runsByName(n))
     def median(xs: Seq[Double]): Double = {

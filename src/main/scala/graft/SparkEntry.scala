@@ -102,7 +102,8 @@ object SparkEntry {
        |   LEFT JOIN prof p ON p.lang = f.lang AND p.tri = d.tri
        |   GROUP BY d.doc_id, f.lang),
        | best AS (SELECT doc_id, lang,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(score, 6) DESC, lang) AS rn
        |   FROM sc)
        |SELECT doc_id, lang FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }

@@ -71,6 +71,10 @@ object Corpus {
     require(sources.nonEmpty, "need at least one source")
     sources.zipWithIndex.map { case ((df, id, w), i) =>
       require(w >= 0, s"weight $w must be >= 0")
+      // withColumn would silently REPLACE a pre-existing copy column
+      // (losing data and breaking the (id, copy) uniqueness contract)
+      require(!df.columns.contains("copy"),
+        "source already has a 'copy' column — rename it before mixing")
       val full = math.floor(w).toInt
       val frac = w - full
       val parts =

@@ -234,9 +234,26 @@ object Similarity {
                            maxTrainRows: Int = 100000): DataFrame = {
     require(kClusters >= 1, s"kClusters must be >= 1, got $kClusters")
     val cents = trainIvfCentroids(df, vec, kClusters, iters, seed, maxTrainRows)
-    val assigned = df.withColumn("__cluster", nearestCentroid(col(vec), cents))
-    cosineNearDupPairs(assigned, id, vec, minCosine, blockBy = Some("__cluster"))
-      .join(assigned.select(col(id).as("id_a"), col("__cluster").as("cluster")), "id_a")
+    // Assignment is O(kClusters · dim) per row — the dominant cost at
+    // SemDeDup cluster counts — so it runs EXACTLY ONCE: the assigned
+    // projection is materialized (lazy checkpoint, graft-tagged for
+    // releaseMaterialized) and the within-cluster join reads it on
+    // both sides; the pair emission keeps the block key instead of
+    // re-attaching it with a third corpus join.
+    import org.apache.spark.sql.graft.Bridge
+    val assigned = Bridge.tagMaterialized(
+      df.select(col(id), col(vec))
+        .withColumn("__cluster", nearestCentroid(col(vec), cents))
+        .localCheckpoint(eager = false))
+    val l = assigned.select(col(id).as("id_a"), col(vec).as("v_a"),
+      col("__cluster").as("cluster"))
+    val r = assigned.select(col(id).as("id_b"), col(vec).as("v_b"),
+      col("__cluster").as("blk_b"))
+    l.join(r, col("cluster") === col("blk_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineFused(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"),
+        col("cluster"))
   }
 
   /** Drop the higher id of every [[semanticNearDupPairs]] pair — the

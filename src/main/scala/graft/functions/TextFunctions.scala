@@ -116,11 +116,17 @@ object TextFunctions {
       .agg(sum(col("__cnt") * col("logp")).as("__sseen"),
         sum(col("__cnt")).as("__nseen"))
     val floors = profiles.groupBy("lang").agg(first(col("floor")).as("__floor"))
+    // round-before-argmax (the tfidf/bm25 determinism recipe): the
+    // refactored sum is not FP-identical to the oracle's
+    // per-occurrence sum (3·logp ≠ logp+logp+logp in doubles, and
+    // engines aggregate in different orders), and argmax is discrete —
+    // rounding to 6 collapses near-ties to exact equality so the
+    // lang-ascending tiebreak decides identically everywhere
     docTotals.crossJoin(broadcast(floors))
       .join(matched, Seq("__id", "lang"), "left")
       .select(col("__id"), col("lang"),
-        (coalesce(col("__sseen"), lit(0.0)) +
-          (col("__ntot") - coalesce(col("__nseen"), lit(0L))) * col("__floor"))
+        round(coalesce(col("__sseen"), lit(0.0)) +
+          (col("__ntot") - coalesce(col("__nseen"), lit(0L))) * col("__floor"), 6)
           .as("__score"))
       .groupBy(col("__id"))
       .agg(min(struct((-col("__score")).as("s"), col("lang").as("l"))).as("__best"))
