@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   minhash_signature(text, n, k, seed) → array<bigint>
   *   shingle_hashes(text, n)             → array<bigint> (distinct, sorted)
   *   token_shingle_hashes(text, n)       → array<bigint> (distinct, sorted)
+  *   shingle_hash_counts(text, n)        → array<struct<h:bigint,c:int>>
   *   simhash64(text)                     → bigint
   *   vector_dot(a, b) / vector_cosine(a, b) → double
   */
@@ -60,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text, n) => TokenShingleHashes(text, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("token_shingle_hashes(text, n)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("shingle_hash_counts"),
+      info("shingle_hash_counts", "(xxhash64, count) per distinct char n-gram, one pass"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, n) => ShingleHashCounts(text, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("shingle_hash_counts(text, n)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     e.injectFunction((FunctionIdentifier("simhash64"),

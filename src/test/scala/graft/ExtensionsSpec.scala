@@ -1422,6 +1422,51 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(re == packed.map(r => (r._1, r._2, r._3)))
   }
 
+  test("packCorpus invariants on random corpora: exhaustive, weight-conserving, ordered, dense") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + rng.nextInt(40)
+      val docs = (1 to n).map(i =>
+        (i.toLong, ("w " * rng.nextInt(30)).trim)).toDF("doc_id", "text")
+      val budget = 5 + rng.nextInt(40)
+      val packed = TextFunctions.packCorpus(docs, col("doc_id"),
+          size(TextFunctions.tokens(col("text"))), budget,
+          shard = pmod(col("doc_id"), lit(3L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2).split(",").filter(_.nonEmpty).map(_.toLong).toSeq, r.getLong(3), r.getLong(4)))
+      // every doc lands in exactly one sequence
+      val allIds = packed.flatMap(_._3)
+      assert(allIds.sorted.toSeq == (1 to n).map(_.toLong), s"trial $trial: lost/dup docs")
+      // doc count and weight columns are consistent with membership
+      val weights = docs.select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for ((_, _, ids, nDocs, totW) <- packed) {
+        assert(ids.size == nDocs)
+        assert(ids.map(weights).sum == totW)
+        assert(ids == ids.sorted) // pack order = id order
+      }
+      // seq ids dense from 0 per shard
+      for ((sh, rows) <- packed.groupBy(_._1))
+        assert(rows.map(_._2).sorted.toSeq == (0L until rows.size).toSeq,
+          s"trial $trial shard $sh: sparse seq ids")
+      // full equivalence with an in-memory reference greedy packer
+      for ((sh, rows) <- packed.groupBy(_._1)) {
+        val shardDocs = (1 to n).map(_.toLong).filter(_ % 3 == sh).sorted
+        var cum = 0L
+        val bins = scala.collection.mutable.LinkedHashMap[Long, Vector[Long]]()
+        for (d <- shardDocs) {
+          val bin = cum / budget
+          bins(bin) = bins.getOrElse(bin, Vector()) :+ d
+          cum += weights(d)
+        }
+        val expected = bins.values.toSeq.zipWithIndex.map { case (ids, i) => (i.toLong, ids) }
+        val got = rows.sortBy(_._2).map(r => (r._2, r._3.toVector)).toSeq
+        assert(got == expected, s"trial $trial shard $sh:\ngot $got\nexpected $expected")
+      }
+    }
+  }
+
   test("chunkUnits: chunk ids stay dense when one unit spans budget multiples") {
     // weights 1, 10, 1 with budget 5: raw bins 0,0,2 → dense ids 0,1
     val df = Seq((1L, "a bbbbbbbbbb c")).toDF("id", "t")

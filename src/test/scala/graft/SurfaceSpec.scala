@@ -80,6 +80,9 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     val tsh = spark.sql("SELECT token_shingle_hashes('a b c d', 3) AS h")
       .head().getSeq[Long](0)
     assert(tsh.length == 2 && tsh == tsh.sorted) // "a b c","b c d"
+    val shc = spark.sql("SELECT shingle_hash_counts('aaaa', 3) AS hc")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(shc.length == 1 && shc.head.getInt(1) == 2) // "aaa" twice
     val cos = spark.sql(
       "SELECT vector_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
