@@ -1,0 +1,104 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Corpus, Dedup, TextFunctions}
+
+/** End-to-end training-data curation walkthrough — the published
+  * web-pipeline recipe (CCNet / Gopher / C4 / RefinedWeb shapes)
+  * composed from graft's operators, with a [[Corpus.corpusStats]]
+  * audit row logged after every stage (what a production pipeline
+  * tracks as per-stage yield). Stages, in the canonical order:
+  *
+  *  1. exact dedup (md5 text identity, keep min id);
+  *  2. near-dup dedup: MinHash-LSH verified pairs → drop the higher
+  *     id of each pair;
+  *  3. repeated-line strip (corpus-wide C4-style boilerplate);
+  *  4. heuristic quality + language gates (Gopher-signal shapes);
+  *  5. benchmark decontamination (char n-gram overlap);
+  *  6. PII scrub;
+  *  7. fixed-budget sequence packing across documents.
+  *
+  * Every stage is the operator the oracle-checked queries exercise —
+  * this example only sequences them; no logic lives here. Run on the
+  * driver testdata:
+  *   sbt "runMain graft.examples.CurationPipeline /root/testdata/sf0.001 /tmp/curated"
+  */
+object CurationPipeline {
+
+  /** One audit row per stage: (stage, n_docs, n_tokens, …). */
+  def audit(stage: String, docs: DataFrame): DataFrame =
+    Corpus.corpusStats(docs, col("text"), col("source"))
+      .withColumn("stage", lit(stage))
+
+  /** The pipeline as a pure DataFrame function (spec-asserted). `docs`
+    * needs (doc_id, text, source); `benchmark` needs (bench_id,
+    * bench_text). Returns the packed curated corpus and the per-stage
+    * audit rows. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+             minJaccard: Double = 0.9,
+             minQuality: Double = 0.35,
+             packBudget: Long = 512): (DataFrame, DataFrame) = {
+    val s0 = docs.select(col("doc_id"), col("text"), col("source"))
+
+    // 1. exact dedup — keep the smallest id of each identical text
+    val s1 = graft.operators.Grouping.distinctByFirst(
+        s0.withColumn("__k", md5(col("text"))), Seq("__k"), Seq(col("doc_id")))
+      .drop("__k")
+
+    // 2. near-dup dedup via verified MinHash-LSH pairs
+    val pairs = Dedup.minhashLshPairsVerified(s1, "doc_id", "text",
+      n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = minJaccard)
+    val s2 = Dedup.dropNearDups(s1, "doc_id", pairs)
+
+    // 3. corpus-wide repeated-line strip (C4 boilerplate rule)
+    val s3 = Dedup.stripRepeatedLines(s2, "doc_id", "text", minRepeats = 3)
+
+    // 4. quality + language gates
+    val s4 = s3
+      .withColumn("__q", TextFunctions.qualityScore(col("text"), TextFunctions.tokens(col("text"))))
+      .withColumn("__lang", TextFunctions.langId(TextFunctions.tokens(col("text"))))
+      .where(col("__q") >= minQuality && col("__lang") === "en")
+      .drop("__q", "__lang")
+
+    // 5. benchmark decontamination (char 5-grams, dominant-overlap rule)
+    val s5 = Dedup.decontaminate(s4, "doc_id", "text",
+      benchmark, "bench_id", "bench_text", n = 5, minOverlap = 0.5)
+
+    // 6. PII scrub
+    val s6 = s5.withColumn("text", TextFunctions.redactPii(col("text")))
+
+    // 7. pack the survivors into fixed-budget sequences
+    val packed = TextFunctions.packCorpus(s6, col("doc_id"),
+      size(TextFunctions.tokens(col("text"))), packBudget,
+      shard = pmod(xxhash64(col("doc_id")), lit(8L)))
+
+    val audits = Seq("0_raw" -> s0, "1_exact_dedup" -> s1, "2_near_dedup" -> s2,
+        "3_line_strip" -> s3, "4_gates" -> s4, "5_decontaminated" -> s5)
+      .map { case (n, df) => audit(n, df) }
+      .reduce(_ unionByName _)
+    (packed, audits)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft_curated")
+    val spark = SparkSession.builder().master("local[*]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.GraftIO.readTable(spark, in, "documents")
+    // stand-in benchmark: every 50th doc (the q_decontaminate fixture rule)
+    val benchmark = docs.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("text").as("bench_text"))
+    val (packed, audits) = curate(docs, benchmark)
+    audits.orderBy("stage").show(truncate = false)
+    graft.sources.GraftIO.writeParquet(packed, out)
+    println(s"curated sequences written to $out")
+    spark.stop()
+  }
+}

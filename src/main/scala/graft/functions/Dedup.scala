@@ -613,6 +613,26 @@ object Dedup {
     df.join(confirmed.withColumnRenamed("__cid", id), Seq(id), "left_anti")
   }
 
+  /** Streaming twin of [[dedupAgainstSnapshot]] — the recurring-crawl
+    * INGEST path: drop stream rows whose text already appears in the
+    * static retained snapshot, as they arrive. The snapshot folds to a
+    * narrow distinct-hash set and the stream left-anti-joins it on
+    * xxhash64(text) — stream-static left-anti is STATELESS (no
+    * watermark, no state store; the static side is re-planned per
+    * micro-batch, so persist the hash projection — or point this at a
+    * pre-materialized hash table — on a real cluster). Differs from
+    * the batch form in one documented way: 64-bit hash equality stands
+    * in for the exact text re-check (a stream row cannot cheaply
+    * re-join its own text), so a 2^-64 collision could drop an
+    * innocent row — acceptable on an ingest filter; run the exact
+    * batch form on the retained output when exactness matters. */
+  def streamingDedupAgainstSnapshot(stream: DataFrame, text: String,
+                                    snapshot: DataFrame,
+                                    snapshotText: String): DataFrame =
+    stream.join(
+      snapshot.select(xxhash64(col(snapshotText)).as("__snap_h")).distinct(),
+      xxhash64(col(text)) === col("__snap_h"), "left_anti")
+
   /** Narrow MinHash-LSH band table of a corpus — the artifact a
     * recurring-crawl pipeline PERSISTS at snapshot time: one
     * (`id`, band, bh) row per doc-band (8-byte hash key; no text, no

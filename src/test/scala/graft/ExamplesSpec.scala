@@ -16,6 +16,36 @@ class ExamplePipelinesSpec extends AnyFunSuite {
   def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  test("curation pipeline: stages drop the right docs, audits track yield, packing covers survivors") {
+    import graft.examples.CurationPipeline
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq(
+      (1L, base, "web"),                     // kept
+      (2L, base, "web"),                     // exact dup of 1 -> dropped
+      (3L, base + "zz", "web"),              // near-dup of 1 (J ~ 0.95) -> dropped
+      (4L, "please answer what is the capital city of france in one single word " +
+        "extra padding here", "web"),        // contains the benchmark prompt -> dropped
+      (5L, "zq9 @@ ##", "web"),              // fails the quality gate -> dropped
+      (6L, "a completely different clean document with plenty of varied " +
+        "english words that should sail through every single quality gate " +
+        "and then be packed at the end of it all", "web")  // kept
+    ).toDF("doc_id", "text", "source")
+    val benchmark = Seq((100L,
+      "please answer what is the capital city of france in one single word"))
+      .toDF("bench_id", "bench_text")
+    val (packed, audits) = CurationPipeline.curate(docs, benchmark,
+      minJaccard = 0.9, minQuality = 0.5, packBudget = 64)
+    val keptIds = packed.collect()
+      .flatMap(_.getString(2).split(",")).map(_.toLong).toSet
+    assert(keptIds == Set(1L, 6L))
+    // audit rows: one per stage, doc counts monotonically non-increasing
+    val counts = audits.orderBy("stage")
+      .select("stage", "n_docs").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(counts.map(_._1).toSeq ==
+      Seq("0_raw", "1_exact_dedup", "2_near_dedup", "3_line_strip", "4_gates", "5_decontaminated"))
+    assert(counts.map(_._2).toSeq == Seq(6L, 5L, 4L, 4L, 3L, 2L))
+  }
+
   test("word-count: tokenize, frequencies, formatted output (examples.clj:17-54)") {
     val in = tmp("ex-wc-in"); val out = tmp("ex-wc-out") + "/res"
     Seq("the cat and the hat", "the   cat's   hat!").toDF("l")
