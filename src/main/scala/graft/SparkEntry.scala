@@ -414,6 +414,62 @@ object SparkEntry {
       Corpus.corpusStats(t(s, dir, "documents"), $"text", $"source")
     }),
 
+    // -------- corpus: global deterministic hash rank ------------------
+    // Chunked-prefix global order — the plan must carry NO
+    // single-partition exchange (PlanSpec guards it); the oracle is the
+    // equivalent single-window row_number.
+    "q_hash_rank" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.hashRank(t(s, dir, "documents"), "doc_id")
+        .select($"doc_id", $"pos").orderBy("doc_id")
+    }),
+
+    // -------- corpus: greedy global token-budget draw -----------------
+    "q_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Corpus.sampleToTokenBudget(docs, "doc_id",
+          size(TextFunctions.tokens($"text")), budget = 5000L)
+        .select($"doc_id", size(TextFunctions.tokens($"text")).cast("long").as("n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- corpus: per-language token-budget draw ------------------
+    "q_token_budget_key" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Corpus.samplePerKeyTokenBudget(docs, Seq("lang"), "doc_id",
+          size(TextFunctions.tokens($"text")), budget = 2000L)
+        .select($"lang", $"doc_id").orderBy("lang", "doc_id")
+    }),
+
+    // -------- web: per-domain corpus audit ----------------------------
+    // Hosts synthesized deterministically from doc_id (documents.source
+    // is not a URL); registered-domain grouping collapses the two
+    // tracker.biz subdomains and the two example.com hosts.
+    "q_domain_stats" -> ((s, dir) => {
+      import s.implicits._
+      val host = element_at(array(lit("www.example.com"), lit("blog.example.com"),
+        lit("spam.tracker.biz"), lit("cdn.spam.tracker.biz"), lit("news.site.org")),
+        ($"doc_id" % 5).cast("int") + 1)
+      val urls = t(s, dir, "documents").select($"doc_id", $"text",
+        concat(lit("https://"), host, lit("/p/"), $"doc_id").as("url"))
+      TextFunctions.domainStats(urls, $"url", $"text").orderBy("domain")
+    }),
+
+    // -------- web: domain blocklist filter ----------------------------
+    "q_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val host = element_at(array(lit("www.example.com"), lit("blog.example.com"),
+        lit("spam.tracker.biz"), lit("cdn.spam.tracker.biz"), lit("news.site.org")),
+        ($"doc_id" % 5).cast("int") + 1)
+      val urls = t(s, dir, "documents").select($"doc_id",
+        concat(lit("https://"), host, lit("/p/"), $"doc_id").as("url"))
+      TextFunctions.filterByDomainBlocklist(urls, $"url", Seq("tracker.biz"))
+        .select($"doc_id", TextFunctions.urlHost($"url").as("host"))
+        .orderBy("doc_id")
+    }),
+
     // -------- corpus: upsampled mixture (rates > 1) -------------------
     // The multi-epoch mixture recipe: a curated set (src0-4) at 2.25
     // epochs (2 full copies + an exact-2^58-threshold quarter draw),
@@ -1923,6 +1979,54 @@ object SparkEntry {
         | round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
         | round(quantile_cont(nt, 0.9), 6) AS p90_tokens
         |FROM t""".stripMargin,
+    "q_hash_rank" ->
+      """SELECT doc_id,
+        | row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'), doc_id)
+        |   ::BIGINT AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id,
+        |   len(list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0)) AS nt
+        |  FROM documents),
+        | c AS (SELECT doc_id, nt,
+        |   sum(nt) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, nt::BIGINT AS n_tok FROM c WHERE cum <= 5000
+        |ORDER BY doc_id""".stripMargin,
+    "q_token_budget_key" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |   len(list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0)) AS nt
+        |  FROM documents),
+        | c AS (SELECT lang, doc_id,
+        |   sum(nt) OVER (PARTITION BY lang
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, doc_id FROM c WHERE cum <= 2000
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_domain_stats" ->
+      """WITH u AS (SELECT doc_id, text,
+        |   ['www.example.com','blog.example.com','spam.tracker.biz',
+        |    'cdn.spam.tracker.biz','news.site.org'][(doc_id % 5)::INT + 1] AS host
+        |  FROM documents)
+        |SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        | count(*)::BIGINT AS n_docs,
+        | count(DISTINCT host)::BIGINT AS n_hosts,
+        | sum(len(list_filter(string_split_regex(text, '\s+'),
+        |   x -> len(x) > 0)))::BIGINT AS n_tokens,
+        | sum(len(text))::BIGINT AS n_chars
+        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+    "q_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |   ['www.example.com','blog.example.com','spam.tracker.biz',
+        |    'cdn.spam.tracker.biz','news.site.org'][(doc_id % 5)::INT + 1] AS host
+        |  FROM documents)
+        |SELECT doc_id, host FROM u
+        |WHERE NOT (host = 'tracker.biz' OR host LIKE '%.tracker.biz')
+        |ORDER BY doc_id""".stripMargin,
     "q_mix_upsample" ->
       """WITH cur AS (SELECT doc_id, source FROM documents
         |   WHERE source IN ('src0','src1','src2','src3','src4')),

@@ -199,4 +199,115 @@ object Corpus {
     * `percentile` used by q_percentile. */
   def approxPercentile(e: Column, percentage: Double, accuracy: Int = 10000): Column =
     percentile_approx(e, lit(percentage), lit(accuracy))
+
+  // ------------------------------------------------------------------
+  // Deterministic global hash order: rank / shuffle / token budgets
+  // ------------------------------------------------------------------
+
+  /** Salted md5 sort key shared by the hash-order family — lowercase
+    * hex on both engines, so every op built on it is SQL-expressible
+    * for differential testing (same contract as
+    * [[graft.operators.Grouping.sampleByHash]]). */
+  private def saltedMd5(id: Column, seed: Long): Column =
+    md5(concat(id.cast("string"), lit(seed.toString)))
+
+  /** First two hex chars of the salted hash — 256 chunks that are
+    * PREFIX-ALIGNED with the hash's lexicographic order, so
+    * (chunk, hash) sorts identically to (hash): per-chunk windows plus
+    * a driver-computed chunk prefix-offset reproduce the GLOBAL order
+    * without ever sorting on a single partition. */
+  private def hashChunk(h: Column): Column = substring(h, 1, 2)
+
+  /** Per-chunk prefix offsets: aggregate `value` per chunk (one narrow
+    * counting pass — 256 result rows by construction, safe to
+    * collect), then exclusive-prefix-sum on the driver and fold back
+    * as a literal map. */
+  private def chunkOffsets(withChunk: DataFrame, value: Column): Column = {
+    val per = withChunk.groupBy(col("__chunk")).agg(sum(value).cast("long").as("__v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = per.map { case (c, n) => val o = (c, acc); acc += n; o }
+    element_at(map(offs.flatMap { case (c, o) => Seq(lit(c), lit(o)) }.toIndexedSeq: _*),
+      col("__chunk"))
+  }
+
+  /** Global deterministic 1-based rank by salted hash of `id` — the
+    * reproducible "shuffled position" a training pipeline stamps on
+    * every example before sharding. NOT a single-partition
+    * `Window.orderBy`: ranks come from 256 hash-prefix chunk windows
+    * plus driver prefix-offsets (two passes: one narrow count, one
+    * chunk-partitioned window — both scale-out). Requires unique ids
+    * (the id tie-break keeps the order total, same contract as
+    * [[graft.operators.Grouping.samplePerKeyByHash]]). */
+  def hashRank(df: DataFrame, id: String, seed: Long = 42L,
+               pos: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withH = df.withColumn("__h", saltedMd5(col(id), seed))
+      .withColumn("__chunk", hashChunk(col("__h")))
+    val off = chunkOffsets(withH, lit(1L))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__h"), col(id))
+    withH.withColumn(pos, row_number().over(w).cast("long") + off)
+      .drop("__h", "__chunk")
+  }
+
+  /** Deterministic global shuffle for training-order writes: range-
+    * partition on the salted hash and sort within partitions — files
+    * come out in a reproducible pseudo-random order (seed-keyed), with
+    * NO global sort bottleneck (range exchange + local sorts only).
+    * Feed straight to a parquet/text writer; pair with [[hashRank]]
+    * when the position itself must be a column. */
+  def shuffleDeterministic(df: DataFrame, id: String, seed: Long = 42L,
+                           partitions: Int = 0): DataFrame = {
+    val h = saltedMd5(col(id), seed)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, h, col(id))
+      else df.repartitionByRange(h, col(id))
+    ranged.sortWithinPartitions(h, col(id))
+  }
+
+  /** Greedy hash-ordered prefix up to a GLOBAL token budget: rank docs
+    * by salted hash and keep them while the running token total
+    * (inclusive of the current doc) stays ≤ `budget` — the standard
+    * "draw N tokens from this source" corpus-assembly step, fully
+    * deterministic per seed and repartition-invariant. Prefix
+    * semantics: the first doc to overflow the budget and EVERYTHING
+    * after it is dropped, even if some later doc would individually
+    * fit — that is what keeps the draw a pure function of (id, seed)
+    * and SQL-expressible. Same chunked-prefix machinery as
+    * [[hashRank]] (a narrow per-chunk token-sum pass + one
+    * chunk-partitioned cumulative window), so there is no
+    * single-partition sort at any scale. `nTokens` is evaluated twice
+    * (sum pass + window pass) — pass a column, not a cached value. */
+  def sampleToTokenBudget(df: DataFrame, id: String, nTokens: Column,
+                          budget: Long, seed: Long = 42L): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val withH = df.withColumn("__t", nTokens.cast("long"))
+      .withColumn("__h", saltedMd5(col(id), seed))
+      .withColumn("__chunk", hashChunk(col("__h")))
+    val off = chunkOffsets(withH, col("__t"))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__h"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withH.withColumn("__cum", sum(col("__t")).over(w) + off)
+      .where(col("__cum") <= budget)
+      .drop("__t", "__h", "__chunk", "__cum")
+  }
+
+  /** Per-key twin of [[sampleToTokenBudget]]: each key (language,
+    * source, …) independently keeps its hash-ordered prefix up to
+    * `budget` tokens — the "balance the mixture to N tokens per
+    * language" step. One window shuffle partitioned BY THE KEYS (never
+    * global), so it scales with key cardinality like any groupBy. */
+  def samplePerKeyTokenBudget(df: DataFrame, keys: Seq[String], id: String,
+                              nTokens: Column, budget: Long,
+                              seed: Long = 42L): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(saltedMd5(col(id), seed), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(nTokens.cast("long")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

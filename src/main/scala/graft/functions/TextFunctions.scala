@@ -470,6 +470,80 @@ object TextFunctions {
       .otherwise(concat(scheme, lit("://"), authNoPort, path))
   }
 
+  /** Lowercased host of a URL — authority without port or
+    * userinfo-free (the synthetic corpus never carries userinfo; a
+    * production crawl would strip `user@` first). Empty string when
+    * the value has no scheme://host shape. RE2-safe pattern, identical
+    * in DuckDB for differential testing. */
+  def urlHost(url: Column): Column = {
+    val auth = lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    regexp_replace(auth, ":[0-9]+$", "")
+  }
+
+  /** Registered domain: last two dot-labels of the host
+    * (`cdn.spam.example.com` → `example.com`), the grouping key for
+    * domain-level curation stats and blocklists. Heuristic — a real
+    * crawl pipeline substitutes a public-suffix-list lookup here (the
+    * two-label rule is wrong for ccSLDs like `.co.uk`); the seam is
+    * this one function, everything built on it is suffix-rule
+    * agnostic. Hosts with a single label pass through unchanged. */
+  def registeredDomain(host: Column): Column =
+    when(host.contains("."),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
+
+  /** Drop documents whose URL host is on a domain blocklist (the UT1 /
+    * adult-blocklist crawl-filtering stage). A host matches a blocked
+    * domain `d` when it equals `d` or ends with `"." + d` (subdomains
+    * blocked too). The blocklist is a driver-held Seq by contract
+    * (real blocklists are ~1e6 entries — still literal-OR-foldable is
+    * wrong at that size, so for large lists use
+    * [[filterByDomainBlocklistDf]]); this literal form is fully
+    * columnar (no join, no shuffle) and SQL-expressible. */
+  def filterByDomainBlocklist(df: org.apache.spark.sql.DataFrame, url: Column,
+                              blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to filter")
+    val host = urlHost(url)
+    val hit = blocked.map { d =>
+      val dl = d.toLowerCase
+      host === dl || host.endsWith("." + dl)
+    }.reduce(_ || _)
+    df.where(!hit)
+  }
+
+  /** Blocklist filter for LARGE lists: broadcast anti-join on the
+    * registered domain (equi-join key — a subdomain of a blocked
+    * registered domain shares its last two labels, so suffix matching
+    * reduces to equality on [[registeredDomain]] provided the
+    * blocklist itself holds registered domains, the normal form of
+    * published blocklists). The blocklist side is broadcast (≤ a few
+    * hundred MB even at 1e7 entries); the corpus side never
+    * shuffles. */
+  def filterByDomainBlocklistDf(df: org.apache.spark.sql.DataFrame, url: Column,
+                                blocklist: org.apache.spark.sql.DataFrame,
+                                domainCol: String): org.apache.spark.sql.DataFrame = {
+    val bl = blocklist.select(lower(col(domainCol)).as("__blocked_domain")).distinct()
+    df.withColumn("__rd", registeredDomain(urlHost(url)))
+      .join(broadcast(bl), col("__rd") === col("__blocked_domain"), "left_anti")
+      .drop("__rd")
+  }
+
+  /** Per-domain corpus audit: docs, tokens, chars, distinct hosts per
+    * registered domain — the table a curation run ranks to find
+    * over-represented or low-quality domains before filtering. One
+    * hash aggregation with map-side partials; a viral domain collapses
+    * per map partition before the exchange (heavy domains shuffle
+    * least). Output: (domain, n_docs, n_hosts, n_tokens, n_chars). */
+  def domainStats(df: org.apache.spark.sql.DataFrame, url: Column,
+                  text: Column): org.apache.spark.sql.DataFrame = {
+    val host = urlHost(url)
+    df.groupBy(registeredDomain(host).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(host).as("n_hosts"),
+        sum(size(tokens(text))).cast("long").as("n_tokens"),
+        sum(length(text)).cast("long").as("n_chars"))
+  }
+
   /** Punctuation ratio over characters. */
   def punctRatio(text: Column): Column =
     length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /

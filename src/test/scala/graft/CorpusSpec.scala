@@ -168,4 +168,80 @@ class CorpusSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(approxP50 - exactP50) / exactP50 < 0.02)
   }
+
+  private def saltedMd5Str(id: Long, seed: Long = 42L): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s"$id$seed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("hashRank matches the single-window global rank and is repartition-invariant") {
+    val df = docs.select(col("o_orderkey"))
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("pos", row_number().over(Window.orderBy(
+        md5(concat(col("o_orderkey").cast("string"), lit("42"))), col("o_orderkey")))
+        .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Corpus.hashRank(df, "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val got2 = Corpus.hashRank(df.repartition(13), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want)
+    // ranks are a permutation of 1..n
+    assert(got.values.toSeq.sorted == (1L to want.size.toLong))
+  }
+
+  test("sampleToTokenBudget keeps exactly the maximal hash-ordered prefix") {
+    val df = docs.select(col("o_orderkey"), (col("o_orderkey") % 7 + 1).as("nt"))
+    val budget = 200L
+    val kept = Corpus.sampleToTokenBudget(df, "o_orderkey", col("nt"), budget)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // reference: brute-force prefix over the hash order on the driver
+    val all = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (saltedMd5Str(id), id) }
+    var cum = 0L
+    val want = all.takeWhile { case (_, nt) => cum += nt; cum <= budget }
+      .map(_._1).toSet
+    assert(kept == want && kept.nonEmpty)
+    // repartition-invariant; zero budget → empty
+    val kept2 = Corpus.sampleToTokenBudget(df.repartition(9), "o_orderkey",
+      col("nt"), budget).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(kept2 == want)
+    assert(Corpus.sampleToTokenBudget(df, "o_orderkey", col("nt"), 0L).isEmpty)
+  }
+
+  test("samplePerKeyTokenBudget = global budget applied independently per key") {
+    val df = docs.select(col("o_orderkey"), col("o_orderpriority"),
+      (col("o_orderkey") % 5 + 1).as("nt"))
+    val budget = 40L
+    val got = Corpus.samplePerKeyTokenBudget(df, Seq("o_orderpriority"),
+        "o_orderkey", col("nt"), budget)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val keys = df.select("o_orderpriority").distinct().collect().map(_.getString(0))
+    val want = keys.flatMap { k =>
+      Corpus.sampleToTokenBudget(df.where(col("o_orderpriority") === k),
+          "o_orderkey", col("nt"), budget)
+        .select("o_orderkey").collect().map(r => (k, r.getLong(0)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // every key's kept token total respects the budget
+    val totals = Corpus.samplePerKeyTokenBudget(df, Seq("o_orderpriority"),
+        "o_orderkey", col("nt"), budget)
+      .groupBy("o_orderpriority").agg(sum("nt").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.forall(_ <= budget))
+  }
+
+  test("shuffleDeterministic: same rows, globally hash-sorted across partitions") {
+    val df = docs.select(col("o_orderkey"))
+    val out = Corpus.shuffleDeterministic(df, "o_orderkey", partitions = 5)
+    val ids = out.collect().map(_.getLong(0))
+    assert(ids.toSet == df.collect().map(_.getLong(0)).toSet)
+    // collect() preserves partition order; the hash keys must come out
+    // globally ascending (range partition + within-partition sort)
+    val hashes = ids.map(id => (saltedMd5Str(id), id)).toSeq
+    assert(hashes == hashes.sorted)
+    assert(out.rdd.getNumPartitions == 5)
+  }
 }

@@ -1168,6 +1168,59 @@ class TextFunctionsSpec extends AnyFunSuite {
       ("https://example.com/p/2", 1L, 9L, "d")))
   }
 
+  test("urlHost / registeredDomain: ports, case, label counts, schemeless") {
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/Path", "example.com", "example.com"),
+      ("https://cdn.spam.Tracker.BIZ:8080/x?q=1", "cdn.spam.tracker.biz", "tracker.biz"),
+      ("http://localhost/x", "localhost", "localhost"),
+      ("not a url", "", ""))
+    val got = cases.zipWithIndex.map { case ((in, _, _), i) => (i, in) }
+      .toDF("i", "u")
+      .select($"i", TextFunctions.urlHost($"u").as("h"),
+        TextFunctions.registeredDomain(TextFunctions.urlHost($"u")).as("d"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    cases.zipWithIndex.foreach { case ((in, h, d), i) =>
+      assert(got(i) == ((h, d)), s"input: $in")
+    }
+  }
+
+  test("domain blocklist: subdomain match, lookalike kept, literal ≡ broadcast-join") {
+    val df = Seq(
+      (1L, "https://tracker.biz/x"),          // exact → dropped
+      (2L, "https://cdn.spam.tracker.biz/x"), // subdomain → dropped
+      (3L, "https://xtracker.biz/x"),         // lookalike suffix → kept
+      (4L, "https://example.com/x"),          // clean → kept
+      (5L, "https://Tracker.BIZ:443/x")       // case/port variants → dropped
+    ).toDF("doc_id", "url")
+    val kept = TextFunctions.filterByDomainBlocklist(df, $"url", Seq("tracker.biz"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+    // the broadcast-join form on a registered-domain blocklist agrees
+    // EXCEPT on the lookalike: xtracker.biz's registered domain is
+    // itself (xtracker.biz ≠ tracker.biz), so both forms keep it
+    val bl = Seq("tracker.biz").toDF("domain")
+    val keptDf = TextFunctions.filterByDomainBlocklistDf(df, $"url", bl, "domain")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDf == kept)
+    // blocklist form preserves the input schema
+    assert(TextFunctions.filterByDomainBlocklistDf(df, $"url", bl, "domain")
+      .columns.toSeq == df.columns.toSeq)
+  }
+
+  test("domainStats groups hosts under registered domains with map-side-friendly aggregates") {
+    val df = Seq(
+      (1L, "https://www.example.com/a", "one two"),
+      (2L, "https://blog.example.com/b", "three"),
+      (3L, "https://spam.tracker.biz/c", "x y z"),
+      (4L, "https://cdn.spam.tracker.biz/d", "w")
+    ).toDF("doc_id", "url", "text")
+    val got = TextFunctions.domainStats(df, $"url", $"text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("example.com") == ((2L, 2L, 3L, 12L)))
+    assert(got("tracker.biz") == ((2L, 2L, 4L, 6L)))
+  }
+
   test("gopherSignals: mean word length, dup lines, symbols, alpha fraction") {
     val df = Seq(
       (1L, "aa bbbb\ncc dd\ncc dd\ncc dd"),      // 4 lines, 3 identical

@@ -222,4 +222,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!"size\\(token_shingle_hashes\\([^)]*\\)[^\\n]*> 0".r.findFirstIn(pt).isDefined,
       "size(token_shingle_hashes) > 0 generate filter — alias-before-explode regression")
   }
+
+  test("hash-order family: chunk-partitioned windows, never a global sort (q_hash_rank, q_token_budget)") {
+    // the whole point of the chunked-prefix machinery is that no stage
+    // single-partitions the corpus; the final orderBy in the query is
+    // a result presentation sort and compiles to a range exchange
+    for (q <- Seq("q_hash_rank", "q_token_budget")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q lost its chunk partitioning (global window):\n$p")
+    }
+    // per-key budget: exactly the one window exchange on the key
+    val pk = planOf("q_token_budget_key")
+    assert(!pk.contains("Exchange SinglePartition"),
+      s"q_token_budget_key single-partitioned:\n$pk")
+  }
+
+  test("domain family: pure columnar filter / one keyed aggregation (q_domain_filter, q_domain_stats)") {
+    val pf = planOf("q_domain_filter")
+    assert(!pf.contains("Join"), s"q_domain_filter grew a join (literal blocklist is columnar):\n$pf")
+    val ps = planOf("q_domain_stats")
+    // map-side partial aggregation before the exchange
+    assert(ps.contains("HashAggregate"), s"q_domain_stats lost hash aggregation:\n$ps")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("Join"),
+      s"q_domain_stats grew a join:\n$ps")
+  }
 }
