@@ -159,7 +159,11 @@ object SparkEntry {
     // r8 additions (per-query numbers are the comparable statistic;
     // total_v2 grows with the tier)
     "q_snapshot_neardup", "q_bigram_logprob", "q_lang_id_ngram",
-    "q_bpe_tokens", "q_quality_model")
+    "q_bpe_tokens", "q_quality_model",
+    // r8 continuation: PQ ANN (train + ADC + re-rank, embeddings are
+    // fixed-size so the number is config-dominated) and the chunked
+    // global hash order over documents
+    "q_ann_pq", "q_hash_rank")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -412,6 +416,33 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) => {
       import s.implicits._
       Corpus.corpusStats(t(s, dir, "documents"), $"text", $"source")
+    }),
+
+    // -------- text: corpus cleanup scrub ------------------------------
+    // documents.text is clean ASCII, so the chain is exercised on a
+    // deterministically dirtied twin (controls, CRLF/CR, double
+    // spaces, zero-width, blank-line runs) built identically in both
+    // engines; NFC itself is identity on this input in both.
+    "q_clean_text" -> ((s, dir) => {
+      import s.implicits._
+      val dirty = concat(lit("\u0007 x\t\ty \r\na\r b  c\u200B"),
+        substring($"text", 1, 50), lit("\n\n\n\nend "))
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.cleanText(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- corpus: temperature-scaled source balancing -------------
+    // Sources carved from doc_id with skewed sizes (50/30/20%);
+    // alpha=0.5 keeps the IEEE chain (sqrt/div/mul-2^60/trunc)
+    // bit-exact across engines.
+    "q_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val g = when($"doc_id" % 10 < 5, "big")
+        .when($"doc_id" % 10 < 8, "mid").otherwise("small")
+      val docs = t(s, dir, "documents").select($"doc_id", g.as("grp"))
+      Corpus.mixByTemperature(docs, "grp", $"doc_id", alpha = 0.5)
+        .select($"doc_id", $"grp").orderBy("doc_id")
     }),
 
     // -------- corpus: global deterministic hash rank ------------------
@@ -1623,6 +1654,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- similarity search: PQ + exact re-rank (no SQL oracle) ---
+    // Compressed-domain ADC shortlist over L2-normalized embeddings,
+    // exact cosine re-rank of the shortlist. Rows-only by declared
+    // design: the codebooks come from iterative k-means (not
+    // SQL-expressible); correctness is held by the SimilaritySpec
+    // exact-on-reconstruction property + pinned tools/PqProbe recall
+    // floors (raw ADC 0.50, 5x-shortlist re-rank 0.94).
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val n = emb.select($"vec_id",
+        transform($"embedding", x => x / sqrt(aggregate(
+          zip_with($"embedding", $"embedding", (a, b) => (a * b).cast("double")),
+          lit(0.0), _ + _))).as("embedding"))
+      val cb = Similarity.trainPqCodebooks(n, "embedding", m = 16, ksub = 32,
+        iters = 3)
+      Similarity.pqAdcTopKReranked(n, n.where($"vec_id" < 10), "vec_id",
+          "embedding", cb, k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // -------- text: budgeted token packing (whole-unit chunking) ------
     "q_pack_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -1979,6 +2031,37 @@ object SparkEntry {
         | round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
         | round(quantile_cont(nt, 0.9), 6) AS p90_tokens
         |FROM t""".stripMargin,
+    "q_clean_text" ->
+      """WITH d AS (SELECT doc_id,
+        |   chr(7) || ' x' || chr(9) || chr(9) || 'y ' || chr(13) || chr(10)
+        |     || 'a' || chr(13) || ' b  c' || chr(8203)
+        |     || substr(text, 1, 50) || repeat(chr(10), 4) || 'end ' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(nfc_normalize(dirty),
+        |     '\r\n?', chr(10), 'g'),
+        |     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |     '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+        |     '[ \t]+', ' ', 'g'),
+        |     ' ?\n ?', chr(10), 'g'),
+        |     '\n{3,}', chr(10) || chr(10), 'g')) AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH g AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 10 < 5 THEN 'big'
+        |        WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'small' END AS grp
+        |  FROM documents),
+        | n AS (SELECT grp, count(*)::DOUBLE AS ns FROM g GROUP BY grp),
+        | m AS (SELECT min(ns) AS nmin FROM n),
+        | thr AS (SELECT grp,
+        |   CAST(trunc(sqrt((SELECT nmin FROM m) / ns) * 1152921504606846976.0)
+        |     AS BIGINT) AS t
+        |  FROM n)
+        |SELECT g.doc_id, g.grp FROM g JOIN thr USING (grp)
+        |WHERE ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR) || '42'), 1, 15))::BIGINT
+        |  < thr.t
+        |ORDER BY doc_id""".stripMargin,
     "q_hash_rank" ->
       """SELECT doc_id,
         | row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'), doc_id)

@@ -88,6 +88,37 @@ object Corpus {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-scaled source balancing — the multilingual-corpus
+    * recipe (sample source s with probability ∝ n_s^alpha): each
+    * source keeps rate (n_min/n_s)^(1-alpha), so the SMALLEST source
+    * survives whole and larger sources downsample toward balance.
+    * alpha = 1 reproduces natural proportions (no-op); alpha = 0
+    * equalizes expected counts; published pipelines sit in between
+    * (0.3–0.7). The draw is the same exact 60-bit md5 threshold as
+    * [[mixByWeightsByHash]] — repartition/retry-invariant. Source
+    * counts are one narrow aggregate collected to the driver (source
+    * cardinality is small by contract — languages/crawl buckets);
+    * thresholds fold back as a literal map, the filter is map-side.
+    * Cross-engine oracle parity is exact at alpha = 0.5 (the chain is
+    * sqrt/divide/multiply-by-2^60/trunc — all correctly rounded IEEE
+    * ops); other alphas go through `pow`, which may differ by 1 ulp
+    * across libms, so differential tests pin alpha = 0.5. */
+  def mixByTemperature(df: DataFrame, source: String, id: Column,
+                       alpha: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha outside [0,1]")
+    val counts = df.groupBy(col(source)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(counts.nonEmpty, "empty input — no sources to balance")
+    val nMin = counts.map(_._2).min.toDouble
+    val thr = counts.flatMap { case (s, n) =>
+      val rate =
+        if (alpha == 0.5) math.sqrt(nMin / n.toDouble)
+        else math.pow(nMin / n.toDouble, 1.0 - alpha)
+      Seq(lit(s), lit(weightThreshold(rate)))
+    }
+    df.where(md5Bucket(id, seed) < element_at(map(thr.toIndexedSeq: _*), col(source)))
+  }
+
   /** floor(w · 2^60): the exact keep-threshold for a 60-bit hash draw. */
   def weightThreshold(w: Double): Long = (w * (1L << 60).toDouble).toLong
 

@@ -357,4 +357,218 @@ object Similarity {
       .groupBy(col("__b.tbl").as("tbl"), col("__b.bkt").as("bucket"))
       .agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > minSize)
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): compressed-domain ANN for the 100 TB
+  // tier — a dim-float vector becomes m small codes (m bytes at
+  // ksub ≤ 256), so the WHOLE corpus index fits in a fraction of the
+  // raw embedding footprint and scoring is m table lookups per pair
+  // (ADC) instead of dim multiplies. Metric is squared L2 per
+  // subspace (the standard PQ formulation); for cosine retrieval
+  // L2-normalize vectors first — on unit vectors ascending L2 order
+  // IS descending cosine order.
+  // ------------------------------------------------------------------
+
+  /** Squared L2 distance between two equal-length double arrays. */
+  private def sqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  private def vecD(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Codebooks as a nested literal: m → ksub → dsub. Plan-size bound:
+    * m·ksub·dsub doubles = one full vector per sub-centroid row
+    * (m=8, ksub=256, dim=64 → 16k literals — fine; for very large
+    * codebooks persist them and join instead). */
+  private def codebooksLit(cb: Array[Array[Array[Double]]]): Column =
+    array(cb.map(sub => array(sub.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)).toIndexedSeq: _*)
+
+  /** Train PQ codebooks with per-subspace Lloyd's iterations — the
+    * same driver-held-centroids / bounded-cached-sample shape as
+    * [[trainIvfCentroids]], but all m subspaces train in ONE pass per
+    * iteration (subspace index exploded, per-(subspace, code,
+    * dimension) mean aggregation). `dim` must divide evenly by `m`.
+    * Returns codebooks(j)(c) = the ksub sub-centroids of subspace j
+    * (each length dim/m). Deterministic per seed. */
+  def trainPqCodebooks(df: DataFrame, vec: String, m: Int, ksub: Int,
+                       iters: Int = 5, seed: Long = 42L,
+                       maxTrainRows: Int = 100000,
+                       trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1, s"m $m and ksub $ksub must be >= 1")
+    val vecs = df.select(vecD(col(vec)).as("__v"))
+    val train =
+      (if (trainFraction >= 1.0) vecs
+       else vecs.sample(withReplacement = false, trainFraction, seed))
+        .limit(maxTrainRows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = train.select(size(col("__v"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
+      val dsub = dim / m
+      // init: ksub random sample rows, each sliced into its m sub-vectors
+      var cb: Array[Array[Array[Double]]] = {
+        val rows = train.orderBy(rand(seed)).limit(ksub)
+          .collect().map(_.getSeq[Double](0).toArray)
+        require(rows.length >= ksub,
+          s"need >= $ksub training vectors, got ${rows.length}")
+        Array.tabulate(m)(j => rows.map(_.slice(j * dsub, (j + 1) * dsub)))
+      }
+      var it = 0
+      while (it < iters) {
+        val cbl = codebooksLit(cb)
+        val assigned = train
+          .select(explode(sequence(lit(0), lit(m - 1))).as("__j"), col("__v"))
+          .select(col("__j"),
+            slice(col("__v"), col("__j") * dsub + 1, lit(dsub)).as("__s"))
+          .withColumn("__dists",
+            transform(element_at(cbl, col("__j") + 1), c => sqL2(col("__s"), c)))
+          .withColumn("__cid", array_position(col("__dists"), array_min(col("__dists"))))
+        val means = assigned
+          .select(col("__j"), col("__cid"), posexplode(col("__s")).as(Seq("__pos", "__x")))
+          .groupBy("__j", "__cid", "__pos").agg(avg(col("__x")).as("__m"))
+          .collect()  // m·ksub·dsub rows — driver-held by construction
+        val updated = cb.map(_.map(_.clone()))
+        means.foreach { r =>
+          updated(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) = r.getDouble(3)
+        }
+        cb = updated
+        it += 1
+      }
+      cb
+    } finally { train.unpersist(blocking = false); () }
+  }
+
+  /** PQ-encode a vector: m codes, code j = 1-based index of the
+    * nearest (squared-L2) sub-centroid for subspace j. Pure columnar
+    * projection — no shuffle; at 100 TB this is the one full-corpus
+    * pass that builds the compressed index. */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val cbl = codebooksLit(cb)
+    val v = vecD(vec)
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(v, j * dsub + 1, lit(dsub))
+      val dists = transform(element_at(cbl, j + 1), c => sqL2(sub, c))
+      array_position(dists, array_min(dists)).cast("int")
+    })
+  }
+
+  /** Reconstruction of a code array (the centroid concatenation) —
+    * the decoded approximation of the original vector; exposed for
+    * audits (quantization-error measurement) and tests. */
+  def pqDecode(codes: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val cbl = codebooksLit(cb)
+    flatten(zip_with(codes, sequence(lit(1), lit(cb.length)),
+      (c, j) => element_at(element_at(cbl, j), c)))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query computes its m×ksub lookup table of exact sub-distances
+    * (a columnar projection on the QUERY side — small by contract —
+    * then broadcast), and every corpus row scores as m table lookups
+    * on its codes: `Σ_j lut[j][code_j]`, one `zip_with`+`aggregate`,
+    * never touching the original floats. Corpus side stays
+    * partition-parallel with no shuffle until the per-query top-k
+    * window (same shape as [[bruteForceTopK]], minus the dim-wide
+    * arithmetic AND minus the raw-vector scan — at 100 TB the input
+    * is the codes table, ~dim·4/m× smaller than the embeddings).
+    * Returns ascending approximate squared L2 (`adist`); on
+    * L2-normalized inputs that order is exactly descending-cosine.
+    * Pass `codes` when the corpus is already encoded (a persisted
+    * codes table); otherwise it encodes inline. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                cb: Array[Array[Array[Double]]], k: Int,
+                codes: Option[Column] = None): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val cbl = codebooksLit(cb)
+    val c = corpus.select(col(id).as("c_id"),
+      codes.getOrElse(pqEncode(col(vec), cb)).as("c_codes"))
+    val qv = vecD(col(vec))
+    val lut = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(element_at(cbl, j + 1),
+        cent => sqL2(slice(qv, j * dsub + 1, lit(dsub)), cent)))
+    val q = queries.select(col(id).as("q_id"), lut.as("q_lut"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(zip_with(col("c_codes"), col("q_lut"),
+          (cd, row) => element_at(row, cd)), lit(0.0), _ + _))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist"),
+        col("__rk").as("rank"))
+  }
+
+  /** ADC shortlist + EXACT re-rank — the production PQ recipe: the
+    * compressed-domain scan retrieves `shortlist` candidates per query
+    * (default 5k), then ONLY those rows re-score with the true
+    * vectors, and the top-k of the exact scores is returned. Final
+    * recall equals shortlist recall, which is far higher than raw ADC
+    * rank agreement (measured on the synthetic embeddings, m=16
+    * ksub=32: [email protected] raw → 0.94 with a 5× shortlist —
+    * `tools/PqProbe`). The re-rank join BROADCASTS the candidate ids
+    * (|queries|·shortlist rows — small by contract) against the
+    * corpus, so the corpus never shuffles; exact scoring is cosine,
+    * matching [[bruteForceTopK]]'s output contract — use on
+    * L2-normalized vectors so the ADC (L2) shortlist and the cosine
+    * re-rank agree on the metric. Output: (q_id, c_id, sim, rank). */
+  def pqAdcTopKReranked(corpus: DataFrame, queries: DataFrame, id: String,
+                        vec: String, cb: Array[Array[Array[Double]]], k: Int,
+                        shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 5 * k
+    require(sl >= k, s"shortlist $sl must be >= k $k")
+    val cand = pqAdcTopK(corpus, queries, id, vec, cb, sl)
+      .select(col("q_id"), col("c_id"))
+    val cv = corpus.select(col(id).as("c_id"), col(vec).as("c_v"))
+    val qv = queries.select(col(id).as("q_id"), col(vec).as("q_v"))
+    val scored = cv.join(broadcast(cand), "c_id")
+      .join(broadcast(qv), "q_id")
+      .withColumn("sim", cosineFused(col("c_v"), col("q_v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"),
+        col("__rk").as("rank"))
+  }
+
+  /** IVF-PQ: coarse inverted-file probe + compressed-domain ADC
+    * scoring — the FAISS-style composition that makes billion-vector
+    * search tractable: the probe join prunes to `nprobe/kLists` of the
+    * corpus, and the pruned candidates score by table lookup. Corpus
+    * rows carry (coarse list id, PQ codes); queries explode to their
+    * nprobe nearest lists (cosine coarse quantizer, as [[ivfTopK]])
+    * with their ADC lookup table and broadcast. With nprobe = kLists
+    * this equals [[pqAdcTopK]] exactly (spec-asserted). Codes here
+    * quantize the RAW vector (not the per-list residual — the FAISS
+    * refinement; documented seam, same API shape if added). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                coarse: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+                nprobe: Int, k: Int): DataFrame = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val cbl = codebooksLit(cb)
+    val c = corpus.select(col(id).as("c_id"),
+      nearestCentroid(col(vec), coarse).as("__cid"),
+      pqEncode(col(vec), cb).as("c_codes"))
+    val qv = vecD(col(vec))
+    val lut = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(element_at(cbl, j + 1),
+        cent => sqL2(slice(qv, j * dsub + 1, lit(dsub)), cent)))
+    val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
+      i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
+        (i + 1).as("cid")))
+    val q = queries.select(col(id).as("q_id"), lut.as("q_lut"),
+        explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+      .select(col("q_id"), col("q_lut"), col("__p.cid").as("__cid"))
+    val scored = c.join(broadcast(q), "__cid")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(zip_with(col("c_codes"), col("q_lut"),
+          (cd, row) => element_at(row, cd)), lit(0.0), _ + _))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist"),
+        col("__rk").as("rank"))
+  }
 }

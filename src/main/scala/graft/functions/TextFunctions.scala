@@ -470,6 +470,37 @@ object TextFunctions {
       .otherwise(concat(scheme, lit("://"), authNoPort, path))
   }
 
+  /** Unicode normalization (NFC default) via the codegen'd
+    * [[graft.plans.UnicodeNormalize]] expression — already-normalized
+    * text (virtually all ASCII corpus input) takes a scan-only fast
+    * path with no allocation. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.UnicodeNormalize(
+        org.apache.spark.sql.graft.Bridge.expression(text), form))
+
+  /** Corpus text cleanup — the standard pre-tokenization scrub:
+    * Unicode-normalize (NFC), normalize CRLF/CR line endings to \n,
+    * drop remaining control characters (keeping \n and
+    * \t), drop zero-width characters and BOMs, collapse space/tab runs
+    * to one space, tighten whitespace around newlines, cap blank runs
+    * at one empty line, and trim. Every pass is a builtin
+    * regexp_replace (codegen'd, RE2-portable — differential-testable
+    * against DuckDB's nfc_normalize + the same replace chain). Order
+    * matters and is part of the contract: normalize first (so
+    * decomposed controls/spaces are seen in composed form), strip,
+    * then collapse. */
+  def cleanText(text: Column, form: String = "NFC"): Column = {
+    val n = unicodeNormalize(text, form)
+    val unixNl = regexp_replace(n, "\\r\\n?", "\n")
+    val noCtl = regexp_replace(unixNl, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val noZw = regexp_replace(noCtl, "[\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    val oneSp = regexp_replace(noZw, "[ \\t]+", " ")
+    val tightNl = regexp_replace(oneSp, " ?\\n ?", "\n")
+    val capBlank = regexp_replace(tightNl, "\\n{3,}", "\n\n")
+    trim(capBlank)
+  }
+
   /** Lowercased host of a URL — authority without port or
     * userinfo-free (the synthetic corpus never carries userinfo; a
     * production crawl would strip `user@` first). Empty string when

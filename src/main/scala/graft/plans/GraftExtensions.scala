@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   shingle_hash_counts(text, n)        → array<struct<h:bigint,c:int>>
   *   simhash64(text)                     → bigint
   *   vector_dot(a, b) / vector_cosine(a, b) → double
+  *   unicode_normalize(text[, form])     → string (form: NFC/NFD/NFKC/NFKD)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intArg(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
   }
 
   private def longArg(e: Expression, what: String): Long = e match {
@@ -89,6 +96,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => VectorSimilarity(a, b, "cosine")
         case _ => throw new IllegalArgumentException("vector_cosine(a, b)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize", "NFC/NFD/NFKC/NFKD normalization of a string"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, form) => UnicodeNormalize(text, strArg(form, "form"))
+        case Seq(text)       => UnicodeNormalize(text, "NFC")
+        case _ => throw new IllegalArgumentException("unicode_normalize(text[, form])")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

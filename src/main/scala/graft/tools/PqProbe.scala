@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure PQ recall@10 vs exact cosine on the synthetic
+  * embeddings across (m, ksub) configurations, with and without an
+  * exact re-rank of an ADC shortlist — picks the spec threshold and
+  * validates the re-rank escalation path. */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.functions.Similarity
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // L2-normalize so ascending L2 == descending cosine
+    val n = emb.select($"vec_id",
+      transform($"embedding", x => x / sqrt(aggregate(
+        zip_with($"embedding", $"embedding", (a, b) => (a * b).cast("double")),
+        lit(0.0), _ + _))).as("embedding")).cache()
+    val qn = n.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(n, qn, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    for (m <- Seq(8, 16, 32); ksub <- Seq(16, 32, 64)) {
+      val t0 = System.nanoTime()
+      val cb = Similarity.trainPqCodebooks(n, "embedding", m = m, ksub = ksub, iters = 4)
+      val approx = Similarity.pqAdcTopK(n, qn, "vec_id", "embedding", cb, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (approx intersect exact).size.toDouble / exact.size
+      // shortlist recall: does ADC@50 contain the true top-10?
+      val short = Similarity.pqAdcTopK(n, qn, "vec_id", "embedding", cb, k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val shortRecall = (short intersect exact).size.toDouble / exact.size
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"m=$m%3d ksub=$ksub%3d  recall@10=$recall%.3f  shortlist@50-recall=$shortRecall%.3f  ($secs%.1f s)")
+    }
+    spark.stop()
+  }
+}

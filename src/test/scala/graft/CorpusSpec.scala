@@ -233,6 +233,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(totals.forall(_ <= budget))
   }
 
+  test("mixByTemperature: alpha=1 no-op, alpha=0 equalizes, smallest source kept whole") {
+    val df = docs.select(col("o_orderkey"),
+      when(col("o_orderkey") % 10 < 6, "big")
+        .when(col("o_orderkey") % 10 < 9, "mid").otherwise("small").as("grp"))
+    val n = df.count().toDouble
+    // alpha = 1: every rate is 1 → identity
+    assert(Corpus.mixByTemperature(df, "grp", col("o_orderkey"), alpha = 1.0)
+      .count() == n.toLong)
+    // alpha = 0: expected counts equalize to the smallest source
+    val eq = Corpus.mixByTemperature(df, "grp", col("o_orderkey"), alpha = 0.0)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nSmall = n * 0.1
+    assert(eq.values.forall(c => math.abs(c - nSmall) / nSmall < 0.15),
+      s"alpha=0 should equalize near $nSmall: $eq")
+    // smallest source always survives whole (rate 1), any alpha
+    val half = Corpus.mixByTemperature(df, "grp", col("o_orderkey"), alpha = 0.5)
+    assert(half.where(col("grp") === "small").count() ==
+      df.where(col("grp") === "small").count())
+    // monotone: bigger sources keep a smaller FRACTION of themselves
+    val fracs = half.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = df.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keep = base.map { case (g, b) => g -> fracs(g).toDouble / b }
+    assert(keep("big") < keep("mid") && keep("mid") < keep("small") + 1e-9,
+      s"keep rates should decrease with source size: $keep")
+    // deterministic + repartition-invariant
+    val again = Corpus.mixByTemperature(df.repartition(11), "grp",
+      col("o_orderkey"), alpha = 0.5)
+    assert(half.select("o_orderkey").exceptAll(again.select("o_orderkey")).isEmpty &&
+      again.select("o_orderkey").exceptAll(half.select("o_orderkey")).isEmpty)
+  }
+
   test("shuffleDeterministic: same rows, globally hash-sorted across partitions") {
     val df = docs.select(col("o_orderkey"))
     val out = Corpus.shuffleDeterministic(df, "o_orderkey", partitions = 5)

@@ -89,6 +89,12 @@ class ExtensionsRegistrySpec extends AnyFunSuite {
     val dot = spark.sql(
       "SELECT vector_dot(array(2.0D, 1.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
     assert(dot == 10.0)
+    // unicode_normalize: composed vs decomposed é, NFKC ligature fold
+    val nfc = spark.sql("SELECT unicode_normalize('é') AS s").head().getString(0)
+    assert(nfc == "é")
+    val nfkc = spark.sql("SELECT unicode_normalize('ﬁ', 'NFKC') AS s")
+      .head().getString(0)
+    assert(nfkc == "fi")
   }
 
   test("shingle_hashes/minhash_signature reject n < 1 / k < 1 at analysis") {
