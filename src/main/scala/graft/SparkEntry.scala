@@ -418,6 +418,31 @@ object SparkEntry {
       Corpus.corpusStats(t(s, dir, "documents"), $"text", $"source")
     }),
 
+    // -------- text: winnowing fingerprints (MOSS) ---------------------
+    // md5 twin (oracle-computable); exploded to rows so the compare
+    // never hashes array columns. k=10, w=8 keeps the synthetic
+    // vocabulary's gram collisions meaningful.
+    "q_winnow" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          explode(TextFunctions.winnowingFingerprintsByMd5($"text", k = 10, w = 8))
+            .as("fp"))
+        .orderBy("doc_id", "fp")
+    }),
+
+    // -------- dedup: shared-winnow-fingerprint pairs ------------------
+    // Partial-overlap candidates on a doc_id<200 slice (the synthetic
+    // vocabulary makes grams collide corpus-wide; the slice keeps the
+    // oracle's quadratic join bounded). Cap off on the oracle path.
+    "q_winnow_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").where($"doc_id" < 200)
+      Dedup.winnowingSharedPairs(docs, "doc_id", $"text",
+          k = 10, w = 8, minShared = 10, byMd5 = true)
+        .orderBy("id_a", "id_b")
+    }),
+
     // -------- text: corpus cleanup scrub ------------------------------
     // documents.text is clean ASCII, so the chain is exercised on a
     // deterministically dirtied twin (controls, CRLF/CR, double
@@ -429,6 +454,22 @@ object SparkEntry {
         substring($"text", 1, 50), lit("\n\n\n\nend "))
       t(s, dir, "documents")
         .select($"doc_id", TextFunctions.cleanText(dirty).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- corpus: per-language stats audit ------------------------
+    "q_corpus_stats_by" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.corpusStatsBy(t(s, dir, "documents"), Seq("lang"),
+          $"text", $"source")
+        .orderBy("lang")
+    }),
+
+    // -------- corpus: deterministic k-fold assignment -----------------
+    "q_kfold" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.kFoldByMd5(t(s, dir, "documents").select($"doc_id"),
+          $"doc_id", k = 5)
         .orderBy("doc_id")
     }),
 
@@ -2031,6 +2072,53 @@ object SparkEntry {
         | round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
         | round(quantile_cont(nt, 0.9), 6) AS p90_tokens
         |FROM t""".stripMargin,
+    "q_corpus_stats_by" ->
+      """WITH t AS (SELECT lang, text, source,
+        |   len(list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0)) AS nt
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        | sum(nt)::BIGINT AS n_tokens,
+        | sum(len(text))::BIGINT AS n_chars,
+        | count(DISTINCT source)::BIGINT AS n_sources,
+        | round(avg(nt), 6) AS avg_tokens,
+        | min(nt)::BIGINT AS min_tokens,
+        | max(nt)::BIGINT AS max_tokens,
+        | round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        | round(quantile_cont(nt, 0.9), 6) AS p90_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_kfold" ->
+      """SELECT doc_id,
+        | (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 15))::BIGINT
+        |   % 5)::INT + 1 AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents),
+        | h AS (SELECT doc_id,
+        |   [('0x' || substr(md5(substr(text, i, 10)), 1, 15))::BIGINT
+        |    for i in range(1, n - 10 + 2)] AS hs
+        |  FROM t WHERE n - 10 + 1 >= 1),
+        | s AS (SELECT doc_id,
+        |   list_distinct([list_min(hs[st:st+7])
+        |     for st in range(1, greatest(len(hs) - 8 + 1, 1) + 1)]) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fp FROM s ORDER BY doc_id, fp""".stripMargin,
+    "q_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents
+        |   WHERE doc_id < 200),
+        | h AS (SELECT doc_id,
+        |   [('0x' || substr(md5(substr(text, i, 10)), 1, 15))::BIGINT
+        |    for i in range(1, n - 10 + 2)] AS hs
+        |  FROM t WHERE n - 10 + 1 >= 1),
+        | s AS (SELECT doc_id,
+        |   list_distinct([list_min(hs[st:st+7])
+        |     for st in range(1, greatest(len(hs) - 8 + 1, 1) + 1)]) AS fps
+        |  FROM h),
+        | e AS (SELECT doc_id, unnest(fps) AS fp FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_clean_text" ->
       """WITH d AS (SELECT doc_id,
         |   chr(7) || ' x' || chr(9) || chr(9) || 'y ' || chr(13) || chr(10)

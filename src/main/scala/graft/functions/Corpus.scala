@@ -218,6 +218,38 @@ object Corpus {
       round(percentile(nTok, lit(0.9)), 6).as("p90_tokens"))
   }
 
+  /** Per-group twin of [[corpusStats]]: the same one-pass audit
+    * aggregate grouped by `keys` (language, source, split, …) — the
+    * table a curation run compares across languages before and after
+    * each stage. Same map-side-partial shape; group cardinality is the
+    * only scale knob. */
+  def corpusStatsBy(df: DataFrame, keys: Seq[String], text: Column,
+                    source: Column): DataFrame = {
+    val nTok = size(graft.functions.TextFunctions.tokens(text))
+    df.groupBy(keys.map(col).toIndexedSeq: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTok).cast("long").as("n_tokens"),
+      sum(length(text)).cast("long").as("n_chars"),
+      count_distinct(source).as("n_sources"),
+      round(avg(nTok), 6).as("avg_tokens"),
+      min(nTok).cast("long").as("min_tokens"),
+      max(nTok).cast("long").as("max_tokens"),
+      round(percentile(nTok, lit(0.5)), 6).as("p50_tokens"),
+      round(percentile(nTok, lit(0.9)), 6).as("p90_tokens"))
+  }
+
+  /** Deterministic k-fold assignment on the stable 60-bit md5 hash:
+    * fold = 1 + (hash(id ‖ seed) mod k) — the cross-validation /
+    * sharded-eval splitter. Same contract as [[splitByMd5]]
+    * (repartition/retry-invariant, map-side, oracle-computable);
+    * folds partition the corpus exhaustively with ~equal expected
+    * sizes. */
+  def kFoldByMd5(df: DataFrame, id: Column, k: Int, seed: Long = 42L,
+                 fold: String = "fold"): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    df.withColumn(fold, (md5Bucket(id, seed) % k).cast("int") + 1)
+  }
+
   /** HyperLogLog++ distinct-count sketch (mergeable partial aggregate;
     * `rsd` = target relative standard deviation). The approximate twin
     * of `count_distinct` for 100 TB cardinalities where the exact

@@ -101,6 +101,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Candidate overlap pairs by shared winnowing fingerprints (the
+    * MOSS recipe): each doc explodes to its winnowed fingerprint set
+    * ([[graft.functions.TextFunctions.winnowingFingerprints]] — ~2/(w+1)
+    * of its grams), pairs join on the 64-bit fingerprint KEY (never
+    * all-pairs; Σ bucket² over fingerprint buckets, the
+    * `minhashLshPairs` shape), and a pair survives with its shared-
+    * fingerprint count when it clears `minShared`. Any shared
+    * substring of length ≥ w + k - 1 is guaranteed to contribute a
+    * shared fingerprint, so this finds PARTIAL overlap (quotation,
+    * clone, boilerplate) that whole-document MinHash dilutes away.
+    * `maxDocFreq > 0` drops fingerprints occurring in more than that
+    * many docs before pairing — the stop-fingerprint cap for viral
+    * boilerplate (same convention as the LSH bucket cap: off on
+    * oracle paths, on in production, audit before trusting recall).
+    * `byMd5` switches to the 60-bit md5 gram hash so a DuckDB oracle
+    * can reproduce the pair set exactly. Output: (id_a, id_b,
+    * n_shared), id_a < id_b. Requires unique ids. */
+  def winnowingSharedPairs(df: DataFrame, id: String, text: Column,
+                           k: Int = 5, w: Int = 4, minShared: Int = 2,
+                           maxDocFreq: Long = 0L,
+                           byMd5: Boolean = false): DataFrame = {
+    require(minShared >= 1, s"minShared $minShared must be >= 1")
+    val fps =
+      if (byMd5) graft.functions.TextFunctions.winnowingFingerprintsByMd5(text, k, w)
+      else graft.functions.TextFunctions.winnowingFingerprints(text, k, w)
+    // keep the expensive generator child INLINE (InferFiltersFromGenerate
+    // alias-substitution trap — see CLAUDE.md)
+    val ex = df.select(col(id).as("__id"), explode(fps).as("__fp"))
+    val kept =
+      if (maxDocFreq > 0) {
+        val hot = ex.groupBy("__fp").agg(count(lit(1)).as("__df"))
+          .where(col("__df") > maxDocFreq).select("__fp")
+        ex.join(broadcast(hot), Seq("__fp"), "left_anti")
+      } else ex
+    kept.as("a").join(kept.as("b"),
+        col("a.__fp") === col("b.__fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Benchmark decontamination: drop corpus docs that share at least
     * `minOverlap` of their distinct character n-gram shingles with any
     * single benchmark/eval document — the published n-gram-overlap

@@ -415,21 +415,21 @@ object Similarity {
       }
       var it = 0
       while (it < iters) {
-        val cbl = codebooksLit(cb)
-        val assigned = train
-          .select(explode(sequence(lit(0), lit(m - 1))).as("__j"), col("__v"))
-          .select(col("__j"),
-            slice(col("__v"), col("__j") * dsub + 1, lit(dsub)).as("__s"))
-          .withColumn("__dists",
-            transform(element_at(cbl, col("__j") + 1), c => sqL2(col("__s"), c)))
-          .withColumn("__cid", array_position(col("__dists"), array_min(col("__dists"))))
-        val means = assigned
-          .select(col("__j"), col("__cid"), posexplode(col("__s")).as(Seq("__pos", "__x")))
-          .groupBy("__j", "__cid", "__pos").agg(avg(col("__x")).as("__m"))
+        // assignment via the fused kernel (all m codes in one call —
+        // the columnar form's m·ksub·dsub-literal codegen dominated
+        // small-job wall clock with Janino compile time)
+        val means = train
+          .select(pqEncode(col("__v"), cb).as("__codes"),
+            posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .select(expr(s"__pos DIV $dsub").cast("int").as("__j"),
+            col("__codes"), col("__pos"), col("__x"))
+          .select(col("__j"), element_at(col("__codes"), col("__j") + 1).as("__cid"),
+            (col("__pos") % dsub).cast("int").as("__sp"), col("__x"))
+          .groupBy("__j", "__cid", "__sp").agg(avg(col("__x")).as("__m"))
           .collect()  // m·ksub·dsub rows — driver-held by construction
         val updated = cb.map(_.map(_.clone()))
         means.foreach { r =>
-          updated(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) = r.getDouble(3)
+          updated(r.getInt(0))(r.getInt(1) - 1)(r.getInt(2)) = r.getDouble(3)
         }
         cb = updated
         it += 1
@@ -439,10 +439,19 @@ object Similarity {
   }
 
   /** PQ-encode a vector: m codes, code j = 1-based index of the
-    * nearest (squared-L2) sub-centroid for subspace j. Pure columnar
-    * projection — no shuffle; at 100 TB this is the one full-corpus
-    * pass that builds the compressed index. */
-  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column = {
+    * nearest (squared-L2) sub-centroid for subspace j. Fused codegen
+    * kernel ([[graft.plans.PqEncode]] — codebooks ride as a plan
+    * reference object, not literals); pure projection, no shuffle;
+    * at 100 TB this is the one full-corpus pass that builds the
+    * compressed index. */
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    Bridge.column(graft.plans.PqEncode(Bridge.expression(vec), cb))
+
+  /** Composable built-ins twin of [[pqEncode]] (codebooks as a nested
+    * literal, `transform`/`slice`/`array_position`) — kept for the
+    * bit-compat differential spec; prefer the kernel: this form's
+    * m·ksub·dsub-literal generated code is Janino-compile-bound. */
+  def pqEncodeColumnar(vec: Column, cb: Array[Array[Array[Double]]]): Column = {
     val m = cb.length
     val dsub = cb(0)(0).length
     val cbl = codebooksLit(cb)
@@ -480,15 +489,9 @@ object Similarity {
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 cb: Array[Array[Array[Double]]], k: Int,
                 codes: Option[Column] = None): DataFrame = {
-    val m = cb.length
-    val dsub = cb(0)(0).length
-    val cbl = codebooksLit(cb)
     val c = corpus.select(col(id).as("c_id"),
       codes.getOrElse(pqEncode(col(vec), cb)).as("c_codes"))
-    val qv = vecD(col(vec))
-    val lut = transform(sequence(lit(0), lit(m - 1)), j =>
-      transform(element_at(cbl, j + 1),
-        cent => sqL2(slice(qv, j * dsub + 1, lit(dsub)), cent)))
+    val lut = Bridge.column(graft.plans.PqLut(Bridge.expression(col(vec)), cb))
     val q = queries.select(col(id).as("q_id"), lut.as("q_lut"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("q_id"))
@@ -545,16 +548,10 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 coarse: Array[Array[Double]], cb: Array[Array[Array[Double]]],
                 nprobe: Int, k: Int): DataFrame = {
-    val m = cb.length
-    val dsub = cb(0)(0).length
-    val cbl = codebooksLit(cb)
     val c = corpus.select(col(id).as("c_id"),
       nearestCentroid(col(vec), coarse).as("__cid"),
       pqEncode(col(vec), cb).as("c_codes"))
-    val qv = vecD(col(vec))
-    val lut = transform(sequence(lit(0), lit(m - 1)), j =>
-      transform(element_at(cbl, j + 1),
-        cent => sqL2(slice(qv, j * dsub + 1, lit(dsub)), cent)))
+    val lut = Bridge.column(graft.plans.PqLut(Bridge.expression(col(vec)), cb))
     val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
       i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
         (i + 1).as("cid")))

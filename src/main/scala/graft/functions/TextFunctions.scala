@@ -156,6 +156,48 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
 
+  /** Shared winnowing selector: per-position k-gram hashes, then the
+    * minimum VALUE in each sliding window of `w` hashes, distinct and
+    * sorted. Emitting values (not positions) makes the fingerprint set
+    * independent of the window tie-break rule — the property that lets
+    * the md5 twin oracle-check exactly; position-carrying variants add
+    * the rightmost-min rule on top (unit-spec'd, not oracled). */
+  private def winnowSet(text: Column, k: Int, w: Int,
+                        gramHash: Column => Column): Column = {
+    val nh = length(text) - (k - 1)  // number of k-grams
+    val hashes = transform(sequence(lit(1), greatest(nh, lit(1))),
+      i => gramHash(text.substr(i, lit(k))))
+    val starts = sequence(lit(1), greatest(nh - (w - 1), lit(1)))
+    val sel = transform(starts, s => array_min(slice(hashes, s, lit(w))))
+    when(nh >= 1, array_sort(array_distinct(sel)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al. — the MOSS algorithm):
+    * the minimum k-gram hash of every w-window, deduplicated. The
+    * guarantee: any shared substring of length >= w + k - 1 between
+    * two documents yields at least one shared fingerprint, while the
+    * selected set is ~2/(w+1) of all grams — robust partial-overlap
+    * detection (clone/plagiarism/quotation) at a fraction of the
+    * full shingle set's size. xxhash64 grams — the fast in-engine
+    * form; pair generation over these is
+    * [[graft.functions.Dedup.winnowingSharedPairs]]. */
+  def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
+    winnowSet(text, k, w, g => xxhash64(g))
+  }
+
+  /** Oracle twin of [[winnowingFingerprints]]: 60-bit md5-prefix gram
+    * hashes (the [[graft.operators.Grouping.sampleByHash]] md5 trick),
+    * so a DuckDB list comprehension reproduces the set exactly. Same
+    * selection, different hash — use only where cross-engine
+    * differential testing matters. */
+  def winnowingFingerprintsByMd5(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
+    winnowSet(text, k, w,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+  }
+
   /** Split a token array into fixed-size chunks with overlap — the
     * standard long-document segmentation for training pipelines.
     * Chunk i covers tokens [1 + i*step, 1 + i*step + size); the tail

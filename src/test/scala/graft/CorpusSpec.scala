@@ -157,6 +157,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p90_tokens") == 2.7)
   }
 
+  test("corpusStatsBy groups the audit by key; kFoldByMd5 partitions deterministically") {
+    val df = Seq(
+      ("a b c", "s1"), ("a b", "s1"), ("onetoken", "s2"), ("", "s2")
+    ).toDF("text", "source")
+    val by = Corpus.corpusStatsBy(df, Seq("source"), col("text"), col("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(by("s1") == ((2L, 5L)) && by("s2") == ((2L, 1L)))
+
+    val folds = Corpus.kFoldByMd5(docs.select(col("o_orderkey")), col("o_orderkey"), k = 5)
+    val counts = folds.groupBy("fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.keySet == Set(1, 2, 3, 4, 5))      // all folds populated
+    assert(counts.values.sum == n)                    // exhaustive partition
+    counts.values.foreach(c =>                        // ~balanced
+      assert(math.abs(c - n / 5.0) / (n / 5.0) < 0.2, s"unbalanced: $counts"))
+    // repartition-invariant assignment
+    val again = Corpus.kFoldByMd5(docs.select(col("o_orderkey")).repartition(7),
+      col("o_orderkey"), k = 5)
+    assert(folds.exceptAll(again).isEmpty && again.exceptAll(folds).isEmpty)
+  }
+
   test("sketches: HLL and approx percentile land within advertised error") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(count_distinct(col("l_orderkey"))).head().getLong(0)

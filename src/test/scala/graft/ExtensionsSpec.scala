@@ -935,6 +935,11 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"vec_id", Similarity.pqEncode($"embedding", cb).as("c"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(codes == codes2)
+    // fused kernel is bit-compatible with the columnar built-ins twin
+    val columnar = emb
+      .select($"vec_id", Similarity.pqEncodeColumnar($"embedding", cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == columnar)
   }
 
   test("ADC over a reconstructed corpus equals exact squared-L2 top-k") {
@@ -1036,6 +1041,57 @@ class TextFunctionsSpec extends AnyFunSuite {
     intercept[Exception] {
       df.select(TextFunctions.unicodeNormalize($"t", "BOGUS")).collect()
     }
+  }
+
+  test("winnowing: shared substring >= w+k-1 guarantees a shared fingerprint") {
+    val k = 5; val w = 4
+    val shared = "zqxvbnmlkjhgfd" // length 14 >= w+k-1 = 8, rare chars
+    val df = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"eeee ffff gggg $shared hhhh"),
+      (3L, "iiii jjjj kkkk llll mmmm nnnn oooo")
+    ).toDF("id", "text")
+    for (twin <- Seq(false, true)) {
+      val fpCol =
+        if (twin) TextFunctions.winnowingFingerprintsByMd5($"text", k, w)
+        else TextFunctions.winnowingFingerprints($"text", k, w)
+      val fps = df.select($"id", fpCol.as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert((fps(1L) intersect fps(2L)).nonEmpty, s"twin=$twin")
+      // sets are sorted distinct
+      fps.values.foreach(s => assert(s.toSeq.size == s.size))
+      // selection is a subset of all gram hashes and much smaller
+      assert(fps(1L).size < df.where($"id" === 1L).head().getString(1).length)
+    }
+    // a doc shorter than k yields an empty set, not a failure
+    val short = Seq((9L, "ab")).toDF("id", "text")
+      .select(TextFunctions.winnowingFingerprints($"text", k, w).as("f"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
+  test("winnowingSharedPairs: planted overlap found, stop-fingerprint cap drops viral grams") {
+    val planted = "zqxvbnmlkjhgfdsa"
+    val viral = "common boiler plate line here"
+    val df = Seq(
+      (1L, s"$viral aaaa $planted bbbb"),
+      (2L, s"$viral cccc dddd $planted"),
+      (3L, s"$viral eeee ffff gggg hhhh"),
+      (4L, s"$viral iiii jjjj kkkk llll")
+    ).toDF("id", "text")
+    val pairs = Dedup.winnowingSharedPairs(df, "id", $"text", k = 5, w = 4,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every pair shares the viral prefix, but (1,2) also shares the
+    // planted block → strictly more shared fingerprints
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > pairs.getOrElse((3L, 4L), 0L))
+    // capping fingerprints present in ALL 4 docs removes the viral
+    // signal: only the planted pair survives a cap of 3
+    val capped = Dedup.winnowingSharedPairs(df, "id", $"text", k = 5, w = 4,
+        minShared = 2, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)) && !capped.contains((3L, 4L)))
   }
 
   test("langId stopword voting on natural-ish text") {
