@@ -1203,6 +1203,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // -------- as-of join, forward direction ---------------------------
+    // "Next event after": earliest snapshot with rts >= lts.
+    "q_asof_fwd" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"ts_ns", $"value")
+      val snaps = ev.where($"event_id" % 7 === 0)
+        .select($"user_id", $"ts_ns", $"event_id", $"value")
+      operators.Temporal.asOfJoin(ev, snaps, key = "user_id", lts = "ts_ns",
+          rts = "ts_ns", direction = "forward")
+        .select($"event_id", $"user_id",
+          $"asof.event_id".as("snap_event_id"), $"asof.value".as("snap_value"))
+        .orderBy("event_id")
+    }),
+
     // -------- range join: event-in-interval attribution ---------------
     // Every 101st event opens a 2-hour interval; all events inside any
     // interval are attributed to it (no equi key — the chunk id is the
@@ -2506,6 +2520,14 @@ object SparkEntry {
         | s.event_id AS snap_event_id, s.value AS snap_value
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_fwd" ->
+      """WITH snaps AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_id % 7 = 0)
+        |SELECT e.event_id, e.user_id,
+        | s.event_id AS snap_event_id, s.value AS snap_value
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts <= s.ts
         |ORDER BY e.event_id""".stripMargin,
     "q_range_join" ->
       """WITH i AS (SELECT event_id AS interval_id, epoch_ns(ts) AS start_ns

@@ -11,14 +11,17 @@ import graft.functions.{Corpus, Dedup, TextFunctions}
   * audit row logged after every stage (what a production pipeline
   * tracks as per-stage yield). Stages, in the canonical order:
   *
-  *  1. exact dedup (md5 text identity, keep min id);
-  *  2. near-dup dedup: MinHash-LSH verified pairs → drop the higher
+  *  1. text cleanup (NFC, control/zero-width strip, whitespace);
+  *  2. exact dedup (md5 text identity, keep min id);
+  *  3. near-dup dedup: MinHash-LSH verified pairs → drop the higher
   *     id of each pair;
-  *  3. repeated-line strip (corpus-wide C4-style boilerplate);
-  *  4. heuristic quality + language gates (Gopher-signal shapes);
-  *  5. benchmark decontamination (char n-gram overlap);
-  *  6. PII scrub;
-  *  7. fixed-budget sequence packing across documents.
+  *  4. repeated-line strip (corpus-wide C4-style boilerplate);
+  *  5. heuristic quality + language gates (Gopher-signal shapes);
+  *  6. benchmark decontamination (char n-gram overlap);
+  *  7. PII scrub;
+  *  8. (optional) temperature-scaled source balancing + global
+  *     token-budget draw;
+  *  9. fixed-budget sequence packing across documents.
   *
   * Every stage is the operator the oracle-checked queries exercise —
   * this example only sequences them; no logic lives here. Run on the
@@ -39,12 +42,18 @@ object CurationPipeline {
   def curate(docs: DataFrame, benchmark: DataFrame,
              minJaccard: Double = 0.9,
              minQuality: Double = 0.35,
-             packBudget: Long = 512): (DataFrame, DataFrame) = {
+             packBudget: Long = 512,
+             mixAlpha: Double = 1.0,
+             tokenBudget: Long = 0L): (DataFrame, DataFrame) = {
     val s0 = docs.select(col("doc_id"), col("text"), col("source"))
+
+    // 0b. text cleanup BEFORE any hashing — normalization changes md5
+    // identities and shingle hashes, so it must precede dedup
+    val sClean = s0.withColumn("text", TextFunctions.cleanText(col("text")))
 
     // 1. exact dedup — keep the smallest id of each identical text
     val s1 = graft.operators.Grouping.distinctByFirst(
-        s0.withColumn("__k", md5(col("text"))), Seq("__k"), Seq(col("doc_id")))
+        sClean.withColumn("__k", md5(col("text"))), Seq("__k"), Seq(col("doc_id")))
       .drop("__k")
 
     // 2. near-dup dedup via verified MinHash-LSH pairs
@@ -69,13 +78,28 @@ object CurationPipeline {
     // 6. PII scrub
     val s6 = s5.withColumn("text", TextFunctions.redactPii(col("text")))
 
-    // 7. pack the survivors into fixed-budget sequences
-    val packed = TextFunctions.packCorpus(s6, col("doc_id"),
+    // 7. (optional) balance sources toward the temperature target,
+    // then draw down to the global token budget — the mixture
+    // assembly step once the per-doc gates are done
+    val s7 =
+      if (mixAlpha < 1.0) Corpus.mixByTemperature(s6, "source", col("doc_id"), mixAlpha)
+      else s6
+    val s8 =
+      if (tokenBudget > 0)
+        Corpus.sampleToTokenBudget(s7, "doc_id",
+          size(TextFunctions.tokens(col("text"))), tokenBudget)
+      else s7
+
+    // 8. pack the survivors into fixed-budget sequences
+    val packed = TextFunctions.packCorpus(s8, col("doc_id"),
       size(TextFunctions.tokens(col("text"))), packBudget,
       shard = pmod(xxhash64(col("doc_id")), lit(8L)))
 
-    val audits = Seq("0_raw" -> s0, "1_exact_dedup" -> s1, "2_near_dedup" -> s2,
-        "3_line_strip" -> s3, "4_gates" -> s4, "5_decontaminated" -> s5)
+    val audits = (Seq("0_raw" -> s0, "1_clean" -> sClean, "2_exact_dedup" -> s1,
+        "3_near_dedup" -> s2, "4_line_strip" -> s3, "5_gates" -> s4,
+        "6_decontaminated" -> s5) ++
+        (if (mixAlpha < 1.0) Seq("7_mixed" -> s7) else Nil) ++
+        (if (tokenBudget > 0) Seq("8_budgeted" -> s8) else Nil))
       .map { case (n, df) => audit(n, df) }
       .reduce(_ unionByName _)
     (packed, audits)

@@ -28,27 +28,49 @@ object Temporal {
     * Ties on (key, rts) are broken arbitrarily — dedupe the right side
     * first for strict determinism. `tolerance` (same units as the ts
     * columns, which must be numeric when it is set) nulls out matches
-    * older than `lts - tolerance`.
+    * older than `lts - tolerance` (backward) / newer than
+    * `lts + tolerance` (forward).
+    *
+    * `direction = "backward"` (default) matches the most recent right
+    * row with `rts <= lts`; `"forward"` the EARLIEST right row with
+    * `rts >= lts` — the "next event after" lookup (next maintenance
+    * window, next price tick). Same single-shuffle window shape; only
+    * the frame direction and the equal-ts tag order flip.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                lts: String, rts: String, asofCol: String = "asof",
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
+    // at equal ts the right row must fall INSIDE the left row's frame:
+    // backward frames end at the current row → right sorts first (0);
+    // forward frames start at the current row → right sorts last (1)
+    val leftTag = if (fwd) 0 else 1
     val lpayT = StructType(left.schema.fields)
     val rpayT = StructType(right.schema.fields)
-    val l = left.select(col(key).as("__k"), col(lts).as("__t"), lit(1).as("__side"),
+    val l = left.select(col(key).as("__k"), col(lts).as("__t"),
+      lit(leftTag).as("__side"),
       struct(left.columns.map(col).toIndexedSeq: _*).as("__lpay"),
       lit(null).cast(rpayT).as("__rpay"))
-    val r = right.select(col(key).as("__k"), col(rts).as("__t"), lit(0).as("__side"),
+    val r = right.select(col(key).as("__k"), col(rts).as("__t"),
+      lit(1 - leftTag).as("__side"),
       lit(null).cast(lpayT).as("__lpay"),
       struct(right.columns.map(col).toIndexedSeq: _*).as("__rpay"))
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w0 = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
+    val (w, pick) =
+      if (fwd) (w0.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+        (c: org.apache.spark.sql.Column) => first(c, ignoreNulls = true))
+      else (w0.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        (c: org.apache.spark.sql.Column) => last(c, ignoreNulls = true))
     val matched = l.unionByName(r)
-      .withColumn(asofCol, last(col("__rpay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+      .withColumn(asofCol, pick(col("__rpay")).over(w))
+      .where(col("__side") === leftTag)
     val bounded = tolerance.fold(matched) { tol =>
-      matched.withColumn(asofCol,
-        when(col("__t") - col(asofCol)(rts) <= tol, col(asofCol)))
+      val gap =
+        if (fwd) col(asofCol)(rts) - col("__t") else col("__t") - col(asofCol)(rts)
+      matched.withColumn(asofCol, when(gap <= tol, col(asofCol)))
     }
     bounded.select(col("__lpay.*"), col(asofCol))
   }

@@ -42,8 +42,21 @@ class ExamplePipelinesSpec extends AnyFunSuite {
     val counts = audits.orderBy("stage")
       .select("stage", "n_docs").collect().map(r => r.getString(0) -> r.getLong(1))
     assert(counts.map(_._1).toSeq ==
-      Seq("0_raw", "1_exact_dedup", "2_near_dedup", "3_line_strip", "4_gates", "5_decontaminated"))
-    assert(counts.map(_._2).toSeq == Seq(6L, 5L, 4L, 4L, 3L, 2L))
+      Seq("0_raw", "1_clean", "2_exact_dedup", "3_near_dedup", "4_line_strip",
+        "5_gates", "6_decontaminated"))
+    assert(counts.map(_._2).toSeq == Seq(6L, 6L, 5L, 4L, 4L, 3L, 2L))
+    // mixture stages: a token budget smaller than the survivors' total
+    // drops the hash-ordered tail and audits the extra stage
+    val (packedB, auditsB) = CurationPipeline.curate(docs, benchmark,
+      minJaccard = 0.9, minQuality = 0.5, packBudget = 64, tokenBudget = 40L)
+    val cB = auditsB.orderBy("stage").select("stage", "n_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(cB.map(_._1).last == "8_budgeted")
+    assert(cB.last._2 <= 2L)
+    val budgetTokens = auditsB.where(col("stage") === "8_budgeted")
+      .select("n_tokens").head().getLong(0)
+    assert(budgetTokens <= 40L)
+    assert(packedB.count() <= packed.count())
   }
 
   test("word-count: tokenize, frequencies, formatted output (examples.clj:17-54)") {

@@ -81,6 +81,30 @@ class TemporalSpec extends AnyFunSuite {
           .sortBy(_._2).lastOption.map(_._3)
       }.toMap
       assert(got == expect, s"seed=$seed")
+      // forward direction: EARLIEST right at-or-after, same data
+      val gotF = Temporal.asOfJoin(
+          ls.toDF("id", "k", "t"), rs.toDF("k", "rt", "tag"),
+          key = "k", lts = "t", rts = "rt", direction = "forward")
+        .select($"id", $"asof.tag")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expectF = ls.map { case (id, k, t) =>
+        id -> rs.filter(r => r._1 == k && r._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+      }.toMap
+      assert(gotF == expectF, s"forward seed=$seed")
+      // forward tolerance: matches farther than tol ahead null out
+      val tol = 20L
+      val gotFT = Temporal.asOfJoin(
+          ls.toDF("id", "k", "t"), rs.toDF("k", "rt", "tag"),
+          key = "k", lts = "t", rts = "rt", tolerance = Some(tol),
+          direction = "forward")
+        .select($"id", $"asof.tag")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val expectFT = ls.map { case (id, k, t) =>
+        id -> rs.filter(r => r._1 == k && r._2 >= t && r._2 - t <= tol)
+          .sortBy(_._2).headOption.map(_._3)
+      }.toMap
+      assert(gotFT == expectFT, s"forward+tol seed=$seed")
     }
   }
 
