@@ -109,6 +109,9 @@ object Corpus {
     val counts = df.groupBy(col(source)).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.get(0), r.getLong(1)))
     require(counts.nonEmpty, "empty input — no sources to balance")
+    require(counts.forall(_._1 != null),
+      s"null $source values — a null key cannot enter the threshold map; " +
+        "fill or filter nulls before balancing")
     val nMin = counts.map(_._2).min.toDouble
     val thr = counts.flatMap { case (s, n) =>
       val rate =
