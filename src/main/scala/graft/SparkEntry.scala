@@ -163,7 +163,9 @@ object SparkEntry {
     // r8 continuation: PQ ANN (train + ADC + re-rank, embeddings are
     // fixed-size so the number is config-dominated) and the chunked
     // global hash order over documents
-    "q_ann_pq", "q_hash_rank")
+    "q_ann_pq", "q_hash_rank",
+    // r8 continuation (2): the oracle-green SQ8 compressed scan
+    "q_ann_sq8")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1730,6 +1732,24 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // -------- similarity search: SQ8 compressed-domain top-k ----------
+    // Scalar-quantized (uint8 per dim) corpus, FAISS-style asymmetric
+    // scoring: raw query dot mid-point-decoded corpus codes. The
+    // min/max "training" is a single aggregation and decode/dot are
+    // deterministic in-order IEEE arithmetic, so the oracle replays
+    // the ENTIRE pipeline (fit, floor-quantize, decode, dot, rank) in
+    // SQL — the one oracle-green compressed-domain ANN (PQ/LSH are
+    // rows-only by declared design). Production recall tier:
+    // Similarity.sq8TopKReranked (recall floor pinned in SimilaritySpec).
+    "q_ann_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
+      Similarity.sq8TopK(emb, emb.where($"vec_id" < 10), "vec_id", "embedding",
+          mins, maxs, k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // -------- text: budgeted token packing (whole-unit chunking) ------
     "q_pack_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -3016,6 +3036,27 @@ object SparkEntry {
         | r AS (SELECT q_id, c_id, sim,
         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk FROM s)
         |SELECT q_id, c_id, round(sim,6) AS sim, rk::INT AS rank FROM r
+        |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_sq8" ->
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+        |   unnest(embedding)::DOUBLE AS x FROM embeddings),
+        | b AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY pos),
+        | d AS (SELECT u.vec_id, u.pos,
+        |   CASE WHEN mx = mn THEN mn
+        |        ELSE mn + (least(greatest(floor((x - mn) * 256 / (mx - mn)), 0),
+        |                         255) + 0.5) * (mx - mn) / 256
+        |   END AS dx
+        |  FROM u JOIN b ON u.pos = b.pos),
+        | dl AS (SELECT vec_id, list(dx ORDER BY pos) AS dec FROM d GROUP BY vec_id),
+        | q AS (SELECT vec_id, list(x ORDER BY pos) AS qv FROM u
+        |  WHERE vec_id < 10 GROUP BY vec_id),
+        | s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(q.qv, c.dec) AS adot
+        |  FROM q, dl c WHERE c.vec_id <> q.vec_id),
+        | r AS (SELECT q_id, c_id, adot,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, c_id) AS rk
+        |  FROM s)
+        |SELECT q_id, c_id, round(adot, 6) AS adot, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_pack_tokens" ->
       """WITH t AS (SELECT doc_id,

@@ -247,4 +247,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!ps.contains("CartesianProduct") && !ps.contains("Join"),
       s"q_domain_stats grew a join:\n$ps")
   }
+
+  test("SQ8 ADC scan: query side broadcasts, corpus never exchanges before top-k (q_ann_sq8)") {
+    val p = planOf("q_ann_sq8")
+    // broadcast nested-loop on the (small-by-contract) query set — the
+    // same shape as bruteForceTopK; the corpus side must not hash-
+    // exchange until the per-query rank window
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"SQ8 scan went cartesian:\n$p")
+    // the only hash exchange is the q_id rank window (bounds fit is a
+    // separate tiny job, not part of this plan)
+    assert("Exchange hashpartitioning\\(q_id".r.findAllIn(p).nonEmpty,
+      s"missing the per-query top-k window exchange:\n$p")
+  }
 }
