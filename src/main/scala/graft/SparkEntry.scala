@@ -1516,6 +1516,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- curation: DSIR hashed importance scores -----------------
+    // The importance-resampling selection recipe (Xie et al. 2023):
+    // fit hashed-unigram bucket distributions on a target corpus
+    // (source src0 — the "trusted" slice) and on the raw remainder,
+    // score each raw doc by the mean add-one-smoothed log-likelihood
+    // ratio. md5-bucket twin on the oracle path; the per-doc fold runs
+    // in sorted-bucket order, so the fp sum is order-fixed and the
+    // oracle refits + rescores the identical model in SQL.
+    "q_dsir_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val target = docs.where($"source" === "src0")
+      val raw = docs.where($"source" =!= "src0")
+      val lrs = TextFunctions.dsirLogRatios(
+        TextFunctions.fitHashedBucketCountsByMd5(target, $"text", buckets = 512),
+        TextFunctions.fitHashedBucketCountsByMd5(raw, $"text", buckets = 512))
+      TextFunctions.dsirScoreByMd5(raw, "doc_id", $"text", lrs)
+        .orderBy("doc_id")
+    }),
+
     // -------- curation: interpolated-bigram LM quality score ----------
     // The CCNet-shaped scorer one rung up from q_unigram_logprob:
     // Jelinek-Mercer bigram/unigram interpolation (λ=0.5) fit on the
@@ -2838,6 +2858,36 @@ object SparkEntry {
         |  round(1 / (1 + exp(-coalesce(s.z, 0.0))), 6) AS quality_score
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_dsir_score" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |   FROM documents),
+        | u AS (SELECT doc_id, source, unnest(toks) AS tok FROM tk),
+        | ub AS (SELECT doc_id, source,
+        |     ('0x' || substr(md5(tok || '42'), 1, 15))::BIGINT % 512 AS b
+        |   FROM u),
+        | tc AS (SELECT b, count(*)::BIGINT AS c FROM ub
+        |   WHERE source = 'src0' GROUP BY b),
+        | rc AS (SELECT b, count(*)::BIGINT AS c FROM ub
+        |   WHERE source <> 'src0' GROUP BY b),
+        | tot AS (SELECT ((SELECT coalesce(sum(c), 0) FROM tc) + 512)::BIGINT AS tt,
+        |     ((SELECT coalesce(sum(c), 0) FROM rc) + 512)::BIGINT AS tr),
+        | lr AS (SELECT gs.b,
+        |     ln((coalesce(tc.c, 0) + 1)::DOUBLE * tot.tr
+        |        / ((coalesce(rc.c, 0) + 1)::DOUBLE * tot.tt)) AS v
+        |   FROM (SELECT unnest(range(0, 512)) AS b) gs
+        |   LEFT JOIN tc ON tc.b = gs.b
+        |   LEFT JOIN rc ON rc.b = gs.b
+        |   CROSS JOIN tot),
+        | lrs AS (SELECT list(v ORDER BY b) AS vs FROM lr),
+        | s AS (SELECT t2.doc_id,
+        |     list_sum(list_transform(
+        |       list_sort([('0x' || substr(md5(tok || '42'), 1, 15))::BIGINT % 512
+        |                  for tok in t2.toks]),
+        |       b -> vs[b + 1])) / len(t2.toks) AS sc
+        |   FROM tk t2 CROSS JOIN lrs
+        |   WHERE t2.source <> 'src0' AND len(t2.toks) >= 1)
+        |SELECT doc_id, round(sc, 6) AS dsir_score FROM s ORDER BY doc_id""".stripMargin,
     "q_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
         |     x -> len(x) > 0) AS toks FROM documents),

@@ -405,6 +405,105 @@ object TextFunctions {
       .select(col("__id").as(id), col("bi_logprob"))
   }
 
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * select raw documents by how much more likely their hashed unigram
+    * features are under a TARGET corpus's distribution than under the
+    * raw corpus's own. The pipeline is three pieces:
+    *
+    *  1. [[fitHashedBucketCounts]] — bucket counts over a corpus's
+    *     token stream (one explode + `buckets`-row count aggregate
+    *     with map-side partials; the collected "model" is `buckets`
+    *     longs, driver-held by construction).
+    *  2. [[dsirLogRatios]] — per-bucket add-one-smoothed natural-log
+    *     likelihood ratios `ln(p_target(b) / p_raw(b))`, computed on
+    *     the driver from a (target, raw) count pair.
+    *  3. [[dsirScore]] — per-doc mean of `lr[bucket(tok)]`, applied
+    *     MAP-SIDE as a literal lookup array: zero joins and zero
+    *     shuffles on the scoring pass at any corpus size (a model
+    *     this small belongs in the plan, unlike
+    *     [[hashedLogisticScore]]'s externally-trained weights, which
+    *     stay a DataFrame join because `dim` is unbounded there).
+    *
+    * The per-doc fold runs in SORTED bucket order (`array_sort` before
+    * the left fold), so the fp sum is order-fixed — repartition-
+    * invariant and cross-engine reproducible. Two bucket hashers,
+    * [[hashedLogisticScore]]'s convention: xxhash64 (production) and
+    * the 60-bit md5 prefix (`...ByMd5`, oracle-computable as
+    * `('0x' || substr(md5(tok || seed), 1, 15))::BIGINT % buckets`).
+    * Resample step: rank/threshold on `dsir_score` (e.g.
+    * [[graft.functions.Corpus.bucketByRank]] or a quantile gate) —
+    * the published Gumbel-top-k draw is a nondeterministic variant of
+    * the same ordering. Zero-token docs are dropped (no feature
+    * evidence either way; mirror the filter downstream). */
+  def fitHashedBucketCounts(df: DF, text: Column, buckets: Int,
+                            seed: Long = 42L): Array[Long] =
+    fitBucketCore(df, text, buckets, dsirBucketXx(buckets, seed))
+
+  /** Oracle/differential twin of [[fitHashedBucketCounts]] (md5-prefix
+    * buckets). */
+  def fitHashedBucketCountsByMd5(df: DF, text: Column, buckets: Int,
+                                 seed: Long = 42L): Array[Long] =
+    fitBucketCore(df, text, buckets, dsirBucketMd5(buckets, seed))
+
+  private def dsirBucketXx(buckets: Int, seed: Long): Column => Column =
+    t => pmod(xxhash64(t, lit(seed)), lit(buckets.toLong))
+
+  private def dsirBucketMd5(buckets: Int, seed: Long): Column => Column =
+    t => pmod(conv(substring(md5(concat(t, lit(seed.toString))), 1, 15),
+      16, 10).cast("long"), lit(buckets.toLong))
+
+  private def fitBucketCore(df: DF, text: Column, buckets: Int,
+                            bucketOf: Column => Column): Array[Long] = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    val counts = df.select(explode(tokens(text)).as("__t"))
+      .select(bucketOf(col("__t")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Array.tabulate(buckets)(b => counts.getOrElse(b, 0L))
+  }
+
+  /** Add-one-smoothed log-likelihood ratios from a (target, raw)
+    * bucket-count pair: `lr_b = ln((tc_b+1)·Tr / ((rc_b+1)·Tt))` with
+    * `Tt = Σtc + B`, `Tr = Σrc + B` — the single-`ln` form keeps the
+    * double arithmetic to one correctly-rounded mul/div chain per
+    * bucket (cross-engine: an oracle computes the identical value). */
+  def dsirLogRatios(target: Array[Long], raw: Array[Long]): Array[Double] = {
+    require(target.length == raw.length,
+      s"bucket counts disagree: ${target.length} vs ${raw.length}")
+    val b = target.length
+    val tt = target.sum + b
+    val tr = raw.sum + b
+    Array.tabulate(b)(i =>
+      math.log((target(i) + 1).toDouble * tr / ((raw(i) + 1).toDouble * tt)))
+  }
+
+  /** Apply DSIR log-ratios map-side: (`id`, dsir_score rounded to 6),
+    * score = mean over the doc's tokens of `lr[bucket(tok)]`. */
+  def dsirScore(df: DF, id: String, text: Column, logRatios: Array[Double],
+                seed: Long = 42L): DF =
+    dsirScoreCore(df, id, text, logRatios,
+      dsirBucketXx(logRatios.length, seed))
+
+  /** Oracle/differential twin of [[dsirScore]] (md5-prefix buckets). */
+  def dsirScoreByMd5(df: DF, id: String, text: Column,
+                     logRatios: Array[Double], seed: Long = 42L): DF =
+    dsirScoreCore(df, id, text, logRatios,
+      dsirBucketMd5(logRatios.length, seed))
+
+  private def dsirScoreCore(df: DF, id: String, text: Column,
+                            lrs: Array[Double],
+                            bucketOf: Column => Column): DF = {
+    val arr = array(lrs.map(lit).toIndexedSeq: _*)
+    val toks = tokens(text)
+    val sortedBuckets = array_sort(transform(toks, bucketOf))
+    df.where(size(toks) >= 1)
+      .select(col(id),
+        round(aggregate(sortedBuckets, lit(0.0),
+            (acc, b) => acc + element_at(arr, b.cast("int") + 1)) /
+          size(toks), 6).as("dsir_score"))
+  }
+
   /** Model-based quality filter: hashed bag-of-words logistic scoring —
     * the learned-classifier gate published pipelines (DCLM, FineWeb-Edu,
     * fastText-style CCNet filtering) apply on top of heuristic signals.

@@ -1807,6 +1807,37 @@ class TextFunctionsSpec extends AnyFunSuite {
     // hello, world, 42, x, !
     assert(n == 5L)
   }
+
+  test("dsir: target-like docs score high, twins agree, sorted fold repartition-invariant") {
+    val target = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq((10L, "alpha alpha"), (11L, "gamma gamma gamma"), (12L, "   "))
+      .toDF("doc_id", "text")
+    val lrs = TextFunctions.dsirLogRatios(
+      TextFunctions.fitHashedBucketCountsByMd5(target, $"text", buckets = 256),
+      TextFunctions.fitHashedBucketCountsByMd5(raw, $"text", buckets = 256))
+    assert(lrs.length == 256)
+    val got = TextFunctions.dsirScoreByMd5(raw, "doc_id", $"text", lrs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // zero-token doc dropped; target-frequent token wins over raw-only
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(10L) > 0 && got(11L) < 0 && got(10L) > got(11L))
+    // identical target/raw counts → ratio exactly 1 → all-zero ratios
+    assert(TextFunctions.dsirLogRatios(Array(3L, 1L), Array(3L, 1L))
+      .forall(_ == 0.0))
+    // the xxhash64 production path agrees on the ordering after refit
+    val lrsXx = TextFunctions.dsirLogRatios(
+      TextFunctions.fitHashedBucketCounts(target, $"text", buckets = 256),
+      TextFunctions.fitHashedBucketCounts(raw, $"text", buckets = 256))
+    val gotXx = TextFunctions.dsirScore(raw, "doc_id", $"text", lrsXx)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotXx.keySet == Set(10L, 11L) && gotXx(10L) > gotXx(11L))
+    // sorted-bucket fold: scores are bit-identical across partitionings
+    val got2 = TextFunctions
+      .dsirScoreByMd5(raw.repartition(5), "doc_id", $"text", lrs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == got2)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -248,6 +248,17 @@ class PlanSpec extends AnyFunSuite {
       s"q_domain_stats grew a join:\n$ps")
   }
 
+  test("DSIR scoring pass is map-side: literal lookup, no joins (q_dsir_score)") {
+    // the fit is two separate tiny count jobs at build time; the
+    // returned scoring plan must be a pure projection — the model
+    // rides as a literal array, so the 100 TB scoring pass has zero
+    // joins and only the final orderBy exchange
+    val p = planOf("q_dsir_score")
+    assert(!p.contains("Join"), s"DSIR scoring grew a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"DSIR scoring grew a hash exchange:\n$p")
+  }
+
   test("SQ8 ADC scan: query side broadcasts, corpus never exchanges before top-k (q_ann_sq8)") {
     val p = planOf("q_ann_sq8")
     // broadcast nested-loop on the (small-by-contract) query set — the
