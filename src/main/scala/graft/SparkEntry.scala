@@ -1536,6 +1536,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- curation: jusText-lite boilerplate line stripping -------
+    // Per-line content classification (word count, stopword density,
+    // link marker) inside one projection — the local-density
+    // complement to the corpus-repetition strip family. The density
+    // threshold 0.125 is binary-exact, so the classifier is
+    // cross-engine exact line by line.
+    "q_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.stripBoilerplate(t(s, dir, "documents"), "doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation: interpolated-bigram LM quality score ----------
     // The CCNet-shaped scorer one rung up from q_unigram_logprob:
     // Jelinek-Mercer bigram/unigram interpolation (λ=0.5) fit on the
@@ -2888,6 +2900,27 @@ object SparkEntry {
         |   FROM tk t2 CROSS JOIN lrs
         |   WHERE t2.source <> 'src0' AND len(t2.toks) >= 1)
         |SELECT doc_id, round(sc, 6) AS dsir_score FROM s ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lines
+        |   FROM documents),
+        | k AS (SELECT doc_id, lines, list_filter(lines, l ->
+        |       len(list_filter(string_split_regex(l, '\s+'),
+        |           x -> len(x) > 0)) >= 3
+        |   AND len(list_filter(string_split_regex(l, '\s+'),
+        |           x -> len(x) > 0 AND list_contains(
+        |             ['the','a','of','and','to','in','is','it',
+        |              'le','la','de','et','les','des','un','une',
+        |              'der','die','das','und','ist','von','ein','nicht',
+        |              'el','la','de','que','y','los','las','por'],
+        |             lower(x))))::DOUBLE
+        |       >= 0.125 * len(list_filter(string_split_regex(l, '\s+'),
+        |           x -> len(x) > 0))::DOUBLE
+        |   AND NOT contains(l, 'http')) AS kept FROM l)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  len(kept)::BIGINT AS n_kept,
+        |  (len(lines) - len(kept))::BIGINT AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_bigram_logprob" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
         |     x -> len(x) > 0) AS toks FROM documents),

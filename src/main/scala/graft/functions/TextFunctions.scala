@@ -405,6 +405,49 @@ object TextFunctions {
       .select(col("__id").as(id), col("bi_logprob"))
   }
 
+  /** jusText-lite boilerplate stripping: classify each LINE of a doc
+    * as content vs boilerplate by three cheap signals — word count,
+    * stopword density, and a link marker — and keep only the content
+    * lines. Published block-level extractors (jusText, trafilatura,
+    * the C4 line filters) gate on exactly these densities; this is the
+    * line-granularity columnar form: split → per-line classify →
+    * re-join all inside ONE projection (codegen'd array lambdas, no
+    * explode, no shuffle) — at 100 TB the pass is embarrassingly
+    * parallel. Contrast [[graft.functions.Dedup.stripRepeatedLines]]:
+    * that one drops lines by CORPUS-WIDE repetition (needs a count
+    * shuffle); this one drops lines by LOCAL density signals.
+    *
+    * A line is kept iff it has >= `minWords` whitespace words, its
+    * stopword count >= `minStopFrac` · word count (stopwords matched
+    * on the lowercased raw word — punctuation-attached words don't
+    * match, deliberately, same as the oracle), and (when
+    * `dropLinkLines`) it doesn't contain "http". The default
+    * `minStopFrac` 0.125 is binary-exact so the density compare is
+    * cross-engine exact. Output: (`id`, clean_text, n_kept,
+    * n_dropped); docs whose every line drops keep a row with
+    * clean_text = "" — the caller decides whether empty docs survive,
+    * no row is silently lost here. */
+  def stripBoilerplate(df: DF, id: String, text: Column,
+                       stopwords: Seq[String] = defaultStopwords.flatMap(_._2),
+                       minWords: Int = 3, minStopFrac: Double = 0.125,
+                       dropLinkLines: Boolean = true): DF = {
+    require(minWords >= 0 && minStopFrac >= 0)
+    val sw = array(stopwords.map(lit).toIndexedSeq: _*)
+    val lines = split(text, "\n")
+    val isKept: Column => Column = l => {
+      val ws = filter(split(l, "\\s+"), t => length(t) > 0)
+      val nstop = size(filter(ws, w => array_contains(sw, lower(w))))
+      val base = (size(ws) >= minWords) &&
+        (nstop.cast("double") >= lit(minStopFrac) * size(ws).cast("double"))
+      if (dropLinkLines) base && !l.contains("http") else base
+    }
+    val kept = filter(lines, isKept)
+    df.select(col(id),
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * select raw documents by how much more likely their hashed unigram

@@ -1808,6 +1808,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(n == 5L)
   }
 
+  test("stripBoilerplate keeps dense prose, drops nav/link/short lines") {
+    val df = Seq(
+      (1L, "the cat sat on a mat and it is fine\nHome | About | Contact\nsee http://x.com for more of the info\nof the and to in"),
+      (2L, "no stopwords here whatsoever friend"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextFunctions.stripBoilerplate(df, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: prose line kept; nav line (0 stopwords of 5 words... '|'
+    // words) dropped; http line dropped; stopword-only line kept
+    assert(got(1L) == (("the cat sat on a mat and it is fine\nof the and to in", 2L, 2L)), got(1L))
+    // doc 2: 5 words, zero stopwords → density 0 < 0.125 → dropped
+    assert(got(2L) == (("", 0L, 1L)), got(2L))
+    // doc 3: empty text → one empty line, dropped; row survives
+    assert(got(3L) == (("", 0L, 1L)), got(3L))
+  }
+
   test("dsir: target-like docs score high, twins agree, sorted fold repartition-invariant") {
     val target = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta"))
       .toDF("doc_id", "text")
