@@ -544,6 +544,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- web: per-domain quota cap -------------------------------
+    // "At most N docs per registered domain", chosen by the
+    // deterministic salted-md5 order — the crawl-curation stage after
+    // blocklisting. Same synthesized hosts as q_domain_stats.
+    "q_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      val host = element_at(array(lit("www.example.com"), lit("blog.example.com"),
+        lit("spam.tracker.biz"), lit("cdn.spam.tracker.biz"), lit("news.site.org")),
+        ($"doc_id" % 5).cast("int") + 1)
+      val withDomain = t(s, dir, "documents").select($"doc_id",
+        TextFunctions.registeredDomain(host).as("domain"))
+      Corpus.capPerKeyByHash(withDomain, Seq("domain"), "doc_id", n = 30)
+        .orderBy("doc_id")
+    }),
+
+    // -------- corpus: deterministic proportional interleave -----------
+    // The curriculum-order companion to the mixture queries: per-source
+    // chunked hash ranks (no single-partition sorts), ikey = pos /
+    // weight — sorting by (ikey, source, pos) yields the epoch-free
+    // training order whose every prefix holds sources in weight
+    // proportion. The division is one correctly-rounded double op on
+    // exact integers, so ikey is emitted unrounded (cross-engine exact
+    // — deliberately NOT round()ed, see the round() note).
+    "q_interleave" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.interleaveByWeights(
+          t(s, dir, "documents").select($"doc_id", $"source"),
+          "source", "doc_id", Map("src0" -> 3.0, "src1" -> 2.0))
+        .select($"doc_id", $"source", $"pos", $"ikey")
+        .orderBy("doc_id")
+    }),
+
     // -------- corpus: upsampled mixture (rates > 1) -------------------
     // The multi-epoch mixture recipe: a curated set (src0-4) at 2.25
     // epochs (2 full copies + an exact-2^58-threshold quarter draw),
@@ -2264,6 +2296,26 @@ object SparkEntry {
         |SELECT doc_id, host FROM u
         |WHERE NOT (host = 'tracker.biz' OR host LIKE '%.tracker.biz')
         |ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |   regexp_extract(['www.example.com','blog.example.com','spam.tracker.biz',
+        |    'cdn.spam.tracker.biz','news.site.org'][(doc_id % 5)::INT + 1],
+        |    '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM documents),
+        | r AS (SELECT doc_id, domain,
+        |   row_number() OVER (PARTITION BY domain
+        |     ORDER BY md5(doc_id::VARCHAR || '42'), doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id, domain FROM r WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+    "q_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(doc_id::VARCHAR || '42'), doc_id) AS pos
+        |  FROM documents)
+        |SELECT doc_id, source, pos::BIGINT AS pos,
+        |  pos / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+        |         ELSE 1.0 END) AS ikey
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_mix_upsample" ->
       """WITH cur AS (SELECT doc_id, source FROM documents
         |   WHERE source IN ('src0','src1','src2','src3','src4')),

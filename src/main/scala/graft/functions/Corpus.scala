@@ -376,4 +376,101 @@ object Corpus {
       .where(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Per-key quota cap: keep at most `n` rows per key, chosen by the
+    * deterministic salted-md5 order (repartition-invariant, survives
+    * retries and incremental reruns) — the "at most N docs per
+    * registered domain" crawl-curation stage (pair with
+    * [[graft.functions.TextFunctions.registeredDomain]]). One window
+    * shuffle partitioned by the keys, so it scales with key
+    * cardinality like any groupBy; a single pathological hot key
+    * sorts its rows in one task's external sort — cap-then-count that
+    * case via [[graft.functions.TextFunctions.domainStats]] first if
+    * a key can exceed task memory in ids alone. Requires unique `id`s
+    * (the tie-break keeps the order total). */
+  def capPerKeyByHash(df: DataFrame, keys: Seq[String], id: String, n: Int,
+                      seed: Long = 42L): DataFrame = {
+    require(n >= 0, s"cap $n must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(saltedMd5(col(id), seed), col(id))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Per-key twin of [[hashRank]]: a deterministic 1-based hash rank
+    * WITHIN each key, without a per-key single-partition sort — ranks
+    * come from (key, hash-prefix-chunk) windows plus driver-collected
+    * per-key chunk prefix-offsets (|keys|·256 count rows, collected —
+    * so this form is for LOW-cardinality keys: sources, languages,
+    * splits. For high-cardinality keys a plain per-key window is
+    * already scale-out — see [[capPerKeyByHash]]). Requires unique
+    * `id`s. */
+  def hashRankBy(df: DataFrame, keys: Seq[String], id: String,
+                 seed: Long = 42L, pos: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sep = "\u0001" // unambiguous key-chunk concatenation
+    val withH = df.withColumn("__h", saltedMd5(col(id), seed))
+      .withColumn("__chunk", hashChunk(col("__h")))
+    val keyStr = concat_ws(sep, keys.map(c => col(c).cast("string")): _*)
+    // per-(key, chunk) counts: |keys|·256 rows by the documented
+    // cardinality contract — prefix-sum per key on the driver
+    val per = withH.groupBy((keys :+ "__chunk").map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__v"))
+      .collect()
+      .map { r =>
+        val k = keys.indices.map(i => String.valueOf(r.get(i))).mkString(sep)
+        val chunk = r.getString(keys.length)
+        (k, chunk, r.getLong(keys.length + 1))
+      }
+      .sortBy { case (k, c, _) => (k, c) }
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var curKey: String = null
+    var acc = 0L
+    per.foreach { case (k, c, v) =>
+      if (k != curKey) { curKey = k; acc = 0L }
+      offs += ((k + sep + c, acc)); acc += v
+    }
+    val offMap = map(offs.flatMap { case (k, o) => Seq(lit(k), lit(o)) }
+      .toIndexedSeq: _*)
+    val w = Window.partitionBy((keys :+ "__chunk").map(col).toIndexedSeq: _*)
+      .orderBy(col("__h"), col(id))
+    withH.withColumn(pos, row_number().over(w).cast("long") +
+        element_at(offMap, concat(keyStr, lit(sep), col("__chunk"))))
+      .drop("__h", "__chunk")
+  }
+
+  /** Deterministic proportional interleave — the ORDER companion to
+    * [[mixByWeights]] (that one selects a subset; this one sequences
+    * the whole mixture): stamp each row with
+    * `ikey = rank_within_source / weight(source)`, so sorting by
+    * (`ikey`, source, `pos`) yields a stream whose every prefix holds
+    * the sources in ≈ their weight proportions — the epoch-free
+    * curriculum order training pipelines shard and read sequentially.
+    * Ranks are the [[hashRankBy]] chunked per-source hash ranks (no
+    * single-partition sorts; source cardinality is low by the same
+    * contract). A source absent from `weights` gets `defaultWeight`;
+    * nonpositive weights are rejected (drop those rows first). The
+    * division is one correctly-rounded double op on exact integers —
+    * cross-engine exact. Output: input columns + `pos` (per-source
+    * rank) + `ikey`; write with
+    * [[shuffleDeterministic]]-style range partitioning on (`ikey`,
+    * source, `pos`) or sort downstream. */
+  def interleaveByWeights(df: DataFrame, source: String, id: String,
+                          weights: Map[String, Double],
+                          defaultWeight: Double = 1.0,
+                          seed: Long = 42L): DataFrame = {
+    require(defaultWeight > 0, s"defaultWeight $defaultWeight must be > 0")
+    require(weights.values.forall(_ > 0), s"weights must be > 0: $weights")
+    val ranked = hashRankBy(df, Seq(source), id, seed)
+    val wCol =
+      if (weights.isEmpty) lit(defaultWeight)
+      else coalesce(
+        element_at(map(weights.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toIndexedSeq: _*),
+          col(source)),
+        lit(defaultWeight))
+    ranked.withColumn("ikey", col("pos").cast("double") / wCol)
+  }
 }

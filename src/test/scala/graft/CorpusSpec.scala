@@ -214,6 +214,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted == (1L to want.size.toLong))
   }
 
+  test("hashRankBy matches per-key single-window ranks; capPerKeyByHash keeps the n lowest") {
+    import org.apache.spark.sql.expressions.Window
+    val df = docs.select(col("o_orderkey"), col("o_orderstatus"))
+    val want = df.withColumn("pos", row_number().over(
+        Window.partitionBy(col("o_orderstatus")).orderBy(
+          md5(concat(col("o_orderkey").cast("string"), lit("42"))), col("o_orderkey")))
+        .cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Corpus.hashRankBy(df, Seq("o_orderstatus"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    val got2 = Corpus.hashRankBy(df.repartition(13), Seq("o_orderstatus"), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got2 == want)
+    // capPerKeyByHash n=7 ≡ the ids whose per-key rank <= 7
+    val capped = Corpus.capPerKeyByHash(df, Seq("o_orderstatus"), "o_orderkey", n = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == want.filter(_._2 <= 7L).keySet)
+    val capped2 = Corpus
+      .capPerKeyByHash(df.repartition(9), Seq("o_orderstatus"), "o_orderkey", n = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped2 == capped)
+  }
+
+  test("interleaveByWeights: every prefix holds sources in ~weight proportion") {
+    val df = ((1L to 200L).map(i => (i, "A")) ++ (1001L to 1100L).map(i => (i, "B")))
+      .toDF("id", "src")
+    val out = Corpus.interleaveByWeights(df, "src", "id", Map("A" -> 2.0, "B" -> 1.0))
+    // pos within source = hashRankBy rank; ikey = pos / weight
+    val rows = out.select(col("src"), col("pos"), col("ikey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.forall { case (s, p, k) =>
+      k == p.toDouble / (if (s == "A") 2.0 else 1.0) })
+    // sorted by (ikey, src, pos): any prefix has ~2 A per B (within the
+    // deterministic-interleave ±2 slack)
+    val order = rows.sortBy { case (s, p, k) => (k, s, p) }
+    Seq(30, 90, 150, 300).foreach { n =>
+      val (a, b) = order.take(n).partition(_._1 == "A")
+      assert(math.abs(a.size - 2 * b.size) <= 2,
+        s"prefix $n: ${a.size} A vs ${b.size} B")
+    }
+    // weight map default: unknown source gets defaultWeight 1.0
+    val out2 = Corpus.interleaveByWeights(df, "src", "id", Map("A" -> 2.0))
+    assert(out2.where(col("src") === "B").select(col("ikey") === col("pos").cast("double"))
+      .collect().forall(_.getBoolean(0)))
+  }
+
   test("sampleToTokenBudget keeps exactly the maximal hash-ordered prefix") {
     val df = docs.select(col("o_orderkey"), (col("o_orderkey") % 7 + 1).as("nt"))
     val budget = 200L

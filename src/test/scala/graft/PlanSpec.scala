@@ -236,6 +236,13 @@ class PlanSpec extends AnyFunSuite {
     val pk = planOf("q_token_budget_key")
     assert(!pk.contains("Exchange SinglePartition"),
       s"q_token_budget_key single-partitioned:\n$pk")
+    // interleave ranks per (source, chunk); domain cap windows per key
+    // — neither may collapse to a single partition
+    for (q <- Seq("q_interleave", "q_domain_cap")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q single-partitioned:\n$p")
+    }
   }
 
   test("domain family: pure columnar filter / one keyed aggregation (q_domain_filter, q_domain_stats)") {
