@@ -1914,6 +1914,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- curation: one-call Gopher quality gate ------------------
+    // The published A1.1 document rules as an auditable flag struct
+    // over the (already cross-engine-exact) gopherSignals fields plus
+    // the required-stopword rule; pass = conjunction. Emitting the
+    // per-rule flags (not just the survivors) makes the oracle verify
+    // every rule's boundary on every doc. minRequiredStopwords is
+    // calibrated to 1 for this synthetic corpus (its jargon vocabulary
+    // carries only 'the' from the Gopher list — at the published 2 the
+    // rule is a constant and verifies nothing; at 1 it discriminates).
+    "q_gopher_filter" -> ((s, dir) => {
+      import s.implicits._
+      val f = TextFunctions.gopherFlags($"text", TextFunctions.tokens($"text"),
+        minRequiredStopwords = 1)
+      t(s, dir, "documents")
+        .select($"doc_id", f.as("f"))
+        .select($"doc_id", $"f.words_ok", $"f.word_len_ok", $"f.symbol_ok",
+          $"f.bullet_ok", $"f.ellipsis_ok", $"f.alpha_ok", $"f.stopword_ok",
+          $"f.dup_line_ok", $"f.pass")
+        .orderBy("doc_id")
+    }),
+
     // -------- text: top-bigram repetition fraction --------------------
     "q_top_ngram" -> ((s, dir) => {
       import s.implicits._
@@ -3291,6 +3312,44 @@ object SparkEntry {
         | len(toks)::BIGINT AS n_words,
         | len(text)::BIGINT AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks,
+        |   list_filter(string_split(text, chr(10)), l -> len(trim(l))>0) AS lines
+        |  FROM documents),
+        | s AS (SELECT doc_id, toks,
+        |  round(coalesce(list_sum(list_transform(toks, x -> len(x)::DOUBLE)), 0)
+        |    / greatest(len(toks),1), 6) AS mwl,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+        |                        / len(lines), 6) END AS dup,
+        |  round(len(regexp_replace(text, '[A-Za-z0-9 \t\n\f\r]', '', 'g'))::DOUBLE
+        |    / greatest(len(text),1), 6) AS sym,
+        |  round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |    / greatest(len(toks),1), 6) AS alpha,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE round(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE
+        |                  / len(lines), 6) END AS bullet,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE
+        |                  / len(lines), 6) END AS ellipsis,
+        |  len(toks)::BIGINT AS nw FROM t),
+        | f AS (SELECT doc_id,
+        |  (nw BETWEEN 50 AND 100000) AS words_ok,
+        |  (mwl BETWEEN 3.0 AND 10.0) AS word_len_ok,
+        |  (sym <= 0.1) AS symbol_ok,
+        |  (bullet <= 0.9) AS bullet_ok,
+        |  (ellipsis <= 0.3) AS ellipsis_ok,
+        |  (alpha >= 0.8) AS alpha_ok,
+        |  (len(list_filter(['the','be','to','of','and','that','have','with'],
+        |     w -> list_contains(list_transform(toks, x -> lower(x)), w))) >= 1)
+        |    AS stopword_ok,
+        |  (dup <= 0.3) AS dup_line_ok FROM s)
+        |SELECT doc_id, words_ok, word_len_ok, symbol_ok, bullet_ok,
+        |  ellipsis_ok, alpha_ok, stopword_ok, dup_line_ok,
+        |  (words_ok AND word_len_ok AND symbol_ok AND bullet_ok AND
+        |   ellipsis_ok AND alpha_ok AND stopword_ok AND dup_line_ok) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_top_ngram" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks

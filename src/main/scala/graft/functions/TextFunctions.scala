@@ -256,6 +256,65 @@ object TextFunctions {
       size(toks).cast("long").as("n_words"), length(text).cast("long").as("n_chars"))
   }
 
+  /** The 8 "required stopwords" of the Gopher quality rule: a document
+    * must contain at least `minRequiredStopwords` of these (Rae et
+    * al. 2021, A1.1). */
+  val gopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** One-call Gopher document-quality gate (Rae et al. 2021, A1.1) —
+    * the published per-document format rules as a flag struct over
+    * [[gopherSignals]]: word count in [`minWords`, `maxWords`], mean
+    * word length in [3, 10], symbol ratio ≤ 0.1 (the per-char
+    * adaptation of the hash/ellipsis symbol-to-word rule — documented
+    * deviation), ≤ 90% bullet-started and ≤ 30% ellipsis-ended lines,
+    * ≥ 80% of words with an alphabetic character, ≥ 2 of the 8
+    * [[gopherRequiredStopwords]], and duplicate-line fraction ≤ 0.30
+    * (the line-level repetition rule; the n-gram repetition rules are
+    * the separate aggregation-shaped [[topNgramFraction]] — compose
+    * downstream, they need a shuffle this per-row expression must not
+    * hide). Flags compare the ROUNDED signal fields, so the gate is
+    * cross-engine exact wherever the signals are. Returns a struct of
+    * per-rule booleans plus `pass` (their conjunction) — keep the
+    * flags for curation audits ("what did each rule cost?"), filter
+    * with [[gopherQualityFilter]]. */
+  def gopherFlags(text: Column, toks: Column,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  minAlphaTokFrac: Double = 0.8,
+                  minRequiredStopwords: Int = 2,
+                  maxDupLineFrac: Double = 0.3): Column = {
+    val s = gopherSignals(text, toks)
+    val nStop = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(gopherRequiredStopwords.map(lit).toIndexedSeq: _*)))
+    val wordsOk = s.getField("n_words").between(minWords, maxWords)
+    val wordLenOk = s.getField("mean_word_len")
+      .between(minMeanWordLen, maxMeanWordLen)
+    val symbolOk = s.getField("symbol_ratio") <= maxSymbolRatio
+    val bulletOk = s.getField("bullet_line_frac") <= maxBulletLineFrac
+    val ellipsisOk = s.getField("ellipsis_line_frac") <= maxEllipsisLineFrac
+    val alphaOk = s.getField("alpha_tok_frac") >= minAlphaTokFrac
+    val stopwordOk = nStop >= minRequiredStopwords
+    val dupLineOk = s.getField("dup_line_frac") <= maxDupLineFrac
+    struct(wordsOk.as("words_ok"), wordLenOk.as("word_len_ok"),
+      symbolOk.as("symbol_ok"), bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"), alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"), dupLineOk.as("dup_line_ok"),
+      (wordsOk && wordLenOk && symbolOk && bulletOk && ellipsisOk &&
+        alphaOk && stopwordOk && dupLineOk).as("pass"))
+  }
+
+  /** Keep only documents passing every [[gopherFlags]] rule at the
+    * published default thresholds — the one-call Gopher gate. For
+    * custom thresholds or rule audits, filter on [[gopherFlags]]
+    * directly. Pure per-row projection + filter: no shuffle. */
+  def gopherQualityFilter(df: DF, text: Column): DF =
+    df.where(gopherFlags(text, tokens(text)).getField("pass"))
+
   /** The remaining Gopher repetition rule: the fraction of a document's
     * word n-grams taken by its single most frequent n-gram (high →
     * boilerplate/spam). DataFrame-shaped (explode + two aggregations on

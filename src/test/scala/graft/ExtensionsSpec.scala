@@ -1824,6 +1824,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == (("", 0L, 1L)), got(3L))
   }
 
+  test("gopherFlags: each rule trips on its crafted doc; filter keeps pass only") {
+    val good = ("solid words flowing onward " * 13) + "the of have that"
+    val docs = Seq(
+      1L -> good,                                    // all rules pass
+      2L -> "the of nice words",                     // < 50 words
+      3L -> (good + " " + ("@#$%^&*" * 40)),         // symbol ratio > 0.1
+      5L -> (0 until 60).map(i => s"- the of item$i line").mkString("\n"),
+      6L -> ((0 until 60).map(i => s"the of word$i more...").mkString("\n")),
+      7L -> (("1234 " * 55) + "the of"),             // alpha frac < 0.8
+      8L -> ("plain words without those eight magic ones " * 8),
+      9L -> (("the of same line\n" * 50) + good.replace(" ", "\n")),
+      10L -> ("a b c d e f g h " * 10 + "the of")    // mean word len < 3
+    ).map { case (i, t) => (i, t) }
+    val f = TextFunctions.gopherFlags(col("text"), TextFunctions.tokens(col("text")))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), f.as("f")).select("doc_id", "f.*")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9))).toMap
+    // (words, word_len, symbol, bullet, ellipsis, alpha, stopword, dup, pass)
+    assert(got(1L)._9, s"good doc must pass: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._9)   // too short
+    assert(!got(3L)._3 && !got(3L)._9)   // symbols
+    assert(!got(5L)._4 && !got(5L)._9)   // all-bullet lines
+    assert(!got(6L)._5 && !got(6L)._9)   // ellipsis-ended lines
+    assert(!got(7L)._6 && !got(7L)._9)   // digit words
+    assert(!got(8L)._7 && !got(8L)._9)   // no required stopwords
+    assert(!got(9L)._8 && !got(9L)._9)   // duplicated lines
+    assert(!got(10L)._2 && !got(10L)._9) // mean word length < 3
+    val kept = TextFunctions.gopherQualityFilter(docs.toDF("doc_id", "text"), col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == got.filter(_._2._9).keySet)
+  }
+
   test("dsir: target-like docs score high, twins agree, sorted fold repartition-invariant") {
     val target = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta"))
       .toDF("doc_id", "text")
