@@ -164,8 +164,11 @@ object SparkEntry {
     // fixed-size so the number is config-dominated) and the chunked
     // global hash order over documents
     "q_ann_pq", "q_hash_rank",
-    // r8 continuation (2): the oracle-green SQ8 compressed scan
-    "q_ann_sq8")
+    // r8 continuation (2): the oracle-green SQ8 compressed scan, DSIR
+    // importance scoring, the boilerplate line classifier, and the
+    // Gopher rule gate
+    "q_ann_sq8", "q_dsir_score", "q_boilerplate", "q_gopher_filter",
+    "q_curation_v3")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -573,6 +576,40 @@ object SparkEntry {
           t(s, dir, "documents").select($"doc_id", $"source"),
           "source", "doc_id", Map("src0" -> 3.0, "src1" -> 2.0))
         .select($"doc_id", $"source", $"pos", $"ikey")
+        .orderBy("doc_id")
+    }),
+
+    // -------- curation: v3 composite (the r8-continuation chain) ------
+    // The modern published-pipeline order over the NEW ops: boilerplate
+    // line strip (density 1/16, binary-exact, calibrated to this
+    // stopword-poor synthetic vocabulary) → Gopher gate on the cleaned
+    // text (stopword rule at 1, as q_gopher_filter) → DSIR selection
+    // (model fit on the ORIGINAL corpus split, threshold -0.28 on the
+    // rounded score) → per-registered-domain cap at 20. Every stage is
+    // individually oracle-proven; this verifies their composition.
+    "q_curation_v3" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cleaned = TextFunctions.stripBoilerplate(docs, "doc_id", $"text",
+          minStopFrac = 0.0625)
+        .where($"n_kept" >= 1)
+      val gated = cleaned.where(TextFunctions.gopherFlags($"clean_text",
+        TextFunctions.tokens($"clean_text"), minRequiredStopwords = 1)
+        .getField("pass"))
+      val lrs = TextFunctions.dsirLogRatios(
+        TextFunctions.fitHashedBucketCountsByMd5(
+          docs.where($"source" === "src0"), $"text", buckets = 512),
+        TextFunctions.fitHashedBucketCountsByMd5(
+          docs.where($"source" =!= "src0"), $"text", buckets = 512))
+      val scored = TextFunctions.dsirScoreByMd5(
+          gated.select($"doc_id", $"clean_text"), "doc_id", $"clean_text", lrs)
+        .where($"dsir_score" >= -0.28)
+      val host = element_at(array(lit("www.example.com"), lit("blog.example.com"),
+        lit("spam.tracker.biz"), lit("cdn.spam.tracker.biz"), lit("news.site.org")),
+        ($"doc_id" % 5).cast("int") + 1)
+      val withDomain = scored.select($"doc_id", $"dsir_score",
+        TextFunctions.registeredDomain(host).as("domain"))
+      Corpus.capPerKeyByHash(withDomain, Seq("domain"), "doc_id", n = 20)
         .orderBy("doc_id")
     }),
 
@@ -2337,6 +2374,89 @@ object SparkEntry {
         |  pos / (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
         |         ELSE 1.0 END) AS ikey
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_curation_v3" ->
+      """WITH l AS (SELECT doc_id, source, string_split(text, chr(10)) AS lines
+        |   FROM documents),
+        | k AS (SELECT doc_id, source, list_filter(lines, li ->
+        |       len(list_filter(string_split_regex(li, '\s+'), x -> len(x) > 0)) >= 3
+        |   AND len(list_filter(string_split_regex(li, '\s+'),
+        |           x -> len(x) > 0 AND list_contains(
+        |             ['the','a','of','and','to','in','is','it',
+        |              'le','la','de','et','les','des','un','une',
+        |              'der','die','das','und','ist','von','ein','nicht',
+        |              'el','la','de','que','y','los','las','por'],
+        |             lower(x))))::DOUBLE
+        |       >= 0.0625 * len(list_filter(string_split_regex(li, '\s+'),
+        |           x -> len(x) > 0))::DOUBLE
+        |   AND NOT contains(li, 'http')) AS kept FROM l),
+        | c AS (SELECT doc_id, source,
+        |     coalesce(array_to_string(kept, chr(10)), '') AS ct
+        |   FROM k WHERE len(kept) >= 1),
+        | g0 AS (SELECT doc_id, source, ct,
+        |     list_filter(string_split_regex(ct,'\s+'), x -> len(x)>0) AS toks,
+        |     list_filter(string_split(ct, chr(10)), li -> len(trim(li))>0) AS glines
+        |   FROM c),
+        | g1 AS (SELECT doc_id, source, ct, toks,
+        |  round(coalesce(list_sum(list_transform(toks, x -> len(x)::DOUBLE)), 0)
+        |    / greatest(len(toks),1), 6) AS mwl,
+        |  CASE WHEN len(glines) = 0 THEN 0.0
+        |       ELSE round(1.0 - len(list_distinct(glines))::DOUBLE
+        |                        / len(glines), 6) END AS dup,
+        |  round(len(regexp_replace(ct, '[A-Za-z0-9 \t\n\f\r]', '', 'g'))::DOUBLE
+        |    / greatest(len(ct),1), 6) AS sym,
+        |  round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |    / greatest(len(toks),1), 6) AS alpha,
+        |  CASE WHEN len(glines) = 0 THEN 0.0
+        |       ELSE round(len(list_filter(glines, li -> regexp_matches(ltrim(li), '^[-*•]')))::DOUBLE
+        |                  / len(glines), 6) END AS bullet,
+        |  CASE WHEN len(glines) = 0 THEN 0.0
+        |       ELSE round(len(list_filter(glines, li -> regexp_matches(rtrim(li), '(\.\.\.|…)$')))::DOUBLE
+        |                  / len(glines), 6) END AS ellipsis,
+        |  len(toks)::BIGINT AS nw FROM g0),
+        | g AS (SELECT doc_id, source, ct, toks FROM g1 WHERE
+        |    nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND sym <= 0.1 AND bullet <= 0.9 AND ellipsis <= 0.3
+        |    AND alpha >= 0.8
+        |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        w -> list_contains(list_transform(toks, x -> lower(x)), w))) >= 1
+        |    AND dup <= 0.3),
+        | tku AS (SELECT source, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |   FROM documents),
+        | ub AS (SELECT source,
+        |     ('0x' || substr(md5(tok || '42'), 1, 15))::BIGINT % 512 AS b FROM tku),
+        | tc AS (SELECT b, count(*)::BIGINT AS c FROM ub
+        |   WHERE source = 'src0' GROUP BY b),
+        | rc AS (SELECT b, count(*)::BIGINT AS c FROM ub
+        |   WHERE source <> 'src0' GROUP BY b),
+        | tot AS (SELECT ((SELECT coalesce(sum(c), 0) FROM tc) + 512)::BIGINT AS tt,
+        |     ((SELECT coalesce(sum(c), 0) FROM rc) + 512)::BIGINT AS tr),
+        | lr AS (SELECT gs.b,
+        |     ln((coalesce(tc.c, 0) + 1)::DOUBLE * tot.tr
+        |        / ((coalesce(rc.c, 0) + 1)::DOUBLE * tot.tt)) AS v
+        |   FROM (SELECT unnest(range(0, 512)) AS b) gs
+        |   LEFT JOIN tc ON tc.b = gs.b
+        |   LEFT JOIN rc ON rc.b = gs.b
+        |   CROSS JOIN tot),
+        | lrs AS (SELECT list(v ORDER BY b) AS vs FROM lr),
+        | sc AS (SELECT g.doc_id,
+        |     round(list_sum(list_transform(
+        |       list_sort([('0x' || substr(md5(tok || '42'), 1, 15))::BIGINT % 512
+        |                  for tok in g.toks]),
+        |       b -> vs[b + 1])) / len(g.toks), 6) AS dsir_score
+        |   FROM g CROSS JOIN lrs WHERE len(g.toks) >= 1),
+        | sel AS (SELECT doc_id, dsir_score FROM sc WHERE dsir_score >= -0.28),
+        | dom AS (SELECT doc_id, dsir_score,
+        |     regexp_extract(['www.example.com','blog.example.com','spam.tracker.biz',
+        |      'cdn.spam.tracker.biz','news.site.org'][(doc_id % 5)::INT + 1],
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |   FROM sel),
+        | r AS (SELECT doc_id, dsir_score, domain,
+        |     row_number() OVER (PARTITION BY domain
+        |       ORDER BY md5(doc_id::VARCHAR || '42'), doc_id) AS rk
+        |   FROM dom)
+        |SELECT doc_id, dsir_score, domain FROM r WHERE rk <= 20
+        |ORDER BY doc_id""".stripMargin,
     "q_mix_upsample" ->
       """WITH cur AS (SELECT doc_id, source FROM documents
         |   WHERE source IN ('src0','src1','src2','src3','src4')),

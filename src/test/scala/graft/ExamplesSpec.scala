@@ -57,6 +57,25 @@ class ExamplePipelinesSpec extends AnyFunSuite {
       .select("n_tokens").head().getLong(0)
     assert(budgetTokens <= 40L)
     assert(packedB.count() <= packed.count())
+    // r8-continuation knobs: boilerplate strip, Gopher gate, DSIR
+    // selection toward doc 6 as the target, per-source cap — each
+    // optional stage audits its yield and the chain stays monotone
+    val (packedC, auditsC) = CurationPipeline.curate(docs, benchmark,
+      minJaccard = 0.9, minQuality = 0.5, packBudget = 64,
+      boilerplateStopFrac = 0.0625, gopherGate = true, gopherMinWords = 10,
+      dsirTarget = Some(docs.where(col("doc_id") === 6L)),
+      dsirThreshold = -10.0, maxPerSource = 1)
+    val cC = auditsC.orderBy("stage").select("stage", "n_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(cC.map(_._1).toSeq ==
+      Seq("0_raw", "1_clean", "2_exact_dedup", "3_near_dedup", "4_line_strip",
+        "5_gates", "6_decontaminated", "6b_dsir", "6c_capped"))
+    // counts stay monotone after raw; the per-source cap (1 per
+    // source, all docs are 'web') leaves exactly one survivor
+    val nC = cC.map(_._2)
+    assert(nC.drop(1).zip(nC.drop(2)).forall { case (a, b) => b <= a }, nC.toSeq)
+    assert(nC.last == 1L, nC.toSeq)
+    assert(packedC.count() >= 1L)
   }
 
   test("word-count: tokenize, frequencies, formatted output (examples.clj:17-54)") {

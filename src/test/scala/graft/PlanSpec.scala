@@ -255,6 +255,16 @@ class PlanSpec extends AnyFunSuite {
       s"q_domain_stats grew a join:\n$ps")
   }
 
+  test("curation v3 composite: no cartesian, no single-partition stage (q_curation_v3)") {
+    val p = planOf("q_curation_v3")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_curation_v3 went quadratic:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q_curation_v3 single-partitioned:\n$p")
+    // the DSIR stage must stay a literal lookup even inside the chain
+    assert(!p.contains("Join"), s"q_curation_v3 grew a join:\n$p")
+  }
+
   test("DSIR scoring pass is map-side: literal lookup, no joins (q_dsir_score)") {
     // the fit is two separate tiny count jobs at build time; the
     // returned scoring plan must be a pure projection — the model
