@@ -1991,6 +1991,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: PII detection counts (audit companion) ------------
+    // Same inline injection as q_redact_pii so both regexes count > 0;
+    // phone counting runs on the email-scrubbed text (the scrub's own
+    // second-pass order), so the email's digit tail never double-counts.
+    "q_pii_stats" -> ((s, dir) => {
+      import s.implicits._
+      val p = TextFunctions.piiStats(concat($"text",
+        lit(" Contact alice.smith+spam@example.co.uk or +1 (555) 123-4567 now.")))
+      t(s, dir, "documents")
+        .select($"doc_id", p.getField("n_emails").as("n_emails"),
+          p.getField("n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     // -------- text: rolling-hash document fingerprint -----------------
     "q_fingerprint" -> ((s, dir) => {
       import s.implicits._
@@ -3481,6 +3495,15 @@ object SparkEntry {
         | c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
         |SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_ngram_frac
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pii_stats" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text || ' Contact alice.smith+spam@example.co.uk or +1 (555) 123-4567 now.',
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        | len(regexp_extract_all(
+        |   regexp_replace(text || ' Contact alice.smith+spam@example.co.uk or +1 (555) 123-4567 now.',
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,}[0-9]'))::BIGINT AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_redact_pii" ->
       """SELECT doc_id,
         | regexp_replace(

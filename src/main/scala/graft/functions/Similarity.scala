@@ -659,6 +659,36 @@ object Similarity {
         col("__rk").as("rank"))
   }
 
+  /** IVF-SQ8: coarse inverted-file probe + SQ8 asymmetric scoring —
+    * the same composition as [[ivfPqTopK]] with the scalar quantizer
+    * in place of PQ: corpus rows carry (coarse list id, decoded SQ8
+    * reconstruction), queries explode to their nprobe nearest lists
+    * and broadcast, pruned candidates score by the fused decoded dot.
+    * With nprobe = #lists this equals [[sq8TopK]] exactly
+    * (spec-asserted). The cheap tier of the compressed-ANN matrix:
+    * 1 byte/dim codes, no codebook training beyond one min/max
+    * aggregate. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                 coarse: Array[Array[Double]], mins: Array[Double],
+                 maxs: Array[Double], nprobe: Int, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("c_id"),
+      nearestCentroid(col(vec), coarse).as("__cid"),
+      sq8Decode(sq8Encode(col(vec), mins, maxs), mins, maxs).as("c_dec"))
+    val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
+      i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
+        (i + 1).as("cid")))
+    val q = queries.select(col(id).as("q_id"), vecD(col(vec)).as("q_v"),
+        explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+      .select(col("q_id"), col("q_v"), col("__p.cid").as("__cid"))
+    val scored = c.join(broadcast(q), "__cid")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("adot", dotFused(col("q_v"), col("c_dec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adot"), 6).as("adot"),
+        col("__rk").as("rank"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 coarse: Array[Array[Double]], cb: Array[Array[Array[Double]]],
                 nprobe: Int, k: Int): DataFrame = {

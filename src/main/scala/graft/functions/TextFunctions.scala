@@ -377,6 +377,25 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
   }
 
+  /** PII detection counts — the audit companion to [[redactPii]]:
+    * per-doc email/phone match counts with the SAME regexes the scrub
+    * replaces, so `n_emails + n_phones == 0` after a scrub pass is an
+    * invariant (spec-asserted). Counts, not booleans, because curation
+    * audits track PII density ("how much did the scrub touch?"), and
+    * phone counting runs on the email-scrubbed text exactly as the
+    * scrub's second pass does (digit runs inside an email must not
+    * double-count as a phone). Pure projection. */
+  def piiStats(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+    val afterEmail = regexp_replace(text, email, "<EMAIL>")
+    struct(
+      size(call_function("regexp_extract_all", text, lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(call_function("regexp_extract_all", afterEmail, lit(phone), lit(0)))
+        .cast("long").as("n_phones"))
+  }
+
   /** Corpus-statistical quality score — the CCNet recipe's shape with
     * a unigram proxy for the language model: score each document by
     * the mean natural-log probability of its tokens under the

@@ -1003,6 +1003,25 @@ class SimilaritySpec extends AnyFunSuite {
     n.unpersist()
   }
 
+  test("ivfSq8TopK with nprobe = kLists equals exhaustive sq8TopK") {
+    val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
+    val coarse = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 3)
+    val queries = emb.where($"vec_id" < 5)
+    val full = Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+        mins, maxs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val ivf = Similarity.ivfSq8TopK(emb, queries, "vec_id", "embedding",
+        coarse, mins, maxs, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(ivf == full)
+    // pruned probing returns k rows per query and stays a subset-ranked
+    // list of the same score space
+    val pruned = Similarity.ivfSq8TopK(emb, queries, "vec_id", "embedding",
+        coarse, mins, maxs, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.size == 50)
+  }
+
   test("sq8Encode: codes in [0,255], repartition-invariant, decode error bounded") {
     val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
     assert(mins.length == 64 && maxs.length == 64 &&
@@ -1822,6 +1841,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(2L) == (("", 0L, 1L)), got(2L))
     // doc 3: empty text → one empty line, dropped; row survives
     assert(got(3L) == (("", 0L, 1L)), got(3L))
+  }
+
+  test("piiStats counts match the scrub regexes; zero after redaction") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d@e.org plus phone +1 (555) 123-4567"),
+      (2L, "no pii at all here")).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.piiStats($"text").as("p"))
+      .select($"id", $"p.n_emails", $"p.n_phones")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((0L, 0L)))
+    // invariant: scrubbed text counts zero on both regexes
+    val after = df
+      .select(TextFunctions.piiStats(TextFunctions.redactPii($"text")).as("p"))
+      .select($"p.n_emails", $"p.n_phones").collect()
+    assert(after.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
   }
 
   test("gopherFlags: each rule trips on its crafted doc; filter keeps pass only") {
