@@ -108,6 +108,40 @@ object SparkEntry {
        |SELECT doc_id, lang FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Margin variant of [[langIdNgramOracle]]: same fit + scoring CTEs,
+    * emitting (lang, (best − runner-up rounded score) / trigram count)
+    * — margin unrounded (see langIdNgramScored Scaladoc). */
+  private def langIdNgramConfOracle: String = {
+    val values = langSeedFixture
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n        | ")
+    s"""WITH seed(lang, t) AS (VALUES $values),
+       | stri AS (SELECT lang, unnest([substr(lower(t), i, 3)
+       |     for i in range(1, greatest(len(t)-2, 1)+1)]) AS tri FROM seed),
+       | cnt AS (SELECT lang, tri, count(*) AS c FROM stri GROUP BY lang, tri),
+       | nl AS (SELECT lang, sum(c) AS n FROM cnt GROUP BY lang),
+       | v AS (SELECT count(DISTINCT tri) AS v FROM stri),
+       | prof AS (SELECT lang, tri, ln((c + 1)::DOUBLE / (n + v)::DOUBLE) AS logp
+       |   FROM cnt JOIN nl USING (lang) CROSS JOIN v),
+       | fl AS (SELECT lang, ln(1::DOUBLE / (n + v)::DOUBLE) AS floor
+       |   FROM nl CROSS JOIN v),
+       | dtri AS (SELECT doc_id, unnest([substr(lower(text), i, 3)
+       |     for i in range(1, greatest(len(text)-2, 1)+1)]) AS tri
+       |   FROM documents),
+       | nd AS (SELECT doc_id, count(*) AS n FROM dtri GROUP BY doc_id),
+       | sc AS (SELECT d.doc_id, f.lang, sum(coalesce(p.logp, f.floor)) AS score
+       |   FROM dtri d CROSS JOIN fl f
+       |   LEFT JOIN prof p ON p.lang = f.lang AND p.tri = d.tri
+       |   GROUP BY d.doc_id, f.lang),
+       | r AS (SELECT doc_id, lang, round(score, 6) AS rs,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY round(score, 6) DESC, lang) AS rn
+       |   FROM sc)
+       |SELECT b.doc_id, b.lang, (b.rs - s2.rs) / nd.n AS margin
+       |FROM r b JOIN r s2 ON b.doc_id = s2.doc_id AND s2.rn = 2
+       |JOIN nd ON nd.doc_id = b.doc_id
+       |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin
+  }
+
   /** The q_bpe_tokens oracle: the same merges applied SEQUENTIALLY in
     * rank order as a replace() chain over words whose code points are
     * joined by chr(31) (words joined by chr(30) — merges never cross a
@@ -1873,6 +1907,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: language-ID confidence margin ---------------------
+    // The CCNet-style language-confidence gate needs a thresholdable
+    // number: per-trigram mean log-likelihood margin between the top
+    // two languages, from the same fit (margin unrounded — it derives
+    // from the already-rounded scores; see langIdNgramScored).
+    "q_lang_id_conf" -> ((s, dir) => {
+      import s.implicits._
+      val seed = s.createDataFrame(langSeedFixture).toDF("lang", "seed_text")
+      val profiles = TextFunctions.fitLangTrigramProfiles(seed, $"lang", $"seed_text")
+      TextFunctions.langIdNgramScored(t(s, dir, "documents"), "doc_id", $"text",
+          profiles)
+        .orderBy("doc_id")
+    }),
+
     // -------- text: true-BPE tokenization (real-tokenizer seam) -------
     // The codegen'd greedy min-rank BPE expression vs the DuckDB
     // sequential replace-chain — equivalent on a valid merges table,
@@ -3364,6 +3412,7 @@ object SparkEntry {
         |FROM c GROUP BY doc_id, (cb // 200)
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_lang_id_ngram" -> langIdNgramOracle,
+    "q_lang_id_conf" -> langIdNgramConfOracle,
     "q_bpe_tokens" -> bpeOracle,
     "q_pack_corpus" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,

@@ -97,7 +97,17 @@ object TextFunctions {
     * Measured 5.1 → 1.2 s at sf0.1 vs the naive
     * occurrence-explode × langs form (tools/NewQueryProbe). Output:
     * (`id`, lang). */
-  def langIdNgram(df: DF, id: String, text: Column, profiles: DF): DF = {
+  def langIdNgram(df: DF, id: String, text: Column, profiles: DF): DF =
+    langScoreTable(df, id, text, profiles)
+      .groupBy(col("__id"))
+      .agg(min(struct((-col("__score")).as("s"), col("lang").as("l"))).as("__best"))
+      .select(col("__id").as(id), col("__best.l").as("lang"))
+
+  /** Per-(doc, lang) rounded trigram-NB scores + the doc trigram total
+    * — the shared core of [[langIdNgram]] (argmax) and
+    * [[langIdNgramScored]] (argmax + margin). */
+  private def langScoreTable(df: DF, id: String, text: Column,
+                             profiles: DF): DF = {
     import org.apache.spark.sql.graft.Bridge
     // fused kernel: (xxhash64, count) per distinct trigram in one pass
     // — no per-occurrence substring rows, hash-only join keys (the
@@ -124,14 +134,33 @@ object TextFunctions {
     // lang-ascending tiebreak decides identically everywhere
     docTotals.crossJoin(broadcast(floors))
       .join(matched, Seq("__id", "lang"), "left")
-      .select(col("__id"), col("lang"),
+      .select(col("__id"), col("lang"), col("__ntot"),
         round(coalesce(col("__sseen"), lit(0.0)) +
           (col("__ntot") - coalesce(col("__nseen"), lit(0L))) * col("__floor"), 6)
           .as("__score"))
-      .groupBy(col("__id"))
-      .agg(min(struct((-col("__score")).as("s"), col("lang").as("l"))).as("__best"))
-      .select(col("__id").as(id), col("__best.l").as("lang"))
   }
+
+  /** [[langIdNgram]] plus a CONFIDENCE margin — the CCNet-style
+    * language-confidence gate needs a number to threshold, not just
+    * the argmax: `margin` = (best − runner-up rounded log-likelihood)
+    * / doc trigram count, i.e. the per-trigram mean log-likelihood
+    * ratio between the top two languages (0 = tie, higher = more
+    * confident). Emitted UNROUNDED: the subtraction and division are
+    * correctly-rounded ops on values both engines already agree on
+    * bit-for-bit (the rounded scores), so a final round() would only
+    * add the HALF_UP-vs-C boundary risk. Output: (`id`, lang,
+    * margin). */
+  def langIdNgramScored(df: DF, id: String, text: Column, profiles: DF): DF =
+    langScoreTable(df, id, text, profiles)
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(
+          struct((-col("__score")).as("s"), col("lang").as("l")))).as("__a"),
+        first(col("__ntot")).as("__n"))
+      .select(col("__id").as(id),
+        element_at(col("__a"), 1).getField("l").as("lang"),
+        ((element_at(col("__a"), 2).getField("s") -
+          element_at(col("__a"), 1).getField("s")) /
+          col("__n").cast("double")).as("margin"))
 
   /** Heuristic quality score in [0,1]: penalizes very short docs, low
     * alphabetic ratio, and high repetition. Deterministic and

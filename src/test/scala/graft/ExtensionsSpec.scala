@@ -1262,6 +1262,14 @@ class TextFunctionsSpec extends AnyFunSuite {
     val re = TextFunctions.langIdNgram(docs.repartition(5), "doc_id", $"text", profiles)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(re == got)
+    // scored variant: same argmax, nonnegative margin, confident docs
+    // beat the all-unseen doc (whose margin is a pure floor gap)
+    val scored = TextFunctions.langIdNgramScored(docs, "doc_id", $"text", profiles)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(scored.view.mapValues(_._1).toMap == got)
+    assert(scored.values.forall(_._2 >= 0.0))
+    assert(scored(1L)._2 > scored(4L)._2 && scored(2L)._2 > scored(4L)._2,
+      s"natural text should out-margin floor-only text: $scored")
   }
 
   test("tfidfTopTerms ranks by rounded score with term tiebreak") {
