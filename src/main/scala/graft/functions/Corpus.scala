@@ -406,7 +406,9 @@ object Corpus {
     * so this form is for LOW-cardinality keys: sources, languages,
     * splits. For high-cardinality keys a plain per-key window is
     * already scale-out — see [[capPerKeyByHash]]). Requires unique
-    * `id`s. */
+    * `id`s and NON-NULL keys (the offset lookup concatenates key
+    * strings; `concat_ws` drops nulls where the driver side would
+    * print "null" — filter null keys first). */
   def hashRankBy(df: DataFrame, keys: Seq[String], id: String,
                  seed: Long = 42L, pos: String = "pos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
