@@ -1639,6 +1639,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- curation: C4-style word-blocklist count + filter --------
+    // The "bad words" stage: per-doc blocked-token occurrences and the
+    // kept flag at the published maxHits = 0 rule. The blocklist here
+    // is a slice of the synthetic vocabulary so both branches appear.
+    "q_word_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = Seq("spam", "tracker", "slow")
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextFunctions.blockedWordCount(TextFunctions.tokens($"text"), blocked)
+            .as("n_blocked"))
+        .withColumn("kept", $"n_blocked" <= 0)
+        .orderBy("doc_id")
+    }),
+
+    // -------- embeddings: per-key mean pooling (chunk → doc) ----------
+    // Element-wise mean per label — the chunk-embedding pooling /
+    // labeled-centroid audit; components rounded to 6 (group-mean fp
+    // order is engine-dependent, rounding collapses it).
+    "q_embed_pool" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.meanPoolEmbeddings(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")
+    }),
+
     // -------- curation: jusText-lite boilerplate line stripping -------
     // Per-line content classification (word count, stopword density,
     // link marker) inside one projection — the local-density
@@ -3155,6 +3180,24 @@ object SparkEntry {
         |   FROM tk t2 CROSS JOIN lrs
         |   WHERE t2.source <> 'src0' AND len(t2.toks) >= 1)
         |SELECT doc_id, round(sc, 6) AS dsir_score FROM s ORDER BY doc_id""".stripMargin,
+    "q_word_blocklist" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(text, '\s+'),
+        |   x -> len(x) > 0 AND list_contains(['spam','tracker','slow'],
+        |                                     lower(x))))::BIGINT AS n_blocked,
+        | (len(list_filter(string_split_regex(text, '\s+'),
+        |   x -> len(x) > 0 AND list_contains(['spam','tracker','slow'],
+        |                                     lower(x)))) <= 0) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_pool" ->
+      """WITH u AS (SELECT label, generate_subscripts(embedding,1) AS pos,
+        |   unnest(embedding)::DOUBLE AS x FROM embeddings),
+        | m AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos),
+        | n AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings
+        |  GROUP BY label),
+        | p AS (SELECT label, list(m ORDER BY pos) AS pooled FROM m GROUP BY label)
+        |SELECT p.label, n.n_vecs, p.pooled
+        |FROM p JOIN n USING (label) ORDER BY label""".stripMargin,
     "q_boilerplate" ->
       """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lines
         |   FROM documents),

@@ -659,6 +659,29 @@ object Similarity {
         col("__rk").as("rank"))
   }
 
+  /** Element-wise mean of vectors per key — the "chunk embeddings →
+    * document embedding" pooling step (and the centroid audit for any
+    * labeled set): posexplode to (key, pos, x) rows, one (key, pos)
+    * avg with map-side partials (spillable — a giant key never
+    * materializes its vectors), reassemble the ordered array.
+    * Components round to 6 decimals: the group mean's fp order is
+    * engine/partitioning-dependent, and rounding is the house recipe
+    * that collapses that (see q1_agg etc.). Output: (`key`, n_vecs,
+    * pooled). */
+  def meanPoolEmbeddings(df: DataFrame, key: String, vec: String): DataFrame = {
+    val per = df
+      .select(col(key), posexplode(vecD(col(vec))).as(Seq("__pos", "__x")))
+      .groupBy(col(key), col("__pos"))
+      .agg(round(avg(col("__x")), 6).as("__m"), count(lit(1)).as("__n"))
+    per.groupBy(col(key))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__m").as("m")))),
+          s => s.getField("m")).as("pooled"),
+        first(col("__n")).as("n_vecs"))
+      .select(col(key), col("n_vecs"), col("pooled"))
+  }
+
   /** IVF-SQ8: coarse inverted-file probe + SQ8 asymmetric scoring —
     * the same composition as [[ivfPqTopK]] with the scalar quantizer
     * in place of PQ: corpus rows carry (coarse list id, decoded SQ8

@@ -822,6 +822,32 @@ object TextFunctions {
     * wrong at that size, so for large lists use
     * [[filterByDomainBlocklistDf]]); this literal form is fully
     * columnar (no join, no shuffle) and SQL-expressible. */
+  /** Blocked-word count: occurrences of blocklist words among the
+    * doc's lowercased whitespace tokens (exact token match —
+    * punctuation-attached words don't match, deliberately, same
+    * contract as [[stripBoilerplate]]'s stopword rule and the same
+    * semantics both in-engine and in an oracle). The C4 "bad words"
+    * stage counts exactly this before dropping. Pure projection. */
+  def blockedWordCount(toks: Column, blocked: Seq[String]): Column = {
+    require(blocked.nonEmpty, "empty word blocklist — nothing to count")
+    val bl = array(blocked.map(w => lit(w.toLowerCase)).toIndexedSeq: _*)
+    size(filter(toks, t => array_contains(bl, lower(t)))).cast("long")
+  }
+
+  /** C4-style word-blocklist filter: drop documents with MORE than
+    * `maxHits` blocked-word occurrences (the published rule is
+    * maxHits = 0 — any hit drops; a nonzero budget tolerates
+    * incidental mentions). Columnar predicate over
+    * [[blockedWordCount]] — no explode, no shuffle; a production-size
+    * list (the ~400-entry LDNOOBW set) stays a single literal array
+    * probe per token. */
+  def filterByWordBlocklist(df: org.apache.spark.sql.DataFrame, text: Column,
+                            blocked: Seq[String],
+                            maxHits: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxHits >= 0, s"maxHits $maxHits must be >= 0")
+    df.where(blockedWordCount(tokens(text), blocked) <= maxHits)
+  }
+
   def filterByDomainBlocklist(df: org.apache.spark.sql.DataFrame, url: Column,
                               blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing to filter")

@@ -1851,6 +1851,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == (("", 0L, 1L)), got(3L))
   }
 
+  test("blockedWordCount counts occurrences; filter honors the maxHits budget") {
+    val df = Seq(
+      (1L, "clean text only"),
+      (2L, "some SPAM here and spam there"),        // 2 hits, case-folded
+      (3L, "spam. attached"),                       // punctuation → no match
+      (4L, "one spam mention")).toDF("doc_id", "text")
+    val blocked = Seq("spam", "tracker")
+    val counts = df.select($"doc_id",
+        TextFunctions.blockedWordCount(TextFunctions.tokens($"text"), blocked).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
+    val strict = TextFunctions.filterByWordBlocklist(df, $"text", blocked)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 3L))
+    val lenient = TextFunctions.filterByWordBlocklist(df, $"text", blocked, maxHits = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(lenient == Set(1L, 3L, 4L))
+  }
+
+  test("meanPoolEmbeddings: element-wise mean per key, repartition-invariant") {
+    val df = Seq(
+      (1, Array(1.0f, 2.0f, 3.0f)),
+      (1, Array(3.0f, 2.0f, 1.0f)),
+      (2, Array(5.0f, 5.0f, 5.0f))).toDF("label", "embedding")
+    val got = Similarity.meanPoolEmbeddings(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(got(1) == ((2L, Seq(2.0, 2.0, 2.0))))
+    assert(got(2) == ((1L, Seq(5.0, 5.0, 5.0))))
+    val re = Similarity.meanPoolEmbeddings(df.repartition(4), "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(re == got)
+  }
+
   test("piiStats counts match the scrub regexes; zero after redaction") {
     val df = Seq(
       (1L, "mail a@b.co and c.d@e.org plus phone +1 (555) 123-4567"),
