@@ -202,7 +202,7 @@ object SparkEntry {
     // importance scoring, the boilerplate line classifier, and the
     // Gopher rule gate
     "q_ann_sq8", "q_dsir_score", "q_boilerplate", "q_gopher_filter",
-    "q_curation_v3")
+    "q_curation_v3", "q_cdc_chunks", "q_cdc_dups")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1446,6 +1446,31 @@ object SparkEntry {
           blockTokens = 10, minRepeats = 2, offsets = Seq(0, 5))
         .select($"doc_id", $"text")
         .orderBy("doc_id")
+    }),
+
+    // -------- dedup: content-defined chunking (shift-robust) ----------
+    // CDC boundaries from the 8-char rolling polynomial hash at
+    // modulus 32 (avg chunk ~32 chars on this corpus) — integer
+    // arithmetic, so DuckDB replays cut selection, chunk slicing, and
+    // ordering exactly with no hash twin. Shift-robustness (the
+    // property fixed-window carving lacks) is spec-asserted.
+    "q_cdc_chunks" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          window = 8, modulus = 32)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // -------- dedup: duplicated-CDC-chunk corpus report ---------------
+    // The audit that sizes a CDC strip: 403 cross-doc duplicate chunks
+    // at this corpus/config, counted on the 16-byte md5 chunk key.
+    "q_cdc_dups" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.cdcDupChunks(
+          Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+            window = 8, modulus = 32),
+          "doc_id", minDocs = 2)
+        .orderBy("chunk_hash")
     }),
 
     // -------- dedup: corpus-wide repeated-line strip ------------------
@@ -2965,6 +2990,49 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.text2, '') AS text
         |FROM documents d LEFT JOIN r2 r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_cdc_chunks" ->
+      """WITH t0 AS (SELECT doc_id, text, len(text)::INT AS n,
+        |   CASE WHEN len(text) >= 1 THEN
+        |     [unicode(substr(text,i,1))::BIGINT for i in range(1, len(text)+1)]
+        |   ELSE [0::BIGINT] END AS cl
+        |  FROM documents),
+        | c AS (SELECT doc_id, text,
+        |   list_append(
+        |     CASE WHEN n - 1 >= 8 THEN
+        |       [i for i in range(8, n)
+        |        if list_reduce(list_prepend(0::BIGINT, cl[i-7:i]),
+        |             (a, c) -> (a*31 + c) % 1000000007) % 32 = 0]
+        |     ELSE [] END, n) AS cuts FROM t0),
+        | e AS (SELECT doc_id, text, cuts, unnest(cuts) AS en,
+        |   generate_subscripts(cuts, 1) AS j FROM c)
+        |SELECT doc_id, j::BIGINT AS chunk_id,
+        |  substr(text, CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END,
+        |    en - CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) AS chunk
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_cdc_dups" ->
+      """WITH t0 AS (SELECT doc_id, text, len(text)::INT AS n,
+        |   CASE WHEN len(text) >= 1 THEN
+        |     [unicode(substr(text,i,1))::BIGINT for i in range(1, len(text)+1)]
+        |   ELSE [0::BIGINT] END AS cl
+        |  FROM documents),
+        | c AS (SELECT doc_id, text,
+        |   list_append(
+        |     CASE WHEN n - 1 >= 8 THEN
+        |       [i for i in range(8, n)
+        |        if list_reduce(list_prepend(0::BIGINT, cl[i-7:i]),
+        |             (a, c) -> (a*31 + c) % 1000000007) % 32 = 0]
+        |     ELSE [] END, n) AS cuts FROM t0),
+        | e AS (SELECT doc_id, text, cuts, unnest(cuts) AS en,
+        |   generate_subscripts(cuts, 1) AS j FROM c),
+        | ch AS (SELECT doc_id,
+        |   substr(text, CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END,
+        |     en - CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) AS chunk FROM e)
+        |SELECT md5(chunk) AS chunk_hash,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM ch WHERE len(chunk) > 0
+        |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     "q_strip_lines" ->
       """WITH d AS (SELECT doc_id, string_split(
         |   regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g'),

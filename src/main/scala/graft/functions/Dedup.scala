@@ -445,6 +445,57 @@ object Dedup {
     * `delimiter` is a REGEX for splitting and a literal for
     * reassembly: the default "\n" dedups lines; "\n\n" dedups
     * paragraphs (blank-line separated). */
+  /** Content-defined chunking (CDC): split text at positions where
+    * the `window`-char rolling polynomial hash hits 0 mod `modulus` —
+    * boundaries depend only on LOCAL content, so an insertion or
+    * deletion shifts chunk boundaries only until the next content cut
+    * (spec-asserted), where fixed-window carving
+    * ([[stripRepeatedBlocks]]) re-phases EVERY downstream block (its
+    * `offsets` half-stride passes are the partial fix; CDC is the
+    * full one, at the cost of variable chunk sizes ≈ `modulus` chars
+    * on average). The storage-dedup recipe (LBFS/Rabin, restic/borg)
+    * applied to corpus text.
+    *
+    * The window hash is the [[graft.functions.TextFunctions
+    * .fingerprint]] polynomial (`fold (acc·31 + codepoint) mod
+    * 1e9+7`) over the `window` chars ending at each position — pure
+    * integer arithmetic an oracle replays EXACTLY, so (unlike the
+    * xx/md5 twin pattern) ONE implementation serves production and
+    * differential testing. Cut positions come from the
+    * [[graft.plans.CdcCuts]] codegen kernel (one O(len) rolling pass
+    * per row; see its Scaladoc for the rejected columnar and md5
+    * probes); chunk slicing is columnar on the cut array, no explode
+    * until the chunk rows emit, no shuffle.
+    * Output: (`id`, chunk_id 1-based, chunk); chunks concatenate back
+    * to the input (spec-asserted). Empty docs emit one empty chunk —
+    * no row is silently lost. */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+                window: Int = 8, modulus: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val t = col(text)
+    val withCuts = df.withColumn("__cuts",
+      Bridge.column(graft.plans.CdcCuts(Bridge.expression(t), window, modulus)))
+    val starts = concat(array(lit(0)),
+      slice(col("__cuts"), lit(1), greatest(size(col("__cuts")) - 1, lit(0))))
+    val chunks = zip_with(starts, col("__cuts"), (s, e) => t.substr(s + 1, e - s))
+    withCuts.select(col(id), posexplode(chunks).as(Seq("__cpos", "chunk")))
+      .select(col(id), (col("__cpos") + 1).cast("long").as("chunk_id"),
+        col("chunk"))
+  }
+
+  /** Corpus-wide duplicated-CDC-chunk report over a [[cdcChunks]]
+    * output: chunks (keyed by md5 of the text — a 16-byte shuffle key,
+    * the text itself never shuffles past the map-side partial)
+    * appearing in ≥ `minDocs` distinct documents, with occurrence
+    * counts — the audit that sizes a CDC-based strip before running
+    * it. Empty chunks (empty docs) are excluded. */
+  def cdcDupChunks(chunks: DataFrame, id: String, minDocs: Int = 2): DataFrame =
+    chunks.where(length(col("chunk")) > 0)
+      .groupBy(md5(col("chunk")).as("chunk_hash"))
+      .agg(countDistinct(col(id)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+
   def stripRepeatedLines(df: DataFrame, id: String, text: String,
                          minRepeats: Int = 2,
                          normalize: Column => Column = identity,

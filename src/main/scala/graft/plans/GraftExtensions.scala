@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   shingle_hashes(text, n)             → array<bigint> (distinct, sorted)
   *   token_shingle_hashes(text, n)       → array<bigint> (distinct, sorted)
   *   shingle_hash_counts(text, n)        → array<struct<h:bigint,c:int>>
+  *   cdc_cuts(text, window, modulus)     → array<int> (cut positions + len)
   *   simhash64(text)                     → bigint
   *   vector_dot(a, b) / vector_cosine(a, b) → double
   *   unicode_normalize(text[, form])     → string (form: NFC/NFD/NFKC/NFKD)
@@ -75,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(text, n) => ShingleHashCounts(text, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("shingle_hash_counts(text, n)")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("cdc_cuts"),
+      info("cdc_cuts", "content-defined-chunking cut positions (rolling polynomial hash)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, w, m) => CdcCuts(text, intArg(w, "window"), intArg(m, "modulus"))
+        case _ => throw new IllegalArgumentException("cdc_cuts(text, window, modulus)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
 
     e.injectFunction((FunctionIdentifier("simhash64"),

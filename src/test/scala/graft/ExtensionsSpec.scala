@@ -187,6 +187,76 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks: lossless, shift-robust, repartition-invariant; dup report counts") {
+    val base = "the quick brown fox jumps over the lazy dog while the rain " +
+      "falls gently on the quiet green fields of the old farm near the river"
+    val df = Seq((1L, base), (2L, "x" + base), (3L, "")).toDF("doc_id", "text")
+    def chunksOf(d: org.apache.spark.sql.DataFrame) =
+      Dedup.cdcChunks(d, "doc_id", "text", window = 8, modulus = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val all = chunksOf(df)
+    // lossless: chunks concatenate back to the input, ids 1..n dense
+    val byDoc = all.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(byDoc(1L).mkString == base && byDoc(2L).mkString == "x" + base)
+    assert(byDoc(3L).toSeq == Seq("")) // empty doc keeps one empty chunk row
+    // shift-robustness: prepending one char re-phases at most the
+    // leading chunks — the common SUFFIX covers all but <= 2 chunks
+    // (fixed-window carving would re-phase every block)
+    val a = byDoc(1L); val b = byDoc(2L)
+    val commonSuffix = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.size
+    assert(commonSuffix >= a.size - 2,
+      s"CDC lost shift-robustness: suffix $commonSuffix of ${a.size}\n$a\n$b")
+    assert(a.size > 2, s"fixture too short to exercise the property: $a")
+    // repartition invariance
+    val re = chunksOf(df.repartition(5))
+    assert(re.toSet == all.toSet)
+    // dup report: duplicate the shared tail across docs 1 and 2 —
+    // every common-suffix chunk appears in both
+    val dups = Dedup.cdcDupChunks(
+        Dedup.cdcChunks(df, "doc_id", "text", window = 8, modulus = 16),
+        "doc_id", minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dups.length >= commonSuffix - 1, s"dup report too small: ${dups.length}")
+    assert(dups.forall { case (_, nd, no) => nd == 2 && no >= 2 })
+  }
+
+  test("CdcCuts rolling hash == direct per-window fold on random strings; SQL-registered") {
+    val rnd = new scala.util.Random(42)
+    def directCuts(s: String, w: Int, m: Int): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      val inner =
+        if (n - 1 >= w)
+          (w to n - 1).filter { p =>
+            val h = cps.slice(p - w, p).foldLeft(0L)((a, c) => (a * 31L + c) % 1000000007L)
+            h % m == 0
+          }
+        else Seq.empty
+      inner :+ n
+    }
+    val strs = (0 until 50).map { i =>
+      val len = rnd.nextInt(120)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        sb.append(if (rnd.nextBoolean()) ('a' + rnd.nextInt(26)).toChar
+          else if (rnd.nextInt(10) == 0) '€' // multi-byte codepoint
+          else ' ')
+      }
+      (i.toLong, sb.toString)
+    }
+    val got = strs.toDF("id", "t")
+      .select($"id", org.apache.spark.sql.graft.Bridge.column(
+        graft.plans.CdcCuts(org.apache.spark.sql.graft.Bridge.expression($"t"), 6, 8)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    strs.foreach { case (id, s) =>
+      assert(got(id) == directCuts(s, 6, 8), s"mismatch on ${s.take(40)}...")
+    }
+    // SQL registration
+    val sql = spark.sql("SELECT cdc_cuts('hello world hello world again', 6, 8)")
+      .head().getSeq[Int](0)
+    assert(sql == directCuts("hello world hello world again", 6, 8))
+  }
+
   test("stripRepeatedLines drops corpus-repeated lines, normalized match, order kept") {
     // "cookie notice here" repeats in docs 1, 2, 3 — in doc 3 as a
     // case/punctuation variant that only the normalized key catches.
