@@ -202,7 +202,7 @@ object SparkEntry {
     // importance scoring, the boilerplate line classifier, and the
     // Gopher rule gate
     "q_ann_sq8", "q_dsir_score", "q_boilerplate", "q_gopher_filter",
-    "q_curation_v3", "q_cdc_chunks", "q_cdc_dups")
+    "q_curation_v3", "q_cdc_chunks", "q_cdc_dups", "q_cdc_strip")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1471,6 +1471,19 @@ object SparkEntry {
             window = 8, modulus = 32),
           "doc_id", minDocs = 2)
         .orderBy("chunk_hash")
+    }),
+
+    // -------- dedup: CDC repeated-chunk strip (shift-robust) ----------
+    // The strip built on the CDC boundaries: chunks repeated >= 2
+    // times corpus-wide are deleted, docs reassemble losslessly from
+    // kept chunks (no separator — CDC slices concatenate back), every
+    // doc keeps a row.
+    "q_cdc_strip" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.stripRepeatedCdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          window = 8, modulus = 32, minRepeats = 2)
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
     }),
 
     // -------- dedup: corpus-wide repeated-line strip ------------------
@@ -3033,6 +3046,32 @@ object SparkEntry {
         |FROM ch WHERE len(chunk) > 0
         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+    "q_cdc_strip" ->
+      """WITH t0 AS (SELECT doc_id, text, len(text)::INT AS n,
+        |   CASE WHEN len(text) >= 1 THEN
+        |     [unicode(substr(text,i,1))::BIGINT for i in range(1, len(text)+1)]
+        |   ELSE [0::BIGINT] END AS cl
+        |  FROM documents),
+        | c AS (SELECT doc_id, text,
+        |   list_append(
+        |     CASE WHEN n - 1 >= 8 THEN
+        |       [i for i in range(8, n)
+        |        if list_reduce(list_prepend(0::BIGINT, cl[i-7:i]),
+        |             (a, c) -> (a*31 + c) % 1000000007) % 32 = 0]
+        |     ELSE [] END, n) AS cuts FROM t0),
+        | e AS (SELECT doc_id, text, cuts, unnest(cuts) AS en,
+        |   generate_subscripts(cuts, 1) AS j FROM c),
+        | ch AS (SELECT doc_id, j,
+        |   substr(text, CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END,
+        |     en - CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END) AS chunk FROM e),
+        | bp AS (SELECT chunk FROM ch WHERE len(chunk) > 0
+        |   GROUP BY chunk HAVING count(*) >= 2),
+        | re AS (SELECT doc_id, string_agg(chunk, '' ORDER BY j) AS text
+        |   FROM ch WHERE chunk NOT IN (SELECT chunk FROM bp)
+        |   GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(re.text, '') AS text
+        |FROM documents d LEFT JOIN re USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_strip_lines" ->
       """WITH d AS (SELECT doc_id, string_split(
         |   regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1' || chr(10), 'g'),

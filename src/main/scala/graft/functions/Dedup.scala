@@ -483,6 +483,47 @@ object Dedup {
         col("chunk"))
   }
 
+  /** CDC-based repeated-chunk strip — [[stripRepeatedBlocks]]'s
+    * contract with SHIFT-ROBUST boundaries: chunks whose text repeats
+    * ≥ `minRepeats` times corpus-wide are deleted and each document
+    * reassembles from its kept chunks (CDC slices concatenate back
+    * losslessly, so no separator guessing). Same collision-safe count
+    * shape as the block strip: corpus counts aggregate on the 8-byte
+    * xxhash64 chunk key (map-side partials), only hash-repeated
+    * chunks are re-counted by exact text, and the reassembly is the
+    * one wide-text shuffle. All input rows survive (a doc whose every
+    * chunk drops keeps an empty `text`), other columns pass through.
+    * NOT idempotent by design: re-chunking the stripped text computes
+    * fresh boundaries (document if chaining passes). Unlike the
+    * aligned-block strip, a one-token insertion upstream of a
+    * repeated run cannot hide the run from the counter — the cuts
+    * re-synchronize at the next content boundary ([[cdcChunks]]'s
+    * spec-asserted property), which is what the `offsets` half-stride
+    * passes only approximate. */
+  def stripRepeatedCdcChunks(df: DataFrame, id: String, text: String,
+                             window: Int = 8, modulus: Int = 64,
+                             minRepeats: Int = 2): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val chunks = cdcChunks(df, id, text, window, modulus)
+    val nonEmpty = chunks.where(length(col("chunk")) > 0)
+    val repeatedHashes = nonEmpty.select(xxhash64(col("chunk")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minRepeats)
+      .select("__h")
+    val boilerplate = nonEmpty.withColumn("__h", xxhash64(col("chunk")))
+      .join(repeatedHashes, Seq("__h"), "left_semi")
+      .groupBy(col("chunk")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minRepeats)
+      .select(col("chunk"))
+    val keptText = chunks.join(boilerplate, Seq("chunk"), "left_anti")
+      .groupBy(col(id))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("chunk_id").as("i"), col("chunk").as("c")))),
+        s => s.getField("c"))).as(text))
+    df.drop(text).join(keptText, Seq(id), "left")
+      .withColumn(text, coalesce(col(text), lit("")))
+  }
+
   /** Corpus-wide duplicated-CDC-chunk report over a [[cdcChunks]]
     * output: chunks (keyed by md5 of the text — a 16-byte shuffle key,
     * the text itself never shuffles past the map-side partial)

@@ -220,6 +220,29 @@ class DedupSpec extends AnyFunSuite {
     assert(dups.forall { case (_, nd, no) => nd == 2 && no >= 2 })
   }
 
+  test("stripRepeatedCdcChunks removes a shared run even when shifted; docs survive") {
+    val run = "the same boilerplate footer appears again here word for word " +
+      "in every single page of this site with the same links and the same text"
+    val docs = Seq(
+      (1L, "unique article about fish ponds and gardens. " + run),
+      // shifted context: one extra leading char re-phases fixed blocks
+      // but CDC cuts re-synchronize inside the run
+      (2L, "x completely different news item on markets today. " + run),
+      (3L, "a lone document that shares nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedCdcChunks(docs, "doc_id", "text",
+        window = 8, modulus = 16, minRepeats = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // every doc keeps a row
+    // the shared run's interior is gone from both carriers
+    val mid = run.substring(30, 90)
+    assert(!out(1L).contains(mid) && !out(2L).contains(mid),
+      s"shared run survived: ${out(1L)}")
+    assert(out(1L).length < docs.collect()(0).getString(1).length)
+    // the unique doc is untouched (no chunk of it repeats)
+    assert(out(3L) == "a lone document that shares nothing with the others at all")
+  }
+
   test("CdcCuts rolling hash == direct per-window fold on random strings; SQL-registered") {
     val rnd = new scala.util.Random(42)
     def directCuts(s: String, w: Int, m: Int): Seq[Int] = {
