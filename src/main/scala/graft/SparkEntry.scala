@@ -1815,6 +1815,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: cross-source duplication matrix ------------------
+    // The curation audit "which sources duplicate each other": the
+    // verified LSH pair set (≡ exact 5-gram Jaccard >= 0.9) with each
+    // side's source attached, counted per unordered source pair. Tells
+    // a pipeline owner where to spend dedup budget and which feeds are
+    // mirrors of each other.
+    "q_dup_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
+        maxBucketSize = 0)
+      val src = docs.select($"doc_id", $"source")
+      pairs
+        .join(src.select($"doc_id".as("id_a"), $"source".as("__sa")), "id_a")
+        .join(src.select($"doc_id".as("id_b"), $"source".as("__sb")), "id_b")
+        .groupBy(least($"__sa", $"__sb").as("src_a"),
+          greatest($"__sa", $"__sb").as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // -------- dedup: near-dup clusters via connected components -------
     // Verified LSH pairs (≡ the exact 5-gram Jaccard >= 0.9 set by the
     // exact-verify stage) → min-label components; oracle is a
@@ -3441,6 +3463,17 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id<b.doc_id
         |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dup_matrix" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | p AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
+        |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9)
+        |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (SELECT doc_id,
         |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh

@@ -255,6 +255,18 @@ class PlanSpec extends AnyFunSuite {
       s"q_domain_stats grew a join:\n$ps")
   }
 
+  test("CDC family: kernelized cuts, hash-keyed counts, no single partition") {
+    for (q <- Seq("q_cdc_chunks", "q_cdc_dups", "q_cdc_strip")) {
+      val p = planOf(q)
+      assert(p.contains("cdc_cuts"), s"$q lost the CdcCuts kernel:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Exchange SinglePartition"),
+        s"$q grew a quadratic/single-partition stage:\n$p")
+    }
+    // the strip's corpus count aggregates on the xxhash64 chunk key
+    val ps = planOf("q_cdc_strip")
+    assert(ps.contains("xxhash64"), s"q_cdc_strip count key is not the hash:\n$ps")
+  }
+
   test("curation v3 composite: no cartesian, no single-partition stage (q_curation_v3)") {
     val p = planOf("q_curation_v3")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
