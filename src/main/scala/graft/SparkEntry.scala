@@ -647,6 +647,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- corpus: weighted sample (∝ token count) -----------------
+    // Efraimidis-Spirakis A-ES with the md5-uniform trick: 50 docs
+    // drawn without replacement with probability ∝ token count —
+    // round-before-rank keys + id tie-break make the set
+    // dialect-exact.
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Corpus.sampleWeightedByHash(docs, $"doc_id",
+          size(TextFunctions.tokens($"text")), k = 50)
+        .select($"doc_id", $"source")
+        .orderBy("doc_id")
+    }),
+
     // -------- corpus: upsampled mixture (rates > 1) -------------------
     // The multi-epoch mixture recipe: a curated set (src0-4) at 2.25
     // epochs (2 full copies + an exact-2^58-threshold quarter draw),
@@ -2604,6 +2618,17 @@ object SparkEntry {
         |   FROM dom)
         |SELECT doc_id, dsir_score, domain FROM r WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |   len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS wt
+        |  FROM documents),
+        | kx AS (SELECT doc_id, source,
+        |   round(ln((('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 15))::BIGINT
+        |             + 1) / 1152921504606846976.0) / wt, 6) AS key
+        |  FROM w WHERE wt > 0),
+        | r AS (SELECT doc_id, source,
+        |   row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM kx)
+        |SELECT doc_id, source FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
     "q_mix_upsample" ->
       """WITH cur AS (SELECT doc_id, source FROM documents
         |   WHERE source IN ('src0','src1','src2','src3','src4')),

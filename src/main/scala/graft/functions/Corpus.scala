@@ -377,6 +377,32 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): rank rows by `key = ln(u) / w` where `u` is the
+    * 60-bit salted-md5 uniform mapped to (0, 1] and `w` the row's
+    * weight, keep the top `k` — equivalent to ranking by `u^(1/w)`,
+    * which draws each subset with the weighted-without-replacement
+    * probability ("sample 10k docs ∝ token count"). Deterministic per
+    * (id, seed) and repartition/retry-invariant like every
+    * hash-ordered draw here; keys round to 6 before ranking
+    * (round-before-rank, the tfidf recipe) with the id tie-break, so
+    * the selected set is dialect-exact. Compiles to TakeOrdered
+    * (per-partition top-k + a k-row driver merge — no global sort,
+    * same plan contract as `sampleByHash`). Rows with weight <= 0 or
+    * null are dropped (they carry no draw probability). */
+  def sampleWeightedByHash(df: DataFrame, id: Column, weight: Column, k: Int,
+                           seed: Long = 42L): DataFrame = {
+    require(k >= 0, s"k $k must be >= 0")
+    val u = (md5Bucket(id, seed) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    val key = round(log(u) / weight.cast("double"), 6)
+    df.where(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, id)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Per-key quota cap: keep at most `n` rows per key, chosen by the
     * deterministic salted-md5 order (repartition-invariant, survives
     * retries and incremental reruns) — the "at most N docs per

@@ -238,6 +238,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped2 == capped)
   }
 
+  test("sampleWeightedByHash: heavy rows win, deterministic, drops nonpositive weights") {
+    val df = ((1L to 10L).map(i => (i, 1.0)) :+ ((99L, 1000.0)))
+      .toDF("id", "w")
+    // weight 1000 vs ten weight-1 rows: P(heavy wins a k=1 draw) ≈ 0.99
+    // per seed — across 20 seeds, losing 3+ times has prob ~1e-4
+    val wins = (1L to 20L).count { seed =>
+      Corpus.sampleWeightedByHash(df, col("id"), col("w"), k = 1, seed = seed)
+        .head().getLong(0) == 99L
+    }
+    assert(wins >= 17, s"heavy row won only $wins/20 draws")
+    // deterministic + repartition-invariant set
+    val a = Corpus.sampleWeightedByHash(df, col("id"), col("w"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleWeightedByHash(df.repartition(7), col("id"), col("w"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 5)
+    // zero/negative/null weights carry no draw probability
+    val dirty = Seq((1L, 0.0), (2L, -3.0), (4L, 2.0))
+      .toDF("id", "w")
+      .union(Seq((3L, null.asInstanceOf[java.lang.Double])).toDF("id", "w"))
+    val kept = Corpus.sampleWeightedByHash(dirty, col("id"), col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L))
+  }
+
   test("interleaveByWeights: every prefix holds sources in ~weight proportion") {
     val df = ((1L to 200L).map(i => (i, "A")) ++ (1001L to 1100L).map(i => (i, "B")))
       .toDF("id", "src")

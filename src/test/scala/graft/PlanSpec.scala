@@ -255,6 +255,12 @@ class PlanSpec extends AnyFunSuite {
       s"q_domain_stats grew a join:\n$ps")
   }
 
+  test("weighted sample compiles to TakeOrdered, not a global sort (q_weighted_sample)") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted draw lost its per-partition top-k shape:\n$p")
+  }
+
   test("CDC family: kernelized cuts, hash-keyed counts, no single partition") {
     for (q <- Seq("q_cdc_chunks", "q_cdc_dups", "q_cdc_strip")) {
       val p = planOf(q)
