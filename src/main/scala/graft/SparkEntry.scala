@@ -630,11 +630,9 @@ object SparkEntry {
       val gated = cleaned.where(TextFunctions.gopherFlags($"clean_text",
         TextFunctions.tokens($"clean_text"), minRequiredStopwords = 1)
         .getField("pass"))
-      val lrs = TextFunctions.dsirLogRatios(
-        TextFunctions.fitHashedBucketCountsByMd5(
-          docs.where($"source" === "src0"), $"text", buckets = 512),
-        TextFunctions.fitHashedBucketCountsByMd5(
-          docs.where($"source" =!= "src0"), $"text", buckets = 512))
+      val (dsirTc, dsirRc) = TextFunctions.fitHashedBucketCountsSplitByMd5(
+        docs, $"text", $"source" === "src0", buckets = 512)
+      val lrs = TextFunctions.dsirLogRatios(dsirTc, dsirRc)
       val scored = TextFunctions.dsirScoreByMd5(
           gated.select($"doc_id", $"clean_text"), "doc_id", $"clean_text", lrs)
         .where($"dsir_score" >= -0.28)
@@ -658,6 +656,17 @@ object SparkEntry {
       Corpus.sampleWeightedByHash(docs, $"doc_id",
           size(TextFunctions.tokens($"text")), k = 50)
         .select($"doc_id", $"source")
+        .orderBy("doc_id")
+    }),
+
+    // -------- corpus: per-key weighted sample -------------------------
+    // The A-ES draw applied per language: 20 docs per lang ∝ token
+    // count, one keyed window.
+    "q_weighted_sample_key" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.sampleWeightedPerKeyByHash(t(s, dir, "documents"), Seq("lang"),
+          $"doc_id", size(TextFunctions.tokens($"text")), k = 20)
+        .select($"doc_id", $"lang")
         .orderBy("doc_id")
     }),
 
@@ -1682,12 +1691,12 @@ object SparkEntry {
     "q_dsir_score" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val target = docs.where($"source" === "src0")
-      val raw = docs.where($"source" =!= "src0")
-      val lrs = TextFunctions.dsirLogRatios(
-        TextFunctions.fitHashedBucketCountsByMd5(target, $"text", buckets = 512),
-        TextFunctions.fitHashedBucketCountsByMd5(raw, $"text", buckets = 512))
-      TextFunctions.dsirScoreByMd5(raw, "doc_id", $"text", lrs)
+      // one-pass split fit: both distributions from a single corpus
+      // scan (identical counts to two separate fits, spec-asserted)
+      val (tc, rc) = TextFunctions.fitHashedBucketCountsSplitByMd5(
+        docs, $"text", $"source" === "src0", buckets = 512)
+      TextFunctions.dsirScoreByMd5(docs.where($"source" =!= "src0"),
+          "doc_id", $"text", TextFunctions.dsirLogRatios(tc, rc))
         .orderBy("doc_id")
     }),
 
@@ -2629,6 +2638,18 @@ object SparkEntry {
         | r AS (SELECT doc_id, source,
         |   row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM kx)
         |SELECT doc_id, source FROM r WHERE rk <= 50 ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample_key" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |   len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS wt
+        |  FROM documents),
+        | kx AS (SELECT doc_id, lang,
+        |   round(ln((('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 15))::BIGINT
+        |             + 1) / 1152921504606846976.0) / wt, 6) AS key
+        |  FROM w WHERE wt > 0),
+        | r AS (SELECT doc_id, lang,
+        |   row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+        |  FROM kx)
+        |SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
     "q_mix_upsample" ->
       """WITH cur AS (SELECT doc_id, source FROM documents
         |   WHERE source IN ('src0','src1','src2','src3','src4')),

@@ -403,6 +403,27 @@ object Corpus {
       .drop("__wkey")
   }
 
+  /** Per-key twin of [[sampleWeightedByHash]]: each key independently
+    * keeps its top-`k` A-ES draw ("per language, sample k docs ∝
+    * token count") — one window shuffle partitioned by the keys,
+    * scaling with key cardinality like [[capPerKeyByHash]]. Same
+    * rounded-key + id tie-break determinism contract. */
+  def sampleWeightedPerKeyByHash(df: DataFrame, keys: Seq[String], id: Column,
+                                 weight: Column, k: Int,
+                                 seed: Long = 42L): DataFrame = {
+    require(k >= 0, s"k $k must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val u = (md5Bucket(id, seed) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    val key = round(log(u) / weight.cast("double"), 6)
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy(key.desc, id)
+    df.where(weight.isNotNull && weight.cast("double") > 0)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Per-key quota cap: keep at most `n` rows per key, chosen by the
     * deterministic salted-md5 order (repartition-invariant, survives
     * retries and incremental reruns) — the "at most N docs per

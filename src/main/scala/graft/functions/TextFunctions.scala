@@ -613,6 +613,42 @@ object TextFunctions {
     Array.tabulate(buckets)(b => counts.getOrElse(b, 0L))
   }
 
+  /** One-pass (target, raw) bucket-count fit: when target and raw are
+    * PARTITIONS of the same table (the common DSIR setup — "src0 vs
+    * the rest"), fitting them separately scans the corpus twice;
+    * this form tags each doc with `isTarget` and aggregates both
+    * distributions in a single explode + (bucket, flag) count — at
+    * 100 TB the fit cost halves. Counts are identical to the two
+    * separate fits (same tokens, same hash). xxhash64 production
+    * hasher; `...ByMd5` the oracle twin. */
+  def fitHashedBucketCountsSplit(df: DF, text: Column, isTarget: Column,
+                                 buckets: Int,
+                                 seed: Long = 42L): (Array[Long], Array[Long]) =
+    fitSplitCore(df, text, isTarget, buckets, dsirBucketXx(buckets, seed))
+
+  /** Oracle/differential twin of [[fitHashedBucketCountsSplit]]. */
+  def fitHashedBucketCountsSplitByMd5(df: DF, text: Column, isTarget: Column,
+                                      buckets: Int, seed: Long = 42L)
+      : (Array[Long], Array[Long]) =
+    fitSplitCore(df, text, isTarget, buckets, dsirBucketMd5(buckets, seed))
+
+  private def fitSplitCore(df: DF, text: Column, isTarget: Column, buckets: Int,
+                           bucketOf: Column => Column)
+      : (Array[Long], Array[Long]) = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    val rows = df.select(isTarget.as("__tgt"), explode(tokens(text)).as("__t"))
+      .select(col("__tgt"), bucketOf(col("__t")).as("__b"))
+      .groupBy("__tgt", "__b").agg(count(lit(1)).as("__c"))
+      .collect()
+    val target = Array.fill(buckets)(0L)
+    val raw = Array.fill(buckets)(0L)
+    rows.foreach { r =>
+      val arr = if (r.getBoolean(0)) target else raw
+      arr(r.getLong(1).toInt) = r.getLong(2)
+    }
+    (target, raw)
+  }
+
   /** Add-one-smoothed log-likelihood ratios from a (target, raw)
     * bucket-count pair: `lr_b = ln((tc_b+1)·Tr / ((rc_b+1)·Tt))` with
     * `Tt = Σtc + B`, `Tr = Σrc + B` — the single-`ln` form keeps the

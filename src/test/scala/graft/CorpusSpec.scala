@@ -261,6 +261,18 @@ class CorpusSpec extends AnyFunSuite {
     val kept = Corpus.sampleWeightedByHash(dirty, col("id"), col("w"), k = 10)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(4L))
+    // per-key twin: k per key, and each key's set equals the global
+    // form applied to that key alone (same keys, same draw)
+    val keyed = ((1L to 30L).map(i => (i, "a", 1.0 + (i % 3))) ++
+      (31L to 40L).map(i => (i, "b", 2.0))).toDF("id", "k", "w")
+    val per = Corpus.sampleWeightedPerKeyByHash(keyed, Seq("k"), col("id"),
+        col("w"), k = 4)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(per.groupBy(_._1).view.mapValues(_.size).toMap == Map("a" -> 4, "b" -> 4))
+    val aOnly = Corpus.sampleWeightedByHash(keyed.where(col("k") === "a"),
+        col("id"), col("w"), k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(per.filter(_._1 == "a").map(_._2).toSet == aOnly)
   }
 
   test("interleaveByWeights: every prefix holds sources in ~weight proportion") {

@@ -2056,6 +2056,21 @@ class TextFunctionsSpec extends AnyFunSuite {
       .dsirScoreByMd5(raw.repartition(5), "doc_id", $"text", lrs)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == got2)
+    // one-pass split fit == the two separate fits, both hashers
+    val both = target.withColumn("__t", lit(true))
+      .unionByName(raw.withColumn("__t", lit(false)))
+    val (stc, src) = TextFunctions.fitHashedBucketCountsSplitByMd5(
+      both, $"text", $"__t", buckets = 256)
+    assert(stc.toSeq == TextFunctions
+      .fitHashedBucketCountsByMd5(target, $"text", buckets = 256).toSeq)
+    assert(src.toSeq == TextFunctions
+      .fitHashedBucketCountsByMd5(raw, $"text", buckets = 256).toSeq)
+    val (xtc, xrc) = TextFunctions.fitHashedBucketCountsSplit(
+      both, $"text", $"__t", buckets = 256)
+    assert(xtc.toSeq == TextFunctions
+      .fitHashedBucketCounts(target, $"text", buckets = 256).toSeq)
+    assert(xrc.toSeq == TextFunctions
+      .fitHashedBucketCounts(raw, $"text", buckets = 256).toSeq)
   }
 }
 
