@@ -2128,6 +2128,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: per-source bigram diversity audit -----------------
+    // distinct/total bigram ratio per source — the corpus-diversity
+    // number (low = templated feed).
+    "q_diversity" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.ngramDiversity(t(s, dir, "documents"), Seq("source"),
+          TextFunctions.tokens($"text"), n = 2)
+        .orderBy("source")
+    }),
+
     // -------- text: top-bigram repetition fraction --------------------
     "q_top_ngram" -> ((s, dir) => {
       import s.implicits._
@@ -3762,6 +3772,18 @@ object SparkEntry {
         |  (words_ok AND word_len_ok AND symbol_ok AND bullet_ok AND
         |   ellipsis_ok AND alpha_ok AND stopword_ok AND dup_line_ok) AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_diversity" ->
+      """WITH t AS (SELECT source,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | g AS (SELECT source,
+        |   unnest([array_to_string(toks[i:i+1], ' ')
+        |           for i in range(1, greatest(len(toks)-1,1)+1)]) AS g
+        |  FROM t)
+        |SELECT source, count(*)::BIGINT AS n_grams,
+        | count(DISTINCT g)::BIGINT AS n_distinct,
+        | round(count(DISTINCT g)::DOUBLE / count(*), 6) AS diversity
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_top_ngram" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks

@@ -406,6 +406,30 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, email, "<EMAIL>"), phone, "<PHONE>")
   }
 
+  /** N-gram diversity audit: per group, total word n-gram occurrences,
+    * distinct n-grams, and their ratio — the corpus-diversity number
+    * (low ratio = templated/repetitive feed; the distinct-n-gram
+    * fraction underlying self-BLEU-style diversity reports). One
+    * explode + a (keys) aggregate with `count_distinct` (map-side
+    * partial aggregation; the distinct runs as the standard two-phase
+    * expand — no driver materialization). N-grams are per-occurrence
+    * (frequency is the point), built map-side by the same slice walk
+    * as [[topNgramFraction]]; docs shorter than `n` tokens contribute
+    * their single short gram. Output: (keys..., n_grams, n_distinct,
+    * diversity rounded 6). */
+  def ngramDiversity(df: DF, keys: Seq[String], toks: Column,
+                     n: Int): DF = {
+    require(n >= 1, s"n $n must be >= 1")
+    val grams = df.select(keys.map(col) :+
+        explode(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(n))))).as("__g"): _*)
+    grams.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("__g")).as("n_distinct"))
+      .withColumn("diversity",
+        round(col("n_distinct").cast("double") / col("n_grams"), 6))
+  }
+
   /** PII detection counts — the audit companion to [[redactPii]]:
     * per-doc email/phone match counts with the SAME regexes the scrub
     * replaces, so `n_emails + n_phones == 0` after a scrub pass is an

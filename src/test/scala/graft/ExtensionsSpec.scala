@@ -1977,6 +1977,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("ngramDiversity: templated feed scores low, varied feed high") {
+    val df = Seq(
+      (1L, "tmpl", "click here now"),
+      (2L, "tmpl", "click here now"),
+      (3L, "tmpl", "click here now"),
+      (4L, "varied", "one two three"),
+      (5L, "varied", "four five six"),
+      (6L, "varied", "seven eight nine")).toDF("doc_id", "source", "text")
+    val got = TextFunctions.ngramDiversity(df, Seq("source"),
+        TextFunctions.tokens(col("text")), n = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // tmpl: 3 docs x 2 bigrams, all repeats of the same 2 -> 2/6
+    assert(got("tmpl") == ((6L, 2L, 0.333333)))
+    // varied: 6 distinct bigrams out of 6
+    assert(got("varied") == ((6L, 6L, 1.0)))
+  }
+
   test("piiStats counts match the scrub regexes; zero after redaction") {
     val df = Seq(
       (1L, "mail a@b.co and c.d@e.org plus phone +1 (555) 123-4567"),
