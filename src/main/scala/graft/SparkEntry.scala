@@ -1429,6 +1429,21 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- dedup: any-shared-13-gram decontamination ---------------
+    // The published GPT-3/PaLM rule: one shared word 13-gram with the
+    // benchmark drops the doc. Bench = the every-50th-doc fixture, so
+    // the bench docs themselves (and any 13-gram-verbatim near-copies)
+    // drop.
+    "q_decontaminate_any" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"), $"text".as("bench_text"))
+      Dedup.decontaminateAnyNgram(docs, "doc_id", "text", bench, "bench_text",
+          n = 13)
+        .select($"doc_id").orderBy("doc_id")
+    }),
+
     // -------- dedup: normalized decontamination ------------------------
     // The bench side carries case-mangled, re-whitespaced copies of
     // every 50th doc (UPPERCASED, doubled spaces) — raw 8-gram hashing
@@ -3480,6 +3495,21 @@ object SparkEntry {
         | flagged AS (SELECT DISTINCT a.doc_id
         |   FROM sh a JOIN bench b
         |     ON len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_any" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | sh AS (SELECT doc_id, list_distinct(
+        |   [array_to_string(toks[i:i+12], ' ')
+        |    for i in range(1, greatest(len(toks)-12,1)+1)]) AS sh
+        |  FROM t),
+        | bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        | flagged AS (SELECT DISTINCT dg.doc_id
+        |   FROM (SELECT doc_id, unnest(sh) AS g FROM sh) dg
+        |   JOIN bg USING (g))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
         |ORDER BY doc_id""".stripMargin,

@@ -184,6 +184,32 @@ object Dedup {
       tokenShingleHashes(normalize(col(text)), n),
       tokenShingleHashes(normalize(col(benchText)), n), minOverlap)
 
+  /** The published "ANY shared n-gram" decontamination rule (the
+    * GPT-3 / PaLM 13-gram recipe): drop a document if any of its word
+    * n-grams appears anywhere in the benchmark — stricter than the
+    * overlap-fraction rule and CHEAPER: the benchmark's distinct gram
+    * hashes form one slim set (eval-suite-small → AQE broadcasts the
+    * semi-join build side), corpus grams semi-join it with no
+    * per-(doc, bench-doc) counting at all, and flagged ids anti-join
+    * back. Same inline-kernel discipline as [[decontaminateBy]] (an
+    * aliased generator child re-runs the kernel 3×). Collisions: a
+    * 64-bit hash match stands in for gram equality, as everywhere in
+    * the shingle family (~2^-64 per pair — the overlap-fraction APIs
+    * share the convention). */
+  def decontaminateAnyNgram(corpus: DataFrame, id: String, text: String,
+                            benchmark: DataFrame, benchText: String,
+                            n: Int = 13,
+                            normalize: Column => Column = identity): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(tokenShingleHashes(normalize(col(benchText)), n)).as("__h"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(id), explode(tokenShingleHashes(normalize(col(text)), n)).as("__h"))
+      .join(benchGrams, Seq("__h"), "left_semi")
+      .select(col(id)).distinct()
+    corpus.join(contaminated, Seq(id), "left_anti")
+  }
+
   /** Shared decontamination kernel over any distinct shingle-hash
     * array expressions (evaluated against the corpus / benchmark rows
     * respectively). Overlap is per (corpus doc, SINGLE bench doc) —

@@ -88,6 +88,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateAnyNgram: one shared n-gram drops, shorter overlap survives") {
+    val prompt = "what is the capital of france answer in a single word please today"
+    val docs = Seq(
+      (1L, "padding before " + prompt + " padding after"),    // full 13-gram
+      (2L, "what is the capital of france answer differs here entirely now"), // only a 6-token prefix shared
+      (3L, "nothing in common with the benchmark at all whatsoever")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, prompt)).toDF("bench_id", "bench_text")
+    val kept = Dedup.decontaminateAnyNgram(docs, "doc_id", "text",
+        bench, "bench_text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+    // with a smaller n the prefix overlap also trips the rule
+    val kept6 = Dedup.decontaminateAnyNgram(docs, "doc_id", "text",
+        bench, "bench_text", n = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept6 == Set(3L))
+  }
+
   test("decontaminate drops verbatim and dominant-overlap docs, keeps clean ones") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
