@@ -811,6 +811,50 @@ object Dedup {
         explode(lshBands(col("__sig"), k, bands)).as("__b"))
       .select(col(id), col("__b.band").as("band"), col("__b.bh").as("bh"))
 
+  /** Streaming NEAR-dup ingest filter against a persisted snapshot
+    * band table — the streaming tier of the recurring-crawl recipe
+    * ([[dedupNearDupsAgainstSnapshot]] is the exact-verified batch
+    * form, [[streamingDedupAgainstSnapshot]] the exact-text streaming
+    * tier). A stream row cannot re-group or self-join, so the drop
+    * decision must be a PER-ROW expression: the snapshot's (band, bh)
+    * keys fold into a driver-built Bloom filter (auto-sized from the
+    * distinct band-key count), and a row drops when ANY of its bands
+    * might be present. Fully STATELESS — no watermark, no state
+    * store, no stream-side shuffle; the bloom rides the plan as a
+    * literal probed by the codegen'd `might_contain`, and the
+    * signature is the fused MinHash kernel, so ingest cost is one
+    * projection per row at any snapshot size.
+    *
+    * Documented PRE-FILTER semantics: false positives = LSH banding
+    * FPs (≈ 1-(1-J^r)^b at similarity J) plus `fpp` per band from
+    * the bloom — run the exact batch verify on the retained output
+    * when precision matters; false negatives = banding misses only
+    * (the bloom adds none). `snapshotBands` must come from
+    * [[minhashBandTable]] with the SAME (n, k, bands, seed). Works
+    * identically on batch frames (same plan, spec-asserted). */
+  def streamingNearDupFilterAgainstBands(stream: DataFrame, text: String,
+                                         snapshotBands: DataFrame,
+                                         n: Int = 5, k: Int = 128,
+                                         bands: Int = 16, seed: Long = 42L,
+                                         fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val keys = snapshotBands
+      .select(xxhash64(col("band"), col("bh")).as("__bk")).distinct()
+    val expected = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter("__bk", expected, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    val blit = lit(bytes.toByteArray)
+    val sig = Bridge.column(graft.plans.MinHashSignature(
+      Bridge.expression(col(text)), n, k, seed))
+    val hit = exists(lshBands(sig, k, bands), b =>
+      Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          Bridge.expression(blit),
+          Bridge.expression(xxhash64(b.getField("band"), b.getField("bh"))))))
+    stream.where(!hit)
+  }
+
   /** Cross-snapshot NEAR-dup pairs — [[dedupAgainstSnapshot]]'s recall
     * extended from exact text equality to MinHash-LSH near-duplicates,
     * against a PERSISTED snapshot band table ([[minhashBandTable]]):

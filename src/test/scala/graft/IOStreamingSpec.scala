@@ -502,6 +502,36 @@ class WindowsSpec extends AnyFunSuite {
     assert(batch == Seq(2L, 4L))
   }
 
+  test("streaming NEAR-dup filter against a persisted band table (stateless bloom probe)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val snapshot = Seq((100L, base), (101L, "retained snapshot page two with words"))
+      .toDF("snap_id", "snap_text")
+    val bandDir = Files.createTempDirectory("graft-bands").toString + "/bands"
+    graft.functions.Dedup.minhashBandTable(snapshot, "snap_id", "snap_text")
+      .write.parquet(bandDir)
+    val snapshotBands = spark.read.parquet(bandDir)
+    val dir = Files.createTempDirectory("graft-neardupstream").toString + "/data"
+    Seq((1L, base + "zz"),                                   // near-dup of 100
+        (2L, "a completely fresh crawl document about rivers and bridges"),
+        (3L, base))                                          // exact dup of 100
+      .toDF("doc_id", "text").write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val kept = graft.functions.Dedup.streamingNearDupFilterAgainstBands(
+      stream, "text", snapshotBands)
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").select($"doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally q.stop()
+    // identical plan on a batch frame
+    val batch = graft.functions.Dedup.streamingNearDupFilterAgainstBands(
+        spark.read.parquet(dir), "text", snapshotBands)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batch == Seq(2L))
+  }
+
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
     val ds = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0)).toDS
     val out = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
