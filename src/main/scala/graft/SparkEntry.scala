@@ -1429,6 +1429,20 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
+    // -------- dedup: per-benchmark contamination report ---------------
+    // The audit twin of q_decontaminate: for each bench doc, how many
+    // corpus docs sit at/above the overlap threshold and the worst
+    // overlap — zero-match bench docs report (0, 0.0).
+    "q_contamination_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 50 === 0)
+        .select($"doc_id".as("bench_id"), $"text".as("bench_text"))
+      Dedup.contaminationReport(docs, "doc_id", "text", bench, "bench_id",
+          "bench_text", n = 8, minOverlap = 0.5)
+        .orderBy("bench_id")
+    }),
+
     // -------- dedup: any-shared-13-gram decontamination ---------------
     // The published GPT-3/PaLM rule: one shared word 13-gram with the
     // benchmark drops the doc. Bench = the every-50th-doc fixture, so
@@ -3038,6 +3052,23 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
         |ORDER BY doc_id""".stripMargin,
+    "q_contamination_report" ->
+      """WITH sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 8) for i in range(1, greatest(len(text)-7,1)+1)]) AS sh
+        |  FROM documents),
+        | bench AS (SELECT doc_id AS bid, sh AS bsh FROM sh WHERE doc_id % 50 = 0),
+        | ov AS (SELECT b.bid, a.doc_id,
+        |     len(list_intersect(a.sh, b.bsh))::DOUBLE / len(a.sh) AS ov
+        |   FROM sh a JOIN bench b
+        |     ON len(list_intersect(a.sh, b.bsh)) > 0),
+        | agg AS (SELECT bid, count(*)::BIGINT AS n_contaminated,
+        |     max(ov) AS mx
+        |   FROM ov WHERE ov >= 0.5 GROUP BY bid)
+        |SELECT b.bid AS bench_id,
+        |  coalesce(agg.n_contaminated, 0)::BIGINT AS n_contaminated,
+        |  round(coalesce(agg.mx, 0.0), 6) AS max_overlap
+        |FROM bench b LEFT JOIN agg USING (bid)
+        |ORDER BY bench_id""".stripMargin,
     "q_decontaminate_norm" ->
       """WITH nc AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
         |     lower(text), '[^a-z0-9 \t\n\f\r]', ' ', 'g'),

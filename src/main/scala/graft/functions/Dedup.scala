@@ -184,6 +184,41 @@ object Dedup {
       tokenShingleHashes(normalize(col(text)), n),
       tokenShingleHashes(normalize(col(benchText)), n), minOverlap)
 
+  /** Contamination AUDIT — the report twin of [[decontaminate]]: per
+    * BENCHMARK document, how many corpus docs sit at or above the
+    * overlap threshold and the worst overlap seen — what an eval owner
+    * reads as "which tasks leak into the training set, and how badly".
+    * Same narrow shingle-hash join and per-(corpus doc, bench doc)
+    * overlap as the filter form (char n-grams, |C∩B|/|C|, no
+    * cross-bench pooling), aggregated per bench id instead of
+    * anti-joined; bench docs with no flagged match report (0, 0.0) via
+    * the benchmark left-join re-attach — no task is silently missing
+    * from the report. Output: (`benchId`, n_contaminated,
+    * max_overlap rounded 6), one row per benchmark doc. */
+  def contaminationReport(corpus: DataFrame, id: String, text: String,
+                          benchmark: DataFrame, benchId: String,
+                          benchText: String, n: Int = 8,
+                          minOverlap: Double = 0.5,
+                          normalize: Column => Column = identity): DataFrame = {
+    val cSh = shingleHashes(normalize(col(text)), n)
+    val bSh = shingleHashes(normalize(col(benchText)), n)
+    val c = corpus.select(col(id).as("__cid"), explode(cSh).as("__h"))
+    val sizes = corpus.select(col(id).as("__cid"), size(cSh).cast("long").as("__n"))
+    val b = benchmark.select(col(benchId).as("__bid"), explode(bSh).as("__h"))
+    val per = c.join(b, "__h")
+      .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
+      .join(sizes, "__cid")
+      .select(col("__bid"), (col("__m").cast("double") / col("__n")).as("__ov"))
+      .where(col("__ov") >= minOverlap)
+      .groupBy(col("__bid"))
+      .agg(count(lit(1)).as("n_contaminated"), max(col("__ov")).as("__mx"))
+    benchmark.select(col(benchId))
+      .join(per.withColumnRenamed("__bid", benchId), Seq(benchId), "left")
+      .select(col(benchId),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("__mx"), lit(0.0)), 6).as("max_overlap"))
+  }
+
   /** The published "ANY shared n-gram" decontamination rule (the
     * GPT-3 / PaLM 13-gram recipe): drop a document if any of its word
     * n-grams appears anywhere in the benchmark — stricter than the

@@ -88,6 +88,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationReport: per-bench counts and worst overlap; clean tasks report zero") {
+    val prompt = "what is the capital of france answer in one word"
+    val docs = Seq(
+      (1L, prompt),                                  // verbatim leak
+      (2L, prompt + " plus some extra padding text"), // dominant overlap
+      (3L, "entirely unrelated content about rivers and dams")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, prompt), (200L, "a totally unleaked question"))
+      .toDF("bench_id", "bench_text")
+    val got = Dedup.contaminationReport(docs, "doc_id", "text",
+        bench, "bench_id", "bench_text", n = 8, minOverlap = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(100L)._1 == 2L && got(100L)._2 == 1.0, got(100L))
+    assert(got(200L) == ((0L, 0.0))) // clean task present with zeros
+  }
+
   test("decontaminateAnyNgram: one shared n-gram drops, shorter overlap survives") {
     val prompt = "what is the capital of france answer in a single word please today"
     val docs = Seq(
