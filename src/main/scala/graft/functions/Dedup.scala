@@ -871,15 +871,38 @@ object Dedup {
                                          snapshotBands: DataFrame,
                                          n: Int = 5, k: Int = 128,
                                          bands: Int = 16, seed: Long = 42L,
-                                         fpp: Double = 0.03): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
+                                         fpp: Double = 0.03): DataFrame =
+    streamingNearDupFilterWithBloom(stream, text,
+      buildBandBloom(snapshotBands, fpp), n, k, bands, seed)
+
+  /** Build the band-key Bloom filter [[streamingNearDupFilterAgainstBands]]
+    * probes, serialized — persist it next to the band table
+    * ([[graft.sources.GraftIO.writeBytes]]) so an ingest job RESTART
+    * loads bytes instead of re-running the distinct + bloom-build jobs
+    * over the band table. Auto-sized from the distinct band-key
+    * count. */
+  def buildBandBloom(snapshotBands: DataFrame, fpp: Double = 0.03): Array[Byte] = {
     val keys = snapshotBands
       .select(xxhash64(col("band"), col("bh")).as("__bk")).distinct()
     val expected = math.max(keys.count(), 1L)
     val bloom = keys.stat.bloomFilter("__bk", expected, fpp)
     val bytes = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bytes)
-    val blit = lit(bytes.toByteArray)
+    bytes.toByteArray
+  }
+
+  /** [[streamingNearDupFilterAgainstBands]] with a PREBUILT bloom
+    * ([[buildBandBloom]] output, usually loaded from storage) — the
+    * restartable-ingest path: zero jobs at stream start. The bloom
+    * must have been built from a band table with the same
+    * (n, k, bands, seed). */
+  def streamingNearDupFilterWithBloom(stream: DataFrame, text: String,
+                                      bloomBytes: Array[Byte],
+                                      n: Int = 5, k: Int = 128,
+                                      bands: Int = 16,
+                                      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val blit = lit(bloomBytes)
     val sig = Bridge.column(graft.plans.MinHashSignature(
       Bridge.expression(col(text)), n, k, seed))
     val hit = exists(lshBands(sig, k, bands), b =>

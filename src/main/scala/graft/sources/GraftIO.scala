@@ -198,6 +198,32 @@ object GraftIO {
     }
   }
 
+  /** Small driver-side byte artifact write (a serialized Bloom filter,
+    * a model blob) through the Hadoop FS API — works on any configured
+    * filesystem, overwrite semantics. For DATA use the DataFrame
+    * writers; this is for plan-side artifacts a restart wants to load
+    * without re-running jobs (e.g.
+    * [[graft.functions.Dedup.buildBandBloom]]). */
+  def writeBytes(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Read a [[writeBytes]] artifact back. */
+  def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hp)
+    try {
+      val len = fs.getFileStatus(hp).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+
   /** BigQuery-write analog (bq.clj:256-353): parquet/table sink with
     * create/write dispositions → SaveMode, time-partitioning/clustering →
     * partitionBy/bucketBy, dynamic table destinations → partition

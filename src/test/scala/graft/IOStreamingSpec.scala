@@ -530,6 +530,15 @@ class WindowsSpec extends AnyFunSuite {
         spark.read.parquet(dir), "text", snapshotBands)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(batch == Seq(2L))
+    // restartable-ingest path: bloom persisted via writeBytes and
+    // reloaded — same decisions, zero jobs at stream start
+    val bloomPath = Files.createTempDirectory("graft-bloom").toString + "/bands.bloom"
+    GraftIO.writeBytes(spark, bloomPath,
+      graft.functions.Dedup.buildBandBloom(snapshotBands))
+    val reloaded = graft.functions.Dedup.streamingNearDupFilterWithBloom(
+        spark.read.parquet(dir), "text", GraftIO.readBytes(spark, bloomPath))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(reloaded == Seq(2L))
   }
 
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
