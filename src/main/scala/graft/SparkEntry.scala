@@ -202,7 +202,10 @@ object SparkEntry {
     // importance scoring, the boilerplate line classifier, and the
     // Gopher rule gate
     "q_ann_sq8", "q_dsir_score", "q_boilerplate", "q_gopher_filter",
-    "q_curation_v3", "q_cdc_chunks", "q_cdc_dups", "q_cdc_strip")
+    "q_curation_v3", "q_cdc_chunks", "q_cdc_dups", "q_cdc_strip",
+    // r8 continuation (2b): audits + the any-gram rule
+    "q_diversity", "q_contamination_report", "q_dup_matrix",
+    "q_decontaminate_any")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

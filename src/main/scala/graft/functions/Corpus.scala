@@ -389,7 +389,10 @@ object Corpus {
     * the selected set is dialect-exact. Compiles to TakeOrdered
     * (per-partition top-k + a k-row driver merge — no global sort,
     * same plan contract as `sampleByHash`). Rows with weight <= 0 or
-    * null are dropped (they carry no draw probability). */
+    * null are dropped (they carry no draw probability). Requires
+    * unique `id`s (duplicate ids share a key and tie-break
+    * arbitrarily among themselves — the standard hash-draw
+    * precondition). */
   def sampleWeightedByHash(df: DataFrame, id: Column, weight: Column, k: Int,
                            seed: Long = 42L): DataFrame = {
     require(k >= 0, s"k $k must be >= 0")
