@@ -2025,6 +2025,19 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // -------- similarity: margin-based top-k (bitext-mining score) ----
+    // The Artetxe & Schwenk ratio margin: cosine normalized by both
+    // sides' kAvg-neighborhood averages (cancels hub vectors).
+    // round-before-rank on the margin keeps the selection
+    // dialect-exact.
+    "q_ann_margin" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginTopK(emb, emb.where($"vec_id" < 10), "vec_id",
+          "embedding", k = 5, kAvg = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // -------- text: budgeted token packing (whole-unit chunking) ------
     "q_pack_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -3698,6 +3711,28 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, c_id) AS rk
         |  FROM s)
         |SELECT q_id, c_id, round(adot, 6) AS adot, rk::INT AS rank FROM r
+        |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_margin" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | ax AS (SELECT q_id, avg(sim) AS ax FROM (
+        |   SELECT q_id, sim,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rr
+        |   FROM s) t WHERE rr <= 4 GROUP BY q_id),
+        | ay AS (SELECT c_id, avg(sim) AS ay FROM (
+        |   SELECT c_id, sim,
+        |     row_number() OVER (PARTITION BY c_id ORDER BY sim DESC, q_id) AS rr
+        |   FROM s) t WHERE rr <= 4 GROUP BY c_id),
+        | m AS (SELECT s.q_id, s.c_id,
+        |   round(s.sim / ((ax.ax + ay.ay) / 2), 6) AS margin
+        |  FROM s JOIN ax USING (q_id) JOIN ay USING (c_id)),
+        | r AS (SELECT q_id, c_id, margin,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, c_id) AS rk
+        |  FROM m)
+        |SELECT q_id, c_id, margin, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_pack_tokens" ->
       """WITH t AS (SELECT doc_id,

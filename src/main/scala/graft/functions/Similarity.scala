@@ -659,6 +659,59 @@ object Similarity {
         col("__rk").as("rank"))
   }
 
+  /** Margin-based top-k (Artetxe & Schwenk 2019, the LASER/CCMatrix
+    * bitext-mining criterion): score a (query, candidate) pair not by
+    * raw cosine but by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) /
+    *                  ((avg_kAvg cos(x, NN(x)) + avg_kAvg cos(y, NN(y))) / 2)
+    *
+    * — cosine normalized by both sides' average similarity to their
+    * own `kAvg` nearest neighbors, which cancels hubness (a candidate
+    * that is close to EVERYTHING scores high cosine against every
+    * query; dividing by its neighborhood average demotes it). The
+    * published recipe for mining aligned pairs (translation bitext,
+    * near-duplicate captions) where raw-cosine ranking drowns in hub
+    * vectors.
+    *
+    * Shapes: x-neighborhoods are per-query averages of the top `kAvg`
+    * sims over the corpus (the one broadcast scan [[bruteForceTopK]]
+    * already does, + a per-query aggregate); y-neighborhoods are each
+    * candidate's top `kAvg` sims over the QUERY SET — also from the
+    * same scan, re-windowed by candidate (query count is small by
+    * contract, so both windows partition on bounded keys ... the
+    * corpus never shuffles more than its (c_id, sim) pairs). NOTE
+    * y-neighborhoods here are measured against the query set, not the
+    * whole corpus — the forward-mining setup; symmetric corpus-side
+    * neighborhoods would need a second self-scan (documented seam).
+    * Output: (q_id, c_id, margin rounded 6, rank), margin descending
+    * with c_id tie-break. */
+  def marginTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                 vec: String, k: Int, kAvg: Int = 4): DataFrame = {
+    require(k >= 1 && kAvg >= 1, s"k $k and kAvg $kAvg must be >= 1")
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_v"))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineFused(col("c_v"), col("q_v")))
+      .select(col("q_id"), col("c_id"), col("sim"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val ax = scored.withColumn("__r", row_number().over(wq))
+      .where(col("__r") <= kAvg)
+      .groupBy(col("q_id")).agg(avg(col("sim")).as("__ax"))
+    val wc = Window.partitionBy(col("c_id")).orderBy(col("sim").desc, col("q_id"))
+    val ay = scored.withColumn("__r", row_number().over(wc))
+      .where(col("__r") <= kAvg)
+      .groupBy(col("c_id")).agg(avg(col("sim")).as("__ay"))
+    val m = scored.join(ax, "q_id").join(ay, "c_id")
+      .withColumn("margin",
+        round(col("sim") / ((col("__ax") + col("__ay")) / 2), 6))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("margin").desc, col("c_id"))
+    m.withColumn("__rk", row_number().over(wRank)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), col("margin"), col("__rk").as("rank"))
+  }
+
   /** Element-wise mean of vectors per key — the "chunk embeddings →
     * document embedding" pooling step (and the centroid audit for any
     * labeled set): posexplode to (key, pos, x) rows, one (key, pos)

@@ -1131,6 +1131,25 @@ class SimilaritySpec extends AnyFunSuite {
     n.unpersist()
   }
 
+  test("marginTopK demotes hub vectors that raw cosine ranks first") {
+    val qs = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cs = Seq(
+      (10L, Array(0.7071f, 0.7071f, 0f)), // hub: equally close to both queries
+      (11L, Array(0.6f, 0f, 0.8f)),       // true partner of q1 (cos 0.6)
+      (12L, Array(0f, 0.6f, 0.8f)))       // true partner of q2
+      .toDF("vec_id", "embedding")
+    // raw cosine: the hub wins BOTH queries (0.707 > 0.6)
+    val raw = Similarity.bruteForceTopK(cs, qs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == Map(1L -> 10L, 2L -> 10L))
+    // ratio margin: the hub's high neighborhood average demotes it and
+    // each query recovers its true partner
+    val m = Similarity.marginTopK(cs, qs, "vec_id", "embedding", k = 1, kAvg = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 11L, 2L -> 12L), s"margin failed to demote the hub: $m")
+  }
+
   test("ivfSq8TopK with nprobe = kLists equals exhaustive sq8TopK") {
     val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
     val coarse = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 3)
