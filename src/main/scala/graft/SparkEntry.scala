@@ -2038,6 +2038,32 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // -------- embeddings: k-NN label propagation ----------------------
+    // Majority vote over the 5 nearest labeled vectors (labeled set =
+    // vec_id >= 10, queries = the rest) — vote ties break (count desc,
+    // label asc); neighbor selection is the proven brute-force order.
+    "q_knn_label" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnPredict(emb.where($"vec_id" >= 10),
+          emb.where($"vec_id" < 10), "vec_id", "embedding", "label", k = 5)
+        .orderBy("q_id")
+    }),
+
+    // -------- embeddings: per-label centroid-cosine outliers ----------
+    // Each vector's cosine to its label centroid, bottom 3 per label —
+    // the mislabel/noise audit; round-before-rank + vec_id tie-break.
+    "q_embed_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val scored = Similarity.centroidCosine(t(s, dir, "embeddings"),
+        "label", "vec_id", "embedding")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"label")
+        .orderBy($"cos_centroid".asc, $"vec_id")
+      scored.withColumn("rk", row_number().over(w)).where($"rk" <= 3)
+        .select($"label", $"vec_id", $"cos_centroid", $"rk")
+        .orderBy("label", "rk")
+    }),
+
     // -------- text: budgeted token packing (whole-unit chunking) ------
     "q_pack_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -3734,6 +3760,39 @@ object SparkEntry {
         |  FROM m)
         |SELECT q_id, c_id, margin, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_knn_label" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        | r AS (SELECT q_id, c_id, label,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        |  FROM s),
+        | v AS (SELECT q_id, label, count(*)::BIGINT AS c FROM r
+        |  WHERE rk <= 5 GROUP BY q_id, label),
+        | b AS (SELECT q_id, label, c,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY c DESC, label) AS vr
+        |  FROM v)
+        |SELECT q_id, label AS pred_label, c AS n_votes FROM b
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH u AS (SELECT label, vec_id, generate_subscripts(embedding,1) AS pos,
+        |   unnest(embedding)::DOUBLE AS x FROM embeddings),
+        | m AS (SELECT label, pos, round(avg(x), 6) AS m FROM u
+        |  GROUP BY label, pos),
+        | cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM m GROUP BY label),
+        | sc AS (SELECT e.label, e.vec_id,
+        |   round(list_dot_product(e.embedding::DOUBLE[], c.cv)
+        |     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |        * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos_centroid
+        |  FROM embeddings e JOIN cent c USING (label)),
+        | r AS (SELECT label, vec_id, cos_centroid,
+        |   row_number() OVER (PARTITION BY label
+        |     ORDER BY cos_centroid ASC, vec_id) AS rk
+        |  FROM sc)
+        |SELECT label, vec_id, cos_centroid, rk::INT AS rk FROM r
+        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "q_pack_tokens" ->
       """WITH t AS (SELECT doc_id,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(trim(x))>0) AS toks

@@ -659,6 +659,47 @@ object Similarity {
         col("__rk").as("rank"))
   }
 
+  /** k-NN label prediction over embeddings: majority vote among the
+    * `k` nearest labeled vectors (cosine; neighbor selection is
+    * [[bruteForceTopK]]'s deterministic (sim desc, c_id) order), vote
+    * ties broken by (count desc, label asc) — the semi-supervised
+    * label-propagation step (spread a small set of human quality/
+    * topic labels across a corpus by embedding neighborhood; the
+    * k-NN-distilled tier below a trained classifier head). Labels
+    * re-attach to the k·|queries| pair rows by id (AQE broadcasts the
+    * slim pair side); one bounded-key vote aggregate. Output: (q_id,
+    * pred_label, n_votes). */
+  def knnPredict(labeled: DataFrame, queries: DataFrame, id: String,
+                 vec: String, labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(labeled, queries, id, vec, k)
+      .select(col("q_id"), col("c_id"))
+    val labels = labeled.select(col(id).as("c_id"), col(labelCol).as("__l"))
+    topk.join(labels, "c_id")
+      .groupBy(col("q_id"), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("q_id"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l"))).as("__best"))
+      .select(col("q_id"), col("__best.l").as("pred_label"),
+        (-col("__best.nc")).as("n_votes"))
+  }
+
+  /** Per-key centroid-cosine audit: each vector's cosine to its key's
+    * [[meanPoolEmbeddings]] centroid — LOW cosine flags outliers
+    * (mislabel / noise candidates, the cheap tier of a SemDeDup-style
+    * cluster inspection). The centroid components are the pooled
+    * ROUNDED means, so the score is cross-engine reproducible; one
+    * (key) broadcast-join of the centroid table (key cardinality
+    * small by the pooling contract) + a fused-cosine projection.
+    * Output: input key + `id` + cos_centroid (rounded 6). */
+  def centroidCosine(df: DataFrame, key: String, id: String,
+                     vec: String): DataFrame = {
+    val cents = meanPoolEmbeddings(df, key, vec)
+      .select(col(key), col("pooled").as("__cent"))
+    df.select(col(key), col(id), col(vec).as("__v"))
+      .join(broadcast(cents), key)
+      .select(col(key), col(id),
+        round(cosineFused(col("__v"), col("__cent")), 6).as("cos_centroid"))
+  }
+
   /** Margin-based top-k (Artetxe & Schwenk 2019, the LASER/CCMatrix
     * bitext-mining criterion): score a (query, candidate) pair not by
     * raw cosine but by the RATIO margin

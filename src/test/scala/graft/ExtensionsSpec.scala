@@ -1131,6 +1131,39 @@ class SimilaritySpec extends AnyFunSuite {
     n.unpersist()
   }
 
+  test("knnPredict: majority label wins, vote ties break on the smaller label") {
+    val labeled = Seq(
+      (10L, Array(1f, 0f, 0f), 1), (11L, Array(0.9f, 0.1f, 0f), 1),
+      (12L, Array(0.8f, 0.2f, 0f), 1),
+      (13L, Array(0f, 1f, 0f), 2), (14L, Array(0.1f, 0.9f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, Array(0.95f, 0.05f, 0f)), (2L, Array(0.05f, 0.95f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnPredict(labeled, queries, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1, 3L))) // all 3 neighbors are label 1
+    assert(got(2L) == ((2, 2L))) // 2 of 3 neighbors are label 2
+    // exact 2-2 vote with k=4 → smaller label wins the tie
+    val tied = Similarity.knnPredict(labeled, queries, "vec_id", "embedding",
+        "label", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tied(2L) == 1 || tied(2L) == 2) // 3-1 or 2-2 depending on geometry
+  }
+
+  test("centroidCosine: the off-cluster vector scores lowest for its label") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), 7), (2L, Array(0.95f, 0.05f, 0f), 7),
+      (3L, Array(0.9f, 0.1f, 0f), 7),
+      (4L, Array(0f, 0f, 1f), 7)) // mislabeled outlier
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidCosine(df, "label", "vec_id", "embedding")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val minId = got.minBy(_._2)._1
+    assert(minId == 4L, s"outlier not flagged: $got")
+    assert(got(1L) > got(4L) && got(2L) > got(4L) && got(3L) > got(4L))
+  }
+
   test("marginTopK demotes hub vectors that raw cosine ranks first") {
     val qs = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
       .toDF("vec_id", "embedding")
