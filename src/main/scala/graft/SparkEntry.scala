@@ -205,7 +205,9 @@ object SparkEntry {
     "q_curation_v3", "q_cdc_chunks", "q_cdc_dups", "q_cdc_strip",
     // r8 continuation (2b): audits + the any-gram rule
     "q_diversity", "q_contamination_report", "q_dup_matrix",
-    "q_decontaminate_any")
+    "q_decontaminate_any",
+    // r8 continuation (2c): margin mining + embedding label audits
+    "q_ann_margin", "q_knn_label", "q_embed_outliers")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
