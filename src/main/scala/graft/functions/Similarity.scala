@@ -721,10 +721,16 @@ object Similarity {
     * candidate's top `kAvg` sims over the QUERY SET — also from the
     * same scan, re-windowed by candidate (query count is small by
     * contract, so both windows partition on bounded keys ... the
-    * corpus never shuffles more than its (c_id, sim) pairs). NOTE
-    * y-neighborhoods here are measured against the query set, not the
-    * whole corpus — the forward-mining setup; symmetric corpus-side
-    * neighborhoods would need a second self-scan (documented seam).
+    * corpus never shuffles more than its (c_id, sim) pairs). The
+    * scored pair set feeds three consumers (ax, ay, the margin join),
+    * so the broadcast cosine scan runs ~3× — DELIBERATE: the N·|Q|
+    * sim table must never materialize (at corpus scale it dwarfs the
+    * corpus itself), and recomputing a map-side projection is the
+    * cheaper side of that trade, same call as the strip family's
+    * multi-pass scans. NOTE y-neighborhoods here are measured against
+    * the query set, not the whole corpus — the forward-mining setup;
+    * symmetric corpus-side neighborhoods would need a second
+    * self-scan (documented seam).
     * Output: (q_id, c_id, margin rounded 6, rank), margin descending
     * with c_id tie-break. */
   def marginTopK(corpus: DataFrame, queries: DataFrame, id: String,
