@@ -653,8 +653,8 @@ object SparkEntry {
     // -------- corpus: weighted sample (∝ token count) -----------------
     // Efraimidis-Spirakis A-ES with the md5-uniform trick: 50 docs
     // drawn without replacement with probability ∝ token count —
-    // round-before-rank keys + id tie-break make the set
-    // dialect-exact.
+    // keys rank unrounded (see sampleWeightedByHash: rounding was
+    // probed and rejected for tie collapse at large weights).
     "q_weighted_sample" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -2715,8 +2715,8 @@ object SparkEntry {
         |   len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS wt
         |  FROM documents),
         | kx AS (SELECT doc_id, source,
-        |   round(ln((('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 15))::BIGINT
-        |             + 1) / 1152921504606846976.0) / wt, 6) AS key
+        |   ln((('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 15))::BIGINT
+        |       + 1) / 1152921504606846976.0) / wt AS key
         |  FROM w WHERE wt > 0),
         | r AS (SELECT doc_id, source,
         |   row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM kx)
@@ -2726,8 +2726,8 @@ object SparkEntry {
         |   len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS wt
         |  FROM documents),
         | kx AS (SELECT doc_id, lang,
-        |   round(ln((('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 15))::BIGINT
-        |             + 1) / 1152921504606846976.0) / wt, 6) AS key
+        |   ln((('0x' || substr(md5(doc_id::VARCHAR || '42'), 1, 15))::BIGINT
+        |       + 1) / 1152921504606846976.0) / wt AS key
         |  FROM w WHERE wt > 0),
         | r AS (SELECT doc_id, lang,
         |   row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk

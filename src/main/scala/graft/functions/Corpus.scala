@@ -384,9 +384,16 @@ object Corpus {
     * which draws each subset with the weighted-without-replacement
     * probability ("sample 10k docs ∝ token count"). Deterministic per
     * (id, seed) and repartition/retry-invariant like every
-    * hash-ordered draw here; keys round to 6 before ranking
-    * (round-before-rank, the tfidf recipe) with the id tie-break, so
-    * the selected set is dialect-exact. Compiles to TakeOrdered
+    * hash-ordered draw here. Keys rank UNROUNDED with the id
+    * tie-break: the md5 uniform is bit-identical cross-engine and
+    * `ln` differs by at most 1 ulp on the same input — adjacent order
+    * statistics of a continuous key sit many orders of magnitude
+    * apart, so a rank flip needs an exact key collision
+    * (measure-zero). Rounding was probed and REJECTED: at
+    * token-count-scale weights (1e4+) the keys compress into
+    * [-1e-3, 0] and round(6) collapses huge tie groups, degrading the
+    * draw to id order inside them — the without-replacement
+    * distribution no longer holds. Compiles to TakeOrdered
     * (per-partition top-k + a k-row driver merge — no global sort,
     * same plan contract as `sampleByHash`). Rows with weight <= 0 or
     * null are dropped (they carry no draw probability). Requires
@@ -398,7 +405,7 @@ object Corpus {
     require(k >= 0, s"k $k must be >= 0")
     val u = (md5Bucket(id, seed) + lit(1L)).cast("double") /
       lit((1L << 60).toDouble)
-    val key = round(log(u) / weight.cast("double"), 6)
+    val key = log(u) / weight.cast("double")
     df.where(weight.isNotNull && weight.cast("double") > 0)
       .withColumn("__wkey", key)
       .orderBy(col("__wkey").desc, id)
@@ -410,7 +417,7 @@ object Corpus {
     * keeps its top-`k` A-ES draw ("per language, sample k docs ∝
     * token count") — one window shuffle partitioned by the keys,
     * scaling with key cardinality like [[capPerKeyByHash]]. Same
-    * rounded-key + id tie-break determinism contract. */
+    * unrounded-key + id tie-break determinism contract. */
   def sampleWeightedPerKeyByHash(df: DataFrame, keys: Seq[String], id: Column,
                                  weight: Column, k: Int,
                                  seed: Long = 42L): DataFrame = {
@@ -418,7 +425,7 @@ object Corpus {
     import org.apache.spark.sql.expressions.Window
     val u = (md5Bucket(id, seed) + lit(1L)).cast("double") /
       lit((1L << 60).toDouble)
-    val key = round(log(u) / weight.cast("double"), 6)
+    val key = log(u) / weight.cast("double")
     val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
       .orderBy(key.desc, id)
     df.where(weight.isNotNull && weight.cast("double") > 0)
@@ -467,15 +474,15 @@ object Corpus {
       .withColumn("__chunk", hashChunk(col("__h")))
     val keyStr = concat_ws(sep, keys.map(c => col(c).cast("string")): _*)
     // per-(key, chunk) counts: |keys|·256 rows by the documented
-    // cardinality contract — prefix-sum per key on the driver
-    val per = withH.groupBy((keys :+ "__chunk").map(col).toIndexedSeq: _*)
+    // cardinality contract — prefix-sum per key on the driver.
+    // Grouping on the CAST-STRING key (not the raw columns) keeps the
+    // driver-built offset-map keys bit-identical to the plan-side
+    // concat for ANY key type — a JVM toString (Timestamp, binary)
+    // need not match Spark's cast-to-string rendering.
+    val per = withH.groupBy(keyStr.as("__k"), col("__chunk"))
       .agg(count(lit(1)).as("__v"))
       .collect()
-      .map { r =>
-        val k = keys.indices.map(i => String.valueOf(r.get(i))).mkString(sep)
-        val chunk = r.getString(keys.length)
-        (k, chunk, r.getLong(keys.length + 1))
-      }
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       .sortBy { case (k, c, _) => (k, c) }
     val offs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var curKey: String = null

@@ -200,15 +200,9 @@ object Dedup {
                           benchText: String, n: Int = 8,
                           minOverlap: Double = 0.5,
                           normalize: Column => Column = identity): DataFrame = {
-    val cSh = shingleHashes(normalize(col(text)), n)
-    val bSh = shingleHashes(normalize(col(benchText)), n)
-    val c = corpus.select(col(id).as("__cid"), explode(cSh).as("__h"))
-    val sizes = corpus.select(col(id).as("__cid"), size(cSh).cast("long").as("__n"))
-    val b = benchmark.select(col(benchId).as("__bid"), explode(bSh).as("__h"))
-    val per = c.join(b, "__h")
-      .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
-      .join(sizes, "__cid")
-      .select(col("__bid"), (col("__m").cast("double") / col("__n")).as("__ov"))
+    val per = overlapTable(corpus, id, benchmark, benchId,
+        shingleHashes(normalize(col(text)), n),
+        shingleHashes(normalize(col(benchText)), n))
       .where(col("__ov") >= minOverlap)
       .groupBy(col("__bid"))
       .agg(count(lit(1)).as("n_contaminated"), max(col("__ov")).as("__mx"))
@@ -253,26 +247,39 @@ object Dedup {
   private def decontaminateBy(corpus: DataFrame, id: String,
                               benchmark: DataFrame, benchId: String,
                               cSh: Column, bSh: Column, minOverlap: Double): DataFrame = {
-    // The shingle expression is deliberately INLINE in both the explode
-    // and the size projection (two evaluations per corpus row). The
-    // tempting alias-once form — select(id, cSh.as("__arr")) then
-    // size/explode of the attribute — measures ~2x SLOWER: with an
-    // attribute as the generator child, InferFiltersFromGenerate adds
-    // `size(__arr) > 0 AND isnotnull(__arr)` and pushdown substitutes
-    // the alias back through the projection, so the kernel runs THREE
-    // times per row (filter x2 + project). Inline, that rule skips
-    // non-cheap generator children and each side evaluates exactly
-    // once per use. (Verified against the physical plan; see the
-    // round-5 bench.)
+    val flagged = overlapTable(corpus, id, benchmark, benchId, cSh, bSh)
+      .where(col("__ov") >= minOverlap)
+      .select(col("__cid")).distinct()
+    corpus.join(flagged, col(id) === col("__cid"), "left_anti")
+  }
+
+  /** Per-(corpus doc, bench doc) shingle-overlap table — the shared
+    * core of [[decontaminateBy]] (filter) and [[contaminationReport]]
+    * (audit): (`__cid`, `__bid`, `__ov` = |C∩B|/|C|), one row per
+    * matched pair; matches against different bench docs never pool.
+    *
+    * The shingle expression is deliberately INLINE in both the explode
+    * and the size projection (two evaluations per corpus row). The
+    * tempting alias-once form — select(id, cSh.as("__arr")) then
+    * size/explode of the attribute — measures ~2x SLOWER: with an
+    * attribute as the generator child, InferFiltersFromGenerate adds
+    * `size(__arr) > 0 AND isnotnull(__arr)` and pushdown substitutes
+    * the alias back through the projection, so the kernel runs THREE
+    * times per row (filter x2 + project). Inline, that rule skips
+    * non-cheap generator children and each side evaluates exactly
+    * once per use. (Verified against the physical plan; see the
+    * round-5 bench.) */
+  private def overlapTable(corpus: DataFrame, id: String,
+                           benchmark: DataFrame, benchId: String,
+                           cSh: Column, bSh: Column): DataFrame = {
     val c = corpus.select(col(id).as("__cid"), explode(cSh).as("__h"))
     val sizes = corpus.select(col(id).as("__cid"), size(cSh).cast("long").as("__n"))
     val b = benchmark.select(col(benchId).as("__bid"), explode(bSh).as("__h"))
-    val flagged = c.join(b, "__h")
+    c.join(b, "__h")
       .groupBy(col("__cid"), col("__bid")).agg(count(lit(1)).as("__m"))
       .join(sizes, "__cid")
-      .where(col("__m").cast("double") / col("__n") >= minOverlap)
-      .select(col("__cid")).distinct()
-    corpus.join(flagged, col(id) === col("__cid"), "left_anti")
+      .select(col("__cid"), col("__bid"),
+        (col("__m").cast("double") / col("__n")).as("__ov"))
   }
 
   /** Corpus-wide repeated-block removal — the fixed-window form of
@@ -528,12 +535,13 @@ object Dedup {
     * probes); chunk slicing is columnar on the cut array, no explode
     * until the chunk rows emit, no shuffle.
     * Output: (`id`, chunk_id 1-based, chunk); chunks concatenate back
-    * to the input (spec-asserted). Empty docs emit one empty chunk —
-    * no row is silently lost. */
+    * to the input (spec-asserted). Empty AND null docs emit one
+    * empty chunk — no row is silently lost (a null text would
+    * otherwise null through the kernel and vanish at the explode). */
   def cdcChunks(df: DataFrame, id: String, text: String,
                 window: Int = 8, modulus: Int = 64): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val t = col(text)
+    val t = coalesce(col(text), lit(""))
     val withCuts = df.withColumn("__cuts",
       Bridge.column(graft.plans.CdcCuts(Bridge.expression(t), window, modulus)))
     val starts = concat(array(lit(0)),

@@ -643,10 +643,14 @@ object Similarity {
     * Output: (q_id, c_id, sim, rank). */
   def sq8TopKReranked(corpus: DataFrame, queries: DataFrame, id: String,
                       vec: String, mins: Array[Double], maxs: Array[Double],
-                      k: Int, shortlist: Int = 0): DataFrame = {
+                      k: Int, shortlist: Int = 0,
+                      codes: Option[Column] = None): DataFrame = {
     val sl = if (shortlist > 0) shortlist else 5 * k
     require(sl >= k, s"shortlist $sl must be >= k $k")
-    val cand = sq8TopK(corpus, queries, id, vec, mins, maxs, sl)
+    // forward the persisted-codes hook: without it the compressed
+    // shortlist scan would re-read the full float vectors and
+    // re-encode per row, defeating the 4x-smaller-scan design
+    val cand = sq8TopK(corpus, queries, id, vec, mins, maxs, sl, codes)
       .select(col("q_id"), col("c_id"))
     val cv = corpus.select(col(id).as("c_id"), col(vec).as("c_v"))
     val qv = queries.select(col(id).as("q_id"), col(vec).as("q_v"))
@@ -773,12 +777,19 @@ object Similarity {
       .select(col(key), posexplode(vecD(col(vec))).as(Seq("__pos", "__x")))
       .groupBy(col(key), col("__pos"))
       .agg(round(avg(col("__x")), 6).as("__m"), count(lit(1)).as("__n"))
+    // max, not first: on (contract-violating) ragged vector lengths
+    // per-(key, pos) counts differ by position and first() would pick
+    // one nondeterministically — max reports the true vector count
+    // (dimension 0 is present in every vector) and stays
+    // deterministic. Equal dims per key remain the caller contract;
+    // ragged inputs still pool each position over the vectors that
+    // have it.
     per.groupBy(col(key))
       .agg(
         transform(
           array_sort(collect_list(struct(col("__pos").as("p"), col("__m").as("m")))),
           s => s.getField("m")).as("pooled"),
-        first(col("__n")).as("n_vecs"))
+        max(col("__n")).as("n_vecs"))
       .select(col(key), col("n_vecs"), col("pooled"))
   }
 

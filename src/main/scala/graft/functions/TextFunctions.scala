@@ -150,7 +150,14 @@ object TextFunctions {
     * bit-for-bit (the rounded scores), so a final round() would only
     * add the HALF_UP-vs-C boundary risk. Output: (`id`, lang,
     * margin). */
-  def langIdNgramScored(df: DF, id: String, text: Column, profiles: DF): DF =
+  def langIdNgramScored(df: DF, id: String, text: Column, profiles: DF): DF = {
+    // a margin needs a runner-up; with one language element_at(_, 2)
+    // would throw INVALID_ARRAY_INDEX under ANSI mid-job — fail fast
+    // with a real message instead (the profile table is small by
+    // contract, the count is cheap)
+    require(profiles.select(col("lang")).distinct().count() >= 2,
+      "langIdNgramScored needs >= 2 languages in the profile table " +
+        "(no runner-up to measure a margin against); use langIdNgram")
     langScoreTable(df, id, text, profiles)
       .groupBy(col("__id"))
       .agg(array_sort(collect_list(
@@ -161,6 +168,7 @@ object TextFunctions {
         ((element_at(col("__a"), 2).getField("s") -
           element_at(col("__a"), 1).getField("s")) /
           col("__n").cast("double")).as("margin"))
+  }
 
   /** Heuristic quality score in [0,1]: penalizes very short docs, low
     * alphabetic ratio, and high repetition. Deterministic and
@@ -660,7 +668,10 @@ object TextFunctions {
                            bucketOf: Column => Column)
       : (Array[Long], Array[Long]) = {
     require(buckets >= 1, s"buckets $buckets must be >= 1")
-    val rows = df.select(isTarget.as("__tgt"), explode(tokens(text)).as("__t"))
+    // a null flag (e.g. source === 'x' on a null source) counts as RAW
+    // — without the coalesce the null group NPEs the driver fold
+    val rows = df.select(coalesce(isTarget, lit(false)).as("__tgt"),
+        explode(tokens(text)).as("__t"))
       .select(col("__tgt"), bucketOf(col("__t")).as("__b"))
       .groupBy("__tgt", "__b").agg(count(lit(1)).as("__c"))
       .collect()

@@ -225,7 +225,8 @@ class DedupSpec extends AnyFunSuite {
   test("cdcChunks: lossless, shift-robust, repartition-invariant; dup report counts") {
     val base = "the quick brown fox jumps over the lazy dog while the rain " +
       "falls gently on the quiet green fields of the old farm near the river"
-    val df = Seq((1L, base), (2L, "x" + base), (3L, "")).toDF("doc_id", "text")
+    val df = Seq((1L, base), (2L, "x" + base), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     def chunksOf(d: org.apache.spark.sql.DataFrame) =
       Dedup.cdcChunks(d, "doc_id", "text", window = 8, modulus = 16)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -234,6 +235,7 @@ class DedupSpec extends AnyFunSuite {
     val byDoc = all.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
     assert(byDoc(1L).mkString == base && byDoc(2L).mkString == "x" + base)
     assert(byDoc(3L).toSeq == Seq("")) // empty doc keeps one empty chunk row
+    assert(byDoc(4L).toSeq == Seq("")) // null text too — no row silently lost
     // shift-robustness: prepending one char re-phases at most the
     // leading chunks — the common SUFFIX covers all but <= 2 chunks
     // (fixed-window carving would re-phase every block)
@@ -1450,6 +1452,12 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(scored.values.forall(_._2 >= 0.0))
     assert(scored(1L)._2 > scored(4L)._2 && scored(2L)._2 > scored(4L)._2,
       s"natural text should out-margin floor-only text: $scored")
+    // one-language profiles have no runner-up — fail fast, not mid-job
+    val one = TextFunctions.fitLangTrigramProfiles(
+      seed.where($"lang" === "en"), $"lang", $"seed_text")
+    intercept[IllegalArgumentException] {
+      TextFunctions.langIdNgramScored(docs, "doc_id", $"text", one)
+    }
   }
 
   test("tfidfTopTerms ranks by rounded score with term tiebreak") {
@@ -2176,6 +2184,13 @@ class TextFunctionsSpec extends AnyFunSuite {
       .fitHashedBucketCounts(target, $"text", buckets = 256).toSeq)
     assert(xrc.toSeq == TextFunctions
       .fitHashedBucketCounts(raw, $"text", buckets = 256).toSeq)
+    // a null flag (null source under ===) counts as raw, no NPE
+    val withNull = Seq((50L, "alpha beta", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "src")
+      .unionByName(target.withColumn("src", lit("t")))
+    val (ntc, nrc) = TextFunctions.fitHashedBucketCountsSplitByMd5(
+      withNull, $"text", $"src" === "t", buckets = 256)
+    assert(ntc.sum == 6L && nrc.sum == 2L) // target's 6 tokens vs the null row's 2
   }
 }
 
