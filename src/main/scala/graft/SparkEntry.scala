@@ -207,7 +207,10 @@ object SparkEntry {
     "q_diversity", "q_contamination_report", "q_dup_matrix",
     "q_decontaminate_any",
     // r8 continuation (2c): margin mining + embedding label audits
-    "q_ann_margin", "q_knn_label", "q_embed_outliers")
+    "q_ann_margin", "q_knn_label", "q_embed_outliers",
+    // r9: symmetric (corpus-side) margin mining — exact tier, the
+    // quadratic self-scan is the dominant term
+    "q_ann_margin_sym", "q_embed_pool")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1752,11 +1755,33 @@ object SparkEntry {
     // -------- embeddings: per-key mean pooling (chunk → doc) ----------
     // Element-wise mean per label — the chunk-embedding pooling /
     // labeled-centroid audit; components rounded to 6 (group-mean fp
-    // order is engine-dependent, rounding collapses it).
+    // order is engine-dependent, rounding collapses it). The QUERY
+    // posexplodes the pooled array to (label, n_vecs, pos, component)
+    // scalar rows — an array-typed FINAL column crashed the r8 driver
+    // compare harness (pandas can't sort ndarray cells); every query's
+    // final schema must be atomic (EntrySpec guards this). The API
+    // keeps returning the array.
     "q_embed_pool" -> ((s, dir) => {
       import s.implicits._
       Similarity.meanPoolEmbeddings(t(s, dir, "embeddings"), "label", "embedding")
-        .orderBy("label")
+        .select($"label", $"n_vecs",
+          posexplode($"pooled").as(Seq("pos", "component")))
+        .withColumn("pos", $"pos".cast("long"))
+        .orderBy("label", "pos")
+    }),
+
+    // -------- embeddings: symmetric-margin mining (exact tier) --------
+    // marginTopKSymmetric at kLists=1: corpus-side y-neighborhoods from
+    // the COMPLETE self-scan (the published global-mining setup) — no
+    // quantizer runs at one list, so the result is deterministic and
+    // fully SQL-expressible; the cluster-pruned kLists>1 tier is the
+    // scale path (spec-asserted against this one on the hub fixture).
+    "q_ann_margin_sym" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginTopKSymmetric(emb, emb.where($"vec_id" < 10), "vec_id",
+          "embedding", k = 5, kAvg = 4, kLists = 1)
+        .orderBy("q_id", "rank")
     }),
 
     // -------- curation: jusText-lite boilerplate line stripping -------
@@ -3469,10 +3494,37 @@ object SparkEntry {
         |   unnest(embedding)::DOUBLE AS x FROM embeddings),
         | m AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos),
         | n AS (SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings
-        |  GROUP BY label),
-        | p AS (SELECT label, list(m ORDER BY pos) AS pooled FROM m GROUP BY label)
-        |SELECT p.label, n.n_vecs, p.pooled
-        |FROM p JOIN n USING (label) ORDER BY label""".stripMargin,
+        |  GROUP BY label)
+        |SELECT m.label, n.n_vecs, (m.pos - 1)::BIGINT AS pos, m.m AS component
+        |FROM m JOIN n USING (label) ORDER BY label, pos""".stripMargin,
+    "q_ann_margin_sym" ->
+      """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | ss AS (SELECT a.vec_id AS ya, b.vec_id AS yb,
+        |   list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+        |                    list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS sim2
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id <> b.vec_id),
+        | ax AS (SELECT q_id, avg(sim) AS ax FROM (
+        |   SELECT q_id, sim,
+        |     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rr
+        |   FROM s) t WHERE rr <= 4 GROUP BY q_id),
+        | ay AS (SELECT ya AS c_id, avg(sim2) AS ay FROM (
+        |   SELECT ya, yb, sim2,
+        |     row_number() OVER (PARTITION BY ya ORDER BY sim2 DESC, yb) AS rr
+        |   FROM ss) t WHERE rr <= 4 GROUP BY ya),
+        | m AS (SELECT s.q_id, s.c_id,
+        |   round(s.sim / ((ax.ax + ay.ay) / 2), 6) AS margin
+        |  FROM s JOIN ax USING (q_id) JOIN ay USING (c_id)
+        |  WHERE (ax.ax + ay.ay) > 0),
+        | r AS (SELECT q_id, c_id, margin,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, c_id) AS rk
+        |  FROM m)
+        |SELECT q_id, c_id, margin, rk::INT AS rank FROM r
+        |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_boilerplate" ->
       """WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS lines
         |   FROM documents),

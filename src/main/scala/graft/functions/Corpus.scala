@@ -465,14 +465,27 @@ object Corpus {
     * already scale-out — see [[capPerKeyByHash]]). Requires unique
     * `id`s and NON-NULL keys (the offset lookup concatenates key
     * strings; `concat_ws` drops nulls where the driver side would
-    * print "null" — filter null keys first). */
+    * print "null" — filter null keys first). Key strings MAY contain
+    * any character: each component is backslash-escaped before the
+    * separator join, so two distinct key tuples can never render to
+    * the same concat string. */
   def hashRankBy(df: DataFrame, keys: Seq[String], id: String,
                  seed: Long = 42L, pos: String = "pos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sep = "\u0001" // unambiguous key-chunk concatenation
+    // Injective per-component escape (\ -> \\, sep -> \sep): with no
+    // bare sep char left inside a component, the sep-join of escaped
+    // components is injective over key tuples -- without it two
+    // distinct tuples (e.g. ("a<sep>b","c") and ("a","b<sep>c"))
+    // render identically and silently merge their offset entries,
+    // corrupting global ranks. The window still partitions on the RAW
+    // key columns, so only the offset lookup needed the fix.
+    def esc(c: Column): Column =
+      replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
+        lit(sep), lit("\\" + sep))
     val withH = df.withColumn("__h", saltedMd5(col(id), seed))
       .withColumn("__chunk", hashChunk(col("__h")))
-    val keyStr = concat_ws(sep, keys.map(c => col(c).cast("string")): _*)
+    val keyStr = concat_ws(sep, keys.map(c => esc(col(c))): _*)
     // per-(key, chunk) counts: |keys|·256 rows by the documented
     // cardinality contract — prefix-sum per key on the driver.
     // Grouping on the CAST-STRING key (not the raw columns) keeps the

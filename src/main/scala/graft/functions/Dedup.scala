@@ -918,7 +918,11 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           Bridge.expression(blit),
           Bridge.expression(xxhash64(b.getField("band"), b.getField("bh"))))))
-    stream.where(!hit)
+    // null text -> null signature -> null `hit`: coalesce to false so
+    // the row is KEPT (the family's no-silent-row-loss discipline —
+    // a null-text row can't be a near-dup of anything, and where(!hit)
+    // alone would silently drop it).
+    stream.where(!coalesce(hit, lit(false)))
   }
 
   /** Cross-snapshot NEAR-dup pairs — [[dedupAgainstSnapshot]]'s recall

@@ -734,7 +734,13 @@ object Similarity {
     * multi-pass scans. NOTE y-neighborhoods here are measured against
     * the query set, not the whole corpus — the forward-mining setup;
     * symmetric corpus-side neighborhoods would need a second
-    * self-scan (documented seam).
+    * self-scan (see [[marginTopKSymmetric]]).
+    * Precondition: embeddings should be L2-normalized (the published
+    * setup) so neighborhood averages are positive; pairs whose
+    * denominator (__ax + __ay) is <= 0 — possible only on
+    * non-normalized / adversarially anti-correlated inputs — are
+    * DROPPED rather than scored (an Inf/NaN margin would rank
+    * nondeterministically across engines).
     * Output: (q_id, c_id, margin rounded 6, rank), margin descending
     * with c_id tie-break. */
   def marginTopK(corpus: DataFrame, queries: DataFrame, id: String,
@@ -755,6 +761,75 @@ object Similarity {
       .where(col("__r") <= kAvg)
       .groupBy(col("c_id")).agg(avg(col("sim")).as("__ay"))
     val m = scored.join(ax, "q_id").join(ay, "c_id")
+      .where(col("__ax") + col("__ay") > 0)
+      .withColumn("margin",
+        round(col("sim") / ((col("__ax") + col("__ay")) / 2), 6))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("margin").desc, col("c_id"))
+    m.withColumn("__rk", row_number().over(wRank)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), col("margin"), col("__rk").as("rank"))
+  }
+
+  /** [[marginTopK]] with SYMMETRIC (corpus-side) y-neighborhoods — the
+    * published GLOBAL-mining setup (Artetxe & Schwenk 2019 §3.2;
+    * CCMatrix): each candidate's neighborhood average is its top-`kAvg`
+    * cosines over the CORPUS ITSELF, not over the query set. That
+    * needs a corpus self-kNN, which must never be the N² self-join at
+    * scale — here it is cluster-pruned exactly like
+    * [[semanticNearDupPairs]]: a coarse quantizer
+    * ([[trainIvfCentroids]], bounded sample) assigns every vector to
+    * one of `kLists` clusters map-side (assignment materialized once,
+    * lazy checkpoint), and self-pairs are scored WITHIN clusters only
+    * (Σ cluster² work). The approximation: neighbors split across a
+    * cluster boundary are missed, so a vector's neighborhood average
+    * can come from fewer than `kAvg` neighbors (avg over what the
+    * cluster holds), and a SINGLETON-cluster vector has no
+    * neighborhood at all and is dropped from the ranking (inner
+    * join) — both standard cluster-pruning trades, shrinking as
+    * kLists/N does.
+    *
+    * `kLists = 1` is the EXACT tier: every vector shares one cluster,
+    * no quantizer is trained (the assignment is constant), the
+    * self-scan is complete — quadratic by design, the oracle/test
+    * form, same contract as [[cosineNearDupPairs]] vs
+    * [[lshCosinePairs]]. Same denominator guard and output shape as
+    * [[marginTopK]]. */
+  def marginTopKSymmetric(corpus: DataFrame, queries: DataFrame, id: String,
+                          vec: String, k: Int, kAvg: Int = 4,
+                          kLists: Int = 16, iters: Int = 3,
+                          seed: Long = 42L): DataFrame = {
+    require(k >= 1 && kAvg >= 1 && kLists >= 1,
+      s"k $k, kAvg $kAvg, kLists $kLists must be >= 1")
+    val c = corpus.select(col(id).as("c_id"), col(vec).as("c_v"))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineFused(col("c_v"), col("q_v")))
+      .select(col("q_id"), col("c_id"), col("sim"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    val ax = scored.withColumn("__r", row_number().over(wq))
+      .where(col("__r") <= kAvg)
+      .groupBy(col("q_id")).agg(avg(col("sim")).as("__ax"))
+    val assigned =
+      if (kLists == 1) c.withColumn("__cl", lit(1))
+      else {
+        import org.apache.spark.sql.graft.Bridge
+        val cents = trainIvfCentroids(corpus, vec, kLists, iters, seed)
+        Bridge.tagMaterialized(
+          c.withColumn("__cl", nearestCentroid(col("c_v"), cents))
+            .localCheckpoint(eager = false))
+      }
+    val l = assigned.select(col("c_id").as("__ya"), col("c_v").as("__va"), col("__cl"))
+    val r = assigned.select(col("c_id").as("__yb"), col("c_v").as("__vb"), col("__cl"))
+    val selfSims = l.join(r, Seq("__cl")).where(col("__ya") =!= col("__yb"))
+      .withColumn("__s", cosineFused(col("__va"), col("__vb")))
+      .select(col("__ya"), col("__yb"), col("__s"))
+    val wy = Window.partitionBy(col("__ya")).orderBy(col("__s").desc, col("__yb"))
+    val ay = selfSims.withColumn("__r", row_number().over(wy))
+      .where(col("__r") <= kAvg)
+      .groupBy(col("__ya").as("c_id")).agg(avg(col("__s")).as("__ay"))
+    val m = scored.join(ax, "q_id").join(ay, "c_id")
+      .where(col("__ax") + col("__ay") > 0)
       .withColumn("margin",
         round(col("sim") / ((col("__ax") + col("__ay")) / 2), 6))
     val wRank = Window.partitionBy(col("q_id"))
@@ -770,26 +845,25 @@ object Similarity {
     * materializes its vectors), reassemble the ordered array.
     * Components round to 6 decimals: the group mean's fp order is
     * engine/partitioning-dependent, and rounding is the house recipe
-    * that collapses that (see q1_agg etc.). Output: (`key`, n_vecs,
-    * pooled). */
+    * that collapses that (see q1_agg etc.). `n_vecs` counts INPUT ROWS
+    * per key (count(*), a separate narrow aggregate joined back on the
+    * key) — not the posexplode fan-out — so rows with null/empty
+    * vector arrays are counted even though they contribute nothing to
+    * the mean; a key whose EVERY vector is null/empty has no pooled
+    * array and is dropped (inner join), mirroring the oracle shape.
+    * Output: (`key`, n_vecs, pooled). */
   def meanPoolEmbeddings(df: DataFrame, key: String, vec: String): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_vecs"))
     val per = df
       .select(col(key), posexplode(vecD(col(vec))).as(Seq("__pos", "__x")))
       .groupBy(col(key), col("__pos"))
-      .agg(round(avg(col("__x")), 6).as("__m"), count(lit(1)).as("__n"))
-    // max, not first: on (contract-violating) ragged vector lengths
-    // per-(key, pos) counts differ by position and first() would pick
-    // one nondeterministically — max reports the true vector count
-    // (dimension 0 is present in every vector) and stays
-    // deterministic. Equal dims per key remain the caller contract;
-    // ragged inputs still pool each position over the vectors that
-    // have it.
+      .agg(round(avg(col("__x")), 6).as("__m"))
     per.groupBy(col(key))
       .agg(
         transform(
           array_sort(collect_list(struct(col("__pos").as("p"), col("__m").as("m")))),
-          s => s.getField("m")).as("pooled"),
-        max(col("__n")).as("n_vecs"))
+          s => s.getField("m")).as("pooled"))
+      .join(counts, Seq(key))
       .select(col(key), col("n_vecs"), col("pooled"))
   }
 

@@ -217,8 +217,12 @@ object GraftIO {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(hp)
     try {
-      val len = fs.getFileStatus(hp).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len = fs.getFileStatus(hp).getLen
+      // a >2 GB artifact would truncate through toInt into a wrong- or
+      // negative-sized buffer — fail loudly instead (this API is for
+      // small driver-side artifacts; use the DataFrame readers for data)
+      require(len <= Int.MaxValue, s"artifact too large for readBytes: $len bytes at $path")
+      val buf = new Array[Byte](len.toInt)
       in.readFully(buf)
       buf
     } finally in.close()

@@ -238,6 +238,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(capped2 == capped)
   }
 
+  test("hashRankBy: separator characters in key values cannot alias distinct key tuples") {
+    // ("ab", "c") and ("a", "bc") concatenate identically
+    // without escaping — each group must still get an independent
+    // 1..n rank sequence, not interleaved ranks from a merged offset
+    // entry.
+    val rows = (1L to 6L).map(i => (i, "ab", "c")) ++
+      (11L to 14L).map(i => (i, "a", "bc")) ++
+      (21L to 23L).map(i => (i, "a\\", "c")) // backslash near the sep
+    val df = rows.toDF("id", "k1", "k2")
+    val got = Corpus.hashRankBy(df, Seq("k1", "k2"), "id")
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(3))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    assert(got(("ab", "c")) == (1L to 6L), s"group1: $got")
+    assert(got(("a", "bc")) == (1L to 4L), s"group2: $got")
+    assert(got(("a\\", "c")) == (1L to 3L), s"group3: $got")
+  }
+
   test("sampleWeightedByHash: heavy rows win, deterministic, drops nonpositive weights") {
     val df = ((1L to 10L).map(i => (i, 1.0)) :+ ((99L, 1000.0)))
       .toDF("id", "w")

@@ -1185,6 +1185,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(m == Map(1L -> 11L, 2L -> 12L), s"margin failed to demote the hub: $m")
   }
 
+  test("marginTopKSymmetric agrees with marginTopK on a corpus-hub fixture; cluster pruning preserves the demotion") {
+    // The hub must be a hub IN CORPUS SPACE for the symmetric variant
+    // to see it: a tight hub family (10, 13, 14) plus one true partner
+    // per query. Raw cosine ranks a hub-family vector first for both
+    // queries; both margin variants recover the true partners.
+    val qs = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cs = Seq(
+      (10L, Array(0.7071f, 0.7071f, 0f)),  // hub
+      (13L, Array(0.7f, 0.714f, 0.01f)),   // hub neighbor
+      (14L, Array(0.714f, 0.7f, 0.01f)),   // hub neighbor
+      (11L, Array(0.6f, 0f, 0.8f)),        // true partner of q1
+      (12L, Array(0f, 0.6f, 0.8f)))        // true partner of q2
+      .toDF("vec_id", "embedding")
+    val raw = Similarity.bruteForceTopK(cs, qs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw(1L) != 11L && raw(2L) != 12L, s"fixture lost its hubs: $raw")
+    val fwd = Similarity.marginTopK(cs, qs, "vec_id", "embedding", k = 1, kAvg = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fwd == Map(1L -> 11L, 2L -> 12L), s"forward margin: $fwd")
+    // exact tier (kLists = 1): complete corpus self-scan, no quantizer
+    val sym = Similarity.marginTopKSymmetric(cs, qs, "vec_id", "embedding",
+        k = 1, kAvg = 2, kLists = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sym == Map(1L -> 11L, 2L -> 12L), s"symmetric margin: $sym")
+    // cluster-pruned tier: the hub family and the partners separate
+    // into clusters; within-cluster neighborhoods still demote the hub
+    val pruned = Similarity.marginTopKSymmetric(cs, qs, "vec_id", "embedding",
+        k = 1, kAvg = 2, kLists = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pruned == Map(1L -> 11L, 2L -> 12L), s"pruned symmetric margin: $pruned")
+  }
+
   test("ivfSq8TopK with nprobe = kLists equals exhaustive sq8TopK") {
     val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
     val coarse = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 3)
@@ -2072,6 +2105,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("meanPoolEmbeddings dirty input: n_vecs counts null/empty-vector rows; all-degenerate keys drop") {
+    val df = Seq(
+      (1, Array(1.0f, 2.0f, 3.0f)),
+      (1, Array(3.0f, 2.0f, 1.0f)),
+      (1, null.asInstanceOf[Array[Float]]),  // counted, contributes nothing
+      (1, Array.empty[Float]),               // counted, contributes nothing
+      (3, null.asInstanceOf[Array[Float]]))  // key with NO usable vectors
+      .toDF("label", "embedding")
+    val got = Similarity.meanPoolEmbeddings(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    // n_vecs = count(*) per key (the oracle's count), mean over the
+    // vectors that exist; a key with only null/empty vectors has no
+    // pooled array and is dropped
+    assert(got == Map(1 -> ((4L, Seq(2.0, 2.0, 2.0)))), s"got: $got")
+  }
+
   test("ngramDiversity: templated feed scores low, varied feed high") {
     val df = Seq(
       (1L, "tmpl", "click here now"),
@@ -2260,11 +2309,26 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query non-empty at sf0.001 and oracle coverage complete") {
     val dir = "/root/testdata/sf0.001"
-    val counts = SparkEntry.queries.map { case (name, fn) => name -> fn(spark, dir).count() }
+    val dfs = SparkEntry.queries.map { case (name, fn) => name -> fn(spark, dir) }
+    val counts = dfs.map { case (name, df) => name -> df.count() }
     val empty = counts.filter(_._2 == 0).keys.toSeq.sorted
     // pair-finding queries may legitimately be empty at tiny SF
     val allowedEmpty = Set("q_except", "q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_ann_lsh")
     assert(empty.forall(allowedEmpty.contains), s"unexpected empty: $empty")
+    // every FINAL output column must be atomic — the driver's compare
+    // harness sorts cells with pandas, and an array/struct/map-typed
+    // final column crashes it (the r8 q_embed_pool gate failure);
+    // list(...) shapes belong in intermediate CTEs only
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nonAtomic = dfs.toSeq.flatMap { case (name, df) =>
+      df.schema.fields.toSeq.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(nonAtomic.isEmpty, s"non-atomic final columns: ${nonAtomic.mkString(", ")}")
     // every oracle key has a query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // bench queries exist

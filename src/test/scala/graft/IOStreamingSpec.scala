@@ -539,6 +539,14 @@ class WindowsSpec extends AnyFunSuite {
         spark.read.parquet(dir), "text", GraftIO.readBytes(spark, bloomPath))
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(reloaded == Seq(2L))
+    // null-text rows are KEPT, not silently dropped (a null can't be a
+    // near-dup of anything; bare where(!hit) would eat the row)
+    val withNull = Seq((5L, null.asInstanceOf[String]), (6L, base))
+      .toDF("doc_id", "text")
+    val keptNull = graft.functions.Dedup.streamingNearDupFilterWithBloom(
+        withNull, "text", GraftIO.readBytes(spark, bloomPath))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(keptNull == Seq(5L), s"null-text row dropped: $keptNull")
   }
 
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
