@@ -543,8 +543,8 @@ object Similarity {
     * nprobe nearest lists (cosine coarse quantizer, as [[ivfTopK]])
     * with their ADC lookup table and broadcast. With nprobe = kLists
     * this equals [[pqAdcTopK]] exactly (spec-asserted). Codes here
-    * quantize the RAW vector (not the per-list residual — the FAISS
-    * refinement; documented seam, same API shape if added). */
+    * quantize the RAW vector; [[ivfPqResidualTopK]] is the per-list
+    * residual refinement (the FAISS recipe). */
   // ------------------------------------------------------------------
   // SQ8 scalar quantization: per-dimension uint8 codes
   // ------------------------------------------------------------------
@@ -910,6 +910,84 @@ object Similarity {
     val q = queries.select(col(id).as("q_id"), lut.as("q_lut"),
         explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
       .select(col("q_id"), col("q_lut"), col("__p.cid").as("__cid"))
+    val scored = c.join(broadcast(q), "__cid")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("adist",
+        aggregate(zip_with(col("c_codes"), col("q_lut"),
+          (cd, row) => element_at(row, cd)), lit(0.0), _ + _))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist"),
+        col("__rk").as("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // Residual IVF-PQ: PQ over per-list residuals (the FAISS refinement)
+  // ------------------------------------------------------------------
+
+  /** `vec - coarse(cid)`: the residual of a vector against a coarse
+    * centroid picked by a (1-based) list-id column. Pure projection;
+    * the centroid table rides as a literal (kLists × dim doubles). */
+  def coarseResidual(vec: Column, cents: Array[Array[Double]],
+                     cid: Column): Column =
+    zip_with(vecD(vec), element_at(centroidsLit(cents), cid),
+      (x, c) => x - c)
+
+  /** Train PQ codebooks over RESIDUALS `x - coarse(assign(x))` instead
+    * of raw vectors — the FAISS IVF-PQ refinement: within one coarse
+    * list the residuals span a much tighter region than the raw
+    * corpus, so the same (m, ksub) budget quantizes finer, which is
+    * where IVF-PQ earns its recall at billion scale. Residuals are a
+    * map-side projection on the bounded training sample; training
+    * itself is [[trainPqCodebooks]] unchanged. */
+  def trainPqCodebooksResidual(df: DataFrame, vec: String,
+                               coarse: Array[Array[Double]],
+                               m: Int, ksub: Int, iters: Int = 5,
+                               seed: Long = 42L, maxTrainRows: Int = 100000,
+                               trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    val res = df.select(
+      coarseResidual(col(vec), coarse,
+        nearestCentroid(col(vec), coarse)).as("__res"))
+    trainPqCodebooks(res, "__res", m, ksub, iters, seed,
+      maxTrainRows, trainFraction)
+  }
+
+  /** Residual IVF-PQ top-k ([[ivfPqTopK]] with per-list residual
+    * codes): corpus rows carry (coarse list id, PQ codes of
+    * `x - coarse(list)`); each probing query builds a SEPARATE ADC
+    * lookup table per probed list from its own residual
+    * `q - coarse(list)` (nprobe small LUTs — still broadcast-side
+    * work), so the scored distance is
+    * `Σ_j ||(q - c_i)_j - cb_j[code_j]||² = ||q - (c_i + decode)||²` —
+    * exact squared L2 to the row's reconstruction (spec-asserted, the
+    * same strong property as raw ADC). Corpus never shuffles; the
+    * probe join is on the list id. Unlike the raw-code form there is
+    * NO nprobe = kLists ≡ [[pqAdcTopK]] identity (codes differ per
+    * list by construction) — the differential guarantee is the
+    * reconstruction exactness plus the recall floor vs raw codes
+    * pinned in SimilaritySpec (`tools/PqProbe --residual`). Use the
+    * L2-style contract on L2-normalized inputs like the other ADC
+    * paths. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                        vec: String, coarse: Array[Array[Double]],
+                        cb: Array[Array[Array[Double]]],
+                        nprobe: Int, k: Int): DataFrame = {
+    val c = corpus
+      .select(col(id).as("c_id"), col(vec).as("__cv"),
+        nearestCentroid(col(vec), coarse).as("__cid"))
+      .select(col("c_id"), col("__cid"),
+        pqEncode(coarseResidual(col("__cv"), coarse, col("__cid")), cb)
+          .as("c_codes"))
+    val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
+      i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
+        (i + 1).as("cid")))
+    val q = queries.select(col(id).as("q_id"), col(vec).as("__qv"),
+        explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+      .select(col("q_id"), col("__p.cid").as("__cid"),
+        Bridge.column(graft.plans.PqLut(
+          Bridge.expression(
+            coarseResidual(col("__qv"), coarse, col("__p.cid"))), cb))
+          .as("q_lut"))
     val scored = c.join(broadcast(q), "__cid")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("adist",

@@ -41,6 +41,29 @@ object PqProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"m=$m%3d ksub=$ksub%3d  recall@10=$recall%.3f  shortlist@50-recall=$shortRecall%.3f  ($secs%.1f s)")
     }
+
+    // residual IVF-PQ vs raw-code IVF-PQ at identical (m, ksub, nprobe)
+    // budgets — the FAISS claim under test: per-list residual codes
+    // quantize finer, so recall should not drop and typically rises
+    for (kLists <- Seq(4, 8)) {
+      val coarse = Similarity.trainIvfCentroids(n, "embedding", k = kLists, iters = 4)
+      for ((m, ksub) <- Seq((8, 16), (16, 32))) {
+        val cbRaw = Similarity.trainPqCodebooks(n, "embedding", m = m, ksub = ksub, iters = 4)
+        val cbRes = Similarity.trainPqCodebooksResidual(n, "embedding", coarse,
+          m = m, ksub = ksub, iters = 4)
+        for (nprobe <- Seq(2, kLists)) {
+          val raw = Similarity.ivfPqTopK(n, qn, "vec_id", "embedding",
+              coarse, cbRaw, nprobe, k = 10)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val res = Similarity.ivfPqResidualTopK(n, qn, "vec_id", "embedding",
+              coarse, cbRes, nprobe, k = 10)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val rr = (raw intersect exact).size.toDouble / exact.size
+          val rs = (res intersect exact).size.toDouble / exact.size
+          println(f"kLists=$kLists%2d m=$m%3d ksub=$ksub%3d nprobe=$nprobe%2d  raw-ivfpq=$rr%.3f  residual-ivfpq=$rs%.3f")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -1133,6 +1133,82 @@ class SimilaritySpec extends AnyFunSuite {
     n.unpersist()
   }
 
+  test("residual IVF-PQ: ADC equals exact squared-L2 to the per-list reconstruction; recall holds vs raw codes") {
+    val coarse = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 3)
+    val cb = Similarity.trainPqCodebooksResidual(emb, "embedding", coarse,
+      m = 8, ksub = 16, iters = 3)
+    val queries = emb.where($"vec_id" < 5)
+    val got = Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+        coarse, cb, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // reference: reconstruction = coarse(cid) + decode(residual codes),
+    // built from the SAME library expressions, scored by DIRECT squared
+    // L2 — asserting Σ_j lut[j][code_j] really is the distance to the
+    // reconstruction (the defining ADC property, now per-list).
+    // coarseResidual(v, -coarse, cid) = v + coarse(cid) adds the
+    // centroid back using the negated centroid table.
+    val negCoarse = coarse.map(_.map(x => -x))
+    val recon = emb
+      .select($"vec_id".as("c_id"), $"embedding",
+        Similarity.nearestCentroid($"embedding", coarse).as("__cid"))
+      .select($"c_id",
+        Similarity.coarseResidual(
+          Similarity.pqDecode(Similarity.pqEncode(
+            Similarity.coarseResidual($"embedding", coarse, $"__cid"), cb), cb),
+          negCoarse, $"__cid").as("recon"))
+    val ref = recon.crossJoin(
+        broadcast(queries.select($"vec_id".as("q_id"), $"embedding".as("q_v"))))
+      .where($"c_id" =!= $"q_id")
+      .withColumn("d", aggregate(
+        zip_with($"q_v", $"recon",
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), _ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"d", $"c_id")
+    val want = ref.withColumn("__rk", row_number().over(w))
+      .where($"__rk" <= 10)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("__rk")) ->
+        ((r.getAs[Long]("c_id"),
+          BigDecimal(r.getAs[Double]("d")).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (cid, adist)) =>
+      val (wcid, wd) = want(k)
+      assert(cid == wcid, s"$k: $cid vs $wcid")
+      assert(math.abs(adist - wd) < 1e-6, s"$k: adist $adist vs direct $wd")
+    }
+    // recall vs the raw-code IVF-PQ at the same budget (normalized
+    // vectors; tools/PqProbe r9 at sf0.01: residual 0.520 vs raw 0.475
+    // at kLists=8 m=16 ksub=32 nprobe=8 — at-or-above raw in 6/8
+    // configs). The pinned guarantee is "residual does not collapse
+    // vs raw": small-sample noise means a strict >= does not hold
+    // config-by-config.
+    val n = emb.select($"vec_id",
+      transform($"embedding", x => x / sqrt(aggregate(
+        zip_with($"embedding", $"embedding", (a, b) => (a * b).cast("double")),
+        lit(0.0), _ + _))).as("embedding")).cache()
+    val qn = n.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(n, qn, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarseN = Similarity.trainIvfCentroids(n, "embedding", k = 4, iters = 3)
+    val cbRaw = Similarity.trainPqCodebooks(n, "embedding", m = 16, ksub = 16, iters = 3)
+    val cbRes = Similarity.trainPqCodebooksResidual(n, "embedding", coarseN,
+      m = 16, ksub = 16, iters = 3)
+    val raw = Similarity.ivfPqTopK(n, qn, "vec_id", "embedding",
+        coarseN, cbRaw, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = Similarity.ivfPqResidualTopK(n, qn, "vec_id", "embedding",
+        coarseN, cbRes, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (raw intersect exact).size.toDouble / exact.size
+    val resRecall = (res intersect exact).size.toDouble / exact.size
+    info(s"ivf-pq recall@10: raw=$rawRecall residual=$resRecall")
+    assert(resRecall >= rawRecall - 0.1,
+      s"residual recall collapsed vs raw: $resRecall vs $rawRecall")
+    n.unpersist()
+  }
+
   test("knnPredict: majority label wins, vote ties break on the smaller label") {
     val labeled = Seq(
       (10L, Array(1f, 0f, 0f), 1), (11L, Array(0.9f, 0.1f, 0f), 1),
