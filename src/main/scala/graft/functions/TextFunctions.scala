@@ -1036,6 +1036,77 @@ object TextFunctions {
     mergesDf.orderBy(col("rank")).select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** Train a BPE merges table ON THE CORPUS — the classic
+    * Sennrich et al. 2016 loop, restructured for scale: the corpus is
+    * reduced ONCE to a word-frequency table (one shuffle over the
+    * text; capped at `maxWords` most-frequent words with a
+    * deterministic (count desc, word) tie-break — rare-word counts
+    * don't move early merges, the standard training bound), and every
+    * round after that touches only that vocabulary-bounded table:
+    * adjacent-pair counts weighted by word frequency (one partial-agg
+    * shuffle over Σ word-length rows), the argmax pair collected to
+    * the driver (1 row, tie-break (count desc, left, right)), and the
+    * segmentation state advanced by one columnar fold that merges the
+    * pair's occurrences left-to-right. State is lazily checkpointed
+    * per round (the components-loop recipe — lineage stays flat;
+    * sweep with `GraftIO.releaseMaterialized`). Driver holds only the
+    * merges list (vocab-sized model artifact).
+    *
+    * Stops after `numMerges` rules or when the best pair's corpus
+    * count falls below `minPairCount`. The result is a VALID merges
+    * table by construction (each side is a code point or an earlier
+    * product), so [[bpeTokens]] applying it reproduces the
+    * training-end tokenization exactly (spec-asserted against an
+    * independent driver simulation). ITERATIVE → spec-only by
+    * declared design (like k-means); persist via the
+    * [[bpeMergesFromTable]] DataFrame shape. */
+  def trainBpeMerges(df: DF, text: Column, numMerges: Int,
+                     minPairCount: Long = 2L,
+                     maxWords: Int = 1000000): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    require(minPairCount >= 1, s"minPairCount $minPairCount must be >= 1")
+    import org.apache.spark.sql.graft.Bridge
+    val words = df.select(explode(tokens(text)).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__w"))
+      .limit(maxWords)
+      .withColumn("__parts", split(col("__w"), ""))
+    var state = Bridge.tagMaterialized(words.localCheckpoint(eager = false))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = numMerges == 0
+    while (!done) {
+      val adj = zip_with(
+        slice(col("__parts"), lit(1), size(col("__parts")) - 1),
+        slice(col("__parts"), lit(2), size(col("__parts")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      val top = state.select(col("__cnt"), explode(adj).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        merges += ((l, r))
+        // one left-to-right merge sweep as a fold: append, or replace
+        // the accumulator's tail when (tail, next) is the new pair —
+        // a just-merged tail (l+r) can never falsely re-match l, so
+        // the fold equals the non-overlapping left-to-right sweep
+        val upd = aggregate(col("__parts"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+        state = Bridge.tagMaterialized(
+          state.withColumn("__parts", upd).localCheckpoint(eager = false))
+        if (merges.size >= numMerges) done = true
+      }
+    }
+    merges.toSeq
+  }
+
   /** Cross-document sequence packing — the corpus-level training-data
     * step ([[packTokens]] packs within one document; training
     * pipelines pack the WHOLE corpus into fixed-budget sequences

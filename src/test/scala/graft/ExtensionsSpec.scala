@@ -1987,6 +1987,54 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainBpeMerges: distributed training matches a driver simulation; applying the table reproduces the training-end tokenization") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").limit(40).cache()
+    // independent driver reference: classic BPE over the same word
+    // frequencies, same (count desc, left, right) tie-break
+    val wc = docs.select(explode(TextFunctions.tokens($"text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def mergeLTR(parts: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < parts.length) {
+        if (j < parts.length - 1 && parts(j) == l && parts(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += parts(j); j += 1 }
+      }
+      out.result()
+    }
+    val counts = wc.toMap
+    var state = wc.map { case (w, _) => w -> w.map(_.toString).toVector }.toMap
+    val simMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, parts) <- state; j <- 0 until parts.length - 1)
+        pc((parts(j), parts(j + 1))) += counts(w)
+      pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption match {
+        case Some(((l, r), c)) if c >= 2L =>
+          simMerges += ((l, r))
+          state = state.map { case (w, parts) => w -> mergeLTR(parts, l, r) }
+          if (simMerges.size >= 10) done = true
+        case _ => done = true
+      }
+    }
+    val trained = TextFunctions.trainBpeMerges(docs, $"text", numMerges = 10)
+    assert(trained == simMerges.toSeq,
+      s"trained=$trained\nsim=${simMerges.toSeq}")
+    // the trained table's apply lands exactly on the training-end state
+    val applied = docs.select(explode(TextFunctions.tokens($"text")).as("w")).distinct()
+      .select($"w", TextFunctions.bpeTokens($"w", trained).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    applied.foreach { case (w, got) =>
+      assert(got == state(w), s"word '$w': $got vs ${state(w)}")
+    }
+    docs.unpersist()
+  }
+
   test("chunkTokens: overlap, tail chunk, degenerate sizes") {
     def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
       Seq(text).toDF("t")
