@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines — north-star extension
@@ -785,6 +785,78 @@ object TextFunctions {
           .as("quality_score"))
   }
 
+  /** Train [[hashedLogisticScore]]'s weights ON A LABELED SAMPLE —
+    * the fit half of the published quality-gate recipe (DCLM /
+    * FineWeb-Edu / CCNet's fastText tier: fit a linear classifier on
+    * ~10⁵ labeled docs, then APPLY it to the full corpus; the corpus
+    * never trains). Features are exactly the scorer's: mean-pooled
+    * hashed-BoW, `x_b = count(tokens in bucket b) / n_tokens`, xxhash64
+    * buckets with the same (dim, seed). Batch gradient descent with L2,
+    * driver-looped like k-means/BPE (ITERATIVE → spec-only by declared
+    * design): the (doc, bucket, x) feature table materializes ONCE
+    * (sample-sized by contract), each iteration is two narrow
+    * aggregates over it (per-doc score join-pool, per-bucket gradient),
+    * and the weight table advances distributed via a full-outer
+    * join + lazily-checkpointed update — the DRIVER holds only the
+    * scalar bias and loop control, so `dim` can be 2^18 without a
+    * driver-side model round-trip per step. Zero-token docs are
+    * excluded from the fit (they carry no features; at apply time they
+    * keep `sigmoid(bias)`).
+    *
+    * `label` must be 0.0/1.0. Returns the `(bucket, weight)` table
+    * (checkpointed — persist with the DataFrame writers for reuse,
+    * see `GraftIO`) and the fitted bias; feed both straight into
+    * [[hashedLogisticScore]] with the same dim/seed. */
+  def trainHashedLogisticWeights(df: DF, id: String, text: Column,
+                                 label: Column, iters: Int = 30,
+                                 lr: Double = 2.0, l2: Double = 1e-4,
+                                 dim: Int = 1 << 18,
+                                 seed: Long = 42L): (DF, Double) = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    import org.apache.spark.sql.graft.Bridge
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(id).as("__id"), label.cast("double").as("__y"),
+      tokens(text).as("__ts")).where(size(col("__ts")) > 0)
+    val feats = Bridge.tagMaterialized(base
+      .select(col("__id"), explode(col("__ts")).as("__t"))
+      .select(col("__id"),
+        pmod(xxhash64(col("__t"), lit(seed)), lit(dim.toLong)).as("__b"))
+      .groupBy("__id", "__b").agg(count(lit(1)).cast("double").as("__c"))
+      .join(base.select(col("__id"), size(col("__ts")).cast("double").as("__n")),
+        Seq("__id"))
+      .select(col("__id"), col("__b"), (col("__c") / col("__n")).as("__x"))
+      .localCheckpoint(eager = false))
+    val labels = Bridge.tagMaterialized(
+      base.select(col("__id"), col("__y")).localCheckpoint(eager = false))
+    val nDocs = labels.count().toDouble
+    var bias = 0.0
+    var wDf: DF = Seq.empty[(Long, Double)].toDF("__b", "__w")
+    var it = 0
+    while (it < iters) {
+      val scored = feats.join(wDf, Seq("__b"), "left")
+        .groupBy("__id")
+        .agg(sum(col("__x") * coalesce(col("__w"), lit(0.0))).as("__z"))
+      val err = labels.join(scored, Seq("__id"), "left")
+        .select(col("__id"),
+          (lit(1.0) / (lit(1.0) +
+            exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))) - col("__y"))
+            .as("__e"))
+      val grad = feats.join(err, Seq("__id"))
+        .groupBy("__b").agg(sum(col("__x") * col("__e")).as("__g"))
+      wDf = Bridge.tagMaterialized(
+        wDf.join(grad, Seq("__b"), "full")
+          .select(col("__b"),
+            (coalesce(col("__w"), lit(0.0)) * lit(1.0 - lr * l2) -
+              lit(lr / nDocs) * coalesce(col("__g"), lit(0.0))).as("__w"))
+          .localCheckpoint(eager = false))
+      val biasGrad = err.agg(sum(col("__e"))).head().getDouble(0)
+      bias -= lr * biasGrad / nDocs
+      it += 1
+    }
+    (wDf.select(col("__b").as("bucket"), col("__w").as("weight")), bias)
+  }
+
   /** URL canonicalization — the dedup key published web-curation
     * pipelines derive before anything else touches the corpus (CCNet /
     * RefinedWeb drop exact-URL duplicates ahead of content dedup; it
@@ -1035,6 +1107,17 @@ object TextFunctions {
   def bpeMergesFromTable(mergesDf: DF): Seq[(String, String)] =
     mergesDf.orderBy(col("rank")).select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Inverse of [[bpeMergesFromTable]] — the persistence shape for a
+    * trained table ([[trainBpeMerges]] output): write this DataFrame
+    * as parquet, reload with `bpeMergesFromTable` (round-trip
+    * spec-asserted). */
+  def bpeMergesToTable(spark: SparkSession, merges: Seq[(String, String)]): DF = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
 
   /** Train a BPE merges table ON THE CORPUS — the classic
     * Sennrich et al. 2016 loop, restructured for scale: the corpus is

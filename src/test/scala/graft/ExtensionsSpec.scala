@@ -1668,6 +1668,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(sparse(1L) == r6(sigmoid((3.0 + 3.0 + expectB) / 3)))
   }
 
+  test("trainHashedLogisticWeights: fit on a labeled sample separates held-out classes") {
+    // two disjoint vocabularies; train on 16 docs, hold out 4
+    val goodVocab = Seq("thorough", "referenced", "measured", "archival")
+    val spamVocab = Seq("click", "buy", "winner", "free")
+    val rng = new scala.util.Random(11)
+    def doc(vocab: Seq[String]) =
+      (1 to 6).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val train = ((1L to 8L).map(i => (i, doc(goodVocab), 1.0)) ++
+      (9L to 16L).map(i => (i, doc(spamVocab), 0.0))).toDF("doc_id", "text", "y")
+    val heldOut = Seq(
+      (101L, doc(goodVocab)), (102L, doc(goodVocab)),
+      (201L, doc(spamVocab)), (202L, doc(spamVocab))).toDF("doc_id", "text")
+    val (w, bias) = TextFunctions.trainHashedLogisticWeights(
+      train, "doc_id", $"text", $"y", iters = 40, dim = 1 << 12, seed = 7L)
+    val scores = TextFunctions.hashedLogisticScore(
+        heldOut, "doc_id", $"text", w, bias = bias, dim = 1 << 12, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val good = Seq(101L, 102L).map(scores)
+    val spam = Seq(201L, 202L).map(scores)
+    assert(good.min > 0.7 && spam.max < 0.3,
+      s"no separation: good=$good spam=$spam bias=$bias")
+    // training scores separate at the 0.5 boundary too
+    val ts = TextFunctions.hashedLogisticScore(
+        train, "doc_id", $"text", w, bias = bias, dim = 1 << 12, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 8L).forall(ts(_) > 0.5) && (9L to 16L).forall(ts(_) < 0.5))
+  }
+
   test("bm25Scores: sums per-term probabilistic scores over matching docs") {
     val df = Seq(
       (1L, "dup dup other"),

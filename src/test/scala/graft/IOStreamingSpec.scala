@@ -23,6 +23,45 @@ class IOSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
   }
 
+  test("model artifacts: versioned round-trips, kind/shape validation, merges parquet") {
+    import graft.sources.ModelArtifacts
+    val dir = tmp()
+    // every shape round-trips bit-exact
+    val vec = Array(1.5, -2.25, 0.0, 1e-300)
+    ModelArtifacts.saveDsirLogRatios(spark, s"$dir/lr.bin", vec)
+    assert(ModelArtifacts.loadDsirLogRatios(spark, s"$dir/lr.bin").toSeq == vec.toSeq)
+    val counts = Array(0L, 42L, Long.MaxValue)
+    ModelArtifacts.saveDsirBucketCounts(spark, s"$dir/c.bin", counts)
+    assert(ModelArtifacts.loadDsirBucketCounts(spark, s"$dir/c.bin").toSeq == counts.toSeq)
+    val cents = Array(Array(1.0, 2.0), Array(-3.0, 4.5))
+    ModelArtifacts.saveIvfCentroids(spark, s"$dir/ivf.bin", cents)
+    assert(ModelArtifacts.loadIvfCentroids(spark, s"$dir/ivf.bin")
+      .map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val (mins, maxs) = (Array(0.0, -1.0), Array(1.0, 2.0))
+    ModelArtifacts.saveSq8Bounds(spark, s"$dir/sq8.bin", mins, maxs)
+    val (lm, lx) = ModelArtifacts.loadSq8Bounds(spark, s"$dir/sq8.bin")
+    assert(lm.toSeq == mins.toSeq && lx.toSeq == maxs.toSeq)
+    val cb = Array(Array(Array(1.0), Array(2.0)), Array(Array(3.0), Array(4.0)))
+    ModelArtifacts.savePqCodebooks(spark, s"$dir/pq.bin", cb)
+    assert(ModelArtifacts.loadPqCodebooks(spark, s"$dir/pq.bin")
+      .map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // loading under the wrong kind fails with the stored kind named
+    val e = intercept[IllegalArgumentException](
+      ModelArtifacts.loadIvfCentroids(spark, s"$dir/sq8.bin"))
+    assert(e.getMessage.contains("sq8-bounds") && e.getMessage.contains("ivf-centroids"))
+    // a non-artifact file fails the magic check, not with garbage
+    GraftIO.writeBytes(spark, s"$dir/junk.bin", "not a model".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      ModelArtifacts.loadDsirLogRatios(spark, s"$dir/junk.bin"))
+    assert(e2.getMessage.contains("not a graft model artifact"))
+    // table-shaped artifact: merges through parquet
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    graft.functions.TextFunctions.bpeMergesToTable(spark, merges)
+      .write.parquet(s"$dir/merges.parquet")
+    assert(graft.functions.TextFunctions.bpeMergesFromTable(
+      spark.read.parquet(s"$dir/merges.parquet")) == merges)
+  }
+
   test("compression round-trip matrix (core_test.clj:34-75)") {
     // zstd omitted: Hadoop's ZStandardCodec needs libzstd, absent in
     // this container (parquet zstd works — different codec path)
