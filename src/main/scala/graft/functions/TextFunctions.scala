@@ -423,8 +423,14 @@ object TextFunctions {
     * expand — no driver materialization). N-grams are per-occurrence
     * (frequency is the point), built map-side by the same slice walk
     * as [[topNgramFraction]]; docs shorter than `n` tokens contribute
-    * their single short gram. Output: (keys..., n_grams, n_distinct,
-    * diversity rounded 6). */
+    * their single short gram. Distinct-counting `xxhash64(gram)`
+    * instead of the gram string (narrower expand shuffle) was probed
+    * and REJECTED — measured neutral at sf0.1 (3.14 vs 3.20 s mins,
+    * sign flips across runs; `tools/DiversityProbe`,
+    * bench/diversityprobe_r9.txt): count_distinct's partial
+    * aggregation already dedups map-side before the shuffle, so the
+    * narrower key saves nothing and would add a collision caveat.
+    * Output: (keys..., n_grams, n_distinct, diversity rounded 6). */
   def ngramDiversity(df: DF, keys: Seq[String], toks: Column,
                      n: Int): DF = {
     require(n >= 1, s"n $n must be >= 1")
