@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args(0)
+    args.drop(1).foreach { name =>
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}
