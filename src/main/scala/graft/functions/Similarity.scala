@@ -899,18 +899,36 @@ object Similarity {
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                 coarse: Array[Array[Double]], cb: Array[Array[Array[Double]]],
-                nprobe: Int, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("c_id"),
-      nearestCentroid(col(vec), coarse).as("__cid"),
-      pqEncode(col(vec), cb).as("c_codes"))
-    val lut = Bridge.column(graft.plans.PqLut(Bridge.expression(col(vec)), cb))
+                nprobe: Int, k: Int): DataFrame =
+    pqProbeScore(
+      corpus.select(col(id).as("c_id"),
+        nearestCentroid(col(vec), coarse).as("__cid"),
+        pqEncode(col(vec), cb).as("c_codes")),
+      queries, id, vec, coarse, cb, nprobe, k, residual = false)
+
+  /** Shared probe-scoring for the IVF-PQ family (raw and residual
+    * codes, in-memory and persisted-index corpora): queries explode to
+    * their `nprobe` closest lists and broadcast one ADC lookup table
+    * per probed list (from the raw query vector, or its per-list
+    * residual), pruned same-list corpus rows score by table lookup,
+    * per-query top-k window. `assigned` = (c_id, __cid, c_codes). */
+  private def pqProbeScore(assigned: DataFrame, queries: DataFrame,
+                           id: String, vec: String,
+                           coarse: Array[Array[Double]],
+                           cb: Array[Array[Array[Double]]],
+                           nprobe: Int, k: Int,
+                           residual: Boolean): DataFrame = {
     val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
       i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
         (i + 1).as("cid")))
-    val q = queries.select(col(id).as("q_id"), lut.as("q_lut"),
-        explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
-      .select(col("q_id"), col("q_lut"), col("__p.cid").as("__cid"))
-    val scored = c.join(broadcast(q), "__cid")
+    val exploded = queries.select(col(id).as("q_id"), col(vec).as("__qv"),
+      explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+    val lutIn =
+      if (residual) coarseResidual(col("__qv"), coarse, col("__p.cid"))
+      else col("__qv")
+    val q = exploded.select(col("q_id"), col("__p.cid").as("__cid"),
+      Bridge.column(graft.plans.PqLut(Bridge.expression(lutIn), cb)).as("q_lut"))
+    val scored = assigned.join(broadcast(q), "__cid")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("adist",
         aggregate(zip_with(col("c_codes"), col("q_lut"),
@@ -971,31 +989,71 @@ object Similarity {
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, id: String,
                         vec: String, coarse: Array[Array[Double]],
                         cb: Array[Array[Array[Double]]],
-                        nprobe: Int, k: Int): DataFrame = {
-    val c = corpus
+                        nprobe: Int, k: Int): DataFrame =
+    pqProbeScore(residualAssigned(corpus, id, vec, coarse, cb),
+      queries, id, vec, coarse, cb, nprobe, k, residual = true)
+
+  private def residualAssigned(corpus: DataFrame, id: String, vec: String,
+                               coarse: Array[Array[Double]],
+                               cb: Array[Array[Array[Double]]]): DataFrame =
+    corpus
       .select(col(id).as("c_id"), col(vec).as("__cv"),
         nearestCentroid(col(vec), coarse).as("__cid"))
       .select(col("c_id"), col("__cid"),
         pqEncode(coarseResidual(col("__cv"), coarse, col("__cid")), cb)
           .as("c_codes"))
-    val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
-      i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
-        (i + 1).as("cid")))
-    val q = queries.select(col(id).as("q_id"), col(vec).as("__qv"),
-        explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
-      .select(col("q_id"), col("__p.cid").as("__cid"),
-        Bridge.column(graft.plans.PqLut(
-          Bridge.expression(
-            coarseResidual(col("__qv"), coarse, col("__p.cid"))), cb))
-          .as("q_lut"))
-    val scored = c.join(broadcast(q), "__cid")
-      .where(col("c_id") =!= col("q_id"))
-      .withColumn("adist",
-        aggregate(zip_with(col("c_codes"), col("q_lut"),
-          (cd, row) => element_at(row, cd)), lit(0.0), _ + _))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("c_id"))
-    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
-      .select(col("q_id"), col("c_id"), round(col("adist"), 6).as("adist"),
-        col("__rk").as("rank"))
+
+  /** Build and persist the compressed inverted file — the production
+    * billion-vector index artifact: the corpus encodes ONCE to
+    * (c_id, PQ codes) rows written `partitionBy(list id)` (probe joins
+    * dynamic-partition-prune the scan to nprobe/kLists of the files,
+    * exactly like [[buildIvfIndex]] — but the scanned bytes are the
+    * codes table, ~dim·4/m× smaller than the raw embeddings), and the
+    * driver-held model (coarse centroids, codebooks, a residual flag)
+    * persists via [[graft.sources.ModelArtifacts]] in a sibling
+    * `__model` directory, so a restart queries with ZERO training
+    * jobs. `residual = true` (default) trains/encodes per-list
+    * residual codes ([[ivfPqResidualTopK]]); false = raw codes.
+    * Returns the trained (coarse, codebooks). */
+  def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String, path: String,
+                      kLists: Int, m: Int, ksub: Int,
+                      residual: Boolean = true, iters: Int = 5,
+                      seed: Long = 42L)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import graft.sources.ModelArtifacts
+    val spark = corpus.sparkSession
+    val coarse = trainIvfCentroids(corpus, vec, kLists, iters, seed)
+    val cb =
+      if (residual) trainPqCodebooksResidual(corpus, vec, coarse, m, ksub, iters, seed)
+      else trainPqCodebooks(corpus, vec, m, ksub, iters, seed)
+    val assigned =
+      if (residual) residualAssigned(corpus, id, vec, coarse, cb)
+      else corpus.select(col(id).as("c_id"),
+        nearestCentroid(col(vec), coarse).as("__cid"),
+        pqEncode(col(vec), cb).as("c_codes"))
+    assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("__cid").parquet(path)
+    ModelArtifacts.saveIvfCentroids(spark, s"${path}__model/coarse.bin", coarse)
+    ModelArtifacts.savePqCodebooks(spark, s"${path}__model/pq.bin", cb)
+    ModelArtifacts.saveLongVector(spark, s"${path}__model/meta.bin",
+      "ivfpq-meta", Array(if (residual) 1L else 0L))
+    (coarse, cb)
+  }
+
+  /** Query a persisted [[buildIvfPqIndex]]: loads the model artifacts
+    * (driver-side reads, no jobs), then scores the partitioned codes
+    * table with the matching raw/residual ADC — same semantics as
+    * [[ivfPqTopK]] / [[ivfPqResidualTopK]] on the original corpus
+    * (spec-asserted), with the scan pruned to the probed lists. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, id: String, vec: String,
+                       nprobe: Int, k: Int): DataFrame = {
+    import graft.sources.ModelArtifacts
+    val coarse = ModelArtifacts.loadIvfCentroids(spark, s"${path}__model/coarse.bin")
+    val cb = ModelArtifacts.loadPqCodebooks(spark, s"${path}__model/pq.bin")
+    val residual = ModelArtifacts.loadLongVector(spark,
+      s"${path}__model/meta.bin", "ivfpq-meta")(0) == 1L
+    pqProbeScore(spark.read.parquet(path), queries, id, vec, coarse, cb,
+      nprobe, k, residual)
   }
 }

@@ -945,6 +945,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected partition-pruned index scan:\n$plan")
   }
 
+  test("persisted IVF-PQ index: indexed == in-memory for residual and raw codes; scan partition-pruned") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val qs = emb.where($"vec_id" < 3)
+    // residual codes (the default)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    val (coarse, cb) = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      path, kLists = 4, m = 8, ksub = 16, residual = true, iters = 3)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, path, qs, "vec_id",
+      "embedding", nprobe = 2, k = 5)
+    assert(rowsOf(indexed) == rowsOf(Similarity.ivfPqResidualTopK(
+      emb, qs, "vec_id", "embedding", coarse, cb, nprobe = 2, k = 5)))
+    // the probe join keys on the partition column → pruned scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [isnotnull(__cid"),
+      s"expected partition-pruned codes scan:\n$plan")
+    // raw-code variant round-trips through the same artifact layout
+    val path2 = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    val (coarse2, cb2) = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      path2, kLists = 4, m = 8, ksub = 16, residual = false, iters = 3)
+    assert(rowsOf(Similarity.ivfPqTopKIndexed(spark, path2, qs, "vec_id",
+        "embedding", nprobe = 2, k = 5)) ==
+      rowsOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding",
+        coarse2, cb2, nprobe = 2, k = 5)))
+  }
+
   test("semanticNearDupPairs: SemDeDup cluster-then-compare finds in-cluster dups only") {
     import graft.functions.Similarity
     // two well-separated clusters in R^4, each with a near-dup pair
