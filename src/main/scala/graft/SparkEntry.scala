@@ -209,8 +209,9 @@ object SparkEntry {
     // r8 continuation (2c): margin mining + embedding label audits
     "q_ann_margin", "q_knn_label", "q_embed_outliers",
     // r9: symmetric (corpus-side) margin mining — exact tier, the
-    // quadratic self-scan is the dominant term
-    "q_ann_margin_sym", "q_embed_pool")
+    // quadratic self-scan is the dominant term — plus the dup-n-gram
+    // coverage audit and the reshaped embed pooling
+    "q_ann_margin_sym", "q_embed_pool", "q_dup_ngram")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2201,7 +2202,21 @@ object SparkEntry {
           TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
         .select($"doc_id", $"g.mean_word_len", $"g.dup_line_frac",
           $"g.symbol_ratio", $"g.alpha_tok_frac", $"g.bullet_line_frac",
-          $"g.ellipsis_line_frac", $"g.n_words", $"g.n_chars")
+          $"g.ellipsis_line_frac", $"g.dup_para_frac", $"g.dup_line_char_frac",
+          $"g.dup_para_char_frac", $"g.n_words", $"g.n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: Gopher duplicate-n-gram character fraction --------
+    // The char-weighted within-doc repetition tier (A1.1's dup 5..10-
+    // gram rules; n=3 here so the synthetic corpus exercises both
+    // branches): fraction of token chars covered by any occurrence of
+    // a duplicated trigram — true position coverage, dedup'd, not the
+    // occurrence-weighted approximation.
+    "q_dup_ngram" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.dupNgramCharFraction(t(s, dir, "documents"), "doc_id",
+          TextFunctions.tokens($"text"), n = 3)
         .orderBy("doc_id")
     }),
 
@@ -3925,7 +3940,8 @@ object SparkEntry {
     "q_gopher_signals" ->
       """WITH t AS (SELECT doc_id, text,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks,
-        |   list_filter(string_split(text, chr(10)), l -> len(trim(l))>0) AS lines
+        |   list_filter(string_split(text, chr(10)), l -> len(trim(l))>0) AS lines,
+        |   list_filter(string_split(text, chr(10)||chr(10)), p -> len(trim(p))>0) AS paras
         |  FROM documents)
         |SELECT doc_id,
         | round(coalesce(list_sum(list_transform(toks, x -> len(x)::DOUBLE)), 0)
@@ -3943,9 +3959,41 @@ object SparkEntry {
         | CASE WHEN len(lines) = 0 THEN 0.0
         |      ELSE round(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::DOUBLE
         |                 / len(lines), 6) END AS ellipsis_line_frac,
+        | CASE WHEN len(paras) = 0 THEN 0.0
+        |      ELSE round(1.0 - len(list_distinct(paras))::DOUBLE
+        |                       / len(paras), 6) END AS dup_para_frac,
+        | CASE WHEN len(lines) = 0 THEN 0.0
+        |      ELSE round(1.0 - coalesce(list_sum(list_transform(list_distinct(lines), x -> len(x)::DOUBLE)), 0)
+        |             / greatest(coalesce(list_sum(list_transform(lines, x -> len(x)::DOUBLE)), 0), 1.0), 6)
+        |      END AS dup_line_char_frac,
+        | CASE WHEN len(paras) = 0 THEN 0.0
+        |      ELSE round(1.0 - coalesce(list_sum(list_transform(list_distinct(paras), x -> len(x)::DOUBLE)), 0)
+        |             / greatest(coalesce(list_sum(list_transform(paras, x -> len(x)::DOUBLE)), 0), 1.0), 6)
+        |      END AS dup_para_char_frac,
         | len(toks)::BIGINT AS n_words,
         | len(text)::BIGINT AS n_chars
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_dup_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        | tok AS (SELECT doc_id, generate_subscripts(toks,1)-1 AS p,
+        |   len(unnest(toks))::BIGINT AS l FROM t),
+        | tot AS (SELECT doc_id, sum(l)::BIGINT AS total FROM tok GROUP BY doc_id),
+        | g AS (SELECT doc_id, i-1 AS s, array_to_string(toks[i:i+2], ' ') AS gr
+        |   FROM t, unnest(generate_series(1, greatest(len(toks)-2, 0)::BIGINT)) AS u(i)),
+        | d AS (SELECT doc_id, gr FROM g GROUP BY doc_id, gr HAVING count(*) >= 2),
+        | st AS (SELECT g.doc_id, g.s FROM g JOIN d USING (doc_id, gr)),
+        | cov AS (SELECT DISTINCT st.doc_id, st.s + o AS p
+        |   FROM st, unnest([0, 1, 2]) AS u2(o)),
+        | cc AS (SELECT cov.doc_id, sum(tok.l)::BIGINT AS cchars
+        |   FROM cov JOIN tok ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |   GROUP BY cov.doc_id)
+        |SELECT t.doc_id,
+        |  round(coalesce(cc.cchars, 0)::DOUBLE /
+        |        greatest(coalesce(tot.total, 0), 1), 6) AS dup_ngram_char_frac
+        |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN cc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
       """WITH t AS (SELECT doc_id, text,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks,

@@ -287,9 +287,26 @@ object TextFunctions {
     val ellipsisLineFrac = when(size(lines) === 0, lit(0.0)).otherwise(
       round(size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
         size(lines).cast("double"), 6))
+    // duplicate-unit CHARACTER fractions (Gopher A1.1's char-weighted
+    // repetition tier): chars carried by occurrences beyond a unit's
+    // first = 1 - distinct-unit chars / total unit chars. Paragraph
+    // unit = blank-line-separated ("\n\n" split, trim-nonempty —
+    // single-\n corpora report paragraphs == document).
+    def unitChars(u: Column) =
+      aggregate(transform(u, x => length(x).cast("double")), lit(0.0), _ + _)
+    def dupCharFrac(u: Column) = when(size(u) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - unitChars(array_distinct(u)) /
+        greatest(unitChars(u), lit(1.0)), 6))
+    val paras = filter(split(text, "\n\n"), p => length(trim(p)) > 0)
+    val dupParaFrac = when(size(paras) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(paras)).cast("double") /
+        size(paras).cast("double"), 6))
     struct(meanWordLen.as("mean_word_len"), dupLineFrac.as("dup_line_frac"),
       symbolRatio.as("symbol_ratio"), alphaTokFrac.as("alpha_tok_frac"),
       bulletLineFrac.as("bullet_line_frac"), ellipsisLineFrac.as("ellipsis_line_frac"),
+      dupParaFrac.as("dup_para_frac"),
+      dupCharFrac(lines).as("dup_line_char_frac"),
+      dupCharFrac(paras).as("dup_para_char_frac"),
       size(toks).cast("long").as("n_words"), length(text).cast("long").as("n_chars"))
   }
 
@@ -442,6 +459,51 @@ object TextFunctions {
         countDistinct(col("__g")).as("n_distinct"))
       .withColumn("diversity",
         round(col("n_distinct").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Gopher A1.1 duplicate n-gram CHARACTER fraction — the last tier
+    * of the published repetition battery (dup lines/paragraphs and
+    * their char fractions live in [[gopherSignals]]; the top-n-gram
+    * fraction is [[topNgramFraction]]): per document, the fraction of
+    * token characters covered by ANY occurrence of a WITHIN-DOC
+    * duplicated token n-gram (overlapping coverage counted once —
+    * true position coverage, not the occurrence-weighted
+    * approximation). Aggregation-shaped by necessity (per-gram counts
+    * need a shuffle a per-row expression must not hide): grams
+    * explode to narrow (doc, gram, start) rows, duplicate grams keep
+    * their occurrence starts (one (doc, gram) aggregate), starts
+    * expand to covered token positions, dedup, and join back the
+    * per-position token lengths. Denominator = total token chars
+    * (separators excluded, documented). Docs with fewer than `n`
+    * tokens (no grams) report 0.0; no row is dropped. Output:
+    * (`id`, dup_ngram_char_frac rounded 6). */
+  def dupNgramCharFraction(df: DF, id: String, toks: Column, n: Int): DF = {
+    require(n >= 1, s"n $n must be >= 1")
+    val base = df.select(col(id), toks.as("__ts"))
+    val tokInfo = base
+      .select(col(id), posexplode(col("__ts")).as(Seq("__p", "__t")))
+      .select(col(id), col("__p"), length(col("__t")).cast("long").as("__len"))
+    val totals = tokInfo.groupBy(col(id)).agg(sum(col("__len")).as("__total"))
+    val grams = base.where(size(col("__ts")) >= n)
+      .select(col(id), posexplode(transform(
+          sequence(lit(1), size(col("__ts")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__ts"), i, lit(n)))))
+        .as(Seq("__i", "__g")))
+    val covered = grams.groupBy(col(id), col("__g"))
+      .agg(count(lit(1)).as("__c"), collect_list(col("__i")).as("__is"))
+      .where(col("__c") >= 2)
+      .select(col(id), explode(col("__is")).as("__s"))
+      .select(col(id), explode(sequence(col("__s"), col("__s") + (n - 1))).as("__p"))
+      .distinct()
+    val coveredChars = covered.join(tokInfo, Seq(id, "__p"))
+      .groupBy(col(id)).agg(sum(col("__len")).as("__cov"))
+    base.select(col(id))
+      .join(totals, Seq(id), "left")
+      .join(coveredChars, Seq(id), "left")
+      .select(col(id),
+        round(coalesce(col("__cov"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__total"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("dup_ngram_char_frac"))
   }
 
   /** PII detection counts — the audit companion to [[redactPii]]:

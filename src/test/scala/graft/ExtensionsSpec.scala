@@ -1896,6 +1896,47 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(4L)._1 == 0.0 && got(4L)._2 == 0.0 && got(4L)._3 == 0L)
   }
 
+  test("gopherSignals: duplicate paragraph + char-weighted repetition fractions") {
+    val df = Seq(
+      // paragraphs: [x y, x y, unique longer para] → dup_para 1/3;
+      // para chars: total 3+3+17=23, distinct 3+17=20 → char frac 3/23
+      (1L, "x y\n\nx y\n\nunique longer par"),
+      // lines [aaaa, b, aaaa] → dup_line_frac 1/3; line chars total 9,
+      // distinct 5 → dup_line_char_frac 4/9 (the long line repeats, so
+      // the char fraction exceeds the line fraction)
+      (2L, "aaaa\nb\naaaa"),
+      (3L, " \n \n ")).toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.gopherSignals($"text", TextFunctions.tokens($"text")).as("g"))
+      .select($"id", $"g.dup_para_frac", $"g.dup_line_char_frac", $"g.dup_para_char_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == r6(1.0 / 3) && got(1L)._3 == r6(3.0 / 23))
+    assert(got(2L)._2 == r6(4.0 / 9))
+    // no text → all zero, never NaN
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("dupNgramCharFraction: position coverage, short docs, clean docs") {
+    val df = Seq(
+      // tokens a b c a b c d; dup bigrams "a b" (0,3) and "b c" (1,4)
+      // cover positions {0..5} of 7 one-char tokens → 6/7
+      (1L, "a b c a b c d"),
+      (2L, "all distinct tokens here"), // no dup grams → 0.0
+      (3L, "short"),                    // fewer tokens than n → 0.0
+      (4L, "xx yy xx yy")).toDF("id", "text")
+    val got = TextFunctions.dupNgramCharFraction(df, "id",
+        TextFunctions.tokens($"text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(6.0 / 7))
+    assert(got(2L) == 0.0 && got(3L) == 0.0)
+    // doc 4: dup bigram "xx yy" at starts 0 and 2 covers all 4 tokens
+    assert(got(4L) == 1.0)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // no silent row loss
+  }
+
   test("gopherSignals symbol_ratio counts vertical tab as a symbol (RE2/DuckDB parity)") {
     // Java \s strips \x0B but RE2/DuckDB \s does not — the explicit
     // whitespace class must agree with the DuckDB oracle: "ab"
