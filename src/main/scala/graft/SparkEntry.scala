@@ -505,6 +505,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- text: HTML → text extraction (raw-crawl stage) ----------
+    // Deterministically wrap each document's text in markup (script
+    // whose body contains a decoy close tag, style, comment, entities,
+    // block tags) and extract — the oracle replays the identical regex
+    // chain, so every branch (content-dropping blocks, block-newline
+    // mapping, single-decode entity order) verifies per doc.
+    "q_html_text" -> ((s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style>" +
+          "<script>var x = '</div>';</script></head><body><h1>Head</h1><p>"),
+        regexp_replace(substring($"text", 1, 200), "\n", "</p><p>"),
+        lit("</p><ul><li>a &amp;lt; b</li><li>c &lt;d&gt;</li></ul>" +
+          "<!-- hidden comment --><div>tail&nbsp;text &quot;q&#39;</div>" +
+          "</body></html>"))
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.htmlToText(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // -------- corpus: per-language stats audit ------------------------
     "q_corpus_stats_by" -> ((s, dir) => {
       import s.implicits._
@@ -3994,6 +4014,32 @@ object SparkEntry {
         |        greatest(coalesce(tot.total, 0), 1), 6) AS dup_ngram_char_frac
         |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_html_text" ->
+      """WITH d AS (SELECT doc_id,
+        |  '<html><head><title>T</title><style>p{color:red}</style><script>var x = ''</div>'';</script></head><body><h1>Head</h1><p>'
+        |  || regexp_replace(substr(text, 1, 200), '\n', '</p><p>', 'g')
+        |  || '</p><ul><li>a &amp;lt; b</li><li>c &lt;d&gt;</li></ul><!-- hidden comment --><div>tail&nbsp;text &quot;q&#39;</div></body></html>' AS html
+        | FROM documents),
+        | x AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote)[^>]*>', chr(10), 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g') AS t1
+        |  FROM d),
+        | e AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(t1,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&') AS t2
+        |  FROM x)
+        |SELECT doc_id,
+        | regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(t2,
+        |   '[ \t\x0B\f\r]+', ' ', 'g'),
+        |   ' ?\n ?', chr(10), 'g'),
+        |   '\n{3,}', chr(10)||chr(10), 'g')),
+        |   '^\n+|\n+$', '', 'g') AS extracted
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q_gopher_filter" ->
       """WITH t AS (SELECT doc_id, text,
         |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks,

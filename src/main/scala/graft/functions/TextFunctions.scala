@@ -1003,6 +1003,42 @@ object TextFunctions {
     trim(capBlank)
   }
 
+  /** HTML → text extraction — the raw-crawl stage ahead of everything
+    * else in a web pipeline (C4/CCNet consume pre-extracted WET text;
+    * RefinedWeb-class pipelines extract from markup themselves).
+    * Conservative, dialect-portable regex chain (inline `(?is)` flags,
+    * lazy quantifiers — identical semantics in Java regex and RE2, so
+    * the pass is differential-testable like [[cleanText]]):
+    * script/style/comment blocks drop WITH their content, block-level
+    * closers and `<br>` become newlines before the generic tag strip
+    * (so paragraph structure survives), the common named entities
+    * decode (`&amp;` LAST — `&amp;lt;` single-decodes to `&lt;`, never
+    * to `<`), and whitespace normalizes with [[cleanText]]'s tail
+    * (space-run collapse, tight newlines, blank-run cap). A
+    * readability-grade extractor (DOM scoring, link-density) is a
+    * deliberate non-goal — compose [[stripBoilerplate]] downstream for
+    * the jusText-lite line classifier. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val e1 = replace(noTags, lit("&nbsp;"), lit(" "))
+    val e2 = replace(e1, lit("&lt;"), lit("<"))
+    val e3 = replace(e2, lit("&gt;"), lit(">"))
+    val e4 = replace(e3, lit("&quot;"), lit("\""))
+    val e5 = replace(e4, lit("&#39;"), lit("'"))
+    val e6 = replace(e5, lit("&amp;"), lit("&"))
+    val oneSp = regexp_replace(e6, "[ \\t\\x0B\\f\\r]+", " ")
+    val tightNl = regexp_replace(oneSp, " ?\\n ?", "\n")
+    val capBlank = regexp_replace(tightNl, "\\n{3,}", "\n\n")
+    // trim strips spaces only; a trailing </p>-turned-newline would
+    // survive it — strip edge newline runs explicitly
+    regexp_replace(trim(capBlank), "^\\n+|\\n+$", "")
+  }
+
   /** Lowercased host of a URL — authority without port or
     * userinfo-free (the synthetic corpus never carries userinfo; a
     * production crawl would strip `user@` first). Empty string when

@@ -1937,6 +1937,57 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 3L, 4L)) // no silent row loss
   }
 
+  test("htmlToText: blocks drop with content, structure becomes newlines, entities single-decode") {
+    def x(h: String): String = Seq(Tuple1(h)).toDF("h")
+      .select(TextFunctions.htmlToText($"h")).head().getString(0)
+    // script content (with a decoy close tag inside a JS string),
+    // style and comments vanish entirely
+    assert(x("<script>var a = '</div>' + 1;</script>keep") == "keep")
+    assert(x("<style>p { color: red }</style>keep") == "keep")
+    assert(x("a<!-- secret\nstuff -->b") == "a b")
+    // block closers and <br> preserve line structure; inline tags space
+    assert(x("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(x("line<br>break") == "line\nbreak")
+    assert(x("<b>bold</b> and <i>italic</i>") == "bold and italic")
+    // entity decode, &amp; last so &amp;lt; never double-decodes
+    assert(x("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;") ==
+      "a & b <c> \"d\" 'e'")
+    assert(x("&amp;lt;") == "&lt;")
+    assert(x("x&nbsp;y") == "x y")
+    // whitespace tail: runs collapse, blank runs cap at one empty line
+    assert(x("<p>a</p><div></div><div></div><div></div><p>b</p>") == "a\n\nb")
+    // case-insensitive tags
+    assert(x("<SCRIPT>nope</SCRIPT><P>ok</P>") == "ok")
+  }
+
+  test("dupNgramCharFraction matches a brute-force reference (randomized)") {
+    val rng = new scala.util.Random(5)
+    val docs = (1L to 40L).map { i =>
+      val t = 1 + rng.nextInt(12)
+      val toks = (1 to t).map(_ =>
+        ('a' + rng.nextInt(3)).toChar.toString * (1 + rng.nextInt(2)))
+      (i, toks.mkString(" "))
+    }
+    val n = 2
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(text: String): Double = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < n) return 0.0
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+      val covered = grams.zipWithIndex.filter(p => counts(p._1) >= 2)
+        .flatMap { case (_, i) => i until i + n }.toSet
+      val total = toks.map(_.length).sum.toDouble
+      r6(covered.toSeq.map(toks(_).length).sum / math.max(total, 1.0))
+    }
+    val got = TextFunctions.dupNgramCharFraction(docs.toDF("id", "text"), "id",
+        TextFunctions.tokens($"text"), n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    docs.foreach { case (i, text) =>
+      assert(got(i) == ref(text), s"doc $i '$text': ${got(i)} vs ${ref(text)}")
+    }
+  }
+
   test("gopherSignals symbol_ratio counts vertical tab as a symbol (RE2/DuckDB parity)") {
     // Java \s strips \x0B but RE2/DuckDB \s does not — the explicit
     // whitespace class must agree with the DuckDB oracle: "ab"
