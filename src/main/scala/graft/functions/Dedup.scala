@@ -925,6 +925,88 @@ object Dedup {
     stream.where(!coalesce(hit, lit(false)))
   }
 
+  /** One batch of the SELF-MAINTAINING near-dup ingest loop — the
+    * missing piece between the one-shot snapshot dedup
+    * ([[dedupNearDupsAgainstSnapshot]]) and the stateless streaming
+    * pre-filter ([[streamingNearDupFilterAgainstBands]], whose band
+    * table is FROZEN at stream start): each batch dedups against
+    * everything accepted so far AND within itself, then grows the
+    * accepted corpus and its band table, so the next batch sees it.
+    * Layout under `acceptedDir`: `data/batch=<tag>/` (full accepted
+    * rows) and `bands/batch=<tag>/` (their band table) — plain
+    * partition-discovered parquet, so state is restartable by
+    * construction and a RETRIED batch tag overwrites its own
+    * subdirectories (idempotent, the foreachBatch exactly-once
+    * recipe). Steps per batch:
+    *
+    *  1. drop rows that near-dup the accepted corpus (band equi-join
+    *     + exact-Jaccard verify — the [[nearDupPairsAgainstSnapshot]]
+    *     precision contract; accepted text is re-read only for
+    *     candidate verification);
+    *  2. drop in-batch near-dups ([[minhashLshPairsVerified]] +
+    *     [[dropNearDups]] keep-lowest-id);
+    *  3. append survivors + their bands as this batch's partitions.
+    *
+    * Returns the number of accepted rows. Ids must be unique across
+    * the whole ingest (the snapshot contract). */
+  def nearDupIngestBatch(batch: DataFrame, id: String, text: String,
+                         acceptedDir: String, batchTag: String,
+                         n: Int = 5, k: Int = 128, bands: Int = 16,
+                         minJaccard: Double = 0.9, seed: Long = 42L,
+                         maxBucketSize: Int = 0): Long = {
+    val spark = batch.sparkSession
+    val dataDir = s"$acceptedDir/data"
+    val bandDir = s"$acceptedDir/bands"
+    def nonEmpty(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(hp) && fs.listStatus(hp).exists(_.isDirectory)
+    }
+    // state read EXCLUDES this batch's own partitions: a retry of a
+    // batch that already completed must see the pre-batch state, or
+    // its rows would all drop as near-dups of themselves and the
+    // overwrite would erase them (spec-asserted idempotence)
+    def state(dir: String) = spark.read.parquet(dir)
+      .where(col("batch").cast("string") =!= lit(batchTag)).drop("batch")
+    val vsAccepted =
+      if (nonEmpty(dataDir))
+        dedupNearDupsAgainstSnapshot(batch, id, text,
+          state(dataDir), id, text, state(bandDir),
+          n, k, bands, minJaccard, seed, maxBucketSize)
+      else batch
+    val pairs = minhashLshPairsVerified(vsAccepted, id, text, n = n, k = k,
+      bands = bands, minJaccard = minJaccard, seed = seed,
+      maxBucketSize = maxBucketSize)
+    val survivors = org.apache.spark.sql.graft.Bridge.tagMaterialized(
+      dropNearDups(vsAccepted, id, pairs).localCheckpoint(eager = false))
+    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dataDir/batch=$batchTag")
+    minhashBandTable(survivors, id, text, n, k, bands, seed)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$bandDir/batch=$batchTag")
+    survivors.count()
+  }
+
+  /** Streaming wrapper over [[nearDupIngestBatch]]: a `foreachBatch`
+    * sink whose state is the accepted-corpus directory itself — the
+    * batch id is the idempotence tag, so Structured Streaming's
+    * retried batches overwrite rather than double-append. Unlike the
+    * stateless bloom pre-filter this tier is EXACT (per-batch verify
+    * joins) and self-maintaining; the trade is per-batch job latency
+    * instead of a per-row expression. Caller starts the returned
+    * writer (`.start()`), choosing trigger/checkpoint options. */
+  def streamingNearDupIngest(stream: DataFrame, id: String, text: String,
+                             acceptedDir: String,
+                             n: Int = 5, k: Int = 128, bands: Int = 16,
+                             minJaccard: Double = 0.9, seed: Long = 42L,
+                             maxBucketSize: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, batchId: Long) =>
+      nearDupIngestBatch(b, id, text, acceptedDir, batchId.toString,
+        n, k, bands, minJaccard, seed, maxBucketSize)
+      ()
+    }
+
   /** Cross-snapshot NEAR-dup pairs — [[dedupAgainstSnapshot]]'s recall
     * extended from exact text equality to MinHash-LSH near-duplicates,
     * against a PERSISTED snapshot band table ([[minhashBandTable]]):

@@ -588,6 +588,62 @@ class WindowsSpec extends AnyFunSuite {
     assert(keptNull == Seq(5L), s"null-text row dropped: $keptNull")
   }
 
+  test("self-maintaining near-dup ingest: later batches dedup against earlier accepted docs; retries idempotent") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val other = "completely different content about rivers bridges and mountain passes " * 3
+    val acc = Files.createTempDirectory("graft-ingest").toString + "/acc"
+    def accepted() = spark.read.parquet(s"$acc/data").drop("batch")
+      .collect().map(_.getLong(0)).toSet
+    // batch 1: two distinct docs accepted
+    val n1 = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", acc, "1")
+    assert(n1 == 2 && accepted() == Set(1L, 2L))
+    // batch 2: a near-dup of accepted doc 1 drops; a fresh doc and one
+    // of an in-batch near-dup pair (lowest id kept) are accepted
+    val fresh = "fresh subject matter entirely new words for the second batch here " * 3
+    val n2 = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((10L, base + "zz"), (11L, fresh), (12L, fresh + "yy"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "2")
+    assert(n2 == 1 && accepted() == Set(1L, 2L, 11L), accepted().toString)
+    // batch 3: near-dup of the BATCH-2 acceptee drops — the band table
+    // really grew between batches
+    val n3 = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((20L, fresh + "qq"), (21L, "yet another novel topic about stars " * 5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "3")
+    assert(n3 == 1 && accepted() == Set(1L, 2L, 11L, 21L), accepted().toString)
+    // a RETRIED batch tag overwrites its own partitions against the
+    // PRE-batch state — the completed batch's own output must not make
+    // its retry drop everything as self-near-dups
+    val n3b = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((20L, fresh + "qq"), (21L, "yet another novel topic about stars " * 5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "3")
+    assert(n3b == 1 && accepted() == Set(1L, 2L, 11L, 21L), accepted().toString)
+    assert(spark.read.parquet(s"$acc/data").drop("batch").count() ==
+      accepted().size)
+    // streaming wrapper end-to-end: one file-stream batch through
+    // foreachBatch lands in a fresh accepted dir
+    val acc2 = Files.createTempDirectory("graft-ingest2").toString + "/acc"
+    val srcDir = Files.createTempDirectory("graft-ingest-src").toString + "/in"
+    Seq((31L, base), (32L, base + " xx"), (33L, other))
+      .toDF("doc_id", "text").write.parquet(srcDir)
+    val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = graft.functions.Dedup.streamingNearDupIngest(
+        stream, "doc_id", "text", acc2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$acc2/data").drop("batch")
+      .collect().map(_.getLong(0)).toSet
+    // 31/32 are near-dups (one survives, lowest id), 33 distinct
+    assert(got == Set(31L, 33L), got.toString)
+  }
+
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
     val ds = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0)).toDS
     val out = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
