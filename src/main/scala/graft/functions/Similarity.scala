@@ -1040,6 +1040,153 @@ object Similarity {
     (coarse, cb)
   }
 
+  // ------------------------------------------------------------------
+  // PCA / whitening: embedding preprocessing for ANN and audits
+  // ------------------------------------------------------------------
+
+  /** Driver-held PCA model: `mean` (dim), `components` (outDim × dim,
+    * orthonormal rows, descending eigenvalue order), `eigenvalues`
+    * (outDim, the per-component variances). Persist via
+    * `ModelArtifacts.saveMatrix/saveVector`. */
+  case class PcaModel(mean: Array[Double],
+                      components: Array[Array[Double]],
+                      eigenvalues: Array[Double])
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — pure driver
+    * Scala (no linear-algebra dependency), deterministic; fine for the
+    * embedding-dim matrices PCA needs (dim ≤ a few hundred). Returns
+    * (eigenvalues, eigenvectors as COLUMNS-extracted rows) unsorted. */
+  private def jacobiEigen(a0: Array[Array[Double]],
+                          sweeps: Int = 64,
+                          tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < sweeps && off() > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)),
+      Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j))))
+  }
+
+  /** Fit a PCA projection on a bounded training sample — the
+    * embedding-preprocessing step published ANN systems run before
+    * quantization (OPQ's rotation is PCA-family; whitening equalizes
+    * per-dimension variance so SQ8/PQ budgets spread evenly) and the
+    * dimensionality-reduction step for embedding audits. Shapes: the
+    * sample is bounded exactly like [[trainIvfCentroids]]'s; the mean
+    * and the dim×dim second-moment matrix come from ONE posexplode
+    * aggregate each (the moment explode is train_rows × dim² narrow
+    * rows, map-side partial-aggregated — keep `maxTrainRows`
+    * proportionate for large dims); the eigensolve is driver Jacobi
+    * (deterministic). ITERATIVE at the driver → spec-only by declared
+    * design. Components are orthonormal, eigenvalue-descending —
+    * both spec-asserted, along with full-dim isometry and subspace
+    * recovery. */
+  def trainPcaProjection(df: DataFrame, vec: String, outDim: Int,
+                         maxTrainRows: Int = 100000,
+                         trainFraction: Double = 1.0,
+                         seed: Long = 42L): PcaModel = {
+    require(outDim >= 1, s"outDim $outDim must be >= 1")
+    val vecs = df.select(vecD(col(vec)).as("__v"))
+    val train =
+      (if (trainFraction >= 1.0) vecs
+       else vecs.sample(withReplacement = false, trainFraction, seed))
+        .limit(maxTrainRows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = train.select(size(col("__v"))).head().getInt(0)
+      require(outDim <= dim, s"outDim $outDim must be <= dim $dim")
+      val mean = train
+        .select(posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy("__i").agg(avg(col("__x")).as("__m"))
+        .orderBy("__i").collect().map(_.getDouble(1))
+      // second moments E[x_i x_j]: flattened outer product, one agg
+      val m2rows = train
+        .select(posexplode(flatten(transform(col("__v"),
+          xi => transform(col("__v"), xj => xi * xj)))).as(Seq("__p", "__x")))
+        .groupBy("__p").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val cov = Array.ofDim[Double](dim, dim)
+      m2rows.foreach { r =>
+        val p = r.getInt(0); val i = p / dim; val j = p % dim
+        cov(i)(j) = r.getDouble(1) - mean(i) * mean(j)
+      }
+      val (evals, evecs) = jacobiEigen(cov)
+      val order = evals.indices.sortBy(i => -evals(i)).take(outDim)
+      PcaModel(mean,
+        order.map(evecs).toArray,
+        order.map(evals).toArray)
+    } finally { train.unpersist(blocking = false); () }
+  }
+
+  /** Project a vector column through a [[PcaModel]]: component k is
+    * `c_k · v - c_k · mean` (the centering folds into one driver
+    * constant per component, so the projection is outDim fused dots —
+    * pure map-side work). `whiten = true` additionally divides each
+    * component by sqrt(eigenvalue) (unit per-component variance on the
+    * training distribution; zero-variance components pass through
+    * unwhitened rather than exploding). PCA preserves L2 geometry
+    * (full-dim projection is an isometry on centered vectors,
+    * spec-asserted) — pair with the L2-contract ANN paths; cosine is
+    * NOT preserved under centering. */
+  def pcaProject(vec: Column, model: PcaModel,
+                 whiten: Boolean = false): Column = {
+    val comps = model.components.zipWithIndex.map { case (c, k) =>
+      val offset = c.zip(model.mean).map { case (a, b) => a * b }.sum
+      val raw = dotFused(vecD(vec), dblArrayLit(c)) - lit(offset)
+      if (whiten && model.eigenvalues(k) > 1e-12)
+        raw / lit(math.sqrt(model.eigenvalues(k)))
+      else raw
+    }
+    array(comps.toIndexedSeq: _*)
+  }
+
   /** Query a persisted [[buildIvfPqIndex]]: loads the model artifacts
     * (driver-side reads, no jobs), then scores the partitioned codes
     * table with the matching raw/residual ADC — same semantics as

@@ -945,6 +945,50 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected partition-pruned index scan:\n$plan")
   }
 
+  test("PCA: orthonormal descending components, full-dim isometry, subspace recovery, whitening") {
+    val m = Similarity.trainPcaProjection(emb, "embedding", outDim = 64)
+    // components orthonormal (rows of an orthogonal matrix)
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val d = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"c$i · c$j = $d")
+    }
+    // eigenvalues descending and non-negative (covariance is PSD)
+    assert(m.eigenvalues.toSeq == m.eigenvalues.sortBy(-_).toSeq)
+    assert(m.eigenvalues.forall(_ > -1e-8))
+    // full-dim projection preserves pairwise L2 distances (isometry)
+    val pro = emb.where($"vec_id" < 8)
+      .select($"vec_id", Similarity.pcaProject($"embedding", m).as("p"),
+        transform($"embedding", _.cast("double")).as("v"))
+      .collect().map(r => (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (Seq((pa, va), (pb, vb)) <- pro.toSeq.combinations(2)) {
+      assert(math.abs(l2(pa, pb) - l2(va, vb)) < 1e-6,
+        s"${l2(pa, pb)} vs ${l2(va, vb)}")
+    }
+    // subspace recovery: 4-d points on a 2-d plane -> two nonzero
+    // eigenvalues, the rest ~0, and outDim=2 loses nothing
+    val rnd = new scala.util.Random(3)
+    val plane = (1L to 60L).map { i =>
+      val (a, b) = (rnd.nextGaussian(), rnd.nextGaussian())
+      (i, Array((a + b).toFloat, (a - b).toFloat, (2 * a + 0.5 * b).toFloat, b.toFloat))
+    }.toDF("vec_id", "embedding")
+    val pm = Similarity.trainPcaProjection(plane, "embedding", outDim = 4)
+    assert(pm.eigenvalues(1) > 1e-3 && math.abs(pm.eigenvalues(2)) < 1e-8 &&
+      math.abs(pm.eigenvalues(3)) < 1e-8, pm.eigenvalues.mkString(","))
+    // whitening: per-component variance ~1 on the training data
+    val pm2 = Similarity.trainPcaProjection(plane, "embedding", outDim = 2)
+    val ws = plane.select(Similarity.pcaProject($"embedding", pm2, whiten = true).as("w"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (k <- 0 until 2) {
+      val xs = ws.map(_(k))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(va - 1.0) < 1e-6, s"component $k variance $va")
+    }
+  }
+
   test("persisted IVF-PQ index: indexed == in-memory for residual and raw codes; scan partition-pruned") {
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
