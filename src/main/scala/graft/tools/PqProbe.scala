@@ -42,6 +42,29 @@ object PqProbe {
       println(f"m=$m%3d ksub=$ksub%3d  recall@10=$recall%.3f  shortlist@50-recall=$shortRecall%.3f  ($secs%.1f s)")
     }
 
+    // PCA-rotated PQ vs raw PQ (the OPQ-lite claim): a full-dim PCA
+    // rotation is an L2 isometry, so exact ranks are unchanged and the
+    // comparison is apples-to-apples; decorrelated axes should spread
+    // quantization error more evenly across subspaces
+    {
+      val pca = Similarity.trainPcaProjection(n, "embedding", outDim = 64)
+      val rot = n.select($"vec_id",
+        Similarity.pcaProject($"embedding", pca).as("embedding")).cache()
+      val qrot = rot.where($"vec_id" < 20)
+      for ((m, ksub) <- Seq((8, 16), (16, 32))) {
+        val cbRaw = Similarity.trainPqCodebooks(n, "embedding", m = m, ksub = ksub, iters = 4)
+        val cbRot = Similarity.trainPqCodebooks(rot, "embedding", m = m, ksub = ksub, iters = 4)
+        val raw = Similarity.pqAdcTopK(n, qn, "vec_id", "embedding", cbRaw, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rotRes = Similarity.pqAdcTopK(rot, qrot, "vec_id", "embedding", cbRot, k = 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rr = (raw intersect exact).size.toDouble / exact.size
+        val rp = (rotRes intersect exact).size.toDouble / exact.size
+        println(f"pca-rotation m=$m%3d ksub=$ksub%3d  raw-pq=$rr%.3f  pca-pq=$rp%.3f")
+      }
+      rot.unpersist()
+    }
+
     // residual IVF-PQ vs raw-code IVF-PQ at identical (m, ksub, nprobe)
     // budgets — the FAISS claim under test: per-list residual codes
     // quantize finer, so recall should not drop and typically rises
