@@ -268,6 +268,44 @@ object Similarity {
     df.join(drops, col(id) === col("__drop"), "left_anti")
   }
 
+  /** Attach each row's nearest-coarse-centroid cluster id (1-based) —
+    * the public assignment step of the k-means family
+    * ([[trainIvfCentroids]] trains; [[semanticNearDupPairs]] and the
+    * IVF paths use the same map-side assignment internally). Pure
+    * projection. */
+  def assignClusters(df: DataFrame, vec: String,
+                     cents: Array[Array[Double]],
+                     clusterCol: String = "cluster"): DataFrame =
+    df.withColumn(clusterCol, nearestCentroid(col(vec), cents))
+
+  /** Cluster-balanced sample: k-means the embeddings with the coarse
+    * quantizer, then keep at most `nPerCluster` rows per cluster in
+    * the deterministic salted-md5 order — the published
+    * diversity-preserving subset draw (SemDeDup-adjacent: a uniform
+    * sample over a skewed corpus reproduces the skew; capping per
+    * cluster flattens it). Scales as assignment (map-side) + one
+    * per-cluster window ([[graft.functions.Corpus.capPerKeyByHash]]'s
+    * shape). Pass `cents` to reuse trained/persisted centroids (the
+    * production path — with fixed centroids the draw is fully
+    * repartition/retry-invariant, spec-asserted); omitting them trains
+    * in place, where the k-means INIT depends on the input's
+    * partitioning (the draw given a clustering is still
+    * deterministic). K-means is iterative → spec-only by declared
+    * design. */
+  def clusterBalancedSample(df: DataFrame, id: String, vec: String,
+                            kClusters: Int, nPerCluster: Int,
+                            iters: Int = 3, seed: Long = 42L,
+                            maxTrainRows: Int = 100000,
+                            cents: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(kClusters >= 1, s"kClusters must be >= 1, got $kClusters")
+    val c = cents.getOrElse(
+      trainIvfCentroids(df, vec, kClusters, iters, seed, maxTrainRows))
+    graft.functions.Corpus.capPerKeyByHash(
+      assignClusters(df, vec, c, "__cluster"),
+      Seq("__cluster"), id, nPerCluster, seed)
+      .drop("__cluster")
+  }
+
   /** Random-hyperplane signature: `planes` sign bits from fixed seeded
     * Gaussian hyperplanes, packed into a bigint bucket id. Vectors with
     * high cosine land in the same bucket with probability

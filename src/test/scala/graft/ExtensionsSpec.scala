@@ -945,6 +945,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected partition-pruned index scan:\n$plan")
   }
 
+  test("clusterBalancedSample flattens cluster skew; deterministic across partitioning") {
+    // 3 well-separated clusters with skewed sizes 30/6/3
+    val rnd = new scala.util.Random(9)
+    val centers = Seq(Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val pts = for (c <- centers.indices; j <- 0 until Seq(30, 6, 3)(c)) yield
+      ((c * 100 + j).toLong, centers(c).map(x => x + rnd.nextFloat() * 0.2f))
+    val df = pts.toDF("vec_id", "embedding")
+    // fixed centroids (the production reuse path): one per true center
+    val cents = Some(centers.map(_.map(_.toDouble)).toArray)
+    val got = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+        kClusters = 3, nPerCluster = 4, cents = cents)
+      .collect().map(_.getLong(0)).toSet
+    // at most 4 per cluster; the size-3 cluster survives whole — the
+    // skewed 30/6/3 corpus flattens to 4/4/3
+    val byCluster = got.groupBy(_ / 100).view.mapValues(_.size).toMap
+    assert(byCluster == Map(0L -> 4, 1L -> 4, 2L -> 3), byCluster.toString)
+    val re = Similarity.clusterBalancedSample(df.repartition(7), "vec_id",
+        "embedding", kClusters = 3, nPerCluster = 4, cents = cents)
+      .collect().map(_.getLong(0)).toSet
+    assert(re == got)
+    // in-place training still respects the cap over ITS clustering
+    val trained = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      kClusters = 3, nPerCluster = 4)
+    assert(trained.count() <= 12)
+  }
+
   test("PCA: orthonormal descending components, full-dim isometry, subspace recovery, whitening") {
     val m = Similarity.trainPcaProjection(emb, "embedding", outDim = 64)
     // components orthonormal (rows of an orthogonal matrix)
