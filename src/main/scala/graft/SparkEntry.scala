@@ -3843,7 +3843,8 @@ object SparkEntry {
         |   FROM s) t WHERE rr <= 4 GROUP BY c_id),
         | m AS (SELECT s.q_id, s.c_id,
         |   round(s.sim / ((ax.ax + ay.ay) / 2), 6) AS margin
-        |  FROM s JOIN ax USING (q_id) JOIN ay USING (c_id)),
+        |  FROM s JOIN ax USING (q_id) JOIN ay USING (c_id)
+        |  WHERE (ax.ax + ay.ay) > 0),
         | r AS (SELECT q_id, c_id, margin,
         |   row_number() OVER (PARTITION BY q_id ORDER BY margin DESC, c_id) AS rk
         |  FROM m)
@@ -4026,7 +4027,7 @@ object SparkEntry {
         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |    '(?s)<!--.*?-->', ' ', 'g'),
         |    '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote)[^>]*>', chr(10), 'g'),
-        |    '(?s)<[^>]*>', ' ', 'g') AS t1
+        |    '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS t1
         |  FROM d),
         | e AS (SELECT doc_id,
         |  replace(replace(replace(replace(replace(replace(t1,

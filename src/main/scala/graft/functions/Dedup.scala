@@ -932,9 +932,11 @@ object Dedup {
     * table is FROZEN at stream start): each batch dedups against
     * everything accepted so far AND within itself, then grows the
     * accepted corpus and its band table, so the next batch sees it.
-    * Layout under `acceptedDir`: `data/batch=<tag>/` (full accepted
-    * rows) and `bands/batch=<tag>/` (their band table) — plain
-    * partition-discovered parquet, so state is restartable by
+    * Layout under `acceptedDir`: `data/batch=t<tag>/` (full accepted
+    * rows) and `bands/batch=t<tag>/` (their band table) — plain
+    * partition-discovered parquet (the "t" prefix keeps partition
+    * values strings under type inference, so tags like "01" can't
+    * canonicalize into colliding with "1"), so state is restartable by
     * construction and a RETRIED batch tag overwrites its own
     * subdirectories (idempotent, the foreachBatch exactly-once
     * recipe). Steps per batch:
@@ -962,12 +964,18 @@ object Dedup {
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.exists(hp) && fs.listStatus(hp).exists(_.isDirectory)
     }
+    // Partition values are WRITTEN with a "t" prefix so Spark's
+    // partition-type inference can never canonicalize them (a bare
+    // tag "01" would be discovered as integer 1 and the
+    // own-batch-exclusion filter below would miss it — a retry would
+    // then erase its own accepted rows as self-near-dups).
+    val tagVal = "t" + batchTag
     // state read EXCLUDES this batch's own partitions: a retry of a
     // batch that already completed must see the pre-batch state, or
     // its rows would all drop as near-dups of themselves and the
     // overwrite would erase them (spec-asserted idempotence)
     def state(dir: String) = spark.read.parquet(dir)
-      .where(col("batch").cast("string") =!= lit(batchTag)).drop("batch")
+      .where(col("batch").cast("string") =!= lit(tagVal)).drop("batch")
     val vsAccepted =
       if (nonEmpty(dataDir))
         dedupNearDupsAgainstSnapshot(batch, id, text,
@@ -980,10 +988,10 @@ object Dedup {
     val survivors = org.apache.spark.sql.graft.Bridge.tagMaterialized(
       dropNearDups(vsAccepted, id, pairs).localCheckpoint(eager = false))
     survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dataDir/batch=$batchTag")
+      .parquet(s"$dataDir/batch=$tagVal")
     minhashBandTable(survivors, id, text, n, k, bands, seed)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$bandDir/batch=$batchTag")
+      .parquet(s"$bandDir/batch=$tagVal")
     survivors.count()
   }
 

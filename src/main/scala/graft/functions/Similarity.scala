@@ -734,7 +734,7 @@ object Similarity {
     * Output: input key + `id` + cos_centroid (rounded 6). */
   def centroidCosine(df: DataFrame, key: String, id: String,
                      vec: String): DataFrame = {
-    val cents = meanPoolEmbeddings(df, key, vec)
+    val cents = pooledCore(df, key, vec)
       .select(col(key), col("pooled").as("__cent"))
     df.select(col(key), col(id), col(vec).as("__v"))
       .join(broadcast(cents), key)
@@ -859,7 +859,14 @@ object Similarity {
       }
     val l = assigned.select(col("c_id").as("__ya"), col("c_v").as("__va"), col("__cl"))
     val r = assigned.select(col("c_id").as("__yb"), col("c_v").as("__vb"), col("__cl"))
-    val selfSims = l.join(r, Seq("__cl")).where(col("__ya") =!= col("__yb"))
+    // kLists = 1: a keyed join on the CONSTANT cluster id would hash
+    // every row to one shuffle partition — the exact tier cross-joins
+    // instead (partition-parallel nested loop; quadratic by declared
+    // design either way)
+    val joined =
+      if (kLists == 1) l.drop("__cl").crossJoin(r.drop("__cl"))
+      else l.join(r, Seq("__cl"))
+    val selfSims = joined.where(col("__ya") =!= col("__yb"))
       .withColumn("__s", cosineFused(col("__va"), col("__vb")))
       .select(col("__ya"), col("__yb"), col("__s"))
     val wy = Window.partitionBy(col("__ya")).orderBy(col("__s").desc, col("__yb"))
@@ -892,6 +899,15 @@ object Similarity {
     * Output: (`key`, n_vecs, pooled). */
   def meanPoolEmbeddings(df: DataFrame, key: String, vec: String): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_vecs"))
+    pooledCore(df, key, vec)
+      .join(counts, Seq(key))
+      .select(col(key), col("n_vecs"), col("pooled"))
+  }
+
+  /** The pooling half of [[meanPoolEmbeddings]] without the row-count
+    * aggregate — consumers that only need the pooled array
+    * ([[centroidCosine]]) skip the extra count(*) pass + join. */
+  private def pooledCore(df: DataFrame, key: String, vec: String): DataFrame = {
     val per = df
       .select(col(key), posexplode(vecD(col(vec))).as(Seq("__pos", "__x")))
       .groupBy(col(key), col("__pos"))
@@ -901,8 +917,6 @@ object Similarity {
         transform(
           array_sort(collect_list(struct(col("__pos").as("p"), col("__m").as("m")))),
           s => s.getField("m")).as("pooled"))
-      .join(counts, Seq(key))
-      .select(col(key), col("n_vecs"), col("pooled"))
   }
 
   /** IVF-SQ8: coarse inverted-file probe + SQ8 asymmetric scoring —
@@ -959,13 +973,23 @@ object Similarity {
     val probes = transform(sequence(lit(0), lit(coarse.length - 1)),
       i => struct((-cosineFused(col(vec), element_at(centroidsLit(coarse), i + 1))).as("d"),
         (i + 1).as("cid")))
-    val exploded = queries.select(col(id).as("q_id"), col(vec).as("__qv"),
-      explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
-    val lutIn =
-      if (residual) coarseResidual(col("__qv"), coarse, col("__p.cid"))
-      else col("__qv")
-    val q = exploded.select(col("q_id"), col("__p.cid").as("__cid"),
-      Bridge.column(graft.plans.PqLut(Bridge.expression(lutIn), cb)).as("q_lut"))
+    def lutOf(in: Column) =
+      Bridge.column(graft.plans.PqLut(Bridge.expression(in), cb))
+    // residual codes need one LUT PER PROBED LIST (the residual
+    // depends on the list centroid) — built after the probe explode;
+    // raw codes share one LUT per query, so it is built BEFORE the
+    // explode (recomputing the identical m·ksub table nprobe times
+    // was a measured-shape regression of the r9 refactor)
+    val q =
+      if (residual)
+        queries.select(col(id).as("q_id"), col(vec).as("__qv"),
+            explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+          .select(col("q_id"), col("__p.cid").as("__cid"),
+            lutOf(coarseResidual(col("__qv"), coarse, col("__p.cid"))).as("q_lut"))
+      else
+        queries.select(col(id).as("q_id"), lutOf(col(vec)).as("q_lut"),
+            explode(slice(array_sort(probes), 1, nprobe)).as("__p"))
+          .select(col("q_id"), col("q_lut"), col("__p.cid").as("__cid"))
     val scored = assigned.join(broadcast(q), "__cid")
       .where(col("c_id") =!= col("q_id"))
       .withColumn("adist",
@@ -1183,7 +1207,12 @@ object Similarity {
         .limit(maxTrainRows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = train.select(size(col("__v"))).head().getInt(0)
+      val first = train.select(size(col("__v")).as("__d"))
+        .where(col("__d").isNotNull).limit(1).collect()
+      require(first.nonEmpty,
+        "trainPcaProjection needs a non-empty training sample with non-null " +
+          "vectors (empty input, or trainFraction sampled zero rows)")
+      val dim = first(0).getInt(0)
       require(outDim <= dim, s"outDim $outDim must be <= dim $dim")
       val mean = train
         .select(posexplode(col("__v")).as(Seq("__i", "__x")))

@@ -898,6 +898,9 @@ object TextFunctions {
     val labels = Bridge.tagMaterialized(
       base.select(col("__id"), col("__y")).localCheckpoint(eager = false))
     val nDocs = labels.count().toDouble
+    require(nDocs > 0,
+      "trainHashedLogisticWeights needs at least one labeled doc with tokens " +
+        "(zero-token docs are excluded from the fit)")
     var bias = 0.0
     var wDf: DF = Seq.empty[(Long, Double)].toDF("__b", "__w")
     var it = 0
@@ -905,11 +908,16 @@ object TextFunctions {
       val scored = feats.join(wDf, Seq("__b"), "left")
         .groupBy("__id")
         .agg(sum(col("__x") * coalesce(col("__w"), lit(0.0))).as("__z"))
-      val err = labels.join(scored, Seq("__id"), "left")
-        .select(col("__id"),
-          (lit(1.0) / (lit(1.0) +
-            exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))) - col("__y"))
-            .as("__e"))
+      // materialized: BOTH the gradient aggregate and the bias-grad
+      // sum read err — without the checkpoint each action re-ran the
+      // feats⋈weights join and the per-doc sigmoid pass (2× per step)
+      val err = Bridge.tagMaterialized(
+        labels.join(scored, Seq("__id"), "left")
+          .select(col("__id"),
+            (lit(1.0) / (lit(1.0) +
+              exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))) - col("__y"))
+              .as("__e"))
+          .localCheckpoint(eager = false))
       val grad = feats.join(err, Seq("__id"))
         .groupBy("__b").agg(sum(col("__x") * col("__e")).as("__g"))
       wDf = Bridge.tagMaterialized(
@@ -1014,9 +1022,15 @@ object TextFunctions {
     * (so paragraph structure survives), the common named entities
     * decode (`&amp;` LAST — `&amp;lt;` single-decodes to `&lt;`, never
     * to `<`), and whitespace normalizes with [[cleanText]]'s tail
-    * (space-run collapse, tight newlines, blank-run cap). A
-    * readability-grade extractor (DOM scoring, link-density) is a
-    * deliberate non-goal — compose [[stripBoilerplate]] downstream for
+    * (space-run collapse, tight newlines, blank-run cap). The generic
+    * tag strip requires a TAG-SHAPED span (`</?letter...>` or `<!...>`),
+    * so prose with unescaped comparison operators ("5 < 6 while
+    * 7 > 3") passes through instead of being eaten as a fake tag.
+    * Known caveats of the regex (not DOM) approach: an UNCLOSED
+    * `<script>`/`<style>` block leaks its body (the lazy pattern
+    * needs the closer), and entity decoding covers only the common
+    * named set. A readability-grade extractor (DOM scoring,
+    * link-density) is a deliberate non-goal — compose [[stripBoilerplate]] downstream for
     * the jusText-lite line classifier. */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
@@ -1024,7 +1038,7 @@ object TextFunctions {
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val blocks = regexp_replace(noComment,
       "(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote)[^>]*>", "\n")
-    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val noTags = regexp_replace(blocks, "(?s)</?[A-Za-z!][^>]*>", " ")
     val e1 = replace(noTags, lit("&nbsp;"), lit(" "))
     val e2 = replace(e1, lit("&lt;"), lit("<"))
     val e3 = replace(e2, lit("&gt;"), lit(">"))
@@ -1253,11 +1267,18 @@ object TextFunctions {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
     require(minPairCount >= 1, s"minPairCount $minPairCount must be >= 1")
     import org.apache.spark.sql.graft.Bridge
+    // CODE-POINT split, not split(w, "") (which yields UTF-16 code
+    // units): BpeApply tokenizes by code points, and a merges table
+    // with an unpaired-surrogate side could never fire at apply time,
+    // breaking the apply-reproduces-training contract on non-BMP text
+    // (Java regex `.` matches one full code point; spec covers an
+    // emoji word)
     val words = df.select(explode(tokens(text)).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__w"))
       .limit(maxWords)
-      .withColumn("__parts", split(col("__w"), ""))
+      .withColumn("__parts",
+        call_function("regexp_extract_all", col("__w"), lit("(?s)."), lit(0)))
     var state = Bridge.tagMaterialized(words.localCheckpoint(eager = false))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = numMerges == 0

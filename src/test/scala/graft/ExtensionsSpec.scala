@@ -2028,6 +2028,10 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(x("<p>a</p><div></div><div></div><div></div><p>b</p>") == "a\n\nb")
     // case-insensitive tags
     assert(x("<SCRIPT>nope</SCRIPT><P>ok</P>") == "ok")
+    // unescaped comparison operators are NOT fake tags — the generic
+    // strip requires a tag-shaped start, so the prose survives
+    assert(x("<p>5 < 6 while 7 > 3</p>") == "5 < 6 while 7 > 3")
+    assert(x("<!DOCTYPE html><p>x</p>") == "x")
   }
 
   test("dupNgramCharFraction matches a brute-force reference (randomized)") {
@@ -2249,6 +2253,18 @@ class TextFunctionsSpec extends AnyFunSuite {
       assert(got == state(w), s"word '$w': $got vs ${state(w)}")
     }
     docs.unpersist()
+  }
+
+  test("trainBpeMerges splits by code points: non-BMP merges apply cleanly") {
+    // words "😀a" ×2 and "😀b": a code-UNIT split would train the
+    // rule (surrogate-half, surrogate-half) which BpeApply (code-point
+    // tokenizer) could never fire — training must see [😀, a] instead
+    val docs = Seq(Tuple1("😀a 😀a 😀b")).toDF("text")
+    val trained = TextFunctions.trainBpeMerges(docs, $"text", numMerges = 4)
+    assert(trained == Seq(("😀", "a")), trained.toString)
+    val got = Seq(Tuple1("😀a 😀b")).toDF("t")
+      .select(TextFunctions.bpeTokens($"t", trained)).head().getSeq[String](0)
+    assert(got == Seq("😀a", "😀", "b"), got.toString)
   }
 
   test("chunkTokens: overlap, tail chunk, degenerate sizes") {

@@ -624,6 +624,10 @@ class WindowsSpec extends AnyFunSuite {
     assert(n3b == 1 && accepted() == Set(1L, 2L, 11L, 21L), accepted().toString)
     assert(spark.read.parquet(s"$acc/data").drop("batch").count() ==
       accepted().size)
+    // partition values are written t-prefixed so type inference keeps
+    // them strings — tags like "01" can never canonicalize into "1"
+    assert(spark.read.parquet(s"$acc/data").schema("batch").dataType ==
+      org.apache.spark.sql.types.StringType)
     // streaming wrapper end-to-end: one file-stream batch through
     // foreachBatch lands in a fresh accepted dir
     val acc2 = Files.createTempDirectory("graft-ingest2").toString + "/acc"
