@@ -525,6 +525,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- corpus: data-contract expectations audit ----------------
+    // One aggregate pass of not-null / composite-unique / range rules
+    // plus the anti-join referential rule, unioned tall — the range
+    // rule is calibrated to [1, 25] so violations are NONZERO on this
+    // data (an all-zeros report verifies nothing).
+    "q_data_checks" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      Corpus.expectationsReport(li,
+          notNull = Seq("l_returnflag", "l_linestatus"),
+          uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+          ranges = Seq(("l_quantity", 1.0, 25.0), ("l_discount", 0.0, 0.05)))
+        .union(Corpus.refIntegrityViolations(li, Seq("l_orderkey"),
+          t(s, dir, "orders"), Seq("o_orderkey")))
+        .orderBy("rule")
+    }),
+
     // -------- corpus: per-language stats audit ------------------------
     "q_corpus_stats_by" -> ((s, dir) => {
       import s.implicits._
@@ -4015,6 +4032,35 @@ object SparkEntry {
         |        greatest(coalesce(tot.total, 0), 1), 6) AS dup_ngram_char_frac
         |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_data_checks" ->
+      """SELECT * FROM (
+        | SELECT 'not_null:l_returnflag' AS rule,
+        |   coalesce(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS violations
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'not_null:l_linestatus',
+        |   coalesce(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'unique:l_orderkey+l_linenumber',
+        |   (count(*) - (SELECT count(*) FROM
+        |     (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))::BIGINT
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'range:l_quantity',
+        |   coalesce(sum(CASE WHEN l_quantity IS NOT NULL
+        |     AND (l_quantity < 1 OR l_quantity > 25) THEN 1 ELSE 0 END), 0)::BIGINT
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'range:l_discount',
+        |   coalesce(sum(CASE WHEN l_discount IS NOT NULL
+        |     AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END), 0)::BIGINT
+        |  FROM lineitem
+        | UNION ALL
+        | SELECT 'ref:l_orderkey', count(*)::BIGINT FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey))
+        |ORDER BY rule""".stripMargin,
     "q_html_text" ->
       """WITH d AS (SELECT doc_id,
         |  '<html><head><title>T</title><style>p{color:red}</style><script>var x = ''</div>'';</script></head><body><h1>Head</h1><p>'

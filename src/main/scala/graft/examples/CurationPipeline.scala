@@ -11,6 +11,9 @@ import graft.functions.{Corpus, Dedup, TextFunctions}
   * audit row logged after every stage (what a production pipeline
   * tracks as per-stage yield). Stages, in the canonical order:
   *
+  *  0. (optional, `extractHtml`) raw-crawl HTML → text extraction —
+  *     when the input is markup, every downstream signal assumes
+  *     prose, so the tag strip runs before anything else;
   *  1. text cleanup (NFC, control/zero-width strip, whitespace),
   *     optionally followed by the jusText-lite boilerplate line strip
   *     (`boilerplateStopFrac` > 0 — local density rules, before any
@@ -57,8 +60,17 @@ object CurationPipeline {
              gopherMinWords: Int = 50,
              dsirTarget: Option[DataFrame] = None,
              dsirThreshold: Double = 0.0,
-             maxPerSource: Int = 0): (DataFrame, DataFrame) = {
-    val s0 = docs.select(col("doc_id"), col("text"), col("source"))
+             maxPerSource: Int = 0,
+             extractHtml: Boolean = false): (DataFrame, DataFrame) = {
+    val sRaw = docs.select(col("doc_id"), col("text"), col("source"))
+
+    // 0a. (optional) raw-crawl extraction: when `text` is markup,
+    // htmlToText runs FIRST — every downstream signal (tokens,
+    // hashes, line rules) assumes prose, not tags
+    val s0 =
+      if (extractHtml)
+        sRaw.withColumn("text", TextFunctions.htmlToText(col("text")))
+      else sRaw
 
     // 0b. text cleanup BEFORE any hashing — normalization changes md5
     // identities and shingle hashes, so it must precede dedup

@@ -545,4 +545,59 @@ object Corpus {
         lit(defaultWeight))
     ranked.withColumn("ikey", col("pos").cast("double") / wCol)
   }
+
+  /** Data-contract audit (the expectations/dq-check tier a pipeline
+    * runs on every landed table): not-null, composite-key uniqueness,
+    * and numeric-range rules evaluated in ONE aggregate pass over the
+    * table (conditional sums + count_distinct, all map-side-partial),
+    * reported as tall (rule, violations) rows — zero everywhere =
+    * contract holds, and the per-rule counts localize the break when
+    * it doesn't. Semantics: range rules ignore nulls (pair with a
+    * not-null rule — a null is not "out of range"); the uniqueness
+    * count is `count(*) - count_distinct(keys)` with the usual
+    * distinct-aggregate null handling (rows with null key components
+    * are skipped by count_distinct — again pair with not-null rules
+    * on key columns). Referential rules need a join, so they live in
+    * [[refIntegrityViolations]]; union the outputs. */
+  def expectationsReport(df: DataFrame,
+                         notNull: Seq[String] = Nil,
+                         uniqueKeys: Seq[Seq[String]] = Nil,
+                         ranges: Seq[(String, Double, Double)] = Nil): DataFrame = {
+    val labeled: Seq[(String, Column)] =
+      notNull.map(c => s"not_null:$c" ->
+        sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      uniqueKeys.map(ks => s"unique:${ks.mkString("+")}" ->
+        (count(lit(1)) - countDistinct(col(ks.head), ks.tail.map(col): _*))) ++
+      ranges.map { case (c, lo, hi) => s"range:$c" ->
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L)
+          .otherwise(0L))
+      }
+    require(labeled.nonEmpty, "expectationsReport needs at least one rule")
+    val row = df.agg(labeled.head._2.as("c0"),
+      labeled.tail.zipWithIndex.map { case ((_, e), i) => e.as(s"c${i + 1}") }: _*)
+    val structs = labeled.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"),
+        coalesce(col(s"c$i").cast("long"), lit(0L)).as("violations"))
+    }
+    row.select(explode(array(structs.toIndexedSeq: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("__r.violations").as("violations"))
+  }
+
+  /** Referential-integrity rule: child rows whose key tuple has no
+    * match in the parent (left-anti count). Rows with null key
+    * components never match and so COUNT as violations — pre-filter
+    * or pair with not-null rules if nulls are legal. Same (rule,
+    * violations) shape as [[expectationsReport]] for unioning. */
+  def refIntegrityViolations(child: DataFrame, childKeys: Seq[String],
+                             parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
+      s"key lists must be non-empty and same length: $childKeys vs $parentKeys")
+    val p = parent.select(parentKeys.map(k => col(k).as(s"__p_$k")).toIndexedSeq: _*)
+    val cond = childKeys.zip(parentKeys)
+      .map { case (a, b) => child(a) === p(s"__p_$b") }.reduce(_ && _)
+    child.join(p, cond, "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(s"ref:${childKeys.mkString("+")}").as("rule"),
+        col("violations"))
+  }
 }

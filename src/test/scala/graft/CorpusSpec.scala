@@ -401,4 +401,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(hashes == hashes.sorted)
     assert(out.rdd.getNumPartitions == 5)
   }
+
+  test("expectationsReport + refIntegrityViolations count every rule's violations") {
+    val df = Seq(
+      (1L, 1, "a", 5.0),
+      (1L, 1, "b", 50.0),                         // dup key, out of range
+      (2L, 1, null.asInstanceOf[String], -1.0),   // null text, out of range
+      (3L, 2, "c", 10.0)).toDF("k1", "k2", "txt", "x")
+    val got = Corpus.expectationsReport(df,
+        notNull = Seq("txt"),
+        uniqueKeys = Seq(Seq("k1", "k2")),
+        ranges = Seq(("x", 0.0, 20.0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "not_null:txt" -> 1L,
+      "unique:k1+k2" -> 1L,
+      "range:x" -> 2L), got.toString)
+    // referential: children 1,2,3 vs parents 1,3 -> k1=2 dangles; a
+    // null child key also counts (it can never match)
+    val parent = Seq(Tuple1(1L), Tuple1(3L)).toDF("pk")
+    val child = df.select(col("k1")).union(
+      Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("k1"))
+    val ref = Corpus.refIntegrityViolations(child, Seq("k1"), parent, Seq("pk"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ref.toSeq == Seq(("ref:k1", 2L)), ref.toSeq.toString)
+    // empty input: zero violations, never null
+    val empty = Corpus.expectationsReport(df.where(lit(false)),
+        notNull = Seq("txt"), ranges = Seq(("x", 0.0, 1.0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(empty.values.forall(_ == 0L), empty.toString)
+  }
 }

@@ -76,6 +76,16 @@ class ExamplePipelinesSpec extends AnyFunSuite {
     assert(nC.drop(1).zip(nC.drop(2)).forall { case (a, b) => b <= a }, nC.toSeq)
     assert(nC.last == 1L, nC.toSeq)
     assert(packedC.count() >= 1L)
+    // r9 knob: raw-crawl HTML extraction ahead of everything — the
+    // same corpus wrapped in markup curates to the same survivors
+    val htmlDocs = docs.withColumn("text",
+      concat(lit("<html><body><script>var x=1;</script><p>"),
+        col("text"), lit("</p></body></html>")))
+    val (packedH, _) = CurationPipeline.curate(htmlDocs, benchmark,
+      minJaccard = 0.9, minQuality = 0.5, packBudget = 64, extractHtml = true)
+    val keptH = packedH.collect()
+      .flatMap(_.getString(2).split(",")).map(_.toLong).toSet
+    assert(keptH == Set(1L, 6L), keptH.toString)
   }
 
   test("word-count: tokenize, frequencies, formatted output (examples.clj:17-54)") {
