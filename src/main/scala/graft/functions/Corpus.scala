@@ -548,8 +548,10 @@ object Corpus {
 
   /** Data-contract audit (the expectations/dq-check tier a pipeline
     * runs on every landed table): not-null, composite-key uniqueness,
-    * and numeric-range rules evaluated in ONE aggregate pass over the
-    * table (conditional sums + count_distinct, all map-side-partial),
+    * and numeric-range rules evaluated in ONE scan of the table
+    * (conditional sums + count_distinct, all map-side-partial; a
+    * uniqueness rule adds the distinct-aggregate rewrite's single
+    * keyed exchange — PlanSpec-guarded),
     * reported as tall (rule, violations) rows — zero everywhere =
     * contract holds, and the per-rule counts localize the break when
     * it doesn't. Semantics: range rules ignore nulls (pair with a

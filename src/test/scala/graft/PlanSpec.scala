@@ -306,4 +306,56 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(q_id".r.findAllIn(p).nonEmpty,
       s"missing the per-query top-k window exchange:\n$p")
   }
+
+  test("round-9 projection-tier queries carry no hash exchange (q_html_text, q_gopher_signals)") {
+    // both are pure per-row work — the only exchange either may carry
+    // is the final orderBy's range partitioning
+    for (q <- Seq("q_html_text", "q_gopher_signals")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q grew a hash exchange:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("expectationsReport is ONE aggregate pass (single hash exchange, no join)") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = graft.functions.Corpus.expectationsReport(li,
+        notNull = Seq("l_returnflag"),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+        ranges = Seq(("l_quantity", 1.0, 25.0)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"report grew a join:\n$p")
+    // ONE scan of the data; the uniqueness rule's distinct-aggregate
+    // rewrite adds exactly one keyed exchange (partial-aggregated on
+    // the key before it), nothing more
+    assert("FileScan".r.findAllIn(p).size == 1, s"report re-scanned the data:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"report hash-exchanged beyond the distinct rewrite:\n$p")
+    // without a uniqueness rule the report is conditional sums only —
+    // zero hash exchanges
+    val p2 = graft.functions.Corpus.expectationsReport(li,
+        notNull = Seq("l_returnflag"),
+        ranges = Seq(("l_quantity", 1.0, 25.0)))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p2).isEmpty &&
+      !p2.contains("Join"), s"sum-only report grew shuffles:\n$p2")
+  }
+
+  test("symmetric-margin exact tier never single-partitions on the constant cluster key (q_ann_margin_sym)") {
+    val p = planOf("q_ann_margin_sym")
+    // the kLists=1 self-scan must be a (broadcast) nested-loop /
+    // cartesian over partitions, not a hash join on lit(1)
+    assert(!p.contains("Exchange hashpartitioning(1"),
+      s"self-scan hashed every row to one partition:\n$p")
+    assert(!p.contains("__cl"), s"constant cluster key leaked into the plan:\n$p")
+  }
+
+  test("dup-n-gram coverage aggregates on narrow keys, no cartesian (q_dup_ngram)") {
+    val p = planOf("q_dup_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_dup_ngram went all-pairs:\n$p")
+    // equi-joins only (position length join-back + the left joins)
+    assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
 }
