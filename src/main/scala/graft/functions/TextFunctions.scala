@@ -461,6 +461,20 @@ object TextFunctions {
         round(col("n_distinct").cast("double") / col("n_grams"), 6))
   }
 
+  /** Deflate compression ratio of the text's UTF-8 bytes — the cheap
+    * whole-document repetitiveness signal published pipelines ship
+    * alongside the Gopher battery (Dolma / RedPajama-v2 attributes):
+    * templated or boilerplate text compresses far below prose; filter
+    * on a low-ratio cutoff or keep the value as a feature. Codegen'd
+    * kernel ([[graft.plans.CompressionRatio]], SQL
+    * `compression_ratio`); deterministic (fixed level, raw deflate),
+    * spec-only by declared design — no oracle engine exposes
+    * deflate. */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.CompressionRatio(Bridge.expression(text)))
+  }
+
   /** Gopher A1.1 duplicate n-gram CHARACTER fraction — the last tier
     * of the published repetition battery (dup lines/paragraphs and
     * their char fractions live in [[gopherSignals]]; the top-n-gram

@@ -20,6 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   simhash64(text)                     → bigint
   *   vector_dot(a, b) / vector_cosine(a, b) → double
   *   unicode_normalize(text[, form])     → string (form: NFC/NFD/NFKC/NFKD)
+  *   compression_ratio(text)             → double (deflate bytes / raw bytes)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -112,6 +113,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, form) => UnicodeNormalize(text, strArg(form, "form"))
         case Seq(text)       => UnicodeNormalize(text, "NFC")
         case _ => throw new IllegalArgumentException("unicode_normalize(text[, form])")
+      }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
+
+    e.injectFunction((FunctionIdentifier("compression_ratio"),
+      info("compression_ratio", "deflate ratio of a string's UTF-8 bytes (repetitiveness signal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => CompressionRatio(text)
+        case _ => throw new IllegalArgumentException("compression_ratio(text)")
       }): (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder))
   }
 }

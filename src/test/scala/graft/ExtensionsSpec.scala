@@ -2007,6 +2007,38 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L, 3L, 4L)) // no silent row loss
   }
 
+  test("compressionRatio: repetitive text scores low, prose higher, noise highest; deterministic") {
+    val rep = "click here now " * 50
+    val prose = "The measured throughput of the revised pipeline exceeded the " +
+      "projected baseline across every tested configuration, although the " +
+      "variance between consecutive runs remained notably wide."
+    val rnd = new scala.util.Random(13)
+    val noise = (1 to 600).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    val df = Seq((1L, rep), (2L, prose), (3L, noise), (4L, "")).toDF("id", "t")
+    val got = df.select($"id", TextFunctions.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.15, s"repetitive: ${got(1L)}")
+    assert(got(2L) > got(1L) && got(3L) > got(2L),
+      s"ordering: rep=${got(1L)} prose=${got(2L)} noise=${got(3L)}")
+    assert(got(4L) == 1.0) // empty: nothing to compress, not 0
+    // deterministic across re-execution and partitioning
+    val re = df.repartition(5)
+      .select($"id", TextFunctions.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == got)
+    // SQL registration matches the Column form
+    df.createOrReplaceTempView("cr_docs")
+    val sql = spark.sql("select id, compression_ratio(t) from cr_docs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sql == got)
+    // interpreted eval parity with codegen (the kernel is shared, but
+    // guard the wiring)
+    val expr = graft.plans.CompressionRatio(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(prose,
+        org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).asInstanceOf[Double] == got(2L))
+  }
+
   test("htmlToText: blocks drop with content, structure becomes newlines, entities single-decode") {
     def x(h: String): String = Seq(Tuple1(h)).toDF("h")
       .select(TextFunctions.htmlToText($"h")).head().getString(0)
