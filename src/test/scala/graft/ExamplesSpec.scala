@@ -163,4 +163,39 @@ class ExamplePipelinesSpec extends AnyFunSuite {
     assert(fwd.getString(0) == "CLICK")
     assert(fwd.getMap[String, String](1) == Map("uid" -> "7", "forwarded" -> "true"))
   }
+
+  test("TrainingExport: merges persist+reload, shards replay the interleave order") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source")).limit(60)
+    val out = java.nio.file.Files.createTempDirectory("graft-export").toString + "/e"
+    val ordered = graft.examples.TrainingExport.export(docs, out,
+      weights = Map("src0" -> 2.0), numMerges = 16, shards = 3)
+    // the persisted merges table reproduces the stamped counts
+    val merges = graft.functions.TextFunctions.bpeMergesFromTable(
+      spark.read.parquet(s"$out/merges.parquet"))
+    assert(merges.nonEmpty)
+    val restamped = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text"), merges).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stamped = ordered.select(col("doc_id"), col("n_bpe_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stamped == restamped)
+    // shards: file-order concatenation equals the global interleave
+    // order (range partitions are disjoint and sorted within)
+    val files = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 3)
+    val replayed = files.flatMap(f => spark.read.parquet(f)
+      .select("doc_id", "ikey", "source", "pos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))))
+    val want = ordered.orderBy(col("ikey"), col("source"), col("pos"))
+      .select("doc_id", "ikey", "source", "pos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+    assert(replayed.toSeq == want.toSeq)
+    // every prefix of the order holds sources ~at their weights: the
+    // doubled source leads
+    val firstHalf = want.take(want.length / 2).count(_._3 == "src0").toDouble
+    val overall = want.count(_._3 == "src0").toDouble
+    assert(firstHalf >= overall / 2, s"weighted source not front-loaded: $firstHalf of $overall")
+  }
 }
