@@ -4044,7 +4044,8 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'unique:l_orderkey+l_linenumber',
         |   (count(*) - (SELECT count(*) FROM
-        |     (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))::BIGINT
+        |     (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+        |      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)))::BIGINT
         |  FROM lineitem
         | UNION ALL
         | SELECT 'range:l_quantity',

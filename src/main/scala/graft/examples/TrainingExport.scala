@@ -30,19 +30,29 @@ import graft.sources.GraftIO
   * persisted merges reproduces the stamped token counts). */
 object TrainingExport {
 
-  /** Returns (export df as written, merges table path). */
+  /** Runs the export; returns the ordered export frame (CACHED — the
+    * range write consumes it twice for boundary sampling + shuffle,
+    * and the caller's next action would otherwise re-run the
+    * O(merges · doc-length) BPE stamp a third time; unpersist when
+    * done). The merges table lands at `outDir`/merges.parquet, the
+    * data at `outDir`/data. Training-loop checkpoint blocks are swept
+    * before returning (`Dedup.releaseMaterialized` — repeated exports
+    * in a long-lived session must not accumulate pinned vocab
+    * tables). */
   def export(docs: DataFrame, outDir: String,
              weights: Map[String, Double],
              numMerges: Int = 64,
              shards: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val merges = TextFunctions.trainBpeMerges(docs, col("text"), numMerges)
+    graft.functions.Dedup.releaseMaterialized(spark)
     TextFunctions.bpeMergesToTable(spark, merges)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/merges.parquet")
     val stamped = docs.withColumn("n_bpe_tokens",
       TextFunctions.bpeTokenCount(col("text"), merges))
     val ordered = Corpus.interleaveByWeights(stamped, "source", "doc_id", weights)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     GraftIO.writeSortedParquet(ordered, s"$outDir/data",
       Seq("ikey", "source", "pos"), numShards = shards)
     ordered

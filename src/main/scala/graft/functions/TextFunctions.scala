@@ -467,9 +467,10 @@ object TextFunctions {
     * templated or boilerplate text compresses far below prose; filter
     * on a low-ratio cutoff or keep the value as a feature. Codegen'd
     * kernel ([[graft.plans.CompressionRatio]], SQL
-    * `compression_ratio`); deterministic (fixed level, raw deflate),
-    * spec-only by declared design — no oracle engine exposes
-    * deflate. */
+    * `compression_ratio`); deterministic within a zlib build (fixed
+    * level, raw deflate — NOT pinned across JDK/zlib versions, see
+    * the expression Scaladoc), spec-only by declared design — no
+    * oracle engine exposes deflate. */
   def compressionRatio(text: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.column(graft.plans.CompressionRatio(Bridge.expression(text)))

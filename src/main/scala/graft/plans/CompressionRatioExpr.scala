@@ -10,11 +10,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `compressed_len / raw_len` — the published cheap repetitiveness
   * signal (Dolma and RedPajama-v2 ship a gzip/zlib document ratio;
   * boilerplate and templated spam compress far below prose, and
-  * high-entropy noise sits near or above 1.0). Deterministic: a fixed
-  * Deflater level with no gzip header/timestamp, so the value is a
-  * pure function of the bytes (spec-asserted; NOT SQL-expressible —
-  * no oracle engine exposes deflate — so the signal is spec-only by
-  * declared design, like the streaming ops).
+  * high-entropy noise sits near or above 1.0). Determinism: a fixed
+  * Deflater level with no gzip header/timestamp makes the value a
+  * pure function of the bytes WITHIN one zlib build (spec-asserted
+  * same-JVM); deflate output is NOT pinned across zlib/JDK versions,
+  * so on a heterogeneous cluster or across JDK upgrades treat the
+  * ratio as a heuristic feature, not a reproducible key — don't use
+  * it where the md5/xxhash draws' cross-run contract is needed. NOT
+  * SQL-expressible (no oracle engine exposes deflate) — spec-only by
+  * declared design, like the streaming ops.
   *
   * Per-row imperative work (a Deflater round), so it is a codegen
   * expression calling a static kernel — a Scala UDF would box and cut
