@@ -211,7 +211,10 @@ object SparkEntry {
     // r9: symmetric (corpus-side) margin mining — exact tier, the
     // quadratic self-scan is the dominant term — plus the dup-n-gram
     // coverage audit and the reshaped embed pooling
-    "q_ann_margin_sym", "q_embed_pool", "q_dup_ngram")
+    "q_ann_margin_sym", "q_embed_pool", "q_dup_ngram",
+    // r9 (2): fixed-iteration link-graph centrality — 3 edge⋈rank
+    // rounds over ~600k edges at sf0.1, the tier's heaviest by design
+    "q_pagerank")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -523,6 +526,21 @@ object SparkEntry {
       t(s, dir, "documents")
         .select($"doc_id", TextFunctions.htmlToText(html).as("extracted"))
         .orderBy("doc_id")
+    }),
+
+    // -------- corpus: link-graph PageRank (domain-centrality signal) --
+    // Fixed 3-iteration PageRank over the order→part bipartite edges —
+    // parts are all dangling, so the dangling-mass redistribution is
+    // exercised on every row; per-round round(12) collapses fp order,
+    // which is what lets the iterations unroll into chained CTEs and
+    // hash-match exactly.
+    "q_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.pageRank(t(s, dir, "lineitem"),
+          concat(lit("o"), $"l_orderkey".cast("string")),
+          concat(lit("p"), $"l_partkey".cast("string")),
+          iters = 3)
+        .orderBy("node")
     }),
 
     // -------- corpus: data-contract expectations audit ----------------
@@ -4032,6 +4050,39 @@ object SparkEntry {
         |        greatest(coalesce(tot.total, 0), 1), 6) AS dup_ngram_char_frac
         |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_pagerank" ->
+      """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
+        |     'p' || l_partkey::VARCHAR AS d FROM lineitem),
+        | nodes AS (SELECT DISTINCT n FROM
+        |   (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        | deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e GROUP BY s),
+        | r0 AS (SELECT n AS nd, round(1.0/(SELECT n FROM nn), 12) AS r FROM nodes),
+        | d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r0.nd)),
+        | c1 AS (SELECT e.d AS nd, sum(r0.r / deg.deg) AS cin
+        |   FROM e JOIN r0 ON e.s = r0.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r1 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c1.cin, 0)
+        |     + (SELECT dm FROM d1)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c1 ON nodes.n = c1.nd),
+        | d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r1.nd)),
+        | c2 AS (SELECT e.d AS nd, sum(r1.r / deg.deg) AS cin
+        |   FROM e JOIN r1 ON e.s = r1.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r2 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c2.cin, 0)
+        |     + (SELECT dm FROM d2)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c2 ON nodes.n = c2.nd),
+        | d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r2.nd)),
+        | c3 AS (SELECT e.d AS nd, sum(r2.r / deg.deg) AS cin
+        |   FROM e JOIN r2 ON e.s = r2.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r3 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c3.cin, 0)
+        |     + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c3 ON nodes.n = c3.nd)
+        |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
     "q_data_checks" ->
       """SELECT * FROM (
         | SELECT 'not_null:l_returnflag' AS rule,

@@ -602,4 +602,60 @@ object Corpus {
       .select(lit(s"ref:${childKeys.mkString("+")}").as("rule"),
         col("violations"))
   }
+
+  /** Fixed-iteration PageRank over an edge list — the link-graph
+    * importance signal web-curation pipelines rank domains by (Common
+    * Crawl publishes harmonic/PageRank centrality; crawl frontiers and
+    * domain quality priors consume it; feed host→host edges from
+    * [[graft.functions.TextFunctions.registeredDomain]] pairs).
+    * Multigraph semantics: repeated edges contribute repeatedly.
+    * Dangling mass (nodes with no out-edges) redistributes uniformly
+    * each round — rank mass is conserved (spec-asserted ≈ 1).
+    *
+    * Shapes: per iteration one edge⋈rank join + per-target sum (all
+    * partial-aggregated narrow rows) and a 1-row dangling-mass
+    * aggregate; rank state is lazily checkpointed per round (the
+    * components-loop recipe — flat lineage; sweep with
+    * `Dedup.releaseMaterialized`). Ranks ROUND to 12 decimals each
+    * round: the per-target sum's fp order is engine/partitioning-
+    * dependent and the rounding collapses it far below rank scale —
+    * which is what lets a FIXED iteration count unroll into chained
+    * SQL CTEs and be oracle-checked exactly (q_pagerank; unlike
+    * k-means/BPE/logistic, this iterative op has a closed per-round
+    * relational form). Output: (node string, rank). */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
+    import org.apache.spark.sql.graft.Bridge
+    val e = Bridge.tagMaterialized(
+      edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"))
+        .where(col("__s").isNotNull && col("__d").isNotNull)
+        .localCheckpoint(eager = false))
+    val nodes = Bridge.tagMaterialized(
+      e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
+        .distinct().localCheckpoint(eager = false))
+    val n = nodes.count().toDouble
+    require(n > 0, "pageRank needs at least one non-null edge")
+    val outdeg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
+    var ranks = nodes.withColumn("__r", round(lit(1.0 / n), 12))
+    var it = 0
+    while (it < iters) {
+      val dangling = ranks.join(outdeg, col("__n") === col("__s"), "left_anti")
+        .agg(coalesce(sum(col("__r")), lit(0.0))).head().getDouble(0)
+      val contribs = e.join(ranks, col("__s") === col("__n"))
+        .join(outdeg, "__s")
+        .select(col("__d").as("__n"), (col("__r") / col("__deg")).as("__c"))
+        .groupBy("__n").agg(sum(col("__c")).as("__in"))
+      ranks = Bridge.tagMaterialized(
+        nodes.join(contribs, Seq("__n"), "left")
+          .select(col("__n"),
+            round(lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)), 12)
+              .as("__r"))
+          .localCheckpoint(eager = false))
+      it += 1
+    }
+    ranks.select(col("__n").as("node"), col("__r").as("rank"))
+  }
 }

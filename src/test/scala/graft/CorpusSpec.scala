@@ -402,6 +402,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.rdd.getNumPartitions == 5)
   }
 
+  test("pageRank: sinks gain mass, dangling redistributes, rank conserves; multigraph weighting") {
+    // a -> c, b -> c: c is dangling; one iteration has a closed form
+    val e = Seq(("a", "c"), ("b", "c")).toDF("s", "d")
+    val r1 = Corpus.pageRank(e, col("s"), col("d"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val third = r12(1.0 / 3)
+    assert(math.abs(r1("c") - r12(0.15 / 3 + 0.85 * (2 * third + third / 3))) < 1e-11, r1.toString)
+    assert(r1("a") == r1("b") && r1("c") > r1("a"), r1.toString)
+    // rank mass conserves across iterations (dangling redistribution)
+    val r3 = Corpus.pageRank(e, col("s"), col("d"), iters = 3)
+      .collect().map(_.getDouble(1))
+    assert(math.abs(r3.sum - 1.0) < 1e-9, r3.sum.toString)
+    // multigraph: a duplicated edge doubles its share of the source's mass
+    val m = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("s", "d")
+    val rm = Corpus.pageRank(m, col("s"), col("d"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rm("b") > rm("c"), rm.toString)
+    // deterministic across partitioning
+    val re = Corpus.pageRank(e.repartition(5), col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val orig = Corpus.pageRank(e, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(re == orig)
+  }
+
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
     val df = Seq(
       (1L, 1, "a", 5.0),
