@@ -528,6 +528,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- embeddings: cluster-balanced sample (fixed centroids) ---
+    // The diversity-preserving subset draw at its deterministic tier:
+    // centroids SUPPLIED (the first three vectors — the production
+    // reuse-persisted-centroids path), so assignment is a pure argmax
+    // and the per-cluster md5-order cap is fully SQL-expressible. The
+    // trained-centroids tier stays spec-only (k-means).
+    "q_cluster_sample" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 3).orderBy("vec_id")
+        .select(transform($"embedding", _.cast("double")).as("e"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.assignClusters(
+          Similarity.clusterBalancedSample(emb.select($"vec_id", $"embedding"),
+            "vec_id", "embedding", kClusters = 3, nPerCluster = 160,
+            cents = Some(cents)),
+          "embedding", cents, "cluster")
+        .select($"vec_id", $"cluster")
+        .orderBy("vec_id")
+    }),
+
     // -------- corpus: link-graph PageRank (domain-centrality signal) --
     // Fixed 3-iteration PageRank over the order→part bipartite edges —
     // parts are all dangling, so the dangling-mass redistribution is
@@ -4050,6 +4071,22 @@ object SparkEntry {
         |        greatest(coalesce(tot.total, 0), 1), 6) AS dup_ngram_char_frac
         |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_cluster_sample" ->
+      """WITH c AS (SELECT vec_id AS cid,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cn
+        |  FROM embeddings WHERE vec_id < 3),
+        | s AS (SELECT e.vec_id, c.cid,
+        |   list_dot_product(list_transform(e.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), c.cn) AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        | a AS (SELECT vec_id, (cid + 1)::INT AS cluster FROM (
+        |   SELECT vec_id, cid,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rr
+        |   FROM s) t WHERE rr = 1),
+        | k AS (SELECT a.vec_id, a.cluster,
+        |   row_number() OVER (PARTITION BY a.cluster
+        |     ORDER BY md5(a.vec_id::VARCHAR || '42'), a.vec_id) AS rk
+        |  FROM a)
+        |SELECT vec_id, cluster FROM k WHERE rk <= 160 ORDER BY vec_id""".stripMargin,
     "q_pagerank" ->
       """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
         |     'p' || l_partkey::VARCHAR AS d FROM lineitem),
