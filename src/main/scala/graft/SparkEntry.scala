@@ -533,18 +533,22 @@ object SparkEntry {
     // centroids SUPPLIED (the first three vectors — the production
     // reuse-persisted-centroids path), so assignment is a pure argmax
     // and the per-cluster md5-order cap is fully SQL-expressible. The
-    // trained-centroids tier stays spec-only (k-means).
+    // trained-centroids tier stays spec-only (k-means). Cross-engine
+    // argmax parity: the fused-cosine vs normalize-then-dot formulas
+    // differ by ulps, but the smallest best-vs-second-best margin on
+    // this data is 9.7e-5 (profiled at sf0.01) — eleven orders above
+    // fp noise; zero vectors (cosine-undefined) are excluded from the
+    // fixture by construction. Cap 160 vs cluster sizes 179/154/167
+    // so capped AND uncapped branches both verify.
     "q_cluster_sample" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cents = emb.where($"vec_id" < 3).orderBy("vec_id")
         .select(transform($"embedding", _.cast("double")).as("e"))
         .collect().map(_.getSeq[Double](0).toArray)
-      Similarity.assignClusters(
-          Similarity.clusterBalancedSample(emb.select($"vec_id", $"embedding"),
-            "vec_id", "embedding", kClusters = 3, nPerCluster = 160,
-            cents = Some(cents)),
-          "embedding", cents, "cluster")
+      Similarity.clusterBalancedSample(emb.select($"vec_id", $"embedding"),
+          "vec_id", "embedding", kClusters = 3, nPerCluster = 160,
+          cents = Some(cents), clusterCol = Some("cluster"))
         .select($"vec_id", $"cluster")
         .orderBy("vec_id")
     }),

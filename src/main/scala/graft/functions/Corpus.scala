@@ -627,17 +627,21 @@ object Corpus {
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
-    import org.apache.spark.sql.graft.Bridge
-    val e = Bridge.tagMaterialized(
+    // materializeLazily branches to a RELIABLE checkpoint when the
+    // session has a checkpoint dir (executor loss mid-loop must not
+    // kill the job — the components-loop recipe); outdeg materializes
+    // too: it is consumed twice per round, and rebuilding the edge
+    // aggregation 2·iters times was a review catch
+    val e = Dedup.materializeLazily(
       edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"))
-        .where(col("__s").isNotNull && col("__d").isNotNull)
-        .localCheckpoint(eager = false))
-    val nodes = Bridge.tagMaterialized(
+        .where(col("__s").isNotNull && col("__d").isNotNull))
+    val nodes = Dedup.materializeLazily(
       e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
-        .distinct().localCheckpoint(eager = false))
+        .distinct())
     val n = nodes.count().toDouble
     require(n > 0, "pageRank needs at least one non-null edge")
-    val outdeg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
+    val outdeg = Dedup.materializeLazily(
+      e.groupBy("__s").agg(count(lit(1)).as("__deg")))
     var ranks = nodes.withColumn("__r", round(lit(1.0 / n), 12))
     var it = 0
     while (it < iters) {
@@ -647,13 +651,12 @@ object Corpus {
         .join(outdeg, "__s")
         .select(col("__d").as("__n"), (col("__r") / col("__deg")).as("__c"))
         .groupBy("__n").agg(sum(col("__c")).as("__in"))
-      ranks = Bridge.tagMaterialized(
+      ranks = Dedup.materializeLazily(
         nodes.join(contribs, Seq("__n"), "left")
           .select(col("__n"),
             round(lit((1.0 - damping) / n) + lit(damping) *
               (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)), 12)
-              .as("__r"))
-          .localCheckpoint(eager = false))
+              .as("__r")))
       it += 1
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank"))

@@ -1098,7 +1098,7 @@ object Dedup {
     * the first action that touches it instead of eagerly — lets a
     * caller fold the materialization into an aggregate it was about to
     * run anyway (one Spark job instead of two). */
-  private def materializeLazily(df: DataFrame): DataFrame = {
+  private[graft] def materializeLazily(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     Bridge.tagMaterialized(
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)

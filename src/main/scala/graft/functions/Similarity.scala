@@ -240,11 +240,9 @@ object Similarity {
     // releaseMaterialized) and the within-cluster join reads it on
     // both sides; the pair emission keeps the block key instead of
     // re-attaching it with a third corpus join.
-    import org.apache.spark.sql.graft.Bridge
-    val assigned = Bridge.tagMaterialized(
+    val assigned = graft.functions.Dedup.materializeLazily(
       df.select(col(id), col(vec))
-        .withColumn("__cluster", nearestCentroid(col(vec), cents))
-        .localCheckpoint(eager = false))
+        .withColumn("__cluster", nearestCentroid(col(vec), cents)))
     val l = assigned.select(col(id).as("id_a"), col(vec).as("v_a"),
       col("__cluster").as("cluster"))
     val r = assigned.select(col(id).as("id_b"), col(vec).as("v_b"),
@@ -296,14 +294,17 @@ object Similarity {
                             kClusters: Int, nPerCluster: Int,
                             iters: Int = 3, seed: Long = 42L,
                             maxTrainRows: Int = 100000,
-                            cents: Option[Array[Array[Double]]] = None): DataFrame = {
+                            cents: Option[Array[Array[Double]]] = None,
+                            clusterCol: Option[String] = None): DataFrame = {
     require(kClusters >= 1, s"kClusters must be >= 1, got $kClusters")
     val c = cents.getOrElse(
       trainIvfCentroids(df, vec, kClusters, iters, seed, maxTrainRows))
-    graft.functions.Corpus.capPerKeyByHash(
-      assignClusters(df, vec, c, "__cluster"),
-      Seq("__cluster"), id, nPerCluster, seed)
-      .drop("__cluster")
+    // clusterCol keeps the assignment in the output — callers wanting
+    // it would otherwise recompute k cosines per sampled row
+    val out = clusterCol.getOrElse("__cluster")
+    val capped = graft.functions.Corpus.capPerKeyByHash(
+      assignClusters(df, vec, c, out), Seq(out), id, nPerCluster, seed)
+    if (clusterCol.isEmpty) capped.drop(out) else capped
   }
 
   /** Random-hyperplane signature: `planes` sign bits from fixed seeded
@@ -851,11 +852,9 @@ object Similarity {
     val assigned =
       if (kLists == 1) c.withColumn("__cl", lit(1))
       else {
-        import org.apache.spark.sql.graft.Bridge
         val cents = trainIvfCentroids(corpus, vec, kLists, iters, seed)
-        Bridge.tagMaterialized(
-          c.withColumn("__cl", nearestCentroid(col("c_v"), cents))
-            .localCheckpoint(eager = false))
+        graft.functions.Dedup.materializeLazily(
+          c.withColumn("__cl", nearestCentroid(col("c_v"), cents)))
       }
     val l = assigned.select(col("c_id").as("__ya"), col("c_v").as("__va"), col("__cl"))
     val r = assigned.select(col("c_id").as("__yb"), col("c_v").as("__vb"), col("__cl"))

@@ -896,22 +896,20 @@ object TextFunctions {
                                  dim: Int = 1 << 18,
                                  seed: Long = 42L): (DF, Double) = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{Dedup => Dd}
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(id).as("__id"), label.cast("double").as("__y"),
       tokens(text).as("__ts")).where(size(col("__ts")) > 0)
-    val feats = Bridge.tagMaterialized(base
+    val feats = Dd.materializeLazily(base
       .select(col("__id"), explode(col("__ts")).as("__t"))
       .select(col("__id"),
         pmod(xxhash64(col("__t"), lit(seed)), lit(dim.toLong)).as("__b"))
       .groupBy("__id", "__b").agg(count(lit(1)).cast("double").as("__c"))
       .join(base.select(col("__id"), size(col("__ts")).cast("double").as("__n")),
         Seq("__id"))
-      .select(col("__id"), col("__b"), (col("__c") / col("__n")).as("__x"))
-      .localCheckpoint(eager = false))
-    val labels = Bridge.tagMaterialized(
-      base.select(col("__id"), col("__y")).localCheckpoint(eager = false))
+      .select(col("__id"), col("__b"), (col("__c") / col("__n")).as("__x")))
+    val labels = Dd.materializeLazily(base.select(col("__id"), col("__y")))
     val nDocs = labels.count().toDouble
     require(nDocs > 0,
       "trainHashedLogisticWeights needs at least one labeled doc with tokens " +
@@ -926,21 +924,19 @@ object TextFunctions {
       // materialized: BOTH the gradient aggregate and the bias-grad
       // sum read err — without the checkpoint each action re-ran the
       // feats⋈weights join and the per-doc sigmoid pass (2× per step)
-      val err = Bridge.tagMaterialized(
+      val err = Dd.materializeLazily(
         labels.join(scored, Seq("__id"), "left")
           .select(col("__id"),
             (lit(1.0) / (lit(1.0) +
               exp(-(lit(bias) + coalesce(col("__z"), lit(0.0))))) - col("__y"))
-              .as("__e"))
-          .localCheckpoint(eager = false))
+              .as("__e")))
       val grad = feats.join(err, Seq("__id"))
         .groupBy("__b").agg(sum(col("__x") * col("__e")).as("__g"))
-      wDf = Bridge.tagMaterialized(
+      wDf = Dd.materializeLazily(
         wDf.join(grad, Seq("__b"), "full")
           .select(col("__b"),
             (coalesce(col("__w"), lit(0.0)) * lit(1.0 - lr * l2) -
-              lit(lr / nDocs) * coalesce(col("__g"), lit(0.0))).as("__w"))
-          .localCheckpoint(eager = false))
+              lit(lr / nDocs) * coalesce(col("__g"), lit(0.0))).as("__w")))
       val biasGrad = err.agg(sum(col("__e"))).head().getDouble(0)
       bias -= lr * biasGrad / nDocs
       it += 1
@@ -1281,7 +1277,6 @@ object TextFunctions {
                      maxWords: Int = 1000000): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
     require(minPairCount >= 1, s"minPairCount $minPairCount must be >= 1")
-    import org.apache.spark.sql.graft.Bridge
     // CODE-POINT split, not split(w, "") (which yields UTF-16 code
     // units): BpeApply tokenizes by code points, and a merges table
     // with an unpaired-surrogate side could never fire at apply time,
@@ -1294,7 +1289,7 @@ object TextFunctions {
       .limit(maxWords)
       .withColumn("__parts",
         call_function("regexp_extract_all", col("__w"), lit("(?s)."), lit(0)))
-    var state = Bridge.tagMaterialized(words.localCheckpoint(eager = false))
+    var state = graft.functions.Dedup.materializeLazily(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = numMerges == 0
     while (!done) {
@@ -1322,8 +1317,8 @@ object TextFunctions {
             size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(x))))
-        state = Bridge.tagMaterialized(
-          state.withColumn("__parts", upd).localCheckpoint(eager = false))
+        state = graft.functions.Dedup.materializeLazily(
+          state.withColumn("__parts", upd))
         if (merges.size >= numMerges) done = true
       }
     }
