@@ -19,8 +19,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // benchOverrides first: r10 converted three queries to supplied-
+    // artifact oracle tiers; the bench keeps timing the trained
+    // production tiers under the same names for series comparability
+    def benchQuery(name: String) =
+      SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
     // untimed warmup: JVM/codegen/file-listing costs land here, not in q1
-    try SparkEntry.queries(SparkEntry.benchQueries.head)(spark, sfDir)
+    try benchQuery(SparkEntry.benchQueries.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
@@ -29,7 +34,7 @@ object Bench {
       val t0 = System.nanoTime()
       // lookup inside the try: a stale name in a bench tier must land
       // in failed[], not abort the run before any JSON is emitted
-      try SparkEntry.queries(name)(spark, sfDir)
+      try benchQuery(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         if (!failed.contains(name)) failed += name

@@ -2036,10 +2036,20 @@ object SparkEntry {
         .select($"doc_id").orderBy("doc_id")
     }),
 
-    // -------- dedup: SimHash hamming pairs (no SQL oracle) ------------
+    // -------- dedup: SimHash hamming pairs (supplied-fingerprint tier)
+    // r10: oracle-green via the md5-derived 60-bit fingerprint tier
+    // (simhashFingerprintsMd5) — DuckDB replays the digit decode, the
+    // 60 signed-bit sums, the fingerprint assembly, and an all-pairs
+    // Hamming check (exact integer/bit ops throughout, no float
+    // boundary risk). The pigeonhole pairing itself is the SAME
+    // simhashPairsFromFp production code. The xxhash64 fused tier
+    // stays the production path (spec'd bit-compatible + timed in
+    // Bench via benchOverrides).
     "q_simhash" -> ((s, dir) => {
       import s.implicits._
-      Dedup.simhashPairsText(t(s, dir, "documents"), "doc_id", $"text", maxDist = 7)
+      val fps = Dedup.simhashFingerprintsMd5(t(s, dir, "documents"), "doc_id",
+        TextFunctions.tokens($"text"))
+      Dedup.simhashPairsFp(fps, "__id", $"__fp", maxDist = 7)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2084,33 +2094,46 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    // -------- similarity search: LSH-bucketed pairs (no SQL oracle) ---
-    // Cap off on the driver-checked path (same convention as the
-    // minhash oracle queries — no silent recall loss); production runs
-    // keep the default cap + Similarity.cosineBucketStats audit.
+    // -------- similarity search: LSH-bucketed pairs (supplied planes)
+    // r10: oracle-green via the supplied-hyperplane tier — the ±1
+    // Rademacher planes below are deterministic literals inlined into
+    // BOTH engines, so DuckDB replays the sign buckets, the table
+    // collisions, and the exact-cosine verify (the plane dot and the
+    // cosine both ride the fused-kernel ≡ list_dot_product equivalence
+    // that q_ann_cosine/q_ann_sq8 pin). Cap off on the oracle path
+    // (same convention as the minhash oracle queries — no silent
+    // recall loss); the seeded xxhash64-plane production tier stays
+    // timed in Bench via benchOverrides + cosineBucketStats audit.
     "q_ann_lsh" -> ((s, dir) => {
-      Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, planes = 10, tables = 6, minCosine = 0.3, maxBucketSize = 0)
+      Similarity.lshCosinePairsPlanes(t(s, dir, "embeddings"), "vec_id",
+          "embedding", lshOraclePlanes, minCosine = 0.3, maxBucketSize = 0)
         .orderBy("id_a", "id_b")
     }),
 
-    // -------- similarity search: PQ + exact re-rank (no SQL oracle) ---
-    // Compressed-domain ADC shortlist over L2-normalized embeddings,
-    // exact cosine re-rank of the shortlist. Rows-only by declared
-    // design: the codebooks come from iterative k-means (not
-    // SQL-expressible); correctness is held by the SimilaritySpec
-    // exact-on-reconstruction property + pinned tools/PqProbe recall
-    // floors (raw ADC 0.50, 5x-shortlist re-rank 0.94).
+    // -------- similarity search: PQ ADC top-k (supplied codebooks) ----
+    // r10: oracle-green via pqDecodedTopK over codebooks any engine
+    // can derive — sub-slices of the first-16 L2-normalized corpus
+    // rows (the q_cluster_sample supplied-centroid pattern). Encode
+    // argmax, reconstruction, and the asymmetric decoded dot all
+    // replay bit-for-bit in DuckDB (see the pqDecodedTopK Scaladoc
+    // for the three dialect-exactness choices). The trained-k-means
+    // kernelized production tier (pqAdcTopKReranked) stays covered by
+    // the SimilaritySpec exact-on-reconstruction property + pinned
+    // tools/PqProbe recall floors, and stays timed in Bench via
+    // benchOverrides. Normalization casts each element to double
+    // BEFORE multiplying (the SQL's x::DOUBLE form) — float-multiply-
+    // then-widen would diverge from the oracle. The per-element norm
+    // recompute inside the lambda is bounded (64 els × 500 rows).
     "q_ann_pq" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
+      val vd = transform($"embedding", _.cast("double"))
       val n = emb.select($"vec_id",
-        transform($"embedding", x => x / sqrt(aggregate(
-          zip_with($"embedding", $"embedding", (a, b) => (a * b).cast("double")),
-          lit(0.0), _ + _))).as("embedding"))
-      val cb = Similarity.trainPqCodebooks(n, "embedding", m = 16, ksub = 32,
-        iters = 3)
-      Similarity.pqAdcTopKReranked(n, n.where($"vec_id" < 10), "vec_id",
+        transform(vd, x => x / sqrt(Similarity.dotFused(vd, vd))).as("embedding"))
+      val cbRows = n.where($"vec_id" < 16).orderBy("vec_id")
+        .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
+      val cb = Array.tabulate(8)(j => cbRows.map(_.slice(j * 8, (j + 1) * 8)))
+      Similarity.pqDecodedTopK(n, n.where($"vec_id" < 10), "vec_id",
           "embedding", cb, k = 5)
         .orderBy("q_id", "rank")
     }),
@@ -2475,7 +2498,136 @@ object SparkEntry {
         .orderBy("media_id")
     }))
 
+  /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
+    * supplied-plane tier — 4 tables × 8 planes × dim 64, generated by
+    * a fixed-seed java.util.Random LCG (platform-stable), and inlined
+    * as the SAME literals into the DuckDB oracle below. Sign-random
+    * projections are the classic SRP-LSH family, so this is a real
+    * deployment shape (versioned planes-as-data), not an oracle-only
+    * contortion. */
+  private lazy val lshOraclePlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(4, 8, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Bench-only production-tier twins. r10 converted q_simhash /
+    * q_ann_lsh / q_ann_pq to supplied-artifact oracle tiers (md5
+    * fingerprints / literal planes / supplied codebooks) so every
+    * query hash-verifies; the bench series, however, has timed the
+    * TRAINED production tiers since r1/r8, so Bench resolves these
+    * names here first — the timed computation is unchanged and the
+    * round-over-round numbers stay comparable. Both paths remain
+    * exercised: production tiers here + bit-compat/recall specs,
+    * supplied tiers in `queries` + the DuckDB oracle. */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simhash" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairsText(t(s, dir, "documents"), "doc_id", $"text", maxDist = 7)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      Similarity.lshCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, planes = 10, tables = 6, minCosine = 0.3, maxBucketSize = 0)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_ann_pq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val n = emb.select($"vec_id",
+        transform($"embedding", x => x / sqrt(aggregate(
+          zip_with($"embedding", $"embedding", (a, b) => (a * b).cast("double")),
+          lit(0.0), _ + _))).as("embedding"))
+      val cb = Similarity.trainPqCodebooks(n, "embedding", m = 16, ksub = 32,
+        iters = 3)
+      Similarity.pqAdcTopKReranked(n, n.where($"vec_id" < 10), "vec_id",
+          "embedding", cb, k = 5)
+        .orderBy("q_id", "rank")
+    }))
+
+  /** q_simhash oracle: replays simhashFingerprintsMd5 (15-digit md5
+    * decode → 60 signed-bit sums → fingerprint assembly) then checks
+    * Hamming ≤ 7 over ALL pairs — integer/bit ops only, and complete
+    * recall of the pigeonhole tables is a theorem (Manku et al.), so
+    * all-pairs is a true oracle for the banded production shape. */
+  private lazy val simhashMd5Oracle: String = {
+    val digits = (0 until 15).map(i =>
+      s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i").mkString(", ")
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN ((d${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS c$j")
+      .mkString(", ")
+    val fp = (0 until 60).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |   x -> len(trim(x)) > 0) AS toks FROM documents),
+       | u AS (SELECT doc_id, md5(unnest(toks)) AS h FROM t),
+       | d AS (SELECT doc_id, $digits FROM u),
+       | c AS (SELECT doc_id, $sums FROM d GROUP BY doc_id),
+       | f AS (SELECT doc_id, ($fp)::BIGINT AS fp FROM c),
+       | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |   bit_count(xor(a.fp, b.fp))::INT AS hamming
+       |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q_ann_lsh oracle: the same ±1 plane literals as the query, sign
+    * buckets per table, any-table collision join over all id pairs
+    * (complete recall by construction), exact cosine ≥ 0.3 on the
+    * unrounded value (both engines compute bit-identical doubles, so
+    * the threshold can't flip), round(6) for display only. */
+  private lazy val lshPlanesOracle: String = {
+    def planeSql(p: Array[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val sigCols = lshOraclePlanes.zipWithIndex.map { case (tbl, ti) =>
+      tbl.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(p)}::DOUBLE[]) >= 0" +
+          s" THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ") + s" AS b$ti"
+    }.mkString(",\n ")
+    val collide = lshOraclePlanes.indices.map(ti => s"a.b$ti = b.b$ti").mkString(" OR ")
+    s"""WITH sig AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       | $sigCols
+       | FROM embeddings),
+       | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+       |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($collide)),
+       | s AS (SELECT id_a, id_b,
+       |   list_dot_product(list_transform(va, x -> x / sqrt(list_dot_product(va, va))),
+       |                    list_transform(vb, x -> x / sqrt(list_dot_product(vb, vb)))) AS cosine
+       |  FROM p)
+       |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM s
+       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_simhash" -> simhashMd5Oracle,
+    "q_ann_lsh" -> lshPlanesOracle,
+    // q_ann_pq: replay of pqDecodedTopK over the first-16-rows
+    // codebooks — normalize, slice codebooks, argmax-dot encode
+    // (row_number s DESC, code ≡ Spark's first-max array_position),
+    // reconstruct via ordered flatten, one full-dim decoded dot.
+    "q_ann_pq" ->
+      """WITH n AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |  FROM embeddings),
+        | cbj AS (SELECT n.vec_id AS code, r.j,
+        |   list_slice(n.v, r.j * 8 + 1, r.j * 8 + 8) AS cw
+        |  FROM n, (SELECT unnest(range(0, 8)) AS j) r WHERE n.vec_id < 16),
+        | sc AS (SELECT c.vec_id, b.j, b.code, b.cw,
+        |   list_dot_product(list_slice(c.v, b.j * 8 + 1, b.j * 8 + 8), b.cw)
+        |     - 0.5 * list_dot_product(b.cw, b.cw) AS s
+        |  FROM n c CROSS JOIN cbj b),
+        | enc AS (SELECT vec_id, j, cw FROM (
+        |   SELECT vec_id, j, cw,
+        |     row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rr
+        |   FROM sc) t WHERE rr = 1),
+        | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rec FROM enc GROUP BY vec_id),
+        | s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(q.v, c.rec) AS adot
+        |  FROM n q, rec c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | r AS (SELECT q_id, c_id, adot,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, c_id) AS rk FROM s)
+        |SELECT q_id, c_id, round(adot, 6) AS adot, rk::INT AS rank FROM r
+        |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

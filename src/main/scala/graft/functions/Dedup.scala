@@ -1541,6 +1541,51 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-engine-replayable SimHash fingerprints: token bits come
+    * from md5 hex digits instead of xxhash64, so the WHOLE simhash
+    * pipeline (fingerprint + pigeonhole pairing) replays in any SQL
+    * engine with md5/strpos/bit ops — the supplied-artifact oracle
+    * tier (same role as the supplied-centroid tier of
+    * clusterBalancedSample). 60-bit on purpose: the fingerprint
+    * assembles bit j as `1 << j`, and DuckDB's BIGINT `<<` throws on
+    * shift 63 (measured), so bits 0..59 from the first 15 hex digits
+    * keep both engines in safe signed range. Hamming semantics and
+    * the pigeonhole pairing are unchanged (top 4 bits are constant 0
+    * — every pair trivially agrees on them). Shape matches
+    * [[simhashFingerprints]]: one explode + one 60-partial groupBy —
+    * the scale path; production fingerprints stay the fused xxhash64
+    * kernel ([[simhashFingerprintsFused]]), which is both faster and
+    * better-mixed. Returns (__id, __fp). */
+  def simhashFingerprintsMd5(df: DataFrame, id: String, tokens: Column): DataFrame = {
+    val exploded = df.select(col(id).as("__id"), explode(tokens).as("__t"))
+      .select(col("__id"), md5(col("__t")).as("__h"))
+    // decode each of the 15 hex digits once; bit j then reads digit
+    // j/4's bit j%4 — integer ops only, exact in every engine
+    val withDigits = exploded.select(col("__id") +:
+      (0 until 15).map(i => conv(substring(col("__h"), i + 1, 1), 16, 10)
+        .cast("int").as(s"__d$i")): _*)
+    val aggs = (0 until 60).map { j =>
+      val bit = shr(col(s"__d${j / 4}"), lit(j % 4)).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"__c$j")
+    }
+    withDigits.groupBy(col("__id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        (0 until 60).map(j => when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("__fp"))
+  }
+
+  /** Pigeonhole pairing over SUPPLIED fingerprints — the public
+    * entry for callers that persist fingerprints (or compute them via
+    * [[simhashFingerprintsMd5]]) and only need the candidate
+    * generation + exact-Hamming verify. Same multi-block pigeonhole
+    * as [[simhashPairs]]; `id` values must be unique. */
+  def simhashPairsFp(df: DataFrame, id: String, fp: Column, maxDist: Int = 3,
+                     agreeBlocks: Int = 0): DataFrame =
+    simhashPairsFromFp(
+      materializeOnce(df.select(col(id).as("__id"), fp.as("__fp"))),
+      maxDist, agreeBlocks)
+
   /** Near-dup pairs with hamming distance <= maxDist via multi-block
     * pigeonhole tables (see [[simhashPairsFromFp]]): shuffles on
     * derived block-combination keys, never all-pairs. `agreeBlocks`

@@ -365,6 +365,15 @@ object Similarity {
     val base = df.select(col(id).as("__id"), col(vec).as("__v"))
     val bucketed = base.select(col("__id"),
       tableBuckets(col("__v"), dim, planes, tables, seed).as("__b"))
+    cosinePairsFromBuckets(base, bucketed, minCosine, maxBucketSize)
+  }
+
+  /** Shared tail of the LSH-pairs family: bucket-collision candidates
+    * (narrow collect_list shuffle, in-place pair emission) + exact
+    * cosine verify. `bucketed` = (__id, __b) rows, any bucket scheme. */
+  private def cosinePairsFromBuckets(base: DataFrame, bucketed: DataFrame,
+                                     minCosine: Double,
+                                     maxBucketSize: Int): DataFrame = {
     val keep =
       if (maxBucketSize > 0) size(col("__ids")).between(2, maxBucketSize)
       else size(col("__ids")) >= 2
@@ -380,6 +389,37 @@ object Similarity {
       .withColumn("cosine", cosineFused(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH cosine pairs over SUPPLIED hyperplanes — the oracle /
+    * portability tier of [[lshCosinePairs]] (the supplied-artifact
+    * pattern of clusterBalancedSample): `planes(t)(p)` is hyperplane p
+    * of table t, bucket bit p of table t is `dot(v, planes(t)(p)) >=
+    * 0`, and the candidate/verify tail is byte-identical to the seeded
+    * form. The plane dot runs on double-cast inputs via the fused
+    * kernel (left-to-right fold — bit-compatible with DuckDB's
+    * `list_dot_product`, the equivalence q_ann_sq8's oracle already
+    * pins), so with the same literal planes any SQL engine replays the
+    * buckets, the collisions, and the exact-cosine filter. Production
+    * keeps the seeded xxhash64 planes ([[lshCosinePairs]]) — supplied
+    * planes are for oracles and for deployments that version their
+    * planes as data. Same uniqueness/cap contracts as the seeded form. */
+  def lshCosinePairsPlanes(df: DataFrame, id: String, vec: String,
+                           planes: Array[Array[Array[Double]]],
+                           minCosine: Double,
+                           maxBucketSize: Int = 1000): DataFrame = {
+    require(planes.nonEmpty && planes.forall(_.nonEmpty), "need >= 1 table with >= 1 plane")
+    require(planes.forall(_.length <= 62), "per-table planes must fit a signed-long bucket")
+    val base = df.select(col(id).as("__id"), col(vec).as("__v"))
+    val buckets = explode(array(planes.indices.map { t =>
+      val bkt = planes(t).indices.map { p =>
+        when(dotFused(vecD(col("__v")), dblArrayLit(planes(t)(p))) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      struct(lit(t).as("tbl"), bkt.as("bkt"))
+    }: _*))
+    val bucketed = base.select(col("__id"), buckets.as("__b"))
+    cosinePairsFromBuckets(base, bucketed, minCosine, maxBucketSize)
   }
 
   /** Audit the hyperplane-bucket size distribution: one row per (table,
@@ -571,6 +611,63 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
       .select(col("q_id"), col("c_id"), round(col("sim"), 6).as("sim"),
+        col("__rk").as("rank"))
+  }
+
+  /** PQ encode + asymmetric DECODED-dot top-k over SUPPLIED codebooks
+    * — the dialect-exact oracle / portability tier of the PQ family
+    * (the supplied-artifact pattern of clusterBalancedSample): with
+    * codebooks that any engine can derive (e.g. slices of designated
+    * corpus rows), every step replays in SQL bit-for-bit, which the
+    * kernelized float-path tiers ([[pqAdcTopK]]) deliberately trade
+    * away for speed.
+    *
+    * Three dialect-exactness choices, each load-bearing:
+    * - encode picks code j by `argmax_c [x_sub·c − |c|²/2]` — the
+    *   monotone dot form of min-squared-L2 (expanding ‖x−c‖² and
+    *   dropping the code-independent ‖x‖²), so the only float ops are
+    *   the fused left-fold dot (≡ `list_dot_product`, pinned by
+    *   q_ann_sq8's oracle) plus one subtract; ties break to the
+    *   lowest code (`array_position` finds the FIRST max).
+    * - the per-codeword `|c|²/2` rides as a driver literal computed
+    *   with the same left fold, so both engines subtract identical
+    *   bits.
+    * - scoring reconstructs the corpus row (codeword concatenation,
+    *   once per corpus row) and takes ONE full-dim decoded dot
+    *   `q · rec` — the sq8 asymmetric shape — instead of summing m
+    *   sub-dots, whose float grouping no SQL engine reproduces.
+    *
+    * Corpus side is a pure projection (encode + reconstruct), queries
+    * broadcast, no shuffle until the per-query top-k window. On
+    * L2-normalized inputs descending `adot` is cosine order. Output:
+    * (q_id, c_id, adot, rank). */
+  def pqDecodedTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, cb: Array[Array[Array[Double]]],
+                    k: Int): DataFrame = {
+    val m = cb.length
+    require(m >= 1 && cb.forall(_.nonEmpty), "need >= 1 subspace with >= 1 codeword")
+    val dsub = cb(0)(0).length
+    // −|c|²/2 as driver literals; foldLeft matches the fused dot's
+    // left-to-right accumulation order
+    val half = cb.map(_.map(c => 0.5 * c.foldLeft(0.0)((a, x) => a + x * x)))
+    def reconstruct(v0: Column): Column = {
+      val v = vecD(v0)
+      concat((0 until m).map { j =>
+        val sub = slice(v, j * dsub + 1, dsub)
+        val scores = array(cb(j).indices.map(c =>
+          dotFused(sub, dblArrayLit(cb(j)(c))) - lit(half(j)(c))): _*)
+        val code = array_position(scores, array_max(scores))
+        element_at(array(cb(j).map(dblArrayLit).toIndexedSeq: _*), code.cast("int"))
+      }: _*)
+    }
+    val c = corpus.select(col(id).as("c_id"), reconstruct(col(vec)).as("c_rec"))
+    val q = queries.select(col(id).as("q_id"), vecD(col(vec)).as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("adot", dotFused(col("q_v"), col("c_rec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("c_id"))
+    scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .select(col("q_id"), col("c_id"), round(col("adot"), 6).as("adot"),
         col("__rk").as("rank"))
   }
 

@@ -639,6 +639,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashFingerprintsMd5 == independent driver md5 simhash; pairsFp == brute force") {
+    // pins the md5-digit bit semantics against an engine-independent
+    // driver implementation (MessageDigest), then checks the public
+    // supplied-fingerprint pairing tier against brute-force Hamming
+    def driverFp(text: String): Long = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](60)
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        for (j <- 0 until 60) {
+          val d = Integer.parseInt(hex.substring(j / 4, j / 4 + 1), 16)
+          counts(j) += (if (((d >> (j % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 60).map(j => if (counts(j) > 0) 1L << j else 0L).reduce(_ | _)
+    }
+    val expectFp = docs.collect().map(r => r.getLong(0) -> driverFp(r.getString(1))).toMap
+    val fps = Dedup.simhashFingerprintsMd5(docs, "id", TextFunctions.tokens($"text"))
+    val gotFp = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFp == expectFp)
+    assert(gotFp.values.forall(f => f >= 0L && f < (1L << 60)))
+    val maxDist = 30 // wide enough that the fixture yields pairs
+    val pairs = Dedup.simhashPairsFp(fps, "__id", $"__fp", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = (for {
+      (ia, fa) <- expectFp; (ib, fb) <- expectFp if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= maxDist
+    } yield (ia, ib, h)).toSet
+    assert(pairs == expect && pairs.nonEmpty)
+  }
+
   test("fused MinHashSignature expression == explode+agg signatures bit-for-bit") {
     val viaAgg = Dedup.minhashSignatures(docs, "id", Dedup.charShingles($"text", 5), 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
@@ -1143,6 +1176,82 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("lshCosinePairsPlanes == driver-side signature collision ∩ cosine filter") {
+    // supplied-plane tier: the buckets are a pure function of the
+    // plane literals, so a driver replay (same left-fold double dot)
+    // must reproduce the exact candidate set and survivors
+    val rnd = new scala.util.Random(11)
+    val planes = Array.fill(2, 4, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val minCos = 0.3
+    val data = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(v: Array[Float], p: Array[Double]): Double =
+      v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * p(i))
+    def sig(v: Array[Float], t: Int): Long =
+      planes(t).indices.foldLeft(0L)((b, i) =>
+        if (dot(v, planes(t)(i)) >= 0) b | (1L << i) else b)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val na = math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) / na) * (b(i) / nb))
+    }
+    val expect = (for {
+      (ia, va) <- data; (ib, vb) <- data if ia < ib
+      if planes.indices.exists(t => sig(va, t) == sig(vb, t))
+      c = cos(va, vb) if c >= minCos
+    } yield (ia, ib)).toSet
+    // fixture sanity: no pair sits within float-noise of the threshold
+    data.foreach { case (ia, va) => data.foreach { case (ib, vb) =>
+      if (ia < ib) assert(math.abs(cos(va, vb) - minCos) > 1e-6) } }
+    val got = Similarity.lshCosinePairsPlanes(emb, "vec_id", "embedding",
+        planes, minCosine = minCos, maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("pqDecodedTopK == driver-side encode/reconstruct/score replay") {
+    // supplied-codebook tier: with driver-held codebooks, the encode
+    // argmax (dot − |c|²/2), the reconstruction, and the decoded dot
+    // are all deterministic double arithmetic — a driver replay must
+    // agree on ranks AND scores
+    val data = emb.select($"vec_id",
+        transform($"embedding", _.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val dim = data.head._2.length
+    val m = 4; val ksub = 4; val dsub = dim / m
+    val cb = Array.tabulate(m)(j =>
+      data.take(ksub).map(_._2.slice(j * dsub, (j + 1) * dsub)))
+    def ldot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def rec(v: Array[Double]): Array[Double] =
+      (0 until m).flatMap { j =>
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        val scores = cb(j).map(c => ldot(sub, c) - 0.5 * ldot(c, c))
+        cb(j)(scores.indexOf(scores.max)).toSeq
+      }.toArray
+    val k = 3
+    val queries = data.take(2)
+    val expect = queries.flatMap { case (qid, qv) =>
+      data.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, ldot(qv, rec(cv))) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k).zipWithIndex
+        .map { case ((cid, s), i) => (qid, cid, i + 1, s) }
+    }.toSet
+    val got = Similarity.pqDecodedTopK(
+        emb.select($"vec_id", transform($"embedding", _.cast("double")).as("v")),
+        emb.where($"vec_id" < 2).select($"vec_id", transform($"embedding", _.cast("double")).as("v")),
+        "vec_id", "v", cb, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3), r.getDouble(2))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)) == expect.map(t => (t._1, t._2, t._3)))
+    // scores agree to the display rounding (both sides round(·, 6))
+    // Spark round() = BigDecimal HALF_UP on the SHORTEST decimal repr
+    // (Double.toString), not the exact binary expansion
+    val expRounded = expect.map(t => (t._1, t._2, t._3,
+      BigDecimal(t._4.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got == expRounded, s"$got vs $expRounded")
+  }
 
   test("trainPqCodebooks: m×ksub×dsub shape, deterministic per seed") {
     val cb = Similarity.trainPqCodebooks(emb, "embedding", m = 8, ksub = 8, iters = 2)
