@@ -558,7 +558,13 @@ object SparkEntry {
     // parts are all dangling, so the dangling-mass redistribution is
     // exercised on every row; per-round round(12) collapses fp order,
     // which is what lets the iterations unroll into chained CTEs and
-    // hash-match exactly.
+    // hash-match exactly. Boundary-risk profile (r10, DuckDB replay of
+    // every pre-round value): min distance to a .5×10⁻¹² rounding
+    // boundary is 2.7e-16 at sf0.01 (~1.6e5 double ulps of rank≈1e-5)
+    // and 9.2e-18 at sf0.1 (~5e3 ulps) — far above the ≤ few-ulp
+    // window where Spark's shortest-repr rounding can diverge from
+    // DuckDB's raw-double rounding. The min shrinks ~30× per 10×
+    // nodes, so beyond ~sf10 re-profile before trusting hash-exact.
     "q_pagerank" -> ((s, dir) => {
       import s.implicits._
       Corpus.pageRank(t(s, dir, "lineitem"),

@@ -976,23 +976,138 @@ object Dedup {
     // overwrite would erase them (spec-asserted idempotence)
     def state(dir: String) = spark.read.parquet(dir)
       .where(col("batch").cast("string") =!= lit(tagVal)).drop("batch")
-    val vsAccepted =
-      if (nonEmpty(dataDir))
-        dedupNearDupsAgainstSnapshot(batch, id, text,
-          state(dataDir), id, text, state(bandDir),
-          n, k, bands, minJaccard, seed, maxBucketSize)
-      else batch
-    val pairs = minhashLshPairsVerified(vsAccepted, id, text, n = n, k = k,
-      bands = bands, minJaccard = minJaccard, seed = seed,
-      maxBucketSize = maxBucketSize)
-    val survivors = org.apache.spark.sql.graft.Bridge.tagMaterialized(
-      dropNearDups(vsAccepted, id, pairs).localCheckpoint(eager = false))
-    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$dataDir/batch=$tagVal")
-    minhashBandTable(survivors, id, text, n, k, bands, seed)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$bandDir/batch=$tagVal")
-    survivors.count()
+    // tag-parity repair: a crash between the two state writes can
+    // leave a data partition without its band partition (the one
+    // asymmetric hole — accepted rows invisible to band-driven
+    // candidate generation, so their near-dups silently pass; the
+    // reverse orphan is harmless because verification joins the data
+    // rows). Rebuild any missing band partition from its data
+    // partition before reading state. Cost: one FS listing per batch
+    // plus work only when a crash actually happened.
+    if (nonEmpty(dataDir)) {
+      val missing = listBatchTags(spark, dataDir) -- listBatchTags(spark, bandDir) - tagVal
+      missing.foreach { tg =>
+        val d = spark.read.parquet(s"$dataDir/batch=$tg")
+        minhashBandTable(d, id, text, n, k, bands, seed)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$bandDir/batch=$tg")
+      }
+    }
+    // scoped checkpoint release: every materializeOnce pin created by
+    // this batch (the LSH signature/candidate pins inside
+    // minhashLshPairsVerified and nearDupPairsAgainstSnapshot, plus
+    // the survivors checkpoint below) is unpersisted when the batch
+    // completes — a foreachBatch sink would otherwise accumulate one
+    // set of checkpoint RDDs per micro-batch for the stream's
+    // lifetime, unbounded executor memory/disk growth in exactly the
+    // long-running path this API targets. The session-global
+    // releaseMaterialized sweep is NOT safe from inside a sink (it
+    // would release concurrent graft work's pins); the scope touches
+    // only pins created within it.
+    org.apache.spark.sql.graft.Bridge.withMaterializedScope(spark) {
+      val vsAccepted =
+        if (nonEmpty(dataDir))
+          dedupNearDupsAgainstSnapshot(batch, id, text,
+            state(dataDir), id, text, state(bandDir),
+            n, k, bands, minJaccard, seed, maxBucketSize)
+        else batch
+      val pairs = minhashLshPairsVerified(vsAccepted, id, text, n = n, k = k,
+        bands = bands, minJaccard = minJaccard, seed = seed,
+        maxBucketSize = maxBucketSize)
+      val survivors = org.apache.spark.sql.graft.Bridge.tagMaterialized(
+        dropNearDups(vsAccepted, id, pairs).localCheckpoint(eager = false))
+      // bands BEFORE data: with the repair above either order heals,
+      // but bands-first also makes the un-repaired crash window
+      // harmless for manual (non-retrying) callers — a bands-only
+      // orphan generates candidates that find no data rows to verify
+      // against, which is correct (those rows were never accepted)
+      minhashBandTable(survivors, id, text, n, k, bands, seed)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$bandDir/batch=$tagVal")
+      survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dataDir/batch=$tagVal")
+      survivors.count()
+    }
+  }
+
+  /** `batch=` partition tags present under `dir` (empty if absent). */
+  private def listBatchTags(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Set[String] = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Set.empty
+    else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).toSet
+  }
+
+  /** Compact the near-dup ingest state: merge every `batch=`
+    * partition whose tag is NOT in `keepTags` (plus any leftover
+    * staging from a crashed compaction) into ONE fresh partition pair
+    * `data/batch=t<compactTag>` + `bands/batch=t<compactTag>` —
+    * bounding the per-batch partition growth that otherwise turns the
+    * months-lived accepted state into a small-file / listing problem
+    * after 10⁴⁺ batches.
+    *
+    * Retry contract preserved: pass the tags that may still be
+    * retried as `keepTags` (for a foreachBatch stream that is only
+    * ever the LATEST batch id — Structured Streaming never replays
+    * older committed batches). A retried kept batch still reads the
+    * pre-batch state — the compacted partition's tag differs from its
+    * own — so its overwrite converges bit-identically (spec-asserted).
+    *
+    * Crash-safe by IDEMPOTENT RE-RUN, not by atomicity: run with the
+    * ingest paused (mid-operation readers can observe partial or
+    * duplicate state), and after a crash simply run it again with a
+    * fresh `compactTag`. Each run merges sources ∪ leftover stagings
+    * with id-dedup (data) / row-distinct (bands), writes a fresh
+    * HIDDEN staging dir (dot-prefixed — invisible to partition
+    * discovery), deletes the inputs, then renames the staging into
+    * place — so a crash at any point leaves a state some later run
+    * converges from. On object stores the rename is a copy; keep the
+    * state dirs on a filesystem with cheap directory rename.
+    *
+    * `compactTag` must be fresh per run and must never collide with a
+    * future ingest batch tag (streaming tags are numeric — any
+    * non-numeric tag like "c<epoch>" is safe). `numPartitions` sizes
+    * the rewritten state (1 is fine for tests; at corpus scale set
+    * ~state_bytes / 128 MB). */
+  def compactNearDupIngestState(spark: org.apache.spark.sql.SparkSession,
+                                acceptedDir: String, id: String,
+                                compactTag: String,
+                                keepTags: Set[String] = Set.empty,
+                                numPartitions: Int = 1): Unit = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    val keepVals = keepTags.map("t" + _) + ("t" + compactTag)
+    def compactOne(dir: String, dedup: DataFrame => DataFrame): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) return
+      val subs = fs.listStatus(hp).filter(_.isDirectory).map(_.getPath)
+      val stagings = subs.filter(_.getName.startsWith(".compact_"))
+      val parts = subs.filter { p =>
+        p.getName.startsWith("batch=") &&
+          !keepVals.contains(p.getName.stripPrefix("batch="))
+      }
+      // a previous same-named compacted partition is NOT a source (we
+      // exclude t<compactTag> above) — re-using a tag is an error the
+      // staging rename would surface; fresh tags are the contract
+      val inputs = (parts ++ stagings).toSeq
+      if (inputs.isEmpty) return
+      val merged = dedup(spark.read.parquet(inputs.map(_.toString): _*))
+        .repartition(numPartitions)
+      // staging name carries a nonce so a re-run never reads and
+      // overwrites the same directory it is merging from
+      val staging = new org.apache.hadoop.fs.Path(dir,
+        s".compact_${compactTag}_${System.nanoTime()}")
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(staging.toString)
+      inputs.foreach(p => fs.delete(p, true))
+      val target = new org.apache.hadoop.fs.Path(dir, s"batch=t$compactTag")
+      require(fs.rename(staging, target),
+        s"compaction rename failed: $staging -> $target")
+    }
+    compactOne(s"$acceptedDir/data", df => df.dropDuplicates(id))
+    compactOne(s"$acceptedDir/bands", df => df.distinct())
   }
 
   /** Streaming wrapper over [[nearDupIngestBatch]]: a `foreachBatch`
@@ -1002,7 +1117,12 @@ object Dedup {
     * stateless bloom pre-filter this tier is EXACT (per-batch verify
     * joins) and self-maintaining; the trade is per-batch job latency
     * instead of a per-row expression. Caller starts the returned
-    * writer (`.start()`), choosing trigger/checkpoint options. */
+    * writer (`.start()`), choosing trigger/checkpoint options.
+    *
+    * Operational note: state grows one partition pair per batch —
+    * periodically run [[compactNearDupIngestState]] (with the stream
+    * PAUSED, keeping the latest batch id's tag) to rewrite it into
+    * O(1) partitions without breaking the retry contract. */
   def streamingNearDupIngest(stream: DataFrame, id: String, text: String,
                              acceptedDir: String,
                              n: Int = 5, k: Int = 128, bands: Int = 16,

@@ -300,8 +300,15 @@ object Similarity {
     val c = cents.getOrElse(
       trainIvfCentroids(df, vec, kClusters, iters, seed, maxTrainRows))
     // clusterCol keeps the assignment in the output — callers wanting
-    // it would otherwise recompute k cosines per sampled row
-    val out = clusterCol.getOrElse("__cluster")
+    // it would otherwise recompute k cosines per sampled row. The
+    // internal name must not collide with an input column (it would
+    // silently overwrite it and then be dropped), so derive one that
+    // is absent; an explicit clusterCol colliding is a caller error.
+    clusterCol.foreach(cc => require(!df.columns.contains(cc),
+      s"clusterCol '$cc' already exists in the input"))
+    val out = clusterCol.getOrElse(
+      Iterator.from(0).map(i => if (i == 0) "__cluster" else s"__cluster$i")
+        .find(n => !df.columns.contains(n)).get)
     val capped = graft.functions.Corpus.capPerKeyByHash(
       assignClusters(df, vec, c, out), Seq(out), id, nPerCluster, seed)
     if (clusterCol.isEmpty) capped.drop(out) else capped

@@ -499,10 +499,15 @@ object TextFunctions {
       .select(col(id), posexplode(col("__ts")).as(Seq("__p", "__t")))
       .select(col(id), col("__p"), length(col("__t")).cast("long").as("__len"))
     val totals = tokInfo.groupBy(col(id)).agg(sum(col("__len")).as("__total"))
+    // grams are keyed by the sliced token ARRAY itself, not a
+    // separator-joined string: the API accepts an arbitrary toks
+    // column, and tokens containing the separator would alias
+    // distinct gram tuples under a string key (the hashRankBy
+    // key-aliasing class); array grouping keys need no escaping
     val grams = base.where(size(col("__ts")) >= n)
       .select(col(id), posexplode(transform(
           sequence(lit(1), size(col("__ts")) - (n - 1)),
-          i => concat_ws(" ", slice(col("__ts"), i, lit(n)))))
+          i => slice(col("__ts"), i, lit(n))))
         .as(Seq("__i", "__g")))
     val covered = grams.groupBy(col(id), col("__g"))
       .agg(count(lit(1)).as("__c"), collect_list(col("__i")).as("__is"))

@@ -30,6 +30,27 @@ object Bridge {
     df
   }
 
+  /** Run `body`, then unpersist every graft-tagged RDD CREATED during
+    * it — the scoped twin of [[releaseMaterialized]] for per-batch
+    * callers (foreachBatch sinks), which must release their own
+    * batch's pins each micro-batch but cannot run the session-global
+    * sweep (it would release pins belonging to concurrent graft
+    * work). Pre-existing tagged RDDs are untouched, as is every
+    * user-persisted (untagged) RDD. Contract: don't start OTHER
+    * graft checkpoint-creating jobs concurrently with an open scope —
+    * their new pins would be swept with the scope's (the same
+    * single-caller discipline releaseMaterialized already requires). */
+  def withMaterializedScope[T](spark: SparkSession,
+                               blocking: Boolean = false)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body finally {
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (rid, rdd) =>
+          !before.contains(rid) && rdd.name == MaterializedTag }
+        .values.foreach(_.unpersist(blocking))
+    }
+  }
+
   /** Unpersist every RDD carrying [[MaterializedTag]]. Returns the
     * number of RDDs released. `blocking = true` waits for the executor
     * blocks to actually drop (deterministic for tests). */

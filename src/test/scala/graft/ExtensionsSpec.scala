@@ -2097,6 +2097,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
 
+  test("dupNgramCharFraction: tokens containing spaces never alias gram keys") {
+    // with a string join key, bigrams ("x","y z") and ("x y","z") both
+    // render "x y z" and a clean doc reports spurious duplication; the
+    // array key keeps distinct tuples distinct
+    val df = Seq((1L, Seq("x", "y z", "x y", "z"))).toDF("id", "toks")
+    val got = TextFunctions.dupNgramCharFraction(df, "id", $"toks", n = 2)
+      .head().getDouble(1)
+    assert(got == 0.0, s"space-token gram aliasing: $got")
+  }
+
   test("dupNgramCharFraction: position coverage, short docs, clean docs") {
     val df = Seq(
       // tokens a b c a b c d; dup bigrams "a b" (0,3) and "b c" (1,4)

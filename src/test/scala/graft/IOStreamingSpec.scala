@@ -648,6 +648,85 @@ class WindowsSpec extends AnyFunSuite {
     assert(got == Set(31L, 33L), got.toString)
   }
 
+  test("ingest state compaction: O(1) partitions, retry contract intact, no checkpoint leak") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val other = "completely different content about rivers bridges and mountain passes " * 3
+    val fresh = "fresh subject matter entirely new words for the second batch here " * 3
+    val acc = Files.createTempDirectory("graft-compact").toString + "/acc"
+    def accepted() = spark.read.parquet(s"$acc/data").drop("batch")
+      .collect().map(_.getLong(0)).toSet
+    def tags(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$acc/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSet
+    }
+    // the per-batch scope must release every checkpoint pin it creates
+    // (signature/candidate/survivor RDDs) — the foreachBatch leak
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", acc, "1")
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((10L, base + "zz"), (11L, fresh)).toDF("doc_id", "text"),
+      "doc_id", "text", acc, "2")
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((20L, fresh + "qq"), (21L, "novel topic about stars " * 5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "3")
+    val leaked = spark.sparkContext.getPersistentRDDs.filter { case (rid, r) =>
+      !before.contains(rid) &&
+        r.name == org.apache.spark.sql.graft.Bridge.MaterializedTag
+    }
+    assert(leaked.isEmpty, s"ingest batches leaked checkpoint RDDs: ${leaked.keys}")
+    assert(accepted() == Set(1L, 2L, 11L, 21L))
+    val bandRowsBefore = spark.read.parquet(s"$acc/bands").drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+
+    // compact batches 1-2, keeping the retryable tag 3
+    graft.functions.Dedup.compactNearDupIngestState(spark, acc, "doc_id",
+      compactTag = "c1", keepTags = Set("3"))
+    assert(tags("data") == Set("batch=tc1", "batch=t3"), tags("data").toString)
+    assert(tags("bands") == Set("batch=tc1", "batch=t3"), tags("bands").toString)
+    assert(accepted() == Set(1L, 2L, 11L, 21L))
+    // band-table content survives compaction bit-identically
+    val bandRowsAfter = spark.read.parquet(s"$acc/bands").drop("batch")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bandRowsAfter == bandRowsBefore)
+
+    // retry of the kept batch AFTER compaction converges identically
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((20L, fresh + "qq"), (21L, "novel topic about stars " * 5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "3")
+    assert(accepted() == Set(1L, 2L, 11L, 21L))
+
+    // the compacted state still dedups: near-dup of a compacted doc drops
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((30L, base + " tail"), (31L, "entirely separate subject once more " * 5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "4")
+    assert(accepted() == Set(1L, 2L, 11L, 21L, 31L), accepted().toString)
+
+    // second compaction with a fresh tag folds everything non-kept
+    // (including the previous compacted partition) — idempotent shape
+    graft.functions.Dedup.compactNearDupIngestState(spark, acc, "doc_id",
+      compactTag = "c2", keepTags = Set("4"))
+    assert(tags("data") == Set("batch=tc2", "batch=t4"), tags("data").toString)
+    assert(accepted() == Set(1L, 2L, 11L, 21L, 31L))
+
+    // crash repair: delete a band partition (the pre-fix data-first
+    // crash shape) — the next batch rebuilds it and still drops
+    // near-dups of the affected docs
+    val bp = new org.apache.hadoop.fs.Path(s"$acc/bands/batch=tc2")
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((40L, base + " zz"), (41L, "once again a brand new theme " * 5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", acc, "5")
+    assert(tags("bands").contains("batch=tc2"), "band partition not rebuilt")
+    assert(accepted() == Set(1L, 2L, 11L, 21L, 31L, 41L), accepted().toString)
+  }
+
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
     val ds = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0)).toDS
     val out = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
