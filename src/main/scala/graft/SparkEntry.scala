@@ -2059,6 +2059,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: exact substring span pairs (Lee et al. tier) -----
+    // Winnowing-anchor seeds (md5 oracle tier) + exact extension:
+    // every maximal duplicated span >= 50 code points, across AND
+    // within docs — complete recall by the winnowing guarantee
+    // (w + k - 1 = minLen), precision exact (char verify, never
+    // hashes). The xxhash64 production tier is spec'd identical.
+    "q_substring_dedup" -> ((s, dir) => {
+      Dedup.duplicateSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+          minLen = 50, maxBucketSize = 0, byMd5 = true)
+        .orderBy("id_a", "start_a", "id_b", "start_b")
+    }),
+
+    // -------- dedup: exact substring strip (cut non-first copies) -----
+    "q_substring_strip" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.stripDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          minLen = 50, maxBucketSize = 0, byMd5 = true)
+        .select($"doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- similarity search: brute-force cosine top-k -------------
     "q_ann_cosine" -> ((s, dir) => {
       import s.implicits._
@@ -2604,7 +2625,77 @@ object SparkEntry {
        |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared span-discovery CTEs for the exact-substring oracles:
+    * replay of anchorSites (md5 tier) + candidate join + char-exact
+    * extension. Winnowing min rides a fixed-width hex||lpad(pos) key
+    * so lexicographic min == (hash, pos) leftmost-min; full windows
+    * only (cnt = w) matches the Spark nh >= w gate; extension scans
+    * chars via list comprehensions (no engine-specific LCP needed —
+    * extension is pure string semantics). k=25, w=26, minLen=50. */
+  private lazy val substringSpanCtes: String =
+    """WITH d AS (SELECT doc_id, text, len(text) AS tl FROM documents),
+      | g AS (SELECT doc_id, t.i::INT AS pos,
+      |     substr(md5(substr(text, t.i::INT, 25)), 1, 15) AS h
+      |   FROM d, unnest(range(1, greatest(tl - 23, 1))) AS t(i)),
+      | ky AS (SELECT doc_id, pos, h || lpad(pos::VARCHAR, 7, '0') AS key FROM g),
+      | wm AS (SELECT doc_id,
+      |     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN CURRENT ROW AND 25 FOLLOWING) AS mk,
+      |     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN CURRENT ROW AND 25 FOLLOWING) AS cnt
+      |   FROM ky),
+      | an AS (SELECT DISTINCT doc_id, substr(mk, 1, 15) AS h,
+      |     substr(mk, 16)::INT AS pos FROM wm WHERE cnt = 26),
+      | pr AS (SELECT a.doc_id AS id_a, a.pos AS pa, b.doc_id AS id_b, b.pos AS pb
+      |   FROM an a JOIN an b ON a.h = b.h
+      |    AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
+      | cd AS (SELECT pr.id_a, pr.pa, pr.id_b, pr.pb,
+      |     da.text AS ta, db.text AS tb, da.tl AS la, db.tl AS lb
+      |   FROM pr JOIN d da ON pr.id_a = da.doc_id JOIN d db ON pr.id_b = db.doc_id
+      |   WHERE substr(da.text, pr.pa, 25) = substr(db.text, pr.pb, 25)),
+      | ex AS (SELECT id_a, pa, id_b, pb,
+      |     least(la - pa - 24, lb - pb - 24) AS maxr,
+      |     least(pa, pb) - 1 AS maxl, ta, tb FROM cd),
+      | ex2 AS (SELECT id_a, pa, id_b, pb,
+      |     coalesce(nullif(list_position(list_transform(range(1, maxr + 1),
+      |       o -> substr(ta, (pa + 24 + o)::INT, 1) = substr(tb, (pb + 24 + o)::INT, 1)),
+      |       false), 0) - 1, maxr)::INT AS r,
+      |     coalesce(nullif(list_position(list_transform(range(1, maxl + 1),
+      |       o -> substr(ta, (pa - o)::INT, 1) = substr(tb, (pb - o)::INT, 1)),
+      |       false), 0) - 1, maxl)::INT AS l
+      |   FROM ex),
+      | res AS (SELECT DISTINCT id_a, (pa - l)::INT AS start_a,
+      |     id_b, (pb - l)::INT AS start_b, (25 + l + r)::INT AS len
+      |   FROM ex2 WHERE 25 + l + r >= 50)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_substring_dedup" -> (substringSpanCtes +
+      """
+        |SELECT id_a, start_a, id_b, start_b, len FROM res
+        |ORDER BY id_a, start_a, id_b, start_b""".stripMargin),
+    "q_substring_strip" -> (substringSpanCtes +
+      """,
+        | dr AS (SELECT DISTINCT id_b AS doc_id, start_b AS s, start_b + len AS e
+        |   FROM res),
+        | mx AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+        |     ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |   FROM dr),
+        | il AS (SELECT doc_id, s, e,
+        |     sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM mx),
+        | mg AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM il
+        |   GROUP BY doc_id, grp),
+        | sg AS (SELECT mg.doc_id, mg.s, mg.e,
+        |     lag(mg.e, 1, 1) OVER (PARTITION BY mg.doc_id ORDER BY mg.s) AS pe
+        |   FROM mg),
+        | cut AS (SELECT sg.doc_id,
+        |     coalesce(string_agg(substr(d.text, sg.pe::INT, (sg.s - sg.pe)::INT),
+        |       '' ORDER BY sg.s), '')
+        |       || substr(d.text, max(sg.e)::INT, len(d.text)) AS text
+        |   FROM sg JOIN d ON sg.doc_id = d.doc_id GROUP BY sg.doc_id, d.text)
+        |SELECT d.doc_id, coalesce(cut.text, d.text) AS text
+        |FROM d LEFT JOIN cut ON d.doc_id = cut.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     "q_simhash" -> simhashMd5Oracle,
     "q_ann_lsh" -> lshPlanesOracle,
     // q_ann_pq: replay of pqDecodedTopK over the first-16-rows

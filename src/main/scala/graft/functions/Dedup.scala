@@ -1795,4 +1795,226 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .distinct()
   }
+
+  // ------------------------------------------------------------------
+  // Exact substring dedup (Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better" — the ExactSubstr operator).
+  // The paper builds a corpus-wide suffix array; a faithful
+  // distributed suffix array is out of scope, so this is the bounded
+  // tier: content-defined (winnowing) anchor seeds + exact
+  // extension/verify joins — complete recall for maximal duplicated
+  // spans of length >= minLen by the winnowing guarantee, never
+  // all-pairs.
+  // ------------------------------------------------------------------
+
+  /** Positioned winnowing anchor sites: (id, pos, gram hash) rows
+    * where the k-gram starting at `pos` (1-based, code points) has
+    * the minimum hash of at least one w-window of gram starts —
+    * Schleimer et al.'s scheme with a leftmost-(hash, pos) tie-break.
+    *
+    * The load-bearing property for substring dedup: anchor selection
+    * is a pure function of CONTENT, so every copy of a duplicated
+    * substring selects anchors at identical offsets from its own
+    * start — alignment-free, which is exactly what the fixed-grid
+    * strip families cannot give. Any duplicated span of length
+    * >= w + k - 1 contains at least one full window and therefore at
+    * least one shared anchor (complete recall of the seed stage).
+    *
+    * Columnar: per doc, one hash array + one windowed-min transform —
+    * O(len · w) work inside codegen, no shuffle (the kernel-fusion
+    * headroom of an O(len) monotonic-deque pass is noted, not built:
+    * the anchor pass is a fraction of the family's verify joins at
+    * current scales). Docs with fewer than w grams produce no sites
+    * (they cannot contain a qualifying span). `gramHash` picks the
+    * tier: xxhash64 (production) or md5-prefix (oracle twin — the
+    * winnowingFingerprintsByMd5 trick, replayable via DuckDB's
+    * ('0x' || md5-prefix)::BIGINT). */
+  private def anchorSites(df: DataFrame, id: String, text: Column,
+                          k: Int, w: Int,
+                          gramHash: Column => Column): DataFrame = {
+    require(k >= 1 && w >= 2, s"k $k must be >= 1 and w $w >= 2")
+    val t = col("__t")
+    val nh = length(t) - (k - 1)
+    val hs = transform(sequence(lit(1), greatest(nh, lit(1))),
+      i => gramHash(substr(t, i, k)))
+    val sitesExpr = zip_with(hs, sequence(lit(1), greatest(nh, lit(1))),
+      (h, p) => struct(h.as("h"), p.as("p")))
+    // the (hash, pos) array MUST land in its own projection and be
+    // referenced more than once downstream: a single-use alias gets
+    // inlined into the windowed-min lambda by CollapseProject, and
+    // every window start then recomputes ALL nh gram hashes —
+    // O(len²·k) per doc (measured 60 s for 500 300-char docs vs <1 s
+    // in this form; the CLAUDE.md columnar-CDC lesson). With the
+    // multi-reference block the hashes evaluate once per row and the
+    // windowed min is O(len·w) slice/compare on the materialized
+    // array — still zero-shuffle, which is the point of the columnar
+    // form (a window-function formulation would shuffle one narrow
+    // row PER CHARACTER of corpus).
+    val sites = col("__sites")
+    val sel = when(size(sites) >= w,
+      array_distinct(transform(
+        sequence(lit(1), size(sites) - (w - 1)),
+        s => array_min(slice(sites, s, lit(w))))))
+      .otherwise(array().cast("array<struct<h:bigint,p:int>>"))
+    df.select(col(id).as("__id"), text.as("__t"))
+      .select(col("__id"), sitesExpr.as("__sites"))
+      .select(col("__id"), explode(sel).as("__a"))
+      .select(col("__id"), col("__a.p").as("__pos"), col("__a.h").as("__h"))
+  }
+
+  private def md5Gram60(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** Maximal duplicated-span pairs of length >= `minLen` code points,
+    * corpus-wide (across docs AND within a doc) — the discovery stage
+    * of exact substring dedup. Pipeline:
+    *
+    *  1. anchor sites ([[anchorSites]]) with k = minLen/2,
+    *     w = minLen - k + 1, so w + k - 1 = minLen and the winnowing
+    *     guarantee covers every qualifying span;
+    *  2. ONE groupBy shuffle on the anchor hash collecting each
+    *     bucket's sorted (id, pos) sites, in-place pair emission +
+    *     narrow distinct (the minhash/lshCosinePairs candidate
+    *     shape); Σ bucket² bounds the work, `maxBucketSize` caps a
+    *     degenerate bucket (0 = uncapped, the oracle setting —
+    *     audit with [[anchorBucketStats]] before capping);
+    *  3. texts re-attach to the (tiny) candidate set via semi-joined
+    *     broadcast joins — the corpus never rides the hash shuffle;
+    *  4. exact verification + maximal extension: the seed grams must
+    *     match char-for-char (hash collisions die here), then the
+    *     span extends left/right by code-point LCP
+    *     ([[graft.plans.CommonPrefixLen]] on the suffixes / reversed
+    *     prefixes) and keeps `len >= minLen`. Every anchor inside one
+    *     maximal span extends to the SAME span tuple — the final
+    *     distinct collapses them.
+    *
+    * Output: (id_a, start_a, id_b, start_b, len), starts 1-based in
+    * code points, (id_a, start_a) < (id_b, start_b); same-doc pairs
+    * have id_a = id_b (within-doc repetition — a periodic string
+    * reports overlapping pairs, the standard suffix-array behavior).
+    * Ids must be unique. Recall is complete at maxBucketSize = 0;
+    * precision is exact at any setting (step 4 verifies characters,
+    * never hashes). `byMd5` switches the anchor hash to the
+    * SQL-replayable md5 tier (the oracle path; xxhash64 is the
+    * production default). */
+  def duplicateSpanPairs(df: DataFrame, id: String, text: String,
+                         minLen: Int, maxBucketSize: Int = 1000,
+                         byMd5: Boolean = false): DataFrame = {
+    require(minLen >= 4, s"minLen must be >= 4, got $minLen")
+    val k = minLen / 2
+    val w = minLen - k + 1
+    val hashFn: Column => Column = if (byMd5) md5Gram60 else (g => xxhash64(g))
+    val anchors = anchorSites(df, id, col(text), k, w, hashFn)
+    val sites = anchors.select(col("__h"),
+      struct(col("__id").as("id"), col("__pos").as("pos")).as("__s"))
+    val keep =
+      if (maxBucketSize > 0) size(col("__ss")).between(2, maxBucketSize)
+      else size(col("__ss")) >= 2
+    val cand = sites.groupBy(col("__h"))
+      .agg(sort_array(collect_list(col("__s"))).as("__ss"))
+      .where(keep)
+      .select(explode(pairsFromSorted(col("__ss"))).as("__p"))
+      .select(col("__p.id_a.id").as("id_a"), col("__p.id_a.pos").as("pa"),
+        col("__p.id_b.id").as("id_b"), col("__p.id_b.pos").as("pb"))
+      .distinct()
+    val texts = df.select(col(id).as("__tid"), col(text).as("__tx"))
+    val ids = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b"))).distinct()
+    val tSel = texts.join(ids, col("__tid") === col("__cid"), "left_semi")
+    val joined = cand
+      .join(tSel.select(col("__tid").as("__ta_id"), col("__tx").as("__ta")),
+        col("id_a") === col("__ta_id"))
+      .join(tSel.select(col("__tid").as("__tb_id"), col("__tx").as("__tb")),
+        col("id_b") === col("__tb_id"))
+    import org.apache.spark.sql.graft.Bridge
+    def lcp(a: Column, b: Column): Column = Bridge.column(
+      graft.plans.CommonPrefixLen(Bridge.expression(a), Bridge.expression(b)))
+    val ta = col("__ta"); val tb = col("__tb")
+    val pa = col("__pa2"); val pb = col("__pb2")
+    val withExt = joined
+      .select(col("id_a"), col("pa").as("__pa2"),
+        col("id_b"), col("pb").as("__pb2"), ta, tb)
+      .where(substr(ta, pa, k) === substr(tb, pb, k))
+      .withColumn("__right", lcp(
+        call_function("substring", ta, pa + k, length(ta)),
+        call_function("substring", tb, pb + k, length(tb))))
+      .withColumn("__left", lcp(
+        reverse(call_function("substring", ta, lit(1), pa - 1)),
+        reverse(call_function("substring", tb, lit(1), pb - 1))))
+    withExt
+      .select(col("id_a"), (pa - col("__left")).as("start_a"),
+        col("id_b"), (pb - col("__left")).as("start_b"),
+        (col("__left") + col("__right") + lit(k)).as("len"))
+      .where(col("len") >= minLen)
+      .distinct()
+  }
+
+  /** Bucket-size audit for [[duplicateSpanPairs]]'s anchor-hash
+    * shuffle: one row per anchor hash held by more than `minSize`
+    * sites — exactly the buckets a `maxBucketSize = minSize` cap
+    * would drop. The twin of [[lshBucketStats]]. */
+  def anchorBucketStats(df: DataFrame, id: String, text: String,
+                        minLen: Int, minSize: Int = 1000,
+                        byMd5: Boolean = false): DataFrame = {
+    val k = minLen / 2
+    val w = minLen - k + 1
+    val hashFn: Column => Column = if (byMd5) md5Gram60 else (g => xxhash64(g))
+    anchorSites(df, id, col(text), k, w, hashFn)
+      .groupBy(col("__h").as("anchor_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > minSize)
+  }
+
+  /** Exact substring DEDUP — the cut stage: remove every maximal
+    * duplicated span's non-first occurrences from the corpus, keep
+    * the earliest (smallest (id, start)) copy — Lee et al.'s
+    * ExactSubstr semantics at this tier's granularity (spans >=
+    * minLen; within-doc repeats cut too). Every b-side span of
+    * [[duplicateSpanPairs]] is a non-first occurrence (pairs order by
+    * (id, start)); per doc the b-side intervals merge (overlaps and
+    * adjacencies union) and the survivors splice back together — one
+    * narrow span shuffle + one broadcast-back join, the corpus text
+    * passes once.
+    *
+    * Note the documented approximation inherited from cutting (the
+    * paper shares it): splicing can create NEW junction strings, and
+    * a span that duplicates an already-cut span still cuts (its
+    * "first occurrence" may itself have been removed as part of a
+    * larger span) — the guarantee is that no two KEPT copies of a
+    * >= minLen span both survive, not that the output is minimal.
+    * Output: (`id`, `text`) with non-first duplicated spans removed;
+    * docs without cuts pass through unchanged. */
+  def stripDuplicateSpans(df: DataFrame, id: String, text: String,
+                          minLen: Int, maxBucketSize: Int = 1000,
+                          byMd5: Boolean = false): DataFrame = {
+    val spans = duplicateSpanPairs(df, id, text, minLen, maxBucketSize, byMd5)
+    val iv = spans.select(col("id_b").as("__did"),
+        struct(col("start_b").as("s"),
+          (col("start_b") + col("len")).as("e")).as("__iv"))
+      .distinct()
+    val merged = iv.groupBy(col("__did"))
+      .agg(sort_array(collect_list(col("__iv"))).as("__ivs"))
+      .select(col("__did"),
+        aggregate(col("__ivs"), array().cast("array<struct<s:int,e:int>>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1).getField("e") >= x.getField("s"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(element_at(acc, -1).getField("s").as("s"),
+                greatest(element_at(acc, -1).getField("e"),
+                  x.getField("e")).as("e")))))
+            .otherwise(concat(acc, array(x)))).as("__m"))
+    val t = col(text)
+    df.join(merged, col(id) === col("__did"), "left")
+      .select(col(id),
+        when(col("__m").isNull, t).otherwise(
+          aggregate(col("__m"),
+            struct(lit(1).as("cur"), lit("").as("out")),
+            (st, ivv) => struct(ivv.getField("e").as("cur"),
+              concat(st.getField("out"),
+                call_function("substring", t, st.getField("cur"),
+                  ivv.getField("s") - st.getField("cur"))).as("out")),
+            st => concat(st.getField("out"),
+              call_function("substring", t, st.getField("cur"), length(t)))))
+          .as(text))
+  }
 }

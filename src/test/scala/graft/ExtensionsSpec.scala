@@ -672,6 +672,102 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == expect && pairs.nonEmpty)
   }
 
+  // driver-side brute force: every maximal duplicated span pair of
+  // length >= minLen over code points, ordered (id,start)a < (id,start)b
+  private def bruteSpans(docs: Seq[(Long, String)], minLen: Int): Set[(Long, Int, Long, Int, Int)] = {
+    def cps(s: String): Array[Int] = s.codePoints().toArray
+    val arrs = docs.map { case (i, t) => i -> cps(t) }
+    (for {
+      (ia, va) <- arrs; (ib, vb) <- arrs
+      if ia < ib || (ia == ib)
+      pa <- 1 to va.length; pb <- 1 to vb.length
+      if ia < ib || pa < pb
+      // seed must be a maximal START: previous chars differ or boundary
+      if pa == 1 || pb == 1 || va(pa - 2) != vb(pb - 2)
+      len = {
+        var l = 0
+        while (pa - 1 + l < va.length && pb - 1 + l < vb.length &&
+          va(pa - 1 + l) == vb(pb - 1 + l)) l += 1
+        l
+      }
+      if len >= minLen
+    } yield (ia, pa, ib, pb, len)).toSet
+  }
+
+  test("duplicateSpanPairs == brute-force maximal spans; md5 tier identical; code-point safe") {
+    val shared = "every copy of this exact sentence is long enough to cross the span threshold"
+    val sharedU = "emoji 😀 and accents éàü inside the duplicated span payload here ok" // 69 cps
+    val fixture = Seq(
+      (1L, "prefix one " + shared + " suffix alpha"),
+      (2L, "a different lead-in then " + shared + " and another tail"),
+      (3L, "unique content with no duplication at all in this document body"),
+      (4L, "repeat " + sharedU + " middle " + sharedU + " end"), // within-doc pair
+      (5L, "x " + sharedU + " y")                                // cross-doc with 4
+    ).toDF("id", "text")
+    val minLen = 50
+    val got = Dedup.duplicateSpanPairs(fixture, "id", "text", minLen,
+        maxBucketSize = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    val expect = bruteSpans(fixture.collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq, minLen)
+    assert(got == expect, s"got ${got.toSeq.sorted}\nexp ${expect.toSeq.sorted}")
+    assert(got.nonEmpty && got.exists(t => t._1 == 4L && t._3 == 4L),
+      "expected a within-doc pair")
+    val gotMd5 = Dedup.duplicateSpanPairs(fixture, "id", "text", minLen,
+        maxBucketSize = 0, byMd5 = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(gotMd5 == expect)
+  }
+
+  test("duplicateSpanPairs: randomized differential vs brute force") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "ab " // tiny alphabet → natural repeats
+      def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val frag = randStr(30)
+      val docs = (1L to 6L).map { i =>
+        // random text with the shared fragment spliced in at a random spot
+        val base = randStr(40 + rnd.nextInt(40))
+        val at = rnd.nextInt(base.length)
+        i -> (base.substring(0, at) + frag + base.substring(at))
+      }
+      val minLen = 12
+      val got = Dedup.duplicateSpanPairs(docs.toDF("id", "text"), "id", "text",
+          minLen, maxBucketSize = 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getInt(4))).toSet
+      val expect = bruteSpans(docs, minLen)
+      assert(got == expect, s"seed=$seed: got ${got.size} exp ${expect.size}\n" +
+        s"missing=${(expect -- got).take(5)}\nextra=${(got -- expect).take(5)}")
+    }
+  }
+
+  test("stripDuplicateSpans: non-first occurrences cut, splice code-point exact") {
+    val shared = "this duplicated sentence is definitely longer than fifty characters total"
+    val docs = Seq(
+      (1L, "keep " + shared + " first"),
+      (2L, "lead " + shared + " tail"),
+      (3L, "clean document with nothing duplicated in it whatsoever right here")
+    ).toDF("id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "id", "text", minLen = 50,
+        maxBucketSize = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 (first occurrence) and doc 3 (clean) unchanged
+    assert(out(1L) == "keep " + shared + " first")
+    assert(out(3L).startsWith("clean document"))
+    // doc 2: the maximal shared span is cut (it extends into the
+    // surrounding spaces if they match — compute via the pair output)
+    val span = Dedup.duplicateSpanPairs(docs, "id", "text", 50, maxBucketSize = 0)
+      .where($"id_b" === 2L).head()
+    val t2 = "lead " + shared + " tail"
+    val (s2, l2) = (span.getInt(3), span.getInt(4))
+    val expected = t2.substring(0, s2 - 1) + t2.substring(s2 - 1 + l2)
+    assert(out(2L) == expected, s"${out(2L)} != $expected")
+    assert(!out(2L).contains(shared))
+  }
+
   test("fused MinHashSignature expression == explode+agg signatures bit-for-bit") {
     val viaAgg = Dedup.minhashSignatures(docs, "id", Dedup.charShingles($"text", 5), 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

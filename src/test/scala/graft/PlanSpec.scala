@@ -223,6 +223,22 @@ class PlanSpec extends AnyFunSuite {
       "size(token_shingle_hashes) > 0 generate filter — alias-before-explode regression")
   }
 
+  test("substring-dedup anchors compute gram hashes once per row (q_substring_dedup)") {
+    // guard against the CollapseProject single-use-alias trap: if the
+    // (hash, pos) sites array gets inlined into the windowed-min
+    // lambda, the slice argument in the plan is the whole zip_with
+    // hash pipeline and EVERY window start recomputes all gram hashes
+    // — O(len²·k) per doc, measured 90 s vs 1.7 s at sf0.01. The
+    // multi-reference block keeps the slice on the __sites attribute.
+    for (q <- Seq("q_substring_dedup", "q_substring_strip")) {
+      val p = planOf(q)
+      assert(!p.contains("slice(zip_with("),
+        s"$q re-inlined the sites array into the window lambda:\n${p.take(4000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate pairing degraded to a quadratic join")
+    }
+  }
+
   test("hash-order family: chunk-partitioned windows, never a global sort (q_hash_rank, q_token_budget)") {
     // the whole point of the chunked-prefix machinery is that no stage
     // single-partitions the corpus; the final orderBy in the query is
