@@ -213,8 +213,16 @@ object SparkEntry {
     // coverage audit and the reshaped embed pooling
     "q_ann_margin_sym", "q_embed_pool", "q_dup_ngram",
     // r9 (2): fixed-iteration link-graph centrality — 3 edge⋈rank
-    // rounds over ~600k edges at sf0.1, the tier's heaviest by design
-    "q_pagerank")
+    // rounds over ~600k edges at sf0.1, the tier's heaviest by design.
+    // Deliberately kept at 3 iters (~45% of tier wall-time): the 3rd
+    // round is what proves per-round state materialization doesn't
+    // compound (2 rounds can hide a lineage leak as startup noise),
+    // and it keeps the timed variant identical to the 3-round
+    // unrolled-CTE oracle — one code path, benched AND hash-verified.
+    "q_pagerank",
+    // r10: exact substring dedup — anchor shuffle + extension joins
+    // (pairs) and the interval-merge splice (strip)
+    "q_substring_dedup", "q_substring_strip")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1277,6 +1277,159 @@ object TextFunctions {
     * independent driver simulation). ITERATIVE → spec-only by
     * declared design (like k-means); persist via the
     * [[bpeMergesFromTable]] DataFrame shape. */
+  /** Train a unigram-LM subword vocabulary ON THE CORPUS — the
+    * SentencePiece (Kudo 2018) companion to [[trainBpeMerges]], with
+    * the same scale restructure: the corpus reduces ONCE to a
+    * word-frequency table; everything after touches only that
+    * vocabulary-bounded table.
+    *
+    *  1. SEED: every code-point substring of length ≤ `maxPieceLen`
+    *     of every word, weighted by word frequency (one explode +
+    *     partial-agg shuffle over Σ len·maxPieceLen narrow rows); the
+    *     top `seedSize` multi-char pieces by (weight desc, piece) plus
+    *     ALL single code points (protected forever — they are what
+    *     guarantees every training word stays segmentable).
+    *  2. EM: each round runs `emIters` E/M steps — the E-step is one
+    *     distributed forward-backward pass over the word table
+    *     ([[graft.plans.UnigramExpected]], vocab as a plan reference
+    *     object) aggregated to per-piece expected counts (vocab-sized
+    *     collect — driver holds only the model, like IVF centroids);
+    *     the M-step renormalizes on the driver.
+    *  3. PRUNE: multi-char pieces rank by (expected count desc,
+    *     piece asc) and the bottom `pruneFraction` drops (never below
+    *     the `vocabSize` target); repeat 2-3 until the vocabulary
+    *     fits, then one final EM settles the probabilities.
+    *
+    * ITERATIVE → spec-only by declared design (≡ an independent
+    * driver simulation within float tolerance — expected counts are
+    * partition-order float sums, so unlike BPE's integer argmax the
+    * equality is approximate; prune decisions are stable when count
+    * gaps exceed ulp noise, which real corpora and the spec fixture
+    * satisfy). Apply with [[unigramTokens]] (Viterbi); persist via
+    * [[unigramVocabToTable]] (parquet, like the BPE merges table).
+    * Returns (piece, logProb) sorted (logProb desc, piece). */
+  def trainUnigramVocab(df: DF, text: Column, vocabSize: Int,
+                        maxPieceLen: Int = 8, seedSize: Int = 0,
+                        emIters: Int = 2, pruneFraction: Double = 0.25,
+                        maxWords: Int = 1000000): Array[(String, Double)] = {
+    require(vocabSize >= 1, s"vocabSize $vocabSize must be >= 1")
+    require(maxPieceLen >= 2, s"maxPieceLen $maxPieceLen must be >= 2")
+    require(emIters >= 1 && pruneFraction > 0 && pruneFraction < 1,
+      s"emIters $emIters must be >= 1, pruneFraction $pruneFraction in (0,1)")
+    import org.apache.spark.sql.graft.Bridge
+    val seedCap = if (seedSize > 0) seedSize else math.max(4 * vocabSize, 1000)
+    // scoped release: the word table's checkpoint blocks free when
+    // training returns (the trainer may run inside long-lived jobs)
+    Bridge.withMaterializedScope(df.sparkSession) {
+      val words = graft.functions.Dedup.materializeLazily(
+        df.select(explode(tokens(text)).as("__w"))
+          .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+          .orderBy(col("__cnt").desc, col("__w"))
+          .limit(maxWords))
+      // ---- seed ----
+      val cps = call_function("regexp_extract_all", col("__w"), lit("(?s)."), lit(0))
+      val subs = flatten(transform(
+        sequence(lit(1), least(size(cps), lit(maxPieceLen))),
+        len => transform(sequence(lit(1), size(cps) - len + 1),
+          s => array_join(slice(cps, s, len), ""))))
+      val pieceW = words.select(col("__cnt"), explode(subs).as("__p"))
+        .groupBy(col("__p")).agg(sum(col("__cnt")).as("__wt"))
+      val singles = words.select(explode(cps).as("__p")).distinct()
+        .collect().map(_.getString(0))
+      val singleSet = singles.toSet
+      val multiSeeds = pieceW
+        .where(!col("__p").isin(singles.toSeq: _*))
+        .orderBy(col("__wt").desc, col("__p"))
+        .limit(seedCap)
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      val singleW = pieceW.where(col("__p").isin(singles.toSeq: _*))
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
+      var pieces: Array[String] =
+        singles.sorted ++ multiSeeds.map(_._1)
+      var weights: Array[Double] =
+        singles.sorted.map(s => singleW.getOrElse(s, 1.0)) ++ multiSeeds.map(_._2)
+      var logps: Array[Double] = {
+        val tot = weights.sum
+        weights.map(x => math.log(x / tot))
+      }
+      // ---- EM + prune ----
+      def eStep(): Array[Double] = {
+        val vocab = new graft.plans.UnigramVocab(pieces, logps)
+        val rows = words.select(col("__cnt"),
+            explode(Bridge.column(graft.plans.UnigramExpected(
+              Bridge.expression(col("__w")), vocab))).as("__e"))
+          .groupBy(col("__e.i").as("i"))
+          .agg(sum(col("__cnt") * col("__e.c")).as("c"))
+          .collect()
+        val counts = new Array[Double](pieces.length)
+        rows.foreach(r => counts(r.getInt(0)) = r.getDouble(1))
+        counts
+      }
+      def mStep(counts: Array[Double]): Unit = {
+        val tot = counts.sum
+        logps = counts.map(c => if (c > 0) math.log(c / tot)
+          else Double.NegativeInfinity)
+      }
+      val targetMulti = math.max(vocabSize - singleSet.size, 0)
+      var lastCounts: Array[Double] = null
+      var settled = false
+      while (!settled) {
+        var it = 0
+        while (it < emIters) { lastCounts = eStep(); mStep(lastCounts); it += 1 }
+        val multiIdx = pieces.indices.filter(i => !singleSet.contains(pieces(i)))
+        if (multiIdx.size <= targetMulti) settled = true
+        else {
+          val keepMulti = math.max(targetMulti,
+            (multiIdx.size * (1 - pruneFraction)).floor.toInt)
+          val kept = multiIdx
+            .sortBy(i => (-lastCounts(i), pieces(i)))
+            .take(keepMulti).toSet
+          val keepIdx = pieces.indices
+            .filter(i => singleSet.contains(pieces(i)) || kept(i))
+          pieces = keepIdx.map(pieces).toArray
+          val keptCounts = keepIdx.map(lastCounts).toArray
+          val tot = keptCounts.sum
+          logps = keptCounts.map(c => if (c > 0) math.log(c / tot)
+            else Double.NegativeInfinity)
+          if (keepIdx.size <= vocabSize || keepMulti == targetMulti)
+            settled = true
+        }
+      }
+      // final settle on the pruned vocabulary
+      mStep(eStep())
+      pieces.zip(logps).sortBy { case (p, lp) => (-lp, p) }
+    }
+  }
+
+  /** Viterbi subword tokenization under a trained unigram vocabulary
+    * ([[trainUnigramVocab]] output): whitespace words segment into
+    * max-probability piece sequences; out-of-vocabulary code points
+    * become their own pieces (never fails on unseen text). Pure
+    * projection via a codegen kernel expression — the true-subword
+    * twin of [[bpeTokens]]. */
+  def unigramTokens(text: Column, vocab: Seq[(String, Double)]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.UnigramTokens(Bridge.expression(text),
+      new graft.plans.UnigramVocab(vocab.map(_._1).toArray,
+        vocab.map(_._2).toArray)))
+  }
+
+  /** Persistence shape for a trained unigram vocabulary: write as
+    * parquet, reload with [[unigramVocabFromTable]] (round-trip
+    * spec-asserted) — the [[bpeMergesToTable]] twin. */
+  def unigramVocabToTable(spark: SparkSession,
+                          vocab: Seq[(String, Double)]): DF = {
+    import spark.implicits._
+    vocab.toDF("piece", "log_prob")
+  }
+
+  /** Inverse of [[unigramVocabToTable]]. Vocab-sized collect (a model
+    * artifact, same class as IVF centroids), never corpus data. */
+  def unigramVocabFromTable(vocabDf: DF): Array[(String, Double)] =
+    vocabDf.orderBy(col("log_prob").desc, col("piece"))
+      .select(col("piece"), col("log_prob"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+
   def trainBpeMerges(df: DF, text: Column, numMerges: Int,
                      minPairCount: Long = 2L,
                      maxWords: Int = 1000000): Seq[(String, String)] = {

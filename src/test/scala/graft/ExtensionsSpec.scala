@@ -2193,6 +2193,148 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(3L) == ((0.0, 0.0, 0.0)))
   }
 
+  // ---- unigram-LM tokenizer: independent simulation ----------------
+  // E-step by BRUTE-FORCE segmentation enumeration (not a second copy
+  // of the kernel's forward-backward): expected count of a piece =
+  // Σ_seg P(seg)·occurrences / Σ_seg P(seg) over ALL segmentations —
+  // tractable on short fixture words and genuinely independent.
+  private def cpsOf(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]; var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i); b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+  private def segmentations(w: String, vocab: Map[String, Double],
+                            maxLen: Int): Seq[(List[String], Double)] = {
+    if (w.isEmpty) return Seq((Nil, 0.0))
+    (1 to math.min(maxLen, w.length)).flatMap { l =>
+      val p = w.substring(0, l)
+      vocab.get(p) match {
+        case Some(lp) if lp != Double.NegativeInfinity =>
+          segmentations(w.substring(l), vocab, maxLen)
+            .map { case (rest, s) => (p :: rest, s + lp) }
+        case _ => Seq.empty
+      }
+    }
+  }
+  private def simTrainUnigram(wordCounts: Map[String, Long], vocabSize: Int,
+                              maxPieceLen: Int, emIters: Int,
+                              pruneFraction: Double,
+                              seedCap: Int): Map[String, Double] = {
+    val singles = wordCounts.keys.flatMap(cpsOf).toSet
+    val subW = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wordCounts; cps = cpsOf(w); len <- 1 to math.min(maxPieceLen, cps.size);
+         s <- 0 to cps.size - len)
+      subW(cps.slice(s, s + len).mkString) =
+        subW.getOrElse(cps.slice(s, s + len).mkString, 0L) + c
+    val multis = subW.toSeq.filter(kv => !singles(kv._1))
+      .sortBy { case (p, wt) => (-wt, p) }.take(seedCap)
+    var pieces = singles.toSeq.sorted ++ multis.map(_._1)
+    var w0 = singles.toSeq.sorted.map(s => subW(s).toDouble) ++
+      multis.map(_._2.toDouble)
+    var logps = { val t = w0.sum; w0.map(x => math.log(x / t)) }
+    // max piece length in CHARS for segmentation bound
+    def maxChars = pieces.map(_.length).max
+    def eStep(): Seq[Double] = {
+      val vocab = pieces.zip(logps).toMap
+      val counts = scala.collection.mutable.Map.empty[String, Double]
+      for ((word, c) <- wordCounts) {
+        val segs = segmentations(word, vocab, maxChars)
+        val tot = segs.map(s => math.exp(s._2)).sum
+        for ((seg, lp) <- segs; p <- seg)
+          counts(p) = counts.getOrElse(p, 0.0) + c * math.exp(lp) / tot
+      }
+      pieces.map(p => counts.getOrElse(p, 0.0))
+    }
+    def mStep(c: Seq[Double]): Unit = {
+      val t = c.sum
+      logps = c.map(x => if (x > 0) math.log(x / t) else Double.NegativeInfinity)
+    }
+    val targetMulti = math.max(vocabSize - singles.size, 0)
+    var last: Seq[Double] = null
+    var settled = false
+    while (!settled) {
+      for (_ <- 1 to emIters) { last = eStep(); mStep(last) }
+      val multiIdx = pieces.indices.filter(i => !singles(pieces(i)))
+      if (multiIdx.size <= targetMulti) settled = true
+      else {
+        val keepMulti = math.max(targetMulti,
+          (multiIdx.size * (1 - pruneFraction)).floor.toInt)
+        val kept = multiIdx.sortBy(i => (-last(i), pieces(i))).take(keepMulti).toSet
+        val keepIdx = pieces.indices.filter(i => singles(pieces(i)) || kept(i))
+        val keptCounts = keepIdx.map(last)
+        pieces = keepIdx.map(pieces)
+        val t = keptCounts.sum
+        logps = keptCounts.map(c => if (c > 0) math.log(c / t)
+          else Double.NegativeInfinity)
+        if (keepIdx.size <= vocabSize || keepMulti == targetMulti) settled = true
+      }
+    }
+    mStep(eStep())
+    pieces.zip(logps).toMap
+  }
+
+  test("trainUnigramVocab == brute-force-enumeration EM simulation") {
+    val corpus = Seq(
+      "hello hello hello hell hell jello jello yellow low low low",
+      "hello jello low hell yellow yellow 😀😀 😀😀"
+    ).toDF("text")
+    val wordCounts = corpus.select(explode(TextFunctions.tokens($"text")).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabSize = 12; val maxPieceLen = 4
+    val got = TextFunctions.trainUnigramVocab(corpus, $"text", vocabSize,
+      maxPieceLen = maxPieceLen, emIters = 2, pruneFraction = 0.5).toMap
+    val exp = simTrainUnigram(wordCounts, vocabSize, maxPieceLen,
+      emIters = 2, pruneFraction = 0.5, seedCap = math.max(4 * vocabSize, 1000))
+    assert(got.keySet == exp.keySet,
+      s"pieces differ:\nonly-got=${got.keySet -- exp.keySet}\nonly-exp=${exp.keySet -- got.keySet}")
+    for ((p, lp) <- exp)
+      assert(math.abs(got(p) - lp) < 1e-9 ||
+        (lp == Double.NegativeInfinity && got(p) == Double.NegativeInfinity),
+        s"prob mismatch on '$p': ${got(p)} vs $lp")
+    // singles protected; probs sum to 1
+    val singles = wordCounts.keys.flatMap(cpsOf).toSet
+    assert(singles.subsetOf(got.keySet))
+    val mass = got.values.filter(_ != Double.NegativeInfinity).map(math.exp).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"prob mass $mass")
+    assert(got.keySet.exists(_.length > 1), "no multi-char piece survived")
+  }
+
+  test("unigramTokens: Viterbi matches enumeration argmax; OOV code points survive") {
+    val corpus = Seq("hello hello hello hell jello jello low low").toDF("text")
+    val vocab = TextFunctions.trainUnigramVocab(corpus, $"text", 10,
+      maxPieceLen = 4, emIters = 2, pruneFraction = 0.5)
+    val vmap = vocab.toMap
+    val maxChars = vocab.map(_._1.length).max
+    def bestSeg(w: String): List[String] = {
+      val segs = segmentations(w, vmap, maxChars)
+      assert(segs.nonEmpty, s"unsegmentable $w")
+      val best = segs.map(_._2).max
+      // DP tie-break: longest last piece, recursively from the end
+      import scala.math.Ordering.Implicits._
+      segs.filter(_._2 == best).map(_._1)
+        .sortBy(seg => seg.reverse.map(p => -p.length))
+        .head
+    }
+    val words = Seq("hello", "jello", "low", "hell")
+    val out = Seq(words.mkString(" ")).toDF("text")
+      .select(TextFunctions.unigramTokens($"text", vocab).as("t"))
+      .head().getSeq[String](0).toList
+    assert(out == words.flatMap(bestSeg), s"$out vs ${words.flatMap(bestSeg)}")
+    // OOV: unseen code points become their own pieces, nothing dropped
+    val oov = Seq("zap hello").toDF("text")
+      .select(TextFunctions.unigramTokens($"text", vocab).as("t"))
+      .head().getSeq[String](0).toList
+    assert(oov.mkString == "zaphello", oov.toString)
+    assert(oov.contains("z") && oov.contains("a"), oov.toString)
+    // table round-trip
+    val rt = TextFunctions.unigramVocabFromTable(
+      TextFunctions.unigramVocabToTable(spark, vocab.toSeq))
+    assert(rt.toMap == vmap)
+  }
+
   test("dupNgramCharFraction: tokens containing spaces never alias gram keys") {
     // with a string join key, bigrams ("x","y z") and ("x y","z") both
     // render "x y z" and a clean doc reports spurious duplication; the
