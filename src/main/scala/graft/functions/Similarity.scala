@@ -1292,12 +1292,13 @@ object Similarity {
     * (deterministic). ITERATIVE at the driver → spec-only by declared
     * design. Components are orthonormal, eigenvalue-descending —
     * both spec-asserted, along with full-dim isometry and subspace
-    * recovery. Composing the full-dim rotation ahead of PQ (OPQ-lite)
-    * measured +0.02 recall@10 at m=16 on the near-isotropic synthetic
-    * embeddings and neutral at m=8 (`tools/PqProbe`,
-    * bench/pqprobe_r9.txt) — the rotation pays off on CORRELATED real
-    * embedding distributions, so it ships as a composition, not a
-    * default. */
+    * recovery. Do NOT compose this rotation ahead of PQ for recall:
+    * r9 measured it ~neutral on near-isotropic embeddings, and the
+    * r10 anisotropic probe measured it 0.2+ recall@10 WORSE than raw
+    * PQ (eigenvalue-descending order concentrates variance into the
+    * first subspaces — the imbalance PQ hates; bench/pqprobe_r10.txt).
+    * For PQ recall use [[trainOpqRotation]]; use PCA for whitening
+    * and dimensionality reduction. */
   def trainPcaProjection(df: DataFrame, vec: String, outDim: Int,
                          maxTrainRows: Int = 100000,
                          trainFraction: Double = 1.0,
@@ -1360,6 +1361,175 @@ object Similarity {
       else raw
     }
     array(comps.toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // OPQ: trained orthogonal rotation ahead of PQ (Ge et al.,
+  // "Optimized Product Quantization", CVPR 2013 — public paper; no
+  // reference analog). The non-parametric alternation: fit PQ
+  // codebooks in the rotated space, then re-solve the rotation as an
+  // orthogonal Procrustes problem against the quantized
+  // reconstructions, repeat. PCA-rotation-lite (r9 probe,
+  // bench/pqprobe_r9.txt) only decorrelates axes; OPQ additionally
+  // balances variance ACROSS subspace boundaries, which is where the
+  // recall gain lives on anisotropic embedding distributions.
+  // ------------------------------------------------------------------
+
+  /** Driver-held OPQ model: `rotation` (dim × dim orthogonal, rows =
+    * output components) and the PQ `codebooks` trained in the rotated
+    * space. Encode a corpus with
+    * `pqEncode(opqRotate(col(vec), model.rotation), model.codebooks)`;
+    * rotation is an L2 isometry, so every PQ/ADC contract holds
+    * unchanged on rotated vectors (rotate BOTH corpus and queries).
+    * Persist via `ModelArtifacts.saveMatrix` + `savePqCodebooks`. */
+  case class OpqModel(rotation: Array[Array[Double]],
+                      codebooks: Array[Array[Array[Double]]])
+
+  /** Apply a driver-held rotation (or any dense linear map) to a
+    * vector column: output component r = `matrix(r) · v`. Fused
+    * codegen kernel ([[graft.plans.MatVec]] — the matrix rides as a
+    * plan reference object; a per-component `dotFused`+literal
+    * composition would inline dim² literals, the repo's measured
+    * Janino-compile-bound shape). Pure projection, no shuffle — at
+    * 100 TB this rides the same one-pass corpus encode as
+    * [[pqEncode]]. */
+  def opqRotate(vec: Column, rotation: Array[Array[Double]]): Column =
+    Bridge.column(graft.plans.MatVec(Bridge.expression(vec), rotation))
+
+  /** Orthogonal Procrustes solve: the R = U·Vᵀ maximizing
+    * `tr(Rᵀ M)` over orthogonal R, from the SVD M = U·S·Vᵀ computed
+    * with the existing [[jacobiEigen]] on MᵀM (driver-side, dim ≤ a
+    * few hundred by the same contract as PCA). Degenerate singular
+    * directions (rank-deficient M) are completed to an orthonormal
+    * basis by Gram-Schmidt — any completion is optimal there, and the
+    * deterministic e_k sweep keeps the result reproducible. */
+  private def procrustesRotation(mm: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = mm.length
+    val g = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < n) { s += mm(k)(i) * mm(k)(j); k += 1 }
+      s
+    }
+    val (evals, evecs) = jacobiEigen(g)
+    val order = evals.indices.sortBy(i => -evals(i)).toArray
+    val v = order.map(evecs)
+    val sMax = math.sqrt(math.max(order.map(evals).headOption.getOrElse(0.0), 0.0))
+    val tol = math.max(sMax, 1e-300) * 1e-8
+    // U columns by modified Gram-Schmidt in descending-s order: dividing
+    // M·v_j by the EIGENVALUE's sqrt amplifies Jacobi's absolute
+    // convergence error for small singular values (measured 4e-4
+    // orthonormality drift on a decaying spectrum) — normalize by the
+    // actual column norm and explicitly orthogonalize instead, folding
+    // the rank-deficient completion into the same sweep.
+    val u = Array.ofDim[Array[Double]](n)
+    def projOut(c: Array[Double], upTo: Int): Unit = {
+      var k = 0
+      while (k < upTo) {
+        var d = 0.0; var i = 0
+        while (i < n) { d += c(i) * u(k)(i); i += 1 }
+        i = 0
+        while (i < n) { c(i) -= d * u(k)(i); i += 1 }
+        k += 1
+      }
+    }
+    var j = 0
+    while (j < n) {
+      val vj = v(j)
+      val c = Array.tabulate(n) { i =>
+        var acc = 0.0; var k = 0
+        while (k < n) { acc += mm(i)(k) * vj(k); k += 1 }
+        acc
+      }
+      projOut(c, j)
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      if (nrm > tol) u(j) = c.map(_ / nrm)
+      else {
+        // degenerate direction: any orthonormal completion is optimal;
+        // deterministic e_k sweep keeps the result reproducible
+        var picked: Array[Double] = null
+        var e = 0
+        while (picked == null && e < n) {
+          val cand = Array.tabulate(n)(i => if (i == e) 1.0 else 0.0)
+          projOut(cand, j)
+          val cn = math.sqrt(cand.map(x => x * x).sum)
+          if (cn > 1e-8) picked = cand.map(_ / cn)
+          e += 1
+        }
+        require(picked != null, "procrustesRotation: orthonormal completion failed")
+        u(j) = picked
+      }
+      j += 1
+    }
+    Array.tabulate(n, n) { (i, k) =>
+      var acc = 0.0; var jj = 0
+      while (jj < n) { acc += u(jj)(i) * v(jj)(k); jj += 1 }
+      acc
+    }
+  }
+
+  /** Train an OPQ rotation + codebooks by non-parametric alternation
+    * (Ge et al. 2013): per outer round, (1) PQ codebooks fit in the
+    * current rotated space ([[trainPqCodebooks]], `pqIters` Lloyd
+    * steps), (2) the rotation re-solved as orthogonal Procrustes
+    * against the quantized reconstructions — minimizing
+    * `Σ ‖R·x − decode(encode(R·x))‖²` with codes fixed. The
+    * correlation matrix `M = Σ y·xᵀ` comes from ONE outer-product
+    * aggregate per round over the bounded cached sample (the exact
+    * shape of [[trainPcaProjection]]'s moment pass — train_rows × dim²
+    * narrow rows, map-side partial-aggregated; generator child kept
+    * inline per the repo's InferFiltersFromGenerate rule); the
+    * Procrustes SVD is driver Jacobi. Codebooks are refit once more
+    * after the final rotation update so the returned pair is
+    * consistent. ITERATIVE at the driver → spec-only by declared
+    * design (same class as k-means/BPE/PCA training); the spec
+    * asserts rotation orthonormality and that OPQ's quantization
+    * error ≤ raw PQ's on an anisotropic fixture. */
+  def trainOpqRotation(df: DataFrame, vec: String, m: Int, ksub: Int,
+                       outerIters: Int = 4, pqIters: Int = 3,
+                       seed: Long = 42L, maxTrainRows: Int = 100000,
+                       trainFraction: Double = 1.0): OpqModel = {
+    require(outerIters >= 1, s"outerIters $outerIters must be >= 1")
+    val vecs = df.select(vecD(col(vec)).as("__v"))
+    val train =
+      (if (trainFraction >= 1.0) vecs
+       else vecs.sample(withReplacement = false, trainFraction, seed))
+        .limit(maxTrainRows)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = train.select(size(col("__v")).as("__d"))
+        .where(col("__d").isNotNull).limit(1).collect()
+      require(first.nonEmpty,
+        "trainOpqRotation needs a non-empty training sample with non-null " +
+          "vectors (empty input, or trainFraction sampled zero rows)")
+      val dim = first(0).getInt(0)
+      require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
+      var rot: Array[Array[Double]] =
+        Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      var it = 0
+      while (it < outerIters) {
+        val rotated = train.select(opqRotate(col("__v"), rot).as("__r"))
+        val cb = trainPqCodebooks(rotated, "__r", m, ksub, pqIters, seed,
+          maxTrainRows = maxTrainRows)
+        // M = Σ y·xᵀ with y = decode(encode(R·x)) — expensive expression
+        // stays INLINE as the generator child (never aliased+exploded)
+        val mRows = train
+          .select(posexplode(flatten(transform(
+            pqDecode(pqEncode(opqRotate(col("__v"), rot), cb), cb),
+            yi => transform(col("__v"), xj => yi * xj)))).as(Seq("__p", "__e")))
+          .groupBy("__p").agg(sum(col("__e")).as("__s"))
+          .collect()  // dim² rows — driver-held by construction
+        val mm = Array.ofDim[Double](dim, dim)
+        mRows.foreach { r0 =>
+          val p = r0.getInt(0); mm(p / dim)(p % dim) = r0.getDouble(1)
+        }
+        rot = procrustesRotation(mm)
+        it += 1
+      }
+      val finalRotated = train.select(opqRotate(col("__v"), rot).as("__r"))
+      val finalCb = trainPqCodebooks(finalRotated, "__r", m, ksub, pqIters,
+        seed, maxTrainRows = maxTrainRows)
+      OpqModel(rot, finalCb)
+    } finally { train.unpersist(blocking = false); () }
   }
 
   /** Query a persisted [[buildIvfPqIndex]]: loads the model artifacts

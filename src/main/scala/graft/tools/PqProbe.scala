@@ -65,6 +65,51 @@ object PqProbe {
       rot.unpersist()
     }
 
+    // OPQ vs PCA-lite vs raw PQ on an ANISOTROPIC fixture (r10): the
+    // synthetic embeddings are near-isotropic, where r9 measured
+    // PCA-rotation ~neutral — real text embeddings are anisotropic, so
+    // push the vectors through a fixed dense map with a decaying column
+    // spectrum (covariance ≈ A·Aᵀ, non-axis-aligned anisotropy),
+    // renormalize, and re-measure all three on the same exact ranks.
+    {
+      val rnd = new scala.util.Random(7)
+      val dim = 64
+      val a = Array.tabulate(dim, dim)((i, j) =>
+        ((if (i == j) 1.0 else 0.0) + rnd.nextGaussian() * 0.35) * math.pow(0.94, j))
+      val an = n.select($"vec_id", Similarity.opqRotate($"embedding", a).as("e0"))
+        .select($"vec_id", transform($"e0", x => x / sqrt(aggregate(
+          zip_with($"e0", $"e0", (p, q) => p * q), lit(0.0), _ + _))).as("embedding"))
+        .cache()
+      val qa = an.where($"vec_id" < 20)
+      val exactA = Similarity.bruteForceTopK(an, qa, "vec_id", "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (got intersect exactA).size.toDouble / exactA.size
+      }
+      for ((m, ksub) <- Seq((8, 16), (16, 32))) {
+        val cbRaw = Similarity.trainPqCodebooks(an, "embedding", m = m, ksub = ksub, iters = 4)
+        val rawR = recallOf(Similarity.pqAdcTopK(an, qa, "vec_id", "embedding", cbRaw, k = 10))
+        val pca = Similarity.trainPcaProjection(an, "embedding", outDim = dim)
+        val rot = an.select($"vec_id",
+          Similarity.pcaProject($"embedding", pca).as("embedding")).cache()
+        val cbPca = Similarity.trainPqCodebooks(rot, "embedding", m = m, ksub = ksub, iters = 4)
+        val pcaR = recallOf(Similarity.pqAdcTopK(rot, rot.where($"vec_id" < 20),
+          "vec_id", "embedding", cbPca, k = 10))
+        val t0 = System.nanoTime()
+        val opq = Similarity.trainOpqRotation(an, "embedding", m = m, ksub = ksub,
+          outerIters = 4, pqIters = 3)
+        val trainSecs = (System.nanoTime() - t0) / 1e9
+        val ro = an.select($"vec_id",
+          Similarity.opqRotate($"embedding", opq.rotation).as("embedding")).cache()
+        val opqR = recallOf(Similarity.pqAdcTopK(ro, ro.where($"vec_id" < 20),
+          "vec_id", "embedding", opq.codebooks, k = 10))
+        println(f"aniso m=$m%3d ksub=$ksub%3d  raw-pq=$rawR%.3f  pca-pq=$pcaR%.3f  opq=$opqR%.3f  (opq-train $trainSecs%.1f s)")
+        rot.unpersist(); ro.unpersist()
+      }
+      an.unpersist()
+    }
+
     // residual IVF-PQ vs raw-code IVF-PQ at identical (m, ksub, nprobe)
     // budgets — the FAISS claim under test: per-list residual codes
     // quantize finer, so recall should not drop and typically rises

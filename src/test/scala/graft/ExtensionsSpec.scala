@@ -1144,6 +1144,56 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ: MatVec kernel exact, rotation orthonormal, error <= raw PQ on anisotropic data") {
+    // MatVec kernel == driver matrix-vector product (float and double input)
+    val mat = Array(Array(1.0, 2.0, -1.0), Array(0.5, 0.0, 3.0))
+    val fdf = Seq((1L, Array(1.0f, -2.0f, 0.5f))).toDF("id", "v")
+    val got = fdf.select(Similarity.opqRotate($"v", mat).as("r"))
+      .head().getSeq[Double](0).toArray
+    val want = mat.map(row => row.zip(Array(1.0, -2.0, 0.5)).map { case (a, b) => a * b }.sum)
+    assert(got.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      got.mkString(","))
+    val ddf = Seq((1L, Array(1.0, -2.0, 0.5))).toDF("id", "v")
+    val gotD = ddf.select(Similarity.opqRotate($"v", mat).as("r"))
+      .head().getSeq[Double](0).toArray
+    assert(gotD.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+
+    // anisotropic fixture: correlated dims with a steep variance decay,
+    // mixed through a fixed dense map so structure crosses subspace
+    // boundaries — the regime where OPQ earns its keep
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val mix = Array.fill(dim, dim)(rnd.nextGaussian() * 0.25)
+    for (i <- 0 until dim) mix(i)(i) += 1.0
+    val aniso = (1L to 400L).map { i =>
+      val z = Array.tabulate(dim)(d => rnd.nextGaussian() * math.pow(0.72, d))
+      (i, Array.tabulate(dim)(r => mix(r).zip(z).map { case (a, b) => a * b }.sum))
+    }.toDF("vec_id", "embedding")
+
+    val model = Similarity.trainOpqRotation(aniso, "embedding", m = 4, ksub = 8,
+      outerIters = 4, pqIters = 3)
+    // rotation orthonormal: R · Rᵀ = I
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = model.rotation(i).zip(model.rotation(j)).map { case (a, b) => a * b }.sum
+      val w = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - w) < 1e-8, s"R$i · R$j = $d")
+    }
+    // quantization error: Σ‖R·x − decode(encode(R·x))‖² vs raw PQ with
+    // the same (m, ksub) and at least as many Lloyd steps
+    def qErr(df: org.apache.spark.sql.DataFrame, vecCol: org.apache.spark.sql.Column,
+             cb: Array[Array[Array[Double]]]): Double =
+      df.select(aggregate(zip_with(vecCol,
+          Similarity.pqDecode(Similarity.pqEncode(vecCol, cb), cb),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("e"))
+        .agg(sum($"e")).head().getDouble(0)
+    val cbRaw = Similarity.trainPqCodebooks(aniso, "embedding", m = 4, ksub = 8,
+      iters = 15)
+    val rawErr = qErr(aniso, transform($"embedding", _.cast("double")), cbRaw)
+    val opqErr = qErr(aniso, Similarity.opqRotate($"embedding", model.rotation),
+      model.codebooks)
+    assert(opqErr <= rawErr * 1.001, s"opq $opqErr vs raw $rawErr")
+  }
+
   test("persisted IVF-PQ index: indexed == in-memory for residual and raw codes; scan partition-pruned") {
     def rowsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
