@@ -2608,8 +2608,13 @@ object SparkEntry {
   /** q_ann_lsh oracle: the same ±1 plane literals as the query, sign
     * buckets per table, any-table collision join over all id pairs
     * (complete recall by construction), exact cosine ≥ 0.3 on the
-    * unrounded value (both engines compute bit-identical doubles, so
-    * the threshold can't flip), round(6) for display only. */
+    * unrounded value, round(6) for display only. NOTE the two engines
+    * are NOT bit-identical on the cosine: Spark's cosineFused divides
+    * the raw dot by the norms at the end, while the oracle dots
+    * per-element-normalized vectors — they differ by ~ulps, so the
+    * equivalence is MARGIN-dependent. EntrySpec profiles the fixture's
+    * minimum |cosine − 0.3| margin (≥ 1e-6); re-profile before
+    * tightening the threshold or regenerating embeddings. */
   private lazy val lshPlanesOracle: String = {
     def planeSql(p: Array[Double]): String =
       p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")

@@ -959,11 +959,6 @@ object Dedup {
     val spark = batch.sparkSession
     val dataDir = s"$acceptedDir/data"
     val bandDir = s"$acceptedDir/bands"
-    def nonEmpty(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(hp) && fs.listStatus(hp).exists(_.isDirectory)
-    }
     // Partition values are WRITTEN with a "t" prefix so Spark's
     // partition-type inference can never canonicalize them (a bare
     // tag "01" would be discovered as integer 1 and the
@@ -976,6 +971,15 @@ object Dedup {
     // overwrite would erase them (spec-asserted idempotence)
     def state(dir: String) = spark.read.parquet(dir)
       .where(col("batch").cast("string") =!= lit(tagVal)).drop("batch")
+    // Prior state exists only if some OTHER batch's partition does:
+    // keying this on batch= tags (not raw subdirectory presence) keeps
+    // two reachable crash shapes convergent — (a) a first-batch retry
+    // whose own data partition exists but whose band dir was never
+    // created would otherwise die reading the nonexistent band path
+    // forever, and (b) a crashed compaction can leave ONLY a hidden
+    // .compact_* dir, which is not state (Spark's reads skip
+    // dot-prefixed paths too).
+    val priorTags = listBatchTags(spark, dataDir) - tagVal
     // tag-parity repair: a crash between the two state writes can
     // leave a data partition without its band partition (the one
     // asymmetric hole — accepted rows invisible to band-driven
@@ -984,14 +988,11 @@ object Dedup {
     // rows). Rebuild any missing band partition from its data
     // partition before reading state. Cost: one FS listing per batch
     // plus work only when a crash actually happened.
-    if (nonEmpty(dataDir)) {
-      val missing = listBatchTags(spark, dataDir) -- listBatchTags(spark, bandDir) - tagVal
-      missing.foreach { tg =>
-        val d = spark.read.parquet(s"$dataDir/batch=$tg")
-        minhashBandTable(d, id, text, n, k, bands, seed)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$bandDir/batch=$tg")
-      }
+    (priorTags -- listBatchTags(spark, bandDir)).foreach { tg =>
+      val d = spark.read.parquet(s"$dataDir/batch=$tg")
+      minhashBandTable(d, id, text, n, k, bands, seed)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$bandDir/batch=$tg")
     }
     // scoped checkpoint release: every materializeOnce pin created by
     // this batch (the LSH signature/candidate pins inside
@@ -1006,7 +1007,7 @@ object Dedup {
     // only pins created within it.
     org.apache.spark.sql.graft.Bridge.withMaterializedScope(spark) {
       val vsAccepted =
-        if (nonEmpty(dataDir))
+        if (priorTags.nonEmpty)
           dedupNearDupsAgainstSnapshot(batch, id, text,
             state(dataDir), id, text, state(bandDir),
             n, k, bands, minJaccard, seed, maxBucketSize)
@@ -1061,10 +1062,13 @@ object Dedup {
     * fresh `compactTag`. Each run merges sources ∪ leftover stagings
     * with id-dedup (data) / row-distinct (bands), writes a fresh
     * HIDDEN staging dir (dot-prefixed — invisible to partition
-    * discovery), deletes the inputs, then renames the staging into
-    * place — so a crash at any point leaves a state some later run
-    * converges from. On object stores the rename is a copy; keep the
-    * state dirs on a filesystem with cheap directory rename.
+    * discovery), renames the staging into place, and only then
+    * deletes the inputs — so a crash at any point leaves either the
+    * original state or a benign DUPLICATE state (never a window where
+    * merged docs are invisible to candidate generation), and some
+    * later run converges from it. On object stores the rename is a
+    * copy; keep the state dirs on a filesystem with cheap directory
+    * rename.
     *
     * `compactTag` must be fresh per run and must never collide with a
     * future ingest batch tag (streaming tags are numeric — any
@@ -1101,10 +1105,17 @@ object Dedup {
         s".compact_${compactTag}_${System.nanoTime()}")
       merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(staging.toString)
-      inputs.foreach(p => fs.delete(p, true))
+      // rename BEFORE deleting the sources: a crash in between leaves
+      // DUPLICATE state (merged partition + originals), which is
+      // benign — data re-id-dedups on the next compaction and
+      // duplicate band rows only re-verify — whereas the reverse
+      // order's crash window (sources deleted, merged rows invisible
+      // in a hidden staging) silently removed every merged doc from
+      // candidate generation until someone re-ran compaction.
       val target = new org.apache.hadoop.fs.Path(dir, s"batch=t$compactTag")
       require(fs.rename(staging, target),
         s"compaction rename failed: $staging -> $target")
+      inputs.foreach(p => fs.delete(p, true))
     }
     compactOne(s"$acceptedDir/data", df => df.dropDuplicates(id))
     compactOne(s"$acceptedDir/bands", df => df.distinct())

@@ -1334,20 +1334,31 @@ object TextFunctions {
           s => array_join(slice(cps, s, len), ""))))
       val pieceW = words.select(col("__cnt"), explode(subs).as("__p"))
         .groupBy(col("__p")).agg(sum(col("__cnt")).as("__wt"))
-      val singles = words.select(explode(cps).as("__p")).distinct()
-        .collect().map(_.getString(0))
-      val singleSet = singles.toSet
+      // singles are exactly the length-1 substrings already in pieceW
+      // (Spark length() counts code points, matching the regex '.'
+      // split) — deriving them there avoids a separate
+      // explode+distinct job and the thousands-of-literals isin()
+      // plans a CJK-heavy corpus would otherwise build
+      val singles = pieceW.where(length(col("__p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      require(singles.nonEmpty,
+        "trainUnigramVocab needs a non-empty corpus with non-whitespace " +
+          "text (the word-frequency table came back empty)")
+      val singleSet = singles.map(_._1).toSet
+      // ALL piece orderings in this trainer compare strings by CODE
+      // POINT (== Spark's UTF-8 binary orderBy) — the driver-side
+      // prune and the seed cutoff must agree, and Java's default
+      // UTF-16 order disagrees for supplementary-plane pieces
       val multiSeeds = pieceW
-        .where(!col("__p").isin(singles.toSeq: _*))
+        .where(length(col("__p")) > 1)
         .orderBy(col("__wt").desc, col("__p"))
         .limit(seedCap)
         .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
-      val singleW = pieceW.where(col("__p").isin(singles.toSeq: _*))
-        .collect().map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
+      val sortedSingles = singles.sortWith((a, b) => cpCompare(a._1, b._1) < 0)
       var pieces: Array[String] =
-        singles.sorted ++ multiSeeds.map(_._1)
+        sortedSingles.map(_._1) ++ multiSeeds.map(_._1)
       var weights: Array[Double] =
-        singles.sorted.map(s => singleW.getOrElse(s, 1.0)) ++ multiSeeds.map(_._2)
+        sortedSingles.map(_._2) ++ multiSeeds.map(_._2)
       var logps: Array[Double] = {
         val tot = weights.sum
         weights.map(x => math.log(x / tot))
@@ -1382,7 +1393,10 @@ object TextFunctions {
           val keepMulti = math.max(targetMulti,
             (multiIdx.size * (1 - pruneFraction)).floor.toInt)
           val kept = multiIdx
-            .sortBy(i => (-lastCounts(i), pieces(i)))
+            .sortWith { (a, b) =>
+              if (lastCounts(a) != lastCounts(b)) lastCounts(a) > lastCounts(b)
+              else cpCompare(pieces(a), pieces(b)) < 0
+            }
             .take(keepMulti).toSet
           val keepIdx = pieces.indices
             .filter(i => singleSet.contains(pieces(i)) || kept(i))
@@ -1397,8 +1411,27 @@ object TextFunctions {
       }
       // final settle on the pruned vocabulary
       mStep(eStep())
-      pieces.zip(logps).sortBy { case (p, lp) => (-lp, p) }
+      pieces.zip(logps).sortWith { case ((pa, la), (pb, lb)) =>
+        if (la != lb) la > lb else cpCompare(pa, pb) < 0
+      }
     }
+  }
+
+  /** Compare strings by Unicode CODE POINT — identical to UTF-8
+    * binary order and to Spark's string `orderBy`, and different from
+    * Java's UTF-16 `compareTo` for supplementary-plane characters
+    * (surrogate pairs sort ABOVE U+E000..U+FFFF here, below them in
+    * UTF-16 order). Every unigram-trainer ordering uses this so the
+    * driver-side prune/output agree with the Spark-side seed cutoff. */
+  private def cpCompare(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0; var j = 0
+    while (i < la && j < lb) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(la - i, lb - j)
   }
 
   /** Viterbi subword tokenization under a trained unigram vocabulary

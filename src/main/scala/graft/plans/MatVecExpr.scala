@@ -54,14 +54,21 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
 object MatVec {
 
   /** Kernel; also called from generated code. Rows shorter than the
-    * input vector read a prefix; rows longer throw (caller contract:
-    * matrix columns == vector length). */
+    * input vector read a prefix; rows longer than the vector throw
+    * LOUDLY — UnsafeArrayData does no bounds checking, so without
+    * this guard a truncated/mixed-dim vector would read adjacent
+    * buffer memory and produce silently wrong rotations. */
   def apply(v: ArrayData, isFloat: Boolean,
             m: Array[Array[Double]]): ArrayData = {
+    val nElems = v.numElements()
     val out = new Array[Double](m.length)
     var r = 0
     while (r < m.length) {
       val row = m(r)
+      if (row.length > nElems)
+        throw new IllegalArgumentException(
+          s"mat_vec: matrix row $r has ${row.length} columns but the input " +
+            s"vector has $nElems elements")
       var s = 0.0
       var i = 0
       while (i < row.length) {

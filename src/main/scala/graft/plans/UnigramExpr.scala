@@ -120,38 +120,48 @@ class UnigramVocab(val pieces: Array[String], val logProbs: Array[Double])
     val back = Array.fill(n + 1)(-1)
     var i = 1
     while (i <= n) {
-      var l = 1
-      val maxL = math.min(i, maxPieceChars)
-      while (l <= maxL) {
-        val j = i - l
-        if (dp(j) != Double.NegativeInfinity) {
-          val id = index.get(word.substring(j, i))
-          if (id != null) {
-            val s = dp(j) + logProbs(id)
-            // strictly-greater OR equal-score-with-smaller-j: the
-            // LONGER final piece wins ties — deterministic and
-            // compression-biased (l ascends so j descends; the
-            // explicit j < back(i) check makes the rule independent
-            // of iteration order)
-            if (s > dp(i) || (s == dp(i) && back(i) >= 0 && j < back(i))) {
-              dp(i) = s; back(i) = j
+      // a boundary between the halves of a surrogate pair is not a
+      // code-point boundary: admit NO lattice node there — neither the
+      // OOV fallback nor a vocab match (an arbitrary table-loaded
+      // vocab may contain surrogate-half pieces; a node here would
+      // let the winning path split the pair, violating the class
+      // invariant that output pieces are code-point aligned)
+      val midPair = i < n && Character.isHighSurrogate(word.charAt(i - 1)) &&
+        Character.isLowSurrogate(word.charAt(i))
+      if (!midPair) {
+        var l = 1
+        val maxL = math.min(i, maxPieceChars)
+        while (l <= maxL) {
+          val j = i - l
+          if (dp(j) != Double.NegativeInfinity) {
+            val id = index.get(word.substring(j, i))
+            if (id != null) {
+              val s = dp(j) + logProbs(id)
+              // strictly-greater OR equal-score-with-smaller-j: the
+              // LONGER final piece wins ties — deterministic and
+              // compression-biased (l ascends so j descends; the
+              // explicit j < back(i) check makes the rule independent
+              // of iteration order)
+              if (s > dp(i) || (s == dp(i) && back(i) >= 0 && j < back(i))) {
+                dp(i) = s; back(i) = j
+              }
             }
           }
+          l += 1
         }
-        l += 1
-      }
-      // OOV fallback: one code point as its own piece. Only when no
-      // real piece ends here from a reachable state AND the char
-      // boundary is code-point aligned.
-      if (back(i) == -1) {
-        val cpLen =
-          if (i >= 2 && Character.isSurrogatePair(word.charAt(i - 2), word.charAt(i - 1))) 2
-          else 1
-        val j = i - cpLen
-        if (j >= 0 && dp(j) != Double.NegativeInfinity &&
-            !(cpLen == 1 && Character.isLowSurrogate(word.charAt(i - 1)))) {
-          dp(i) = dp(j) + unkLogProb
-          back(i) = j
+        // OOV fallback: one code point (a lone surrogate half counts
+        // as its own code point, same as String.codePointAt) as its
+        // own piece, when no real piece ends here from a reachable
+        // state.
+        if (back(i) == -1) {
+          val cpLen =
+            if (i >= 2 && Character.isSurrogatePair(word.charAt(i - 2), word.charAt(i - 1))) 2
+            else 1
+          val j = i - cpLen
+          if (j >= 0 && dp(j) != Double.NegativeInfinity) {
+            dp(i) = dp(j) + unkLogProb
+            back(i) = j
+          }
         }
       }
       i += 1

@@ -1157,6 +1157,15 @@ class SimilaritySpec extends AnyFunSuite {
     val gotD = ddf.select(Similarity.opqRotate($"v", mat).as("r"))
       .head().getSeq[Double](0).toArray
     assert(gotD.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // a truncated vector throws LOUDLY instead of reading adjacent
+    // unsafe-buffer memory (UnsafeArrayData does no bounds checks)
+    val short = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val err = intercept[Exception] {
+      short.select(Similarity.opqRotate($"v", mat).as("r")).head()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("mat_vec")), msgs(err).mkString(" | "))
 
     // anisotropic fixture: correlated dims with a steep variance decay,
     // mixed through a fixed dense map so structure crosses subspace
@@ -2279,10 +2288,27 @@ class TextFunctionsSpec extends AnyFunSuite {
          s <- 0 to cps.size - len)
       subW(cps.slice(s, s + len).mkString) =
         subW.getOrElse(cps.slice(s, s + len).mkString, 0L) + c
+    // all orderings compare strings by CODE POINT, matching the
+    // trainer's contract (Spark UTF-8 orderBy == code-point order;
+    // Java UTF-16 order disagrees on supplementary-plane pieces —
+    // the 😀-bearing fixture exercises exactly that)
+    def cpLt(a: String, b: String): Boolean = {
+      val ai = a.codePoints().toArray; val bi = b.codePoints().toArray
+      val n = math.min(ai.length, bi.length)
+      var i = 0
+      while (i < n) {
+        if (ai(i) != bi(i)) return ai(i) < bi(i)
+        i += 1
+      }
+      ai.length < bi.length
+    }
     val multis = subW.toSeq.filter(kv => !singles(kv._1))
-      .sortBy { case (p, wt) => (-wt, p) }.take(seedCap)
-    var pieces = singles.toSeq.sorted ++ multis.map(_._1)
-    var w0 = singles.toSeq.sorted.map(s => subW(s).toDouble) ++
+      .sortWith { case ((pa, wa), (pb, wb)) =>
+        if (wa != wb) wa > wb else cpLt(pa, pb)
+      }.take(seedCap)
+    val sortedSingles = singles.toSeq.sortWith(cpLt)
+    var pieces = sortedSingles ++ multis.map(_._1)
+    var w0 = sortedSingles.map(s => subW(s).toDouble) ++
       multis.map(_._2.toDouble)
     var logps = { val t = w0.sum; w0.map(x => math.log(x / t)) }
     // max piece length in CHARS for segmentation bound
@@ -2312,7 +2338,10 @@ class TextFunctionsSpec extends AnyFunSuite {
       else {
         val keepMulti = math.max(targetMulti,
           (multiIdx.size * (1 - pruneFraction)).floor.toInt)
-        val kept = multiIdx.sortBy(i => (-last(i), pieces(i))).take(keepMulti).toSet
+        val kept = multiIdx.sortWith { (a, b) =>
+          if (last(a) != last(b)) last(a) > last(b)
+          else cpLt(pieces(a), pieces(b))
+        }.take(keepMulti).toSet
         val keepIdx = pieces.indices.filter(i => singles(pieces(i)) || kept(i))
         val keptCounts = keepIdx.map(last)
         pieces = keepIdx.map(pieces)
@@ -2383,6 +2412,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     val rt = TextFunctions.unigramVocabFromTable(
       TextFunctions.unigramVocabToTable(spark, vocab.toSeq))
     assert(rt.toMap == vmap)
+  }
+
+  test("unigramTokens: a corrupted vocab with surrogate-half pieces can never split a pair") {
+    // a table-loaded vocab may contain garbage: pieces that end in a
+    // lone HIGH surrogate / begin with a lone LOW surrogate would,
+    // with a lattice node at the mid-pair boundary, let the winning
+    // path cut 😀 in half — the kernel must admit no node there
+    val high = "\ud83d"; val low = "\ude00" // the halves of 😀
+    val vocab: Array[(String, Double)] = Array(
+      ("x" + high, -0.1), (low + "y", -0.1), // attractive corrupt pieces
+      ("x", -5.0), ("y", -5.0), ("😀", -5.0))
+    val out = Seq("x😀y").toDF("text")
+      .select(TextFunctions.unigramTokens($"text", vocab).as("t"))
+      .head().getSeq[String](0).toList
+    assert(out == List("x", "😀", "y"), s"surrogate pair split: $out")
+    // lone surrogate halves (already-malformed input) still tokenize
+    // as their own pieces rather than failing — driven on the kernel
+    // directly: Spark's String→UTF8String conversion replaces lone
+    // surrogates with U+FFFD, so the DataFrame path can't carry one
+    val kernel = new graft.plans.UnigramVocab(vocab.map(_._1), vocab.map(_._2))
+    val lone = kernel.viterbi("a" + high + "b").toList
+    assert(lone.map(_.codePointAt(0)) == List('a'.toInt, 0xd83d, 'b'.toInt) &&
+      lone.forall(_.length == 1),
+      lone.map(_.codePointAt(0).toHexString).toString)
   }
 
   test("dupNgramCharFraction: tokens containing spaces never alias gram keys") {

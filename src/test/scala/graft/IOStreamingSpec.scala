@@ -727,6 +727,43 @@ class WindowsSpec extends AnyFunSuite {
     assert(accepted() == Set(1L, 2L, 11L, 21L, 31L, 41L), accepted().toString)
   }
 
+  test("ingest crash shapes converge: bands dir missing entirely; leftover hidden staging only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val other = "completely different content about rivers bridges and mountain passes " * 3
+    // (a) FIRST-batch retry whose own data partition exists but whose
+    // band dir was never created (pre-bands-first crash shape): the
+    // retry must converge, not die reading the nonexistent band path
+    val acc = Files.createTempDirectory("graft-crash-a").toString + "/acc"
+    graft.functions.Dedup.nearDupIngestBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", acc, "1")
+    val fs = new org.apache.hadoop.fs.Path(acc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$acc/bands"), true)
+    val n = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", acc, "1")
+    assert(n == 2, s"first-batch retry without a bands dir did not converge: $n")
+    // a SECOND-tag batch after the same deletion repairs the missing
+    // band partition and still drops near-dups of batch-1 docs
+    fs.delete(new org.apache.hadoop.fs.Path(s"$acc/bands"), true)
+    val n2 = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((10L, base + " zz")).toDF("doc_id", "text"),
+      "doc_id", "text", acc, "2")
+    assert(n2 == 0, "near-dup accepted after bands-dir loss — repair failed")
+    // (b) a crashed compaction that merged EVERYTHING can leave the
+    // data dir holding ONLY a hidden .compact_* staging — not state;
+    // the next batch must treat the ingest as fresh, not crash on
+    // schema inference over zero visible files
+    val acc2 = Files.createTempDirectory("graft-crash-b").toString + "/acc"
+    Seq((1L, base)).toDF("doc_id", "text")
+      .write.parquet(s"$acc2/data/.compact_leftover")
+    val nb = graft.functions.Dedup.nearDupIngestBatch(
+      Seq((5L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", acc2, "1")
+    assert(nb == 1, s"hidden-staging-only state dir broke the batch: $nb")
+  }
+
   test("batch stateful runningByKey ordered (ClojureStatefulDoFn analog)") {
     val ds = Seq(("a", 2, 10.0), ("a", 1, 1.0), ("b", 1, 5.0)).toDS
     val out = Stateful.runningByKey[String, (String, Int, Double), Double, (String, Int, Double), Int](
