@@ -1902,6 +1902,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The top rung of the LM-scoring ladder: interpolated Kneser-Ney
+    // bigram smoothing (continuation-count backoff, uniform floor) —
+    // the KenLM family CCNet's published scorer uses. Every KN
+    // statistic derives from ONE bigram count table.
+    "q_kneser_ney" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.kneserNeyLogProbScore(t(s, dir, "documents"), "doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation: CCNet head/middle/tail quality buckets --------
     // The CCNet bucketing stage: score every doc with the corpus-unigram
     // log-prob model (q_unigram_logprob), then ntile into 3 buckets on
@@ -3923,6 +3933,36 @@ object SparkEntry {
         |   LEFT JOIN f fp ON u.prev = fp.tok
         |   GROUP BY u.doc_id)
         |SELECT doc_id, round(a, 6) AS bi_logprob FROM s
+        |ORDER BY doc_id""".stripMargin,
+    "q_kneser_ney" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0) AS toks FROM documents),
+        | i AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+        |   FROM d WHERE len(toks) >= 1),
+        | u AS (SELECT doc_id, toks[pos+1] AS tok,
+        |     CASE WHEN pos = 0 THEN NULL ELSE toks[pos] END AS prev FROM i),
+        | b AS (SELECT prev, tok, count(*) AS c2 FROM u
+        |   WHERE prev IS NOT NULL GROUP BY prev, tok),
+        | cx AS (SELECT prev, sum(c2) AS cp, count(*) AS fert FROM b GROUP BY prev),
+        | ct AS (SELECT tok, count(*) AS cont FROM b GROUP BY tok),
+        | sc AS (SELECT count(*) AS t, count(DISTINCT tok) AS v2 FROM b),
+        | vc AS (SELECT count(DISTINCT tok) AS v FROM u),
+        | s AS (SELECT u.doc_id, avg(ln(CASE WHEN u.prev IS NULL
+        |       THEN (CASE WHEN sc.t = 0 THEN 1.0 / vc.v::DOUBLE
+        |         ELSE greatest(coalesce(ct.cont, 0)::DOUBLE - 0.75, 0.0) / sc.t::DOUBLE
+        |            + 0.75 * sc.v2::DOUBLE / sc.t::DOUBLE / vc.v::DOUBLE END)
+        |       ELSE greatest(b.c2::DOUBLE - 0.75, 0.0) / cx.cp::DOUBLE
+        |          + 0.75 * cx.fert::DOUBLE / cx.cp::DOUBLE *
+        |            (CASE WHEN sc.t = 0 THEN 1.0 / vc.v::DOUBLE
+        |             ELSE greatest(coalesce(ct.cont, 0)::DOUBLE - 0.75, 0.0) / sc.t::DOUBLE
+        |                + 0.75 * sc.v2::DOUBLE / sc.t::DOUBLE / vc.v::DOUBLE END)
+        |       END)) AS a
+        |   FROM u LEFT JOIN ct ON u.tok = ct.tok
+        |   LEFT JOIN b ON u.prev = b.prev AND u.tok = b.tok
+        |   LEFT JOIN cx ON u.prev = cx.prev
+        |   CROSS JOIN sc CROSS JOIN vc
+        |   GROUP BY u.doc_id)
+        |SELECT doc_id, round(a, 6) AS kn_logprob FROM s
         |ORDER BY doc_id""".stripMargin,
     "q_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(

@@ -632,6 +632,74 @@ object TextFunctions {
       .select(col("__id").as(id), col("bi_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM quality score — the smoothing
+    * family KenLM (and therefore CCNet's published scorer) actually
+    * uses, completing the unigram → Jelinek-Mercer → KN ladder
+    * ([[unigramLogProbScore]], [[bigramLogProbScore]]): absolute
+    * discounting with CONTINUATION-count backoff,
+    *
+    *   P(t|p)  = (c(p,t) − D)⁺/c(p,·) + D·N1+(p,·)/c(p,·) · P1(t)
+    *   P1(t)   = (N1+(·,t) − D)⁺/N1+(·,·) + D·N1+(·,·distinct t)/N1+(·,·) · 1/V
+    *
+    * where N1+ are distinct-continuation counts and the unigram level
+    * interpolates down to uniform over the V distinct tokens, so no
+    * in-corpus event ever scores ln 0 (a token appearing ONLY at
+    * document starts has zero continuation count — the uniform floor
+    * covers it). First token of a doc has no context → P1. Context
+    * totals are bigram-event sums (the proper KN denominator), not
+    * token frequencies. Degenerate corpora with zero bigrams anywhere
+    * score uniformly (1/V).
+    *
+    * Scale shape is [[bigramLogProbScore]]'s: map-side shifted-zip
+    * pair generation, ONE (prev, tok) count aggregate from which
+    * every KN statistic derives (context totals, fertilities,
+    * continuation counts — three narrow Zipf-small aggregates of the
+    * bigram table, never a second corpus pass), scoring re-joins on
+    * token keys (AQE broadcasts when they fit) + one per-doc
+    * partial-aggregated mean; the two scalar totals ride a broadcast
+    * 1-row cross join. Output: (`id`, kn_logprob rounded to 6). */
+  def kneserNeyLogProbScore(df: DF, id: String, text: Column,
+                            discount: Double = 0.75): DF = {
+    require(discount > 0 && discount < 1, s"discount $discount outside (0,1)")
+    val toks = tokens(text)
+    val shifted = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    val pairs = df
+      .where(size(toks) >= 1)
+      .select(col(id).as("__id"),
+        explode(arrays_zip(shifted.as("p"), toks.as("t"))).as("__pt"))
+      .select(col("__id"), col("__pt.p").as("__p"), col("__pt.t").as("__t"))
+    val bi = pairs.where(col("__p").isNotNull)
+      .groupBy("__p", "__t").agg(count(lit(1)).as("__c2"))
+    val ctx = bi.groupBy("__p")
+      .agg(sum(col("__c2")).as("__cp"), count(lit(1)).as("__fert"))
+    val cont = bi.groupBy("__t").agg(count(lit(1)).as("__cont"))
+    val scalars = bi
+      .agg(count(lit(1)).as("__nbt"), count_distinct(col("__t")).as("__V2"))
+      .crossJoin(pairs.agg(count_distinct(col("__t")).as("__V")))
+    val d = lit(discount)
+    // expression shapes (operation order, cast points) mirror the
+    // DuckDB oracle EXACTLY — cross-dialect double determinism
+    val p1 = when(col("__nbt") === 0, lit(1.0) / col("__V").cast("double"))
+      .otherwise(
+        greatest(coalesce(col("__cont"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__nbt").cast("double") +
+          d * col("__V2").cast("double") / col("__nbt").cast("double") /
+            col("__V").cast("double"))
+    val pbi = greatest(col("__c2").cast("double") - d, lit(0.0)) /
+      col("__cp").cast("double") +
+      d * col("__fert").cast("double") / col("__cp").cast("double") * p1
+    val p = when(col("__p").isNull, p1).otherwise(pbi)
+    pairs
+      .join(cont, Seq("__t"), "left")
+      .join(bi, Seq("__p", "__t"), "left")
+      .join(ctx, Seq("__p"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("__id"))
+      .agg(round(avg(log(p)), 6).as("kn_logprob"))
+      .select(col("__id").as(id), col("kn_logprob"))
+  }
+
   /** jusText-lite boilerplate stripping: classify each LINE of a doc
     * as content vs boilerplate by three cheap signals — word count,
     * stopword density, and a link marker — and keep only the content

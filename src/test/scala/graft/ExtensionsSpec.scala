@@ -1986,6 +1986,54 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(lam0 == uni)
   }
 
+  test("kneserNeyLogProbScore == independent driver KN; distributions normalize") {
+    val corpus = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran",
+      3L -> "a dog sat on a mat",
+      4L -> "mat the cat the",
+      5L -> "solo")   // one-token doc: pure continuation/uniform branch
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val D = 0.75
+    // independent driver KN from raw token lists
+    val tokss = corpus.view.mapValues(_.split("\\s+").filter(_.nonEmpty).toList).toMap
+    val events = tokss.toSeq.flatMap { case (id0, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        (id0, if (i == 0) None else Some(ts(i - 1)), t) } }
+    val c2 = events.collect { case (_, Some(p), t) => (p, t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cp = c2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val fert = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val cont = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val bigT = c2.size
+    val v2 = c2.keys.map(_._2).toSet.size
+    val vocab = events.map(_._3).toSet
+    def p1(t: String): Double =
+      if (bigT == 0) 1.0 / vocab.size
+      else math.max(cont.getOrElse(t, 0) - D, 0.0) / bigT + D * v2 / bigT / vocab.size
+    def pkn(p0: String, t: String): Double =
+      math.max(c2.getOrElse((p0, t), 0L) - D, 0.0) / cp(p0) +
+        D * fert(p0) / cp(p0) * p1(t)
+    val sim = events.groupBy(_._1).view.mapValues { es =>
+      es.map { case (_, pv, t) =>
+        math.log(pv.fold(p1(t))(pkn(_, t))) }.sum / es.size
+    }.toMap
+    val got = TextFunctions.kneserNeyLogProbScore(docs, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == sim.keySet)
+    for ((idv, s) <- sim)
+      assert(math.abs(got(idv) - s) < 1e-6, s"doc $idv: ${got(idv)} vs $s")
+    // 'solo' appears only at a doc start → zero continuation count;
+    // the uniform floor must keep its probability strictly positive
+    assert(p1("solo") > 0 && got(5L) == BigDecimal(math.log(p1("solo")))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // proper distributions: Σ_t P1(t) = 1 and Σ_t P(t|p) = 1 ∀ contexts
+    assert(math.abs(vocab.toSeq.map(p1).sum - 1.0) < 1e-9)
+    for (p0 <- cp.keys)
+      assert(math.abs(vocab.toSeq.map(t => pkn(p0, t)).sum - 1.0) < 1e-9,
+        s"context $p0 not normalized")
+  }
+
   test("hashedLogisticScore: mean-pooled bucket weights through the sigmoid; twins agree in shape") {
     val df = Seq((1L, "a a b"), (2L, "zz"), (3L, "   ")).toDF("doc_id", "text")
     val dim = 8
