@@ -64,6 +64,22 @@ object SparkEntry {
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("in", "g"))
 
+  /** Tiny WordPiece vocab fixture for q_wordpiece — `##`-prefixed
+    * entries are continuation pieces (matchable only at word position
+    * > 0). Chosen over the corpus's 31-word vocabulary to exercise
+    * every branch: multi-piece splits (customer → cust ##omer),
+    * whole-word longest-match beating a shorter prefix (filter over
+    * fil/f), single-char chains (join → j ##o ##i ##n), greedy
+    * longest-match among continuations (query → q ##uery, not q ##u
+    * …), and dead-ends mid-word that UNK the WHOLE word discarding
+    * matched prefixes (group → gro then no ##up → [UNK]; fast → f
+    * then no ##ast → [UNK]). A real deployment loads a trained vocab
+    * (e.g. exported from [[graft.functions.TextFunctions.trainUnigramVocab]]). */
+  private[graft] val wordpieceVocabFixture: Seq[String] = Seq(
+    "data", "cust", "##omer", "col", "##umn", "ba", "##tch",
+    "filter", "fil", "f", "j", "##o", "##i", "##n", "the", "a",
+    "gro", "s", "##can", "##low", "q", "##uery", "##u")
+
   /** Seed corpus for q_lang_id_ngram — tiny per-language samples
     * (ASCII-only, no apostrophes so the oracle VALUES list needs no
     * escaping; deliberately different lengths so the per-language
@@ -166,6 +182,63 @@ object SparkEntry {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** The q_wordpiece oracle: greedy longest-match-first is replayed
+    * exactly in SQL by (1) precomputing, per DISTINCT word and start
+    * position, the longest vocab piece matching there (`max_by` over
+    * the substring-match join — a plain aggregate, so no window/EXISTS
+    * inside the recursion), then (2) walking positions with a
+    * recursive CTE that follows that unique best piece. A word whose
+    * walk dies before `len(w) + 1` (some position matched nothing) is
+    * whole-word [UNK] — the HF discard semantics — detected as
+    * `max(pos) <> len + 1`. VALUES rows are generated from
+    * [[wordpieceVocabFixture]] so the two sides cannot drift.
+    * DuckDB len/substr are code-point-based, matching the kernel. */
+  private def wordpieceOracle: String = {
+    val values = wordpieceVocabFixture.map { p =>
+      val cont = p.startsWith("##")
+      val raw = if (cont) p.substring(2) else p
+      s"('$raw', '$p', ${!cont})"
+    }.mkString(",\n       | ")
+    s"""WITH RECURSIVE
+       | vocab(raw, tok, is_start) AS (VALUES $values),
+       | dw AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |     x -> len(x) > 0) AS l FROM documents),
+       | seqw0 AS (SELECT doc_id, l,
+       |     unnest(generate_series(1, len(l))) AS i FROM dw),
+       | seqw AS (SELECT doc_id, i, l[i] AS w FROM seqw0),
+       | words AS (SELECT DISTINCT w FROM seqw),
+       | pos AS (SELECT w, unnest(generate_series(1, len(w))) AS pos FROM words),
+       | best AS (SELECT p.w, p.pos, max_by(v.tok, len(v.raw)) AS tok,
+       |       max(len(v.raw)) AS adv
+       |   FROM pos p JOIN vocab v
+       |     ON v.is_start = (p.pos = 1)
+       |    AND substr(p.w, p.pos, len(v.raw)) = v.raw
+       |   GROUP BY p.w, p.pos),
+       | seg AS (
+       |   SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS tok, 0 AS step
+       |   FROM words
+       |   UNION ALL
+       |   SELECT s.w, s.pos + b.adv, b.tok, s.step + 1
+       |   FROM seg s JOIN best b ON b.w = s.w AND b.pos = s.pos
+       |   WHERE s.pos <= len(s.w)),
+       | wp0 AS (SELECT w, max(pos) AS mp,
+       |       string_agg(tok, ' ' ORDER BY step) AS toks
+       |   FROM seg WHERE step > 0 GROUP BY w),
+       | wp AS (SELECT words.w,
+       |     CASE WHEN wp0.mp = len(words.w) + 1 THEN wp0.toks
+       |          ELSE '[UNK]' END AS toks
+       |   FROM words LEFT JOIN wp0 ON words.w = wp0.w),
+       | pw AS (SELECT seqw.doc_id, seqw.i, string_split(wp.toks, ' ') AS pl
+       |   FROM seqw JOIN wp ON seqw.w = wp.w),
+       | pieces0 AS (SELECT doc_id, i, pl,
+       |     unnest(generate_series(1, len(pl))) AS pj FROM pw),
+       | pieces AS (SELECT doc_id, i, pj, pl[pj] AS piece FROM pieces0)
+       |SELECT doc_id,
+       |  (row_number() OVER (PARTITION BY doc_id ORDER BY i, pj) - 1) AS pos,
+       |  piece
+       |FROM pieces ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** Headline subset used by Bench — FROZEN at 22 queries since round 1
     * for round-over-round comparability; additions go to
     * [[benchQueriesV2]]. */
@@ -222,7 +295,12 @@ object SparkEntry {
     "q_pagerank",
     // r10: exact substring dedup — anchor shuffle + extension joins
     // (pairs) and the interval-merge splice (strip)
-    "q_substring_dedup", "q_substring_strip")
+    "q_substring_dedup", "q_substring_strip",
+    // r10 (2): HITS (4 join+agg rounds, the pagerank shape at 2× edge
+    // count), the MG-sketch heavy hitters (two scans, one ≤99-counter
+    // aggregate), and WordPiece apply (codegen kernel projection)
+    "q_hits", "q_heavy_hitters", "q_wordpiece", "q_script_mix",
+    "q_fuzzy_pairs", "q_containment", "q_phrase_scan")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -597,6 +675,123 @@ object SparkEntry {
         .union(Corpus.refIntegrityViolations(li, Seq("l_orderkey"),
           t(s, dir, "orders"), Seq("o_orderkey")))
         .orderBy("rule")
+    }),
+
+    // -------- corpus: HITS hub/authority centrality -------------------
+    // 2-iteration HITS over the layered order→part→supplier graph
+    // (parts carry BOTH hub and authority mass, orders are pure hubs,
+    // suppliers pure authorities — every code path nonzero). Same
+    // per-round round(12) recipe as q_pagerank; L1 normalization so
+    // the oracle needs no cross-engine sqrt (see Corpus.hits).
+    // Boundary-risk profile (DuckDB replay of all 4 pre-round value
+    // sets, the q_pagerank recipe): min distance to a .5×10⁻¹²
+    // HALF_UP boundary is 5.2e-17 at sf0.01 (~2.6e7 ulps of
+    // score≈1e-8) and 3.4e-18 at sf0.1 (~1.7e6 ulps) — far above the
+    // few-ulp cross-engine window. Re-profile beyond ~sf10.
+    "q_hits" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(
+          concat(lit("o"), $"l_orderkey".cast("string")).as("src"),
+          concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+        .union(li.select(
+          concat(lit("p"), $"l_partkey".cast("string")),
+          concat(lit("s"), $"l_suppkey".cast("string"))))
+      Corpus.hits(edges, col("src"), col("dst"), iters = 2)
+        .orderBy("node")
+    }),
+
+    // -------- corpus: heavy hitters (MG sketch + exact recount) -------
+    // Tokens with count > N/100 over the document corpus — the sketch
+    // (≤ 99 counters per task) finds candidates, the recount makes the
+    // output EXACT and partitioning-independent, which is what lets
+    // it hash-match the plain GROUP BY … HAVING oracle. Saturation /
+    // merge-order paths are exercised by the planted-Zipf spec (this
+    // corpus's 31-token vocabulary never fills the summary).
+    "q_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split($"text", "\\s+")).as("token"))
+        .where(length($"token") > 0)
+      Corpus.heavyHitters(toks, $"token", k = 100, out = "token")
+        .orderBy("token")
+    }),
+
+    // -------- text: multi-phrase blocklist scan (Aho-Corasick) --------
+    // One automaton pass per doc: total occurrence count (overlaps
+    // included — 'a' and 'data' both fire inside "data") + which
+    // patterns fired. Patterns exercise substring hits inside words
+    // ("qu" in "query"), whitespace-spanning phrases, and a
+    // never-matching entry; the oracle replays by brute positional
+    // substring comparison.
+    "q_phrase_scan" -> ((s, dir) => {
+      import s.implicits._
+      val pats = Seq("data", "fast filter", "qu", "a", "zzz")
+      t(s, dir, "documents").select($"doc_id",
+          TextFunctions.phraseHits($"text", pats).as("n_hits"),
+          array_join(TextFunctions.phraseMatches($"text", pats), ",")
+            .as("matched"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- dedup: containment pairs (prefix filtering) -------------
+    // Directional |Sa∩Sb|/|Sa| ≥ 0.8 over token trigram sets — the
+    // quoted-document case Jaccard misses. Uncapped (maxDocFreq=0) so
+    // recall is COMPLETE and the all-pairs oracle must match exactly;
+    // the prefix filter is the same pairs at a fraction of the join.
+    "q_containment" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id",
+          "text", n = 3, minContainment = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- dedup: fuzzy pairs (SymSpell delete blocking) -----------
+    // All supplier-name pairs within edit distance 1 — delete-
+    // neighborhood blocking + exact levenshtein verify, never
+    // all-pairs (the oracle IS all-pairs, which is exactly what the
+    // operator must match without computing).
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.editDistancePairs(t(s, dir, "supplier"), "s_suppkey",
+          "s_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------- text: Unicode-script profile (mC4/CCNet signal) ---------
+    // Script mix is synthesized per doc_id (digits-only → 'none',
+    // Cyrillic replacement, Han suffix, pure-Latin base) so every
+    // branch — including the zero-script fallback and the tie-break
+    // fold — is nonzero on this corpus. Fractions are exact IEEE
+    // divisions of code-point counts; both engines count code points.
+    "q_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      val aug = when($"doc_id" % 7 === 0, lit("12345 678"))
+        .when($"doc_id" % 3 === 1, lit("Привет мир как дела"))
+        .when($"doc_id" % 3 === 2, concat($"text", lit(" 你好世界")))
+        .otherwise($"text")
+      t(s, dir, "documents").select($"doc_id",
+          TextFunctions.scriptFraction(aug, "Latin").as("latin_frac"),
+          TextFunctions.scriptFraction(aug, "Cyrillic").as("cyrillic_frac"),
+          TextFunctions.scriptFraction(aug, "Han").as("han_frac"),
+          TextFunctions.dominantScript(aug, Seq("Latin", "Cyrillic", "Han"))
+            .as("script"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: WordPiece tokenization ----------------------------
+    // BERT-style greedy longest-match-first pieces per document,
+    // exploded to (doc_id, pos, piece) scalars. The fixture vocab
+    // exercises splits, whole-word wins, continuation chains, and
+    // whole-word-UNK dead-ends (see wordpieceVocabFixture).
+    "q_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", posexplode(
+          TextFunctions.wordpieceTokens($"text", wordpieceVocabFixture)))
+        .select($"doc_id", $"pos".cast("long").as("pos"),
+          $"col".as("piece"))
+        .orderBy("doc_id", "pos")
     }),
 
     // -------- corpus: per-language stats audit ------------------------
@@ -4263,6 +4458,108 @@ object SparkEntry {
     "q_lang_id_ngram" -> langIdNgramOracle,
     "q_lang_id_conf" -> langIdNgramConfOracle,
     "q_bpe_tokens" -> bpeOracle,
+    "q_wordpiece" -> wordpieceOracle,
+    "q_phrase_scan" ->
+      """WITH pats(p) AS (VALUES ('data'), ('fast filter'), ('qu'),
+        |   ('a'), ('zzz')),
+        | pos0 AS (SELECT doc_id, text,
+        |     unnest(generate_series(1, len(text))) AS i FROM documents),
+        | m AS (SELECT p0.doc_id, p0.i, pats.p FROM pos0 p0 JOIN pats
+        |     ON substr(p0.text, p0.i, len(pats.p)) = pats.p),
+        | agg AS (SELECT doc_id, count(*) AS n_hits,
+        |     array_to_string(list_sort(list(DISTINCT p)), ',') AS matched
+        |   FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_hits, 0)::BIGINT AS n_hits,
+        |  coalesce(agg.matched, '') AS matched
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents),
+        | t0 AS (SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS i
+        |   FROM toks WHERE len(l) >= 3),
+        | g AS (SELECT DISTINCT doc_id,
+        |     l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g FROM t0),
+        | sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        | i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+        |   FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |   GROUP BY 1, 2)
+        |SELECT id_a, id_b, cnt::DOUBLE / sa.n AS containment
+        |FROM i JOIN sz sa ON sa.doc_id = i.id_a
+        |WHERE cnt::DOUBLE / sa.n >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_fuzzy_pairs" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_script_mix" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN '12345 678'
+        |       WHEN doc_id % 3 = 1 THEN 'Привет мир как дела'
+        |       WHEN doc_id % 3 = 2 THEN text || ' 你好世界'
+        |       ELSE text END AS t
+        | FROM documents),
+        | c AS (SELECT doc_id, t,
+        |  len(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS lat,
+        |  len(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS cyr,
+        |  len(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS han,
+        |  len(t) AS n FROM aug)
+        |SELECT doc_id,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE lat::DOUBLE / n END AS latin_frac,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE cyr::DOUBLE / n END AS cyrillic_frac,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE han::DOUBLE / n END AS han_frac,
+        |  CASE WHEN greatest(lat, cyr, han) = 0 THEN 'none'
+        |       WHEN lat >= cyr AND lat >= han THEN 'Latin'
+        |       WHEN cyr >= han THEN 'Cyrillic'
+        |       ELSE 'Han' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT 'o' || l_orderkey::VARCHAR AS s,
+        |         'p' || l_partkey::VARCHAR AS d FROM lineitem
+        |  UNION ALL
+        |  SELECT 'p' || l_partkey::VARCHAR,
+        |         's' || l_suppkey::VARCHAR FROM lineitem),
+        | nodes AS (SELECT DISTINCT n FROM
+        |   (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+        | h0 AS (SELECT n AS nd, 1.0 AS h FROM nodes),
+        | a1r AS (SELECT e.d AS nd, sum(h0.h) AS sv
+        |   FROM e JOIN h0 ON e.s = h0.nd GROUP BY e.d),
+        | a1s AS (SELECT coalesce(sum(sv), 0) AS t FROM a1r),
+        | a1 AS (SELECT nodes.n AS nd,
+        |     round(coalesce(a1r.sv, 0) / (SELECT t FROM a1s), 12) AS a
+        |   FROM nodes LEFT JOIN a1r ON nodes.n = a1r.nd),
+        | h1r AS (SELECT e.s AS nd, sum(a1.a) AS sv
+        |   FROM e JOIN a1 ON e.d = a1.nd GROUP BY e.s),
+        | h1s AS (SELECT coalesce(sum(sv), 0) AS t FROM h1r),
+        | h1 AS (SELECT nodes.n AS nd,
+        |     round(coalesce(h1r.sv, 0) / (SELECT t FROM h1s), 12) AS h
+        |   FROM nodes LEFT JOIN h1r ON nodes.n = h1r.nd),
+        | a2r AS (SELECT e.d AS nd, sum(h1.h) AS sv
+        |   FROM e JOIN h1 ON e.s = h1.nd GROUP BY e.d),
+        | a2s AS (SELECT coalesce(sum(sv), 0) AS t FROM a2r),
+        | a2 AS (SELECT nodes.n AS nd,
+        |     round(coalesce(a2r.sv, 0) / (SELECT t FROM a2s), 12) AS a
+        |   FROM nodes LEFT JOIN a2r ON nodes.n = a2r.nd),
+        | h2r AS (SELECT e.s AS nd, sum(a2.a) AS sv
+        |   FROM e JOIN a2 ON e.d = a2.nd GROUP BY e.s),
+        | h2s AS (SELECT coalesce(sum(sv), 0) AS t FROM h2r),
+        | h2 AS (SELECT nodes.n AS nd,
+        |     round(coalesce(h2r.sv, 0) / (SELECT t FROM h2s), 12) AS h
+        |   FROM nodes LEFT JOIN h2r ON nodes.n = h2r.nd)
+        |SELECT h2.nd AS node, h2.h AS hub, a2.a AS authority
+        |FROM h2 JOIN a2 ON h2.nd = a2.nd ORDER BY node""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |   FROM documents),
+        | tt AS (SELECT token FROM toks WHERE len(token) > 0),
+        | n AS (SELECT count(*)::DOUBLE AS n FROM tt)
+        |SELECT token, count(*)::BIGINT AS cnt FROM tt GROUP BY token
+        |HAVING count(*) > (SELECT n FROM n) / 100
+        |ORDER BY token""".stripMargin,
     "q_pack_corpus" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |   len(list_filter(string_split_regex(text, '\s+'),

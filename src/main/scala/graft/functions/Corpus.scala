@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Corpus-assembly operators for training-data pipelines — source
@@ -660,5 +662,141 @@ object Corpus {
       it += 1
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank"))
+  }
+
+  /** Fixed-iteration HITS (Kleinberg 1999) hub/authority scores over a
+    * link graph — the classic companion centrality to [[pageRank]]:
+    * authority(v) = Σ hub(u) over in-edges, hub(u) = Σ authority(v)
+    * over out-edges, each L1-normalized per round. Same exactness
+    * recipe as pageRank: per-round `round(…, 12)` collapses fp
+    * summation order so the iterations unroll into chained CTEs and
+    * hash-match a DuckDB replay (q_hits); same scale shape too —
+    * per-round state is lazily materialized/checkpointed (lineage
+    * cut), scoring rounds are one equi-join + grouped sum per side,
+    * cost ∝ iters × edges with AQE handling hub-destination skew.
+    * L1 (sum) normalization instead of the textbook L2: identical
+    * fixed point up to scale, but avoids a cross-engine sqrt on an
+    * order-dependent sum of squares. Norm scalars are 1-row driver
+    * aggregates (the pageRank dangling-mass pattern). */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e = Dedup.materializeLazily(
+      edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"))
+        .where(col("__s").isNotNull && col("__d").isNotNull))
+    val nodes = Dedup.materializeLazily(
+      e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
+        .distinct())
+    require(nodes.count() > 0, "hits needs at least one non-null edge")
+    var hubs = nodes.withColumn("__h", lit(1.0))
+    var auths = nodes.withColumn("__a", lit(0.0))
+    var it = 0
+    while (it < iters) {
+      val aRaw = e.join(hubs, col("__s") === col("__n"))
+        .groupBy(col("__d")).agg(sum(col("__h")).as("__ar"))
+      // every edge target has an in-edge, so with hubs ≥ 0 and ≥ 1
+      // nonzero hub the total is > 0; the guard is for an all-zero
+      // degenerate round (cannot happen from the 1.0 init, kept for
+      // API callers seeding their own state shape)
+      val aSum = aRaw.agg(coalesce(sum(col("__ar")), lit(0.0)))
+        .head().getDouble(0)
+      require(aSum > 0, "hits authority mass vanished (degenerate graph)")
+      auths = Dedup.materializeLazily(
+        nodes.join(aRaw, col("__n") === col("__d"), "left")
+          .select(col("__n"),
+            round(coalesce(col("__ar"), lit(0.0)) / lit(aSum), 12).as("__a")))
+      val hRaw = e.join(auths, col("__d") === col("__n"))
+        .groupBy(col("__s")).agg(sum(col("__a")).as("__hr"))
+      val hSum = hRaw.agg(coalesce(sum(col("__hr")), lit(0.0)))
+        .head().getDouble(0)
+      require(hSum > 0, "hits hub mass vanished (degenerate graph)")
+      hubs = Dedup.materializeLazily(
+        nodes.join(hRaw, col("__n") === col("__s"), "left")
+          .select(col("__n"),
+            round(coalesce(col("__hr"), lit(0.0)) / lit(hSum), 12).as("__h")))
+      it += 1
+    }
+    hubs.join(auths, "__n")
+      .select(col("__n").as("node"), col("__h").as("hub"),
+        col("__a").as("authority"))
+  }
+
+  /** Misra-Gries summary (Misra & Gries 1982): at most `k - 1`
+    * counters; any item with true frequency > N/k is guaranteed to
+    * survive, under ANY reduce/merge order (mergeability per Agarwal
+    * et al., "Mergeable Summaries", PODS 2012 — merge sums counters
+    * then subtracts the k-th largest count from all). The candidate
+    * SET beyond that guarantee is order-dependent, which is why
+    * [[heavyHitters]] always re-counts exactly — the final output is
+    * deterministic regardless of partitioning. */
+  private final class MisraGriesAgg(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + 1L)
+        case None if b.size < k - 1 => b.updated(item, 1L)
+        // full and absent: decrement every counter (the new item and
+        // one unit of each counter annihilate), drop zeros — O(k),
+        // the classic MG amortized cost
+        case None =>
+          b.collect { case (kk, v) if v > 1L => kk -> (v - 1L) }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (kk, v)) =>
+        m.updated(kk, m.getOrElse(kk, 0L) + v)
+      }
+      if (sum.size <= k - 1) sum
+      else {
+        // subtract the k-th largest counter value from all: at most
+        // k-1 counters can exceed it, so the result fits the bound
+        val kth = sum.valuesIterator.toArray.sortBy(-_).apply(k - 1)
+        sum.collect { case (kk, v) if v > kth => kk -> (v - kth) }
+      }
+    }
+    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Exact heavy hitters at sketch cost: every item of `key` whose
+    * exact count is strictly greater than N/k (N = non-null rows),
+    * with its EXACT count. Two passes, both scale-shaped:
+    *
+    *  1. ONE Misra-Gries aggregate (partial/map-side via the
+    *     `Aggregator` contract — each task carries ≤ k-1 counters,
+    *     the driver receives one ≤ k-1-entry summary, never a
+    *     per-distinct-key table) fused with `count(*)` for N.
+    *  2. An exact re-count of the ≤ k-1 candidate items: the literal
+    *     candidate list becomes a pushed-down `IN` filter on the
+    *     scan, so the group-by touches only candidate rows.
+    *
+    * The MG guarantee makes pass-2's output exactly
+    * {item : count > N/k} independent of partitioning/merge order —
+    * the sketch only ever narrows WORK, not results (the
+    * verified-LSH philosophy) — which is what lets q_heavy_hitters
+    * hash-match a plain GROUP BY … HAVING oracle. Use where the
+    * distinct-key cardinality is huge (tokens, URLs, n-grams) and
+    * only the > N/k tail matters; for full histograms use
+    * `Combiners.frequencies`. */
+  def heavyHitters(df: DataFrame, key: Column, k: Int,
+                   out: String = "item"): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val keyed = df.select(key.cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+    val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val row = keyed.agg(mg(col("__k")).as("__cand"),
+      count(lit(1)).as("__n")).head()
+    val cand = row.getSeq[String](0)
+    val n = row.getLong(1)
+    val thresh = n.toDouble / k
+    val hit = if (cand.isEmpty) lit(false)
+              else col("__k").isInCollection(cand)
+    keyed.where(hit)
+      .groupBy(col("__k")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > lit(thresh))
+      .select(col("__k").as(out), col("cnt"))
   }
 }

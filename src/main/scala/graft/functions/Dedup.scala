@@ -1574,6 +1574,145 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directional containment near-dup pairs: (id_a, id_b, containment)
+    * with containment = |Sa ∩ Sb| / |Sa| ≥ `minContainment`, where Sx
+    * is the doc's DISTINCT token n-gram set — the asymmetric
+    * complement to [[minhashLshPairsVerified]]: a short document
+    * quoted inside a long one scores containment ≈ 1 while its
+    * Jaccard (∩/∪) stays tiny, so MinHash-LSH structurally misses it.
+    *
+    * Scale shape is prefix filtering (Chaudhuri et al. 2006; Bayardo
+    * et al. 2007 All-Pairs): rank each doc's grams by ascending
+    * (document frequency, gram) and emit only the first
+    * |Sa| − ⌊t·|Sa|⌋ + 1 as probe keys — if a exceeds the threshold
+    * against ANY b, a cannot have that many grams outside Sb, so a
+    * prefix gram lands in Sa ∩ Sb (pigeonhole; the +1 over the exact
+    * bound also absorbs fp floor effects). Probe keys join the full
+    * gram index — per-gram fan-out is its df, so Σ df per prefix,
+    * never N² — and candidates get an EXACT verify on re-attached
+    * gram arrays (precision exact at any scale; the verified-LSH
+    * philosophy). `maxDocFreq` (0 = off) drops stop-grams from the
+    * index/prefix the way [[graft.functions.TextFunctions]]'s
+    * winnowing pair-finder does: boilerplate grams shared by huge doc
+    * counts would otherwise dominate the join; the loss is recall
+    * only, observable by re-running uncapped.
+    *
+    * Docs with fewer than `n` whitespace tokens have no n-gram set
+    * and never pair. `id` values must be unique. Both directions of
+    * an asymmetric pair can appear; containment is emitted unrounded
+    * (an exact IEEE quotient of two ints — cross-engine stable). */
+  def ngramContainmentPairs(df: DataFrame, id: String, text: String,
+                            n: Int = 3, minContainment: Double = 0.8,
+                            maxDocFreq: Long = 0): DataFrame = {
+    require(n >= 1, s"n $n must be >= 1")
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment $minContainment outside (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    def toks(t: Column) = filter(split(t, "\\s+"), x => length(x) > 0)
+    val g = df.where(size(toks(col(text))) >= n)
+      .select(col(id).as("__gid"),
+        explode(tokenShingles(toks(col(text)), n)).as("__g"))
+    val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
+               else dfreq
+    val sz = g.groupBy(col("__gid")).agg(count(lit(1)).as("__n"))
+    // per-doc window: partitioned by doc id — parallel, not global
+    val ranked = g.join(kept, "__g")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__gid")).orderBy(col("__df"), col("__g"))))
+    val prefixLen = col("__n") -
+      floor(lit(minContainment) * col("__n")).cast("long") + lit(1L)
+    val pref = ranked.join(sz, "__gid").where(col("__r") <= prefixLen)
+      .select(col("__gid").as("__pid"), col("__g"))
+    val cand = materializeOnce(
+      pref.join(g.select(col("__gid").as("__iid"), col("__g")), "__g")
+        .where(col("__pid") =!= col("__iid"))
+        .select(col("__pid").as("id_a"), col("__iid").as("id_b"))
+        .distinct())
+    // exact verify on candidates only (the minhashLshPairsVerified shape)
+    val ids = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val sets = df.join(ids, col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__s_id"),
+        tokenShingles(toks(col(text)), n).as("__set"))
+    val withA = cand.join(sets, col("id_a") === col("__s_id"))
+      .select(col("id_a"), col("id_b"), col("__set").as("__set_a"))
+    withA.join(sets, col("id_b") === col("__s_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__set_a"), col("__set"))).cast("double") /
+          size(col("__set_a"))).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
+  /** Delete-neighborhood of a string: every string reachable by
+    * deleting at most `maxDist` code points (the string itself
+    * included), distinct. Pure columnar (no UDF): level k+1 =
+    * single-deletions of level k, folded `maxDist` times. Spark's
+    * `substr`/`length` are code-point-based, so supplementary-plane
+    * text deletes whole code points. Neighborhood size is
+    * O(len^maxDist / maxDist!) — intended for short key-like strings
+    * (names, titles, URLs), which is the fuzzy-matching use case. */
+  private[graft] def deleteNeighborhood(text: Column, maxDist: Int): Column = {
+    require(maxDist >= 1, s"maxDist $maxDist must be >= 1")
+    // sequence(1, 0) would COUNT DOWN (auto-negative step) — guard
+    // the empty string to an empty deletion list instead
+    def dels(t: Column): Column =
+      when(length(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(t)), i =>
+          concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t)))))
+    val levels = (1 to maxDist).scanLeft(array(text)) { case (lvl, _) =>
+      array_distinct(flatten(transform(lvl, dels(_))))
+    }
+    array_distinct(flatten(array(levels: _*)))
+  }
+
+  /** All pairs within Levenshtein distance `maxDist`, at sketch cost —
+    * SymSpell-style symmetric-delete blocking (Garbe; completeness:
+    * aligning two strings with lev ≤ d and deleting each side's
+    * edited positions yields a COMMON string reachable by ≤ d
+    * deletions from both, so their delete-neighborhoods intersect).
+    * Shuffle key = xxhash64(deletion string) — narrow 8-byte keys,
+    * never all-pairs; hash collisions only ADD candidates, which the
+    * exact `levenshtein` verify then drops, so precision is exact at
+    * any scale (the verified-LSH philosophy). The bucket collect
+    * rides [[pairsFromSorted]] with the usual degenerate-bucket cap
+    * (a shared boilerplate key of M docs would otherwise emit M²
+    * pairs; capped loss is observable by re-running with 0).
+    *
+    * Preconditions: `id` values unique; `text` is a short key-like
+    * string (names, titles, canonical URLs — the fuzzy-entity-dedup
+    * use case), since neighborhoods grow O(len^maxDist).
+    * Output: (id_a, id_b, dist), id_a < id_b, EXACT distances. */
+  def editDistancePairs(df: DataFrame, id: String, text: String,
+                        maxDist: Int = 1,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val keys = df.select(col(id).as("__id"),
+        explode(deleteNeighborhood(col(text), maxDist)).as("__del"))
+      .select(col("__id"), xxhash64(col("__del")).as("__k"))
+      .distinct()
+    val keep =
+      if (maxBucketSize > 0) size(col("__ids")).between(2, maxBucketSize)
+      else size(col("__ids")) >= 2
+    val cand = materializeOnce(keys.groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(keep)
+      .select(explode(pairsFromSorted(col("__ids"))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .distinct())
+    // exact verify: texts re-attach to the candidates only (semi-join
+    // + two narrow joins — the minhashLshPairsVerified shape)
+    val ids = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val txt = df.join(ids, col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__t_id"), col(text).as("__t"))
+    val withA = cand.join(txt, col("id_a") === col("__t_id"))
+      .select(col("id_a"), col("id_b"), col("__t").as("__t_a"))
+    withA.join(txt, col("id_b") === col("__t_id"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__t_a"), col("__t")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Bucket-skew guard: drop rows of buckets larger than the cap
     * (0 = off). The count aggregates only the narrow bucket key
     * (columns pruned — the wide signature arrays never shuffle) and

@@ -247,6 +247,41 @@ object TextFunctions {
       i => concat_ws(" ", slice(toks, i, lit(chunkSize))))
   }
 
+  /** Count of code points belonging to the given Unicode script
+    * (a Java regex script name: "Latin", "Cyrillic", "Han", "Arabic",
+    * "Hangul", "Greek", …) — the mC4/CCNet-style script signal for
+    * multilingual curation (script-vs-declared-language mismatch is a
+    * standard mislabel filter). Pure codegen'd projection; Spark's
+    * `length` counts code points, so supplementary-plane scripts
+    * count correctly. */
+  def scriptCount(text: Column, script: String): Column =
+    length(regexp_replace(text, s"[^\\p{Is$script}]", "")).cast("long")
+
+  /** Fraction of code points in the given script; 0.0 on empty text
+    * (no division by zero). Exact IEEE division of two integer counts
+    * — no rounding needed cross-engine. */
+  def scriptFraction(text: Column, script: String): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(scriptCount(text, script).cast("double") /
+        length(text).cast("double"))
+
+  /** The first-listed script attaining the maximum code-point count —
+    * "none" when no listed script occurs at all. Earlier scripts win
+    * ties (strict-greater fold), so the caller's list order is the
+    * priority order. */
+  def dominantScript(text: Column,
+                     scripts: Seq[String] = Seq("Latin", "Cyrillic",
+                       "Greek", "Arabic", "Hangul", "Han")): Column = {
+    require(scripts.nonEmpty, "dominantScript needs at least one script")
+    val (best, _) = scripts.foldLeft((lit("none"), lit(0L))) {
+      case ((bs, bc), s) =>
+        val c = scriptCount(text, s)
+        (when(c > bc, lit(s)).otherwise(bs),
+         when(c > bc, c).otherwise(bc))
+    }
+    best
+  }
+
   /** Repetition/format signals in the style of the published Gopher
     * data-quality rules (Rae et al. 2021, §A1.1): the per-document
     * statistics those filters threshold — mean word length, duplicate
@@ -1179,6 +1214,27 @@ object TextFunctions {
     size(filter(toks, t => array_contains(bl, lower(t)))).cast("long")
   }
 
+  /** Multi-PHRASE substring scan via one Aho-Corasick pass
+    * ([[graft.plans.PhraseHits]]) — the complement to
+    * [[blockedWordCount]]'s exact-token rule: phrases may span
+    * whitespace ("fast filter") and match inside words ("qu" in
+    * "query"), and the text is read ONCE regardless of pattern count
+    * (vs P chained contains/regex passes). Returns the TOTAL
+    * (position, pattern) occurrence count, overlaps included — the
+    * density signal a blocklist thresholds on. Case-sensitive;
+    * compose with `lower()` for case-folding. */
+  def phraseHits(text: Column, phrases: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.PhraseHits(Bridge.expression(text), phrases))
+  }
+
+  /** Distinct matched phrases (sorted) from the same single-pass
+    * automaton — the audit signal: WHICH blocklist rules fired. */
+  def phraseMatches(text: Column, phrases: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.PhraseMatches(Bridge.expression(text), phrases))
+  }
+
   /** C4-style word-blocklist filter: drop documents with MORE than
     * `maxHits` blocked-word occurrences (the published rule is
     * maxHits = 0 — any hit drops; a nonzero budget tolerates
@@ -1300,6 +1356,29 @@ object TextFunctions {
   /** True-subword token count under a BPE merges table. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     size(bpeTokens(text, merges)).cast("long")
+
+  /** WordPiece (BERT-style greedy longest-match-first) tokenization of
+    * each whitespace word via the codegen'd
+    * [[graft.plans.WordPieceApply]] — the third tokenizer dialect next
+    * to [[bpeTokens]] and [[unigramTokens]]. Vocab entries at
+    * non-initial positions carry the `##` continuation prefix; a word
+    * with any unmatchable position (or longer than `maxWordChars`
+    * code points) becomes `unk` WHOLE (HF `WordpieceTokenizer`
+    * semantics). Vocab is a broadcast-sized model artifact riding the
+    * task binary once. */
+  def wordpieceTokens(text: Column, vocab: Seq[String],
+                      unk: String = "[UNK]",
+                      maxWordChars: Int = 100): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.WordPieceApply(
+      Bridge.expression(text), vocab, unk, maxWordChars))
+  }
+
+  /** True-subword token count under a WordPiece vocab. */
+  def wordpieceTokenCount(text: Column, vocab: Seq[String],
+                          unk: String = "[UNK]",
+                          maxWordChars: Int = 100): Column =
+    size(wordpieceTokens(text, vocab, unk, maxWordChars)).cast("long")
 
   /** Load a merges table from its DataFrame form (`rank` long/int,
     * `left` string, `right` string) — the model-artifact seam: a
@@ -1582,6 +1661,90 @@ object TextFunctions {
       }
     }
     merges.toSeq
+  }
+
+  /** Corpus-scale WordPiece vocabulary training — the likelihood-
+    * scored sibling of [[trainBpeMerges]] (HF `WordPieceTrainer`
+    * semantics): words split into code-point pieces with the `##`
+    * continuation prefix on every non-initial piece, and each round
+    * merges the adjacent pair maximizing
+    * `count(pair) / (count(left) · count(right))` (pair likelihood,
+    * not raw frequency — the one scoring difference from BPE), the
+    * merged piece keeping the left side's prefix state. Returns the
+    * trained vocab: all surviving alphabet pieces plus the merged
+    * pieces, ready for [[wordpieceTokens]] (which applies greedy
+    * longest-match over exactly this `##` convention — note
+    * greedy-apply is the published WordPiece deployment contract and
+    * does NOT replay the merge path in general).
+    *
+    * Scale shape = trainBpeMerges: the corpus reduces ONCE to a
+    * (word, count) table capped at `maxWords`; each round is one
+    * weighted adjacent-pair aggregate + one piece-frequency aggregate
+    * over that vocabulary-bounded table (both ≤ vocab-sized results),
+    * then a columnar merge fold with lazily-checkpointed state —
+    * rounds never rescan the corpus; the driver holds only the vocab.
+    * Iterative/stateful → spec-only by declared design (differential
+    * spec ≡ an independent driver simulation). */
+  def trainWordpieceVocab(df: DF, text: Column, numMerges: Int,
+                          minPairCount: Long = 2L,
+                          maxWords: Int = 1000000): Seq[String] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    require(minPairCount >= 1, s"minPairCount $minPairCount must be >= 1")
+    val words = df.select(explode(tokens(text)).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__w"))
+      .limit(maxWords)
+      .withColumn("__cps",
+        call_function("regexp_extract_all", col("__w"), lit("(?s)."), lit(0)))
+      .withColumn("__parts", transform(col("__cps"), (c, i) =>
+        when(i === 0, c).otherwise(concat(lit("##"), c))))
+      .drop("__cps")
+    var state = graft.functions.Dedup.materializeLazily(words)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = numMerges == 0
+    while (!done) {
+      val adj = zip_with(
+        slice(col("__parts"), lit(1), size(col("__parts")) - 1),
+        slice(col("__parts"), lit(2), size(col("__parts")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      val pairs = state.select(col("__cnt"), explode(adj).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__cnt")).as("c"))
+      val units = state.select(col("__cnt"), explode(col("__parts")).as("__u"))
+        .groupBy(col("__u")).agg(sum(col("__cnt")).as("uc"))
+      val top = pairs
+        .join(units.select(col("__u").as("l"), col("uc").as("lc")), "l")
+        .join(units.select(col("__u").as("r"), col("uc").as("rc")), "r")
+        .select(col("l"), col("r"), col("c"),
+          (col("c").cast("double") / (col("lc") * col("rc"))).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        // r is never word-initial, so it always carries ##; the
+        // merged piece inherits l's prefix state
+        val merged = l + r.substring(2)
+        merges += merged
+        val upd = aggregate(col("__parts"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(x))))
+        state = graft.functions.Dedup.materializeLazily(
+          state.withColumn("__parts", upd))
+        if (merges.size >= numMerges) done = true
+      }
+    }
+    // alphabet pieces that still occur anywhere + the merges, each
+    // distinct; alphabet from the INITIAL split so rare singles that
+    // merged away entirely stay matchable at apply time
+    val alphabet = words.select(explode(col("__parts")).as("__u"))
+      .distinct().orderBy("__u")
+      .collect().map(_.getString(0)).toSeq
+    (alphabet ++ merges).distinct
   }
 
   /** Cross-document sequence packing — the corpus-level training-data

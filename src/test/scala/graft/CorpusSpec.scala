@@ -457,4 +457,75 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(empty.values.forall(_ == 0L), empty.toString)
   }
+
+  test("hits: one-iteration closed form, L1 conservation, multigraph, partition invariance") {
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a -> c, b -> c, c -> d: after 1 iter (h0 = 1 each):
+    //   a_raw: c = 2, d = 1; sum 3 -> a(c) = 2/3, a(d) = 1/3
+    //   h_raw: a = a(c) = 2/3, b = 2/3, c = a(d) = 1/3; sum 5/3
+    //   -> h(a) = h(b) = 0.4, h(c) = 0.2
+    val e = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val got = Corpus.hits(e, col("s"), col("d"), iters = 1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val (twoThirds, oneThird) = (r12(2.0 / 3), r12(1.0 / 3))
+    assert(got("c")._2 == twoThirds && got("d")._2 == oneThird, got.toString)
+    assert(got("a")._2 == 0.0 && got("b")._2 == 0.0, got.toString)
+    val hSum = 2 * twoThirds + oneThird
+    assert(got("a")._1 == r12(twoThirds / hSum), got.toString)
+    assert(got("b")._1 == got("a")._1 && got("d")._1 == 0.0, got.toString)
+    assert(got("c")._1 == r12(oneThird / hSum), got.toString)
+    // both score vectors stay L1-normalized after more iterations
+    val two = Corpus.hits(e, col("s"), col("d"), iters = 2).collect()
+    assert(math.abs(two.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(math.abs(two.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // multigraph: a duplicated edge doubles its authority contribution
+    val m = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("s", "d")
+    val gm = Corpus.hits(m, col("s"), col("d"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gm("b") == r12(2.0 / 3) && gm("c") == r12(1.0 / 3), gm.toString)
+    // deterministic across partitioning (the oracle-exactness property)
+    val re = Corpus.hits(e.repartition(5), col("s"), col("d"), iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val orig = Corpus.hits(e, col("s"), col("d"), iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(re == orig)
+  }
+
+  test("heavyHitters: exact output under sketch saturation, strict threshold, partition invariance") {
+    // planted skew: 2 heavy items + 400 singleton tails; k = 10 keeps
+    // at most 9 counters per partial, so the summary SATURATES and
+    // the decrement/merge-shrink paths run — yet the recount makes
+    // the output exact: N = 1200, threshold 120, hitters h1/h2 only
+    val rows = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++
+      (0 until 400).map(i => s"t$i")
+    val df = rows.map(Tuple1(_)).toDF("k").repartition(7)
+    val got = Corpus.heavyHitters(df, col("k"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("h1" -> 500L, "h2" -> 300L), got.toString)
+    // threshold is STRICT: count == N/k is excluded (N = 20, k = 4,
+    // threshold 5: a = 10 in, b = 5 out)
+    val tie = (Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq.fill(4)("c")
+      ++ Seq("d")).map(Tuple1(_)).toDF("k")
+    val gt = Corpus.heavyHitters(tie, col("k"), k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gt == Map("a" -> 10L), gt.toString)
+    // all-tail input: empty result, not an error
+    val flat = (0 until 30).map(i => Tuple1(s"u$i")).toDF("k")
+    assert(Corpus.heavyHitters(flat, col("k"), k = 5).count() == 0)
+    // nulls are not countable items and don't inflate N
+    val wn = (Seq("a", "a", "a", null, null) ++ Seq("b"))
+      .map(Tuple1(_)).toDF("k")
+    val gn = Corpus.heavyHitters(wn, col("k"), k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gn == Map("a" -> 3L), gn.toString) // N = 4, threshold 2
+    // partitioning must not change the RESULT (the MG candidate set
+    // may differ; the recount + threshold make it canonical)
+    val g1 = Corpus.heavyHitters(df.repartition(1), col("k"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g1 == got)
+  }
 }

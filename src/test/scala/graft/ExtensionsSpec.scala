@@ -17,6 +17,99 @@ class DedupSpec extends AnyFunSuite {
     (4L, "yet another unrelated string talking about sailing ships")
   ).toDF("id", "text")
 
+  test("ngramContainmentPairs: prefix filter complete vs brute force; asymmetry; stop-gram cap") {
+    def gramSet(text: String, n: Int): Set[String] = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      if (t.length < n) Set.empty
+      else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def randDoc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val big = randDoc(40)
+    val smallIn = big.split(" ").slice(5, 13).mkString(" ") // quoted span
+    val docs = Seq((0L, big), (1L, smallIn), (2L, randDoc(30)),
+      (3L, randDoc(4)), (4L, "a b")) ++ // 4 has NO trigram set
+      (5L until 25L).map(i => (i, randDoc(6 + rnd.nextInt(20))))
+    val df = docs.toDF("id", "s").repartition(5)
+    for (t <- Seq(0.6, 0.8)) {
+      val want = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs if ia != ib
+        ga = gramSet(sa, 3) if ga.nonEmpty
+        gb = gramSet(sb, 3) if gb.nonEmpty
+        c = (ga & gb).size.toDouble / ga.size if c >= t
+      } yield (ia, ib, c)).toSet
+      val got = Dedup.ngramContainmentPairs(df, "id", "s", n = 3,
+          minContainment = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"t=$t: missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+    }
+    // the engineered quote: small-in-big hits 1.0 one way only
+    val pairs = Dedup.ngramContainmentPairs(df, "id", "s",
+        n = 3, minContainment = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 0L && p._3 == 1.0),
+      pairs.toSeq.toString)
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 1L),
+      pairs.toSeq.toString)
+    // stop-gram cap: identical twins' grams all have df 2 > 1 -> the
+    // capped index drops them (recall-only loss), uncapped finds them
+    val twins = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("id", "s")
+    assert(Dedup.ngramContainmentPairs(twins, "id", "s", n = 3,
+      minContainment = 0.5, maxDocFreq = 1).count() == 0)
+    assert(Dedup.ngramContainmentPairs(twins, "id", "s", n = 3,
+      minContainment = 0.5).count() == 2)
+  }
+
+  test("editDistancePairs: SymSpell blocking complete vs brute force; code-point deletes") {
+    // brute-force Levenshtein for the reference side
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // small alphabet + short strings -> dense collisions, all paths
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(7)).map(_ =>
+        ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val df = strs.toDF("id", "s").repartition(5)
+    for (d <- Seq(1, 2)) {
+      val want = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d,
+          maxBucketSize = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"maxDist=$d: missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+    }
+    // exact duplicates surface as dist-0 pairs
+    val dup = Seq((1L, "abc"), (2L, "abc"), (3L, "xyz")).toDF("id", "s")
+    val gd = Dedup.editDistancePairs(dup, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gd.toSeq == Seq((1L, 2L, 0L)), gd.toSeq.toString)
+    // the cap bounds degenerate buckets: smaller output, subset, no error
+    val many = (0 until 30).map(i => (i.toLong, "aa")).toDF("id", "s")
+    val capped = Dedup.editDistancePairs(many, "id", "s", maxDist = 1,
+      maxBucketSize = 5)
+    assert(capped.count() == 0) // every bucket holds all 30 ids > cap
+    // deleteNeighborhood deletes whole CODE POINTS (U+20000 is one)
+    val nb = Seq(Tuple1("𠀀a")).toDF("s")
+      .select(Dedup.deleteNeighborhood(col("s"), 1).as("n"))
+      .head().getSeq[String](0).toSet
+    assert(nb == Set("𠀀a", "a", "𠀀"), nb.toString)
+  }
+
   test("charShingles distinct n-grams") {
     val sh = docs.select(Dedup.charShingles($"text", 3).as("s")).head().getSeq[String](0)
     assert(sh.contains("the") && sh.distinct.size == sh.size)
@@ -2673,6 +2766,232 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(TextFunctions.bpeTokenCount(col("text"), merges).as("n"))
       .head().getLong(0)
     assert(counted == 6L) // [low, er] + [low, e, s, t]
+  }
+
+  test("phraseHits/phraseMatches: Aho-Corasick == brute positional scan; overlaps, fail chains") {
+    def brute(s: String, pats: Seq[String]): (Long, Seq[String]) = {
+      val hits = (for {
+        p <- pats; i <- 0 to s.length - p.length
+        if s.regionMatches(i, p, 0, p.length)
+      } yield p)
+      (hits.size.toLong, hits.distinct.sorted)
+    }
+    def run(s: String, pats: Seq[String]): (Long, Seq[String]) = {
+      val r = Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.phraseHits(col("t"), pats).as("n"),
+          TextFunctions.phraseMatches(col("t"), pats).as("m"))
+        .head()
+      (r.getLong(0), r.getSeq[String](1))
+    }
+    // fail-chain stress: nested self-overlapping patterns
+    val acid = Seq("aaaa", "aa", "aba")
+    assert(run("aaaaaa", acid) == brute("aaaaaa", acid))
+    assert(run("aaaaaa", acid)._1 == 8L) // 3× aaaa + 5× aa
+    assert(run("ababa", acid) == brute("ababa", acid)) // aba × 2 overlap
+    // phrase spanning whitespace + substring-inside-word + no word rule
+    val pats = Seq("fast filter", "qu", "a")
+    assert(run("a fast filter query", pats) == brute("a fast filter query", pats))
+    // empty text / no matches
+    assert(run("", pats) == ((0L, Seq())))
+    assert(run("zzz", pats) == ((0L, Seq())))
+    // one pattern a prefix of another, both fire at the same position
+    val pre = Seq("dat", "data")
+    assert(run("data dat", pre) == ((3L, Seq("dat", "data"))))
+    // randomized equivalence over a dense tiny alphabet
+    val rnd = new scala.util.Random(3)
+    def rs(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    val rpats = Seq.fill(6)(rs(1 + rnd.nextInt(4))).distinct
+    (0 until 20).foreach { _ =>
+      val s = rs(rnd.nextInt(30))
+      assert(run(s, rpats) == brute(s, rpats), s"text='$s' pats=$rpats")
+    }
+  }
+
+  test("scriptCount/scriptFraction/dominantScript: code points, ties, none fallback") {
+    def one(text: String): org.apache.spark.sql.DataFrame =
+      Seq(Tuple1(text)).toDF("t")
+    def cnt(text: String, s: String): Long =
+      one(text).select(TextFunctions.scriptCount(col("t"), s)).head().getLong(0)
+    assert(cnt("abc def", "Latin") == 6L)       // space is not Latin
+    assert(cnt("abcПри", "Latin") == 3L && cnt("abcПри", "Cyrillic") == 3L)
+    assert(cnt("你好", "Han") == 2L && cnt("你好", "Latin") == 0L)
+    // supplementary-plane Han counts as ONE code point
+    assert(cnt("𠀀", "Han") == 1L)    // U+20000
+    def frac(text: String, s: String): Double =
+      one(text).select(TextFunctions.scriptFraction(col("t"), s)).head().getDouble(0)
+    assert(frac("ab12", "Latin") == 0.5)
+    assert(frac("", "Latin") == 0.0)            // no division by zero
+    def dom(text: String, scripts: Seq[String]): String =
+      one(text).select(TextFunctions.dominantScript(col("t"), scripts))
+        .head().getString(0)
+    assert(dom("abc你", Seq("Latin", "Han")) == "Latin")
+    assert(dom("a你好", Seq("Latin", "Han")) == "Han")
+    // exact tie: FIRST-listed script wins, in caller's order
+    assert(dom("abcПри", Seq("Latin", "Cyrillic")) == "Latin")
+    assert(dom("abcПри", Seq("Cyrillic", "Latin")) == "Cyrillic")
+    // no listed script present -> none (digits/punct only, and empty)
+    assert(dom("123 .!", Seq("Latin", "Han")) == "none")
+    assert(dom("", Seq("Latin")) == "none")
+    // a script NOT in the list never wins
+    assert(dom("Привет", Seq("Latin", "Han")) == "none")
+  }
+
+  test("wordpieceTokens: greedy longest-match, whole-word UNK, code points, maxWordChars") {
+    val vocab = Seq("un", "af", "able", "##aff", "##ord", "##able",
+      "a", "##b", "x")
+    def toks(text: String, v: Seq[String] = vocab,
+             maxW: Int = 100): Seq[String] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(TextFunctions.wordpieceTokens(col("text"), v,
+          maxWordChars = maxW).as("t"))
+        .head().getSeq[String](0)
+    // longest-match among continuations: ##aff beats nothing-shorter
+    assert(toks("unaffordable") == Seq("un", "##aff", "##ord", "##able"))
+    // start pieces never match at pos>0 and vice versa: 'aff' is
+    // continuation-only, so the start match is 'af', then pos 3 has
+    // no continuation -> the WHOLE word is [UNK] (matched prefix
+    // discarded, HF semantics)
+    assert(toks("affable") == Seq("[UNK]"))
+    assert(toks("ax") == Seq("[UNK]"))     // 'a' then no ##x
+    assert(toks("xb") == Seq("x", "##b")) // continuation chain
+    assert(toks("zzz") == Seq("[UNK]"))
+    assert(toks("xb zzz ax") == Seq("x", "##b", "[UNK]", "[UNK]"))
+    assert(toks("") == Seq())
+    assert(toks("  xb  ") == Seq("x", "##b"))
+    // maxWordChars: over-long words UNK outright (counted in code
+    // points); at the exact bound they still tokenize
+    assert(toks("xb", maxW = 1) == Seq("[UNK]"))
+    assert(toks("xb", maxW = 2) == Seq("x", "##b"))
+    // non-BMP safety: an astral-plane piece matches as ONE code point
+    val astral = Seq("𝕏", "##y") // 𝕏 (U+1D54F) + ##y
+    assert(toks("𝕏y", astral) == Seq("𝕏", "##y"))
+    assert(toks("𝕏", astral, maxW = 1) == Seq("𝕏"))
+    // greedy prefers the longest START piece too: 'filter' whole-word
+    // beats 'fil'+pieces even when both paths exist
+    val v2 = Seq("filter", "fil", "##ter", "f")
+    assert(toks("filter", v2) == Seq("filter"))
+    // custom unk token + count helper
+    val got = Seq(Tuple1("xb zzz")).toDF("text")
+      .select(TextFunctions.wordpieceTokens(col("text"), vocab,
+        unk = "<unk>").as("t"))
+      .head().getSeq[String](0)
+    assert(got == Seq("x", "##b", "<unk>"))
+    assert(Seq(Tuple1("xb zzz xb")).toDF("text")
+      .select(TextFunctions.wordpieceTokenCount(col("text"), vocab).as("n"))
+      .head().getLong(0) == 5L)
+  }
+
+  test("trainWordpieceVocab: distributed loop == independent driver simulation; apply closes the loop") {
+    // independent reference: the HF WordPiece trainer semantics over a
+    // word-count map, implemented with plain Scala collections (no
+    // shared code with the operator)
+    def cps(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    def simulate(wc: Map[String, Long], numMerges: Int,
+                 minPairCount: Long): Seq[String] = {
+      var state: Map[Vector[String], Long] = wc.map { case (w, c) =>
+        cps(w).zipWithIndex.map { case (p, i) =>
+          if (i == 0) p else "##" + p } -> c
+      }
+      val init = state.keys.flatten.toSeq.distinct.sorted
+      val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+      var done = numMerges == 0
+      while (!done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        val uc = scala.collection.mutable.Map.empty[String, Long]
+        state.foreach { case (ps, c) =>
+          ps.sliding(2).filter(_.size == 2).foreach { p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c
+          }
+          ps.foreach(u => uc(u) = uc.getOrElse(u, 0L) + c)
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), c) = pc.toSeq.sortBy { case ((l, r), c) =>
+            (-(c.toDouble / (uc(l) * uc(r))), l, r)
+          }.head
+          if (c < minPairCount) done = true
+          else {
+            val merged = l + r.substring(2)
+            merges += merged
+            state = state.map { case (ps, cnt) =>
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < ps.length) {
+                if (i < ps.length - 1 && ps(i) == l && ps(i + 1) == r) {
+                  out += merged; i += 2
+                } else { out += ps(i); i += 1 }
+              }
+              out.result() -> cnt
+            }
+            if (merges.size >= numMerges) done = true
+          }
+        }
+      }
+      (init ++ merges).distinct
+    }
+    // corpus with skew, repeated subwords, and a non-BMP word
+    val lines = Seq("low low low lower lower lowest", "new newer newest low",
+      "🦄x 🦄x slow slower", "low newer")
+    val df = lines.map(Tuple1(_)).toDF("text").repartition(3)
+    val wc = lines.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    for ((nm, mpc) <- Seq((6, 2L), (12, 1L), (0, 1L))) {
+      val got = TextFunctions.trainWordpieceVocab(df, col("text"), nm,
+        minPairCount = mpc)
+      val want = simulate(wc, nm, mpc)
+      assert(got == want, s"numMerges=$nm minPairCount=$mpc:\n$got\n$want")
+    }
+    // the trained vocab NEVER UNKs a training word (alphabet retained);
+    // trained to convergence every training word is a single piece, so
+    // greedy apply returns it whole
+    val vocab = TextFunctions.trainWordpieceVocab(df, col("text"), 50,
+      minPairCount = 1)
+    val toks = df.select(explode(
+        TextFunctions.wordpieceTokens(col("text"), vocab)).as("t"))
+      .collect().map(_.getString(0))
+    assert(!toks.contains("[UNK]"), toks.toSeq.toString)
+    val lowPieces = Seq(Tuple1("low")).toDF("text")
+      .select(TextFunctions.wordpieceTokens(col("text"), vocab).as("t"))
+      .head().getSeq[String](0)
+    assert(lowPieces == Seq("low"), lowPieces.toString)
+  }
+
+  test("wordpieceTokens: fixture segmentation matches the q_wordpiece oracle trace") {
+    // hand-traced expectations for the corpus vocabulary under the
+    // q_wordpiece fixture vocab — the same rows the DuckDB recursive
+    // CTE replays; a drift here means the oracle and kernel disagree
+    val v = SparkEntry.wordpieceVocabFixture
+    val cases = Map(
+      "customer" -> Seq("cust", "##omer"),
+      "column" -> Seq("col", "##umn"),
+      "batch" -> Seq("ba", "##tch"),
+      "filter" -> Seq("filter"),
+      "join" -> Seq("j", "##o", "##i", "##n"),
+      "the" -> Seq("the"),
+      "a" -> Seq("a"),
+      "data" -> Seq("data"),
+      "scan" -> Seq("s", "##can"),
+      "slow" -> Seq("s", "##low"),
+      "query" -> Seq("q", "##uery"),
+      "group" -> Seq("[UNK]"),  // gro, then no ##up
+      "fast" -> Seq("[UNK]"),   // f, then no ##ast
+      "small" -> Seq("[UNK]"), "vector" -> Seq("[UNK]"))
+    val df = cases.keys.toSeq.map(Tuple1(_)).toDF("text")
+      .select(col("text"),
+        TextFunctions.wordpieceTokens(col("text"), v).as("t"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == cases(r.getString(0)),
+        s"word ${r.getString(0)}")
+    }
   }
 
   test("bpeTokens: min-rank-greedy == sequential-by-rank on a valid table (oracle equivalence)") {
