@@ -300,7 +300,8 @@ object SparkEntry {
     // count), the MG-sketch heavy hitters (two scans, one ≤99-counter
     // aggregate), and WordPiece apply (codegen kernel projection)
     "q_hits", "q_heavy_hitters", "q_wordpiece", "q_script_mix",
-    "q_fuzzy_pairs", "q_containment", "q_phrase_scan")
+    "q_fuzzy_pairs", "q_containment", "q_phrase_scan", "q_triangles",
+    "q_collocations")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -701,6 +702,21 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: triangle counts (degree orientation) ------------
+    // Per-part triangle participation in the co-purchase graph (parts
+    // sharing an order). The operator's degree orientation and the
+    // oracle's naive string orientation count the SAME triangles —
+    // orientation invariance is the point of the recipe.
+    "q_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      Corpus.triangleCounts(pairs, $"u", $"v").orderBy("node")
+    }),
+
     // -------- corpus: heavy hitters (MG sketch + exact recount) -------
     // Tokens with count > N/100 over the document corpus — the sketch
     // (≤ 99 counters per task) finds candidates, the recount makes the
@@ -777,6 +793,17 @@ object SparkEntry {
           TextFunctions.dominantScript(aug, Seq("Latin", "Cyrillic", "Han"))
             .as("script"))
         .orderBy("doc_id")
+    }),
+
+    // -------- text: PMI collocations ----------------------------------
+    // Adjacent-pair PMI over the documents corpus, minCount=5 — the
+    // bigram-event convention keeps every count in the replay; ln is
+    // the only libm op and rides round(6) on an exact IEEE argument.
+    "q_collocations" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.collocationsPmi(t(s, dir, "documents"), $"text",
+          minCount = 5)
+        .orderBy("lt", "rt")
     }),
 
     // -------- text: WordPiece tokenization ----------------------------
@@ -4459,6 +4486,22 @@ object SparkEntry {
     "q_lang_id_conf" -> langIdNgramConfOracle,
     "q_bpe_tokens" -> bpeOracle,
     "q_wordpiece" -> wordpieceOracle,
+    "q_collocations" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents),
+        | b0 AS (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+        |   FROM toks WHERE len(l) >= 2),
+        | bg AS (SELECT l[i] AS lt, l[i+1] AS rt FROM b0),
+        | c AS (SELECT lt, rt, count(*) AS c FROM bg GROUP BY lt, rt),
+        | lm AS (SELECT lt, sum(c) AS cl FROM c GROUP BY lt),
+        | rm AS (SELECT rt, sum(c) AS cr FROM c GROUP BY rt),
+        | n AS (SELECT sum(c) AS n FROM c)
+        |SELECT c.lt, c.rt, c.c::BIGINT AS cnt,
+        |  round(ln((c.c::DOUBLE * (SELECT n FROM n)) /
+        |    (lm.cl::DOUBLE * rm.cr)), 6) AS pmi
+        |FROM c JOIN lm USING (lt) JOIN rm USING (rt)
+        |WHERE c.c >= 5 ORDER BY c.lt, c.rt""".stripMargin,
     "q_phrase_scan" ->
       """WITH pats(p) AS (VALUES ('data'), ('fast filter'), ('qu'),
         |   ('a'), ('zzz')),
@@ -4552,6 +4595,20 @@ object SparkEntry {
         |   FROM nodes LEFT JOIN h2r ON nodes.n = h2r.nd)
         |SELECT h2.nd AS node, h2.h AS hub, a2.a AS authority
         |FROM h2 JOIN a2 ON h2.nd = a2.nd ORDER BY node""".stripMargin,
+    "q_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey::VARCHAR AS x,
+        |     b.l_partkey::VARCHAR AS y
+        |   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey),
+        | e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        |   FROM e0),
+        | t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |   FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        | n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |   UNION ALL SELECT c FROM t)
+        |SELECT node, count(*)::BIGINT AS triangles FROM n
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |   FROM documents),

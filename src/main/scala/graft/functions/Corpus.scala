@@ -721,6 +721,63 @@ object Corpus {
         col("__a").as("authority"))
   }
 
+  /** Per-node triangle participation counts over an undirected graph
+    * — the local-clustering numerator used as a link-farm /
+    * community-density signal (a node whose neighbors all
+    * interconnect is a very different web citizen than a pure hub).
+    * Input edges are canonicalized (self-loops dropped, directions
+    * and duplicates merged); nodes in no triangle are absent from the
+    * output.
+    *
+    * Scale shape = degree orientation (the standard distributed
+    * triangle recipe, e.g. Suri & Vassilvitskii 2011): orient every
+    * edge from its lower-(degree, node) endpoint to the higher one —
+    * an acyclic orientation whose max out-degree is O(√m) — then
+    * wedges are ONE self-equi-join of the oriented list on the apex
+    * (Σ outdeg², bounded by orientation instead of the hub's full
+    * degree²), closed by ONE more equi-join against the oriented
+    * edges. Each triangle materializes exactly once (at its
+    * lowest-rank apex), then explodes to its 3 corners for the
+    * per-node count. The RESULT is orientation-invariant, which is
+    * what lets the q_triangles oracle replay with the naive id
+    * orientation. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    val deg = e0.select(col("__u").as("__n"))
+      .union(e0.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    // rank = (degree, node): a total order, so the orientation is
+    // acyclic; materialize the slim oriented list once — it feeds
+    // both the wedge self-join and the closing join
+    val oriented = Dedup.materializeLazily(e0
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
+      .select(
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          struct(col("__u").as("f"), col("__v").as("t")))
+          .otherwise(struct(col("__v").as("f"), col("__u").as("t")))
+          .as("__e"))
+      .select(col("__e.f").as("__f"), col("__e.t").as("__t"))
+      .join(deg.select(col("__n").as("__t"), col("__d").as("__dt")), "__t"))
+    val w1 = oriented.select(col("__f"), col("__t").as("__b"),
+      col("__dt").as("__db"))
+    val w2 = oriented.select(col("__f"), col("__t").as("__c"),
+      col("__dt").as("__dc"))
+    val wedges = w1.join(w2, "__f")
+      .where(struct(col("__db"), col("__b")) < struct(col("__dc"), col("__c")))
+    val tris = wedges.join(
+        oriented.select(col("__f").as("__b"), col("__t").as("__c")),
+        Seq("__b", "__c"), "left_semi")
+      .select(col("__f"), col("__b"), col("__c"))
+    tris.select(explode(array(col("__f"), col("__b"), col("__c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Misra-Gries summary (Misra & Gries 1982): at most `k - 1`
     * counters; any item with true frequency > N/k is guaranteed to
     * survive, under ANY reduce/merge order (mergeability per Agarwal

@@ -1663,6 +1663,45 @@ object TextFunctions {
     merges.toSeq
   }
 
+  /** Corpus-scale collocation extraction: adjacent word pairs scored
+    * by pointwise mutual information — PMI = ln(c(l,r)·N / (c(l)·c(r)))
+    * with ALL counts taken over the bigram-event table (left/right
+    * marginals and N = Σ counts), the self-consistent convention that
+    * keeps the oracle a pure replay. High-PMI pairs are multiword
+    * expressions ("new york"); the classic corpus-analysis signal for
+    * tokenizer seeding and stopword-free phrase mining.
+    *
+    * One explode + three aggregates, all key-shuffled and partial —
+    * N is a 1-row aggregate broadcast back via crossJoin (never a
+    * driver round-trip on the data path). Every count stays in the
+    * grouped row; the quotient is computed in DOUBLE from the start
+    * so c(l)·c(r) cannot overflow at web scale. `minCount` drops the
+    * unstable low-frequency tail (PMI's known pathology: a 1-count
+    * pair of two rare words scores absurdly high). PMI rounds to 6
+    * decimals (ln is libm 1-ulp territory cross-engine; the argument
+    * itself is an exact IEEE quotient on both sides). */
+  def collocationsPmi(df: DF, text: Column, minCount: Long = 5L): DF = {
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val t = tokens(text)
+    val adj = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    val bg = df.where(size(t) >= 2).select(explode(adj).as("__p"))
+      .groupBy(col("__p.l").as("__lt"), col("__p.r").as("__rt"))
+      .agg(count(lit(1)).as("__c"))
+    val lm = bg.groupBy(col("__lt")).agg(sum(col("__c")).as("__cl"))
+    val rm = bg.groupBy(col("__rt")).agg(sum(col("__c")).as("__cr"))
+    val n = bg.agg(sum(col("__c")).as("__N"))
+    bg.join(lm, "__lt").join(rm, "__rt")
+      .crossJoin(broadcast(n))
+      .where(col("__c") >= minCount)
+      .select(col("__lt").as("lt"), col("__rt").as("rt"),
+        col("__c").as("cnt"),
+        round(log((col("__c").cast("double") * col("__N")) /
+          (col("__cl").cast("double") * col("__cr"))), 6).as("pmi"))
+  }
+
   /** Corpus-scale WordPiece vocabulary training — the likelihood-
     * scored sibling of [[trainBpeMerges]] (HF `WordPieceTrainer`
     * semantics): words split into code-point pieces with the `##`

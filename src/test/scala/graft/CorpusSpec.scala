@@ -495,6 +495,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(re == orig)
   }
 
+  test("triangleCounts: known graphs, brute-force equality, direction/dup/self-loop hygiene") {
+    def run(edges: Seq[(String, String)], parts: Int = 3): Map[String, Long] =
+      Corpus.triangleCounts(edges.toDF("s", "d").repartition(parts),
+          col("s"), col("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node in exactly 3
+    val k4 = for { a <- Seq("w", "x", "y", "z"); b <- Seq("w", "x", "y", "z")
+                   if a < b } yield (a, b)
+    assert(run(k4) == Map("w" -> 3L, "x" -> 3L, "y" -> 3L, "z" -> 3L))
+    // path: no triangles -> empty output
+    assert(run(Seq(("a", "b"), ("b", "c"), ("c", "d"))).isEmpty)
+    // two triangles sharing edge (a,b)
+    val share = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"))
+    assert(run(share) == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    // duplicates, reversed directions, and self-loops change nothing
+    val noisy = share ++ share.map(_.swap) ++ Seq(("a", "a"), ("c", "c"))
+    assert(run(noisy) == run(share))
+    // randomized equality vs brute force, with ids whose STRING order
+    // disagrees with numeric order (orientation invariance)
+    val rnd = new scala.util.Random(13)
+    val nodes = (1 to 25).map(_.toString) // "10" < "2" as strings
+    val redges = (for { a <- nodes; b <- nodes
+      if a < b && rnd.nextDouble() < 0.3 } yield (a, b))
+    val adj = redges.toSet ++ redges.map(_.swap).toSet
+    val want = (for {
+      a <- nodes
+      b <- nodes if adj((a, b))
+      c <- nodes if b < c && adj((a, c)) && adj((b, c))
+    } yield a).groupBy(identity).map { case (n, g) => n -> g.size.toLong }
+    assert(run(redges, parts = 7) == want)
+  }
+
   test("heavyHitters: exact output under sketch saturation, strict threshold, partition invariance") {
     // planted skew: 2 heavy items + 400 singleton tails; k = 10 keeps
     // at most 9 counters per partial, so the summary SATURATES and

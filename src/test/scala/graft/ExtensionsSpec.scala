@@ -2768,6 +2768,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(counted == 6L) // [low, er] + [low, e, s, t]
   }
 
+  test("collocationsPmi: hand-computed PMI, doc boundaries, minCount tail cut") {
+    // one doc "a b a b c": bigrams (a,b)x2 (b,a) (b,c), N=4
+    //   PMI(a,b) = ln(2*4 / (cl(a)=2 * cr(b)=2)) = ln 2
+    //   PMI(b,a) = ln(1*4 / (cl(b)=2 * cr(a)=1)) = ln 2
+    //   PMI(b,c) = ln(1*4 / (2*1)) = ln 2
+    val df = Seq(Tuple1("a b a b c")).toDF("text")
+    val got = TextFunctions.collocationsPmi(df, col("text"), minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val ln2 = BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Set(("a", "b", 2L, ln2), ("b", "a", 1L, ln2),
+      ("b", "c", 1L, ln2)), got.toString)
+    // bigrams never cross document boundaries; single-token docs inert
+    val two = Seq(Tuple1("a b"), Tuple1("b a"), Tuple1("c")).toDF("text")
+    val g2 = TextFunctions.collocationsPmi(two, col("text"), minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(g2 == Set(("a", "b"), ("b", "a")), g2.toString)
+    // minCount cuts the low-frequency tail
+    val g3 = TextFunctions.collocationsPmi(df, col("text"), minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(g3.toSeq == Seq(("a", "b")), g3.toSeq.toString)
+  }
+
   test("phraseHits/phraseMatches: Aho-Corasick == brute positional scan; overlaps, fail chains") {
     def brute(s: String, pats: Seq[String]): (Long, Seq[String]) = {
       val hits = (for {
