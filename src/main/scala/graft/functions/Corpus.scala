@@ -692,8 +692,13 @@ object Corpus {
     var auths = nodes.withColumn("__a", lit(0.0))
     var it = 0
     while (it < iters) {
-      val aRaw = e.join(hubs, col("__s") === col("__n"))
-        .groupBy(col("__d")).agg(sum(col("__h")).as("__ar"))
+      // the raw sums MATERIALIZE before the norm-scalar action: the
+      // scalar head() and the normalized-state build would otherwise
+      // each recompute the edge⋈state join (measured ~2× round cost
+      // in the r10 bench read-through)
+      val aRaw = Dedup.materializeLazily(
+        e.join(hubs, col("__s") === col("__n"))
+          .groupBy(col("__d")).agg(sum(col("__h")).as("__ar")))
       // every edge target has an in-edge, so with hubs ≥ 0 and ≥ 1
       // nonzero hub the total is > 0; the guard is for an all-zero
       // degenerate round (cannot happen from the 1.0 init, kept for
@@ -705,8 +710,9 @@ object Corpus {
         nodes.join(aRaw, col("__n") === col("__d"), "left")
           .select(col("__n"),
             round(coalesce(col("__ar"), lit(0.0)) / lit(aSum), 12).as("__a")))
-      val hRaw = e.join(auths, col("__d") === col("__n"))
-        .groupBy(col("__s")).agg(sum(col("__a")).as("__hr"))
+      val hRaw = Dedup.materializeLazily(
+        e.join(auths, col("__d") === col("__n"))
+          .groupBy(col("__s")).agg(sum(col("__a")).as("__hr")))
       val hSum = hRaw.agg(coalesce(sum(col("__hr")), lit(0.0)))
         .head().getDouble(0)
       require(hSum > 0, "hits hub mass vanished (degenerate graph)")

@@ -1609,9 +1609,12 @@ object Dedup {
       s"minContainment $minContainment outside (0,1]")
     import org.apache.spark.sql.expressions.Window
     def toks(t: Column) = filter(split(t, "\\s+"), x => length(x) > 0)
-    val g = df.where(size(toks(col(text))) >= n)
+    // the gram table feeds FOUR consumers (df counts, doc sizes, the
+    // ranked prefix, the probe index) — materialize the explode once
+    // instead of re-tokenizing the corpus per consumer
+    val g = materializeLazily(df.where(size(toks(col(text))) >= n)
       .select(col(id).as("__gid"),
-        explode(tokenShingles(toks(col(text)), n)).as("__g"))
+        explode(tokenShingles(toks(col(text)), n)).as("__g")))
     val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
                else dfreq
