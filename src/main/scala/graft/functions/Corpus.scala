@@ -746,8 +746,19 @@ object Corpus {
     * lowest-rank apex), then explodes to its 3 corners for the
     * per-node count. The RESULT is orientation-invariant, which is
     * what lets the q_triangles oracle replay with the naive id
-    * orientation. */
-  def triangleCounts(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    * orientation.
+    *
+    * The closing join's SMALL side is the oriented edge list (m rows)
+    * and its BIG side is the wedge set (Σ outdeg², up to ~m^1.5 rows);
+    * the materialized oriented table carries no size stats, so left
+    * alone Catalyst sort-merge-joins — shuffling every wedge. When the
+    * edge count (known after materialization) is at most
+    * `maxBroadcastCloseEdges`, the closing side is broadcast instead,
+    * keeping the wedge set entirely inside its producing stage. Above
+    * the cap (graphs whose edge list no longer fits one executor) it
+    * falls back to the shuffled semi-join, which is always correct. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column,
+                     maxBroadcastCloseEdges: Long = 8000000L): DataFrame = {
     val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
@@ -774,11 +785,16 @@ object Corpus {
       col("__dt").as("__db"))
     val w2 = oriented.select(col("__f"), col("__t").as("__c"),
       col("__dt").as("__dc"))
-    val wedges = w1.join(w2, "__f")
+    // the count() is cheap (oriented is already materialized) and
+    // decides broadcast vs shuffle for the wedge + closing joins; a
+    // broadcastable edge list turns the whole wedge→close→explode
+    // pipeline into ONE stage with no wedge-row shuffle
+    val small = oriented.count() <= maxBroadcastCloseEdges
+    def hinted(df: DataFrame) = if (small) broadcast(df) else df
+    val wedges = w1.join(hinted(w2), "__f")
       .where(struct(col("__db"), col("__b")) < struct(col("__dc"), col("__c")))
-    val tris = wedges.join(
-        oriented.select(col("__f").as("__b"), col("__t").as("__c")),
-        Seq("__b", "__c"), "left_semi")
+    val closing = oriented.select(col("__f").as("__b"), col("__t").as("__c"))
+    val tris = wedges.join(hinted(closing), Seq("__b", "__c"), "left_semi")
       .select(col("__f"), col("__b"), col("__c"))
     tris.select(explode(array(col("__f"), col("__b"), col("__c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
