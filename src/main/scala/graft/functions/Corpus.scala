@@ -624,9 +624,17 @@ object Corpus {
     * which is what lets a FIXED iteration count unroll into chained
     * SQL CTEs and be oracle-checked exactly (q_pagerank; unlike
     * k-means/BPE/logistic, this iterative op has a closed per-round
-    * relational form). Output: (node string, rank). */
+    * relational form). Output: (node string, rank).
+    *
+    * When the node count is at most `maxBroadcastNodes`, the per-round
+    * rank/outdeg state sides are broadcast so the EDGE table — the big
+    * side, and constant across rounds — is never shuffled; only the
+    * per-target partial-aggregated sums move. Above the cap (graphs
+    * whose node state no longer fits one executor) every join falls
+    * back to the shuffled form, which is always correct. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
     // materializeLazily branches to a RELIABLE checkpoint when the
@@ -644,17 +652,20 @@ object Corpus {
     require(n > 0, "pageRank needs at least one non-null edge")
     val outdeg = Dedup.materializeLazily(
       e.groupBy("__s").agg(count(lit(1)).as("__deg")))
+    val hinted: DataFrame => DataFrame =
+      if (n <= maxBroadcastNodes.toDouble) df => broadcast(df) else df => df
     var ranks = nodes.withColumn("__r", round(lit(1.0 / n), 12))
     var it = 0
     while (it < iters) {
-      val dangling = ranks.join(outdeg, col("__n") === col("__s"), "left_anti")
+      val dangling = ranks.join(hinted(outdeg), col("__n") === col("__s"),
+          "left_anti")
         .agg(coalesce(sum(col("__r")), lit(0.0))).head().getDouble(0)
-      val contribs = e.join(ranks, col("__s") === col("__n"))
-        .join(outdeg, "__s")
+      val contribs = e.join(hinted(ranks), col("__s") === col("__n"))
+        .join(hinted(outdeg), "__s")
         .select(col("__d").as("__n"), (col("__r") / col("__deg")).as("__c"))
         .groupBy("__n").agg(sum(col("__c")).as("__in"))
       ranks = Dedup.materializeLazily(
-        nodes.join(contribs, Seq("__n"), "left")
+        nodes.join(hinted(contribs), Seq("__n"), "left")
           .select(col("__n"),
             round(lit((1.0 - damping) / n) + lit(damping) *
               (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)), 12)
@@ -677,9 +688,13 @@ object Corpus {
     * L1 (sum) normalization instead of the textbook L2: identical
     * fixed point up to scale, but avoids a cross-engine sqrt on an
     * order-dependent sum of squares. Norm scalars are 1-row driver
-    * aggregates (the pageRank dangling-mass pattern). */
+    * aggregates (the pageRank dangling-mass pattern).
+    *
+    * Node-state sides broadcast under `maxBroadcastNodes` (the
+    * [[pageRank]] recipe) so the constant edge table is never shuffled
+    * per round; above the cap every join falls back to shuffled. */
   def hits(edges: DataFrame, src: Column, dst: Column,
-           iters: Int = 2): DataFrame = {
+           iters: Int = 2, maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     val e = Dedup.materializeLazily(
       edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"))
@@ -687,7 +702,10 @@ object Corpus {
     val nodes = Dedup.materializeLazily(
       e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
         .distinct())
-    require(nodes.count() > 0, "hits needs at least one non-null edge")
+    val nNodes = nodes.count()
+    require(nNodes > 0, "hits needs at least one non-null edge")
+    val hinted: DataFrame => DataFrame =
+      if (nNodes <= maxBroadcastNodes) df => broadcast(df) else df => df
     var hubs = nodes.withColumn("__h", lit(1.0))
     var auths = nodes.withColumn("__a", lit(0.0))
     var it = 0
@@ -697,7 +715,7 @@ object Corpus {
       // each recompute the edge⋈state join (measured ~2× round cost
       // in the r10 bench read-through)
       val aRaw = Dedup.materializeLazily(
-        e.join(hubs, col("__s") === col("__n"))
+        e.join(hinted(hubs), col("__s") === col("__n"))
           .groupBy(col("__d")).agg(sum(col("__h")).as("__ar")))
       // every edge target has an in-edge, so with hubs ≥ 0 and ≥ 1
       // nonzero hub the total is > 0; the guard is for an all-zero
@@ -707,22 +725,22 @@ object Corpus {
         .head().getDouble(0)
       require(aSum > 0, "hits authority mass vanished (degenerate graph)")
       auths = Dedup.materializeLazily(
-        nodes.join(aRaw, col("__n") === col("__d"), "left")
+        nodes.join(hinted(aRaw), col("__n") === col("__d"), "left")
           .select(col("__n"),
             round(coalesce(col("__ar"), lit(0.0)) / lit(aSum), 12).as("__a")))
       val hRaw = Dedup.materializeLazily(
-        e.join(auths, col("__d") === col("__n"))
+        e.join(hinted(auths), col("__d") === col("__n"))
           .groupBy(col("__s")).agg(sum(col("__a")).as("__hr")))
       val hSum = hRaw.agg(coalesce(sum(col("__hr")), lit(0.0)))
         .head().getDouble(0)
       require(hSum > 0, "hits hub mass vanished (degenerate graph)")
       hubs = Dedup.materializeLazily(
-        nodes.join(hRaw, col("__n") === col("__s"), "left")
+        nodes.join(hinted(hRaw), col("__n") === col("__s"), "left")
           .select(col("__n"),
             round(coalesce(col("__hr"), lit(0.0)) / lit(hSum), 12).as("__h")))
       it += 1
     }
-    hubs.join(auths, "__n")
+    hubs.join(hinted(auths), "__n")
       .select(col("__n").as("node"), col("__h").as("hub"),
         col("__a").as("authority"))
   }
