@@ -1982,10 +1982,35 @@ object Dedup {
     * tier: xxhash64 (production) or md5-prefix (oracle twin — the
     * winnowingFingerprintsByMd5 trick, replayable via DuckDB's
     * ('0x' || md5-prefix)::BIGINT). */
-  private def anchorSites(df: DataFrame, id: String, text: Column,
-                          k: Int, w: Int,
-                          gramHash: Column => Column): DataFrame = {
+  private[graft] def anchorSites(df: DataFrame, id: String, text: Column,
+                                 k: Int, w: Int, byMd5: Boolean): DataFrame = {
     require(k >= 1 && w >= 2, s"k $k must be >= 1 and w $w >= 2")
+    import org.apache.spark.sql.graft.Bridge
+    // one-pass monotone-deque kernel (graft.plans.WinnowAnchors) —
+    // replaces the columnar transform/slice/array_min form, which was
+    // O(len·w) per doc plus one substring Column object (and, on the
+    // md5 tier, a hex conv chain) per gram; the kernel is differential-
+    // spec'd equal to the columnar form on both hash tiers
+    // (anchorSitesColumnar below is retained as the spec's reference).
+    // The generator child stays INLINE (the InferFiltersFromGenerate
+    // triple-evaluation trap — see q_decontaminate).
+    df.select(col(id).as("__id"), text.as("__t"))
+      .select(col("__id"), explode(Bridge.column(graft.plans.WinnowAnchors(
+        Bridge.expression(col("__t")), k, w, byMd5))).as("__a"))
+      .select(col("__id"), col("__a.p").as("__pos"), col("__a.h").as("__h"))
+  }
+
+  /** The pre-kernel columnar winnowing form — kept PRIVATE[graft] as
+    * the differential-spec reference for [[graft.plans.WinnowAnchors]]
+    * (ExtensionsSpec asserts bit-equal anchor sets on both hash
+    * tiers). O(len·w) slice/compare per doc; production goes through
+    * the kernelized [[anchorSites]]. */
+  private[graft] def anchorSitesColumnar(df: DataFrame, id: String,
+                                         text: Column, k: Int, w: Int,
+                                         byMd5: Boolean): DataFrame = {
+    require(k >= 1 && w >= 2, s"k $k must be >= 1 and w $w >= 2")
+    val gramHash: Column => Column =
+      if (byMd5) md5Gram60 else (g => xxhash64(g))
     val t = col("__t")
     val nh = length(t) - (k - 1)
     val hs = transform(sequence(lit(1), greatest(nh, lit(1))),
@@ -1997,12 +2022,7 @@ object Dedup {
     // inlined into the windowed-min lambda by CollapseProject, and
     // every window start then recomputes ALL nh gram hashes —
     // O(len²·k) per doc (measured 60 s for 500 300-char docs vs <1 s
-    // in this form; the CLAUDE.md columnar-CDC lesson). With the
-    // multi-reference block the hashes evaluate once per row and the
-    // windowed min is O(len·w) slice/compare on the materialized
-    // array — still zero-shuffle, which is the point of the columnar
-    // form (a window-function formulation would shuffle one narrow
-    // row PER CHARACTER of corpus).
+    // in this form; the CLAUDE.md columnar-CDC lesson).
     val sites = col("__sites")
     val sel = when(size(sites) >= w,
       array_distinct(transform(
@@ -2056,8 +2076,7 @@ object Dedup {
     require(minLen >= 4, s"minLen must be >= 4, got $minLen")
     val k = minLen / 2
     val w = minLen - k + 1
-    val hashFn: Column => Column = if (byMd5) md5Gram60 else (g => xxhash64(g))
-    val anchors = anchorSites(df, id, col(text), k, w, hashFn)
+    val anchors = anchorSites(df, id, col(text), k, w, byMd5)
     val sites = anchors.select(col("__h"),
       struct(col("__id").as("id"), col("__pos").as("pos")).as("__s"))
     val keep =
@@ -2111,8 +2130,7 @@ object Dedup {
                         byMd5: Boolean = false): DataFrame = {
     val k = minLen / 2
     val w = minLen - k + 1
-    val hashFn: Column => Column = if (byMd5) md5Gram60 else (g => xxhash64(g))
-    anchorSites(df, id, col(text), k, w, hashFn)
+    anchorSites(df, id, col(text), k, w, byMd5)
       .groupBy(col("__h").as("anchor_hash"))
       .agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > minSize)

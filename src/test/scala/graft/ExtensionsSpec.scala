@@ -787,6 +787,39 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, pa, ib, pb, len)).toSet
   }
 
+  test("WinnowAnchors kernel == columnar winnowing form, both hash tiers, code-point safe") {
+    val fixture = Seq(
+      (1L, "abc abc abc abc abc abc abc abc abc"), // periodic → tied hashes
+      (2L, "emoji 😀 and accents éàü across the gram boundary here 😀😀"),
+      (3L, "short"),                                // below w sites → empty
+      (4L, ""),                                     // empty text
+      (5L, "x" * 40),                               // constant text → one run
+      (6L, "the quick brown fox jumps over the lazy dog and keeps going")
+    ).toDF("id", "text")
+    for (byMd5 <- Seq(false, true); (k, w) <- Seq((5, 6), (12, 14), (2, 2))) {
+      val viaKernel = Dedup.anchorSites(fixture, "id", col("text"), k, w, byMd5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val viaColumnar = Dedup.anchorSitesColumnar(fixture, "id", col("text"), k, w, byMd5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaKernel == viaColumnar,
+        s"byMd5=$byMd5 k=$k w=$w: kernel ${viaKernel.size} != columnar ${viaColumnar.size}\n" +
+        s"missing=${(viaColumnar -- viaKernel).take(5)}\nextra=${(viaKernel -- viaColumnar).take(5)}")
+      assert(viaKernel.nonEmpty)
+    }
+    // randomized: tiny alphabet manufactures hash ties and long runs
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val docs = (1L to 8L).map { i =>
+        i -> (1 to 30 + rnd.nextInt(120)).map(_ => "ab "(rnd.nextInt(3))).mkString
+      }.toDF("id", "text")
+      val viaKernel = Dedup.anchorSites(docs, "id", col("text"), 4, 5, byMd5 = false)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val viaColumnar = Dedup.anchorSitesColumnar(docs, "id", col("text"), 4, 5, byMd5 = false)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaKernel == viaColumnar, s"seed=$seed")
+    }
+  }
+
   test("duplicateSpanPairs == brute-force maximal spans; md5 tier identical; code-point safe") {
     val shared = "every copy of this exact sentence is long enough to cross the span threshold"
     val sharedU = "emoji 😀 and accents éàü inside the duplicated span payload here ok" // 69 cps
