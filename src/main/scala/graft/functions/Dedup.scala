@@ -1597,6 +1597,18 @@ object Dedup {
     * counts would otherwise dominate the join; the loss is recall
     * only, observable by re-running uncapped.
     *
+    * The candidate stage runs entirely on the fused 64-bit gram-hash
+    * set ([[tokenShingleHashes]] — no gram-string explode, narrow
+    * 8-byte shuffle keys; the decontaminate recipe): prefix-filter
+    * completeness holds for ANY fixed global gram order, so ranking
+    * by (df, hash) instead of (df, gram) is purely the same
+    * rare-first heuristic; hash collisions across docs only ADD
+    * candidates (the exact verify drops them), and a within-doc
+    * collision — which could shorten one doc's prefix by one — has
+    * the 2^-64 birthday odds the decontaminate family documents.
+    * Verification re-attaches TRUE gram-string sets for candidate
+    * docs only, so the emitted containment is exact.
+    *
     * Docs with fewer than `n` whitespace tokens have no n-gram set
     * and never pair. `id` values must be unique. Both directions of
     * an asymmetric pair can appear; containment is emitted unrounded
@@ -1609,36 +1621,53 @@ object Dedup {
       s"minContainment $minContainment outside (0,1]")
     import org.apache.spark.sql.expressions.Window
     def toks(t: Column) = filter(split(t, "\\s+"), x => length(x) > 0)
-    // the gram table feeds FOUR consumers (df counts, doc sizes, the
-    // ranked prefix, the probe index) — materialize the explode once
-    // instead of re-tokenizing the corpus per consumer
-    val g = materializeLazily(df.where(size(toks(col(text))) >= n)
+    // per-doc distinct hash arrays materialize once (compact — one
+    // array per doc, not one row per gram); the gram table explodes
+    // from them on demand for each consumer
+    val sets_h = materializeLazily(df.where(size(toks(col(text))) >= n)
       .select(col(id).as("__gid"),
-        explode(tokenShingles(toks(col(text)), n)).as("__g")))
+        tokenShingleHashes(col(text), n).as("__hs")))
+    val g = sets_h.select(col("__gid"), explode(col("__hs")).as("__g"))
     val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
                else dfreq
-    val sz = g.groupBy(col("__gid")).agg(count(lit(1)).as("__n"))
     // per-doc window: partitioned by doc id — parallel, not global
     val ranked = g.join(kept, "__g")
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("__gid")).orderBy(col("__df"), col("__g"))))
-    val prefixLen = col("__n") -
-      floor(lit(minContainment) * col("__n")).cast("long") + lit(1L)
-    val pref = ranked.join(sz, "__gid").where(col("__r") <= prefixLen)
+    val prefixLen = size(col("__hs")) -
+      floor(lit(minContainment) * size(col("__hs"))).cast("int") + lit(1)
+    val pref = ranked
+      .join(sets_h.select(col("__gid"), prefixLen.as("__pl")), "__gid")
+      .where(col("__r") <= col("__pl"))
       .select(col("__gid").as("__pid"), col("__g"))
     val cand = materializeOnce(
       pref.join(g.select(col("__gid").as("__iid"), col("__g")), "__g")
         .where(col("__pid") =!= col("__iid"))
         .select(col("__pid").as("id_a"), col("__iid").as("id_b"))
         .distinct())
-    // exact verify on candidates only (the minhashLshPairsVerified shape)
-    val ids = cand.select(col("id_a").as("__cid"))
-      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    // two-stage verify. Stage 1 prefilters on the ALREADY-MATERIALIZED
+    // hash arrays (cheap long intersects — candidates can outnumber
+    // true pairs 100s:1, and rebuilding string gram sets for all of
+    // them dominated the op); the one-gram slack (-1/|Sa|) makes the
+    // prefilter recall-safe against any single hash collision shifting
+    // a boundary pair. Stage 2 re-attaches TRUE gram-string sets for
+    // the few survivors — the emitted containment stays exact (the
+    // minhashLshPairsVerified philosophy).
+    val hPre = cand
+      .join(sets_h.select(col("__gid").as("id_a"), col("__hs").as("__ha")), "id_a")
+      .join(sets_h.select(col("__gid").as("id_b"), col("__hs").as("__hb")), "id_b")
+      .where(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+        size(col("__ha")) >=
+        lit(minContainment) - lit(1.0) / size(col("__ha")))
+      .select(col("id_a"), col("id_b"))
+    val survivors = materializeOnce(hPre)
+    val ids = survivors.select(col("id_a").as("__cid"))
+      .union(survivors.select(col("id_b").as("__cid"))).distinct()
     val sets = df.join(ids, col(id) === col("__cid"), "left_semi")
       .select(col(id).as("__s_id"),
         tokenShingles(toks(col(text)), n).as("__set"))
-    val withA = cand.join(sets, col("id_a") === col("__s_id"))
+    val withA = survivors.join(sets, col("id_a") === col("__s_id"))
       .select(col("id_a"), col("id_b"), col("__set").as("__set_a"))
     withA.join(sets, col("id_b") === col("__s_id"))
       .select(col("id_a"), col("id_b"),
