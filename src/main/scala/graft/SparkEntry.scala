@@ -301,7 +301,10 @@ object SparkEntry {
     // aggregate), and WordPiece apply (codegen kernel projection)
     "q_hits", "q_heavy_hitters", "q_wordpiece", "q_script_mix",
     "q_fuzzy_pairs", "q_containment", "q_phrase_scan", "q_triangles",
-    "q_collocations")
+    "q_collocations",
+    // r10 (4): encoding-damage and entropy quality signals — pure
+    // zero-shuffle projections over documents
+    "q_mojibake", "q_entropy")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -792,6 +795,36 @@ object SparkEntry {
           TextFunctions.scriptFraction(aug, "Han").as("han_frac"),
           TextFunctions.dominantScript(aug, Seq("Latin", "Cyrillic", "Han"))
             .as("script"))
+        .orderBy("doc_id")
+    }),
+
+    // -------- text: mojibake / encoding-damage signal ------------------
+    // The corpus is clean, so artifacts are synthesized per doc_id
+    // (a Latin-lead + smart-quote prefix; an emoji/VS/U+FFFD doc) —
+    // every marker class counts nonzero somewhere. Counts are literal
+    // replace-arithmetic, the fraction an exact IEEE int quotient.
+    "q_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val aug = when($"doc_id" % 3 === 0,
+          concat(lit("S\u00c3\u00a3o \u00e2\u20ac\u0153q\u00e2\u20ac\ufffd "),
+            $"text"))
+        .when($"doc_id" % 7 === 2,
+          lit("emoji \u00f0\u009f\u02dc\u20ac and vs \u00ef\u00b8\u008f end"))
+        .otherwise($"text")
+      t(s, dir, "documents").select($"doc_id",
+          TextFunctions.mojibakeHits(aug).as("hits"),
+          TextFunctions.mojibakeFraction(aug).as("fraction"))
+        .orderBy("doc_id")
+    }),
+
+    "q_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val aug = when($"doc_id" % 11 === 3, lit("aaaa aaaa aaaa"))
+        .when($"doc_id" % 11 === 5, lit(""))
+        .otherwise($"text")
+      t(s, dir, "documents").select($"doc_id",
+          round(TextFunctions.charEntropy(aug), 6).as("char_entropy"),
+          round(TextFunctions.tokenEntropy(aug), 6).as("token_entropy"))
         .orderBy("doc_id")
     }),
 
@@ -4559,6 +4592,47 @@ object SparkEntry {
         |       WHEN cyr >= han THEN 'Cyrillic'
         |       ELSE 'Han' END AS script
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_mojibake" ->
+      ("""WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'SÃ£o â€œqâ€� ' || text
+        |       WHEN doc_id % 7 = 2 THEN 'emoji ð˜€ and vs ï¸ end'
+        |       ELSE text END AS t FROM documents),
+        | h AS (SELECT doc_id, t,
+        |    (length(t) - length(replace(t, 'Ã', '')))
+        |  + (length(t) - length(replace(t, 'Â', '')))
+        |  + (length(t) - length(replace(t, 'â€', ''))) // 2
+        |  + (length(t) - length(replace(t, 'ð', ''))) // 2
+        |  + (length(t) - length(replace(t, 'ï¸', ''))) // 2
+        |  + (length(t) - length(replace(t, '�', ''))) AS hits FROM aug)
+        |SELECT doc_id, hits::BIGINT AS hits,
+        |  CASE WHEN length(t) = 0 THEN 0.0
+        |       ELSE hits::DOUBLE / length(t)::DOUBLE END AS fraction
+        |FROM h ORDER BY doc_id""").stripMargin,
+    "q_entropy" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 3 THEN 'aaaa aaaa aaaa'
+        |       WHEN doc_id % 11 = 5 THEN ''
+        |       ELSE text END AS t FROM documents),
+        | chars AS (SELECT doc_id, unnest(list_transform(
+        |     generate_series(1, length(t)), i -> substr(t, i::INT, 1))) AS e
+        |   FROM aug),
+        | cf AS (SELECT doc_id, e, count(*)::BIGINT AS c FROM chars GROUP BY 1, 2),
+        | ca AS (SELECT doc_id, sum(c * ln(c)) AS acc, sum(c)::DOUBLE AS n
+        |   FROM cf GROUP BY 1),
+        | toks AS (SELECT doc_id, unnest(list_filter(
+        |     regexp_split_to_array(t, '\s+'), x -> length(x) > 0)) AS e
+        |   FROM aug),
+        | tf AS (SELECT doc_id, e, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        | ta AS (SELECT doc_id, sum(c * ln(c)) AS acc, sum(c)::DOUBLE AS n
+        |   FROM tf GROUP BY 1)
+        |SELECT a.doc_id,
+        |  round(CASE WHEN ca.n IS NULL OR ln(ca.n) - ca.acc / ca.n <= 0 THEN 0.0
+        |             ELSE ln(ca.n) - ca.acc / ca.n END, 6) AS char_entropy,
+        |  round(CASE WHEN ta.n IS NULL OR ln(ta.n) - ta.acc / ta.n <= 0 THEN 0.0
+        |             ELSE ln(ta.n) - ta.acc / ta.n END, 6) AS token_entropy
+        |FROM aug a LEFT JOIN ca ON a.doc_id = ca.doc_id
+        |  LEFT JOIN ta ON ta.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q_hits" ->
       """WITH e AS (
         |  SELECT 'o' || l_orderkey::VARCHAR AS s,

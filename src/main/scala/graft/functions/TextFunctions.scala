@@ -23,6 +23,88 @@ object TextFunctions {
     size(call_function("regexp_extract_all", lower(text),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
 
+  /** UTF-8-decoded-as-Latin-1/CP1252 artifact markers (ftfy's core
+    * cases), written as explicit escapes so no tool in the chain can
+    * re-mangle them: U+00C3/U+00C2 (lead bytes of misdecoded Latin-1
+    * letters and NBSP), U+00E2+U+20AC (the misdecoded smart-quote/
+    * dash family), U+00F0+U+009F (misdecoded emoji lead bytes F0 9F),
+    * U+00EF+U+00B8 (misdecoded variation-selector lead bytes EF B8),
+    * and U+FFFD itself (a decoder already gave up). Each is
+    * literal-matched, no regex, so occurrence counts replay exactly
+    * in any engine as `(len(t) - len(replace(t, m, ''))) / len(m)`.
+    * These are prefix HEURISTICS: a bare U+00C3 also occurs in
+    * legitimate text ("S\u00c3O" mojibake vs Portuguese), which is
+    * why the signal is a fraction to gate on, not a proof. */
+  val defaultMojibakeMarkers: Seq[String] =
+    Seq("\u00c3", "\u00c2", "\u00e2\u20ac", "\u00f0\u009f",
+      "\u00ef\u00b8", "\ufffd")
+
+  /** Total mojibake-marker occurrences in `text` — the
+    * encoding-damage signal web-scale curation pipelines gate on
+    * (double-encoded CP1252/UTF-8 is the dominant corruption class in
+    * crawl data; ftfy documents the marker set). Pure projection,
+    * exact integer arithmetic. */
+  def mojibakeHits(text: Column,
+                   markers: Seq[String] = defaultMojibakeMarkers): Column = {
+    require(markers.nonEmpty && markers.forall(_.nonEmpty),
+      "markers must be non-empty strings")
+    markers.map { m =>
+      (length(text) - length(call_function("replace", text, lit(m)))) /
+        lit(m.length)
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** [[mojibakeHits]] per character — 0.0 for empty text; an exact
+    * IEEE quotient of two ints (cross-engine stable, the containment
+    * convention). */
+  def mojibakeFraction(text: Column,
+                       markers: Seq[String] = defaultMojibakeMarkers): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(mojibakeHits(text, markers).cast("double") /
+        length(text).cast("double"))
+
+  // shared run-length entropy fold: H = ln(N) - (sum c*ln(c)) / N in
+  // nats over the element distribution of a SORTED array — each ln
+  // argument is an exact small integer, so the only cross-engine fp
+  // wobble is summation order (collapsed by the caller's round(6), the
+  // collocations recipe). One O(len log len) sort + O(len) fold per
+  // row, zero-shuffle.
+  private def runEntropy(arr: Column): Column = {
+    val sorted = sort_array(arr)
+    val n = size(sorted)
+    val folded = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+      (st, x) => when(x === st.getField("prev"),
+        struct(st.getField("prev").as("prev"),
+          (st.getField("run") + 1L).as("run"), st.getField("acc").as("acc")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          (st.getField("acc") + when(st.getField("run") > 0,
+            st.getField("run") * log(st.getField("run"))).otherwise(0.0))
+            .as("acc"))),
+      st => st.getField("acc") + when(st.getField("run") > 0,
+        st.getField("run") * log(st.getField("run"))).otherwise(0.0))
+    val h = log(n.cast("double")) - folded / n.cast("double")
+    // entropy is >= 0 mathematically, but the all-equal case computes
+    // ln(n) - (n·ln(n))/n, which lands within an ulp of ±0.0 — clamp
+    // so neither -0.0 nor -1e-16 reaches the output (a -0.0 would
+    // hash-mismatch an oracle's +0.0); mirror the clamp in oracles
+    when(n === 0 || h <= 0.0, lit(0.0)).otherwise(h)
+  }
+
+  /** Shannon entropy (nats) of the text's code-point distribution —
+    * the gibberish/low-diversity signal (keyboard mash and repeated
+    * filler score near 0; natural prose sits in a tight band).
+    * Empty text → 0.0. Round to 6 before comparing across engines
+    * (ln summation order). */
+  def charEntropy(text: Column): Column =
+    runEntropy(split(text, ""))
+
+  /** Shannon entropy (nats) of the whitespace-token distribution —
+    * the repeated-phrase/template counterpart of [[charEntropy]]
+    * (a page of one word repeated scores 0 at any length). */
+  def tokenEntropy(text: Column): Column =
+    runEntropy(tokens(text))
+
   /** Language ID by stopword voting: score each candidate language by
     * its stopword hits, pick the argmax (deterministic tie-break by
     * list order). N-gram-free heuristic; swap the word lists per

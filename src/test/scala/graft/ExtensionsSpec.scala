@@ -1883,6 +1883,62 @@ class TextFunctionsSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
+  test("mojibakeHits/Fraction: marker counts exact, clean text zero, empty text 0.0") {
+    val cases = Seq(
+      (1L, "clean prose with nothing wrong at all"),
+      (2L, "smart quote gone wrong: â€™ and â€œ twice â€"),   // "â€" ×3
+      (3L, "latin-1 lead bytes: Ã© Ã¨ and nbsp Â here"),      // Ã ×2, Â ×1
+      (4L, "replacement \ufffd char and emoji lead \u00f0\u009f\u02dc\u20ac"), // fffd x1, f0+9f x1
+      (5L, ""))
+    val got = cases.toDF("id", "t")
+      .select($"id", TextFunctions.mojibakeHits($"t").as("h"),
+        TextFunctions.mojibakeFraction($"t").as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (0L, 0.0))
+    assert(got(2L)._1 == 3L)
+    assert(got(3L)._1 == 3L)
+    assert(got(4L)._1 == 2L)
+    assert(got(5L) == (0L, 0.0))
+    val t2 = cases(1)._2
+    assert(got(2L)._2 == 3.0 / t2.codePointCount(0, t2.length))
+  }
+
+  test("charEntropy/tokenEntropy == driver reference; degenerate cases exact") {
+    def refEntropy(elems: Seq[String]): Double = {
+      if (elems.isEmpty) 0.0
+      else {
+        val n = elems.size.toDouble
+        val acc = elems.groupBy(identity).values
+          .map(g => g.size * math.log(g.size.toDouble)).sum
+        val h = math.log(n) - acc / n
+        if (h <= 0.0) 0.0 else h
+      }
+    }
+    def refChar(s: String): Double =
+      refEntropy(s.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp))))
+    def refTok(s: String): Double =
+      refEntropy(s.split("\\s+").filter(_.nonEmpty).toSeq)
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "aaaa", "ab", "the the the", "mixed case Text 😀 é",
+      "one two two three three three") ++
+      (1 to 20).map(_ => (1 to 5 + rnd.nextInt(60))
+        .map(_ => "abc x"(rnd.nextInt(5))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select($"id", TextFunctions.charEntropy($"t").as("ce"),
+        TextFunctions.tokenEntropy($"t").as("te"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (ce, te) = got(i.toLong)
+      assert(math.abs(ce - refChar(t)) < 1e-9, s"char i=$i '$t': $ce vs ${refChar(t)}")
+      assert(math.abs(te - refTok(t)) < 1e-9, s"tok i=$i '$t': $te vs ${refTok(t)}")
+    }
+    // degenerate exactness: all-equal and empty are EXACT +0.0 (clamped)
+    assert(got(0L) == (0.0, 0.0))
+    assert(got(1L)._1 == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(got(1L)._1) == 0L)
+    assert(got(3L)._2 == 0.0) // "the the the" single-token distribution
+  }
+
   test("cleanText: controls, CRLF, zero-width, space runs, blank-line caps") {
     val cases = Seq(
       // CRLF + CR become \n; control chars dropped; tabs/spaces collapse
