@@ -303,8 +303,9 @@ object SparkEntry {
     "q_fuzzy_pairs", "q_containment", "q_phrase_scan", "q_triangles",
     "q_collocations",
     // r10 (4): encoding-damage and entropy quality signals — pure
-    // zero-shuffle projections over documents
-    "q_mojibake", "q_entropy")
+    // zero-shuffle projections over documents — and the exact PR
+    // curve (chunked cumulative windows, no single-partition sort)
+    "q_mojibake", "q_entropy", "q_pr_curve")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -826,6 +827,24 @@ object SparkEntry {
           round(TextFunctions.charEntropy(aug), 6).as("char_entropy"),
           round(TextFunctions.tokenEntropy(aug), 6).as("token_entropy"))
         .orderBy("doc_id")
+    }),
+
+    // -------- corpus: exact precision/recall curve ---------------------
+    // Classifier-eval confusion counts at every distinct threshold:
+    // score = English-stopword token fraction (exact int quotient),
+    // label = (lang = 'en'). Counts exact; precision/recall exact
+    // quotients; thresholds ride round(6). The chunked-window +
+    // driver-offset machinery keeps the cumulative scan off a single
+    // partition (the hashRank recipe, score-range-aligned).
+    "q_pr_curve" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextFunctions.tokens($"text")
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val score = when(size(toks) === 0, 0.0)
+        .otherwise(size(filter(toks, t => t.isin(en: _*))).cast("double") /
+          size(toks))
+      Corpus.prCurve(t(s, dir, "documents"), score, $"lang" === "en")
+        .orderBy(desc("threshold"))
     }),
 
     // -------- text: PMI collocations ----------------------------------
@@ -4608,6 +4627,27 @@ object SparkEntry {
         |  CASE WHEN length(t) = 0 THEN 0.0
         |       ELSE hits::DOUBLE / length(t)::DOUBLE END AS fraction
         |FROM h ORDER BY doc_id""").stripMargin,
+    "q_pr_curve" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |   list_filter(regexp_split_to_array(text, '\s+'),
+        |     x -> length(x) > 0) AS tk FROM documents),
+        | scored AS (SELECT
+        |   round(CASE WHEN len(tk) = 0 THEN 0.0
+        |     ELSE len(list_filter(tk, x -> x IN ('the','a','of','and',
+        |       'to','in','is','it')))::DOUBLE / len(tk) END, 6) AS s,
+        |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM toks),
+        | per AS (SELECT s, sum(y)::BIGINT AS pos,
+        |     (count(*) - sum(y))::BIGINT AS neg FROM scored GROUP BY s),
+        | tot AS (SELECT sum(pos)::BIGINT AS tp_all,
+        |     sum(neg)::BIGINT AS tn_all FROM per),
+        | cum AS (SELECT s, sum(pos) OVER (ORDER BY s DESC) AS tp,
+        |     sum(neg) OVER (ORDER BY s DESC) AS fp FROM per)
+        |SELECT s AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+        |  (tot.tp_all - tp)::BIGINT AS fn, (tot.tn_all - fp)::BIGINT AS tn,
+        |  tp::DOUBLE / (tp + fp) AS "precision",
+        |  CASE WHEN tot.tp_all = 0 THEN 0.0
+        |       ELSE tp::DOUBLE / tot.tp_all END AS recall
+        |FROM cum, tot ORDER BY threshold DESC""".stripMargin,
     "q_entropy" ->
       """WITH aug AS (SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 3 THEN 'aaaa aaaa aaaa'

@@ -605,6 +605,89 @@ object Corpus {
         col("violations"))
   }
 
+  /** Exact precision/recall curve of a classifier score against
+    * binary labels — the evaluation companion to the quality-model
+    * family ([[graft.functions.TextFunctions.trainHashedLogisticWeights]]):
+    * one output row per distinct rounded score s, with the confusion
+    * counts of the rule "predict positive iff score >= s". All counts
+    * are exact integers; precision/recall are exact IEEE int
+    * quotients (cross-engine stable, the containment convention).
+    *
+    * Scale shape: one (score, pos, neg) aggregate (map-side partials
+    * collapse the corpus to one row per distinct rounded score), then
+    * the [[hashRank]] chunked-prefix recipe ALIGNED TO SCORE ORDER —
+    * range-bucket the score domain into `chunks` buckets, per-chunk
+    * descending cumulative window, driver exclusive-prefix offsets
+    * from one <= `chunks`-row collect. No single-partition window at
+    * any scale; a skewed score distribution only unbalances bucket
+    * sizes, never correctness. Labels MUST be 0/1 (or boolean) —
+    * enforced. Null scores/labels are dropped. `roundTo` bounds the
+    * row count (and is what makes thresholds cross-engine stable).
+    * Output: (threshold, tp, fp, fn, tn, precision, recall);
+    * recall = 0.0 when there are no positives at all. */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              roundTo: Int = 6, chunks: Int = 256): DataFrame = {
+    require(roundTo >= 0, s"roundTo $roundTo must be >= 0")
+    require(chunks >= 1, s"chunks $chunks must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(round(score, roundTo).as("__s"),
+        label.cast("int").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val perS = Dedup.materializeLazily(base.groupBy(col("__s")).agg(
+      sum(col("__y")).cast("long").as("__pos"),
+      (count(lit(1)) - sum(col("__y"))).cast("long").as("__neg")))
+    val stats = perS.agg(min(col("__s")), max(col("__s")),
+      coalesce(sum(col("__pos")), lit(0L)),
+      coalesce(sum(col("__neg")), lit(0L)),
+      coalesce(min(col("__pos")), lit(0L)),
+      coalesce(min(col("__neg")), lit(0L))).head()
+    val out = Seq(col("__s").as("threshold"), col("__tp").as("tp"),
+      col("__fp").as("fp"), col("__fn").as("fn"), col("__tn").as("tn"),
+      col("__precision").as("precision"), col("__recall").as("recall"))
+    if (stats.isNullAt(0))
+      return perS.withColumn("__tp", lit(0L)).withColumn("__fp", lit(0L))
+        .withColumn("__fn", lit(0L)).withColumn("__tn", lit(0L))
+        .withColumn("__precision", lit(0.0)).withColumn("__recall", lit(0.0))
+        .select(out: _*)
+    require(stats.getLong(4) >= 0 && stats.getLong(5) >= 0,
+      "prCurve labels must be 0/1 or boolean")
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val totP = stats.getLong(2)
+    val totN = stats.getLong(3)
+    val chunkCol =
+      if (hi == lo) lit(0)
+      else least(lit(chunks - 1), greatest(lit(0),
+        floor((lit(hi) - col("__s")) / lit(hi - lo) * chunks).cast("int")))
+    val withC = perS.withColumn("__chunk", chunkCol)
+    // <= chunks rows by construction — safe to collect (hashRank's
+    // chunkOffsets contract); exclusive prefix in chunk-ASCENDING
+    // order = score-DESCENDING global order
+    val per = withC.groupBy(col("__chunk"))
+      .agg(sum(col("__pos")).as("__p"), sum(col("__neg")).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var ap = 0L; var an = 0L
+    val offs = per.map { case (c, p, n) => val o = (c, ap, an); ap += p; an += n; o }
+    val offP = element_at(
+      map(offs.flatMap(o => Seq(lit(o._1), lit(o._2))).toIndexedSeq: _*),
+      col("__chunk"))
+    val offN = element_at(
+      map(offs.flatMap(o => Seq(lit(o._1), lit(o._3))).toIndexedSeq: _*),
+      col("__chunk"))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withC
+      .withColumn("__tp", sum(col("__pos")).over(w) + offP)
+      .withColumn("__fp", sum(col("__neg")).over(w) + offN)
+      .withColumn("__fn", lit(totP) - col("__tp"))
+      .withColumn("__tn", lit(totN) - col("__fp"))
+      .withColumn("__precision",
+        col("__tp").cast("double") / (col("__tp") + col("__fp")))
+      .withColumn("__recall",
+        if (totP == 0L) lit(0.0) else col("__tp").cast("double") / lit(totP.toDouble))
+      .select(out: _*)
+  }
+
   /** Fixed-iteration PageRank over an edge list — the link-graph
     * importance signal web-curation pipelines rank domains by (Common
     * Crawl publishes harmonic/PageRank centrality; crawl frontiers and

@@ -527,6 +527,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(redges, parts = 7) == want)
   }
 
+  test("prCurve == driver reference; edge cases; partition/chunk invariance") {
+    def ref(rows: Seq[(Double, Int)]): Seq[(Double, Long, Long, Long, Long, Double, Double)] = {
+      val perS = rows.groupBy { case (s, _) => BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+        .map { case (s, g) => (s, g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong) }
+        .toSeq.sortBy(-_._1)
+      val totP = perS.map(_._2).sum
+      val totN = perS.map(_._3).sum
+      var tp = 0L; var fp = 0L
+      perS.map { case (s, p, n) =>
+        tp += p; fp += n
+        (s, tp, fp, totP - tp, totN - fp,
+          tp.toDouble / (tp + fp), if (totP == 0) 0.0 else tp.toDouble / totP)
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(20) / 19.0, if (rnd.nextBoolean()) 1 else 0)) ++
+      Seq((0.5, 1), (0.5, 0), (0.5, 1)) // heavy tie at one threshold
+    val df = rows.toDF("s", "y")
+    for (chunks <- Seq(1, 7, 256)) {
+      val got = Corpus.prCurve(df.repartition(13), col("s"), col("y"),
+          chunks = chunks)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+      assert(got == ref(rows).toSet, s"chunks=$chunks")
+    }
+    // all-positive / all-negative / single score / empty
+    val allPos = Seq((0.1, 1), (0.9, 1)).toDF("s", "y")
+    val gp = Corpus.prCurve(allPos, col("s"), col("y")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(5), r.getDouble(6))).toSet
+    assert(gp == Set((0.9, 1L, 1.0, 0.5), (0.1, 2L, 1.0, 1.0)))
+    val allNeg = Seq((0.3, 0)).toDF("s", "y")
+    val gn = Corpus.prCurve(allNeg, col("s"), col("y")).collect()
+      .map(r => (r.getDouble(0), r.getLong(2), r.getDouble(6))).toSet
+    assert(gn == Set((0.3, 1L, 0.0)))
+    assert(Corpus.prCurve(Seq.empty[(Double, Int)].toDF("s", "y"),
+      col("s"), col("y")).count() == 0)
+    intercept[Exception] {
+      Corpus.prCurve(Seq((0.1, 2)).toDF("s", "y"), col("s"), col("y")).collect()
+    }
+  }
+
   test("heavyHitters: exact output under sketch saturation, strict threshold, partition invariance") {
     // planted skew: 2 heavy items + 400 singleton tails; k = 10 keeps
     // at most 9 counters per partial, so the summary SATURATES and
