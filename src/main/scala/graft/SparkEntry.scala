@@ -303,9 +303,10 @@ object SparkEntry {
     "q_fuzzy_pairs", "q_containment", "q_phrase_scan", "q_triangles",
     "q_collocations",
     // r10 (4): encoding-damage and entropy quality signals — pure
-    // zero-shuffle projections over documents — and the exact PR
-    // curve (chunked cumulative windows, no single-partition sort)
-    "q_mojibake", "q_entropy", "q_pr_curve")
+    // zero-shuffle projections over documents — and the exact
+    // classifier-eval family (chunked cumulative windows, no
+    // single-partition sort)
+    "q_mojibake", "q_entropy", "q_pr_curve", "q_auc", "q_calibration")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -845,6 +846,35 @@ object SparkEntry {
           size(toks))
       Corpus.prCurve(t(s, dir, "documents"), score, $"lang" === "en")
         .orderBy(desc("threshold"))
+    }),
+
+    // -------- corpus: ROC-AUC (exact Mann-Whitney midranks) -----------
+    // Same score/label pair as q_pr_curve. Every intermediate is an
+    // exact multiple of 0.5 below 2^52 at this scale, so the single
+    // final division is bit-identical cross-engine — no rounding.
+    "q_auc" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextFunctions.tokens($"text")
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val score = when(size(toks) === 0, 0.0)
+        .otherwise(size(filter(toks, t => t.isin(en: _*))).cast("double") /
+          size(toks))
+      Corpus.rocAuc(t(s, dir, "documents"), score, $"lang" === "en")
+    }),
+
+    // -------- corpus: calibration / reliability bins -------------------
+    // 10 equal-width bins of the [0,1] stopword-fraction score; the
+    // bin edge arithmetic (floor(s*10)) is pure IEEE — identical in
+    // any engine; mean_score rides round(6) (summation order).
+    "q_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val toks = TextFunctions.tokens($"text")
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val score = when(size(toks) === 0, 0.0)
+        .otherwise(size(filter(toks, t => t.isin(en: _*))).cast("double") /
+          size(toks))
+      Corpus.calibrationBins(t(s, dir, "documents"), score, $"lang" === "en")
+        .orderBy("bin")
     }),
 
     // -------- text: PMI collocations ----------------------------------
@@ -4648,6 +4678,40 @@ object SparkEntry {
         |  CASE WHEN tot.tp_all = 0 THEN 0.0
         |       ELSE tp::DOUBLE / tot.tp_all END AS recall
         |FROM cum, tot ORDER BY threshold DESC""".stripMargin,
+    "q_auc" ->
+      """WITH toks AS (SELECT lang,
+        |   list_filter(regexp_split_to_array(text, '\s+'),
+        |     x -> length(x) > 0) AS tk FROM documents),
+        | scored AS (SELECT
+        |   round(CASE WHEN len(tk) = 0 THEN 0.0
+        |     ELSE len(list_filter(tk, x -> x IN ('the','a','of','and',
+        |       'to','in','is','it')))::DOUBLE / len(tk) END, 6) AS s,
+        |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM toks),
+        | per AS (SELECT s, sum(y)::BIGINT AS pos,
+        |     (count(*) - sum(y))::BIGINT AS neg,
+        |     count(*)::BIGINT AS n FROM scored GROUP BY s),
+        | cum AS (SELECT s, pos, n,
+        |     sum(n) OVER (ORDER BY s ASC) - n AS below FROM per),
+        | rs AS (SELECT sum(pos * (below::DOUBLE +
+        |     (n::DOUBLE + 1) / 2)) AS rp FROM cum),
+        | tot AS (SELECT sum(pos)::BIGINT AS p, sum(neg)::BIGINT AS nn
+        |   FROM per)
+        |SELECT (rp - p::DOUBLE * (p::DOUBLE + 1) / 2) /
+        |    (p::DOUBLE * nn::DOUBLE) AS auc,
+        |  p AS positives, nn AS negatives FROM rs, tot""".stripMargin,
+    "q_calibration" ->
+      """WITH toks AS (SELECT lang,
+        |   list_filter(regexp_split_to_array(text, '\s+'),
+        |     x -> length(x) > 0) AS tk FROM documents),
+        | scored AS (SELECT
+        |   CASE WHEN len(tk) = 0 THEN 0.0
+        |     ELSE len(list_filter(tk, x -> x IN ('the','a','of','and',
+        |       'to','in','is','it')))::DOUBLE / len(tk) END AS s,
+        |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM toks)
+        |SELECT least(9, floor(s * 10)::INT)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n, round(avg(s), 6) AS mean_score,
+        |  sum(y)::DOUBLE / count(*) AS frac_pos
+        |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_entropy" ->
       """WITH aug AS (SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 3 THEN 'aaaa aaaa aaaa'

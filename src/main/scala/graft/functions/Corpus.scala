@@ -688,6 +688,107 @@ object Corpus {
       .select(out: _*)
   }
 
+  /** ROC-AUC of a score against binary labels, in the exact
+    * Mann-Whitney midrank form: AUC = (R+ − P(P+1)/2) / (P·N) where
+    * R+ is the positives' rank sum under ascending midranks (ties
+    * share the mean rank — the standard ties-corrected estimator,
+    * identical to trapezoidal area under the ROC). Midranks step in
+    * halves, so every intermediate is exact in binary at oracle scale
+    * (counts ≪ 2^53; at 10^10-row scale the final ratio carries
+    * ordinary 1e-16 double error — fine for a ratio). Same per-score
+    * aggregate + chunked ascending cumulative as [[prCurve]]; the
+    * output is ONE row (auc, positives, negatives). Degenerate input
+    * (no positives or no negatives) returns auc = 0.5 — no
+    * discrimination information either way. */
+  def rocAuc(df: DataFrame, score: Column, label: Column,
+             roundTo: Int = 6, chunks: Int = 256): DataFrame = {
+    require(roundTo >= 0, s"roundTo $roundTo must be >= 0")
+    require(chunks >= 1, s"chunks $chunks must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(round(score, roundTo).as("__s"),
+        label.cast("int").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val perS = Dedup.materializeLazily(base.groupBy(col("__s")).agg(
+      sum(col("__y")).cast("long").as("__pos"),
+      (count(lit(1)) - sum(col("__y"))).cast("long").as("__neg")))
+    val stats = perS.agg(min(col("__s")), max(col("__s")),
+      coalesce(sum(col("__pos")), lit(0L)),
+      coalesce(sum(col("__neg")), lit(0L)),
+      coalesce(min(col("__pos")), lit(0L)),
+      coalesce(min(col("__neg")), lit(0L))).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (stats.isNullAt(0))
+      return Seq((0.5, 0L, 0L)).toDF("auc", "positives", "negatives")
+    require(stats.getLong(4) >= 0 && stats.getLong(5) >= 0,
+      "rocAuc labels must be 0/1 or boolean")
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val totP = stats.getLong(2)
+    val totN = stats.getLong(3)
+    if (totP == 0L || totN == 0L)
+      return Seq((0.5, totP, totN)).toDF("auc", "positives", "negatives")
+    val chunkCol =
+      if (hi == lo) lit(0)
+      else least(lit(chunks - 1), greatest(lit(0),
+        floor((col("__s") - lit(lo)) / lit(hi - lo) * chunks).cast("int")))
+    val withC = perS.withColumn("__chunk", chunkCol)
+      .withColumn("__n", col("__pos") + col("__neg"))
+    val per = withC.groupBy(col("__chunk"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = per.map { case (c, n) => val o = (c, acc); acc += n; o }
+    val off = element_at(
+      map(offs.flatMap(o => Seq(lit(o._1), lit(o._2))).toIndexedSeq: _*),
+      col("__chunk"))
+    // count of rows STRICTLY below s = ascending cumulative n minus
+    // the current score's own n; midrank = below + (n+1)/2
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankSum = withC
+      .withColumn("__below", sum(col("__n")).over(w) + off - col("__n"))
+      .select(sum(col("__pos") *
+        (col("__below").cast("double") +
+          (col("__n").cast("double") + 1.0) / 2.0)).as("__rp"))
+      .head().getDouble(0)
+    val auc = (rankSum - totP.toDouble * (totP.toDouble + 1.0) / 2.0) /
+      (totP.toDouble * totN.toDouble)
+    Seq((auc, totP, totN)).toDF("auc", "positives", "negatives")
+  }
+
+  /** Reliability-diagram bins of a PROBABILITY-LIKE score in [0, 1]
+    * against binary labels: `bins` equal-width buckets
+    * (bin b covers [b/bins, (b+1)/bins), score 1.0 folds into the
+    * last), each reporting its count, mean score, and positive
+    * fraction — calibration drift is mean_score vs frac_pos. Counts
+    * and frac_pos are exact; mean_score rides round(6) (summation
+    * order). One aggregate, map-side partials, no window. Scores
+    * outside [0, 1] are rejected (one stats pass). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins $bins must be >= 1")
+    val base = df.select(score.cast("double").as("__s"),
+        label.cast("int").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val stats = base.agg(coalesce(min(col("__s")), lit(0.0)),
+      coalesce(max(col("__s")), lit(1.0)),
+      coalesce(min(col("__y")), lit(0)), coalesce(max(col("__y")), lit(1))).head()
+    require(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0,
+      s"calibrationBins scores must lie in [0,1], got " +
+        s"[${stats.getDouble(0)}, ${stats.getDouble(1)}]")
+    require(stats.getInt(2) >= 0 && stats.getInt(3) <= 1,
+      "calibrationBins labels must be 0/1 or boolean")
+    base
+      .withColumn("__bin",
+        least(lit(bins - 1), floor(col("__s") * bins).cast("int")))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_score"),
+        (sum(col("__y")).cast("double") / count(lit(1))).as("frac_pos"))
+      .select(col("__bin").cast("long").as("bin"), col("n"),
+        col("mean_score"), col("frac_pos"))
+  }
+
   /** Fixed-iteration PageRank over an edge list — the link-graph
     * importance signal web-curation pipelines rank domains by (Common
     * Crawl publishes harmonic/PageRank centrality; crawl frontiers and

@@ -569,6 +569,68 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("rocAuc == driver midrank reference; degenerate 0.5; calibrationBins exact") {
+    def refAuc(rows: Seq[(Double, Int)]): Double = {
+      val r = rows.map { case (s, y) =>
+        (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, y) }
+      val sorted = r.sortBy(_._1)
+      // midranks over the ascending order (ties share the mean rank)
+      val byS = sorted.groupBy(_._1).toSeq.sortBy(_._1)
+      var seen = 0L
+      var rankSum = 0.0
+      byS.foreach { case (_, g) =>
+        val mid = seen + (g.size + 1) / 2.0
+        rankSum += g.count(_._2 == 1) * mid
+        seen += g.size
+      }
+      val p = r.count(_._2 == 1).toDouble
+      val n = r.count(_._2 == 0).toDouble
+      (rankSum - p * (p + 1) / 2.0) / (p * n)
+    }
+    val rnd = new scala.util.Random(23)
+    // informative score: positives skew high, plus deliberate ties
+    val rows = (1 to 300).map { _ =>
+      val y = if (rnd.nextBoolean()) 1 else 0
+      val s = math.min(1.0, math.max(0.0,
+        0.3 * y + rnd.nextInt(8) / 10.0))
+      (s, y)
+    }
+    val df = rows.toDF("s", "y")
+    for (chunks <- Seq(1, 5, 256)) {
+      val got = Corpus.rocAuc(df.repartition(7), col("s"), col("y"),
+        chunks = chunks).head()
+      assert(got.getDouble(0) == refAuc(rows), s"chunks=$chunks")
+      assert(got.getLong(1) == rows.count(_._2 == 1) &&
+        got.getLong(2) == rows.count(_._2 == 0))
+    }
+    // degenerate: one class only, and empty
+    assert(Corpus.rocAuc(Seq((0.2, 1), (0.9, 1)).toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(0) == 0.5)
+    assert(Corpus.rocAuc(Seq.empty[(Double, Int)].toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(0) == 0.5)
+    // perfect separation = 1.0 exactly
+    assert(Corpus.rocAuc(
+      Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(0) == 1.0)
+
+    val cal = Corpus.calibrationBins(df, col("s"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val refBins = rows.groupBy { case (s, _) =>
+      math.min(9, math.floor(s * 10).toInt).toLong }
+    refBins.foreach { case (b, g) =>
+      val (n, ms, fp) = cal(b)
+      assert(n == g.size)
+      assert(math.abs(ms - g.map(_._1).sum / g.size) < 1e-6)
+      assert(fp == g.count(_._2 == 1).toDouble / g.size)
+    }
+    assert(cal.keySet == refBins.keySet)
+    intercept[Exception] {
+      Corpus.calibrationBins(Seq((1.5, 1)).toDF("s", "y"),
+        col("s"), col("y")).collect()
+    }
+  }
+
   test("heavyHitters: exact output under sketch saturation, strict threshold, partition invariance") {
     // planted skew: 2 heavy items + 400 singleton tails; k = 10 keeps
     // at most 9 counters per partial, so the summary SATURATES and
