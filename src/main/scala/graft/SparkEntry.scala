@@ -306,7 +306,8 @@ object SparkEntry {
     // zero-shuffle projections over documents — and the exact
     // classifier-eval family (chunked cumulative windows, no
     // single-partition sort)
-    "q_mojibake", "q_entropy", "q_pr_curve", "q_auc", "q_calibration")
+    "q_mojibake", "q_entropy", "q_pr_curve", "q_auc", "q_calibration",
+    "q_key_skew")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -875,6 +876,16 @@ object SparkEntry {
           size(toks))
       Corpus.calibrationBins(t(s, dir, "documents"), score, $"lang" === "en")
         .orderBy("bin")
+    }),
+
+    // -------- corpus: shuffle-key skew pre-flight ----------------------
+    // Top-5 heaviest (lang, source) tuples with share and skew factor
+    // — the salting-decision report. Exact counts/quotients; ties
+    // break on the escaped key rendering (injective).
+    "q_key_skew" -> ((s, dir) => {
+      Corpus.keySkewReport(t(s, dir, "documents"), Seq("lang", "source"),
+          topK = 5)
+        .orderBy("rank")
     }),
 
     // -------- text: PMI collocations ----------------------------------
@@ -4678,6 +4689,22 @@ object SparkEntry {
         |  CASE WHEN tot.tp_all = 0 THEN 0.0
         |       ELSE tp::DOUBLE / tot.tp_all END AS recall
         |FROM cum, tot ORDER BY threshold DESC""".stripMargin,
+    "q_key_skew" ->
+      """WITH per AS (SELECT
+        |    replace(replace(coalesce(lang, ''), '\', '\\'), chr(1),
+        |      '\' || chr(1))
+        |    || chr(1) ||
+        |    replace(replace(coalesce(source, ''), '\', '\\'), chr(1),
+        |      '\' || chr(1)) AS key,
+        |    count(*)::BIGINT AS rws FROM documents GROUP BY 1),
+        | tot AS (SELECT sum(rws)::BIGINT AS t, count(*)::BIGINT AS d
+        |   FROM per),
+        | top AS (SELECT key, rws,
+        |     row_number() OVER (ORDER BY rws DESC, key ASC) AS rnk
+        |   FROM per ORDER BY rws DESC, key ASC LIMIT 5)
+        |SELECT rnk::BIGINT AS rank, key, rws AS "rows",
+        |  rws::DOUBLE / t AS share, rws::DOUBLE * d / t AS skew
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "q_auc" ->
       """WITH toks AS (SELECT lang,
         |   list_filter(regexp_split_to_array(text, '\s+'),

@@ -688,6 +688,54 @@ object Corpus {
       .select(out: _*)
   }
 
+  /** Shuffle-key skew diagnostic — the "will this join/groupBy fall
+    * over" pre-flight a 100 TB pipeline runs before keying on a
+    * column: the `topK` heaviest key tuples with their row counts,
+    * corpus share, and skew factor (count ÷ mean-rows-per-key; AQE
+    * absorbs moderate skew, but a key holding 1% of 100 TB needs
+    * salting — `saltedJoin` — and this report is how you find it
+    * FIRST). One per-key count aggregate (map-side partials), one
+    * 2-scalar driver row over the slim count table, a distributed
+    * TakeOrdered (orderBy+limit) for the top-k — never a full global
+    * sort. Key tuples render with the [[hashRankBy]] injective escape
+    * so distinct tuples can't alias; null components render as ''
+    * (nulls group in the count like groupBy does). Ties on count
+    * break on the rendered key — deterministic. share is an exact int
+    * quotient; skew = rows·distinct/total in doubles (exact below
+    * 2^53, diagnostic-grade above). */
+  def keySkewReport(df: DataFrame, keys: Seq[String],
+                    topK: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "keySkewReport needs at least one key column")
+    require(topK >= 1, s"topK $topK must be >= 1")
+    val sep = ""
+    def esc(c: Column): Column =
+      replace(replace(coalesce(c.cast("string"), lit("")),
+        lit("\\"), lit("\\\\")), lit(sep), lit("\\" + sep))
+    val counts = Dedup.materializeLazily(
+      df.groupBy(keys.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("__rows"))
+        .select(concat_ws(sep, keys.map(k => esc(col(k))).toIndexedSeq: _*)
+          .as("__key"), col("__rows")))
+    val stats = counts.agg(coalesce(sum(col("__rows")), lit(0L)),
+      count(lit(1))).head()
+    val total = stats.getLong(0)
+    val nDistinct = stats.getLong(1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (total == 0L)
+      return Seq.empty[(Long, String, Long, Double, Double)]
+        .toDF("rank", "key", "rows", "share", "skew")
+    import org.apache.spark.sql.expressions.Window
+    val top = counts.orderBy(col("__rows").desc, col("__key").asc).limit(topK)
+    // the rank window only ever sees the <= topK surviving rows
+    val w = Window.orderBy(col("__rows").desc, col("__key").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("__key").as("key"), col("__rows").as("rows"),
+        (col("__rows").cast("double") / lit(total.toDouble)).as("share"),
+        (col("__rows").cast("double") * lit(nDistinct.toDouble) /
+          lit(total.toDouble)).as("skew"))
+  }
+
   /** ROC-AUC of a score against binary labels, in the exact
     * Mann-Whitney midrank form: AUC = (R+ − P(P+1)/2) / (P·N) where
     * R+ is the positives' rank sum under ascending midranks (ties

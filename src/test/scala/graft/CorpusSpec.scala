@@ -569,6 +569,35 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("keySkewReport: counts/share/skew exact, escape injective, null keys, ties deterministic") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
+      ("b", "x"), ("b", "x"),
+      ("c", "y"), (null, "y"),
+      // escape probe: these two tuples must NOT alias
+      ("pq", "r"), ("p", "qr")
+    ).toDF("k1", "k2")
+    val got = Corpus.keySkewReport(df.repartition(5), Seq("k1", "k2"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 6)
+    assert(got.head._2 == "a\u0001x" && got.head._3 == 4L)
+    assert(got.head._4 == 0.4 && got.head._5 == 4.0 * 6 / 10)
+    assert(got(1)._3 == 2L)
+    // distinct tuples with embedded separators render distinctly
+    val keys = got.map(_._2).toSet
+    assert(keys.count(k => k.contains("p") && k.contains("q")) == 2)
+    assert(got.map(_._2).distinct.length == 6)
+    // null component renders as '' and counts as its own group
+    assert(keys.contains("\u0001y"))
+    // rank sequence is 1..7 and deterministic under re-run
+    assert(got.map(_._1).toSeq == (1L to 6L))
+    val again = Corpus.keySkewReport(df.repartition(2), Seq("k1", "k2"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq == got.map(t => (t._1, t._2)).toSeq)
+    assert(Corpus.keySkewReport(df.limit(0), Seq("k1"), topK = 3).count() == 0)
+  }
+
   test("rocAuc == driver midrank reference; degenerate 0.5; calibrationBins exact") {
     def refAuc(rows: Seq[(Double, Int)]): Double = {
       val r = rows.map { case (s, y) =>
