@@ -95,14 +95,31 @@ object TextFunctions {
     * the gibberish/low-diversity signal (keyboard mash and repeated
     * filler score near 0; natural prose sits in a tight band).
     * Empty text → 0.0. Round to 6 before comparing across engines
-    * (ln summation order). */
-  def charEntropy(text: Column): Column =
-    runEntropy(split(text, ""))
+    * (ln summation order). Rides the [[graft.plans.ShannonEntropy]]
+    * one-pass kernel — bit-identical to the columnar run-length fold
+    * (same sorted accumulation order; spec-asserted), which was
+    * interpretation-bound at one lambda frame per character. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.ShannonEntropy(Bridge.expression(text),
+      overTokens = false))
+  }
 
   /** Shannon entropy (nats) of the whitespace-token distribution —
     * the repeated-phrase/template counterpart of [[charEntropy]]
     * (a page of one word repeated scores 0 at any length). */
-  def tokenEntropy(text: Column): Column =
+  def tokenEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.ShannonEntropy(Bridge.expression(text),
+      overTokens = true))
+  }
+
+  /** The pre-kernel columnar entropy forms — kept PRIVATE[graft] as
+    * the differential-spec references for
+    * [[graft.plans.ShannonEntropy]] (bit-equal assertions). */
+  private[graft] def charEntropyColumnar(text: Column): Column =
+    runEntropy(split(text, ""))
+  private[graft] def tokenEntropyColumnar(text: Column): Column =
     runEntropy(tokens(text))
 
   /** Language ID by stopword voting: score each candidate language by

@@ -1937,6 +1937,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(1L)._1 == 0.0 &&
       java.lang.Double.doubleToRawLongBits(got(1L)._1) == 0L)
     assert(got(3L)._2 == 0.0) // "the the the" single-token distribution
+    // kernel == columnar run-length fold BIT-FOR-BIT (same sorted
+    // accumulation order, same Math.log) — incl. supplementary chars
+    val viaColumnar = df.select($"id",
+        TextFunctions.charEntropyColumnar($"t").as("ce"),
+        TextFunctions.tokenEntropyColumnar($"t").as("te"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    texts.indices.foreach { i =>
+      val (kc, kt) = got(i.toLong)
+      val (cc, ct) = viaColumnar(i.toLong)
+      assert(java.lang.Double.doubleToRawLongBits(kc) ==
+        java.lang.Double.doubleToRawLongBits(cc), s"char i=$i: $kc vs $cc")
+      assert(java.lang.Double.doubleToRawLongBits(kt) ==
+        java.lang.Double.doubleToRawLongBits(ct), s"tok i=$i: $kt vs $ct")
+    }
   }
 
   test("cleanText: controls, CRLF, zero-width, space runs, blank-line caps") {
