@@ -307,7 +307,7 @@ object SparkEntry {
     // classifier-eval family (chunked cumulative windows, no
     // single-partition sort)
     "q_mojibake", "q_entropy", "q_pr_curve", "q_auc", "q_calibration",
-    "q_key_skew")
+    "q_key_skew", "q_readability")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -876,6 +876,24 @@ object SparkEntry {
           size(toks))
       Corpus.calibrationBins(t(s, dir, "documents"), score, $"lang" === "en")
         .orderBy("bin")
+    }),
+
+    // -------- text: Flesch readability signals -------------------------
+    // The corpus has no punctuation, so sentence breaks are
+    // synthesized per doc_id (plus an empty-doc null branch). Counts
+    // are exact ints and the formula is a fixed chain of correctly-
+    // rounded IEEE ops — scores are bit-identical cross-engine with
+    // NO rounding.
+    "q_readability" -> ((s, dir) => {
+      import s.implicits._
+      val aug = when($"doc_id" % 5 === 0,
+          concat($"text", lit(". A second sentence here! And a third?")))
+        .when($"doc_id" % 11 === 5, lit(""))
+        .otherwise($"text")
+      t(s, dir, "documents").select($"doc_id",
+          TextFunctions.fleschReadingEase(aug).as("flesch"),
+          TextFunctions.fleschKincaidGrade(aug).as("fk_grade"))
+        .orderBy("doc_id")
     }),
 
     // -------- corpus: shuffle-key skew pre-flight ----------------------
@@ -4689,6 +4707,24 @@ object SparkEntry {
         |  CASE WHEN tot.tp_all = 0 THEN 0.0
         |       ELSE tp::DOUBLE / tot.tp_all END AS recall
         |FROM cum, tot ORDER BY threshold DESC""".stripMargin,
+    "q_readability" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |         THEN text || '. A second sentence here! And a third?'
+        |       WHEN doc_id % 11 = 5 THEN ''
+        |       ELSE text END AS t FROM documents),
+        | c AS (SELECT doc_id,
+        |   len(list_filter(regexp_split_to_array(t, '\s+'),
+        |     x -> length(x) > 0))::DOUBLE AS w,
+        |   greatest(1, len(regexp_extract_all(t, '[.!?]+')))::DOUBLE AS s,
+        |   len(regexp_extract_all(lower(t), '[aeiouy]+'))::DOUBLE AS sy
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CASE WHEN w = 0 THEN NULL
+        |       ELSE 206.835 - 1.015 * (w / s) - 84.6 * (sy / w) END AS flesch,
+        |  CASE WHEN w = 0 THEN NULL
+        |       ELSE 0.39 * (w / s) + 11.8 * (sy / w) - 15.59 END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_key_skew" ->
       """WITH per AS (SELECT
         |    replace(replace(coalesce(lang, ''), '\', '\\'), chr(1),

@@ -63,6 +63,48 @@ object TextFunctions {
       .otherwise(mojibakeHits(text, markers).cast("double") /
         length(text).cast("double"))
 
+  /** Maximal `[aeiouy]+` group count of the lowercased text — the
+    * classic syllable-count proxy (vowel groups never span
+    * whitespace, so the whole-text count equals the per-word sum).
+    * Exact integer; trivially engine-portable. */
+  def syllableCountApprox(text: Column): Column =
+    size(call_function("regexp_extract_all", lower(text),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** Sentence count proxy: maximal `[.!?]+` runs, floored at 1 (a
+    * fragment with no terminal punctuation is one sentence — the
+    * readability-formula convention). Exact integer. */
+  def sentenceCountApprox(text: Column): Column =
+    greatest(lit(1L), size(call_function("regexp_extract_all", text,
+      lit("[.!?]+"), lit(0))).cast("long"))
+
+  /** Flesch reading ease — the published-pipeline readability gate
+    * (traditional quality filters drop both extremes):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+    * over the whitespace-token, [[sentenceCountApprox]] and
+    * [[syllableCountApprox]] counts. Every operation is a correctly-
+    * rounded IEEE op on exact integers in a FIXED order, so the score
+    * is bit-identical in any engine — no rounding needed. Texts with
+    * zero words score null (no content to rate). */
+  def fleschReadingEase(text: Column): Column = {
+    val w = size(tokens(text)).cast("double")
+    val s = sentenceCountApprox(text).cast("double")
+    val sy = syllableCountApprox(text).cast("double")
+    when(w === 0.0, lit(null).cast("double"))
+      .otherwise(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
+  }
+
+  /** Flesch-Kincaid grade level — the companion scale:
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59`.
+    * Same exactness argument as [[fleschReadingEase]]. */
+  def fleschKincaidGrade(text: Column): Column = {
+    val w = size(tokens(text)).cast("double")
+    val s = sentenceCountApprox(text).cast("double")
+    val sy = syllableCountApprox(text).cast("double")
+    when(w === 0.0, lit(null).cast("double"))
+      .otherwise(lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59))
+  }
+
   // shared run-length entropy fold: H = ln(N) - (sum c*ln(c)) / N in
   // nats over the element distribution of a SORTED array — each ln
   // argument is an exact small integer, so the only cross-engine fp

@@ -1953,6 +1953,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("flesch signals: hand-computed scores, count proxies, empty null, no-punct floor") {
+    // "the cat sat." → w=3, s=1, sy=3 (e-groups: e,a,a)
+    val cases = Seq(
+      (1L, "the cat sat."),
+      (2L, "one two. three four! five?"),   // w=5, s=3, sy: o-e,o,ee,ou,i-e → count groups
+      (3L, ""),                              // null scores
+      (4L, "xxxx zzzz"),                     // zero syllables, no punct → s=1
+      (5L, "aeiou")                          // one vowel group, one word
+    ).toDF("id", "t")
+    val got = cases.select($"id",
+        TextFunctions.fleschReadingEase($"t").as("f"),
+        TextFunctions.fleschKincaidGrade($"t").as("g"),
+        TextFunctions.syllableCountApprox($"t").as("sy"),
+        TextFunctions.sentenceCountApprox($"t").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+         r.getLong(3), r.getLong(4))).toMap
+    def flesch(w: Double, s: Double, sy: Double) =
+      206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+    def grade(w: Double, s: Double, sy: Double) =
+      0.39 * (w / s) + 11.8 * (sy / w) - 15.59
+    assert(got(1L)._3 == 3L && got(1L)._4 == 1L)
+    assert(got(1L)._1.get == flesch(3, 1, 3) && got(1L)._2.get == grade(3, 1, 3))
+    // "one two. three four! five?": vowel groups o-e(2: o,e? 'one'
+    // = o,e → 2), 'two' 1, 'three' 1(ee), 'four' 1(ou), 'five' 2(i,e)
+    assert(got(2L)._3 == 7L && got(2L)._4 == 3L)
+    assert(got(2L)._1.get == flesch(5, 3, 7))
+    assert(got(3L)._1.isEmpty && got(3L)._2.isEmpty)
+    assert(got(4L)._3 == 0L && got(4L)._4 == 1L &&
+      got(4L)._1.get == flesch(2, 1, 0))
+    assert(got(5L)._3 == 1L && got(5L)._1.get == flesch(1, 1, 1))
+  }
+
   test("cleanText: controls, CRLF, zero-width, space runs, blank-line caps") {
     val cases = Seq(
       // CRLF + CR become \n; control chars dropped; tabs/spaces collapse
