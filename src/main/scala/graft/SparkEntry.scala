@@ -4727,12 +4727,14 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_key_skew" ->
       """WITH per AS (SELECT
-        |    replace(replace(coalesce(lang, ''), '\', '\\'), chr(1),
-        |      '\' || chr(1))
+        |    CASE WHEN lang IS NULL THEN chr(1)
+        |         ELSE replace(replace(lang, '\', '\\'), chr(1),
+        |                '\' || chr(1)) END
         |    || chr(1) ||
-        |    replace(replace(coalesce(source, ''), '\', '\\'), chr(1),
-        |      '\' || chr(1)) AS key,
-        |    count(*)::BIGINT AS rws FROM documents GROUP BY 1),
+        |    CASE WHEN source IS NULL THEN chr(1)
+        |         ELSE replace(replace(source, '\', '\\'), chr(1),
+        |                '\' || chr(1)) END AS key,
+        |    count(*)::BIGINT AS rws FROM documents GROUP BY lang, source),
         | tot AS (SELECT sum(rws)::BIGINT AS t, count(*)::BIGINT AS d
         |   FROM per),
         | top AS (SELECT key, rws,

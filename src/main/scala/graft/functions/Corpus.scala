@@ -471,20 +471,27 @@ object Corpus {
     * any character: each component is backslash-escaped before the
     * separator join, so two distinct key tuples can never render to
     * the same concat string. */
+  /** Unambiguous key-tuple concatenation separator (U+0001) — shared
+    * by [[hashRankBy]] and [[keySkewReport]]. */
+  private val keySep = "\u0001"
+
+  /** Injective per-component escape (\ -> \\, sep -> \sep): with no
+    * bare sep char left inside a component, the sep-join of escaped
+    * components is injective over key tuples — without it two
+    * distinct tuples (e.g. ("a<sep>b","c") and ("a","b<sep>c"))
+    * render identically and silently merge (offset entries in
+    * [[hashRankBy]], report rows in [[keySkewReport]]). Null
+    * components pass through as null — each caller chooses its null
+    * rendering. */
+  private def escapeKeyComponent(c: Column): Column =
+    replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
+      lit(keySep), lit("\\" + keySep))
+
   def hashRankBy(df: DataFrame, keys: Seq[String], id: String,
                  seed: Long = 42L, pos: String = "pos"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sep = "\u0001" // unambiguous key-chunk concatenation
-    // Injective per-component escape (\ -> \\, sep -> \sep): with no
-    // bare sep char left inside a component, the sep-join of escaped
-    // components is injective over key tuples -- without it two
-    // distinct tuples (e.g. ("a<sep>b","c") and ("a","b<sep>c"))
-    // render identically and silently merge their offset entries,
-    // corrupting global ranks. The window still partitions on the RAW
-    // key columns, so only the offset lookup needed the fix.
-    def esc(c: Column): Column =
-      replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
-        lit(sep), lit("\\" + sep))
+    val sep = keySep
+    def esc(c: Column): Column = escapeKeyComponent(c)
     val withH = df.withColumn("__h", saltedMd5(col(id), seed))
       .withColumn("__chunk", hashChunk(col("__h")))
     val keyStr = concat_ws(sep, keys.map(c => esc(col(c))): _*)
@@ -630,50 +637,18 @@ object Corpus {
     require(roundTo >= 0, s"roundTo $roundTo must be >= 0")
     require(chunks >= 1, s"chunks $chunks must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(round(score, roundTo).as("__s"),
-        label.cast("int").as("__y"))
-      .where(col("__s").isNotNull && col("__y").isNotNull)
-    val perS = Dedup.materializeLazily(base.groupBy(col("__s")).agg(
-      sum(col("__y")).cast("long").as("__pos"),
-      (count(lit(1)) - sum(col("__y"))).cast("long").as("__neg")))
-    val stats = perS.agg(min(col("__s")), max(col("__s")),
-      coalesce(sum(col("__pos")), lit(0L)),
-      coalesce(sum(col("__neg")), lit(0L)),
-      coalesce(min(col("__pos")), lit(0L)),
-      coalesce(min(col("__neg")), lit(0L))).head()
+    val (perS, statsOpt) = perScoreCounts(df, score, label, roundTo, "prCurve")
     val out = Seq(col("__s").as("threshold"), col("__tp").as("tp"),
       col("__fp").as("fp"), col("__fn").as("fn"), col("__tn").as("tn"),
       col("__precision").as("precision"), col("__recall").as("recall"))
-    if (stats.isNullAt(0))
+    if (statsOpt.isEmpty)
       return perS.withColumn("__tp", lit(0L)).withColumn("__fp", lit(0L))
         .withColumn("__fn", lit(0L)).withColumn("__tn", lit(0L))
         .withColumn("__precision", lit(0.0)).withColumn("__recall", lit(0.0))
         .select(out: _*)
-    require(stats.getLong(4) >= 0 && stats.getLong(5) >= 0,
-      "prCurve labels must be 0/1 or boolean")
-    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
-    val totP = stats.getLong(2)
-    val totN = stats.getLong(3)
-    val chunkCol =
-      if (hi == lo) lit(0)
-      else least(lit(chunks - 1), greatest(lit(0),
-        floor((lit(hi) - col("__s")) / lit(hi - lo) * chunks).cast("int")))
-    val withC = perS.withColumn("__chunk", chunkCol)
-    // <= chunks rows by construction — safe to collect (hashRank's
-    // chunkOffsets contract); exclusive prefix in chunk-ASCENDING
-    // order = score-DESCENDING global order
-    val per = withC.groupBy(col("__chunk"))
-      .agg(sum(col("__pos")).as("__p"), sum(col("__neg")).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    var ap = 0L; var an = 0L
-    val offs = per.map { case (c, p, n) => val o = (c, ap, an); ap += p; an += n; o }
-    val offP = element_at(
-      map(offs.flatMap(o => Seq(lit(o._1), lit(o._2))).toIndexedSeq: _*),
-      col("__chunk"))
-    val offN = element_at(
-      map(offs.flatMap(o => Seq(lit(o._1), lit(o._3))).toIndexedSeq: _*),
-      col("__chunk"))
+    val (lo, hi, totP, totN) = statsOpt.get
+    val withC = scoreChunks(perS, lo, hi, chunks, descending = true)
+    val Seq(offP, offN) = chunkPrefixOffsets(withC, Seq("__pos", "__neg"))
     val w = Window.partitionBy(col("__chunk")).orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withC
@@ -688,6 +663,82 @@ object Corpus {
       .select(out: _*)
   }
 
+  /** Shared per-score counting stage for the classifier-eval family
+    * ([[prCurve]] / [[rocAuc]]): score cast to double and rounded
+    * (an IntegerType score would otherwise survive `round` and crash
+    * the stats reads), labels STRICTLY validated 0/1 on the raw
+    * per-score min/max (a per-group sum proxy lets a 2-label slip
+    * through when enough 0-rows share its score), per-score
+    * (pos, neg) aggregate materialized (it feeds the stats row, the
+    * chunk totals, and the window), stats = (lo, hi, totP, totN) or
+    * None on empty input. */
+  private def perScoreCounts(df: DataFrame, score: Column, label: Column,
+                             roundTo: Int, caller: String)
+      : (DataFrame, Option[(Double, Double, Long, Long)]) = {
+    val base = df.select(round(score.cast("double"), roundTo).as("__s"),
+        label.cast("int").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val perS = Dedup.materializeLazily(base.groupBy(col("__s")).agg(
+      sum(col("__y")).cast("long").as("__pos"),
+      (count(lit(1)) - sum(col("__y"))).cast("long").as("__neg"),
+      min(col("__y")).as("__ymin"), max(col("__y")).as("__ymax")))
+    val stats = perS.agg(min(col("__s")), max(col("__s")),
+      coalesce(sum(col("__pos")), lit(0L)),
+      coalesce(sum(col("__neg")), lit(0L)),
+      coalesce(min(col("__ymin")), lit(0)),
+      coalesce(max(col("__ymax")), lit(1))).head()
+    if (stats.isNullAt(0)) (perS, None)
+    else {
+      require(stats.getInt(4) >= 0 && stats.getInt(5) <= 1,
+        s"$caller labels must be 0/1 or boolean, saw " +
+          s"[${stats.getInt(4)}, ${stats.getInt(5)}]")
+      (perS, Some((stats.getDouble(0), stats.getDouble(1),
+        stats.getLong(2), stats.getLong(3))))
+    }
+  }
+
+  /** Chunk assignment aligned to score order: range-bucket `__s` over
+    * [lo, hi] into `chunks` buckets, ascending or descending — chunk
+    * 0 always holds the FIRST scores of the chosen traversal, so an
+    * exclusive prefix over chunk-ascending totals is a global prefix
+    * in score order. */
+  private def scoreChunks(perS: DataFrame, lo: Double, hi: Double,
+                          chunks: Int, descending: Boolean): DataFrame =
+    perS.withColumn("__chunk",
+      if (hi == lo) lit(0)
+      else {
+        val frac =
+          if (descending) (lit(hi) - col("__s")) / lit(hi - lo)
+          else (col("__s") - lit(lo)) / lit(hi - lo)
+        least(lit(chunks - 1), greatest(lit(0),
+          floor(frac * chunks).cast("int")))
+      })
+
+  /** Driver exclusive-prefix offsets of `valueCols` per chunk — one
+    * <= chunks-row collect by construction (the hashRank chunkOffsets
+    * contract), folded back as literal maps keyed on `__chunk`. */
+  private def chunkPrefixOffsets(withC: DataFrame,
+                                 valueCols: Seq[String]): Seq[Column] = {
+    val per = withC.groupBy(col("__chunk"))
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(v => sum(col(v)).as(v)): _*)
+      .collect()
+      .map(r => (r.getInt(0), valueCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val accs = Array.fill(valueCols.size)(0L)
+    val offs = per.map { case (c, vals) =>
+      val o = (c, accs.toIndexedSeq)
+      vals.zipWithIndex.foreach { case (v, i) => accs(i) += v }
+      o
+    }
+    valueCols.indices.map { i =>
+      element_at(
+        map(offs.flatMap { case (c, os) => Seq(lit(c), lit(os(i))) }
+          .toIndexedSeq: _*),
+        col("__chunk"))
+    }
+  }
+
   /** Shuffle-key skew diagnostic — the "will this join/groupBy fall
     * over" pre-flight a 100 TB pipeline runs before keying on a
     * column: the `topK` heaviest key tuples with their row counts,
@@ -698,23 +749,24 @@ object Corpus {
     * 2-scalar driver row over the slim count table, a distributed
     * TakeOrdered (orderBy+limit) for the top-k — never a full global
     * sort. Key tuples render with the [[hashRankBy]] injective escape
-    * so distinct tuples can't alias; null components render as ''
-    * (nulls group in the count like groupBy does). Ties on count
-    * break on the rendered key — deterministic. share is an exact int
+    * so distinct tuples can't alias; a NULL component renders as the
+    * bare separator char — which an escaped non-null component can
+    * never contain, so null and '' stay distinct rendered keys
+    * (they are distinct groups in the underlying count). Ties on
+    * count break on the rendered key — deterministic. share is an exact int
     * quotient; skew = rows·distinct/total in doubles (exact below
     * 2^53, diagnostic-grade above). */
   def keySkewReport(df: DataFrame, keys: Seq[String],
                     topK: Int = 10): DataFrame = {
     require(keys.nonEmpty, "keySkewReport needs at least one key column")
     require(topK >= 1, s"topK $topK must be >= 1")
-    val sep = ""
-    def esc(c: Column): Column =
-      replace(replace(coalesce(c.cast("string"), lit("")),
-        lit("\\"), lit("\\\\")), lit(sep), lit("\\" + sep))
+    val rend: String => Column = k =>
+      when(col(k).isNull, lit(keySep))
+        .otherwise(escapeKeyComponent(col(k)))
     val counts = Dedup.materializeLazily(
       df.groupBy(keys.map(col).toIndexedSeq: _*)
         .agg(count(lit(1)).as("__rows"))
-        .select(concat_ws(sep, keys.map(k => esc(col(k))).toIndexedSeq: _*)
+        .select(concat_ws(keySep, keys.map(rend).toIndexedSeq: _*)
           .as("__key"), col("__rows")))
     val stats = counts.agg(coalesce(sum(col("__rows")), lit(0L)),
       count(lit(1))).head()
@@ -753,42 +805,17 @@ object Corpus {
     require(roundTo >= 0, s"roundTo $roundTo must be >= 0")
     require(chunks >= 1, s"chunks $chunks must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(round(score, roundTo).as("__s"),
-        label.cast("int").as("__y"))
-      .where(col("__s").isNotNull && col("__y").isNotNull)
-    val perS = Dedup.materializeLazily(base.groupBy(col("__s")).agg(
-      sum(col("__y")).cast("long").as("__pos"),
-      (count(lit(1)) - sum(col("__y"))).cast("long").as("__neg")))
-    val stats = perS.agg(min(col("__s")), max(col("__s")),
-      coalesce(sum(col("__pos")), lit(0L)),
-      coalesce(sum(col("__neg")), lit(0L)),
-      coalesce(min(col("__pos")), lit(0L)),
-      coalesce(min(col("__neg")), lit(0L))).head()
+    val (perS, statsOpt) = perScoreCounts(df, score, label, roundTo, "rocAuc")
     val spark = df.sparkSession
     import spark.implicits._
-    if (stats.isNullAt(0))
+    if (statsOpt.isEmpty)
       return Seq((0.5, 0L, 0L)).toDF("auc", "positives", "negatives")
-    require(stats.getLong(4) >= 0 && stats.getLong(5) >= 0,
-      "rocAuc labels must be 0/1 or boolean")
-    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
-    val totP = stats.getLong(2)
-    val totN = stats.getLong(3)
+    val (lo, hi, totP, totN) = statsOpt.get
     if (totP == 0L || totN == 0L)
       return Seq((0.5, totP, totN)).toDF("auc", "positives", "negatives")
-    val chunkCol =
-      if (hi == lo) lit(0)
-      else least(lit(chunks - 1), greatest(lit(0),
-        floor((col("__s") - lit(lo)) / lit(hi - lo) * chunks).cast("int")))
-    val withC = perS.withColumn("__chunk", chunkCol)
+    val withC = scoreChunks(perS, lo, hi, chunks, descending = false)
       .withColumn("__n", col("__pos") + col("__neg"))
-    val per = withC.groupBy(col("__chunk"))
-      .agg(sum(col("__n")).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offs = per.map { case (c, n) => val o = (c, acc); acc += n; o }
-    val off = element_at(
-      map(offs.flatMap(o => Seq(lit(o._1), lit(o._2))).toIndexedSeq: _*),
-      col("__chunk"))
+    val Seq(off) = chunkPrefixOffsets(withC, Seq("__n"))
     // count of rows STRICTLY below s = ascending cumulative n minus
     // the current score's own n; midrank = below + (n+1)/2
     val w = Window.partitionBy(col("__chunk")).orderBy(col("__s").asc)
@@ -861,9 +888,25 @@ object Corpus {
     * When the node count is at most `maxBroadcastNodes`, the per-round
     * rank/outdeg state sides are broadcast so the EDGE table — the big
     * side, and constant across rounds — is never shuffled; only the
-    * per-target partial-aggregated sums move. Above the cap (graphs
-    * whose node state no longer fits one executor) every join falls
-    * back to the shuffled form, which is always correct. */
+    * per-target partial-aggregated sums move. The guard is row- AND
+    * byte-aware (avg key width from the same stats pass): above
+    * either cap every join falls back to the shuffled form, which is
+    * always correct. */
+  /** Size-aware guard for the iteration-state broadcast hints: a row
+    * cap alone would let wide string keys through (8M 200-char URL
+    * nodes is ~1.6 GB per broadcast, rebuilt several times per
+    * round), so the estimate rows·(avg key chars + 48 bytes of
+    * hashed-relation overhead) must ALSO fit a 256 MB budget —
+    * conservative against both Spark's hard broadcast cap and the
+    * driver building 2-3 of these per round. Chars ≈ bytes for
+    * id-like keys; the fallback on a miss is the always-correct
+    * shuffled join. */
+  private val maxStateBroadcastBytes: Double = (256L << 20).toDouble
+  private def stateBroadcastOk(rows: Double, avgKeyChars: Double,
+                               maxRows: Long): Boolean =
+    rows <= maxRows.toDouble &&
+      rows * (avgKeyChars + 48.0) <= maxStateBroadcastBytes
+
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 3, damping: Double = 0.85,
                maxBroadcastNodes: Long = 8000000L): DataFrame = {
@@ -880,12 +923,16 @@ object Corpus {
     val nodes = Dedup.materializeLazily(
       e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
         .distinct())
-    val n = nodes.count().toDouble
+    val nstats = nodes.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    val n = nstats.getLong(0).toDouble
     require(n > 0, "pageRank needs at least one non-null edge")
     val outdeg = Dedup.materializeLazily(
       e.groupBy("__s").agg(count(lit(1)).as("__deg")))
     val hinted: DataFrame => DataFrame =
-      if (n <= maxBroadcastNodes.toDouble) df => broadcast(df) else df => df
+      if (stateBroadcastOk(n, nstats.getDouble(1), maxBroadcastNodes))
+        df => broadcast(df)
+      else df => df
     var ranks = nodes.withColumn("__r", round(lit(1.0 / n), 12))
     var it = 0
     while (it < iters) {
@@ -934,10 +981,14 @@ object Corpus {
     val nodes = Dedup.materializeLazily(
       e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
         .distinct())
-    val nNodes = nodes.count()
-    require(nNodes > 0, "hits needs at least one non-null edge")
+    val nstats = nodes.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    require(nstats.getLong(0) > 0, "hits needs at least one non-null edge")
     val hinted: DataFrame => DataFrame =
-      if (nNodes <= maxBroadcastNodes) df => broadcast(df) else df => df
+      if (stateBroadcastOk(nstats.getLong(0).toDouble, nstats.getDouble(1),
+          maxBroadcastNodes))
+        df => broadcast(df)
+      else df => df
     var hubs = nodes.withColumn("__h", lit(1.0))
     var auths = nodes.withColumn("__a", lit(0.0))
     var it = 0
@@ -1002,8 +1053,9 @@ object Corpus {
     * and its BIG side is the wedge set (Σ outdeg², up to ~m^1.5 rows);
     * the materialized oriented table carries no size stats, so left
     * alone Catalyst sort-merge-joins — shuffling every wedge. When the
-    * edge count (known after materialization) is at most
-    * `maxBroadcastCloseEdges`, the closing side is broadcast instead,
+    * edge count (known after materialization) passes the row cap
+    * `maxBroadcastCloseEdges` AND the byte estimate (avg endpoint
+    * widths from the same stats pass), the closing side is broadcast,
     * keeping the wedge set entirely inside its producing stage. Above
     * the cap (graphs whose edge list no longer fits one executor) it
     * falls back to the shuffled semi-join, which is always correct. */
@@ -1039,7 +1091,10 @@ object Corpus {
     // decides broadcast vs shuffle for the wedge + closing joins; a
     // broadcastable edge list turns the whole wedge→close→explode
     // pipeline into ONE stage with no wedge-row shuffle
-    val small = oriented.count() <= maxBroadcastCloseEdges
+    val estats = oriented.agg(count(lit(1)),
+      coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))).head()
+    val small = stateBroadcastOk(estats.getLong(0).toDouble,
+      estats.getDouble(1), maxBroadcastCloseEdges)
     def hinted(df: DataFrame) = if (small) broadcast(df) else df
     val wedges = w1.join(hinted(w2), "__f")
       .where(struct(col("__db"), col("__b")) < struct(col("__dc"), col("__c")))

@@ -567,31 +567,52 @@ class CorpusSpec extends AnyFunSuite {
     intercept[Exception] {
       Corpus.prCurve(Seq((0.1, 2)).toDF("s", "y"), col("s"), col("y")).collect()
     }
+    // a 2-label hiding among 0s at the SAME score must still throw
+    // (the per-group sum proxy let it through — review catch)
+    intercept[Exception] {
+      Corpus.prCurve(Seq((0.5, 2), (0.5, 0), (0.5, 0)).toDF("s", "y"),
+        col("s"), col("y")).collect()
+    }
+    intercept[Exception] {
+      Corpus.rocAuc(Seq((0.5, 2), (0.5, 0), (0.5, 0)).toDF("s", "y"),
+        col("s"), col("y")).collect()
+    }
+    // integer-typed scores must work (round preserves int types;
+    // the stats reads crashed pre-fix — review catch)
+    val intScored = Corpus.prCurve(Seq((5, 1), (3, 0)).toDF("s", "y"),
+      col("s"), col("y")).collect()
+    assert(intScored.map(r => (r.getDouble(0), r.getLong(1))).toSet ==
+      Set((5.0, 1L), (3.0, 1L)))
+    assert(Corpus.rocAuc(Seq((5, 1), (3, 0)).toDF("s", "y"),
+      col("s"), col("y")).head().getDouble(0) == 1.0)
   }
 
   test("keySkewReport: counts/share/skew exact, escape injective, null keys, ties deterministic") {
     val df = Seq(
       ("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
       ("b", "x"), ("b", "x"),
-      ("c", "y"), (null, "y"),
+      ("c", "y"), (null, "y"), ("", "y"),
       // escape probe: these two tuples must NOT alias
       ("pq", "r"), ("p", "qr")
     ).toDF("k1", "k2")
     val got = Corpus.keySkewReport(df.repartition(5), Seq("k1", "k2"), topK = 10)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
-    assert(got.length == 6)
+    assert(got.length == 7)
     assert(got.head._2 == "a\u0001x" && got.head._3 == 4L)
-    assert(got.head._4 == 0.4 && got.head._5 == 4.0 * 6 / 10)
+    assert(got.head._4 == 4.0 / 11 && got.head._5 == 4.0 * 7 / 11)
     assert(got(1)._3 == 2L)
     // distinct tuples with embedded separators render distinctly
     val keys = got.map(_._2).toSet
     assert(keys.count(k => k.contains("p") && k.contains("q")) == 2)
-    assert(got.map(_._2).distinct.length == 6)
+    assert(got.map(_._2).distinct.length == 7)
     // null component renders as '' and counts as its own group
-    assert(keys.contains("\u0001y"))
+    // null renders as the bare separator; '' as the empty escape —
+    // the two groups may NOT alias (the r10 session-4 review catch)
+    assert(keys.contains("\u0001" + "\u0001" + "y")) // null component
+    assert(keys.contains("" + "\u0001" + "y"))        // empty component
     // rank sequence is 1..7 and deterministic under re-run
-    assert(got.map(_._1).toSeq == (1L to 6L))
+    assert(got.map(_._1).toSeq == (1L to 7L))
     val again = Corpus.keySkewReport(df.repartition(2), Seq("k1", "k2"), topK = 10)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(again.toSeq == got.map(t => (t._1, t._2)).toSeq)
