@@ -192,7 +192,10 @@ object SparkEntry {
     * whole-word [UNK] — the HF discard semantics — detected as
     * `max(pos) <> len + 1`. VALUES rows are generated from
     * [[wordpieceVocabFixture]] so the two sides cannot drift.
-    * DuckDB len/substr are code-point-based, matching the kernel. */
+    * DuckDB len/substr are code-point-based, matching the kernel.
+    * The kernel's default maxWordChars=100 whole-word-UNK rule is
+    * replayed as the `len(w) > 100` case so an over-long but
+    * fully-segmentable corpus word can't diverge the two sides. */
   private def wordpieceOracle: String = {
     val values = wordpieceVocabFixture.map { p =>
       val cont = p.startsWith("##")
@@ -225,7 +228,8 @@ object SparkEntry {
        |       string_agg(tok, ' ' ORDER BY step) AS toks
        |   FROM seg WHERE step > 0 GROUP BY w),
        | wp AS (SELECT words.w,
-       |     CASE WHEN wp0.mp = len(words.w) + 1 THEN wp0.toks
+       |     CASE WHEN len(words.w) > 100 THEN '[UNK]'
+       |          WHEN wp0.mp = len(words.w) + 1 THEN wp0.toks
        |          ELSE '[UNK]' END AS toks
        |   FROM words LEFT JOIN wp0 ON words.w = wp0.w),
        | pw AS (SELECT seqw.doc_id, seqw.i, string_split(wp.toks, ' ') AS pl
@@ -838,6 +842,16 @@ object SparkEntry {
     // quotients; thresholds ride round(6). The chunked-window +
     // driver-offset machinery keeps the cumulative scan off a single
     // partition (the hashRank recipe, score-range-aligned).
+    // Boundary-risk profile for the round(6) thresholds (r11, the
+    // q_pagerank recipe — exact-Fraction distance of every distinct
+    // score double to the nearest .5×10⁻⁶ HALF_UP boundary): min
+    // 5.7e-9 at sf0.01 (209 scores, ~1.7e9 ulps) and 5.2e-9 at sf0.1
+    // (459 scores, ~3.7e8 ulps). The margin is STRUCTURAL, not
+    // statistical: scores are k/n with n = per-doc token count, and a
+    // small-denominator rational can't approach an x.5e-6 boundary
+    // closer than ~1/(2e6·n), so the gate stays safe until docs reach
+    // ~10⁶ tokens — no sf re-profile needed (same applies to q_auc
+    // and q_calibration, which round the same score family).
     "q_pr_curve" -> ((s, dir) => {
       import s.implicits._
       val toks = TextFunctions.tokens($"text")
@@ -2874,6 +2888,33 @@ object SparkEntry {
         .select($"media_id", $"resized_bin".cast("string").as("resized"),
           length($"resized_bin").cast("long").as("n_bytes"))
         .orderBy("media_id")
+    }),
+
+    // -------- multimodal: perceptual-hash near-dup pairs --------------
+    // The capability exact md5(content) dedup is structurally blind
+    // to: every doc_id % 3 == 0 payload gets a twin (media_id
+    // + 1,000,000) with three flipped bytes — zero md5 overlap, but
+    // the 60-bit aHash moves only the few cells those bytes sit in,
+    // so twins pair at Hamming <= 8 while unrelated payloads sit near
+    // ~bits/2 apart. Hash = exact integer cell-mean comparison
+    // (engine-portable, replayed byte-for-byte in the oracle from
+    // unicode(substr) — payloads are ASCII text bytes here); pairing
+    // = the simhash multi-block pigeonhole (reused, never all-pairs).
+    "q_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val twins = docs
+        .where($"doc_id" % 3 === 0 && length($"text") >= 20)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          concat(substring($"text", 1, 4), lit("Q"),
+            substring($"text", 6, 6), lit("Z"),
+            substring($"text", 13, 5), lit("X"),
+            $"text".substr(lit(19), length($"text"))).as("text"))
+      val media = Multimodal.fromBinary(s, docs.union(twins), "doc_id",
+        encode($"text", "UTF-8"), "image")
+      Multimodal.mediaNearDupPairs(media, "media_id", $"content",
+          maxDist = 8)
+        .orderBy("id_a", "id_b")
     }))
 
   /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
@@ -5252,5 +5293,40 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | array_to_string([substr(text, i, 1) for i in range(1, strlen(text)+1, 4)], '') AS resized,
         | ((strlen(text) + 3)//4)::BIGINT AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // Full replay of the aHash kernel from per-byte rows (payloads are
+    // ASCII text bytes, so byte p = unicode(substr(t, p, 1))): cell =
+    // (p-1)*60 // n, bit via the exact cross-multiplied mean
+    // comparison, fingerprint assembled with BIGINT shifts (bits <=
+    // 59 by the 60-bit contract), then brute all-pairs Hamming —
+    // complete recall makes it a true oracle for the pigeonhole path.
+    "q_media_neardup" ->
+      """WITH aug AS (
+        |  SELECT doc_id AS media_id, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 4) || 'Q' || substr(text, 6, 6) || 'Z' ||
+        |    substr(text, 13, 5) || 'X' || substr(text, 19)
+        |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 20),
+        | b0 AS (SELECT media_id, t, length(t) AS n,
+        |   unnest(generate_series(1, length(t))) AS p
+        |  FROM aug WHERE length(t) > 0),
+        | by AS (SELECT media_id, n, ((p - 1) * 60) // n AS cell,
+        |   unicode(substr(t, p, 1)) AS bv FROM b0),
+        | cells AS (SELECT media_id, n, cell, sum(bv)::BIGINT AS cs,
+        |   count(*)::BIGINT AS cl FROM by GROUP BY media_id, n, cell),
+        | tot AS (SELECT media_id, sum(cs)::BIGINT AS ts FROM cells
+        |  GROUP BY media_id),
+        | f AS (SELECT c.media_id,
+        |   sum(CASE WHEN c.cs * c.n > tot.ts * c.cl
+        |        THEN (1::BIGINT << c.cell) ELSE 0 END)::BIGINT AS fp
+        |  FROM cells c JOIN tot ON c.media_id = tot.media_id
+        |  GROUP BY c.media_id
+        |  UNION ALL
+        |  SELECT media_id, 0::BIGINT FROM aug WHERE length(t) = 0),
+        | p AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |   bit_count(xor(a.fp, b.fp))::INT AS hamming
+        |  FROM f a JOIN f b ON a.media_id < b.media_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+        |ORDER BY id_a, id_b""".stripMargin)
 }

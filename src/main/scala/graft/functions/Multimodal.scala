@@ -148,6 +148,45 @@ object Multimodal {
         sequence(lit(0), greatest((length(col(content)) / (chunk * stride)) - 1, lit(0)).cast("int")),
         i => call_function("substring", col(content), (i * chunk * stride + 1).cast("int"), lit(chunk))))
 
+  /** Perceptual average-hash of a binary payload (see
+    * [[graft.plans.AHash]]): `bits` near-equal byte cells, bit i = 1
+    * iff cell i's mean byte exceeds the payload mean (exact integer
+    * cross-multiplication — engine-portable). Locality-preserving:
+    * a few flipped bytes move a few bits, so near-identical payloads
+    * that `md5(content)` exact dedup can never see sit within a small
+    * Hamming distance. Default 60 bits = the oracle-replayable width
+    * (DuckDB BIGINT `<<` throws at 63); [[aHash64]] is the full-width
+    * production variant. */
+  def aHash(content: Column, bits: Int = 60): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.AHash(org.apache.spark.sql.graft.Bridge.expression(content), bits))
+
+  /** Full-width 64-bit aHash (production tier — not SQL-replayable
+    * because engines with signed-shift semantics can't assemble bit
+    * 63; everything else identical to [[aHash]]). */
+  def aHash64(content: Column): Column = aHash(content, 64)
+
+  /** Near-duplicate media pairs — perceptual near-dup over opaque
+    * binary payloads, the capability exact `md5(content)` dedup is
+    * structurally blind to (a re-encoded or lightly-corrupted copy
+    * shares zero md5 but ~all aHash bits). Fingerprints via [[aHash]]
+    * (one zero-shuffle codegen pass over the payload bytes), pairing
+    * via the EXISTING simhash multi-block pigeonhole machinery
+    * ([[Dedup.simhashPairsFp]] — candidates shuffle on derived
+    * block-combination keys, never all-pairs, exact-Hamming verified;
+    * see its Scaladoc for the scale analysis). Output:
+    * (id_a, id_b, hamming) with id_a < id_b, ids must be unique.
+    *
+    * 100 TB: the payload bytes never shuffle — only (id, 64-bit fp)
+    * rows enter the pigeonhole join, so the shuffled volume is ~16
+    * bytes/payload regardless of media size. */
+  def mediaNearDupPairs(df: DataFrame, id: String, content: Column,
+                        maxDist: Int = 8, bits: Int = 60,
+                        agreeBlocks: Int = 0): DataFrame =
+    Dedup.simhashPairsFp(
+      df.select(col(id), aHash(content, bits).as("__ahash")),
+      id, col("__ahash"), maxDist, agreeBlocks)
+
   /** Build a media table from any binary-bearing source (here: text
     * bytes as stand-in payloads, for test determinism). */
   def fromBinary(spark: SparkSession, src: DataFrame, id: String, bin: Column, kind: String): DataFrame =

@@ -1896,7 +1896,12 @@ object TextFunctions {
         .join(units.select(col("__u").as("l"), col("uc").as("lc")), "l")
         .join(units.select(col("__u").as("r"), col("uc").as("rc")), "r")
         .select(col("l"), col("r"), col("c"),
-          (col("c").cast("double") / (col("lc") * col("rc"))).as("score"))
+          // lc*rc must multiply in DOUBLE: long*long overflows (and
+          // under ANSI mode throws) once piece-frequency products pass
+          // 2^63 — single-char counts ~1e11 at 100 TB give ~1e22
+          (col("c").cast("double") /
+            (col("lc").cast("double") * col("rc").cast("double")))
+            .as("score"))
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true

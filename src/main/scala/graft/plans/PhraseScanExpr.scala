@@ -169,9 +169,13 @@ class AhoCorasickKernel(patterns: Seq[String]) extends Serializable {
       while (j < ps.length) { seen(ps(j)) = true; j += 1 }
       i += 1
     }
+    // Sort in UTF8String (UTF-8 byte / code-point) order, NOT Java
+    // String order: UTF-16 code-unit order diverges for pattern sets
+    // mixing U+E000..U+FFFF with supplementary-plane characters, and
+    // both Spark string sort and DuckDB list_sort are byte-ordered.
     val hit = patterns.zipWithIndex.collect {
-      case (p, pi) if seen(pi) => p
-    }.sorted
-    new GenericArrayData(hit.map(UTF8String.fromString).toArray[Any])
+      case (p, pi) if seen(pi) => UTF8String.fromString(p)
+    }.sortWith(_.compareTo(_) < 0)
+    new GenericArrayData(hit.toArray[Any])
   }
 }

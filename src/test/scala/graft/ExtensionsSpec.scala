@@ -3672,6 +3672,73 @@ class MultimodalSpec extends AnyFunSuite {
       .select(size($"frames")).head().getInt(0)
     assert(frames == 5)
   }
+
+  test("aHash: kernel == definition, locality, empty/width edges") {
+    // brute-force reference of the cell-mean definition
+    def ref(bytes: Array[Byte], bits: Int): Long = {
+      val n = bytes.length
+      if (n == 0) return 0L
+      val bs = bytes.map(_ & 0xff)
+      val total = bs.map(_.toLong).sum
+      (0 until bits).map { i =>
+        val cell = bs.indices.filter(p => p.toLong * bits / n == i)
+        val cs = cell.map(bs(_).toLong).sum
+        if (cs * n > total * cell.length) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "hello world".getBytes("UTF-8"),
+      Array.fill(7)(rnd.nextInt(256).toByte),     // n < bits: empty cells
+      Array.fill(300)(rnd.nextInt(256).toByte),
+      Array.fill(256)(42.toByte))                  // all-equal: hash 0
+    val df = payloads.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
+    for (bits <- Seq(60, 64)) {
+      val got = df.select($"id", Multimodal.aHash($"content", bits))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      payloads.zipWithIndex.foreach { case (b, i) =>
+        assert(got(i.toLong) == ref(b, bits), s"bits=$bits payload $i")
+      }
+    }
+    // aHash64 = the bits=64 full-width variant
+    val h64 = df.where($"id" === 1)
+      .select(Multimodal.aHash64($"content")).head().getLong(0)
+    assert(h64 == ref(payloads(1), 64))
+    // all-equal payload: no cell mean exceeds the global mean
+    val allEq = df.where($"id" === 4)
+      .select(Multimodal.aHash($"content")).head().getLong(0)
+    assert(allEq == 0L)
+    // locality: flipping 3 bytes of a 300-byte payload moves few bits
+    val base = payloads(3)
+    val twin = base.clone(); twin(10) = 0; twin(150) = 0; twin(290) = 0
+    val pair = Seq((0L, base), (1L, twin)).toDF("id", "content")
+      .select(Multimodal.aHash($"content")).collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(pair(0) ^ pair(1)) <= 8)
+  }
+
+  test("mediaNearDupPairs: flipped-byte twin pairs, random payloads don't") {
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(400)(rnd.nextInt(256).toByte)
+    val twin = a.clone(); twin(5) = 9; twin(200) = 9; twin(399) = 9
+    val others = (3L to 12L).map(i =>
+      i -> Array.fill(400)(rnd.nextInt(256).toByte))
+    val df = (Seq(1L -> a, 2L -> twin) ++ others).toDF("media_id", "content")
+    val pairs = Multimodal.mediaNearDupPairs(df, "media_id", $"content",
+        maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 8),
+      s"twin must pair: ${pairs.toSeq}")
+    assert(pairs.forall(p => p._1 == 1L && p._2 == 2L),
+      s"independent random payloads must not pair: ${pairs.toSeq}")
+    // hamming values = exact fingerprint XOR popcount (verify path)
+    val fps = df.select($"media_id", Multimodal.aHash($"content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (x, y, h) =>
+      assert(java.lang.Long.bitCount(fps(x) ^ fps(y)) == h)
+    }
+  }
 }
 
 /** Smoke: every declared query runs and returns rows at sf0.001, and
