@@ -1034,55 +1034,43 @@ object Corpus {
     * interconnect is a very different web citizen than a pure hub).
     * Input edges are canonicalized (self-loops dropped, directions
     * and duplicates merged); nodes in no triangle are absent from the
-    * output.
+    * output. The RESULT is orientation-invariant, which is what lets
+    * the q_triangles oracle replay with the naive id orientation.
     *
-    * Scale shape = degree orientation (the standard distributed
-    * triangle recipe, e.g. Suri & Vassilvitskii 2011): orient every
-    * edge from its lower-(degree, node) endpoint to the higher one —
-    * an acyclic orientation whose max out-degree is O(√m) — then
-    * wedges are ONE self-equi-join of the oriented list on the apex
-    * (Σ outdeg², bounded by orientation instead of the hub's full
-    * degree²), closed by ONE more equi-join against the oriented
-    * edges. Each triangle materializes exactly once (at its
-    * lowest-rank apex), then explodes to its 3 corners for the
-    * per-node count. The RESULT is orientation-invariant, which is
-    * what lets the q_triangles oracle replay with the naive id
-    * orientation.
+    * DEFAULT = the edge-iterator intersect form (see
+    * [[triangleCountsIntersect]]): r11 probe (`tools/TriangleProbe`,
+    * `bench/triangleprobe_r11.txt`) measured it 1.45× faster warm on
+    * the real co-purchase workload (8.4 → 5.8 s standalone sf0.1,
+    * 1.2M edges / 1.88M triangles, identical outputs) and its
+    * above-cap fallback shuffles O(m) rows where the wedge form
+    * shuffles Σ outdeg² ≈ m^1.5. The wedge pipeline is retained as
+    * [[triangleCountsWedge]] for re-probes. */
+  def triangleCounts(edges: DataFrame, src: Column, dst: Column,
+                     maxBroadcastCloseEdges: Long = 8000000L): DataFrame =
+    triangleCountsIntersect(edges, src, dst, maxBroadcastCloseEdges)
+
+  /** Wedge-join triangle form (the r10 default; superseded as default
+    * by the intersect form in r11 — kept behind the same output
+    * contract for probes): degree orientation (Suri & Vassilvitskii
+    * 2011), wedges from ONE self-equi-join of the oriented list on
+    * the apex (Σ outdeg² rows, bounded by the O(√m) orientation
+    * out-degree), closed by ONE more equi-join. Each triangle
+    * materializes exactly once (at its lowest-rank apex), then
+    * explodes to its 3 corners.
     *
     * The closing join's SMALL side is the oriented edge list (m rows)
-    * and its BIG side is the wedge set (Σ outdeg², up to ~m^1.5 rows);
-    * the materialized oriented table carries no size stats, so left
-    * alone Catalyst sort-merge-joins — shuffling every wedge. When the
-    * edge count (known after materialization) passes the row cap
-    * `maxBroadcastCloseEdges` AND the byte estimate (avg endpoint
-    * widths from the same stats pass), the closing side is broadcast,
-    * keeping the wedge set entirely inside its producing stage. Above
-    * the cap (graphs whose edge list no longer fits one executor) it
-    * falls back to the shuffled semi-join, which is always correct. */
-  def triangleCounts(edges: DataFrame, src: Column, dst: Column,
-                     maxBroadcastCloseEdges: Long = 8000000L): DataFrame = {
-    val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
-      .where(col("__a").isNotNull && col("__b").isNotNull &&
-        col("__a") =!= col("__b"))
-      .select(least(col("__a"), col("__b")).as("__u"),
-        greatest(col("__a"), col("__b")).as("__v"))
-      .distinct()
-    val deg = e0.select(col("__u").as("__n"))
-      .union(e0.select(col("__v").as("__n")))
-      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
-    // rank = (degree, node): a total order, so the orientation is
-    // acyclic; materialize the slim oriented list once — it feeds
-    // both the wedge self-join and the closing join
-    val oriented = Dedup.materializeLazily(e0
-      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
-      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
-      .select(
-        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
-          struct(col("__u").as("f"), col("__v").as("t")))
-          .otherwise(struct(col("__v").as("f"), col("__u").as("t")))
-          .as("__e"))
-      .select(col("__e.f").as("__f"), col("__e.t").as("__t"))
-      .join(deg.select(col("__n").as("__t"), col("__d").as("__dt")), "__t"))
+    * and its BIG side is the wedge set; the materialized oriented
+    * table carries no size stats, so left alone Catalyst
+    * sort-merge-joins — shuffling every wedge. When the edge count
+    * (known after materialization) passes the row cap
+    * `maxBroadcastCloseEdges` AND the byte estimate, the closing side
+    * is broadcast, keeping the wedge set inside its producing stage.
+    * Above the cap it falls back to the shuffled semi-join —
+    * always correct, but Σ outdeg² rows on the wire (the reason the
+    * intersect form is now the default). */
+  def triangleCountsWedge(edges: DataFrame, src: Column, dst: Column,
+                          maxBroadcastCloseEdges: Long = 8000000L): DataFrame = {
+    val oriented = orientEdges(edges, src, dst)
     val w1 = oriented.select(col("__f"), col("__t").as("__b"),
       col("__dt").as("__db"))
     val w2 = oriented.select(col("__f"), col("__t").as("__c"),
@@ -1102,6 +1090,85 @@ object Corpus {
     val tris = wedges.join(hinted(closing), Seq("__b", "__c"), "left_semi")
       .select(col("__f"), col("__b"), col("__c"))
     tris.select(explode(array(col("__f"), col("__b"), col("__c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Canonicalize + degree-orient an undirected edge list (shared by
+    * both triangle forms): self-loops dropped, directions/duplicates
+    * merged, every edge pointed from its lower-(degree, node)
+    * endpoint — an acyclic orientation with O(√m) max out-degree.
+    * Materialized (it feeds 2+ joins downstream); carries the target
+    * degree `__dt` for the wedge form's ordering filter. */
+  private def orientEdges(edges: DataFrame, src: Column,
+                          dst: Column): DataFrame = {
+    val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    val deg = e0.select(col("__u").as("__n"))
+      .union(e0.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    // rank = (degree, node): a total order, so the orientation is
+    // acyclic
+    Dedup.materializeLazily(e0
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
+      .select(
+        when(struct(col("__du"), col("__u")) < struct(col("__dv"), col("__v")),
+          struct(col("__u").as("f"), col("__v").as("t")))
+          .otherwise(struct(col("__v").as("f"), col("__u").as("t")))
+          .as("__e"))
+      .select(col("__e.f").as("__f"), col("__e.t").as("__t"))
+      .join(deg.select(col("__n").as("__t"), col("__d").as("__dt")), "__t"))
+  }
+
+  /** Edge-iterator triangle counts — the intersect form of
+    * [[triangleCounts]] (identical output, probed in
+    * `tools/TriangleProbe`): instead of MATERIALIZING the Σ outdeg²
+    * wedge set as rows and closing it with a semi-join, each oriented
+    * edge (f, t) joins to both endpoints' sorted out-neighbor arrays
+    * and a single sorted-merge kernel ([[graft.plans.TriangleContrib]])
+    * emits one element per actual triangle corner. Wedge candidates
+    * are enumerated INSIDE the kernel's merge loop (never as rows), so
+    * row volume after the joins is 3 × triangles, not Σ outdeg².
+    *
+    * 100 TB: the shuffled volume is O(m) oriented-edge rows + O(m)
+    * adjacency entries (Σ outdeg = m) — the wedge form's fallback
+    * above the broadcast cap shuffles Σ outdeg² wedge rows instead,
+    * which is the difference between m and m^1.5 bytes on the wire.
+    * Under the cap the adjacency table broadcasts (row+byte guarded
+    * like all loop-state hints) and the whole pipeline is one stage.
+    * Hot-key fan-in (a high-rank node's in-edges all probe its
+    * adjacency row) is bounded by broadcast in the small regime and
+    * AQE skew splitting in the shuffled one. */
+  def triangleCountsIntersect(edges: DataFrame, src: Column, dst: Column,
+                              maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
+    val oriented = orientEdges(edges, src, dst)
+    val adj = Dedup.materializeLazily(
+      oriented.groupBy(col("__f"))
+        .agg(sort_array(collect_list(col("__t"))).as("__ns")))
+    // adjacency bytes ≈ oriented bytes (Σ outdeg = m entries), so the
+    // broadcast guard reuses the oriented row count + endpoint widths
+    val estats = oriented.agg(count(lit(1)),
+      coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))).head()
+    val small = stateBroadcastOk(estats.getLong(0).toDouble,
+      estats.getDouble(1), maxBroadcastAdjacency)
+    def hinted(df: DataFrame) = if (small) broadcast(df) else df
+    oriented
+      .join(hinted(adj.select(col("__f").as("__jf"), col("__ns").as("__nf"))),
+        col("__f") === col("__jf"))
+      .join(hinted(adj.select(col("__f").as("__jt"), col("__ns").as("__nt"))),
+        col("__t") === col("__jt"))
+      // the kernel call stays INLINE in the generator (the registry's
+      // aliased-generator-child multi-eval hazard)
+      .select(explode({
+        import org.apache.spark.sql.graft.Bridge
+        Bridge.column(graft.plans.TriangleContrib(
+          Bridge.expression(col("__nf")), Bridge.expression(col("__nt")),
+          Bridge.expression(col("__f")), Bridge.expression(col("__t"))))
+      }).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 

@@ -525,6 +525,14 @@ class CorpusSpec extends AnyFunSuite {
       c <- nodes if b < c && adj((a, c)) && adj((b, c))
     } yield a).groupBy(identity).map { case (n, g) => n -> g.size.toLong }
     assert(run(redges, parts = 7) == want)
+    // the retained wedge form stays output-identical to the intersect
+    // default (the r11 probe invariant — tools/TriangleProbe)
+    val wedge = Corpus.triangleCountsWedge(
+        redges.toDF("s", "d").repartition(7), col("s"), col("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wedge == want)
+    assert(Corpus.triangleCountsWedge(noisy.toDF("s", "d"), col("s"), col("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == run(share))
   }
 
   test("prCurve == driver reference; edge cases; partition/chunk invariance") {
