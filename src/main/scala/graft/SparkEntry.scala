@@ -2259,6 +2259,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- quality: trigram Kneser-Ney LM score ---------------------
+    // The production-order KN rung: every statistic from ONE trigram
+    // count table (lower orders are continuation distributions —
+    // Chen & Goodman). Same determinism recipe as q_kneser_ney:
+    // operation order and cast points mirrored in the oracle, round(6)
+    // on the one per-doc mean.
+    "q_kneser_ney3" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.kneserNey3LogProbScore(t(s, dir, "documents"), "doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation: CCNet head/middle/tail quality buckets --------
     // The CCNet bucketing stage: score every doc with the corpus-unigram
     // log-prob model (q_unigram_logprob), then ntile into 3 buckets on
@@ -2968,6 +2980,54 @@ object SparkEntry {
     * Hamming ≤ 7 over ALL pairs — integer/bit ops only, and complete
     * recall of the pigeonhole tables is a theorem (Manku et al.), so
     * all-pairs is a true oracle for the banded production shape. */
+  /** q_kneser_ney3 oracle: the trigram KN equations with the THREE
+    * interpolation levels expanded as nested CASE trees whose
+    * operation order and cast points mirror the Spark expressions
+    * exactly (the q_kneser_ney recipe, one order up — P1 is inlined
+    * into P2 is inlined into P3, the same evaluation tree Catalyst
+    * builds from the shared `when` chains). */
+  private lazy val kneserNey3Oracle: String = {
+    val p1 = """CASE WHEN sc.nct = 0 THEN 1.0 / vc.v::DOUBLE
+       |      ELSE greatest(coalesce(cu.cuc, 0)::DOUBLE - 0.75, 0.0) / sc.nct::DOUBLE
+       |         + 0.75 * sc.v2::DOUBLE / sc.nct::DOUBLE / vc.v::DOUBLE END"""
+      .stripMargin
+    val p2 = s"""CASE WHEN cx2.cbp IS NULL THEN ($p1)
+       |      ELSE greatest(coalesce(cb.cbc, 0)::DOUBLE - 0.75, 0.0) / cx2.cbp::DOUBLE
+       |         + 0.75 * cx2.f2::DOUBLE / cx2.cbp::DOUBLE * ($p1) END"""
+      .stripMargin
+    val p3 = s"""CASE WHEN cx3.c3p IS NULL THEN ($p2)
+       |      ELSE greatest(coalesce(tri.c3, 0)::DOUBLE - 0.75, 0.0) / cx3.c3p::DOUBLE
+       |         + 0.75 * cx3.f3::DOUBLE / cx3.c3p::DOUBLE * ($p2) END"""
+      .stripMargin
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |     x -> len(x) > 0) AS toks FROM documents),
+       | i AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+       |   FROM d WHERE len(toks) >= 1),
+       | e AS (SELECT doc_id, toks[pos+1] AS t,
+       |     CASE WHEN pos >= 1 THEN toks[pos] ELSE NULL END AS v,
+       |     CASE WHEN pos >= 2 THEN toks[pos-1] ELSE NULL END AS u FROM i),
+       | tri AS (SELECT u, v, t, count(*) AS c3 FROM e
+       |   WHERE u IS NOT NULL GROUP BY u, v, t),
+       | cx3 AS (SELECT u, v, sum(c3) AS c3p, count(*) AS f3 FROM tri GROUP BY u, v),
+       | cb AS (SELECT v, t, count(*) AS cbc FROM tri GROUP BY v, t),
+       | cx2 AS (SELECT v, sum(cbc) AS cbp, count(*) AS f2 FROM cb GROUP BY v),
+       | cu AS (SELECT t, count(*) AS cuc FROM cb GROUP BY t),
+       | sc AS (SELECT count(*) AS nct, count(DISTINCT t) AS v2 FROM cb),
+       | vc AS (SELECT count(DISTINCT t) AS v FROM e),
+       | s AS (SELECT e.doc_id, avg(ln(CASE WHEN e.v IS NULL THEN ($p1)
+       |       WHEN e.u IS NULL THEN ($p2)
+       |       ELSE ($p3) END)) AS a
+       |   FROM e LEFT JOIN cu ON e.t = cu.t
+       |   LEFT JOIN cb ON e.v = cb.v AND e.t = cb.t
+       |   LEFT JOIN cx2 ON e.v = cx2.v
+       |   LEFT JOIN tri ON e.u = tri.u AND e.v = tri.v AND e.t = tri.t
+       |   LEFT JOIN cx3 ON e.u = cx3.u AND e.v = cx3.v
+       |   CROSS JOIN sc CROSS JOIN vc
+       |   GROUP BY e.doc_id)
+       |SELECT doc_id, round(a, 6) AS kn3_logprob FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val simhashMd5Oracle: String = {
     val digits = (0 until 15).map(i =>
       s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i").mkString(", ")
@@ -4338,6 +4398,7 @@ object SparkEntry {
         |   GROUP BY u.doc_id)
         |SELECT doc_id, round(a, 6) AS kn_logprob FROM s
         |ORDER BY doc_id""".stripMargin,
+    "q_kneser_ney3" -> kneserNey3Oracle,
     "q_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(
         |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok

@@ -876,6 +876,117 @@ object TextFunctions {
       .select(col("__id").as(id), col("kn_logprob"))
   }
 
+  /** Interpolated TRIGRAM Kneser-Ney LM quality score — the order
+    * production KenLM filtering actually runs at (4-5-gram models
+    * prune toward this shape; the bigram form
+    * [[kneserNeyLogProbScore]] is the pedagogical rung below). Every
+    * statistic derives from ONE (w₂, w₁, w) trigram count table, the
+    * Chen & Goodman convention that lower-order distributions are
+    * CONTINUATION distributions of the order above:
+    *
+    *   P(w|u,v) = (c(uvw) − D)⁺/c(uv·) + D·N1+(uv·)/c(uv·) · P(w|v)
+    *   P(w|v)   = (N1+(·vw) − D)⁺/N1+(·v·) + D·N1+(v·)/N1+(·v·) · P1(w)
+    *   P1(w)    = (N1+(··w) − D)⁺/N1+(··) + D·V₂/N1+(··) · 1/V
+    *
+    * where N1+(·vw) counts distinct u's preceding (v,w) in the
+    * trigram table, N1+(··w) counts distinct v's over those
+    * continuation types, N1+(··) is the total continuation-type
+    * count, V₂ the distinct w's among them, and V the corpus
+    * vocabulary. Each Σ_w telescopes to 1 per context class
+    * (spec-asserted), so no in-corpus event scores ln 0: a doc's
+    * first token scores P1, its second P(w|v), the rest the full
+    * trigram equation; a (v,w) never inside any trigram backs off
+    * through the discount mass, and a corpus with no trigrams at all
+    * degenerates to uniform 1/V by declared design (real corpora
+    * with ≥3-token docs never hit it).
+    *
+    * Scale shape is [[kneserNeyLogProbScore]]'s: map-side
+    * double-shifted-zip event generation (no per-doc window shuffle),
+    * ONE (u, v, w) count aggregate from which four narrow Zipf-small
+    * aggregates derive every KN statistic (never a second corpus
+    * pass), scoring re-joins on token keys (AQE broadcasts when they
+    * fit) + one per-doc partial-aggregated mean; the scalar totals
+    * ride a broadcast 1-row cross join. Expression shapes (operation
+    * order, cast points) mirror the DuckDB oracle EXACTLY. Output:
+    * (`id`, kn3_logprob rounded to 6). */
+  def kneserNey3LogProbScore(df: DF, id: String, text: Column,
+                             discount: Double = 0.75): DF = {
+    require(discount > 0 && discount < 1, s"discount $discount outside (0,1)")
+    val toks = tokens(text)
+    // prepend-then-truncate (NOT pad-then-concat): a 1-token doc's
+    // 2-shifted array must still have length n, or arrays_zip pads
+    // the zip with a phantom all-null event
+    val shift1 = slice(concat(array(lit(null).cast("string")), toks),
+      lit(1), size(toks))
+    val shift2 = slice(concat(
+      array(lit(null).cast("string"), lit(null).cast("string")), toks),
+      lit(1), size(toks))
+    val events = df
+      .where(size(toks) >= 1)
+      .select(col(id).as("__id"),
+        explode(arrays_zip(shift2.as("u"), shift1.as("v"), toks.as("t"))).as("__e"))
+      .select(col("__id"), col("__e.u").as("__u"), col("__e.v").as("__v"),
+        col("__e.t").as("__t"))
+    val tri = events.where(col("__u").isNotNull)
+      .groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3"))
+    val ctx3 = tri.groupBy("__u", "__v")
+      .agg(sum(col("__c3")).as("__c3p"), count(lit(1)).as("__f3"))
+    val contBi = tri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb"))
+    val ctx2 = contBi.groupBy("__v")
+      .agg(sum(col("__cb")).as("__cbp"), count(lit(1)).as("__f2"))
+    val contUni = contBi.groupBy("__t").agg(count(lit(1)).as("__cu"))
+    // NB the vocab scalar must NOT be named "__V": Spark resolves
+    // column names case-INSENSITIVELY, so "__V" and the context
+    // column "__v" become two-way ambiguous (found the hard way —
+    // the bigram sibling has no "__v" column so its "__V" is safe)
+    val scalars = contBi
+      .agg(count(lit(1)).as("__nct"), count_distinct(col("__t")).as("__nv2"))
+      .crossJoin(events.agg(count_distinct(col("__t")).as("__nvoc")))
+    val d = lit(discount)
+    val p1 = when(col("__nct") === 0, lit(1.0) / col("__nvoc").cast("double"))
+      .otherwise(
+        greatest(coalesce(col("__cu"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__nct").cast("double") +
+          d * col("__nv2").cast("double") / col("__nct").cast("double") /
+            col("__nvoc").cast("double"))
+    val p2 = when(col("__cbp").isNull, p1)
+      .otherwise(
+        greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__cbp").cast("double") +
+          d * col("__f2").cast("double") / col("__cbp").cast("double") * p1)
+    val p3 = when(col("__c3p").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("__c3"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__c3p").cast("double") +
+          d * col("__f3").cast("double") / col("__c3p").cast("double") * p2)
+    val p = when(col("__v").isNull, p1)
+      .when(col("__u").isNull, p2)
+      .otherwise(p3)
+    // stat tables are all derived from `events` THROUGH each other
+    // (tri → contBi → ctx2/contUni), so name-based using-column joins
+    // hit AMBIGUOUS_REFERENCE on the shared lineage — join on
+    // explicitly renamed keys instead
+    events
+      .join(contUni.select(col("__t").as("__kut"), col("__cu")),
+        col("__t") === col("__kut"), "left")
+      .join(contBi.select(col("__v").as("__kbv"), col("__t").as("__kbt"),
+          col("__cb")),
+        col("__v") === col("__kbv") && col("__t") === col("__kbt"), "left")
+      .join(ctx2.select(col("__v").as("__k2v"), col("__cbp"), col("__f2")),
+        col("__v") === col("__k2v"), "left")
+      .join(tri.select(col("__u").as("__k3u"), col("__v").as("__k3v"),
+          col("__t").as("__k3t"), col("__c3")),
+        col("__u") === col("__k3u") && col("__v") === col("__k3v") &&
+          col("__t") === col("__k3t"), "left")
+      .join(ctx3.select(col("__u").as("__kcu"), col("__v").as("__kcv"),
+          col("__c3p"), col("__f3")),
+        col("__u") === col("__kcu") && col("__v") === col("__kcv"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("__id"))
+      .agg(round(avg(log(p)), 6).as("kn3_logprob"))
+      .select(col("__id").as(id), col("kn3_logprob"))
+  }
+
   /** jusText-lite boilerplate stripping: classify each LINE of a doc
     * as content vs boilerplate by three cheap signals — word count,
     * stopword density, and a link marker — and keep only the content

@@ -2264,6 +2264,79 @@ class TextFunctionsSpec extends AnyFunSuite {
         s"context $p0 not normalized")
   }
 
+  test("kneserNey3LogProbScore == independent driver KN3; every level normalizes") {
+    val corpus = Map(
+      1L -> "the cat sat on the mat and the cat ran",
+      2L -> "the dog sat on the mat",
+      3L -> "a dog ran to the mat and a cat sat",
+      4L -> "mat the cat the dog",
+      5L -> "solo",          // 1-token doc: pure P1 branch
+      6L -> "two words")     // 2-token doc: P1 + P(w|v) branches only
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val D = 0.75
+    val tokss = corpus.view.mapValues(_.split("\\s+").filter(_.nonEmpty).toList).toMap
+    // events (id, u, v, t) with u = 2-back, v = 1-back
+    val events = tokss.toSeq.flatMap { case (id0, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        (id0,
+          if (i >= 2) Some(ts(i - 2)) else None,
+          if (i >= 1) Some(ts(i - 1)) else None, t) } }
+    // the ONE trigram table; all lower orders derive from it
+    val c3 = events.collect { case (_, Some(u), Some(v), t) => ((u, v), t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c3p = c3.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val f3 = c3.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val cb = c3.keys.toSeq.map { case ((u, v), t) => ((v, t), u) }.distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cbp = cb.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val f2 = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val cu = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val nct = cb.size
+    val v2 = cb.keys.map(_._2).toSet.size
+    val vocab = events.map(_._4).toSet
+    def p1(t: String): Double =
+      if (nct == 0) 1.0 / vocab.size
+      else math.max(cu.getOrElse(t, 0) - D, 0.0) / nct + D * v2 / nct / vocab.size
+    def p2(v: String, t: String): Double =
+      cbp.get(v) match {
+        case None => p1(t)
+        case Some(den) =>
+          math.max(cb.getOrElse((v, t), 0L) - D, 0.0) / den +
+            D * f2(v) / den * p1(t)
+      }
+    def p3(u: String, v: String, t: String): Double =
+      c3p.get((u, v)) match {
+        case None => p2(v, t)
+        case Some(den) =>
+          math.max(c3.getOrElse(((u, v), t), 0L) - D, 0.0) / den +
+            D * f3((u, v)) / den * p2(v, t)
+      }
+    val sim = events.groupBy(_._1).view.mapValues { es =>
+      es.map {
+        case (_, _, None, t)          => math.log(p1(t))
+        case (_, None, Some(v), t)    => math.log(p2(v, t))
+        case (_, Some(u), Some(v), t) => math.log(p3(u, v, t))
+      }.sum / es.size
+    }.toMap
+    val got = TextFunctions.kneserNey3LogProbScore(docs, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == sim.keySet)
+    for ((idv, s) <- sim)
+      assert(math.abs(got(idv) - s) < 1e-6, s"doc $idv: ${got(idv)} vs $s")
+    // Σ P(w|ctx) = 1 at EVERY interpolation level / context class
+    assert(math.abs(vocab.toSeq.map(p1).sum - 1.0) < 1e-9)
+    for (v <- cbp.keys)
+      assert(math.abs(vocab.toSeq.map(t => p2(v, t)).sum - 1.0) < 1e-9,
+        s"middle context $v not normalized")
+    for ((u, v) <- c3p.keys)
+      assert(math.abs(vocab.toSeq.map(t => p3(u, v, t)).sum - 1.0) < 1e-9,
+        s"trigram context ($u,$v) not normalized")
+    // a (v,t) pair that is a corpus BIGRAM but inside no trigram (the
+    // 2-token doc) still scores strictly positive via backoff mass
+    assert(got(6L) > Double.NegativeInfinity)
+    assert(p2("two", "words") > 0)
+  }
+
   test("hashedLogisticScore: mean-pooled bucket weights through the sigmoid; twins agree in shape") {
     val df = Seq((1L, "a a b"), (2L, "zz"), (3L, "   ")).toDF("doc_id", "text")
     val dim = 8
