@@ -727,6 +727,22 @@ object SparkEntry {
       Corpus.triangleCounts(pairs, $"u", $"v").orderBy("node")
     }),
 
+    // -------- corpus: k-core peel (link-farm density indicator) -------
+    // 3 fixed peel rounds at k=5 over the order↔part bipartite graph —
+    // the q_pagerank unrolled-CTE recipe with INTEGER degrees (no
+    // rounding anywhere). Round 1 peels ~43% of edges at every SF;
+    // rounds 2-3 cascade further at sf0.1 (340349→340333→340317
+    // edges), so the multi-round path is exercised, not decorative.
+    "q_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      Corpus.kCore(li,
+          concat(lit("o"), $"l_orderkey".cast("string")),
+          concat(lit("p"), $"l_partkey".cast("string")),
+          k = 5, iters = 3)
+        .orderBy("node")
+    }),
+
     // -------- corpus: heavy hitters (MG sketch + exact recount) -------
     // Tokens with count > N/100 over the document corpus — the sketch
     // (≤ 99 counters per task) finds candidates, the recount makes the
@@ -3028,6 +3044,27 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_kcore oracle: the 3 peel rounds unrolled into chained CTEs
+    * (the q_pagerank recipe with integer degrees — no fp anywhere),
+    * generated by the same loop bound as the query's `iters`. */
+  private lazy val kCoreOracle: String = {
+    val rounds = (1 to 3).map { r =>
+      s""" d$r AS (SELECT n, count(*) AS d FROM (
+         |   SELECT u AS n FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1}) GROUP BY n),
+         | e$r AS (SELECT t.u, t.v FROM e${r - 1} t
+         |   JOIN d$r a ON t.u = a.n AND a.d >= 5
+         |   JOIN d$r b ON t.v = b.n AND b.d >= 5),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e0 AS (SELECT DISTINCT
+       |     least('o' || l_orderkey::VARCHAR, 'p' || l_partkey::VARCHAR) AS u,
+       |     greatest('o' || l_orderkey::VARCHAR, 'p' || l_partkey::VARCHAR) AS v
+       |   FROM lineitem),
+       |$rounds
+       | fin AS (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+       |SELECT n AS node, count(*)::BIGINT AS degree FROM fin
+       |GROUP BY n ORDER BY node""".stripMargin
+  }
+
   private lazy val simhashMd5Oracle: String = {
     val digits = (0 until 15).map(i =>
       s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS d$i").mkString(", ")
@@ -4954,6 +4991,7 @@ object SparkEntry {
         |   UNION ALL SELECT c FROM t)
         |SELECT node, count(*)::BIGINT AS triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin,
+    "q_kcore" -> kCoreOracle,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |   FROM documents),

@@ -1172,6 +1172,67 @@ object Corpus {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Fixed-iteration k-core peel — the classic link-farm /
+    * comment-spam indicator completing the graph-quality battery next
+    * to [[pageRank]]/[[hits]]/[[triangleCounts]]: a dense k-core
+    * (every member touching ≥ k other members) is the structural
+    * signature of mutual-promotion rings that per-node signals miss.
+    * Each round recounts degrees over the SURVIVING edge set and
+    * drops nodes below `k` (with every edge touching them); `iters`
+    * rounds run regardless of early convergence — the q_pagerank
+    * fixed-iteration contract, which is what lets the whole operator
+    * unroll into chained CTEs and hash-match the oracle EXACTLY
+    * (degrees are integers: no rounding risk at all). A full k-core
+    * needs peeling to fixpoint; fixed `iters` is the bounded tier
+    * (each round only ever shrinks the set, so survivors are a
+    * superset of the true k-core that tightens per round — at
+    * convergence-within-iters it IS the k-core, measured: the
+    * lineitem bipartite graph converges in 1-3 rounds at k=5).
+    *
+    * Scale shape per round: one degree aggregate over the slim
+    * canonical edge table (map-side partials) + two semi-joins
+    * against the kept-node set, which is broadcast under the same
+    * row+byte guard as the pageRank/hits state sides (materialized
+    * loop state has no stats — left alone Catalyst would
+    * sort-merge-join the big edge side every round) with the
+    * always-correct shuffled fallback above cap. Edges materialize
+    * lazily per round (the components-loop recipe). Output:
+    * (node, degree) over the final surviving edge set — isolated
+    * nodes cannot appear (degree 0 has no edge). Input edges are
+    * canonicalized (self-loops dropped, directions/duplicates
+    * merged). */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            iters: Int = 3, maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    var e = Dedup.materializeLazily(e0)
+    var it = 0
+    while (it < iters) {
+      val deg = e.select(col("__u").as("__n"))
+        .union(e.select(col("__v").as("__n")))
+        .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+      val keep = Dedup.materializeLazily(deg.where(col("__d") >= k))
+      val kstats = keep.agg(count(lit(1)),
+        coalesce(avg(length(col("__n"))), lit(0.0))).head()
+      val small = stateBroadcastOk(kstats.getLong(0).toDouble,
+        kstats.getDouble(1), maxBroadcastNodes)
+      def hinted(df: DataFrame) = if (small) broadcast(df) else df
+      e = Dedup.materializeLazily(
+        e.join(hinted(keep.select(col("__n").as("__u"))), Seq("__u"), "left_semi")
+          .join(hinted(keep.select(col("__n").as("__v"))), Seq("__v"), "left_semi"))
+      it += 1
+    }
+    e.select(col("__u").as("__n")).union(e.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("degree"))
+      .select(col("__n").as("node"), col("degree"))
+  }
+
   /** Misra-Gries summary (Misra & Gries 1982): at most `k - 1`
     * counters; any item with true frequency > N/k is guaranteed to
     * survive, under ANY reduce/merge order (mergeability per Agarwal

@@ -535,6 +535,46 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == run(share))
   }
 
+  test("kCore: multi-round cascade, brute-force equality, broadcast-path invariance") {
+    def brute(edges: Seq[(String, String)], k: Int, iters: Int): Map[String, Long] = {
+      var e = edges.filter(p => p._1 != p._2)
+        .map(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max)).distinct
+      for (_ <- 1 to iters) {
+        val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    def run(edges: Seq[(String, String)], k: Int, iters: Int,
+            cap: Long = 8000000L): Map[String, Long] =
+      Corpus.kCore(edges.toDF("s", "d").repartition(5), col("s"), col("d"),
+          k = k, iters = iters, maxBroadcastNodes = cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // path graph, k=2: endpoints peel one layer PER ROUND (the
+    // cascade fixed-iteration bounds) — a-b-c-d-e-f
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+    assert(run(path, 2, 1) == Map("b" -> 1L, "c" -> 2L, "d" -> 2L, "e" -> 1L))
+    assert(run(path, 2, 2) == Map("c" -> 1L, "d" -> 1L))
+    assert(run(path, 2, 3) == Map.empty)
+    // K5 survives k=4 forever; self-loops/dups/directions are hygiene
+    val k5 = for { a <- Seq("p", "q", "r", "s", "t")
+                   b <- Seq("p", "q", "r", "s", "t") if a < b } yield (a, b)
+    val noisy = k5 ++ k5.map(_.swap) ++ Seq(("p", "p"))
+    assert(run(noisy, 4, 3) == k5.flatMap(p => Seq(p._1, p._2))
+      .distinct.map(_ -> 4L).toMap)
+    // randomized equality vs brute force, broadcast AND shuffled paths
+    val rnd = new scala.util.Random(19)
+    val nodes = (1 to 30).map(_.toString)
+    val redges = for { a <- nodes; b <- nodes
+      if a < b && rnd.nextDouble() < 0.12 } yield (a, b)
+    val want = brute(redges, 3, 3)
+    assert(run(redges, 3, 3) == want)
+    assert(run(redges, 3, 3, cap = 0L) == want) // forced shuffled fallback
+  }
+
   test("prCurve == driver reference; edge cases; partition/chunk invariance") {
     def ref(rows: Seq[(Double, Int)]): Seq[(Double, Long, Long, Long, Long, Double, Double)] = {
       val perS = rows.groupBy { case (s, _) => BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
