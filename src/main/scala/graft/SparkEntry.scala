@@ -840,6 +840,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- quality: code-vs-prose signals ---------------------------
+    // Brace/semicolon/indent/keyword densities — the pre-filter for
+    // code vs NL training mixes. Every density is an exact int
+    // quotient (no rounding). Fixture: doc_id % 7 == 1 gets a code
+    // block appended (all four signals nonzero), % 11 == 5 goes empty
+    // (every zero-guard branch exercised); natural docs keep prose
+    // values (parens/keywords occasionally nonzero on their own).
+    "q_code_signals" -> ((s, dir) => {
+      import s.implicits._
+      val aug = when($"doc_id" % 7 === 1,
+          concat($"text",
+            lit("\ndef main() {\n  let x = 1;\n\tval y = (x);\n}")))
+        .when($"doc_id" % 11 === 5, lit(""))
+        .otherwise($"text")
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.codeSignals(aug).as("cs"))
+        .select($"doc_id",
+          $"cs.brace_frac".as("brace_frac"),
+          $"cs.semi_line_frac".as("semi_line_frac"),
+          $"cs.indent_line_frac".as("indent_line_frac"),
+          $"cs.keyword_tok_frac".as("keyword_tok_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_entropy" -> ((s, dir) => {
       import s.implicits._
       val aug = when($"doc_id" % 11 === 3, lit("aaaa aaaa aaaa"))
@@ -4916,6 +4940,34 @@ object SparkEntry {
         |  count(*)::BIGINT AS n, round(avg(s), 6) AS mean_score,
         |  sum(y)::DOUBLE / count(*) AS frac_pos
         |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_code_signals" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 1 THEN text || chr(10) || 'def main() {'
+        |         || chr(10) || '  let x = 1;' || chr(10) || chr(9)
+        |         || 'val y = (x);' || chr(10) || '}'
+        |       WHEN doc_id % 11 = 5 THEN ''
+        |       ELSE text END AS t FROM documents),
+        | l AS (SELECT doc_id, t,
+        |   list_filter(string_split(t, chr(10)), x -> len(trim(x)) > 0) AS lines,
+        |   list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CASE WHEN len(t) = 0 THEN 0.0
+        |       ELSE len(regexp_extract_all(t, '[{}()\[\]]'))::DOUBLE
+        |          / len(t)::DOUBLE END AS brace_frac,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE len(list_filter(lines, x -> regexp_matches(rtrim(x), ';$')))::DOUBLE
+        |          / len(lines)::DOUBLE END AS semi_line_frac,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE len(list_filter(lines, x -> regexp_matches(x, '^(  |\t)')))::DOUBLE
+        |          / len(lines)::DOUBLE END AS indent_line_frac,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE len(list_filter(toks, x -> x IN ('def','return','import',
+        |         'class','void','int','var','val','let','const','function',
+        |         'public','private','static','elif','lambda','struct','enum',
+        |         'typedef','println')))::DOUBLE
+        |          / len(toks)::DOUBLE END AS keyword_tok_frac
+        |FROM l ORDER BY doc_id""".stripMargin,
     "q_entropy" ->
       """WITH aug AS (SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 3 THEN 'aaaa aaaa aaaa'

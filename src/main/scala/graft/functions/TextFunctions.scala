@@ -486,6 +486,57 @@ object TextFunctions {
       size(toks).cast("long").as("n_words"), length(text).cast("long").as("n_chars"))
   }
 
+  /** Default whole-token keyword list for [[codeSignals]] — the
+    * high-precision intersection of C-family / Python / JS / JVM
+    * keywords that almost never appear as English prose tokens. */
+  val codeKeywords: Seq[String] = Seq(
+    "def", "return", "import", "class", "void", "int", "var", "val",
+    "let", "const", "function", "public", "private", "static", "elif",
+    "lambda", "struct", "enum", "typedef", "println")
+
+  /** Code-vs-prose signals — the standard pre-filter when assembling
+    * code vs natural-language training mixes (a brace-dense,
+    * semicolon-terminated, keyword-bearing document is code long
+    * before a classifier needs to run). Four densities, each an EXACT
+    * IEEE quotient of two integer counts (like [[scriptFraction]] —
+    * no rounding needed cross-engine), zero-shuffle, one projection:
+    *
+    *  - brace_frac: {}()[] code points / all code points
+    *  - semi_line_frac: non-blank lines ending ';' after space-rtrim
+    *  - indent_line_frac: non-blank lines starting with ≥2 spaces or
+    *    a tab (the indent-run signature of formatted code)
+    *  - keyword_tok_frac: whole tokens in `keywords`
+    *
+    * Empty text / no lines / no tokens → 0.0 (no division by zero).
+    * Thresholding is caller policy (e.g. code if brace_frac > 0.01 ∧
+    * keyword_tok_frac > 0.02, or as features to a trained gate).
+    * rtrim/regex classes are dialect-parity-safe: rtrim strips spaces
+    * only in both Spark and DuckDB, and the indent class is explicit
+    * (no `\s` — Java's includes \x0B where RE2's does not). */
+  def codeSignals(text: Column,
+                  keywords: Seq[String] = codeKeywords): Column = {
+    require(keywords.nonEmpty, "codeSignals needs at least one keyword")
+    val n = length(text)
+    val braceFrac = when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^{}()\\[\\]]", "")).cast("double") /
+        n.cast("double"))
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nl = size(lines)
+    val semiLineFrac = when(nl === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => rtrim(l).rlike(";$"))).cast("double") /
+        nl.cast("double"))
+    val indentLineFrac = when(nl === 0, lit(0.0))
+      .otherwise(size(filter(lines, l => l.rlike("^(  |\\t)"))).cast("double") /
+        nl.cast("double"))
+    val toks = tokens(text)
+    val nt = size(toks)
+    val kwFrac = when(nt === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.isin(keywords.map(k => k: Any): _*)))
+        .cast("double") / nt.cast("double"))
+    struct(braceFrac.as("brace_frac"), semiLineFrac.as("semi_line_frac"),
+      indentLineFrac.as("indent_line_frac"), kwFrac.as("keyword_tok_frac"))
+  }
+
   /** The 8 "required stopwords" of the Gopher quality rule: a document
     * must contain at least `minRequiredStopwords` of these (Rae et
     * al. 2021, A1.1). */

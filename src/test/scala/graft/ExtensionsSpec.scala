@@ -2264,6 +2264,28 @@ class TextFunctionsSpec extends AnyFunSuite {
         s"context $p0 not normalized")
   }
 
+  test("codeSignals: exact densities on crafted code/prose/empty docs") {
+    val code = "def main() {\n  let x = 1;\n\tval y = (x);\n}"
+    // 4 non-blank lines; 2 end ';' after rtrim; 2 start with 2 spaces
+    // or tab; braces ()/{}/[] chars: 3 + 0 + 2 + 1 = 6; tokens = 12 of
+    // which def/let/val are whole-token keywords
+    val df = Seq((1L, code), (2L, "plain words only"), (3L, ""))
+      .toDF("id", "text")
+    val got = df.select($"id", TextFunctions.codeSignals($"text").as("c"))
+      .select($"id", $"c.brace_frac", $"c.semi_line_frac",
+        $"c.indent_line_frac", $"c.keyword_tok_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((6.0 / code.length, 0.5, 0.5, 3.0 / 12)))
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0, 0.0, 0.0)))  // all zero-guards
+    // trailing spaces before ';' still count (rtrim), CRLF-free fixture
+    val tr = Seq((9L, "x;  \ny")).toDF("id", "text")
+      .select(TextFunctions.codeSignals($"text").as("c"))
+      .select($"c.semi_line_frac").head().getDouble(0)
+    assert(tr == 0.5)
+  }
+
   test("kneserNey3LogProbScore == independent driver KN3; every level normalizes") {
     val corpus = Map(
       1L -> "the cat sat on the mat and the cat ran",
