@@ -2488,6 +2488,20 @@ object SparkEntry {
         .orderBy("id_a", "start_a", "id_b", "start_b")
     }),
 
+    // -------- dedup: exact substring pairs, TOKEN granularity ---------
+    // Lee et al.'s published unit (50 BPE tokens): tokenize with the
+    // fixture merges, U+001F-join, run the char machinery on the
+    // surrogate text (minLen = 2·50 − 1 keeps recall complete), trim
+    // to whole shared tokens, report token offsets. All-integer
+    // arithmetic; the oracle replays tokenize + spans + trim
+    // end-to-end.
+    "q_substring_dedup_tok" -> ((s, dir) => {
+      Dedup.duplicateTokenSpanPairs(t(s, dir, "documents"), "doc_id", "text",
+          minTokens = 50, merges = bpeMergesFixture,
+          maxBucketSize = 0, byMd5 = true)
+        .orderBy("id_a", "tok_start_a", "id_b", "tok_start_b", "n_tokens")
+    }),
+
     // -------- dedup: exact substring strip (cut non-first copies) -----
     "q_substring_strip" -> ((s, dir) => {
       import s.implicits._
@@ -3186,7 +3200,95 @@ object SparkEntry {
       |     id_b, (pb - l)::INT AS start_b, (25 + l + r)::INT AS len
       |   FROM ex2 WHERE 25 + l + r >= 50)""".stripMargin
 
+  /** q_substring_dedup_tok oracle: end-to-end replay of the token
+    * tier — the BPE replace-chain tokenizer (the q_bpe_tokens
+    * encoding: code points chr(31)-joined within words, words
+    * chr(30)-joined), word separators collapsed to chr(31) to form
+    * the surrogate text U, the span CTEs re-instantiated at
+    * k=49/w=51/minLen=99 (the 2·minTokens − 1 contract), then the
+    * whole-token trim + separator-count offset arithmetic — every
+    * step integer/md5-exact. */
+  private lazy val substringTokOracle: String = {
+    val chain = bpeMergesFixture.foldLeft("s0") { case (acc, (l, r)) =>
+      s"replace($acc, '$l' || chr(31) || '$r', '$l$r')"
+    }
+    s"""WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |     x -> len(x) > 0) AS words FROM documents),
+       | j AS (SELECT doc_id, array_to_string(
+       |     [array_to_string([word[i] for i in range(1, len(word)+1)], chr(31))
+       |      for word in words], chr(30)) AS s0
+       |   FROM w0 WHERE len(words) >= 1),
+       | m AS (SELECT doc_id, $chain AS s FROM j),
+       | d AS (SELECT doc_id, replace(s, chr(30), chr(31)) AS text,
+       |     len(replace(s, chr(30), chr(31))) AS tl FROM m),
+       | g AS (SELECT doc_id, t.i::INT AS pos,
+       |     substr(md5(substr(text, t.i::INT, 49)), 1, 15) AS h
+       |   FROM d, unnest(range(1, greatest(tl - 47, 1))) AS t(i)),
+       | ky AS (SELECT doc_id, pos, h || lpad(pos::VARCHAR, 7, '0') AS key FROM g),
+       | wm AS (SELECT doc_id,
+       |     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN CURRENT ROW AND 50 FOLLOWING) AS mk,
+       |     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |       ROWS BETWEEN CURRENT ROW AND 50 FOLLOWING) AS cnt
+       |   FROM ky),
+       | an AS (SELECT DISTINCT doc_id, substr(mk, 1, 15) AS h,
+       |     substr(mk, 16)::INT AS pos FROM wm WHERE cnt = 51),
+       | pr AS (SELECT a.doc_id AS id_a, a.pos AS pa, b.doc_id AS id_b, b.pos AS pb
+       |   FROM an a JOIN an b ON a.h = b.h
+       |    AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))),
+       | cd AS (SELECT pr.id_a, pr.pa, pr.id_b, pr.pb,
+       |     da.text AS ta, db.text AS tb, da.tl AS la, db.tl AS lb
+       |   FROM pr JOIN d da ON pr.id_a = da.doc_id JOIN d db ON pr.id_b = db.doc_id
+       |   WHERE substr(da.text, pr.pa, 49) = substr(db.text, pr.pb, 49)),
+       | ex AS (SELECT id_a, pa, id_b, pb,
+       |     least(la - pa - 48, lb - pb - 48) AS maxr,
+       |     least(pa, pb) - 1 AS maxl, ta, tb FROM cd),
+       | ex2 AS (SELECT id_a, pa, id_b, pb, ta, tb,
+       |     coalesce(nullif(list_position(list_transform(range(1, maxr + 1),
+       |       o -> substr(ta, (pa + 48 + o)::INT, 1) = substr(tb, (pb + 48 + o)::INT, 1)),
+       |       false), 0) - 1, maxr)::INT AS r,
+       |     coalesce(nullif(list_position(list_transform(range(1, maxl + 1),
+       |       o -> substr(ta, (pa - o)::INT, 1) = substr(tb, (pb - o)::INT, 1)),
+       |       false), 0) - 1, maxl)::INT AS l
+       |   FROM ex),
+       | res AS (SELECT DISTINCT id_a, (pa - l)::INT AS start_a,
+       |     id_b, (pb - l)::INT AS start_b, (49 + l + r)::INT AS len
+       |   FROM ex2 WHERE 49 + l + r >= 99),
+       | tr0 AS (SELECT r.id_a, r.start_a, r.id_b, r.start_b, r.len,
+       |     da.text AS ua, db.text AS ub
+       |   FROM res r JOIN d da ON r.id_a = da.doc_id
+       |   JOIN d db ON r.id_b = db.doc_id),
+       | tr1 AS (SELECT *, substr(ua, start_a, len) AS sub,
+       |     ((start_a = 1 OR substr(ua, start_a - 1, 1) = chr(31)) AND
+       |      (start_b = 1 OR substr(ub, start_b - 1, 1) = chr(31))) AS kl,
+       |     ((start_a + len - 1 = len(ua) OR substr(ua, start_a + len, 1) = chr(31)) AND
+       |      (start_b + len - 1 = len(ub) OR substr(ub, start_b + len, 1) = chr(31))) AS kr
+       |   FROM tr0),
+       | tr2 AS (SELECT *,
+       |     CASE WHEN kl THEN 1
+       |          WHEN strpos(sub, chr(31)) > 0 THEN strpos(sub, chr(31)) + 1 END AS r0,
+       |     CASE WHEN kr THEN len(sub)
+       |          WHEN strpos(reverse(sub), chr(31)) > 0
+       |            THEN len(sub) - strpos(reverse(sub), chr(31)) END AS r1
+       |   FROM tr1),
+       | tr3 AS (SELECT *, substr(sub, r0, r1 - r0 + 1) AS core FROM tr2
+       |   WHERE r0 IS NOT NULL AND r1 IS NOT NULL AND r1 >= r0),
+       | tr4 AS (SELECT id_a,
+       |     (len(substr(ua, 1, start_a + r0 - 2))
+       |      - len(replace(substr(ua, 1, start_a + r0 - 2), chr(31), ''))) + 1 AS tok_start_a,
+       |     id_b,
+       |     (len(substr(ub, 1, start_b + r0 - 2))
+       |      - len(replace(substr(ub, 1, start_b + r0 - 2), chr(31), ''))) + 1 AS tok_start_b,
+       |     (len(core) - len(replace(core, chr(31), ''))) + 1 AS n_tokens
+       |   FROM tr3)
+       |SELECT DISTINCT id_a, tok_start_a::BIGINT AS tok_start_a,
+       |  id_b, tok_start_b::BIGINT AS tok_start_b, n_tokens::BIGINT AS n_tokens
+       |FROM tr4 WHERE n_tokens >= 50
+       |ORDER BY id_a, tok_start_a, id_b, tok_start_b, n_tokens""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_substring_dedup_tok" -> substringTokOracle,
     "q_substring_dedup" -> (substringSpanCtes +
       """
         |SELECT id_a, start_a, id_b, start_b, len FROM res

@@ -2217,4 +2217,91 @@ object Dedup {
               call_function("substring", t, st.getField("cur"), length(t)))))
           .as(text))
   }
+
+  /** TOKEN-granular exact substring dedup — Lee et al.'s published
+    * unit is 50 BPE tokens, not code points; this tier closes that
+    * fidelity gap as a thin wrapper over the char machinery:
+    *
+    *  1. BPE-tokenize ([[graft.functions.TextFunctions.bpeTokens]])
+    *     and join the token stream with U+001F (a separator that
+    *     cannot occur inside tokens — tokens are pieces of
+    *     whitespace-split words, and U+001F is neither whitespace nor
+    *     printable corpus text; same contract as the BPE oracle's
+    *     chr(31) encoding);
+    *  2. run [[duplicateSpanPairs]] on the surrogate text with char
+    *     minLen = 2·minTokens − 1: every token contributes ≥ 2 chars
+    *     (≥ 1 content char + its separator, last token exempt), so a
+    *     duplicated run of minTokens tokens spans ≥ that many chars —
+    *     complete recall survives the wrapping;
+    *  3. trim each maximal char span to WHOLE shared tokens: the
+    *     boundary fragments are kept only when the span sits on a
+    *     token boundary in BOTH docs (inner separators are shared
+    *     content, so the trimmed relative offsets are identical on
+    *     the two sides), then convert to token offsets by counting
+    *     separators — all columnar arithmetic on the candidate-sized
+    *     pair set, SQL-replayable for the oracle.
+    *
+    * Output: (id_a, tok_start_a, id_b, tok_start_b, n_tokens),
+    * starts 1-based in tokens, pairs with fewer than minTokens whole
+    * shared tokens dropped; precision exact (chars of real tokens are
+    * compared, never hashes). 100 TB: adds one zero-shuffle tokenize
+    * projection + candidate-sized trim arithmetic on top of the char
+    * tier's single anchor shuffle. */
+  def duplicateTokenSpanPairs(df: DataFrame, id: String, text: String,
+                              minTokens: Int,
+                              merges: Seq[(String, String)],
+                              maxBucketSize: Int = 1000,
+                              byMd5: Boolean = false): DataFrame = {
+    require(minTokens >= 3, s"minTokens must be >= 3, got $minTokens")
+    val sep = "\u001f"
+    val u = materializeOnce(df.select(col(id).as("__id"),
+      array_join(graft.functions.TextFunctions.bpeTokens(col(text), merges), sep)
+        .as("__u")))
+    val spans = duplicateSpanPairs(u, "__id", "__u",
+      2 * minTokens - 1, maxBucketSize, byMd5)
+    val j = spans
+      .join(u.select(col("__id").as("__ida"), col("__u").as("__ua")),
+        col("id_a") === col("__ida"))
+      .join(u.select(col("__id").as("__idb"), col("__u").as("__ub")),
+        col("id_b") === col("__idb"))
+    val ea = col("start_a") + col("len") - 1
+    val eb = col("start_b") + col("len") - 1
+    val atStartA = col("start_a") === 1 ||
+      col("__ua").substr(col("start_a") - 1, lit(1)) === sep
+    val atStartB = col("start_b") === 1 ||
+      col("__ub").substr(col("start_b") - 1, lit(1)) === sep
+    val atEndA = ea === length(col("__ua")) ||
+      col("__ua").substr(ea + 1, lit(1)) === sep
+    val atEndB = eb === length(col("__ub")) ||
+      col("__ub").substr(eb + 1, lit(1)) === sep
+    val sub = col("__ua").substr(col("start_a"), col("len"))
+    val trimmed = j
+      .withColumn("__sub", sub)
+      // relative [r0, r1] of the whole-token core inside the span;
+      // null = no complete token boundary inside → pair drops
+      .withColumn("__r0", when(atStartA && atStartB, lit(1))
+        .when(locate(sep, col("__sub")) > 0, locate(sep, col("__sub")) + 1))
+      .withColumn("__r1", when(atEndA && atEndB, length(col("__sub")))
+        .when(locate(sep, reverse(col("__sub"))) > 0,
+          length(col("__sub")) - locate(sep, reverse(col("__sub")))))
+      .where(col("__r0").isNotNull && col("__r1").isNotNull &&
+        col("__r1") >= col("__r0"))
+      .withColumn("__core",
+        col("__sub").substr(col("__r0"), col("__r1") - col("__r0") + 1))
+      .withColumn("n_tokens",
+        (length(col("__core")) -
+          length(regexp_replace(col("__core"), sep, "")) + 1).cast("long"))
+      .where(col("n_tokens") >= minTokens)
+    def tokStart(uCol: Column, charStart: Column): Column = {
+      val pre = uCol.substr(lit(1), charStart - 1)
+      (length(pre) - length(regexp_replace(pre, sep, "")) + 1).cast("long")
+    }
+    trimmed
+      .select(col("id_a"),
+        tokStart(col("__ua"), col("start_a") + col("__r0") - 1).as("tok_start_a"),
+        col("id_b"),
+        tokStart(col("__ub"), col("start_b") + col("__r0") - 1).as("tok_start_b"),
+        col("n_tokens"))
+      .distinct()
+  }
 }

@@ -870,6 +870,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateTokenSpanPairs: planted token runs, whole-token trim, tiers agree") {
+    // merges join letters our words avoid (t/h/e/i/n/g), so every
+    // token is a single code point — expected counts are countable by
+    // hand: s1q..s9q = 3 tokens, s10q..s30q = 4 → S = 111 tokens
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"))
+    val S = (1 to 30).map(i => s"s${i}q").mkString(" ")
+    val R = "r1q " + (2 to 30).map(i => s"s${i}q").mkString(" ")
+    val docs = Seq(
+      (1L, "ab cd " + S + " qq"),
+      (2L, "xy zz w " + S + " ss"),
+      (3L, "xy zz w " + R + " ss")).toDF("id", "text")
+    def run(minTokens: Int, byMd5: Boolean) =
+      Dedup.duplicateTokenSpanPairs(docs, "id", "text", minTokens, merges,
+          maxBucketSize = 0, byMd5 = byMd5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    // (1,2): S itself, boundary fragments trimmed both sides;
+    // (1,3): S minus its first token ('1' onward — the span starts at
+    //        a mid-run token boundary shared by both docs);
+    // (2,3): '1' onward PLUS the shared " ss" tail (span runs to the
+    //        end of both strings — the keep-at-boundary branch)
+    val expect = Set(
+      (1L, 5L, 2L, 6L, 111L),
+      (1L, 6L, 3L, 7L, 110L),
+      (2L, 7L, 3L, 7L, 112L))
+    val got = run(50, byMd5 = true)
+    assert(got == expect, s"got ${got.toSeq.sorted}")
+    assert(run(50, byMd5 = false) == expect, "xxhash tier must agree")
+    // sub-threshold shared runs stay invisible
+    assert(run(120, byMd5 = true).isEmpty)
+  }
+
   test("stripDuplicateSpans: non-first occurrences cut, splice code-point exact") {
     val shared = "this duplicated sentence is definitely longer than fifty characters total"
     val docs = Seq(
