@@ -311,7 +311,13 @@ object SparkEntry {
     // classifier-eval family (chunked cumulative windows, no
     // single-partition sort)
     "q_mojibake", "q_entropy", "q_pr_curve", "q_auc", "q_calibration",
-    "q_key_skew", "q_readability")
+    "q_key_skew", "q_readability",
+    // r11: perceptual-hash media near-dup (aHash + pigeonhole),
+    // trigram KN (one trigram aggregate + 4 derived), k-core peel
+    // (3 guarded-broadcast rounds), token-granular substring dedup
+    // (tokenize + anchor shuffle + trim), code-vs-prose projection
+    "q_media_neardup", "q_kneser_ney3", "q_kcore",
+    "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -662,6 +668,11 @@ object SparkEntry {
     // window where Spark's shortest-repr rounding can diverge from
     // DuckDB's raw-double rounding. The min shrinks ~30× per 10×
     // nodes, so beyond ~sf10 re-profile before trusting hash-exact.
+    // r11 sf1-SCALE re-profile (synthetic 6M-edge / 1.67M-node
+    // bipartite graph with hash-scattered degrees, same replay
+    // recipe): per-round minima 1.0e-17 / 2.9e-17 / 1.7e-17 — the
+    // tightest is ~1.2e4 ulps of its value, so the gate holds with
+    // 3-4 orders of magnitude to spare at 10× the bench scale.
     "q_pagerank" -> ((s, dir) => {
       import s.implicits._
       Corpus.pageRank(t(s, dir, "lineitem"),
@@ -699,6 +710,10 @@ object SparkEntry {
     // HALF_UP boundary is 5.2e-17 at sf0.01 (~2.6e7 ulps of
     // score≈1e-8) and 3.4e-18 at sf0.1 (~1.7e6 ulps) — far above the
     // few-ulp cross-engine window. Re-profile beyond ~sf10.
+    // r11 sf1-SCALE re-profile (synthetic 12M-edge layered graph,
+    // same recipe): per-round/side minima 1.7e-13 / 5.0e-18 /
+    // 1.5e-17 / 3.1e-18 — the tightest sits ~6e3 ulps of its value;
+    // the gate holds at 10× the bench scale.
     "q_hits" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -741,6 +756,21 @@ object SparkEntry {
           concat(lit("p"), $"l_partkey".cast("string")),
           k = 5, iters = 3)
         .orderBy("node")
+    }),
+
+    // -------- corpus: KMV distinct-count estimate ----------------------
+    // Bottom-k cardinality sketch per l_returnflag over l_partkey —
+    // the md5 hash tier makes the estimate a pure function of the
+    // value set (partitioning-independent, SQL-replayable): the
+    // oracle window-ranks the distinct prefixes, decodes the 256th,
+    // and replays the one exact IEEE division. Groups stay under k at
+    // sf0.001 (exact path) and exceed it from sf0.01 (estimator path)
+    // — both branches land in the gate across the SF ladder.
+    "q_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.distinctCountEstimate(t(s, dir, "lineitem"),
+          Seq($"l_returnflag"), $"l_partkey", k = 256)
+        .orderBy("l_returnflag")
     }),
 
     // -------- corpus: heavy hitters (MG sketch + exact recount) -------
@@ -3082,6 +3112,32 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_kmv_distinct oracle: distinct (key, md5-15-hex-prefix) pairs
+    * window-ranked per key, the 256th prefix decoded to its 60-bit
+    * value by a digit fold (fixed-width hex sorts lexicographically
+    * = numerically, so the STRING rank picks the right one), then
+    * the estimator's exact IEEE arithmetic replayed operation for
+    * operation. Groups below k report their exact distinct count. */
+  private lazy val kmvOracle: String = {
+    val decode = (1 to 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${w}"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT DISTINCT l_returnflag AS key,
+       |     substr(md5(l_partkey::VARCHAR), 1, 15) AS hx
+       |   FROM lineitem WHERE l_partkey IS NOT NULL),
+       | c AS (SELECT key, count(*) AS cnt FROM v GROUP BY key),
+       | r AS (SELECT key, hx,
+       |     row_number() OVER (PARTITION BY key ORDER BY hx) AS rn FROM v),
+       | kth AS (SELECT key, ($decode)::BIGINT AS hk FROM r WHERE rn = 256)
+       |SELECT c.key AS l_returnflag, least(c.cnt, 256)::BIGINT AS kept,
+       |  CASE WHEN c.cnt < 256 THEN c.cnt::DOUBLE
+       |       ELSE (255.0 * 1152921504606846976.0) / kth.hk::DOUBLE END
+       |    AS est_distinct
+       |FROM c LEFT JOIN kth ON c.key = kth.key
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** q_kcore oracle: the 3 peel rounds unrolled into chained CTEs
     * (the q_pagerank recipe with integer degrees — no fp anywhere),
     * generated by the same loop bound as the query's `iters`. */
@@ -5146,6 +5202,7 @@ object SparkEntry {
         |SELECT node, count(*)::BIGINT AS triangles FROM n
         |GROUP BY node ORDER BY node""".stripMargin,
     "q_kcore" -> kCoreOracle,
+    "q_kmv_distinct" -> kmvOracle,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |   FROM documents),

@@ -535,6 +535,39 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == run(share))
   }
 
+  test("distinctCountEstimate: exact below k, md5-exact estimator, partition invariance") {
+    def md560(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // below k: the sketch IS exact
+    val small = (1 to 100).map(i => ("g", (i % 30).toString)).toDF("key", "v")
+    val es = Corpus.distinctCountEstimate(small, Seq(col("key")), col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(es.toSeq == Seq(("g", 30L, 30.0)))
+    // above k: the estimate is a PURE function of the value set —
+    // replicate it exactly in the driver, assert bit equality across
+    // partitionings (exercises reduce insert paths AND merge)
+    val vals = (1 to 5000).map(_.toString)
+    val hs = vals.map(md560).distinct.sorted
+    val expected = 63.0 * 1152921504606846976.0 / hs(63).toDouble
+    for (parts <- Seq(1, 13)) {
+      val big = vals.map(v => ("g", v)).toDF("key", "v").repartition(parts)
+      val got = Corpus.distinctCountEstimate(big, Seq(col("key")), col("v"), k = 64)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((64L, expected)), s"parts=$parts")
+    }
+    assert(math.abs(expected / 5000.0 - 1.0) < 0.3) // ~1/sqrt(64) error regime
+    // nulls ignored; key groups independent
+    val mixed = Seq(("a", "x"), ("a", null), ("b", "x"), ("b", "y"))
+      .toDF("key", "v")
+    val m = Corpus.distinctCountEstimate(mixed, Seq(col("key")), col("v"), k = 16)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(m.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
+  }
+
   test("kCore: multi-round cascade, brute-force equality, broadcast-path invariance") {
     def brute(edges: Seq[(String, String)], k: Int, iters: Int): Map[String, Long] = {
       var e = edges.filter(p => p._1 != p._2)
