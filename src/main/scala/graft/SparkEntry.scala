@@ -317,7 +317,8 @@ object SparkEntry {
     // (3 guarded-broadcast rounds), token-granular substring dedup
     // (tokenize + anchor shuffle + trim), code-vs-prose projection
     "q_media_neardup", "q_kneser_ney3", "q_kcore",
-    "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct")
+    "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct",
+    "q_quantiles")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -756,6 +757,18 @@ object SparkEntry {
           concat(lit("p"), $"l_partkey".cast("string")),
           k = 5, iters = 3)
         .orderBy("node")
+    }),
+
+    // -------- corpus: exact quantiles (no global sort) -----------------
+    // Type-1 order-statistic quantiles of l_extendedprice — pure
+    // SELECTION (rank k = clamp(ceil(p·n), 1, n)), so the values are
+    // bit-exact cross-engine with no rounding; the chunked machinery
+    // keeps the sort local to the few chunks holding a requested rank.
+    "q_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.exactQuantiles(t(s, dir, "lineitem"), $"l_extendedprice",
+          Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .orderBy("prob")
     }),
 
     // -------- corpus: KMV distinct-count estimate ----------------------
@@ -5203,6 +5216,21 @@ object SparkEntry {
         |GROUP BY node ORDER BY node""".stripMargin,
     "q_kcore" -> kCoreOracle,
     "q_kmv_distinct" -> kmvOracle,
+    // type-1 quantiles: rank arithmetic mirrored (ceil on the DOUBLE
+    // product, clamped), selection via a window rank — no value
+    // arithmetic anywhere, so no rounding
+    "q_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+        |   WHERE l_extendedprice IS NOT NULL),
+        | nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        | q(p) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)),
+        | k AS (SELECT p::DOUBLE AS prob,
+        |     greatest(1, least((SELECT n FROM nn),
+        |       ceil(p::DOUBLE * (SELECT n FROM nn)::DOUBLE)::BIGINT)) AS rank
+        |   FROM q),
+        | o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT k.prob, o.x AS value, k.rank FROM k JOIN o ON o.rn = k.rank
+        |ORDER BY prob""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |   FROM documents),

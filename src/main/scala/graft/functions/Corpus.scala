@@ -1280,6 +1280,66 @@ object Corpus {
       ExpressionEncoder[Seq[String]]()
   }
 
+  /** EXACT quantiles of a numeric column without a global sort — the
+    * distribution pre-flight (sequence-length percentiles, score
+    * cutoffs) where `percentile_approx` won't do because the number
+    * feeds a reproducible gate. Type-1 (lower order-statistic)
+    * quantiles: rank k = clamp(ceil(p·n), 1, n) — pure SELECTION, no
+    * interpolation arithmetic, so the returned values are bit-exact
+    * in any engine.
+    *
+    * Scale shape (the hashRank/prCurve chunk recipe aimed at VALUE
+    * order): one stats pass, one per-chunk count aggregate (≤ chunks
+    * rows to the driver), then ONE window over only the chunks that
+    * contain a requested rank — each a ~n/chunks-row local sort, no
+    * single-partition global sort. A point-mass distribution
+    * degenerates one chunk to a large local sort (any exact selection
+    * pays it somewhere); the all-equal case short-circuits entirely.
+    * Output: (prob, value, rank), ordered by prob. */
+  def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
+                     chunks: Int = 256): DataFrame = {
+    require(probs.nonEmpty, "exactQuantiles needs at least one prob")
+    require(probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0, 1], got $probs")
+    require(chunks >= 1, s"chunks $chunks must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = Dedup.materializeLazily(
+      df.select(value.cast("double").as("__x")).where(col("__x").isNotNull))
+    val st = v.agg(min(col("__x")), max(col("__x")), count(lit(1))).head()
+    if (st.isNullAt(0))
+      return Seq.empty[(Double, Double, Long)].toDF("prob", "value", "rank")
+    val lo = st.getDouble(0); val hi = st.getDouble(1); val n = st.getLong(2)
+    val ks = probs.map(p => math.max(1L, math.min(n, math.ceil(p * n).toLong)))
+    if (lo == hi) // point mass: every quantile IS that value
+      return probs.zip(ks).map { case (p, k) => (p, lo, k) }
+        .toDF("prob", "value", "rank").orderBy("prob")
+    val withC = v.withColumn("__chunk",
+      least(lit(chunks - 1), greatest(lit(0),
+        floor((col("__x") - lit(lo)) / lit(hi - lo) * chunks).cast("int"))))
+    val per = withC.groupBy(col("__chunk")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // driver prefix walk: (chunk, local rank) for each requested rank
+    val targets = ks.zip(probs).map { case (k, p) =>
+      var acc = 0L
+      var found: (Int, Long) = null
+      per.foreach { case (c, cnt) =>
+        if (found == null && k <= acc + cnt) found = (c, k - acc)
+        acc += cnt
+      }
+      (found._1, found._2, p, k)
+    }
+    val tdf = broadcast(targets.toDF("__tc", "__lr", "prob", "rank"))
+    val needed = targets.map(_._1).distinct
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__x"))
+    withC.where(col("__chunk").isin(needed.map(c => c: Any): _*))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .join(tdf, col("__chunk") === col("__tc") && col("__rn") === col("__lr"))
+      .select(col("prob"), col("__x").as("value"), col("rank"))
+      .orderBy("prob")
+  }
+
   /** KMV buffer: the `maxK` smallest distinct 60-bit hash values seen,
     * kept sorted ascending in a fixed array (in-place, the
     * MisraGriesAgg mutation contract). */

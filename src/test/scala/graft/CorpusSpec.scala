@@ -535,6 +535,39 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == run(share))
   }
 
+  test("exactQuantiles: == sorted-selection reference; edges; chunk/partition invariance") {
+    def ref(xs: Seq[Double], probs: Seq[Double]): Seq[(Double, Double, Long)] = {
+      val s = xs.sorted
+      probs.map { p =>
+        val k = math.max(1L, math.min(s.size.toLong, math.ceil(p * s.size).toLong))
+        (p, s((k - 1).toInt), k)
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    // heavy ties + outliers: selection must not care about tie order
+    val xs = (1 to 3000).map(_ => (rnd.nextInt(40) - 5) * 1.25) ++
+      Seq(1e9, -1e9) ++ Seq.fill(200)(7.5)
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val want = ref(xs, probs)
+    for (chunks <- Seq(1, 7, 256); parts <- Seq(1, 13)) {
+      val got = Corpus.exactQuantiles(
+          xs.map(Tuple1(_)).toDF("x").repartition(parts), col("x"), probs, chunks)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(got == want, s"chunks=$chunks parts=$parts")
+    }
+    // point mass short-circuit; nulls dropped; tiny n < chunks
+    val pm = Seq.fill(50)(3.25).map(Tuple1(_)).toDF("x")
+    assert(Corpus.exactQuantiles(pm, col("x"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+      == Seq((0.5, 3.25, 25L), (1.0, 3.25, 50L)))
+    val withNull = Seq(Some(1.0), None, Some(2.0), Some(3.0))
+      .toDF("x")
+    assert(Corpus.exactQuantiles(withNull, col("x"), Seq(0.5), chunks = 256)
+      .head().getDouble(1) == 2.0)
+    assert(Corpus.exactQuantiles(
+      Seq.empty[Double].map(Tuple1(_)).toDF("x"), col("x"), Seq(0.5)).isEmpty)
+  }
+
   test("distinctCountEstimate: exact below k, md5-exact estimator, partition invariance") {
     def md560(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
