@@ -318,7 +318,7 @@ object SparkEntry {
     // (tokenize + anchor shuffle + trim), code-vs-prose projection
     "q_media_neardup", "q_kneser_ney3", "q_kcore",
     "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct",
-    "q_quantiles")
+    "q_quantiles", "q_quantiles_by")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -769,6 +769,16 @@ object SparkEntry {
       Corpus.exactQuantiles(t(s, dir, "lineitem"), $"l_extendedprice",
           Seq(0.01, 0.25, 0.5, 0.75, 0.99))
         .orderBy("prob")
+    }),
+
+    // -------- corpus: per-key exact quantiles --------------------------
+    // Median and p90 token count per language — the grouped twin
+    // (keyed window + target-rank join); selection only, no rounding.
+    "q_quantiles_by" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.exactQuantilesBy(t(s, dir, "documents"), Seq($"lang"),
+          size(TextFunctions.tokens($"text")), Seq(0.5, 0.9))
+        .orderBy("lang", "prob")
     }),
 
     // -------- corpus: KMV distinct-count estimate ----------------------
@@ -5231,6 +5241,20 @@ object SparkEntry {
         | o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
         |SELECT k.prob, o.x AS value, k.rank FROM k JOIN o ON o.rn = k.rank
         |ORDER BY prob""".stripMargin,
+    "q_quantiles_by" ->
+      """WITH v AS (SELECT lang, len(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0))::DOUBLE AS x
+        |   FROM documents),
+        | n AS (SELECT lang, count(*)::BIGINT AS n FROM v GROUP BY lang),
+        | q(p) AS (VALUES (0.5), (0.9)),
+        | k AS (SELECT n.lang, p::DOUBLE AS prob,
+        |     greatest(1, least(n.n, ceil(p::DOUBLE * n.n::DOUBLE)::BIGINT)) AS rank
+        |   FROM n CROSS JOIN q),
+        | o AS (SELECT lang, x,
+        |     row_number() OVER (PARTITION BY lang ORDER BY x) AS rn FROM v)
+        |SELECT k.lang, k.prob, o.x AS value, k.rank
+        |FROM k JOIN o ON o.lang = k.lang AND o.rn = k.rank
+        |ORDER BY k.lang, prob""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |   FROM documents),

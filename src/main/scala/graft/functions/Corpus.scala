@@ -1340,6 +1340,39 @@ object Corpus {
       .orderBy("prob")
   }
 
+  /** Per-key exact quantiles — the grouped twin of [[exactQuantiles]]
+    * ("p95 sequence length per source/domain"). One keyed window
+    * (row_number over value — Spark's spilling sort per key, the
+    * standard per-key-draw shape) + one per-key count aggregate whose
+    * ≤ |keys|·|probs| target-rank table joins back on (key, rank).
+    * Type-1 selection: no value arithmetic, bit-exact cross-engine.
+    * Ties are safe: equal values give the same VALUE at the rank
+    * regardless of tie order. Per-key cardinality is the scale bound
+    * (a pathological hot key external-sorts in one task — audit with
+    * [[keySkewReport]]); use [[exactQuantiles]] for global ranks.
+    * Output: (keys..., prob, value, rank). */
+  def exactQuantilesBy(df: DataFrame, keys: Seq[Column], value: Column,
+                       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "exactQuantilesBy needs at least one prob")
+    require(probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0, 1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select((keys :+ value.cast("double").as("__x")): _*)
+      .where(col("__x").isNotNull)
+    val keyNames = v.columns.dropRight(1).toIndexedSeq
+    val targets = v.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("prob", explode(array(probs.map(lit): _*)))
+      .withColumn("rank", greatest(lit(1L), least(col("__n"),
+        ceil(col("prob") * col("__n").cast("double")))))
+      .drop("__n")
+    val w = Window.partitionBy(keyNames.map(col): _*).orderBy(col("__x"))
+    v.withColumn("rank", row_number().over(w).cast("long"))
+      .join(targets, keyNames :+ "rank")
+      .select((keyNames.map(col) :+ col("prob") :+
+        col("__x").as("value") :+ col("rank")): _*)
+  }
+
   /** KMV buffer: the `maxK` smallest distinct 60-bit hash values seen,
     * kept sorted ascending in a fixed array (in-place, the
     * MisraGriesAgg mutation contract). */

@@ -568,6 +568,33 @@ class CorpusSpec extends AnyFunSuite {
       Seq.empty[Double].map(Tuple1(_)).toDF("x"), col("x"), Seq(0.5)).isEmpty)
   }
 
+  test("exactQuantilesBy: per-key sorted-selection reference; singleton keys; nulls") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 600).map(i =>
+      (s"k${i % 4}", (rnd.nextInt(25) * 0.5))) ++ Seq(("solo", 42.0))
+    val probs = Seq(0.25, 0.5, 1.0)
+    val want = rows.groupBy(_._1).flatMap { case (key, g) =>
+      val s = g.map(_._2).sorted
+      probs.map { p =>
+        val k = math.max(1L, math.min(s.size.toLong, math.ceil(p * s.size).toLong))
+        (key, p, s((k - 1).toInt), k)
+      }
+    }.toSet
+    for (parts <- Seq(1, 11)) {
+      val got = Corpus.exactQuantilesBy(
+          rows.toDF("key", "x").repartition(parts), Seq(col("key")), col("x"), probs)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+    // nulls dropped per key
+    val wn = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("key", "x")
+    val g = Corpus.exactQuantilesBy(wn, Seq(col("key")), col("x"), Seq(0.5))
+      .head()
+    assert(g.getDouble(2) == 1.0 && g.getLong(3) == 1L)
+  }
+
   test("distinctCountEstimate: exact below k, md5-exact estimator, partition invariance") {
     def md560(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
