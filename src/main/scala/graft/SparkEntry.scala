@@ -318,7 +318,7 @@ object SparkEntry {
     // (tokenize + anchor shuffle + trim), code-vs-prose projection
     "q_media_neardup", "q_kneser_ney3", "q_kcore",
     "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct",
-    "q_quantiles", "q_quantiles_by")
+    "q_quantiles", "q_quantiles_by", "q_split_safe")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2487,6 +2487,25 @@ object SparkEntry {
         maxBucketSize = 0)
       Dedup.connectedComponents(pairs)
         .select($"id".as("doc_id"), $"component")
+        .orderBy("doc_id")
+    }),
+
+    // -------- dedup: leakage-safe train/holdout split ------------------
+    // Whole near-dup clusters land on one side (a per-doc hash split
+    // leaks near-duplicates of test docs into train — contamination
+    // the decontamination pass can't see). Same verified pair family
+    // + components as q_dedup_clusters; the draw is splitByMd5's exact
+    // rule on the cluster representative.
+    "q_split_safe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
+        maxBucketSize = 0)
+      val (train, holdout) = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+        holdoutNumer = 1, holdoutDenom = 5)
+      train.select($"doc_id", lit("train").as("split"))
+        .union(holdout.select($"doc_id", lit("holdout").as("split")))
         .orderBy("doc_id")
     }),
 
@@ -4773,6 +4792,24 @@ object SparkEntry {
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "q_split_safe" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id,
+        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+        |  FROM documents),
+        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+        | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(src, dst) AS (SELECT src, dst FROM ee
+        |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
+        | comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        | g AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id,
+        | CASE WHEN ('0x' || substr(md5(CAST(grp AS VARCHAR) || '42'), 1, 15))::BIGINT % 5 < 1
+        |      THEN 'holdout' ELSE 'train' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster_survivors" ->
       """WITH RECURSIVE sh AS (SELECT doc_id,
         |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh

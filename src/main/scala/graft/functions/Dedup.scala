@@ -1448,6 +1448,34 @@ object Dedup {
     df.join(losers, col(id) === col("__drop"), "left_anti")
   }
 
+  /** Leakage-safe train/holdout split: assign whole NEAR-DUP CLUSTERS
+    * to one side, never individual documents — the split every
+    * benchmark-hygiene audit assumes and naive per-doc hashing breaks
+    * (a near-duplicate of a test document sitting in train is
+    * contamination the decontamination pass can't see, because it
+    * arrives through the split itself). Pairs come from the caller's
+    * chosen family (minhash LSH, simhash, embedding near-dup — the
+    * [[dropNearDupsByCluster]] contract), clusters via
+    * [[connectedComponents]], and the holdout draw is the exact
+    * md5-threshold rule of [[graft.functions.Corpus.splitByMd5]]
+    * applied to the cluster REPRESENTATIVE (unpaired docs are their
+    * own cluster), so the split stays deterministic across retries /
+    * repartitioning / incremental reruns AND SQL-replayable.
+    * Returns (train, holdout) with the input schema. */
+  def leakageSafeSplit(df: DataFrame, id: String, pairs: DataFrame,
+                       holdoutNumer: Int, holdoutDenom: Int,
+                       seed: Long = 42L): (DataFrame, DataFrame) = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__lcid"), col("component").as("__lcomp"))
+    val withG = df
+      .join(comp, col(id) === col("__lcid"), "left")
+      .withColumn("__lgrp", coalesce(col("__lcomp"), col(id)))
+    val (train, holdout) = graft.functions.Corpus.splitByMd5(
+      withG, col("__lgrp"), holdoutNumer, holdoutDenom, seed)
+    (train.drop("__lcid", "__lcomp", "__lgrp"),
+      holdout.drop("__lcid", "__lcomp", "__lgrp"))
+  }
+
   /** All ordered pairs (id_a < id_b, strictly) from a sorted id array —
     * the in-bucket pair emission of the LSH/pigeonhole designs. Columnar
     * (nested transform + flatten), evaluated after the bucket shuffle,

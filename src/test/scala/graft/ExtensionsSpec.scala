@@ -870,6 +870,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: clusters never straddle, md5 rule exact, partition invariance") {
+    def md560(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // planted clusters: chain {1,2,3} (transitive — only (1,2),(2,3)
+    // paired), pair {10,11}, singletons 20..29
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 29L))
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def run(parts: Int): Map[Long, String] = {
+      val (tr, ho) = Dedup.leakageSafeSplit(docs.repartition(parts), "doc_id",
+        pairs, holdoutNumer = 2, holdoutDenom = 5, seed = 42L)
+      (tr.collect().map(_.getLong(0) -> "train") ++
+        ho.collect().map(_.getLong(0) -> "holdout")).toMap
+    }
+    val got = run(3)
+    assert(got.keySet == (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 29L)).toSet)
+    // whole clusters on one side
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(10L) == got(11L))
+    // the draw is exactly splitByMd5's rule on the cluster representative
+    def expect(grp: Long): String =
+      if (md560(grp.toString + "42") % 5 < 2) "holdout" else "train"
+    assert(got(1L) == expect(1L) && got(2L) == expect(1L) && got(3L) == expect(1L))
+    assert(got(10L) == expect(10L) && got(11L) == expect(10L))
+    (20L to 29L).foreach(i => assert(got(i) == expect(i), s"singleton $i"))
+    // both sides nonempty on this fixture and deterministic across partitionings
+    assert(got.values.toSet == Set("train", "holdout"))
+    assert(run(1) == got)
+    // schema passes through untouched
+    val (tr, _) = Dedup.leakageSafeSplit(docs, "doc_id", pairs, 1, 5)
+    assert(tr.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("duplicateTokenSpanPairs: planted token runs, whole-token trim, tiers agree") {
     // merges join letters our words avoid (t/h/e/i/n/g), so every
     // token is a single code point — expected counts are countable by
