@@ -374,4 +374,35 @@ class PlanSpec extends AnyFunSuite {
     // equi-joins only (position length join-back + the left joins)
     assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("round-11 shapes: guarded broadcasts, chunked windows, equi-joins only") {
+    // k-core: per-round guard joins EXECUTE during the loop's
+    // materializations (they can't appear in the returned plan — it
+    // reads the final materialized edge set; the broadcast-vs-shuffled
+    // equality is behaviorally spec'd in CorpusSpec). The returned
+    // plan must stay the bare degree aggregate: no joins at all.
+    val pk = planOf("q_kcore")
+    assert(!pk.contains("SortMergeJoin") && !pk.contains("CartesianProduct")
+      && pk.contains("graft-materialized"),
+      s"q_kcore output plan grew unexpected operators:\n${pk.take(3000)}")
+    // triangles (intersect default): adjacency sides broadcast under
+    // the cap and the contrib generator stays a Generate over the
+    // inline kernel — never a wedge SortMergeJoin
+    val pt = planOf("q_triangles")
+    assert(pt.contains("BroadcastHashJoin") && pt.contains("Generate"),
+      s"q_triangles lost the broadcast-adjacency intersect shape:\n${pt.take(3000)}")
+    assert(pt.contains("triangle_contrib"), "contrib kernel not inline")
+    // exact quantiles: the selection window is PARTITIONED by the
+    // value-range chunk (never a single-partition global sort of the
+    // data; the final 5-row orderBy is the only global sort)
+    val pq = planOf("q_quantiles")
+    assert(pq.contains("__chunk"), s"q_quantiles lost the chunked window:\n${pq.take(3000)}")
+    // media near-dup: pairing is the pigeonhole EQUI-join — no
+    // cartesian/theta anywhere (the aHash projection itself sits
+    // behind the fingerprint materialization, like every simhash fp)
+    val pm = planOf("q_media_neardup")
+    assert(!pm.contains("CartesianProduct") && !pm.contains("BroadcastNestedLoopJoin"),
+      s"q_media_neardup went all-pairs:\n${pm.take(3000)}")
+    assert(pm.contains("Join"), "pigeonhole equi-join missing")
+  }
 }
