@@ -3310,7 +3310,8 @@ object SparkEntry {
     val chain = bpeMergesFixture.foldLeft("s0") { case (acc, (l, r)) =>
       s"replace($acc, '$l' || chr(31) || '$r', '$l$r')"
     }
-    s"""WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+    s"""WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(
+       |     regexp_replace(text, '[\\x{001E}\\x{001F}]', '', 'g'), '\\s+'),
        |     x -> len(x) > 0) AS words FROM documents),
        | j AS (SELECT doc_id, array_to_string(
        |     [array_to_string([word[i] for i in range(1, len(word)+1)], chr(31))
@@ -5174,7 +5175,9 @@ object SparkEntry {
         |       ELSE len(regexp_extract_all(t, '[{}()\[\]]'))::DOUBLE
         |          / len(t)::DOUBLE END AS brace_frac,
         |  CASE WHEN len(lines) = 0 THEN 0.0
-        |       ELSE len(list_filter(lines, x -> regexp_matches(rtrim(x), ';$')))::DOUBLE
+        |       ELSE len(list_filter(lines, x -> ends_with(
+        |            regexp_replace(x, '[ \r\x{0085}\x{2028}\x{2029}]+$', ''),
+        |            ';')))::DOUBLE
         |          / len(lines)::DOUBLE END AS semi_line_frac,
         |  CASE WHEN len(lines) = 0 THEN 0.0
         |       ELSE len(list_filter(lines, x -> regexp_matches(x, '^(  |\t)')))::DOUBLE

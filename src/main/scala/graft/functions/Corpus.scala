@@ -1347,7 +1347,10 @@ object Corpus {
     * ≤ |keys|·|probs| target-rank table joins back on (key, rank).
     * Type-1 selection: no value arithmetic, bit-exact cross-engine.
     * Ties are safe: equal values give the same VALUE at the rank
-    * regardless of tie order. Per-key cardinality is the scale bound
+    * regardless of tie order. NULL keys form their own group (the
+    * target-rank join is null-safe `<=>`, matching groupBy/window
+    * semantics — same contract as [[distinctCountEstimate]]); NULL
+    * VALUES are dropped. Per-key cardinality is the scale bound
     * (a pathological hot key external-sorts in one task — audit with
     * [[keySkewReport]]); use [[exactQuantiles]] for global ranks.
     * Output: (keys..., prob, value, rank). */
@@ -1367,10 +1370,15 @@ object Corpus {
         ceil(col("prob") * col("__n").cast("double")))))
       .drop("__n")
     val w = Window.partitionBy(keyNames.map(col): _*).orderBy(col("__x"))
-    v.withColumn("rank", row_number().over(w).cast("long"))
-      .join(targets, keyNames :+ "rank")
+    // null-safe key equality (<=>): a NULL key is a real group to
+    // groupBy/window, and a plain using-join would silently drop it
+    val tR = targets.select((keyNames.map(k => col(k).as(s"__t_$k")) :+
+      col("prob") :+ col("rank").as("__t_rank")): _*)
+    v.withColumn("__rank", row_number().over(w).cast("long"))
+      .join(tR, keyNames.map(k => col(k) <=> col(s"__t_$k"))
+        .reduce(_ && _) && col("__rank") === col("__t_rank"))
       .select((keyNames.map(col) :+ col("prob") :+
-        col("__x").as("value") :+ col("rank")): _*)
+        col("__x").as("value") :+ col("__rank").as("rank")): _*)
   }
 
   /** KMV buffer: the `maxK` smallest distinct 60-bit hash values seen,

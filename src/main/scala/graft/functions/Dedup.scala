@@ -2282,8 +2282,15 @@ object Dedup {
                               byMd5: Boolean = false): DataFrame = {
     require(minTokens >= 3, s"minTokens must be >= 3, got $minTokens")
     val sep = "\u001f"
+    // U+001E/U+001F are the surrogate separators (here and inside
+    // bpeTokens' word encoding); they are NOT regex whitespace, so a
+    // document carrying them would keep them inside tokens and corrupt
+    // the separator-count offset/trim arithmetic below. Strip them up
+    // front (mirrored in the oracle) so the separator contract holds
+    // on any input, not just clean corpora.
+    val cleaned = regexp_replace(col(text), "[\\x{001e}\\x{001f}]", "")
     val u = materializeOnce(df.select(col(id).as("__id"),
-      array_join(graft.functions.TextFunctions.bpeTokens(col(text), merges), sep)
+      array_join(graft.functions.TextFunctions.bpeTokens(cleaned, merges), sep)
         .as("__u")))
     val spans = duplicateSpanPairs(u, "__id", "__u",
       2 * minTokens - 1, maxBucketSize, byMd5)

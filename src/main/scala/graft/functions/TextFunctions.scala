@@ -502,7 +502,12 @@ object TextFunctions {
     * no rounding needed cross-engine), zero-shuffle, one projection:
     *
     *  - brace_frac: {}()[] code points / all code points
-    *  - semi_line_frac: non-blank lines ending ';' after space-rtrim
+    *  - semi_line_frac: non-blank lines ending ';' after stripping
+    *    trailing spaces AND line terminators (CR, NEL U+0085, LS
+    *    U+2028, PS U+2029 -- lines split on \n can legitimately end
+    *    in \r on CRLF text, and Java's non-MULTILINE `$` matches
+    *    BEFORE a final line terminator while RE2's matches only
+    *    end-of-string; stripping first keeps the two dialects exact)
     *  - indent_line_frac: non-blank lines starting with ≥2 spaces or
     *    a tab (the indent-run signature of formatted code)
     *  - keyword_tok_frac: whole tokens in `keywords`
@@ -523,7 +528,9 @@ object TextFunctions {
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
     val nl = size(lines)
     val semiLineFrac = when(nl === 0, lit(0.0))
-      .otherwise(size(filter(lines, l => rtrim(l).rlike(";$"))).cast("double") /
+      .otherwise(size(filter(lines, l =>
+        regexp_replace(l, "[ \\r\\x{0085}\\x{2028}\\x{2029}]+$", "")
+          .endsWith(";"))).cast("double") /
         nl.cast("double"))
     val indentLineFrac = when(nl === 0, lit(0.0))
       .otherwise(size(filter(lines, l => l.rlike("^(  |\\t)"))).cast("double") /

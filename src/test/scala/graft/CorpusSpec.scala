@@ -593,6 +593,13 @@ class CorpusSpec extends AnyFunSuite {
     val g = Corpus.exactQuantilesBy(wn, Seq(col("key")), col("x"), Seq(0.5))
       .head()
     assert(g.getDouble(2) == 1.0 && g.getLong(3) == 1L)
+    // a NULL KEY is a real group (null-safe target-rank join), not a
+    // silently dropped one
+    val nk = Seq((Option("a"), 1.0), (None, 5.0), (None, 7.0))
+      .toDF("key", "x")
+    val gn = Corpus.exactQuantilesBy(nk, Seq(col("key")), col("x"), Seq(1.0))
+      .where(col("key").isNull).head()
+    assert(gn.getDouble(2) == 7.0 && gn.getLong(3) == 2L)
   }
 
   test("distinctCountEstimate: exact below k, md5-exact estimator, partition invariance") {
