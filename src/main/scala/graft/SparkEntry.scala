@@ -3262,6 +3262,52 @@ object SparkEntry {
     * only (cnt = w) matches the Spark nh >= w gate; extension scans
     * chars via list comprehensions (no engine-specific LCP needed —
     * extension is pure string semantics). k=25, w=26, minLen=50. */
+  /** Shared edge-finding CTE block for the 5-gram J >= 0.9 near-dup
+    * oracle family (q_minhash_lsh, q_dup_matrix, the dedup-cluster
+    * closures, the curation survivors): yields CTE `e` = (src, dst),
+    * src < dst, true shingle-Jaccard >= 0.9 — IDENTICAL to the naive
+    * all-pairs `sh a JOIN sh b` form, but prefix-filtered (PPJoin
+    * family, Xiao et al. 2008): the all-pairs verify was ~30-100 s of
+    * DuckDB wall PER ORACLE at sf0.01 (the r11 empty-correctness-
+    * artifact suspect); this block measures ~1 s with a bit-identical
+    * edge set (diff'd both directions before the swap).
+    *
+    * Exactness: J = i/(na+nb-i) >= 0.9 implies
+    *  (a) min(na,nb)/max >= J (union >= max, intersect <= min), so the
+    *      integer length filter least*10 >= greatest*9 never drops a
+    *      true pair;
+    *  (b) a's shingles missing from b number na - i <= 0.1*na, an
+    *      integer, hence <= na//10 — so under ANY global total order
+    *      (here (document-frequency, shingle): consistent across docs,
+    *      ties broken by the shingle text) the smallest COMMON shingle
+    *      sits within the first na//10 + 1 of a's ordered list, and
+    *      symmetrically for b: every true pair shares a prefix
+    *      element. Candidates then re-verify with the exact
+    *      intersection count (inverted-index count restricted to
+    *      candidate pairs — same integers, same one IEEE division as
+    *      list_intersect/list_distinct(list_concat), since sh is
+    *      distinct so |union| = na + nb - i). */
+  private lazy val nearDupEdges5g09: String =
+    """sh AS (SELECT doc_id,
+      |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
+      |  FROM documents),
+      | u5 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS gr FROM sh),
+      | df5 AS (SELECT gr, count(*) AS df FROM u5 GROUP BY gr),
+      | rk5 AS (SELECT u5.doc_id, u5.n, u5.gr,
+      |    row_number() OVER (PARTITION BY u5.doc_id ORDER BY df5.df, u5.gr) AS r
+      |   FROM u5 JOIN df5 ON u5.gr = df5.gr),
+      | pref5 AS (SELECT doc_id, n, gr FROM rk5 WHERE r <= n // 10 + 1),
+      | cand5 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |   FROM pref5 a JOIN pref5 b ON a.gr = b.gr AND a.doc_id < b.doc_id
+      |   WHERE least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9),
+      | ix5 AS (SELECT c.src, c.dst, count(*) AS i
+      |   FROM cand5 c JOIN u5 a ON c.src = a.doc_id
+      |     JOIN u5 b ON c.dst = b.doc_id AND a.gr = b.gr
+      |   GROUP BY c.src, c.dst),
+      | e AS (SELECT ix5.src, ix5.dst
+      |   FROM ix5 JOIN sh a ON ix5.src = a.doc_id JOIN sh b ON ix5.dst = b.doc_id
+      |   WHERE ix5.i::DOUBLE / (len(a.sh) + len(b.sh) - ix5.i) >= 0.9)""".stripMargin
+
   private lazy val substringSpanCtes: String =
     """WITH d AS (SELECT doc_id, text, len(text) AS tl FROM documents),
       | g AS (SELECT doc_id, t.i::INT AS pos,
@@ -4763,43 +4809,26 @@ object SparkEntry {
         |FROM g WHERE atf >= 0.8 AND mean_word_len BETWEEN 2 AND 12
         |ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
-      """WITH sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM sh a JOIN sh b ON a.doc_id<b.doc_id
-        |WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9
+      s"""WITH $nearDupEdges5g09
+        |SELECT src AS id_a, dst AS id_b FROM e
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dup_matrix" ->
-      """WITH sh AS (SELECT doc_id, source,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | p AS (SELECT a.source AS sa, b.source AS sb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE
-        |        / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9)
+      s"""WITH $nearDupEdges5g09,
+        | p AS (SELECT da.source AS sa, db.source AS sb
+        |  FROM e JOIN documents da ON e.src = da.doc_id
+        |         JOIN documents db ON e.dst = db.doc_id)
         |SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
         |  count(*)::BIGINT AS n_pairs
         |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+      s"""WITH RECURSIVE $nearDupEdges5g09,
         | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         | reach(src, dst) AS (SELECT src, dst FROM ee
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src)
         |SELECT src AS doc_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q_split_safe" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+      s"""WITH RECURSIVE $nearDupEdges5g09,
         | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         | reach(src, dst) AS (SELECT src, dst FROM ee
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
@@ -4812,12 +4841,7 @@ object SparkEntry {
         |      THEN 'holdout' ELSE 'train' END AS split
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_dedup_cluster_survivors" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+      s"""WITH RECURSIVE $nearDupEdges5g09,
         | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         | reach(src, dst) AS (SELECT src, dst FROM ee
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
@@ -4827,12 +4851,7 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_best" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+      s"""WITH RECURSIVE $nearDupEdges5g09,
         | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         | reach(src, dst) AS (SELECT src, dst FROM ee
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
@@ -5619,15 +5638,11 @@ object SparkEntry {
         | array_to_string(toks[st:st+31], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_curation" ->
-      """WITH sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | drops AS (SELECT DISTINCT b.doc_id AS d
-        |  FROM sh a JOIN sh b ON a.doc_id<b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+      s"""WITH $nearDupEdges5g09,
+        | drops AS (SELECT DISTINCT dst AS d FROM e),
         | surv AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT d FROM drops)),
         | t AS (SELECT doc_id, text,
-        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks FROM surv),
+        |   list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks FROM surv),
         | sc AS (SELECT doc_id, toks,
         |   round(least(len(toks)::DOUBLE / 32.0, 1.0)*0.3 +
         |     (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text),1)) * 0.3 +
@@ -5647,12 +5662,7 @@ object SparkEntry {
         |  AND NOT (s_fr > s_en)
         |ORDER BY doc_id""".stripMargin,
     "q_curation_clustered" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id,
-        |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh,b.sh))) >= 0.9),
+      s"""WITH RECURSIVE $nearDupEdges5g09,
         | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         | reach(src, dst) AS (SELECT src, dst FROM ee
         |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
@@ -5661,7 +5671,7 @@ object SparkEntry {
         | surv AS (SELECT * FROM documents
         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)),
         | t AS (SELECT doc_id, text,
-        |   list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks FROM surv),
+        |   list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks FROM surv),
         | sc AS (SELECT doc_id, toks,
         |   round(least(len(toks)::DOUBLE / 32.0, 1.0)*0.3 +
         |     (len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(len(text),1)) * 0.3 +
