@@ -3287,7 +3287,7 @@ object SparkEntry {
     *      candidate pairs — same integers, same one IEEE division as
     *      list_intersect/list_distinct(list_concat), since sh is
     *      distinct so |union| = na + nb - i). */
-  private lazy val nearDupEdges5g09: String =
+  private lazy val nearDupPrefix5g09: String =
     """sh AS (SELECT doc_id,
       |   list_distinct([substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
       |  FROM documents),
@@ -3296,7 +3296,10 @@ object SparkEntry {
       | rk5 AS (SELECT u5.doc_id, u5.n, u5.gr,
       |    row_number() OVER (PARTITION BY u5.doc_id ORDER BY df5.df, u5.gr) AS r
       |   FROM u5 JOIN df5 ON u5.gr = df5.gr),
-      | pref5 AS (SELECT doc_id, n, gr FROM rk5 WHERE r <= n // 10 + 1),
+      | pref5 AS (SELECT doc_id, n, gr FROM rk5 WHERE r <= n // 10 + 1)""".stripMargin
+
+  private lazy val nearDupEdges5g09: String =
+    s"""$nearDupPrefix5g09,
       | cand5 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |   FROM pref5 a JOIN pref5 b ON a.gr = b.gr AND a.doc_id < b.doc_id
       |   WHERE least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9),
@@ -4534,15 +4537,22 @@ object SparkEntry {
         |  WHERE substr(md5(s.text), 1, 1) < '8' AND s.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
     "q_snapshot_neardup" ->
-      """WITH sh AS (SELECT doc_id, text,
-        |   list_distinct([substr(text, i, 5)
-        |     for i in range(1, greatest(len(text)-4,1)+1)]) AS sh
-        |  FROM documents),
-        | snap AS (SELECT s.sh FROM sh s WHERE substr(md5(s.text),1,1) < '8')
-        |SELECT d.doc_id, d.source FROM documents d JOIN sh c USING (doc_id)
-        |WHERE NOT EXISTS (SELECT 1 FROM snap s
-        |  WHERE len(list_intersect(c.sh, s.sh))::DOUBLE /
-        |        len(list_distinct(list_concat(c.sh, s.sh))) >= 0.9)
+      s"""WITH $nearDupPrefix5g09,
+        | snapids AS (SELECT doc_id FROM documents
+        |   WHERE substr(md5(text),1,1) < '8'),
+        | cand5 AS (SELECT DISTINCT a.doc_id AS cid, b.doc_id AS sid
+        |   FROM pref5 a JOIN pref5 b ON a.gr = b.gr
+        |   JOIN snapids sn ON b.doc_id = sn.doc_id
+        |   WHERE least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9),
+        | ix5 AS (SELECT c.cid, c.sid, count(*) AS i
+        |   FROM cand5 c JOIN u5 a ON c.cid = a.doc_id
+        |     JOIN u5 b ON c.sid = b.doc_id AND a.gr = b.gr
+        |   GROUP BY c.cid, c.sid),
+        | flagged AS (SELECT DISTINCT ix5.cid AS doc_id
+        |   FROM ix5 JOIN sh a ON ix5.cid = a.doc_id JOIN sh b ON ix5.sid = b.doc_id
+        |   WHERE ix5.i::DOUBLE / (len(a.sh) + len(b.sh) - ix5.i) >= 0.9)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
         |ORDER BY d.doc_id""".stripMargin,
     "q_quality_model" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(
@@ -4607,15 +4617,17 @@ object SparkEntry {
         |SELECT m.label, n.n_vecs, (m.pos - 1)::BIGINT AS pos, m.m AS component
         |FROM m JOIN n USING (label) ORDER BY label, pos""".stripMargin,
     "q_ann_margin_sym" ->
-      """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
-        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
-        |  FROM embeddings q, embeddings c
+      """WITH ne AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(
+        |     list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        | s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(q.nv, c.nv) AS sim
+        |  FROM ne q, ne c
         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
         | ss AS (SELECT a.vec_id AS ya, b.vec_id AS yb,
-        |   list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
-        |                    list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS sim2
-        |  FROM embeddings a, embeddings b
+        |   list_dot_product(a.nv, b.nv) AS sim2
+        |  FROM ne a, ne b
         |  WHERE a.vec_id <> b.vec_id),
         | ax AS (SELECT q_id, avg(sim) AS ax FROM (
         |   SELECT q_id, sim,
@@ -5340,18 +5352,23 @@ object SparkEntry {
         | doc_ids, n_docs, total_weight
         |FROM g ORDER BY shard, seq_id""".stripMargin,
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
-        |                        list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
-        |                       list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= 0.46
+      """WITH ne AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(
+        |     list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.nv, b.nv), 6) AS cosine
+        |FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.nv, b.nv) >= 0.46
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_dedup" ->
-      """WITH drops AS (SELECT DISTINCT b.vec_id AS d
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_dot_product(list_transform(a.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
-        |                         list_transform(b.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= 0.46)
+      """WITH ne AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(
+        |     list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings),
+        | drops AS (SELECT DISTINCT b.vec_id AS d
+        |  FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.nv, b.nv) >= 0.46)
         |SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT d FROM drops)
         |ORDER BY vec_id""".stripMargin,
     "q_lang_id" ->
