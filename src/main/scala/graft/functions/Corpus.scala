@@ -1146,9 +1146,14 @@ object Corpus {
   def triangleCountsIntersect(edges: DataFrame, src: Column, dst: Column,
                               maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
     val oriented = orientEdges(edges, src, dst)
-    val adj = Dedup.materializeLazily(
-      oriented.groupBy(col("__f"))
-        .agg(sort_array(collect_list(col("__t"))).as("__ns")))
+    // NOT checkpointed: the two adjacency projections canonicalize
+    // identically, so the exchange is built once and REUSED (plan-
+    // asserted in PlanSpec); a localCheckpoint here added a serial
+    // block-store write+read that measured 2.4x slower cold under a
+    // 24-core hog (72 -> 29 s, tools/TriangleLoadProbe, r12 -- the
+    // driver-box load-fragility forensics from the r11 verdict)
+    val adj = oriented.groupBy(col("__f"))
+      .agg(sort_array(collect_list(col("__t"))).as("__ns"))
     // adjacency bytes ≈ oriented bytes (Σ outdeg = m entries), so the
     // broadcast guard reuses the oriented row count + endpoint widths
     val estats = oriented.agg(count(lit(1)),
