@@ -318,7 +318,10 @@ object SparkEntry {
     // (tokenize + anchor shuffle + trim), code-vs-prose projection
     "q_media_neardup", "q_kneser_ney3", "q_kcore",
     "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct",
-    "q_quantiles", "q_quantiles_by", "q_split_safe")
+    "q_quantiles", "q_quantiles_by", "q_split_safe",
+    // r12: clustering coefficient (shared canonical-edge pass +
+    // intersect kernel + one exact division)
+    "q_clustering_coeff")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -741,6 +744,22 @@ object SparkEntry {
             $"a.l_partkey" < $"b.l_partkey")
         .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
       Corpus.triangleCounts(pairs, $"u", $"v").orderBy("node")
+    }),
+
+    // -------- corpus: local clustering coefficient ---------------------
+    // coeff = 2T / (d(d-1)) per part over the same co-purchase graph
+    // as q_triangles — exact longs until ONE final IEEE division, so
+    // the oracle needs no rounding. Pendant parts (degree 1, coeff 0)
+    // and triangle-free parts (T = 0 via the left join) both occur in
+    // the fixture.
+    "q_clustering_coeff" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      Corpus.clusteringCoefficients(pairs, $"u", $"v").orderBy("node")
     }),
 
     // -------- corpus: k-core peel (link-farm density indicator) -------
@@ -5281,6 +5300,30 @@ object SparkEntry {
         |   FROM nodes LEFT JOIN h2r ON nodes.n = h2r.nd)
         |SELECT h2.nd AS node, h2.h AS hub, a2.a AS authority
         |FROM h2 JOIN a2 ON h2.nd = a2.nd ORDER BY node""".stripMargin,
+    "q_clustering_coeff" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey::VARCHAR AS x,
+        |     b.l_partkey::VARCHAR AS y
+        |   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey),
+        | e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        |   FROM e0),
+        | d AS (SELECT n AS node, count(*)::BIGINT AS degree FROM
+        |   (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+        | t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |   FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        | n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |   UNION ALL SELECT c FROM t),
+        | tc AS (SELECT node, count(*)::BIGINT AS triangles FROM n
+        |   GROUP BY node)
+        |SELECT d.node, d.degree,
+        | coalesce(tc.triangles, 0)::BIGINT AS triangles,
+        | CASE WHEN d.degree >= 2
+        |      THEN (coalesce(tc.triangles, 0) * 2)::DOUBLE
+        |           / (d.degree * (d.degree - 1))::DOUBLE
+        |      ELSE 0.0 END AS clustering_coeff
+        |FROM d LEFT JOIN tc USING (node)
+        |ORDER BY node""".stripMargin,
     "q_triangles" ->
       """WITH e0 AS (SELECT DISTINCT a.l_partkey::VARCHAR AS x,
         |     b.l_partkey::VARCHAR AS y

@@ -1101,15 +1101,28 @@ object Corpus {
     * degree `__dt` for the wedge form's ordering filter. */
   private def orientEdges(edges: DataFrame, src: Column,
                           dst: Column): DataFrame = {
-    val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
+    val e0 = canonicalEdges(edges, src, dst)
+    orientFromCanonical(e0, degreeTable(e0))
+  }
+
+  /** Canonical undirected edge list: self-loops dropped, directions
+    * and duplicates merged, endpoints stringified, (__u < __v). */
+  private def canonicalEdges(edges: DataFrame, src: Column,
+                             dst: Column): DataFrame =
+    edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("__u"),
         greatest(col("__a"), col("__b")).as("__v"))
       .distinct()
-    val deg = e0.select(col("__u").as("__n"))
+
+  /** (__n, __d) undirected degree per node of a canonical edge list. */
+  private def degreeTable(e0: DataFrame): DataFrame =
+    e0.select(col("__u").as("__n"))
       .union(e0.select(col("__v").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+
+  private def orientFromCanonical(e0: DataFrame, deg: DataFrame): DataFrame = {
     // rank = (degree, node): a total order, so the orientation is
     // acyclic
     Dedup.materializeLazily(e0
@@ -1144,8 +1157,11 @@ object Corpus {
     * adjacency row) is bounded by broadcast in the small regime and
     * AQE skew splitting in the shuffled one. */
   def triangleCountsIntersect(edges: DataFrame, src: Column, dst: Column,
-                              maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
-    val oriented = orientEdges(edges, src, dst)
+                              maxBroadcastAdjacency: Long = 8000000L): DataFrame =
+    intersectCore(orientEdges(edges, src, dst), maxBroadcastAdjacency)
+
+  private def intersectCore(oriented: DataFrame,
+                            maxBroadcastAdjacency: Long): DataFrame = {
     // NOT checkpointed: the two adjacency projections canonicalize
     // identically, so the exchange is built once and REUSED (plan-
     // asserted in PlanSpec); a localCheckpoint here added a serial
@@ -1175,6 +1191,35 @@ object Corpus {
           Bridge.expression(col("__f")), Bridge.expression(col("__t"))))
       }).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient — the per-node form the triangle
+    * count is usually CONSUMED through (spam/community detection:
+    * a high-degree node whose neighbors never interconnect is a hub
+    * or a link farm; a dense ego-net is a community):
+    * coeff(v) = triangles(v) / C(degree(v), 2). One-pass composite
+    * over the shared canonical-edge machinery: the degree table is
+    * computed once and feeds BOTH the orientation and the final
+    * join (no second canonicalization shuffle), triangles ride
+    * [[triangleCountsIntersect]]'s kernel. Arithmetic is exact
+    * integers until the single final IEEE division (2·T and d·(d−1)
+    * are exact longs), so the oracle replays it bit-exactly — no
+    * rounding needed. degree < 2 → coeff 0.0 (no possible wedge);
+    * isolated nodes can't appear (canonical edges only). Output:
+    * (node, degree, triangles, clustering_coeff). */
+  def clusteringCoefficients(edges: DataFrame, src: Column, dst: Column,
+                             maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
+    val e0 = canonicalEdges(edges, src, dst)
+    val deg = degreeTable(e0)
+    val tri = intersectCore(orientFromCanonical(e0, deg), maxBroadcastAdjacency)
+    val t = coalesce(col("triangles"), lit(0L))
+    deg.select(col("__n").as("node"), col("__d").as("degree"))
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"), t.as("triangles"),
+        when(col("degree") >= 2,
+          (t * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
   }
 
   /** Fixed-iteration k-core peel — the classic link-farm /

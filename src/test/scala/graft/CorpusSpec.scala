@@ -535,6 +535,33 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap == run(share))
   }
 
+  test("clusteringCoefficients: hand graph, exact division, pendant/triangle-free rows") {
+    // triangle {1,2,3} + pendant 4 on node 3 + isolated pair (5,6)
+    val edges = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"), ("5", "6"))
+    for (parts <- Seq(1, 5)) {
+      val got = Corpus.clusteringCoefficients(
+          edges.toDF("s", "d").repartition(parts), col("s"), col("d"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(got == Map(
+        "1" -> ((2L, 1L, 1.0)),
+        "2" -> ((2L, 1L, 1.0)),
+        "3" -> ((3L, 1L, 2.0 / 6.0)), // exact IEEE: 2/(3*2)
+        "4" -> ((1L, 0L, 0.0)), // pendant: degree 1, no wedge
+        "5" -> ((1L, 0L, 0.0)),
+        "6" -> ((1L, 0L, 0.0))), s"parts=$parts")
+    }
+    // dup/reversed/self-loop hygiene rides the canonical edge pass
+    val noisy = edges ++ edges.map(_.swap) ++ Seq(("1", "1"))
+    assert(Corpus.clusteringCoefficients(noisy.toDF("s", "d"), col("s"), col("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet ==
+      Corpus.clusteringCoefficients(edges.toDF("s", "d"), col("s"), col("d"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet)
+  }
+
   test("exactQuantiles: == sorted-selection reference; edges; chunk/partition invariance") {
     def ref(xs: Seq[Double], probs: Seq[Double]): Seq[(Double, Double, Long)] = {
       val s = xs.sorted
