@@ -1255,32 +1255,72 @@ object Corpus {
             iters: Int = 3, maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(iters >= 1, s"iters $iters must be >= 1")
-    val e0 = edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"))
-      .where(col("__a").isNotNull && col("__b").isNotNull &&
-        col("__a") =!= col("__b"))
-      .select(least(col("__a"), col("__b")).as("__u"),
-        greatest(col("__a"), col("__b")).as("__v"))
-      .distinct()
-    var e = Dedup.materializeLazily(e0)
+    var e = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
     var it = 0
     while (it < iters) {
-      val deg = e.select(col("__u").as("__n"))
-        .union(e.select(col("__v").as("__n")))
-        .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
-      val keep = Dedup.materializeLazily(deg.where(col("__d") >= k))
-      val kstats = keep.agg(count(lit(1)),
-        coalesce(avg(length(col("__n"))), lit(0.0))).head()
-      val small = stateBroadcastOk(kstats.getLong(0).toDouble,
-        kstats.getDouble(1), maxBroadcastNodes)
-      def hinted(df: DataFrame) = if (small) broadcast(df) else df
-      e = Dedup.materializeLazily(
-        e.join(hinted(keep.select(col("__n").as("__u"))), Seq("__u"), "left_semi")
-          .join(hinted(keep.select(col("__n").as("__v"))), Seq("__v"), "left_semi"))
+      e = kCorePeelRound(e, k, maxBroadcastNodes)
       it += 1
     }
+    kCoreDegrees(e)
+  }
+
+  /** One peel round: recount degrees over the surviving edges, drop
+    * nodes (and their edges) below `k`. Returns the lazily
+    * checkpointed surviving edge set. */
+  private def kCorePeelRound(e: DataFrame, k: Int,
+                             maxBroadcastNodes: Long): DataFrame = {
+    val deg = e.select(col("__u").as("__n"))
+      .union(e.select(col("__v").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val keep = Dedup.materializeLazily(deg.where(col("__d") >= k))
+    val kstats = keep.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    val small = stateBroadcastOk(kstats.getLong(0).toDouble,
+      kstats.getDouble(1), maxBroadcastNodes)
+    def hinted(df: DataFrame) = if (small) broadcast(df) else df
+    Dedup.materializeLazily(
+      e.join(hinted(keep.select(col("__n").as("__u"))), Seq("__u"), "left_semi")
+        .join(hinted(keep.select(col("__n").as("__v"))), Seq("__v"), "left_semi"))
+  }
+
+  private def kCoreDegrees(e: DataFrame): DataFrame =
     e.select(col("__u").as("__n")).union(e.select(col("__v").as("__n")))
       .groupBy(col("__n")).agg(count(lit(1)).as("degree"))
       .select(col("__n").as("node"), col("degree"))
+
+  /** [[kCore]] peeled to FIXPOINT with early exit — the form to run
+    * at 100 TB, where guessing `iters` is expensive in both
+    * directions (too few: not the k-core; too many: wasted full-graph
+    * rounds). The surviving-edge count is monotone non-increasing
+    * and each round's count is one scalar on a state that the next
+    * round must materialize anyway, so convergence detection is
+    * free: an unchanged count means the round dropped nothing, i.e.
+    * every surviving node already has degree ≥ k — the k-core
+    * fixpoint. Output adds constant audit columns `converged`
+    * (false only if `maxIters` truncated the peel) and `rounds`
+    * (peel rounds run, including the no-op round that proved the
+    * fixpoint). The fixed-iteration [[kCore]] stays the oracle tier
+    * (q_kcore); this is the declared driver-looped form, spec'd by
+    * fixpoint equality on planted peel cascades. */
+  def kCoreConverged(edges: DataFrame, src: Column, dst: Column, k: Int,
+                     maxIters: Int = 50,
+                     maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(maxIters >= 1, s"maxIters $maxIters must be >= 1")
+    var e = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    var prev = e.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      e = kCorePeelRound(e, k, maxBroadcastNodes)
+      val n = e.count()
+      if (n == prev) converged = true
+      prev = n
+      it += 1
+    }
+    kCoreDegrees(e)
+      .withColumn("converged", lit(converged))
+      .withColumn("rounds", lit(it))
   }
 
   /** Misra-Gries summary (Misra & Gries 1982): at most `k - 1`

@@ -702,6 +702,54 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(redges, 3, 3, cap = 0L) == want) // forced shuffled fallback
   }
 
+  test("kCoreConverged: fixpoint equality on planted cascades, truncation flag") {
+    def bruteFix(edges: Seq[(String, String)], k: Int): Map[String, Long] = {
+      var e = edges.filter(p => p._1 != p._2)
+        .map(p => (Seq(p._1, p._2).min, Seq(p._1, p._2).max)).distinct
+      var changed = true
+      while (changed) {
+        val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val ne = e.filter(p => keep(p._1) && keep(p._2))
+        changed = ne.size != e.size
+        e = ne
+      }
+      (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    def run(edges: Seq[(String, String)], k: Int, maxIters: Int = 50)
+        : (Map[String, Long], Boolean, Int) = {
+      val rows = Corpus.kCoreConverged(edges.toDF("s", "d").repartition(5),
+        col("s"), col("d"), k = k, maxIters = maxIters).collect()
+      (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+        rows.headOption.forall(_.getBoolean(2)),
+        rows.headOption.map(_.getInt(3)).getOrElse(-1))
+    }
+    // deep cascade: an a-b-c-d-e-f path at k=2 needs 3 peel rounds to
+    // empty; K5 core attached via one pendant edge survives intact
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"))
+    val k5 = for { a <- Seq("p", "q", "r", "s", "t")
+                   b <- Seq("p", "q", "r", "s", "t") if a < b } yield (a, b)
+    val g = path ++ k5 ++ Seq(("f", "p"))
+    val (core, conv, rounds) = run(g, 3)
+    assert(core == bruteFix(g, 3) && conv)
+    // the path contributes nothing at k=3; K5 is the fixpoint, found
+    // in round 1 + one no-op proof round
+    assert(rounds == 2)
+    // randomized fixpoint equality
+    val rnd = new scala.util.Random(23)
+    val nodes = (1 to 30).map(_.toString)
+    val redges = for { a <- nodes; b <- nodes
+      if a < b && rnd.nextDouble() < 0.12 } yield (a, b)
+    val (rc, rconv, _) = run(redges, 3)
+    assert(rc == bruteFix(redges, 3) && rconv)
+    // maxIters truncation surfaces as converged=false (k=2 path needs
+    // 3 real rounds; 1 is not enough and the flag must say so)
+    val (tc, tconv, trounds) = run(path, 2, maxIters = 1)
+    assert(!tconv && trounds == 1 && tc.nonEmpty)
+  }
+
   test("prCurve == driver reference; edge cases; partition/chunk invariance") {
     def ref(rows: Seq[(Double, Int)]): Seq[(Double, Long, Long, Long, Long, Double, Double)] = {
       val perS = rows.groupBy { case (s, _) => BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
