@@ -320,8 +320,9 @@ object SparkEntry {
     "q_substring_dedup_tok", "q_code_signals", "q_kmv_distinct",
     "q_quantiles", "q_quantiles_by", "q_split_safe",
     // r12: clustering coefficient (shared canonical-edge pass +
-    // intersect kernel + one exact division)
-    "q_clustering_coeff")
+    // intersect kernel + one exact division), 4-gram Kneser-Ney (one
+    // 4-gram aggregate + 5 derived)
+    "q_clustering_coeff", "q_kneser_ney4")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2383,6 +2384,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -------- quality: 4-gram Kneser-Ney LM score ---------------------
+    // The production KenLM filtering order: one (w3,w2,w1,w) count
+    // table, lower orders as continuation distributions one more
+    // level down than q_kneser_ney3.
+    "q_kneser_ney4" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.kneserNey4LogProbScore(t(s, dir, "documents"), "doc_id", $"text")
+        .orderBy("doc_id")
+    }),
+
     // -------- curation: CCNet head/middle/tail quality buckets --------
     // The CCNet bucketing stage: score every doc with the corpus-unigram
     // log-prob model (q_unigram_logprob), then ntile into 3 buckets on
@@ -3170,6 +3181,64 @@ object SparkEntry {
        |   CROSS JOIN sc CROSS JOIN vc
        |   GROUP BY e.doc_id)
        |SELECT doc_id, round(a, 6) AS kn3_logprob FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_kneser_ney4 oracle: the kneserNey3Oracle recipe one order up —
+    * the ONE count table is the 4-gram table `fo`; ctr/cb/cu derive
+    * from it as continuation distributions; op order and cast points
+    * mirror the Spark expressions exactly. Final CTE named `sq` (a
+    * column IS named s here: the 3-back token). */
+  private lazy val kneserNey4Oracle: String = {
+    val p1 = """CASE WHEN sc.nct = 0 THEN 1.0 / vc.v::DOUBLE
+       |      ELSE greatest(coalesce(cu.cuc, 0)::DOUBLE - 0.75, 0.0) / sc.nct::DOUBLE
+       |         + 0.75 * sc.v2::DOUBLE / sc.nct::DOUBLE / vc.v::DOUBLE END"""
+      .stripMargin
+    val p2 = s"""CASE WHEN cx2.cbp IS NULL THEN ($p1)
+       |      ELSE greatest(coalesce(cb.cbc, 0)::DOUBLE - 0.75, 0.0) / cx2.cbp::DOUBLE
+       |         + 0.75 * cx2.f2::DOUBLE / cx2.cbp::DOUBLE * ($p1) END"""
+      .stripMargin
+    val p3 = s"""CASE WHEN cx3.ctp IS NULL THEN ($p2)
+       |      ELSE greatest(coalesce(ctr.ct, 0)::DOUBLE - 0.75, 0.0) / cx3.ctp::DOUBLE
+       |         + 0.75 * cx3.f3::DOUBLE / cx3.ctp::DOUBLE * ($p2) END"""
+      .stripMargin
+    val p4 = s"""CASE WHEN cx4.c4p IS NULL THEN ($p3)
+       |      ELSE greatest(coalesce(fo.c4, 0)::DOUBLE - 0.75, 0.0) / cx4.c4p::DOUBLE
+       |         + 0.75 * cx4.f4::DOUBLE / cx4.c4p::DOUBLE * ($p3) END"""
+      .stripMargin
+    s"""WITH d AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+       |     x -> len(x) > 0) AS toks FROM documents),
+       | i AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+       |   FROM d WHERE len(toks) >= 1),
+       | e AS (SELECT doc_id, toks[pos+1] AS t,
+       |     CASE WHEN pos >= 1 THEN toks[pos] ELSE NULL END AS v,
+       |     CASE WHEN pos >= 2 THEN toks[pos-1] ELSE NULL END AS u,
+       |     CASE WHEN pos >= 3 THEN toks[pos-2] ELSE NULL END AS s FROM i),
+       | fo AS (SELECT s, u, v, t, count(*) AS c4 FROM e
+       |   WHERE s IS NOT NULL GROUP BY s, u, v, t),
+       | cx4 AS (SELECT s, u, v, sum(c4) AS c4p, count(*) AS f4 FROM fo
+       |   GROUP BY s, u, v),
+       | ctr AS (SELECT u, v, t, count(*) AS ct FROM fo GROUP BY u, v, t),
+       | cx3 AS (SELECT u, v, sum(ct) AS ctp, count(*) AS f3 FROM ctr GROUP BY u, v),
+       | cb AS (SELECT v, t, count(*) AS cbc FROM ctr GROUP BY v, t),
+       | cx2 AS (SELECT v, sum(cbc) AS cbp, count(*) AS f2 FROM cb GROUP BY v),
+       | cu AS (SELECT t, count(*) AS cuc FROM cb GROUP BY t),
+       | sc AS (SELECT count(*) AS nct, count(DISTINCT t) AS v2 FROM cb),
+       | vc AS (SELECT count(DISTINCT t) AS v FROM e),
+       | sq AS (SELECT e.doc_id, avg(ln(CASE WHEN e.v IS NULL THEN ($p1)
+       |       WHEN e.u IS NULL THEN ($p2)
+       |       WHEN e.s IS NULL THEN ($p3)
+       |       ELSE ($p4) END)) AS a
+       |   FROM e LEFT JOIN cu ON e.t = cu.t
+       |   LEFT JOIN cb ON e.v = cb.v AND e.t = cb.t
+       |   LEFT JOIN cx2 ON e.v = cx2.v
+       |   LEFT JOIN ctr ON e.u = ctr.u AND e.v = ctr.v AND e.t = ctr.t
+       |   LEFT JOIN cx3 ON e.u = cx3.u AND e.v = cx3.v
+       |   LEFT JOIN fo ON e.s = fo.s AND e.u = fo.u AND e.v = fo.v AND e.t = fo.t
+       |   LEFT JOIN cx4 ON e.s = cx4.s AND e.u = cx4.u AND e.v = cx4.v
+       |   CROSS JOIN sc CROSS JOIN vc
+       |   GROUP BY e.doc_id)
+       |SELECT doc_id, round(a, 6) AS kn4_logprob FROM sq
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -4738,6 +4807,7 @@ object SparkEntry {
         |SELECT doc_id, round(a, 6) AS kn_logprob FROM s
         |ORDER BY doc_id""".stripMargin,
     "q_kneser_ney3" -> kneserNey3Oracle,
+    "q_kneser_ney4" -> kneserNey4Oracle,
     "q_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, unnest(list_filter(
         |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok

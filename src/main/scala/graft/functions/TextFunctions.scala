@@ -1045,6 +1045,116 @@ object TextFunctions {
       .select(col("__id").as(id), col("kn3_logprob"))
   }
 
+  /** Interpolated 4-GRAM Kneser-Ney LM quality score — the order
+    * production KenLM data filtering actually ships (4-5-gram);
+    * [[kneserNey3LogProbScore]] is the rung below and the template:
+    * every statistic still derives from ONE count table — here the
+    * (w₃, w₂, w₁, w) 4-gram table — with each lower order the
+    * CONTINUATION distribution of the order above (Chen & Goodman):
+    *
+    *   P(w|s,u,v) = (c(suvw) − D)⁺/c(suv·) + D·N1+(suv·)/c(suv·) · P(w|u,v)
+    *   P(w|u,v)   = (N1+(·uvw) − D)⁺/N1+(·uv·) + D·N1+(uv·)/N1+(·uv·) · P(w|v)
+    *   P(w|v)     = (N1+(··vw) − D)⁺/N1+(··v·) + D·N1+(v·)/N1+(··v·) · P1(w)
+    *   P1(w)      = (N1+(···w) − D)⁺/N1+(···) + D·V₂/N1+(···) · 1/V
+    *
+    * where N1+(·uvw) counts distinct s's preceding (u,v,w) in the
+    * 4-gram table, N1+(··vw) counts distinct u's over THOSE
+    * continuation types, and so on down — each table a groupBy of the
+    * one above, never a second corpus pass. Σ_w P = 1 per context
+    * class at every level (spec-asserted). Scoring: a doc's first
+    * token scores P1, second P(w|v), third P(w|u,v), the rest the
+    * full 4-gram equation. Gotchas inherited from the trigram build
+    * (r11): shifted arrays prepend-then-TRUNCATE, and internal names
+    * stay case-distinct (Spark resolves case-insensitively).
+    *
+    * Scale shape identical to [[kneserNey3LogProbScore]] with one
+    * more narrow derived aggregate and two more token-key joins
+    * (AQE broadcasts the Zipf-small stat tables when they fit).
+    * Output: (`id`, kn4_logprob rounded to 6). */
+  def kneserNey4LogProbScore(df: DF, id: String, text: Column,
+                             discount: Double = 0.75): DF = {
+    require(discount > 0 && discount < 1, s"discount $discount outside (0,1)")
+    val toks = tokens(text)
+    def shifted(k: Int): Column = slice(concat(
+      array((1 to k).map(_ => lit(null).cast("string")): _*), toks),
+      lit(1), size(toks))
+    val events = df
+      .where(size(toks) >= 1)
+      .select(col(id).as("__id"),
+        explode(arrays_zip(shifted(3).as("s"), shifted(2).as("u"),
+          shifted(1).as("v"), toks.as("t"))).as("__e"))
+      .select(col("__id"), col("__e.s").as("__s"), col("__e.u").as("__u"),
+        col("__e.v").as("__v"), col("__e.t").as("__t"))
+    val four = events.where(col("__s").isNotNull)
+      .groupBy("__s", "__u", "__v", "__t").agg(count(lit(1)).as("__c4"))
+    val ctx4 = four.groupBy("__s", "__u", "__v")
+      .agg(sum(col("__c4")).as("__c4p"), count(lit(1)).as("__f4"))
+    val contTri = four.groupBy("__u", "__v", "__t")
+      .agg(count(lit(1)).as("__ct"))
+    val ctx3 = contTri.groupBy("__u", "__v")
+      .agg(sum(col("__ct")).as("__ctp"), count(lit(1)).as("__f3"))
+    val contBi = contTri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb"))
+    val ctx2 = contBi.groupBy("__v")
+      .agg(sum(col("__cb")).as("__cbp"), count(lit(1)).as("__f2"))
+    val contUni = contBi.groupBy("__t").agg(count(lit(1)).as("__cu"))
+    val scalars = contBi
+      .agg(count(lit(1)).as("__nct"), count_distinct(col("__t")).as("__nv2"))
+      .crossJoin(events.agg(count_distinct(col("__t")).as("__nvoc")))
+    val d = lit(discount)
+    val p1 = when(col("__nct") === 0, lit(1.0) / col("__nvoc").cast("double"))
+      .otherwise(
+        greatest(coalesce(col("__cu"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__nct").cast("double") +
+          d * col("__nv2").cast("double") / col("__nct").cast("double") /
+            col("__nvoc").cast("double"))
+    val p2 = when(col("__cbp").isNull, p1)
+      .otherwise(
+        greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__cbp").cast("double") +
+          d * col("__f2").cast("double") / col("__cbp").cast("double") * p1)
+    val p3 = when(col("__ctp").isNull, p2)
+      .otherwise(
+        greatest(coalesce(col("__ct"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__ctp").cast("double") +
+          d * col("__f3").cast("double") / col("__ctp").cast("double") * p2)
+    val p4 = when(col("__c4p").isNull, p3)
+      .otherwise(
+        greatest(coalesce(col("__c4"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("__c4p").cast("double") +
+          d * col("__f4").cast("double") / col("__c4p").cast("double") * p3)
+    val p = when(col("__v").isNull, p1)
+      .when(col("__u").isNull, p2)
+      .when(col("__s").isNull, p3)
+      .otherwise(p4)
+    events
+      .join(contUni.select(col("__t").as("__kut"), col("__cu")),
+        col("__t") === col("__kut"), "left")
+      .join(contBi.select(col("__v").as("__kbv"), col("__t").as("__kbt"),
+          col("__cb")),
+        col("__v") === col("__kbv") && col("__t") === col("__kbt"), "left")
+      .join(ctx2.select(col("__v").as("__k2v"), col("__cbp"), col("__f2")),
+        col("__v") === col("__k2v"), "left")
+      .join(contTri.select(col("__u").as("__k3u"), col("__v").as("__k3v"),
+          col("__t").as("__k3t"), col("__ct")),
+        col("__u") === col("__k3u") && col("__v") === col("__k3v") &&
+          col("__t") === col("__k3t"), "left")
+      .join(ctx3.select(col("__u").as("__kcu"), col("__v").as("__kcv"),
+          col("__ctp"), col("__f3")),
+        col("__u") === col("__kcu") && col("__v") === col("__kcv"), "left")
+      .join(four.select(col("__s").as("__k4s"), col("__u").as("__k4u"),
+          col("__v").as("__k4v"), col("__t").as("__k4t"), col("__c4")),
+        col("__s") === col("__k4s") && col("__u") === col("__k4u") &&
+          col("__v") === col("__k4v") && col("__t") === col("__k4t"), "left")
+      .join(ctx4.select(col("__s").as("__kds"), col("__u").as("__kdu"),
+          col("__v").as("__kdv"), col("__c4p"), col("__f4")),
+        col("__s") === col("__kds") && col("__u") === col("__kdu") &&
+          col("__v") === col("__kdv"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("__id"))
+      .agg(round(avg(log(p)), 6).as("kn4_logprob"))
+      .select(col("__id").as(id), col("kn4_logprob"))
+  }
+
   /** jusText-lite boilerplate stripping: classify each LINE of a doc
     * as content vs boilerplate by three cheap signals — word count,
     * stopword density, and a link marker — and keep only the content

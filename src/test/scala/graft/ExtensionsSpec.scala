@@ -2427,6 +2427,90 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(p2("two", "words") > 0)
   }
 
+  test("kneserNey4LogProbScore == independent driver KN4; every level normalizes") {
+    val corpus = Map(
+      1L -> "the cat sat on the mat and the cat sat on a rug",
+      2L -> "the dog sat on the mat",
+      3L -> "a dog ran to the mat and a cat sat on it",
+      4L -> "mat the cat the dog",
+      5L -> "solo",             // 1-token doc: pure P1 branch
+      6L -> "two words",        // 2-token: P1 + P(w|v)
+      7L -> "just three toks")  // 3-token: adds the P(w|u,v) branch
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val D = 0.75
+    val tokss = corpus.view.mapValues(_.split("\\s+").filter(_.nonEmpty).toList).toMap
+    // events (id, s, u, v, t): s = 3-back, u = 2-back, v = 1-back
+    val events = tokss.toSeq.flatMap { case (id0, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        (id0,
+          if (i >= 3) Some(ts(i - 3)) else None,
+          if (i >= 2) Some(ts(i - 2)) else None,
+          if (i >= 1) Some(ts(i - 1)) else None, t) } }
+    // the ONE 4-gram table; every lower order derives from it
+    val c4 = events.collect { case (_, Some(s), Some(u), Some(v), t) =>
+      ((s, u, v), t) }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c4p = c4.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val f4 = c4.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val ctr = c4.keys.toSeq.map { case ((s, u, v), t) => (((u, v), t), s) }
+      .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ctp = ctr.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val f3 = ctr.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val cb = ctr.keys.toSeq.map { case (((u, v), t)) => ((v, t), u) }.distinct
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cbp = cb.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val f2 = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val cu = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val nct = cb.size
+    val v2 = cb.keys.map(_._2).toSet.size
+    val vocab = events.map(_._5).toSet
+    def p1(t: String): Double =
+      if (nct == 0) 1.0 / vocab.size
+      else math.max(cu.getOrElse(t, 0) - D, 0.0) / nct + D * v2 / nct / vocab.size
+    def p2(v: String, t: String): Double = cbp.get(v) match {
+      case None => p1(t)
+      case Some(den) => math.max(cb.getOrElse((v, t), 0L) - D, 0.0) / den +
+        D * f2(v) / den * p1(t)
+    }
+    def p3(u: String, v: String, t: String): Double = ctp.get((u, v)) match {
+      case None => p2(v, t)
+      case Some(den) => math.max(ctr.getOrElse(((u, v), t), 0L) - D, 0.0) / den +
+        D * f3((u, v)) / den * p2(v, t)
+    }
+    def p4(s: String, u: String, v: String, t: String): Double =
+      c4p.get((s, u, v)) match {
+        case None => p3(u, v, t)
+        case Some(den) => math.max(c4.getOrElse(((s, u, v), t), 0L) - D, 0.0) / den +
+          D * f4((s, u, v)) / den * p3(u, v, t)
+      }
+    val sim = events.groupBy(_._1).view.mapValues { es =>
+      es.map {
+        case (_, _, _, None, t)                   => math.log(p1(t))
+        case (_, _, None, Some(v), t)             => math.log(p2(v, t))
+        case (_, None, Some(u), Some(v), t)       => math.log(p3(u, v, t))
+        case (_, Some(s), Some(u), Some(v), t)    => math.log(p4(s, u, v, t))
+      }.sum / es.size
+    }.toMap
+    val got = TextFunctions.kneserNey4LogProbScore(docs, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == sim.keySet)
+    for ((idv, sv) <- sim)
+      assert(math.abs(got(idv) - sv) < 1e-6, s"doc $idv: ${got(idv)} vs $sv")
+    // Σ P(w|ctx) = 1 at EVERY interpolation level / context class
+    assert(math.abs(vocab.toSeq.map(p1).sum - 1.0) < 1e-9)
+    for (v <- cbp.keys)
+      assert(math.abs(vocab.toSeq.map(t => p2(v, t)).sum - 1.0) < 1e-9,
+        s"P(w|v) context $v not normalized")
+    for ((u, v) <- ctp.keys)
+      assert(math.abs(vocab.toSeq.map(t => p3(u, v, t)).sum - 1.0) < 1e-9,
+        s"P(w|u,v) context ($u,$v) not normalized")
+    for ((s, u, v) <- c4p.keys)
+      assert(math.abs(vocab.toSeq.map(t => p4(s, u, v, t)).sum - 1.0) < 1e-9,
+        s"4-gram context ($s,$u,$v) not normalized")
+    // 1/2/3-token docs exercise every backoff branch without a 4-gram
+    assert(got(5L) > Double.NegativeInfinity &&
+      got(6L) > Double.NegativeInfinity && got(7L) > Double.NegativeInfinity)
+  }
+
   test("hashedLogisticScore: mean-pooled bucket weights through the sigmoid; twins agree in shape") {
     val df = Seq((1L, "a a b"), (2L, "zz"), (3L, "   ")).toDF("doc_id", "text")
     val dim = 8
