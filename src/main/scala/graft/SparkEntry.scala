@@ -322,7 +322,7 @@ object SparkEntry {
     // r12: clustering coefficient (shared canonical-edge pass +
     // intersect kernel + one exact division), 4-gram Kneser-Ney (one
     // 4-gram aggregate + 5 derived)
-    "q_clustering_coeff", "q_kneser_ney4")
+    "q_clustering_coeff", "q_kneser_ney4", "q_media_dhash")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -3068,6 +3068,31 @@ object SparkEntry {
     // (engine-portable, replayed byte-for-byte in the oracle from
     // unicode(substr) — payloads are ASCII text bytes here); pairing
     // = the simhash multi-block pigeonhole (reused, never all-pairs).
+    // -------- multimodal: END-TO-END video-frame near-dup (dHash) -----
+    // frameSample -> per-frame gradient fingerprint -> pigeonhole ->
+    // media rollup, exercising the whole multimodal battery in one
+    // query. Twins get one substituted byte in frame 0 and one in
+    // frame 1 (chunk=64, stride=2 => frames at offsets 0/128/...), so
+    // both differing-frame and identical-frame (hamming 0) pairs land
+    // in the gate; >= 256-char payloads keep every sampled frame full
+    // width. The oracle rebuilds the dHash kernel from unicode(substr)
+    // (ASCII stand-ins) and brute-pairs frames.
+    "q_media_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val twins = docs
+        .where($"doc_id" % 4 === 1 && length($"text") >= 256)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat(substring($"text", 1, 30), lit("Q"),
+            substring($"text", 32, 100), lit("Z"),
+            $"text".substr(lit(133), length($"text"))).as("text"))
+      val media = Multimodal.fromBinary(s, docs.union(twins), "doc_id",
+        encode($"text", "UTF-8"), "video")
+      Multimodal.videoFrameNearDupPairs(media, "media_id", $"content",
+          chunk = 64, stride = 2, maxDist = 8)
+        .orderBy("media_a", "media_b")
+    }),
+
     "q_media_neardup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -5842,6 +5867,45 @@ object SparkEntry {
     // comparison, fingerprint assembled with BIGINT shifts (bits <=
     // 59 by the 60-bit contract), then brute all-pairs Hamming —
     // complete recall makes it a true oracle for the pigeonhole path.
+    "q_media_dhash" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    substr(text, 1, 30) || 'Q' || substr(text, 32, 100) || 'Z' ||
+        |    substr(text, 133)
+        |  FROM documents WHERE doc_id % 4 = 1 AND length(text) >= 256),
+        | fr AS (SELECT media_id,
+        |   unnest(generate_series(0, greatest(length(t)//128 - 1, 0))) AS fidx,
+        |   t FROM base),
+        | fb AS (SELECT media_id, fidx, substr(t, fidx*128 + 1, 64) AS f
+        |  FROM fr),
+        | b0 AS (SELECT media_id, fidx, length(f) AS n,
+        |   unnest(generate_series(1, length(f))) AS p, f
+        |  FROM fb WHERE length(f) > 0),
+        | by AS (SELECT media_id, fidx, n, ((p - 1) * 61) // n AS cell,
+        |   unicode(substr(f, p, 1)) AS bv FROM b0),
+        | cells AS (SELECT media_id, fidx, cell, sum(bv)::BIGINT AS cs,
+        |   count(*)::BIGINT AS cl FROM by GROUP BY media_id, fidx, cell),
+        | adj AS (SELECT a.media_id, a.fidx,
+        |   CASE WHEN a.cs * coalesce(b.cl, 0) > coalesce(b.cs, 0) * a.cl
+        |        THEN (1::BIGINT << a.cell) ELSE 0 END AS bit
+        |  FROM cells a LEFT JOIN cells b
+        |    ON a.media_id = b.media_id AND a.fidx = b.fidx
+        |   AND b.cell = a.cell + 1
+        |  WHERE a.cell < 60),
+        | f AS (SELECT media_id, fidx, sum(bit)::BIGINT AS fp FROM adj
+        |  GROUP BY media_id, fidx
+        |  UNION ALL
+        |  SELECT media_id, fidx, 0::BIGINT FROM fb WHERE length(f) = 0),
+        | sel AS (SELECT least(a.media_id::VARCHAR, b.media_id::VARCHAR) AS media_a,
+        |   greatest(a.media_id::VARCHAR, b.media_id::VARCHAR) AS media_b,
+        |   bit_count(xor(a.fp, b.fp))::INT AS hamming
+        |  FROM f a JOIN f b ON a.media_id < b.media_id)
+        |SELECT media_a, media_b, count(*)::BIGINT AS n_frame_pairs,
+        |  min(hamming)::INT AS min_hamming
+        |FROM sel WHERE hamming <= 8
+        |GROUP BY media_a, media_b ORDER BY media_a, media_b""".stripMargin,
     "q_media_neardup" ->
       """WITH aug AS (
         |  SELECT doc_id AS media_id, text AS t FROM documents

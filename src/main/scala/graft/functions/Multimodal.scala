@@ -187,6 +187,66 @@ object Multimodal {
       df.select(col(id), aHash(content, bits).as("__ahash")),
       id, col("__ahash"), maxDist, agreeBlocks)
 
+  /** Perceptual difference-hash (gradient fingerprint — see
+    * [[graft.plans.DHash]]): `bits + 1` byte cells, bit i = 1 iff
+    * cell i's mean exceeds cell i+1's (exact integer
+    * cross-multiplication). The complement to [[aHash]]: a brightness
+    * RAMP flips aHash's low/high cells wholesale but barely moves
+    * adjacent-cell differences, so gradient-overlaid near-dups stay
+    * within a small dHash Hamming distance where aHash reads ~bits/2.
+    * Default 60 bits = the oracle-replayable width. */
+  def dHash(content: Column, bits: Int = 60): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.plans.DHash(org.apache.spark.sql.graft.Bridge.expression(content), bits))
+
+  /** Full-width 64-bit dHash (production tier, not SQL-replayable —
+    * same contract split as [[aHash64]]). */
+  def dHash64(content: Column): Column = dHash(content, 64)
+
+  /** End-to-end video-frame near-dup — the composed multimodal
+    * pipeline ([[frameSample]] → per-frame [[dHash]] →
+    * [[graft.functions.Dedup.simhashPairsFp]] pigeonhole →
+    * media-level rollup): sample every `stride`-th `chunk`-byte frame
+    * of each payload, fingerprint each frame (gradient tier — robust
+    * to the brightness drift re-encodes introduce), pair frames
+    * within `maxDist` Hamming via the derived-key pigeonhole (never
+    * all-pairs), and aggregate to media pairs. Output:
+    * (media_a, media_b, n_frame_pairs, min_hamming) with media_a <
+    * media_b as strings, counting cross-media near-dup frame pairs
+    * (same-media pairs — adjacent-frame similarity — are dropped).
+    *
+    * 100 TB: payload bytes never shuffle — frames are projected
+    * map-side and only (frame-key, 64-bit fp) rows enter the
+    * pigeonhole; the rollup groups the (already small) verified pair
+    * set. Ids must be unique per media row. */
+  def videoFrameNearDupPairs(df: DataFrame, id: String, content: Column,
+                             chunk: Int = 64, stride: Int = 2,
+                             maxDist: Int = 8, bits: Int = 60,
+                             agreeBlocks: Int = 0): DataFrame = {
+    val framed = frameSample(
+      df.select(col(id).cast("string").as("__mid"), content.as("__content")),
+      chunk, stride, "__content")
+    val keyed = framed
+      .select(col("__mid"), posexplode(col("frames")).as(Seq("__fidx", "__fb")))
+      .select(concat(col("__mid"), lit("#"), col("__fidx")).as("__fid"),
+        col("__mid"), dHash(col("__fb"), bits).as("__fp"))
+    val pairs = graft.functions.Dedup.simhashPairsFp(
+      keyed.select(col("__fid"), col("__fp")), "__fid", col("__fp"),
+      maxDist, agreeBlocks)
+    val sides = keyed.select(col("__fid"), col("__mid"))
+    pairs
+      .join(sides.select(col("__fid").as("__ka"), col("__mid").as("__ma")),
+        col("id_a") === col("__ka"))
+      .join(sides.select(col("__fid").as("__kb"), col("__mid").as("__mb")),
+        col("id_b") === col("__kb"))
+      .where(col("__ma") =!= col("__mb"))
+      .select(least(col("__ma"), col("__mb")).as("media_a"),
+        greatest(col("__ma"), col("__mb")).as("media_b"), col("hamming"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+  }
+
   /** Build a media table from any binary-bearing source (here: text
     * bytes as stand-in payloads, for test determinism). */
   def fromBinary(spark: SparkSession, src: DataFrame, id: String, bin: Column, kind: String): DataFrame =

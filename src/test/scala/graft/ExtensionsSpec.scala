@@ -3986,6 +3986,64 @@ class MultimodalSpec extends AnyFunSuite {
       assert(java.lang.Long.bitCount(fps(x) ^ fps(y)) == h)
     }
   }
+
+  test("dHash: hand cells, empties, and the gradient contrast vs aHash") {
+    // 3 one-byte cells at bits=2: descending bytes set both adjacent
+    // bits, ascending neither
+    assert(graft.plans.DHash.hash(Array[Byte](30, 20, 10), 2) == 3L)
+    assert(graft.plans.DHash.hash(Array[Byte](10, 20, 30), 2) == 0L)
+    assert(graft.plans.DHash.hash(Array.emptyByteArray, 60) == 0L)
+    // payload shorter than the cell count: bytes spread across
+    // non-adjacent cells (p*cells/n), so every comparison has an
+    // empty side -> deterministic 0 fingerprint
+    assert(graft.plans.DHash.hash(Array[Byte](50, 40), 60) == 0L)
+    // ...and with matching cell count the adjacent comparison fires
+    assert(graft.plans.DHash.hash(Array[Byte](50, 40), 1) == 1L)
+    // THE CONTRAST (why perceptual pipelines ship both hashes):
+    // A = small-amplitude alternating cells (90/110, 100 bytes/cell,
+    // 61 cells); B = A + a 0..120 brightness ramp. Adjacent-cell
+    // differences (+-20) dwarf the per-cell ramp step (~2), so dHash
+    // barely moves; the ramp's ~60 mean shift flips aHash's low/high
+    // classification wholesale.
+    val n = 6100
+    val a = Array.tabulate(n)(p => (if ((p / 100) % 2 == 0) 90 else 110).toByte)
+    val b = Array.tabulate(n)(p =>
+      ((if ((p / 100) % 2 == 0) 90 else 110) + p * 120 / n).toByte)
+    val dA = graft.plans.DHash.hash(a, 60)
+    val dB = graft.plans.DHash.hash(b, 60)
+    val aA = graft.plans.AHash.hash(a, 60)
+    val aB = graft.plans.AHash.hash(b, 60)
+    val dHam = java.lang.Long.bitCount(dA ^ dB)
+    val aHam = java.lang.Long.bitCount(aA ^ aB)
+    assert(dHam <= 4, s"gradient twin must stay close under dHash, got $dHam")
+    assert(aHam >= 15, s"gradient twin must diverge under aHash, got $aHam")
+    // column form agrees with the kernel
+    val viaCol = Seq((1L, a), (2L, b)).toDF("id", "content")
+      .select($"id", Multimodal.dHash($"content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCol(1L) == dA && viaCol(2L) == dB)
+  }
+
+  test("videoFrameNearDupPairs: end-to-end frames -> dHash -> pigeonhole -> rollup") {
+    val rnd = new scala.util.Random(11)
+    // "video" A: 4 frames' worth of bytes (chunk=64, stride=2 => 512B)
+    val a = Array.fill(512)(rnd.nextInt(256).toByte)
+    // B: same video with 2 bytes flipped in sampled frame 0 and one in
+    // sampled frame 1 (offsets 0-63 and 128-191)
+    val b = a.clone(); b(3) = 0; b(40) = 0; b(150) = 0
+    // C: unrelated video
+    val c = Array.fill(512)(rnd.nextInt(256).toByte)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("media_id", "content")
+    val got = Multimodal.videoFrameNearDupPairs(df, "media_id", $"content",
+        chunk = 64, stride = 2, maxDist = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    // A/B share all 4 sampled frames (2 slightly-different + 2
+    // identical); C pairs with nobody
+    assert(got.length == 1 && got.head._1 == "1" && got.head._2 == "2",
+      s"got ${got.toSeq}")
+    assert(got.head._3 == 4L && got.head._4 == 0)
+  }
 }
 
 /** Smoke: every declared query runs and returns rows at sf0.001, and
