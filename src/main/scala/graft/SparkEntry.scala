@@ -322,7 +322,8 @@ object SparkEntry {
     // r12: clustering coefficient (shared canonical-edge pass +
     // intersect kernel + one exact division), 4-gram Kneser-Ney (one
     // 4-gram aggregate + 5 derived)
-    "q_clustering_coeff", "q_kneser_ney4", "q_media_dhash")
+    "q_clustering_coeff", "q_kneser_ney4", "q_media_dhash",
+    "q_quantile_sketch")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -798,6 +799,21 @@ object SparkEntry {
       import s.implicits._
       Corpus.exactQuantilesBy(t(s, dir, "documents"), Seq($"lang"),
           size(TextFunctions.tokens($"text")), Seq(0.5, 0.9))
+        .orderBy("lang", "prob")
+    }),
+
+    // -------- corpus: mergeable quantile sketch (DDSketch-style) ------
+    // Token-count p50/p90/p99 per language through the geometric-bin
+    // sketch — the 100 TB tier next to q_quantiles_by (per-key state
+    // is a bin->count map, never a per-key sort). The oracle
+    // hash-matches the INTEGER surface (sgn, bin, rank, n): the bin
+    // walk is exact; the decoded est column is pow-based
+    // (cross-libm) and deliberately not oracled — spec bounds it.
+    "q_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.quantileSketchBy(t(s, dir, "documents"), Seq($"lang"),
+          size(TextFunctions.tokens($"text")), Seq(0.5, 0.9, 0.99))
+        .select($"lang", $"prob", $"sgn", $"bin", $"rank", $"n")
         .orderBy("lang", "prob")
     }),
 
@@ -5464,6 +5480,29 @@ object SparkEntry {
         |SELECT k.lang, k.prob, o.x AS value, k.rank
         |FROM k JOIN o ON o.lang = k.lang AND o.rn = k.rank
         |ORDER BY k.lang, prob""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH t AS (SELECT lang, len(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0))::DOUBLE AS x
+        |   FROM documents),
+        | b AS (SELECT lang,
+        |     CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn,
+        |     CASE WHEN x = 0 THEN 0
+        |          ELSE ceil(ln(abs(x)) / ln(1.02))::BIGINT END AS bin
+        |   FROM t WHERE x IS NOT NULL AND NOT isnan(x)),
+        | c AS (SELECT lang, sgn, bin, count(*)::BIGINT AS cnt
+        |   FROM b GROUP BY lang, sgn, bin),
+        | w AS (SELECT lang, sgn, bin, cnt,
+        |     sum(cnt) OVER (PARTITION BY lang ORDER BY sgn, sgn*bin)::BIGINT AS cum,
+        |     sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n FROM c),
+        | p AS (SELECT lang, sgn, bin, cnt, cum, n,
+        |     unnest([0.5, 0.9, 0.99]) AS prob FROM w),
+        | sel AS (SELECT lang, prob, sgn, bin,
+        |     greatest(1, least(n, ceil(prob * n::DOUBLE)::BIGINT)) AS rank, n
+        |   FROM p
+        |   WHERE cum - cnt < greatest(1, least(n, ceil(prob * n::DOUBLE)::BIGINT))
+        |     AND greatest(1, least(n, ceil(prob * n::DOUBLE)::BIGINT)) <= cum)
+        |SELECT lang, prob, sgn::INT AS sgn, bin, rank, n
+        |FROM sel ORDER BY lang, prob""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |   FROM documents),

@@ -1471,6 +1471,85 @@ object Corpus {
         col("__x").as("value") :+ col("__rank").as("rank")): _*)
   }
 
+  /** Mergeable quantile sketch, bin table form — the 100 TB tier next
+    * to [[exactQuantilesBy]] (whose documented bound is one external
+    * sort per hot key): DDSketch-style geometric binning (Masson et
+    * al. 2019). Each value lands in bin ⌈ln|x|/ln γ⌉ with its sign
+    * (zero gets its own bucket), so the per-key state is a (sgn, bin)
+    * → count map of ≤ a few hundred rows REGARDLESS of n, the
+    * estimate's value error is bounded by the bin width (relative
+    * error ≤ γ − 1 one-sided), and the rank walk is exact integers.
+    *
+    * Chosen over a KLL/GK compactor deliberately: bin counts are a
+    * PURE FUNCTION of the value multiset, so merge order cannot
+    * matter — partial aggregation, retries, repartitioning, and
+    * cross-batch sketch unions (a further groupBy-sum over this
+    * table) all produce bit-identical sketches (spec-asserted), where
+    * any compacting sketch is merge-order-dependent and would break
+    * both the oracle gate and retry idempotence. Catalyst's partial
+    * aggregation IS the sketch merge — map-side (sgn, bin) partials
+    * bound the shuffle at |keys|·|bins| rows, no opaque UDAF, plan
+    * stays codegen'd.
+    *
+    * NaN values are dropped; NULL keys are real groups (groupBy
+    * semantics). The ln-binning is the one float op: a value whose
+    * ln|x|/ln γ sits within ~1e-11 of an integer could bin
+    * differently across engines (the usual ln-oracle contract —
+    * integer-ish value domains have ~1e-3 margins, spec-profiled). */
+  def quantileSketchBins(df: DataFrame, keys: Seq[Column], value: Column,
+                         gamma: Double = 1.02): DataFrame = {
+    require(gamma > 1.0 && gamma < 2.0, s"gamma $gamma outside (1,2)")
+    val x = value.cast("double")
+    val sgn = when(x > 0, lit(1)).when(x < 0, lit(-1)).otherwise(lit(0))
+    val bin = when(x === 0, lit(0L))
+      .otherwise(ceil(log(abs(x)) / log(lit(gamma))))
+    val keyed = df.where(x.isNotNull && !isnan(x))
+      .select((keys :+ sgn.as("__sgn") :+ bin.as("__bin")): _*)
+    val keyNames = keyed.columns.dropRight(2).toIndexedSeq
+    keyed.groupBy((keyNames.map(col) :+ col("__sgn") :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Per-key approximate quantiles over the [[quantileSketchBins]]
+    * sketch — (keys..., prob, sgn, bin, est, rank, n): `rank` is the
+    * EXACT type-1 target rank (the [[exactQuantilesBy]] convention),
+    * (sgn, bin) the geometric bin containing it (integer-exact walk —
+    * what the q_quantile_sketch oracle hash-matches), and `est` =
+    * sgn·γ^bin the decoded upper-edge representative, within a factor
+    * of γ of the true quantile's value (pow is cross-libm, so est is
+    * the convenience column, not the oracle surface). The cumulative
+    * walk runs over ≤ |bins| rows per key — a hot key costs a few
+    * hundred window rows, not an external sort. */
+  def quantileSketchBy(df: DataFrame, keys: Seq[Column], value: Column,
+                       probs: Seq[Double],
+                       gamma: Double = 1.02): DataFrame = {
+    require(probs.nonEmpty, "quantileSketchBy needs at least one prob")
+    require(probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0, 1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val bins = quantileSketchBins(df, keys, value, gamma)
+    val keyNames = bins.columns.dropRight(3).toIndexedSeq
+    // value order: negatives by descending magnitude, then the zero
+    // bucket, then positives by ascending magnitude = (sgn, sgn·bin)
+    val ord = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("__sgn"), col("__sgn") * col("__bin"))
+    val tot = Window.partitionBy(keyNames.map(col): _*)
+    val w = bins
+      .withColumn("__cum", sum(col("__cnt")).over(ord))
+      .withColumn("__n", sum(col("__cnt")).over(tot))
+    val withP = w.withColumn("prob", explode(array(probs.map(lit): _*)))
+      .withColumn("rank", greatest(lit(1L),
+        least(col("__n"), ceil(col("prob") * col("__n").cast("double")))))
+      .where(col("__cum") - col("__cnt") < col("rank") &&
+        col("rank") <= col("__cum"))
+    val est = when(col("__sgn") === 0, lit(0.0))
+      .otherwise(col("__sgn").cast("double") *
+        pow(lit(gamma), col("__bin").cast("double")))
+    withP.select((keyNames.map(col) :+ col("prob") :+
+      col("__sgn").as("sgn") :+ col("__bin").as("bin") :+ est.as("est") :+
+      col("rank") :+ col("__n").as("n")): _*)
+  }
+
   /** KMV buffer: the `maxK` smallest distinct 60-bit hash values seen,
     * kept sorted ascending in a fixed array (in-place, the
     * MisraGriesAgg mutation contract). */

@@ -629,6 +629,73 @@ class CorpusSpec extends AnyFunSuite {
     assert(gn.getDouble(2) == 7.0 && gn.getLong(3) == 2L)
   }
 
+  test("quantileSketchBy: value-error bound on planted distributions, exact merge invariance") {
+    val gamma = 1.02
+    val probs = Seq(0.25, 0.5, 0.9, 0.99, 1.0)
+    def exact(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val k = math.max(1L, math.min(s.size.toLong, math.ceil(p * s.size).toLong))
+      s((k - 1).toInt)
+    }
+    val rnd = new scala.util.Random(41)
+    val planted: Map[String, Seq[Double]] = Map(
+      "uniform" -> (1 to 5000).map(_ => (rnd.nextInt(1000) + 1).toDouble),
+      "exp" -> (1 to 5000).map(_ => math.exp(rnd.nextDouble() * 8) + 1.0),
+      "point" -> Seq.fill(999)(42.0),
+      "sorted" -> (1 to 3000).map(_.toDouble),
+      "negzero" -> ((1 to 500).map(i => -i.toDouble) ++ Seq.fill(100)(0.0) ++
+        (1 to 500).map(_.toDouble)))
+    val df = planted.toSeq.flatMap { case (k, xs) => xs.map(x => (k, x)) }
+      .toDF("key", "x")
+    def run(parts: Int) = Corpus.quantileSketchBy(df.repartition(parts),
+        Seq(col("key")), col("x"), probs, gamma)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val got = run(7)
+    for ((name, xs) <- planted; p <- probs) {
+      val (sgn, bin, est, rank, n) = got((name, p))
+      assert(n == xs.size && rank == math.max(1L,
+        math.min(n, math.ceil(p * n).toLong)), s"$name/$p rank surface")
+      val truth = exact(xs, p)
+      if (truth > 0)
+        assert(est >= truth / gamma * 0.999999 && est <= truth * gamma * 1.000001,
+          s"$name p=$p: est $est vs true $truth outside gamma band")
+      else if (truth == 0.0) assert(sgn == 0 && est == 0.0, s"$name p=$p zero")
+      else
+        assert(-est >= -truth / gamma * 0.999999 && -est <= -truth * gamma * 1.000001,
+          s"$name p=$p: est $est vs true $truth outside gamma band")
+      // decoded est is consistent with the integer surface (Spark's
+      // Pow is StrictMath.pow — the entropy-gotcha family)
+      if (sgn != 0) assert(est == sgn * StrictMath.pow(gamma, bin.toDouble))
+    }
+    // EXACT merge-order invariance: bin counts are a pure function of
+    // the value multiset, so any partitioning (= any merge tree)
+    // yields the bit-identical sketch and estimates — the property a
+    // KLL/GK compactor cannot give and the reason this form ships
+    assert(run(1) == got && run(32) == got)
+    // cross-batch mergeability: unioning two halves' bin tables and
+    // re-summing equals the whole corpus' bin table
+    val (h1, h2) = (df.where(col("x") <= 100), df.where(col("x") > 100))
+    val merged = Corpus.quantileSketchBins(h1, Seq(col("key")), col("x"), gamma)
+      .union(Corpus.quantileSketchBins(h2, Seq(col("key")), col("x"), gamma))
+      .groupBy("key", "__sgn", "__bin").agg(sum("__cnt").as("__cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val whole = Corpus.quantileSketchBins(df, Seq(col("key")), col("x"), gamma)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(merged == whole)
+    // ln-binning margin audit for the gate's value domain (integer
+    // token counts): nearest-integer distance of ln(x)/ln(gamma)
+    // dwarfs cross-libm 1-ulp noise (~1e-11 relative)
+    val minMargin = (1 to 10000).map { x =>
+      val r = math.log(x.toDouble) / math.log(gamma)
+      math.abs(r - math.round(r))
+    }.filter(_ > 0).min
+    assert(minMargin > 1e-6, s"ln-bin margin $minMargin too thin")
+  }
+
   test("distinctCountEstimate: exact below k, md5-exact estimator, partition invariance") {
     def md560(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
