@@ -323,7 +323,7 @@ object SparkEntry {
     // intersect kernel + one exact division), 4-gram Kneser-Ney (one
     // 4-gram aggregate + 5 derived)
     "q_clustering_coeff", "q_kneser_ney4", "q_media_dhash",
-    "q_quantile_sketch")
+    "q_quantile_sketch", "q_label_prop", "q_ppr", "q_kl_shift")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -778,6 +778,67 @@ object SparkEntry {
           concat(lit("p"), $"l_partkey".cast("string")),
           k = 5, iters = 3)
         .orderBy("node")
+    }),
+
+    // -------- corpus: label-propagation communities --------------------
+    // 3 synchronous LPA rounds over the ≥2-co-purchase part graph
+    // (the raw co-purchase graph is so dense it collapses to 4 tie-
+    // break communities; thresholding at 2 shared orders leaves 1,892
+    // nodes / 430 communities at sf0.01 — real structure). Integer
+    // votes + byte-order tie-break = NO rounding anywhere; the oracle
+    // replays each round as a count CTE + row_number argmax.
+    "q_label_prop" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.labelPropagation(pairs, $"u", $"v", iters = 3)
+        .orderBy("node")
+    }),
+
+    // -------- corpus: personalized PageRank (seed relevance) -----------
+    // 3-iteration PPR over the order→part bipartite graph, teleport
+    // uniform on the parts divisible by 13 — DANGLING seeds, so the
+    // uniform dm/n redistribution is nonzero from round 1 and every
+    // node's value carries an infinite-decimal additive that scatters
+    // it off the 12-decimal grid (see personalizedPageRank's Scaladoc:
+    // the seed-restart variant profiled a sub-ulp boundary hit).
+    // Boundary-risk profile (r12, the q_pagerank DuckDB replay
+    // recipe): per-round min distance to a .5×10⁻¹² HALF_UP boundary
+    // is 4.2e-13 / 2.4e-16 / 1.26e-16 at sf0.01 and 1.5e-13 /
+    // 7.4e-17 / 4.2e-17 at sf0.1 — every minimum ≥ ~1e4 ulps of its
+    // value, the q_pagerank safety band. Re-profile beyond ~sf1.
+    "q_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val seeds = li.where($"l_partkey" % 13 === 0)
+        .select(concat(lit("p"), $"l_partkey".cast("string")).as("seed"))
+      Corpus.personalizedPageRank(li,
+          concat(lit("o"), $"l_orderkey".cast("string")),
+          concat(lit("p"), $"l_partkey".cast("string")),
+          seeds, iters = 3)
+        .orderBy("node")
+    }),
+
+    // -------- corpus: unigram-shift (KL divergence) report --------------
+    // Bigram-distribution shift of the English slice vs the rest of
+    // the corpus (bigrams because the synthetic fixture's word vocab
+    // is only 31 — bigrams give ~916 terms and a nonzero OOV count at
+    // sf0.01, so the smoothing branch is exercised). The scaled-BIGINT
+    // term sum makes the output a pure function of the count table;
+    // margin profile is in unigramShiftReport's Scaladoc.
+    "q_kl_shift" -> ((s, dir) => {
+      import s.implicits._
+      val ts = TextFunctions.tokens($"text")
+      val bigrams = zip_with(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      Corpus.unigramShiftReport(t(s, dir, "documents"),
+        $"lang" === "en", bigrams)
     }),
 
     // -------- corpus: exact quantiles (no global sort) -----------------
@@ -5679,6 +5740,93 @@ object SparkEntry {
         |     + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS r
         |   FROM nodes LEFT JOIN c3 ON nodes.n = c3.nd)
         |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
+    "q_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | sym AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d FROM pairs
+        |         UNION SELECT v::VARCHAR, u::VARCHAR FROM pairs),
+        | l0 AS (SELECT DISTINCT s AS nd, s AS lbl FROM sym),
+        | c1 AS (SELECT sym.s AS nd, l0.lbl AS lbl, count(*) AS c
+        |        FROM sym JOIN l0 ON sym.d = l0.nd GROUP BY 1, 2),
+        | l1 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+        |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+        |   FROM c1) WHERE rn = 1),
+        | c2 AS (SELECT sym.s AS nd, l1.lbl AS lbl, count(*) AS c
+        |        FROM sym JOIN l1 ON sym.d = l1.nd GROUP BY 1, 2),
+        | l2 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+        |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+        |   FROM c2) WHERE rn = 1),
+        | c3 AS (SELECT sym.s AS nd, l2.lbl AS lbl, count(*) AS c
+        |        FROM sym JOIN l2 ON sym.d = l2.nd GROUP BY 1, 2),
+        | l3 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+        |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+        |   FROM c3) WHERE rn = 1)
+        |SELECT nd AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin,
+    "q_ppr" ->
+      """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
+        |     'p' || l_partkey::VARCHAR AS d FROM lineitem),
+        | nodes AS (SELECT DISTINCT n FROM
+        |   (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        | sd AS (SELECT DISTINCT 'p' || l_partkey::VARCHAR AS n
+        |   FROM lineitem WHERE l_partkey % 13 = 0),
+        | sc AS (SELECT count(*)::DOUBLE AS c FROM sd),
+        | deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e GROUP BY s),
+        | tele AS (SELECT nodes.n AS nd,
+        |   CASE WHEN sd.n IS NOT NULL THEN 1.0/(SELECT c FROM sc)
+        |        ELSE 0.0 END AS t
+        |   FROM nodes LEFT JOIN sd ON nodes.n = sd.n),
+        | r0 AS (SELECT nd, round(t, 12) AS r FROM tele),
+        | d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r0.nd)),
+        | c1 AS (SELECT e.d AS nd, sum(r0.r / deg.deg) AS cin
+        |   FROM e JOIN r0 ON e.s = r0.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r1 AS (SELECT tele.nd,
+        |   round(0.15*tele.t + 0.85*(coalesce(c1.cin, 0)
+        |     + (SELECT dm FROM d1)/(SELECT n FROM nn)), 12) AS r
+        |   FROM tele LEFT JOIN c1 ON tele.nd = c1.nd),
+        | d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r1.nd)),
+        | c2 AS (SELECT e.d AS nd, sum(r1.r / deg.deg) AS cin
+        |   FROM e JOIN r1 ON e.s = r1.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r2 AS (SELECT tele.nd,
+        |   round(0.15*tele.t + 0.85*(coalesce(c2.cin, 0)
+        |     + (SELECT dm FROM d2)/(SELECT n FROM nn)), 12) AS r
+        |   FROM tele LEFT JOIN c2 ON tele.nd = c2.nd),
+        | d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r2.nd)),
+        | c3 AS (SELECT e.d AS nd, sum(r2.r / deg.deg) AS cin
+        |   FROM e JOIN r2 ON e.s = r2.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r3 AS (SELECT tele.nd,
+        |   round(0.15*tele.t + 0.85*(coalesce(c3.cin, 0)
+        |     + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS r
+        |   FROM tele LEFT JOIN c3 ON tele.nd = c3.nd)
+        |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
+    "q_kl_shift" ->
+      """WITH tk AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isp,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        | tok AS (SELECT isp, ts[i] || ' ' || ts[i+1] AS w
+        |   FROM tk, unnest(range(1, len(ts))) AS r(i)),
+        | cnt AS (SELECT w, sum(isp)::BIGINT AS cp, sum(1 - isp)::BIGINT AS cq
+        |   FROM tok GROUP BY w),
+        | tot AS (SELECT sum(cp)::BIGINT AS np, sum(cq)::BIGINT AS nq,
+        |   count(*)::BIGINT AS v FROM cnt),
+        | term AS (SELECT cnt.cp, cnt.cq,
+        |    (cnt.cp::DOUBLE / (SELECT np FROM tot)::DOUBLE)
+        |      * ln((cnt.cp::DOUBLE / (SELECT np FROM tot)::DOUBLE)
+        |        * ((SELECT nq FROM tot) + (SELECT v FROM tot))::DOUBLE
+        |        / (cnt.cq + 1)::DOUBLE) AS kt
+        |  FROM cnt WHERE cnt.cp > 0)
+        |SELECT (SELECT np FROM tot) AS np, (SELECT nq FROM tot) AS nq,
+        | (SELECT v FROM tot) AS vocab,
+        | coalesce(sum(CASE WHEN cq = 0 THEN cp ELSE 0 END), 0)::BIGINT AS oov_tokens,
+        | coalesce(sum(CAST(round(kt * 1e9) AS BIGINT)), 0)::BIGINT AS kl_scaled,
+        | coalesce(sum(CAST(round(kt * 1e9) AS BIGINT)), 0)::DOUBLE / 1e9 AS kl_nats
+        |FROM term""".stripMargin,
     "q_data_checks" ->
       """SELECT * FROM (
         | SELECT 'not_null:l_returnflag' AS rule,

@@ -1323,6 +1323,202 @@ object Corpus {
       .withColumn("rounds", lit(it))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected SIMPLE graph — the near-linear community-detection
+    * pass web-curation pipelines use to group mutually-linked hosts
+    * (link farms surface as dense same-label blobs). Each round every
+    * node simultaneously takes the most frequent label among its
+    * neighbors; ties break to the LEXICOGRAPHICALLY SMALLEST label
+    * (UTF8 byte order — ASCII-safe cross-engine, the PhraseMatches
+    * convention), labels init to the node's own id, and edges are
+    * canonicalized (self-loops dropped, directions/duplicates merged —
+    * multi-edges do NOT weight votes, by declared design). Integer
+    * votes + total order on labels = fully deterministic with NO
+    * rounding anywhere, so a fixed iteration count unrolls into
+    * chained CTEs and hash-matches a DuckDB replay (q_label_prop).
+    *
+    * Shapes: the symmetric edge list materializes once; per round ONE
+    * state join against it (label side broadcast under the
+    * [[pageRank]] row+byte guard so the big static edge table never
+    * reshuffles; shuffled fallback above the cap) + two
+    * partial-aggregated narrow aggregates (vote counts, then the
+    * per-node argmax as `min(struct(-votes, label))` — no window, so
+    * hot nodes stay map-side combinable). Per-round state is lazily
+    * checkpointed (the components-loop recipe). Synchronous updates
+    * can 2-cycle on bipartite blocks — a fixed `iters` makes that
+    * deterministic rather than divergent. */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       iters: Int = 3,
+                       maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    val sym = Dedup.materializeLazily(
+      e0.select(col("__u").as("__s"), col("__v").as("__d"))
+        .union(e0.select(col("__v").as("__s"), col("__u").as("__d"))))
+    var labels = Dedup.materializeLazily(
+      sym.select(col("__s").as("__n")).distinct()
+        .select(col("__n"), col("__n").as("__lbl")))
+    val nstats = labels.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    // a label row carries two node-id-width strings
+    val hinted: DataFrame => DataFrame =
+      if (stateBroadcastOk(nstats.getLong(0).toDouble,
+          2.0 * nstats.getDouble(1), maxBroadcastNodes))
+        df => broadcast(df)
+      else df => df
+    var it = 0
+    while (it < iters) {
+      val votes = sym.join(hinted(labels), col("__d") === col("__n"))
+        .groupBy(col("__s"), col("__lbl")).agg(count(lit(1)).as("__c"))
+      labels = Dedup.materializeLazily(
+        votes.groupBy(col("__s"))
+          .agg(min(struct((-col("__c")).as("__negc"),
+            col("__lbl").as("__winner"))).as("__m"))
+          .select(col("__s").as("__n"),
+            col("__m").getField("__winner").as("__lbl")))
+      it += 1
+    }
+    labels.select(col("__n").as("node"), col("__lbl").as("label"))
+  }
+
+  /** Personalized PageRank: [[pageRank]] with the teleport vector
+    * concentrated uniformly on a seed set — the seed-relevance
+    * propagation used to extend a trusted domain list (TrustRank,
+    * Gyöngyi et al. 2004) or score crawl candidates by proximity to
+    * known-good hosts. Seeds = the FIRST column of `seeds`, cast to
+    * string, distinct, and intersected with the graph's nodes (mass
+    * never teleports off-graph). Dangling mass redistributes
+    * UNIFORMLY over ALL nodes each round (the Langville–Meyer
+    * convention), NOT over the seeds — deliberately: besides being
+    * the standard stochastic-matrix completion, the uniform dm/n term
+    * is an infinite-decimal additive on EVERY node, which scatters
+    * the per-round values off the 12-decimal grid. (The seed-restart
+    * variant leaves non-seed values as finite-decimal chains of
+    * rounded-rank/degree quotients, and the r12 DuckDB profile
+    * measured one such raw value within HALF an ulp of a .5×10⁻¹²
+    * HALF_UP boundary — a real cross-engine hash hazard; the uniform
+    * form profiles ≥ 1.26e-16 at sf0.01 / ≥ 4.2e-17 at sf0.1, both
+    * ≥ ~1e4 ulps of their values, the q_pagerank safety band.)
+    * Same per-round round(…, 12) + unrolled-CTE oracle recipe and the
+    * same broadcast-guarded loop shapes as [[pageRank]]. In a graph
+    * with NO reachable dangling mass, nodes unreachable from the
+    * seeds in ≤ `iters` hops hold rank exactly 0.0 (there is no
+    * uniform term to leak them mass); once dm > 0 every node is
+    * nonzero. Output: (node, rank). */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+                           seeds: DataFrame, iters: Int = 3,
+                           damping: Double = 0.85,
+                           maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
+    val e = Dedup.materializeLazily(
+      edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"))
+        .where(col("__s").isNotNull && col("__d").isNotNull))
+    val nodes = Dedup.materializeLazily(
+      e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
+        .distinct())
+    val nstats = nodes.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    val n = nstats.getLong(0).toDouble
+    require(n > 0, "personalizedPageRank needs at least one non-null edge")
+    val hinted: DataFrame => DataFrame =
+      if (stateBroadcastOk(n, nstats.getDouble(1), maxBroadcastNodes))
+        df => broadcast(df)
+      else df => df
+    val sd = Dedup.materializeLazily(
+      seeds.select(col(seeds.columns.head).cast("string").as("__seed"))
+        .where(col("__seed").isNotNull).distinct()
+        .join(nodes.select(col("__n").as("__seed")), Seq("__seed"),
+          "left_semi"))
+    val sCount = sd.count().toDouble
+    require(sCount > 0,
+      "personalizedPageRank needs >= 1 seed present in the graph")
+    val outdeg = Dedup.materializeLazily(
+      e.groupBy("__s").agg(count(lit(1)).as("__deg")))
+    val tele = Dedup.materializeLazily(
+      nodes.join(hinted(sd), col("__n") === col("__seed"), "left")
+        .select(col("__n"),
+          when(col("__seed").isNotNull, lit(1.0 / sCount))
+            .otherwise(lit(0.0)).as("__t")))
+    var ranks = tele.select(col("__n"), round(col("__t"), 12).as("__r"))
+    var it = 0
+    while (it < iters) {
+      val dangling = ranks.join(hinted(outdeg), col("__n") === col("__s"),
+          "left_anti")
+        .agg(coalesce(sum(col("__r")), lit(0.0))).head().getDouble(0)
+      val contribs = e.join(hinted(ranks), col("__s") === col("__n"))
+        .join(hinted(outdeg), "__s")
+        .select(col("__d").as("__n"), (col("__r") / col("__deg")).as("__c"))
+        .groupBy("__n").agg(sum(col("__c")).as("__in"))
+      ranks = Dedup.materializeLazily(
+        tele.join(hinted(contribs), Seq("__n"), "left")
+          .select(col("__n"),
+            round(lit(1.0 - damping) * col("__t") + lit(damping) *
+              (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)), 12)
+              .as("__r")))
+      it += 1
+    }
+    ranks.select(col("__n").as("node"), col("__r").as("rank"))
+  }
+
+  /** Domain-shift report between two slices of one corpus: the
+    * add-α-smoothed unigram KL divergence KL(P‖Q) that guides mixture
+    * reweighting (the quantity DSIR's importance weights integrate;
+    * a KL near 0 says slice Q already covers P's token distribution,
+    * a large KL flags a domain the mix underrepresents). P = rows
+    * where `isP`, Q = the rest; `toks` supplies the unit (words,
+    * bigrams, code-point n-grams). Only Q is smoothed — q(w) =
+    * (c_q(w)+α)/(N_q+α·|V|) over the UNION vocabulary — so P's zero
+    * counts drop out of the sum exactly.
+    *
+    * Cross-engine exactness: each vocabulary term is scaled by 1e9,
+    * HALF_UP-rounded to a BIGINT, and summed as INTEGERS — the sum is
+    * exact and order-independent, so the output is a pure function of
+    * the count table no matter how either engine partitions or orders
+    * the reduction (the KMV-estimate recipe). The only fp risk is a
+    * term within ~its own ulp of a .5×10⁻⁹ boundary; the r12 fixture
+    * profile (bigrams over documents) measures min boundary distance
+    * 1.7e-3 grid units at sf0.01 / 1.4e-4 at sf0.1 vs a cross-libm
+    * ln() wobble ≤ ~3e-10 grid units — 6 orders clear. `kl_nats`
+    * decodes the integer with ONE IEEE division (exact cross-engine).
+    *
+    * Shapes: one explode + ONE vocabulary-keyed aggregate with
+    * conditional partial sums (both corpus passes fused); everything
+    * after is vocabulary-sized. The three scalar totals are one
+    * 1-row driver aggregate. Output one row: (np, nq, vocab,
+    * oov_tokens, kl_scaled, kl_nats) — oov_tokens = P-mass on tokens
+    * Q has never seen (the coverage hole count). */
+  def unigramShiftReport(docs: DataFrame, isP: Column, toks: Column,
+                         alpha: Long = 1L): DataFrame = {
+    require(alpha >= 1, s"alpha $alpha must be >= 1")
+    val tok = docs.select(isP.cast("boolean").as("__isp"),
+      explode(toks).as("__w"))
+    val cnt = Dedup.materializeLazily(
+      tok.groupBy(col("__w")).agg(
+        sum(when(col("__isp"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__isp"), 0L).otherwise(1L)).as("__cq")))
+    val tots = cnt.agg(coalesce(sum(col("__cp")), lit(0L)),
+      coalesce(sum(col("__cq")), lit(0L)), count(lit(1))).head()
+    val np = tots.getLong(0); val nq = tots.getLong(1)
+    val v = tots.getLong(2)
+    require(np > 0 && nq > 0,
+      s"unigramShiftReport needs tokens on both sides (np=$np nq=$nq)")
+    // association mirrors the oracle exactly: ((p·(Nq+αV))/(cq+α)),
+    // then p·ln(…) — every operand an exact integer-to-double convert
+    val pw = col("__cp").cast("double") / lit(np.toDouble)
+    val kt = pw * log(pw * lit((nq + alpha * v).toDouble) /
+      (col("__cq") + lit(alpha)).cast("double"))
+    cnt.where(col("__cp") > 0)
+      .agg(sum(when(col("__cq") === 0, col("__cp")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(round(kt * lit(1e9)).cast("long")).as("kl_scaled"))
+      .select(lit(np).as("np"), lit(nq).as("nq"), lit(v).as("vocab"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        coalesce(col("kl_scaled"), lit(0L)).as("kl_scaled"),
+        (coalesce(col("kl_scaled"), lit(0L)).cast("double") / lit(1e9))
+          .as("kl_nats"))
+  }
+
   /** Misra-Gries summary (Misra & Gries 1982): at most `k - 1`
     * counters; any item with true frequency > N/k is guaranteed to
     * survive, under ANY reduce/merge order (mergeability per Agarwal

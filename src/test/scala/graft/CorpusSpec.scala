@@ -1004,4 +1004,107 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(g1 == got)
   }
+
+  test("labelPropagation: cliques converge to min label; direction/" +
+      "multi-edge/partitioning invariance") {
+    // two disjoint triangles: each converges to its min node id
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("s", "d")
+    val got = Corpus.labelPropagation(tri, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "z" -> "x"), got.toString)
+    // edge direction and duplicate edges must not matter (canonical
+    // simple graph: multi-edges do NOT weight votes)
+    val messy = Seq(("b", "a"), ("a", "b"), ("c", "b"), ("a", "c"),
+      ("y", "x"), ("z", "y"), ("z", "x"), ("z", "x")).toDF("s", "d")
+    val gm = Corpus.labelPropagation(messy, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gm == got, gm.toString)
+    // self-loops drop; a bridge node joins the lexicographically
+    // richer side deterministically — and repartitioning never
+    // changes any label (integer votes, total-order tie-break)
+    val bridged = tri.union(Seq(("c", "x"), ("c", "c")).toDF("s", "d"))
+    val g1 = Corpus.labelPropagation(bridged, col("s"), col("d"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val g2 = Corpus.labelPropagation(bridged.repartition(7), col("s"),
+        col("d"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(g1 == g2, s"$g1 vs $g2")
+  }
+
+  test("personalizedPageRank: closed-form cycle, exact zeros off the " +
+      "seed component, all-seeds == pageRank, off-graph seeds drop") {
+    // 3-cycle (no dangling nodes -> dm = 0 every round) + a detached
+    // a2 -> b2 edge: the detached pair gets NO mass, exactly 0.0
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a2", "b2"))
+      .toDF("s", "d")
+    val seeds = Seq(Tuple1("a")).toDF("n")
+    val r2 = Corpus.personalizedPageRank(e, col("s"), col("d"), seeds,
+        iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // hand-derived: r1 = (.15, .85, 0); r2 = (.15, .1275, .7225)
+    // (b2 IS dangling, but its rank is 0 in every round, so dm = 0)
+    assert(math.abs(r2("a") - 0.15) < 1e-11, r2.toString)
+    assert(math.abs(r2("b") - 0.1275) < 1e-11, r2.toString)
+    assert(math.abs(r2("c") - 0.7225) < 1e-11, r2.toString)
+    assert(r2("a2") == 0.0 && r2("b2") == 0.0, r2.toString)
+    // seeds = every node degenerates to plain pageRank (t = 1/n)
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val all = Seq("a", "b", "c").map(Tuple1(_)).toDF("n")
+    val ppr = Corpus.personalizedPageRank(cyc, col("s"), col("d"), all,
+        iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pr = Corpus.pageRank(cyc, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ppr == pr, s"$ppr vs $pr")
+    // seeds not present in the graph are dropped from the teleport
+    // denominator: {a, zzz} behaves as {a}; mass conserves with
+    // dangling redistribution (c -> sink graph)
+    val dang = Seq(("a", "b"), ("b", "sink")).toDF("s", "d")
+    val sz = Corpus.personalizedPageRank(dang, col("s"), col("d"),
+        Seq("a", "zzz").map(Tuple1(_)).toDF("n"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sa = Corpus.personalizedPageRank(dang, col("s"), col("d"),
+        Seq(Tuple1("a")).toDF("n"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sz == sa, s"$sz vs $sa")
+    assert(math.abs(sz.values.sum - 1.0) < 1e-9, sz.toString)
+    // deterministic across partitioning
+    val rp = Corpus.personalizedPageRank(e.repartition(5), col("s"),
+        col("d"), seeds, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rp == r2)
+  }
+
+  test("unigramShiftReport: hand-derived KL, OOV count, partition " +
+      "invariance, smoothing alpha") {
+    // P tokens: x,x,y,w ; Q tokens: x,y,y,z  (w is P-only -> OOV)
+    val df = Seq(
+      (true, Seq("x", "x", "y", "w")),
+      (false, Seq("x", "y")),
+      (false, Seq("y", "z"))).toDF("isp", "toks")
+    val got = Corpus.unigramShiftReport(df, col("isp"), col("toks"))
+      .collect().head
+    assert(got.getLong(0) == 4L && got.getLong(1) == 4L, got.toString) // np nq
+    assert(got.getLong(2) == 4L, got.toString)                         // vocab
+    assert(got.getLong(3) == 1L, got.toString)                         // oov=w
+    // driver replica with the operator's exact double arithmetic
+    val np = 4.0; val nqv = (4L + 1L * 4L).toDouble
+    def term(cp: Long, cq: Long): Long = {
+      val pw = cp.toDouble / np
+      math.round(pw * math.log(pw * nqv / (cq + 1L).toDouble) * 1e9)
+    }
+    val expected = term(2, 1) + term(1, 2) + term(1, 0) // x, y, w
+    assert(got.getLong(4) == expected, s"${got.getLong(4)} vs $expected")
+    assert(got.getDouble(5) == expected.toDouble / 1e9, got.toString)
+    // exact longs => bit-identical under any partitioning
+    val gp = Corpus.unigramShiftReport(df.repartition(5), col("isp"),
+      col("toks")).collect().head
+    assert(gp == got, s"$gp vs $got")
+    // heavier smoothing shrinks |KL| toward the uniform prior
+    val g2 = Corpus.unigramShiftReport(df, col("isp"), col("toks"),
+      alpha = 50L).collect().head
+    assert(math.abs(g2.getDouble(5)) != math.abs(got.getDouble(5)))
+  }
 }
