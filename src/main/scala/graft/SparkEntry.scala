@@ -323,7 +323,8 @@ object SparkEntry {
     // intersect kernel + one exact division), 4-gram Kneser-Ney (one
     // 4-gram aggregate + 5 derived)
     "q_clustering_coeff", "q_kneser_ney4", "q_media_dhash",
-    "q_quantile_sketch", "q_label_prop", "q_ppr", "q_kl_shift")
+    "q_quantile_sketch", "q_label_prop", "q_ppr", "q_kl_shift",
+    "q_jaccard_exact", "q_link_pred", "q_corpus_overlap")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -799,6 +800,29 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: common-neighbor link prediction ------------------
+    // Adamic-Adar / Resource-Allocation scores for the non-adjacent
+    // distance-2 pairs of the >=2-co-purchase graph (the q_label_prop
+    // graph) — "parts bought alongside the same partners but never
+    // together": the related-item mining signal. Exactness rides the
+    // scaled-BIGINT integer-sum recipe; ra terms are libm-free, aa
+    // terms profile min distance of 1e12/ln(d) to a .5 rounding
+    // boundary over the fixture's degree set = 1.83e-2 at BOTH SFs
+    // (degree 4; 15/10 distinct degrees) vs ~2.4e-4 of 1-ulp ln
+    // wobble at this magnitude — 75x clear; re-profile if the graph
+    // construction changes.
+    "q_link_pred" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.linkPredictionScores(pairs, $"u", $"v")
+        .orderBy("id_a", "id_b")
+    }),
+
     // -------- corpus: personalized PageRank (seed relevance) -----------
     // 3-iteration PPR over the order→part bipartite graph, teleport
     // uniform on the parts divisible by 13 — DANGLING seeds, so the
@@ -839,6 +863,26 @@ object SparkEntry {
         (a, b) => concat(a, lit(" "), b))
       Corpus.unigramShiftReport(t(s, dir, "documents"),
         $"lang" === "en", bigrams)
+    }),
+
+    // -------- corpus: KMV set-overlap estimate -------------------------
+    // "How much of the non-en slice's bigram vocabulary is already in
+    // the en slice" from two bottom-256 sketches — the snapshot-ingest
+    // overlap pre-flight, never a distinct-join. Bigrams (not words:
+    // the word vocab is ~31, below k) exercise the kth-hash estimator
+    // branch; all outputs are pure functions of the two value sets
+    // (md5 tier), exact integer counts + fixed-order IEEE arithmetic.
+    "q_corpus_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val ts = TextFunctions.tokens($"text")
+      val bigrams = zip_with(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val docs = t(s, dir, "documents")
+      val gA = docs.where($"lang" === "en").select(explode(bigrams).as("g"))
+      val gB = docs.where(!($"lang" <=> "en")).select(explode(bigrams).as("g"))
+      Corpus.setOverlapEstimate(gA, $"g", gB, $"g", k = 256)
     }),
 
     // -------- corpus: exact quantiles (no global sort) -----------------
@@ -2561,6 +2605,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: EXACT prefix-filtered Jaccard join ----------------
+    // The deterministic-recall tier of the near-dup family: same
+    // (id_a, id_b, J >= 0.9) contract as q_minhash_lsh, but recall is
+    // PROVEN by the AllPairs/PPJoin prefix pigeonhole instead of
+    // MinHash band probability — the pair set a leakage audit or a
+    // dedup-efficacy report should be checked against. Candidates
+    // shuffle on rare-first prefix gram keys (Σ prefix-df, never N²),
+    // then verify exactly. Emits the exact Jaccard value as well.
+    "q_jaccard_exact" -> ((s, dir) => {
+      Dedup.jaccardPairsExact(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
     // -------- dedup: cross-source duplication matrix ------------------
     // The curation audit "which sources duplicate each other": the
     // verified LSH pair set (≡ exact 5-gram Jaccard >= 0.9) with each
@@ -3350,6 +3408,56 @@ object SparkEntry {
     * = numerically, so the STRING rank picks the right one), then
     * the estimator's exact IEEE arithmetic replayed operation for
     * operation. Groups below k report their exact distinct count. */
+  /** q_corpus_overlap oracle: the two bottom-256 md5-60-bit sketches,
+    * the union's bottom-256, and the estimator arithmetic replayed in
+    * the exact operation order of `Corpus.setOverlapEstimate` (same
+    * digit-fold kth-hash decode as [[kmvOracle]]; fixed-width
+    * lowercase hex sorts identically to its numeric value). */
+  private lazy val corpusOverlapOracle: String = {
+    val decode = (1 to 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${w}"
+    }.mkString(" + ")
+    s"""WITH tk AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS isa,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents),
+       | tok AS (SELECT isa, ts[i] || ' ' || ts[i+1] AS w
+       |   FROM tk, unnest(range(1, len(ts))) AS r(i)),
+       | va AS (SELECT DISTINCT substr(md5(w), 1, 15) AS hx FROM tok WHERE isa = 1),
+       | vb AS (SELECT DISTINCT substr(md5(w), 1, 15) AS hx FROM tok WHERE isa = 0),
+       | un AS (SELECT hx FROM va UNION SELECT hx FROM vb),
+       | ra AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn FROM va),
+       | rb AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn FROM vb),
+       | ru AS (SELECT hx, row_number() OVER (ORDER BY hx) AS rn FROM un),
+       | ku AS (SELECT hx FROM ru WHERE rn <= 256),
+       | cs AS (SELECT (SELECT count(*) FROM va) AS na,
+       |   (SELECT count(*) FROM vb) AS nb,
+       |   (SELECT count(*) FROM ku) AS kept,
+       |   (SELECT count(*) FROM ku JOIN va USING (hx) JOIN vb USING (hx)) AS ni),
+       | kha AS (SELECT ($decode)::BIGINT AS hk FROM ra WHERE rn = 256),
+       | khb AS (SELECT ($decode)::BIGINT AS hk FROM rb WHERE rn = 256),
+       | khu AS (SELECT ($decode)::BIGINT AS hk FROM ru WHERE rn = 256)
+       |SELECT
+       | CASE WHEN cs.na < 256 THEN cs.na::DOUBLE
+       |   ELSE (255.0 * 1152921504606846976.0) / (SELECT hk FROM kha)::DOUBLE
+       |   END AS n_a_est,
+       | CASE WHEN cs.nb < 256 THEN cs.nb::DOUBLE
+       |   ELSE (255.0 * 1152921504606846976.0) / (SELECT hk FROM khb)::DOUBLE
+       |   END AS n_b_est,
+       | CASE WHEN cs.kept < 256 THEN cs.kept::DOUBLE
+       |   ELSE (255.0 * 1152921504606846976.0) / (SELECT hk FROM khu)::DOUBLE
+       |   END AS union_est,
+       | (CASE WHEN cs.kept = 0 THEN 0.0 ELSE cs.ni::DOUBLE / cs.kept::DOUBLE END)
+       |   * (CASE WHEN cs.kept < 256 THEN cs.kept::DOUBLE
+       |      ELSE (255.0 * 1152921504606846976.0) / (SELECT hk FROM khu)::DOUBLE
+       |      END) AS intersect_est,
+       | CASE WHEN cs.kept = 0 THEN 0.0
+       |   ELSE cs.ni::DOUBLE / cs.kept::DOUBLE END AS jaccard_est,
+       | cs.kept::BIGINT AS kept,
+       | (CASE WHEN cs.kept < 256 THEN 1 ELSE 0 END)::BIGINT AS exact
+       |FROM cs""".stripMargin
+  }
+
   private lazy val kmvOracle: String = {
     val decode = (1 to 15).map { i =>
       val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
@@ -5015,6 +5123,21 @@ object SparkEntry {
       s"""WITH $nearDupEdges5g09
         |SELECT src AS id_a, dst AS id_b FROM e
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_jaccard_exact" ->
+      s"""WITH $nearDupPrefix5g09,
+        | cand5 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |   FROM pref5 a JOIN pref5 b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |   WHERE least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9),
+        | ix5 AS (SELECT c.src, c.dst, count(*) AS i
+        |   FROM cand5 c JOIN u5 a ON c.src = a.doc_id
+        |     JOIN u5 b ON c.dst = b.doc_id AND a.gr = b.gr
+        |   GROUP BY c.src, c.dst),
+        | ej AS (SELECT ix5.src, ix5.dst,
+        |     ix5.i::DOUBLE / (len(a.sh) + len(b.sh) - ix5.i) AS j
+        |   FROM ix5 JOIN sh a ON ix5.src = a.doc_id
+        |     JOIN sh b ON ix5.dst = b.doc_id)
+        |SELECT src AS id_a, dst AS id_b, round(j, 6) AS jaccard
+        |FROM ej WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     "q_dup_matrix" ->
       s"""WITH $nearDupEdges5g09,
         | p AS (SELECT da.source AS sa, db.source AS sb
@@ -5765,6 +5888,31 @@ object SparkEntry {
         |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
         |   FROM c3) WHERE rn = 1)
         |SELECT nd AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin,
+    "q_link_pred" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | e AS (SELECT DISTINCT least(u::VARCHAR, v::VARCHAR) AS x,
+        |     greatest(u::VARCHAR, v::VARCHAR) AS y FROM pairs),
+        | nb AS (SELECT x AS z, y AS w FROM e UNION ALL SELECT y, x FROM e),
+        | dg AS (SELECT z, count(*)::BIGINT AS d FROM nb GROUP BY z),
+        | wd AS (SELECT a.z, a.w AS id_a, b.w AS id_b
+        |   FROM nb a JOIN nb b ON a.z = b.z AND a.w < b.w),
+        | sc AS (SELECT wd.id_a, wd.id_b,
+        |     count(*)::BIGINT AS common_neighbors,
+        |     sum(CAST(round(1e12 / ln(dg.d::DOUBLE)) AS BIGINT))::BIGINT
+        |       AS aa_scaled,
+        |     sum(CAST(round(1e12 / dg.d::DOUBLE) AS BIGINT))::BIGINT
+        |       AS ra_scaled
+        |   FROM wd JOIN dg ON wd.z = dg.z GROUP BY 1, 2),
+        | ne AS (SELECT sc.* FROM sc LEFT JOIN e
+        |   ON sc.id_a = e.x AND sc.id_b = e.y WHERE e.x IS NULL)
+        |SELECT id_a, id_b, common_neighbors, aa_scaled,
+        | aa_scaled::DOUBLE / 1e12 AS aa_score,
+        | ra_scaled, ra_scaled::DOUBLE / 1e12 AS ra_score
+        |FROM ne ORDER BY id_a, id_b""".stripMargin,
     "q_ppr" ->
       """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
         |     'p' || l_partkey::VARCHAR AS d FROM lineitem),
@@ -5827,6 +5975,7 @@ object SparkEntry {
         | coalesce(sum(CAST(round(kt * 1e9) AS BIGINT)), 0)::BIGINT AS kl_scaled,
         | coalesce(sum(CAST(round(kt * 1e9) AS BIGINT)), 0)::DOUBLE / 1e9 AS kl_nats
         |FROM term""".stripMargin,
+    "q_corpus_overlap" -> corpusOverlapOracle,
     "q_data_checks" ->
       """SELECT * FROM (
         | SELECT 'not_null:l_returnflag' AS rule,

@@ -1222,6 +1222,79 @@ object Corpus {
           .otherwise(lit(0.0)).as("clustering_coeff"))
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    * — the related-item / graph-augmentation miner: for every
+    * NON-adjacent pair at distance 2, the number of shared neighbors
+    * plus the two standard weighted variants, Adamic-Adar
+    * Σ 1/ln(deg z) (rare shared neighbors count more) and Resource
+    * Allocation Σ 1/deg z (Zhou et al. 2009). Each wedge center z
+    * emits its neighbor pairs via the sorted-bucket emission
+    * ([[Dedup.pairsFromSorted]], the LSH-bucket shape) tagged with
+    * z's score terms; one groupBy on the PAIR key aggregates count
+    * and sums. Output cardinality is the distance-2 pair set itself —
+    * inherent to the semantics, not a join artifact.
+    *
+    * Cross-engine exactness (the [[unigramShiftReport]] recipe): each
+    * center's terms are scaled ×1e12 and HALF_UP-rounded to BIGINTs
+    * once per center, so the per-pair sums are EXACT integer sums —
+    * order- and partitioning-independent. `ra` terms are 1e12/d with
+    * integer d: one IEEE division, bit-identical cross-engine, zero
+    * libm exposure. `aa` terms carry one libm ln(d) each; the only
+    * risk is 1e12/ln(d) within ~1 ulp (~2.4e-4 at this magnitude) of
+    * a .5 boundary for some degree d present in the data — the
+    * q_link_pred fixture profiles the min boundary distance over its
+    * degree set (recorded there). The decoded doubles are one exact
+    * long→double convert + one division each — also deterministic.
+    *
+    * Scale: Σ C(deg z, 2) wedge rows — `maxDegree` (0 = off) skips
+    * hub centers above that degree, the standard cap (a celebrity
+    * node's C(d,2) pairs are the least informative and dominate the
+    * blow-up; the loss is an UNDERCOUNT through capped hubs only,
+    * observable by re-running uncapped — the stop-gram convention;
+    * audit hub mass first via [[keySkewReport]]). Leave 0 on oracle
+    * paths. Per-center pair arrays allocate C(d,2) structs before
+    * explode — cap hubs at 100 TB. Edges are canonicalized (strings,
+    * self-loops dropped, directions/dups merged); `includeAdjacent`
+    * keeps pairs that are already edges (scores for edge-weight
+    * augmentation rather than prediction). Output: (id_a, id_b,
+    * common_neighbors, aa_scaled, aa_score, ra_scaled, ra_score),
+    * id_a < id_b in byte order. */
+  def linkPredictionScores(edges: DataFrame, src: Column, dst: Column,
+                           maxDegree: Int = 0,
+                           includeAdjacent: Boolean = false): DataFrame = {
+    require(maxDegree >= 0, s"maxDegree $maxDegree must be >= 0")
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    val nb = e0.select(col("__u").as("__z"), col("__v").as("__w"))
+      .union(e0.select(col("__v").as("__z"), col("__u").as("__w")))
+    // degree = neighbor-array size (simple graph after canonicalize);
+    // centers below degree 2 emit no wedge
+    val adj0 = nb.groupBy(col("__z"))
+      .agg(sort_array(collect_list(col("__w"))).as("__ns"))
+      .where(size(col("__ns")) >= 2)
+    val adj = if (maxDegree > 0) adj0.where(size(col("__ns")) <= maxDegree)
+              else adj0
+    val d = size(col("__ns")).cast("double")
+    val terms = adj.select(
+      explode(Dedup.pairsFromSorted(col("__ns"))).as("__p"),
+      round(lit(1e12) / log(d)).cast("long").as("__aat"),
+      round(lit(1e12) / d).cast("long").as("__rat"))
+    val scored = terms
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__aat")).as("aa_scaled"),
+        sum(col("__rat")).as("ra_scaled"))
+    val kept =
+      if (includeAdjacent) scored
+      else scored.join(e0,
+        scored("id_a") === e0("__u") && scored("id_b") === e0("__v"),
+        "left_anti")
+    kept.select(col("id_a"), col("id_b"), col("common_neighbors"),
+      col("aa_scaled"),
+      (col("aa_scaled").cast("double") / lit(1e12)).as("aa_score"),
+      col("ra_scaled"),
+      (col("ra_scaled").cast("double") / lit(1e12)).as("ra_score"))
+  }
+
   /** Fixed-iteration k-core peel — the classic link-farm /
     * comment-spam indicator completing the graph-quality battery next
     * to [[pageRank]]/[[hits]]/[[triangleCounts]]: a dense k-core
@@ -1836,6 +1909,77 @@ object Corpus {
       .withColumn("kept", col("__kmv._1"))
       .withColumn("est_distinct", col("__kmv._2"))
       .drop("__kmv")
+  }
+
+  /** [[KmvAgg]] that finishes with the bottom-k hash SET itself
+    * (ascending) instead of the (kept, estimate) pair — the mergeable
+    * form set-OPERATION estimates compose from. */
+  private final class KmvSetAgg(k: Int)
+      extends Aggregator[Long, KmvBuf, Seq[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: KmvBuf = inner.zero
+    override def reduce(b: KmvBuf, h: Long): KmvBuf = inner.reduce(b, h)
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+    override def finish(b: KmvBuf): Seq[Long] =
+      b.arr.take(b.size).toSeq
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Set-operation cardinality estimates between two corpora from two
+    * KMV sketches (Beyer et al., SIGMOD 2007) — the overlap pre-flight
+    * a 100 TB pipeline runs before ingesting a new crawl snapshot:
+    * "how much of B is already in A" WITHOUT the distinct-join that
+    * would answer it exactly. Each side aggregates to its bottom-k
+    * distinct md5-60-bit hash set (≤ k longs per task — the
+    * [[distinctCountEstimate]] shape); the union's bottom-k is
+    * K = first k of sort(Kₐ ∪ Kᵦ) (valid because the union's k
+    * smallest all lie in one side's bottom-k), ρ = |K ∩ Kₐ ∩ Kᵦ| / |K|
+    * estimates Jaccard (a true member of K that is in A must be in Kₐ:
+    * it is ≤ K's max ≤ Kₐ's max), and intersect ≈ ρ · union_est.
+    *
+    * Everything after the two aggregates is a broadcast 1-row cross
+    * join + array ops. Exactness contract (the md5 tier): all outputs
+    * are pure functions of the two value SETS — partitioning- and
+    * order-independent, SQL-replayable; when the union has fewer than
+    * k distinct values (`exact` = true) the estimates ARE the exact
+    * cardinalities. The only fp ops are exact long→double converts,
+    * one division per estimate, and the one ρ·U product, in a fixed
+    * order mirrored by the oracle. Output one row: (n_a_est, n_b_est,
+    * union_est, intersect_est, jaccard_est, kept, exact). */
+  def setOverlapEstimate(dfA: DataFrame, valueA: Column,
+                         dfB: DataFrame, valueB: Column,
+                         k: Int = 256): DataFrame = {
+    require(k >= 16, s"k $k must be >= 16 (error ~1/sqrt(k))")
+    val kmv = udaf(new KmvSetAgg(k), Encoders.scalaLong)
+    def sketch(df: DataFrame, v: Column, name: String) = {
+      val h = conv(substring(md5(v.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      df.where(v.isNotNull).select(h.as("__h"))
+        .agg(kmv(col("__h")).as(name))
+    }
+    val two = sketch(dfA, valueA, "__ka")
+      .crossJoin(sketch(dfB, valueB, "__kb"))
+      .withColumn("__ku",
+        slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+    val max60 = lit(1152921504606846976.0) // 2^60: 15-hex-digit domain
+    def est(arr: Column) =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * max60 /
+          element_at(arr, k).cast("double"))
+    val kept = size(col("__ku"))
+    val nI = size(array_intersect(col("__ku"),
+      array_intersect(col("__ka"), col("__kb"))))
+    val rho = when(kept === 0, lit(0.0))
+      .otherwise(nI.cast("double") / kept.cast("double"))
+    two.select(
+      est(col("__ka")).as("n_a_est"), est(col("__kb")).as("n_b_est"),
+      est(col("__ku")).as("union_est"),
+      (rho * est(col("__ku"))).as("intersect_est"),
+      rho.as("jaccard_est"),
+      kept.cast("long").as("kept"),
+      (kept < k).cast("int").cast("long").as("exact"))
   }
 
   /** Exact heavy hitters at sketch cost: every item of `key` whose

@@ -1704,6 +1704,85 @@ object Dedup {
       .where(col("containment") >= minContainment)
   }
 
+  /** EXACT all-pairs char-n-gram Jaccard join at prefix-filter cost —
+    * the deterministic-recall twin of [[minhashLshPairsVerified]]
+    * (which is precision-exact but misses a true pair with band
+    * probability) and the scale twin of [[ngramJaccardPairs]] (which
+    * is exact but all-pairs): output ≡ `ngramJaccardPairs(df, id,
+    * text, n, threshold)` — every (id_a, id_b, jaccard) with true
+    * shingle-set Jaccard ≥ `threshold`, id_a < id_b — proven by the
+    * AllPairs/PPJoin prefix pigeonhole (Chaudhuri et al. 2006; Bayardo
+    * et al. 2007; Xiao et al. 2008), not by MinHash concentration.
+    * This is the same candidate construction the DuckDB near-dup
+    * oracle family replays (`SparkEntry.nearDupPrefix5g09`), now as a
+    * first-class Spark operator.
+    *
+    * Shape: (1) per-doc DISTINCT char-n-gram sets materialize once
+    * (three consumers); (2) grams rank per doc by ascending (document
+    * frequency, gram) — any fixed global total order works, rare-first
+    * minimizes candidate fan-out; (3) each doc emits its first
+    * `|S| − ⌊t·|S|⌋ + 1` grams as prefix keys. Completeness: a true
+    * pair has required overlap α = ⌈t/(1+t)·(|Sa|+|Sb|)⌉ and satisfies
+    * the length bound t·|Sb| ≤ |Sa| (|∩| ≤ min, |∪| ≥ max), under
+    * which α ≥ t·|Sx| for BOTH sides, so each side's last
+    * `⌊t·|S|⌋ − 1 < α` grams cannot contain its whole intersection —
+    * both PREFIXES contain an intersection gram, and (Xiao et al.
+    * Lemma 1) prefixes of length ≥ |S| − α + 1 under one total order
+    * must SHARE one. fp note: `floor(lit(t) * n)` can only err toward
+    * a LONGER prefix (more candidates, never fewer) since the real
+    * bound is ⌈t·n⌉ − 1 ≥ ⌊t·n⌋ − 1 and the emitted length adds +1.
+    * (4) candidates = prefix-key equi-join (shuffle on gram keys,
+    * Σ prefix-df fan-out, never N²) under the integer length filter
+    * with 1e-6 slack (absorbs the fp product for set sizes to ~1e9;
+    * slack only ADDS candidates); (5) exact verify on the re-attached
+    * shingle sets — precision exact, recall complete, at any scale.
+    *
+    * `maxDocFreq` (0 = off) drops grams above that document frequency
+    * from ranking/prefixes — the stop-gram cap for viral boilerplate
+    * (the [[ngramContainmentPairs]] convention: loss is recall only,
+    * observable by re-running uncapped; leave 0 on oracle paths).
+    * Docs with null text never pair; `id` values must be unique. */
+  def jaccardPairsExact(df: DataFrame, id: String, text: String,
+                        n: Int = 5, threshold: Double = 0.9,
+                        maxDocFreq: Long = 0): DataFrame = {
+    require(n >= 1, s"n $n must be >= 1")
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold outside (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val sets = materializeLazily(df
+      .select(col(id).as("__jid"), charShingles(col(text), n).as("__sh"))
+      .where(col("__sh").isNotNull))
+    val g = sets.select(col("__jid"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__g"))
+    val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
+               else dfreq
+    // per-doc window: partitioned by doc id — parallel, not global
+    val ranked = g.join(kept, "__g")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__jid")).orderBy(col("__df"), col("__g"))))
+    val pref = ranked.where(col("__r") <=
+        col("__n") - floor(lit(threshold) * col("__n")).cast("int") + lit(1))
+      .select(col("__jid"), col("__n"), col("__g"))
+    val pa = pref.select(col("__jid").as("id_a"), col("__n").as("__na"),
+      col("__g"))
+    val pb = pref.select(col("__jid").as("id_b"), col("__n").as("__nb"),
+      col("__g"))
+    val cand = materializeOnce(pa.join(pb, Seq("__g"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("__na"), col("__nb")).cast("double") >=
+          lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))
+      .select(col("id_a"), col("id_b")).distinct())
+    cand
+      .join(sets.select(col("__jid").as("id_a"), col("__sh").as("__sa")),
+        "id_a")
+      .join(sets.select(col("__jid").as("id_b"), col("__sh").as("__sb")),
+        "id_b")
+      .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Delete-neighborhood of a string: every string reachable by
     * deleting at most `maxDist` code points (the string itself
     * included), distinct. Pure columnar (no UDF): level k+1 =

@@ -562,6 +562,61 @@ class CorpusSpec extends AnyFunSuite {
           r.getDouble(3))).toSet)
   }
 
+  test("linkPredictionScores: hand graph exact; driver reference; adjacency + hub cap") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def scaled(x: Double): Long =
+      new JBD(java.lang.Double.toString(x))
+        .setScale(0, RoundingMode.HALF_UP).longValue
+    def run(edges: Seq[(String, String)], maxDeg: Int = 0,
+            adj: Boolean = false, parts: Int = 3) =
+      Corpus.linkPredictionScores(edges.toDF("s", "d").repartition(parts),
+          col("s"), col("d"), maxDegree = maxDeg, includeAdjacent = adj)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5), r.getDouble(6))).toSet
+    // square 1-2-3-4-1: the two diagonals each share BOTH degree-2
+    // corners; every edge pair shares none — exact closed-form values
+    val square = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("1", "4"))
+    val aa2 = scaled(1e12 / math.log(2.0)); val ra2 = 500000000000L
+    def row(a: String, b: String) = (a, b, 2L, 2 * aa2,
+      (2 * aa2).toDouble / 1e12, 2 * ra2, 1.0)
+    assert(run(square) == Set(row("1", "3"), row("2", "4")))
+    // triangle: all distance-2 pairs are ALSO edges -> default empty,
+    // includeAdjacent scores them (cn = 1 through the third corner)
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    assert(run(tri).isEmpty)
+    assert(run(tri, adj = true) == Set(
+      ("a", "b", 1L, scaled(1e12 / math.log(2.0)), scaled(1e12 / math.log(2.0)).toDouble / 1e12, ra2, 0.5),
+      ("a", "c", 1L, scaled(1e12 / math.log(2.0)), scaled(1e12 / math.log(2.0)).toDouble / 1e12, ra2, 0.5),
+      ("b", "c", 1L, scaled(1e12 / math.log(2.0)), scaled(1e12 / math.log(2.0)).toDouble / 1e12, ra2, 0.5)))
+    // hub cap: star center degree 5 -> capped out, all pairs vanish
+    val star = (1 to 5).map(i => ("hub", s"l$i"))
+    assert(run(star).size == 10 && run(star, maxDeg = 4).isEmpty)
+    // driver reference on a random graph (dup/reversed edges included:
+    // canonical hygiene is part of the contract)
+    val rnd = new scala.util.Random(42)
+    val nodes = (0 until 18).map(_.toString)
+    val raw = Seq.fill(60)((nodes(rnd.nextInt(18)), nodes(rnd.nextInt(18))))
+    val canon = raw.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a) }.distinct
+    val nbm = (canon.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (z, xs) => z -> xs.map(_._2).distinct.sorted }
+    val accum = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long, Long)]
+    for ((z, ns) <- nbm; if ns.size >= 2; i <- ns.indices;
+         j <- (i + 1) until ns.size) {
+      val key = (ns(i), ns(j))
+      val (c, s1, s2) = accum.getOrElse(key, (0L, 0L, 0L))
+      accum(key) = (c + 1, s1 + scaled(1e12 / math.log(ns.size.toDouble)),
+        s2 + scaled(1e12 / ns.size.toDouble))
+    }
+    val eset = canon.toSet
+    val want = accum.collect { case ((a, b), (c, s1, s2))
+        if !eset.contains((a, b)) =>
+      (a, b, c, s1, s1.toDouble / 1e12, s2, s2.toDouble / 1e12) }.toSet
+    for (parts <- Seq(1, 7))
+      assert(run(raw, parts = parts) == want, s"parts=$parts")
+  }
+
   test("exactQuantiles: == sorted-selection reference; edges; chunk/partition invariance") {
     def ref(xs: Seq[Double], probs: Seq[Double]): Seq[(Double, Double, Long)] = {
       val s = xs.sorted
@@ -727,6 +782,43 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("key").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(m.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 2.0)))
+  }
+
+  test("setOverlapEstimate: exact below k; driver md5 replica; partition invariance") {
+    def md560(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def run(a: Seq[String], b: Seq[String], k: Int, parts: Int = 3) =
+      Corpus.setOverlapEstimate(
+        a.map(Tuple1(_)).toDF("v").repartition(parts), col("v"),
+        b.map(Tuple1(_)).toDF("v").repartition(parts), col("v"), k = k)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6))).head
+    // union below k: every output is the exact cardinality
+    val a = (1 to 10).map(i => s"x$i"); val b = (6 to 15).map(i => s"x$i")
+    assert(run(a, b, k = 64) ==
+      ((10.0, 10.0, 15.0, 15.0 * (5.0 / 15.0), 5.0 / 15.0, 15L, 1L)))
+    // duplicates don't count; empty side
+    assert(run(a ++ a, b ++ b, k = 64)._3 == 15.0)
+    assert(run(a, Nil, k = 64) == ((10.0, 0.0, 10.0, 0.0, 0.0, 10L, 1L)))
+    // above k: replicate the whole estimator from driver md5 sets,
+    // assert BIT equality across partitionings (reduce + merge paths)
+    val va = (1 to 2000).map(i => s"t$i"); val vb = (1001 to 3000).map(i => s"t$i")
+    val ha = va.map(md560).distinct.sorted; val hb = vb.map(md560).distinct.sorted
+    val k16a = ha.take(16); val k16b = hb.take(16)
+    val ku = (k16a ++ k16b).distinct.sorted.take(16)
+    val inBoth = ku.count(h => k16a.contains(h) && k16b.contains(h))
+    def est(s: Seq[Long]) = if (s.size < 16) s.size.toDouble
+      else 15.0 * 1152921504606846976.0 / s(15).toDouble
+    val rho = inBoth.toDouble / ku.size.toDouble
+    val want = (est(k16a), est(k16b), est(ku), rho * est(ku), rho,
+      ku.size.toLong, 0L)
+    for (parts <- Seq(1, 13))
+      assert(run(va, vb, k = 16, parts = parts) == want, s"parts=$parts")
+    // and the k=16 estimates sit in the right regime (error ~1/sqrt(k))
+    assert(math.abs(want._3 / 3000.0 - 1.0) < 0.75, want.toString)
   }
 
   test("kCore: multi-round cascade, brute-force equality, broadcast-path invariance") {

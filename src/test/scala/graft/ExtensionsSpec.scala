@@ -64,6 +64,39 @@ class DedupSpec extends AnyFunSuite {
       minContainment = 0.5).count() == 2)
   }
 
+  test("jaccardPairsExact: prefix join == brute-force all-pairs; boundary; stop-gram cap") {
+    val rnd = new scala.util.Random(7)
+    def randDoc(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val base = randDoc(60)
+    val fixture = Seq((0L, base), (1L, base.updated(30, 'z')), // near-dup of 0
+        (2L, randDoc(40)), (3L, "ab"), (4L, "")) ++ // sub-n-length + empty
+      (5L until 30L).map(i => (i, randDoc(10 + rnd.nextInt(50))))
+    val df = fixture.toDF("id", "s").repartition(7)
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      val want = Dedup.ngramJaccardPairs(df, "id", "s", 5, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = Dedup.jaccardPairsExact(df, "id", "s", 5, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"t=$t: missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+    }
+    // exact threshold boundary with integral t*n (the fp-hazard corner):
+    // grams("abcdefgh", 5) = 4, grams("abcdef", 5) = 2 shared -> J = 0.5
+    // exactly, and t*max = 0.5*4 = 2 = min exactly
+    val edge = Seq((1L, "abcdefgh"), (2L, "abcdef")).toDF("id", "s")
+    val hit = Dedup.jaccardPairsExact(edge, "id", "s", 5, 0.5).collect()
+    assert(hit.length == 1 && hit(0).getDouble(2) == 0.5, hit.toSeq.toString)
+    // stop-gram cap: twins' shared grams have df 2 > 1 -> dropped from
+    // the prefix index (recall-only loss), uncapped finds the pair
+    val twins = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("id", "s")
+    assert(Dedup.jaccardPairsExact(twins, "id", "s", 5, 0.9,
+      maxDocFreq = 1).count() == 0)
+    assert(Dedup.jaccardPairsExact(twins, "id", "s", 5, 0.9).count() == 1)
+  }
+
   test("editDistancePairs: SymSpell blocking complete vs brute force; code-point deletes") {
     // brute-force Levenshtein for the reference side
     def lev(a: String, b: String): Int = {
