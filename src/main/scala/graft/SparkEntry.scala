@@ -324,7 +324,9 @@ object SparkEntry {
     // 4-gram aggregate + 5 derived)
     "q_clustering_coeff", "q_kneser_ney4", "q_media_dhash",
     "q_quantile_sketch", "q_label_prop", "q_ppr", "q_kl_shift",
-    "q_jaccard_exact", "q_link_pred", "q_corpus_overlap")
+    "q_jaccard_exact", "q_link_pred", "q_corpus_overlap",
+    "q_nbr_degree", "q_assortativity", "q_source_overlap",
+    "q_modularity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -800,6 +802,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: modularity of the LPA partition -------------------
+    // The community-quality audit that closes the detection loop:
+    // Newman-Girvan Q of q_label_prop's 3-round labels. Per-community
+    // terms are identical fixed-order IEEE ops in both engines (no
+    // libm); the community sum rides the scaled-BIGINT recipe.
+    // Boundary profile (min distance of term*1e12 to a .5 grid
+    // boundary): 3.3e-3 at sf0.01 (430 communities) / 3.9e-2 at
+    // sf0.1 (4761) vs <=1-ulp repr-vs-raw skew ~1e-6 grid units at
+    // the largest |term| (4.4e9) — 3 orders clear; re-profile if the
+    // graph construction changes.
+    "q_modularity" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      val labels = Corpus.labelPropagation(pairs, $"u", $"v", iters = 3)
+      Corpus.modularity(pairs, $"u", $"v", labels)
+    }),
+
     // -------- corpus: common-neighbor link prediction ------------------
     // Adamic-Adar / Resource-Allocation scores for the non-adjacent
     // distance-2 pairs of the >=2-co-purchase graph (the q_label_prop
@@ -821,6 +845,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("w")).where($"w" >= 2)
       Corpus.linkPredictionScores(pairs, $"u", $"v")
         .orderBy("id_a", "id_b")
+    }),
+
+    // -------- corpus: average neighbor degree (per-node assortativity)
+    // Exact integer degree sums to one final IEEE division — bit-exact
+    // replay on the full co-purchase graph (the q_clustering_coeff
+    // graph).
+    "q_nbr_degree" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      Corpus.avgNeighborDegree(pairs, $"u", $"v").orderBy("node")
+    }),
+
+    // -------- corpus: degree assortativity coefficient -----------------
+    // Newman's r over the >=2-co-purchase graph: symmetric directed
+    // sums collapse Pearson to (M·Σxy − Σx²)/(M·Σx² − Σx²) — zero
+    // libm, exact integer sums, converts exact below 2^53 (this
+    // graph's M·Σx² ≈ 1e10 at sf0.1 — 3 orders clear).
+    "q_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.degreeAssortativity(pairs, $"u", $"v")
+    }),
+
+    // -------- corpus: per-source KMV overlap matrix --------------------
+    // The q_dup_matrix question ("which feeds mirror each other")
+    // answered at sketch cost: per-source bottom-256 sketches of the
+    // 5-gram shingle vocabulary, pairwise Beyer et al. estimates —
+    // no document pair-finding at all.
+    "q_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val g = t(s, dir, "documents")
+        .select($"source", explode(Dedup.charShingles($"text", 5)).as("g"))
+      Corpus.setOverlapMatrix(g, $"source", $"g", k = 256)
+        .orderBy("key_a", "key_b")
     }),
 
     // -------- corpus: personalized PageRank (seed relevance) -----------
@@ -3458,6 +3525,93 @@ object SparkEntry {
        |FROM cs""".stripMargin
   }
 
+  /** Shared LPA oracle chain for q_label_prop / q_modularity: the
+    * ≥2-co-purchase graph, synchronous label propagation unrolled to
+    * 3 rounds (integer votes, byte-order tie-break — no rounding
+    * anywhere); yields CTEs `pairs`, `sym`, and `l3` = (nd, lbl). */
+  private lazy val lpaChainCtes: String =
+    """pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      | sym AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d FROM pairs
+      |         UNION SELECT v::VARCHAR, u::VARCHAR FROM pairs),
+      | l0 AS (SELECT DISTINCT s AS nd, s AS lbl FROM sym),
+      | c1 AS (SELECT sym.s AS nd, l0.lbl AS lbl, count(*) AS c
+      |        FROM sym JOIN l0 ON sym.d = l0.nd GROUP BY 1, 2),
+      | l1 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+      |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+      |   FROM c1) WHERE rn = 1),
+      | c2 AS (SELECT sym.s AS nd, l1.lbl AS lbl, count(*) AS c
+      |        FROM sym JOIN l1 ON sym.d = l1.nd GROUP BY 1, 2),
+      | l2 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+      |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+      |   FROM c2) WHERE rn = 1),
+      | c3 AS (SELECT sym.s AS nd, l2.lbl AS lbl, count(*) AS c
+      |        FROM sym JOIN l2 ON sym.d = l2.nd GROUP BY 1, 2),
+      | l3 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+      |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+      |   FROM c3) WHERE rn = 1)""".stripMargin
+
+  /** q_source_overlap oracle: per-source bottom-256 sketches of the
+    * distinct 5-gram md5-60-bit hashes, each pair's union bottom-256
+    * re-ranked per pair, the same digit-fold kth decode and the same
+    * estimator operation order as [[corpusOverlapOracle]]. */
+  private lazy val sourceOverlapOracle: String = {
+    val decode = (1 to 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${w}"
+    }.mkString(" + ")
+    val estU = "(255.0 * 1152921504606846976.0) / ku2.hk::DOUBLE"
+    s"""WITH sh AS (SELECT source, unnest(list_distinct(
+       |     [substr(text, i, 5) for i in range(1, greatest(len(text)-4,1)+1)]))
+       |     AS gr
+       |   FROM documents),
+       | v AS (SELECT DISTINCT source, substr(md5(gr), 1, 15) AS hx FROM sh),
+       | c AS (SELECT source, count(*)::BIGINT AS n FROM v GROUP BY source),
+       | r AS (SELECT source, hx,
+       |     row_number() OVER (PARTITION BY source ORDER BY hx) AS rn FROM v),
+       | sk AS (SELECT source, hx FROM r WHERE rn <= 256),
+       | kth AS (SELECT source, ($decode)::BIGINT AS hk FROM r WHERE rn = 256),
+       | pr AS (SELECT a.source AS sa, b.source AS sb
+       |   FROM c a JOIN c b ON a.source < b.source),
+       | pu AS (SELECT pr.sa, pr.sb, sk.hx FROM pr JOIN sk ON sk.source = pr.sa
+       |   UNION SELECT pr.sa, pr.sb, sk.hx FROM pr JOIN sk ON sk.source = pr.sb),
+       | ru AS (SELECT sa, sb, hx,
+       |     row_number() OVER (PARTITION BY sa, sb ORDER BY hx) AS rn FROM pu),
+       | ku AS (SELECT sa, sb, hx FROM ru WHERE rn <= 256),
+       | kc AS (SELECT sa, sb, count(*)::BIGINT AS kept FROM ku GROUP BY sa, sb),
+       | khu AS (SELECT sa, sb, ($decode)::BIGINT AS hk FROM ru WHERE rn = 256),
+       | ni AS (SELECT ku.sa, ku.sb, count(*)::BIGINT AS i
+       |   FROM ku JOIN sk a ON a.source = ku.sa AND a.hx = ku.hx
+       |     JOIN sk b ON b.source = ku.sb AND b.hx = ku.hx
+       |   GROUP BY ku.sa, ku.sb)
+       |SELECT pr.sa AS key_a, pr.sb AS key_b,
+       | CASE WHEN ca.n < 256 THEN ca.n::DOUBLE
+       |   ELSE (255.0 * 1152921504606846976.0) / ka.hk::DOUBLE END AS n_a_est,
+       | CASE WHEN cb.n < 256 THEN cb.n::DOUBLE
+       |   ELSE (255.0 * 1152921504606846976.0) / kb.hk::DOUBLE END AS n_b_est,
+       | CASE WHEN kc.kept < 256 THEN kc.kept::DOUBLE ELSE $estU END
+       |   AS union_est,
+       | (CASE WHEN kc.kept = 0 THEN 0.0
+       |   ELSE coalesce(ni.i, 0)::DOUBLE / kc.kept::DOUBLE END)
+       |  * (CASE WHEN kc.kept < 256 THEN kc.kept::DOUBLE ELSE $estU END)
+       |   AS intersect_est,
+       | CASE WHEN kc.kept = 0 THEN 0.0
+       |   ELSE coalesce(ni.i, 0)::DOUBLE / kc.kept::DOUBLE END AS jaccard_est,
+       | kc.kept AS kept,
+       | (CASE WHEN kc.kept < 256 THEN 1 ELSE 0 END)::BIGINT AS exact
+       |FROM pr
+       | JOIN c ca ON ca.source = pr.sa JOIN c cb ON cb.source = pr.sb
+       | JOIN kc ON kc.sa = pr.sa AND kc.sb = pr.sb
+       | LEFT JOIN kth ka ON ka.source = pr.sa
+       | LEFT JOIN kth kb ON kb.source = pr.sb
+       | LEFT JOIN khu ku2 ON ku2.sa = pr.sa AND ku2.sb = pr.sb
+       | LEFT JOIN ni ON ni.sa = pr.sa AND ni.sb = pr.sb
+       |ORDER BY key_a, key_b""".stripMargin
+  }
+
   private lazy val kmvOracle: String = {
     val decode = (1 to 15).map { i =>
       val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
@@ -5864,30 +6018,30 @@ object SparkEntry {
         |   FROM nodes LEFT JOIN c3 ON nodes.n = c3.nd)
         |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
     "q_label_prop" ->
-      """WITH pairs AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | sym AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d FROM pairs
-        |         UNION SELECT v::VARCHAR, u::VARCHAR FROM pairs),
-        | l0 AS (SELECT DISTINCT s AS nd, s AS lbl FROM sym),
-        | c1 AS (SELECT sym.s AS nd, l0.lbl AS lbl, count(*) AS c
-        |        FROM sym JOIN l0 ON sym.d = l0.nd GROUP BY 1, 2),
-        | l1 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
-        |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
-        |   FROM c1) WHERE rn = 1),
-        | c2 AS (SELECT sym.s AS nd, l1.lbl AS lbl, count(*) AS c
-        |        FROM sym JOIN l1 ON sym.d = l1.nd GROUP BY 1, 2),
-        | l2 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
-        |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
-        |   FROM c2) WHERE rn = 1),
-        | c3 AS (SELECT sym.s AS nd, l2.lbl AS lbl, count(*) AS c
-        |        FROM sym JOIN l2 ON sym.d = l2.nd GROUP BY 1, 2),
-        | l3 AS (SELECT nd, lbl FROM (SELECT nd, lbl,
-        |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
-        |   FROM c3) WHERE rn = 1)
+      s"""WITH $lpaChainCtes
         |SELECT nd AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin,
+    "q_modularity" ->
+      s"""WITH $lpaChainCtes,
+        | e AS (SELECT DISTINCT least(u::VARCHAR, v::VARCHAR) AS x,
+        |     greatest(u::VARCHAR, v::VARCHAR) AS y FROM pairs),
+        | mm AS (SELECT count(*)::BIGINT AS m FROM e),
+        | dg AS (SELECT s AS n, count(*)::BIGINT AS d FROM sym GROUP BY s),
+        | mc AS (SELECT la.lbl AS c, count(*)::BIGINT AS mc FROM e
+        |   JOIN l3 la ON e.x = la.nd JOIN l3 lb ON e.y = lb.nd
+        |   WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+        | dcx AS (SELECT l3.lbl AS c, sum(dg.d)::BIGINT AS dc
+        |   FROM dg JOIN l3 ON dg.n = l3.nd GROUP BY l3.lbl),
+        | t AS (SELECT dcx.c,
+        |    coalesce(mc.mc, 0)::DOUBLE / (SELECT m FROM mm)::DOUBLE
+        |    - (dcx.dc::DOUBLE / (2 * (SELECT m FROM mm))::DOUBLE)
+        |      * (dcx.dc::DOUBLE / (2 * (SELECT m FROM mm))::DOUBLE) AS t
+        |  FROM dcx LEFT JOIN mc ON dcx.c = mc.c)
+        |SELECT (SELECT m FROM mm) AS m_edges,
+        | count(*)::BIGINT AS n_communities,
+        | coalesce(sum(CAST(round(t * 1e12) AS BIGINT)), 0)::BIGINT AS q_scaled,
+        | coalesce(sum(CAST(round(t * 1e12) AS BIGINT)), 0)::DOUBLE / 1e12
+        |   AS modularity
+        |FROM t""".stripMargin,
     "q_link_pred" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -5913,6 +6067,40 @@ object SparkEntry {
         | aa_scaled::DOUBLE / 1e12 AS aa_score,
         | ra_scaled, ra_scaled::DOUBLE / 1e12 AS ra_score
         |FROM ne ORDER BY id_a, id_b""".stripMargin,
+    "q_nbr_degree" ->
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey::VARCHAR AS x,
+        |     b.l_partkey::VARCHAR AS y
+        |   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey),
+        | e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+        |   FROM e0),
+        | nb AS (SELECT u AS z, v AS w FROM e UNION ALL SELECT v, u FROM e),
+        | d AS (SELECT z AS n, count(*)::BIGINT AS dg FROM nb GROUP BY z)
+        |SELECT nb.z AS node, count(*)::BIGINT AS degree,
+        | sum(d.dg)::BIGINT AS nbr_degree_sum,
+        | sum(d.dg)::DOUBLE / count(*)::DOUBLE AS avg_neighbor_degree
+        |FROM nb JOIN d ON nb.w = d.n
+        |GROUP BY nb.z ORDER BY node""".stripMargin,
+    "q_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | e AS (SELECT DISTINCT least(u::VARCHAR, v::VARCHAR) AS x,
+        |     greatest(u::VARCHAR, v::VARCHAR) AS y FROM pairs),
+        | nb AS (SELECT x AS z, y AS w FROM e UNION ALL SELECT y, x FROM e),
+        | d AS (SELECT z AS n, count(*)::BIGINT AS dg FROM nb GROUP BY z),
+        | de AS (SELECT du.dg AS du, dv.dg AS dv FROM e
+        |   JOIN d du ON e.x = du.n JOIN d dv ON e.y = dv.n),
+        | s AS (SELECT 2 * count(*) AS m, sum(du + dv) AS sx,
+        |   sum(du * du + dv * dv) AS sxx, 2 * sum(du * dv) AS sxy FROM de)
+        |SELECT m::BIGINT AS m_directed,
+        | CASE WHEN (m * sxx - sx * sx) = 0 THEN 0.0
+        |      ELSE (m * sxy - sx * sx)::DOUBLE
+        |           / (m * sxx - sx * sx)::DOUBLE END AS assortativity
+        |FROM s""".stripMargin,
+    "q_source_overlap" -> sourceOverlapOracle,
     "q_ppr" ->
       """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
         |     'p' || l_partkey::VARCHAR AS d FROM lineitem),

@@ -1295,6 +1295,116 @@ object Corpus {
       (col("ra_scaled").cast("double") / lit(1e12)).as("ra_score"))
   }
 
+  /** Newman-Girvan modularity of a node partition — the quality score
+    * a community detection run ([[labelPropagation]]) is audited
+    * with: Q = Σ_c [m_c/m − (D_c/2m)²] over communities c (m = simple
+    * undirected edges, m_c = intra-community edges, D_c = total
+    * degree inside c); Q ≈ 0 means the partition is no better than
+    * random wiring, Q ≳ 0.3 is real structure. `labels` = (node,
+    * label) in its first two columns — nodes without a label are
+    * excluded from m_c/D_c (the contract is labels covering the
+    * graph, which LPA output satisfies).
+    *
+    * Cross-engine exactness: every per-community term is built from
+    * exact integers through IDENTICAL fixed-order IEEE ops (two
+    * divisions, one multiply, one subtract — no libm), so both
+    * engines hold the same double; the term then rides the
+    * scaled-BIGINT integer-sum recipe ([[unigramShiftReport]]) so the
+    * community sum is order/partitioning-independent. The residual
+    * hazard is only Spark's repr-vs-raw rounding of a term within
+    * ~1 ulp of a .5e-12 grid boundary — profiled on the q_modularity
+    * fixture (margins recorded there). Scale shape: two label joins +
+    * two narrow aggregates, everything after is community-sized.
+    * Output one row: (m_edges, n_communities, q_scaled, modularity). */
+  def modularity(edges: DataFrame, src: Column, dst: Column,
+                 labels: DataFrame): DataFrame = {
+    val lab = Dedup.materializeLazily(labels.select(
+      col(labels.columns(0)).cast("string").as("__n"),
+      col(labels.columns(1)).cast("string").as("__l"))
+      .where(col("__n").isNotNull && col("__l").isNotNull))
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    val m = e0.count()
+    require(m > 0, "modularity needs at least one non-loop edge")
+    val deg = degreeTable(e0)
+    val mc = e0
+      .join(lab.select(col("__n").as("__u"), col("__l").as("__lu")), "__u")
+      .join(lab.select(col("__n").as("__v"), col("__l").as("__lv")), "__v")
+      .where(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("__c")).agg(count(lit(1)).as("__mc"))
+    val dc = deg.join(lab, Seq("__n"))
+      .groupBy(col("__l").as("__c")).agg(sum(col("__d")).as("__dc"))
+    val frac = col("__dc").cast("double") / lit(2.0 * m)
+    val term = coalesce(col("__mc"), lit(0L)).cast("double") /
+      lit(m.toDouble) - frac * frac
+    dc.join(mc, Seq("__c"), "left")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(round(term * lit(1e12)).cast("long")).as("__qs"))
+      .select(lit(m).as("m_edges"), col("n_communities"),
+        coalesce(col("__qs"), lit(0L)).as("q_scaled"),
+        (coalesce(col("__qs"), lit(0L)).cast("double") / lit(1e12))
+          .as("modularity"))
+  }
+
+  /** Average neighbor degree per node (Barrat et al. 2004) — the
+    * per-node assortativity signal: a low-degree node whose neighbors
+    * are all hubs (high value) is periphery; a hub whose neighbors
+    * are leaves (value ≈ 1) is a broadcast/spam pattern. One degree
+    * aggregate + one join + one keyed aggregate over the canonical
+    * edge list — exact integer degree sums until the single final
+    * IEEE division, so the oracle replays bit-exactly. Output:
+    * (node, degree, nbr_degree_sum, avg_neighbor_degree); isolated
+    * nodes cannot appear (canonical edges only). */
+  def avgNeighborDegree(edges: DataFrame, src: Column,
+                        dst: Column): DataFrame = {
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    val deg = degreeTable(e0)
+    val nb = e0.select(col("__u").as("__z"), col("__v").as("__w"))
+      .union(e0.select(col("__v").as("__z"), col("__u").as("__w")))
+    nb.join(deg.select(col("__n").as("__w"), col("__d").as("__dw")), "__w")
+      .groupBy(col("__z"))
+      .agg(count(lit(1)).as("degree"), sum(col("__dw")).as("nbr_degree_sum"))
+      .select(col("__z").as("node"), col("degree"), col("nbr_degree_sum"),
+        (col("nbr_degree_sum").cast("double") / col("degree").cast("double"))
+          .as("avg_neighbor_degree"))
+  }
+
+  /** Degree assortativity coefficient (Newman 2002) — one scalar
+    * telling a graph-pipeline owner whether hubs attach to hubs
+    * (r > 0, social/community structure) or to leaves (r < 0,
+    * hub-and-spoke / spam broadcast): the Pearson correlation of
+    * endpoint degrees over all 2m DIRECTED edge slots. Symmetry makes
+    * the two marginals identical (Σx = Σy, Σx² = Σy²), so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — NO square root, no libm
+    * anywhere: exact integer sums (per-edge arithmetic in
+    * decimal(38,0) so a 3e9-degree hub cannot overflow ANSI longs),
+    * two decimal→double converts and ONE IEEE division. Converts are
+    * exact below 2^53 (the tested regime); above, both engines round
+    * to nearest. All-equal-degree graphs have zero variance — defined
+    * as r = 0.0 (mirrored in the oracle). Output one row:
+    * (m_directed, assortativity). */
+  def degreeAssortativity(edges: DataFrame, src: Column,
+                          dst: Column): DataFrame = {
+    val e0 = canonicalEdges(edges, src, dst)
+    val deg = degreeTable(e0)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val de = e0
+      .join(deg.select(col("__n").as("__u"), col("__d").as("__du")), "__u")
+      .join(deg.select(col("__n").as("__v"), col("__d").as("__dv")), "__v")
+    val s = de.agg(
+      (count(lit(1)) * 2).cast("long").as("m_directed"),
+      sum(dec(col("__du")) + dec(col("__dv"))).as("__sx"),
+      sum(dec(col("__du")) * dec(col("__du")) +
+        dec(col("__dv")) * dec(col("__dv"))).as("__sxx"),
+      (sum(dec(col("__du")) * dec(col("__dv"))) * 2).as("__sxy"))
+    val m = dec(col("m_directed"))
+    val den = m * col("__sxx") - col("__sx") * col("__sx")
+    val num = m * col("__sxy") - col("__sx") * col("__sx")
+    s.select(col("m_directed"),
+      when(den.isNull || den === lit(0), lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .as("assortativity"))
+  }
+
   /** Fixed-iteration k-core peel — the classic link-farm /
     * comment-spam indicator completing the graph-quality battery next
     * to [[pageRank]]/[[hits]]/[[triangleCounts]]: a dense k-core
@@ -1959,10 +2069,16 @@ object Corpus {
       df.where(v.isNotNull).select(h.as("__h"))
         .agg(kmv(col("__h")).as(name))
     }
-    val two = sketch(dfA, valueA, "__ka")
+    sketch(dfA, valueA, "__ka")
       .crossJoin(sketch(dfB, valueB, "__kb"))
       .withColumn("__ku",
         slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .select(kmvOverlapCols(k): _*)
+  }
+
+  /** The estimator columns shared by [[setOverlapEstimate]] and
+    * [[setOverlapMatrix]] — expects `__ka`/`__kb`/`__ku` in scope. */
+  private def kmvOverlapCols(k: Int): Seq[Column] = {
     val max60 = lit(1152921504606846976.0) // 2^60: 15-hex-digit domain
     def est(arr: Column) =
       when(size(arr) < k, size(arr).cast("double"))
@@ -1973,13 +2089,43 @@ object Corpus {
       array_intersect(col("__ka"), col("__kb"))))
     val rho = when(kept === 0, lit(0.0))
       .otherwise(nI.cast("double") / kept.cast("double"))
-    two.select(
+    Seq(
       est(col("__ka")).as("n_a_est"), est(col("__kb")).as("n_b_est"),
       est(col("__ku")).as("union_est"),
       (rho * est(col("__ku"))).as("intersect_est"),
       rho.as("jaccard_est"),
       kept.cast("long").as("kept"),
       (kept < k).cast("int").cast("long").as("exact"))
+  }
+
+  /** Pairwise [[setOverlapEstimate]] across every unordered pair of
+    * `key` groups from ONE pass of per-key sketches — the
+    * q_dup_matrix question ("which feeds mirror each other") answered
+    * at sketch cost, no pair-finding over documents at all: one
+    * keyed KMV aggregate (≤ k longs per task per key), then the
+    * |keys|² /2 pair grid of ≤ k-long arrays (broadcast NL join over
+    * the tiny sketch table). LOW-CARDINALITY keys only by contract
+    * (sources, languages, snapshot ids — the hashRank convention):
+    * the pair grid is quadratic in |keys|, and each output row costs
+    * O(k log k) array ops. Same exactness contract as
+    * [[setOverlapEstimate]]. Output per pair (key_a < key_b):
+    * (key_a, key_b, n_a_est, n_b_est, union_est, intersect_est,
+    * jaccard_est, kept, exact). */
+  def setOverlapMatrix(df: DataFrame, key: Column, value: Column,
+                       k: Int = 256): DataFrame = {
+    require(k >= 16, s"k $k must be >= 16 (error ~1/sqrt(k))")
+    val kmv = udaf(new KmvSetAgg(k), Encoders.scalaLong)
+    val h = conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val sk = df.where(value.isNotNull && key.isNotNull)
+      .select(key.cast("string").as("__key"), h.as("__h"))
+      .groupBy(col("__key")).agg(kmv(col("__h")).as("__ks"))
+    val a = sk.select(col("__key").as("key_a"), col("__ks").as("__ka"))
+    val b = sk.select(col("__key").as("key_b"), col("__ks").as("__kb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__ku",
+        slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .select((Seq(col("key_a"), col("key_b")) ++ kmvOverlapCols(k)): _*)
   }
 
   /** Exact heavy hitters at sketch cost: every item of `key` whose

@@ -1717,25 +1717,29 @@ object Dedup {
     * oracle family replays (`SparkEntry.nearDupPrefix5g09`), now as a
     * first-class Spark operator.
     *
-    * Shape: (1) per-doc DISTINCT char-n-gram sets materialize once
-    * (three consumers); (2) grams rank per doc by ascending (document
-    * frequency, gram) — any fixed global total order works, rare-first
-    * minimizes candidate fan-out; (3) each doc emits its first
-    * `|S| − ⌊t·|S|⌋ + 1` grams as prefix keys. Completeness: a true
-    * pair has required overlap α = ⌈t/(1+t)·(|Sa|+|Sb|)⌉ and satisfies
-    * the length bound t·|Sb| ≤ |Sa| (|∩| ≤ min, |∪| ≥ max), under
-    * which α ≥ t·|Sx| for BOTH sides, so each side's last
-    * `⌊t·|S|⌋ − 1 < α` grams cannot contain its whole intersection —
-    * both PREFIXES contain an intersection gram, and (Xiao et al.
-    * Lemma 1) prefixes of length ≥ |S| − α + 1 under one total order
-    * must SHARE one. fp note: `floor(lit(t) * n)` can only err toward
-    * a LONGER prefix (more candidates, never fewer) since the real
-    * bound is ⌈t·n⌉ − 1 ≥ ⌊t·n⌋ − 1 and the emitted length adds +1.
-    * (4) candidates = prefix-key equi-join (shuffle on gram keys,
+    * Shape: (1) per-doc DISTINCT fused 64-bit shingle-HASH sets
+    * ([[shingleHashes]] — no gram-string explode, narrow 8-byte
+    * shuffle keys) materialize once; (2) hashes rank per doc by
+    * ascending (document frequency, hash) — any fixed global total
+    * order works, rare-first minimizes candidate fan-out; (3) each
+    * doc emits its first `|S| − ⌊t·|S|⌋ + 1` as prefix keys.
+    * Completeness: a true pair has required overlap
+    * α = ⌈t/(1+t)·(|Sa|+|Sb|)⌉ and satisfies the length bound
+    * t·|Sb| ≤ |Sa| (|∩| ≤ min, |∪| ≥ max), under which α ≥ t·|Sx| for
+    * BOTH sides, so each side's last `⌊t·|S|⌋ − 1 < α` grams cannot
+    * contain its whole intersection — both PREFIXES contain an
+    * intersection gram, and (Xiao et al. Lemma 1) prefixes of length
+    * ≥ |S| − α + 1 under one total order must SHARE one. fp note:
+    * `floor(lit(t) * n)` can only err toward a LONGER prefix (more
+    * candidates, never fewer) since the real bound is
+    * ⌈t·n⌉ − 1 ≥ ⌊t·n⌋ − 1 and the emitted length adds +1.
+    * (4) candidates = prefix-key equi-join (shuffle on hash keys,
     * Σ prefix-df fan-out, never N²) under the integer length filter
     * with 1e-6 slack (absorbs the fp product for set sizes to ~1e9;
-    * slack only ADDS candidates); (5) exact verify on the re-attached
-    * shingle sets — precision exact, recall complete, at any scale.
+    * slack only ADDS candidates); (5) two-stage verify: a hash-array
+    * prefilter with one-collision slack, then TRUE char-shingle sets
+    * for the survivors only — precision exact, recall complete, at
+    * any scale (the [[ngramContainmentPairs]] staging).
     *
     * `maxDocFreq` (0 = off) drops grams above that document frequency
     * from ranking/prefixes — the stop-gram cap for viral boilerplate
@@ -1749,11 +1753,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold $threshold outside (0,1]")
     import org.apache.spark.sql.expressions.Window
-    val sets = materializeLazily(df
-      .select(col(id).as("__jid"), charShingles(col(text), n).as("__sh"))
-      .where(col("__sh").isNotNull))
-    val g = sets.select(col("__jid"), size(col("__sh")).as("__n"),
-      explode(col("__sh")).as("__g"))
+    // candidate stage runs entirely on fused 64-bit shingle hashes
+    // (no gram-string explode, narrow 8-byte shuffle keys — the
+    // ngramContainmentPairs recipe; the first cut ranked gram STRINGS
+    // and string-verified every candidate: 106 s at sf0.1 vs ~8 s for
+    // this shape). Prefix completeness holds for ANY fixed global
+    // order, so (df, hash) replaces (df, gram) freely; collisions
+    // only ADD candidates (stage-2 drops them), and the one-gram
+    // slack below absorbs a within-pair collision at a boundary.
+    val sets_h = materializeLazily(df
+      .select(col(id).as("__jid"), shingleHashes(col(text), n).as("__hs"))
+      .where(col("__hs").isNotNull))
+    val g = sets_h.select(col("__jid"), size(col("__hs")).as("__n"),
+      explode(col("__hs")).as("__g"))
     val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
                else dfreq
@@ -1773,12 +1785,34 @@ object Dedup {
         least(col("__na"), col("__nb")).cast("double") >=
           lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))
       .select(col("id_a"), col("id_b")).distinct())
-    cand
-      .join(sets.select(col("__jid").as("id_a"), col("__sh").as("__sa")),
+    // stage 1: hash-array prefilter — a true pair's HASH Jaccard can
+    // drift from the string Jaccard only via collisions (within-doc:
+    // shrinks a set; cross-doc: adds a phantom intersection element);
+    // one collision moves numerator and denominator by at most 1, so
+    // (i+1)/(u−1) ≥ t is recall-safe against any single collision
+    // (multi-collision odds are the family's documented 2⁻⁶⁴
+    // birthday regime). Slack only ADDS survivors — stage 2 is exact.
+    val hPre = cand
+      .join(sets_h.select(col("__jid").as("id_a"), col("__hs").as("__ha")),
         "id_a")
-      .join(sets.select(col("__jid").as("id_b"), col("__sh").as("__sb")),
+      .join(sets_h.select(col("__jid").as("id_b"), col("__hs").as("__hb")),
         "id_b")
-      .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
+      .where((size(array_intersect(col("__ha"), col("__hb"))) + lit(1))
+        .cast("double") /
+        greatest(size(array_union(col("__ha"), col("__hb"))) - lit(1), lit(1))
+          .cast("double") >= lit(threshold))
+      .select(col("id_a"), col("id_b"))
+    val survivors = materializeOnce(hPre)
+    // stage 2: TRUE char-shingle sets for survivor docs only — the
+    // emitted Jaccard is exact (the minhashLshPairsVerified philosophy)
+    val ids = survivors.select(col("id_a").as("__cid"))
+      .union(survivors.select(col("id_b").as("__cid"))).distinct()
+    val sets = df.join(ids, col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__s_id"), charShingles(col(text), n).as("__set"))
+    val withA = survivors.join(sets, col("id_a") === col("__s_id"))
+      .select(col("id_a"), col("id_b"), col("__set").as("__set_a"))
+    withA.join(sets, col("id_b") === col("__s_id"))
+      .withColumn("jaccard", jaccard(col("__set_a"), col("__set")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -821,6 +821,129 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(want._3 / 3000.0 - 1.0) < 0.75, want.toString)
   }
 
+  test("modularity: barbell closed form; trivial partition zero; driver ref; unlabeled") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def scaled(x: Double): Long =
+      new JBD(java.lang.Double.toString(x))
+        .setScale(0, RoundingMode.HALF_UP).longValue
+    def ref(edges: Seq[(String, String)],
+            labels: Map[String, String]): (Long, Long, Long, Double) = {
+      val canon = edges.collect { case (a, b) if a != b =>
+        if (a < b) (a, b) else (b, a) }.distinct
+      val m = canon.size.toLong
+      val deg = canon.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val comms = deg.keys.flatMap(labels.get).toSeq.distinct
+      val terms = comms.map { c =>
+        val mc = canon.count { case (a, b) =>
+          labels.get(a).contains(c) && labels.get(b).contains(c) }
+        val dc = deg.collect { case (n, d) if labels.get(n).contains(c) => d }.sum
+        val frac = dc.toDouble / (2.0 * m)
+        scaled((mc.toDouble / m.toDouble - frac * frac) * 1e12)
+      }
+      (m, comms.size.toLong, terms.sum, terms.sum.toDouble / 1e12)
+    }
+    def run(edges: Seq[(String, String)], labels: Map[String, String],
+            parts: Int = 3) =
+      Corpus.modularity(edges.toDF("s", "d").repartition(parts),
+          col("s"), col("d"),
+          labels.toSeq.toDF("node", "label"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).head
+    // barbell: two triangles + one bridge, labeled by triangle
+    val barbell = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d"))
+    val lab2 = Map("a" -> "x", "b" -> "x", "c" -> "x",
+      "d" -> "y", "e" -> "y", "f" -> "y")
+    val gotB = run(barbell, lab2)
+    assert(gotB == ref(barbell, lab2) && gotB._4 > 0.3, gotB.toString)
+    // one community holding everything: Q = 1 - 1 = 0 exactly
+    val lab1 = ('a' to 'f').map(c => c.toString -> "all").toMap
+    assert(run(barbell, lab1) == ((7L, 1L, 0L, 0.0)))
+    // unlabeled nodes are excluded from m_c/D_c but m counts all edges
+    val labPart = lab2 - "f"
+    assert(run(barbell, labPart) == ref(barbell, labPart))
+    // random graph + random labels, two partitionings
+    val rnd = new scala.util.Random(17)
+    val nodes = (0 until 16).map(_.toString)
+    val raw = Seq.fill(40)((nodes(rnd.nextInt(16)), nodes(rnd.nextInt(16))))
+      .filter(p => p._1 != p._2)
+    val rlab = nodes.map(n => n -> s"c${rnd.nextInt(4)}").toMap
+    for (parts <- Seq(1, 7))
+      assert(run(raw, rlab, parts) == ref(raw, rlab), s"parts=$parts")
+  }
+
+  test("avgNeighborDegree + degreeAssortativity: closed forms; zero-variance; driver ref") {
+    // star K1,3: center's neighbors are all leaves (avg 1.0), leaves
+    // see only the center (avg 3.0); perfectly disassortative r = -1
+    val star = Seq(("c", "1"), ("c", "2"), ("c", "3"))
+    val nd = Corpus.avgNeighborDegree(star.toDF("s", "d"), col("s"), col("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(nd == Set(("c", 3L, 3L, 1.0), ("1", 1L, 3L, 3.0),
+      ("2", 1L, 3L, 3.0), ("3", 1L, 3L, 3.0)))
+    val ra = Corpus.degreeAssortativity(star.toDF("s", "d"),
+      col("s"), col("d")).collect()(0)
+    assert(ra.getLong(0) == 6L && ra.getDouble(1) == -1.0)
+    // regular graph: zero degree variance -> r defined as 0.0
+    val c4 = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"))
+    assert(Corpus.degreeAssortativity(c4.toDF("s", "d"), col("s"), col("d"))
+      .collect()(0).getDouble(1) == 0.0)
+    // driver reference (exact BigInt) on a random graph with
+    // dup/reversed/self-loop noise; both ops, two partitionings
+    val rnd = new scala.util.Random(9)
+    val nodes = (0 until 15).map(_.toString)
+    val raw = Seq.fill(50)((nodes(rnd.nextInt(15)), nodes(rnd.nextInt(15))))
+    val canon = raw.collect { case (a, b) if a != b =>
+      if (a < b) (a, b) else (b, a) }.distinct
+    val degm = canon.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nbrm = canon.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(p => degm(p._2)).sum).toMap
+    val wantNd = degm.map { case (n, d) =>
+      (n, d, nbrm(n), nbrm(n).toDouble / d.toDouble) }.toSet
+    val m = BigInt(2 * canon.size)
+    val sx = BigInt(canon.map { case (a, b) => degm(a) + degm(b) }.sum)
+    val sxx = BigInt(canon.map { case (a, b) =>
+      degm(a) * degm(a) + degm(b) * degm(b) }.sum)
+    val sxy = BigInt(2) * BigInt(canon.map { case (a, b) =>
+      degm(a) * degm(b) }.sum)
+    val den = m * sxx - sx * sx
+    val wantR = if (den == 0) 0.0
+      else (m * sxy - sx * sx).toDouble / den.toDouble
+    for (parts <- Seq(1, 7)) {
+      val df = raw.toDF("s", "d").repartition(parts)
+      assert(Corpus.avgNeighborDegree(df, col("s"), col("d")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet == wantNd, s"parts=$parts nd")
+      val g = Corpus.degreeAssortativity(df, col("s"), col("d")).collect()(0)
+      assert(g.getLong(0) == 2L * canon.size && g.getDouble(1) == wantR,
+        s"parts=$parts r")
+    }
+  }
+
+  test("setOverlapMatrix: == pairwise setOverlapEstimate; partition invariance") {
+    val rows = (1 to 500).map(i => ("a", s"t$i")) ++
+      (300 to 900).map(i => ("b", s"t$i")) ++
+      (1 to 20).map(i => ("c", s"x$i"))
+    def sliceDf(key: String) =
+      rows.filter(_._1 == key).map(_._2).map(Tuple1(_)).toDF("v")
+    val want = (for ((p, q) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) yield {
+      val r = Corpus.setOverlapEstimate(sliceDf(p), col("v"),
+        sliceDf(q), col("v"), k = 16).collect()(0)
+      (p, q, r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6))
+    }).toSet
+    for (parts <- Seq(1, 13)) {
+      val got = Corpus.setOverlapMatrix(rows.toDF("k", "v").repartition(parts),
+          col("k"), col("v"), k = 16)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getLong(7), r.getLong(8))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("kCore: multi-round cascade, brute-force equality, broadcast-path invariance") {
     def brute(edges: Seq[(String, String)], k: Int, iters: Int): Map[String, Long] = {
       var e = edges.filter(p => p._1 != p._2)
