@@ -326,7 +326,10 @@ object SparkEntry {
     "q_quantile_sketch", "q_label_prop", "q_ppr", "q_kl_shift",
     "q_jaccard_exact", "q_link_pred", "q_corpus_overlap",
     "q_nbr_degree", "q_assortativity", "q_source_overlap",
-    "q_modularity")
+    "q_modularity",
+    // r12 continuation: hybrid lexical+vector RRF fusion, single-pass
+    // column profile (exact tier), 2-hop KMV neighborhood sketch
+    "q_hybrid_rrf", "q_profile", "q_hop_sketch")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -708,6 +711,21 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // -------- corpus: single-pass column profile ------------------------
+    // Per-column shape discovery over lineitem (q_data_checks verifies
+    // DECLARED expectations; this reports what's actually there): one
+    // fused aggregate pass, unpivoted. Exact tier (count_distinct) for
+    // the oracle; numeric min/max are pure SELECTION of stored values
+    // (bit-exact cross-engine), the timestamp column is pre-cast to
+    // epoch seconds by the caller (the operator's temporal contract).
+    "q_profile" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .withColumn("l_shipdate", expr(
+          "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"))
+      Corpus.columnProfile(li, exact = true).orderBy("column")
+    }),
+
     // -------- corpus: HITS hub/authority centrality -------------------
     // 2-iteration HITS over the layered order→part→supplier graph
     // (parts carry BOTH hub and authority mass, orders are pure hubs,
@@ -822,6 +840,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("w")).where($"w" >= 2)
       val labels = Corpus.labelPropagation(pairs, $"u", $"v", iters = 3)
       Corpus.modularity(pairs, $"u", $"v", labels)
+    }),
+
+    // -------- corpus: 2-hop neighborhood size (HyperBall/KMV) ----------
+    // Per-node |ball(v, 2)| estimate over the >=2-co-purchase graph
+    // (undirected): iterate KMV sketches along edges — the
+    // reach/centrality pre-flight where per-node BFS is quadratic.
+    // md5 tier: each sketch is a pure function of the reachable set,
+    // so the DuckDB replay (2 self-joins -> exact ball -> bottom-256
+    // md5 prefixes -> kth-hash decode) is hash-exact.
+    "q_hop_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.hopNeighborhoodEstimate(pairs, $"u", $"v", hops = 2,
+          k = 256, directed = false)
+        .orderBy("node")
     }),
 
     // -------- corpus: common-neighbor link prediction ------------------
@@ -2375,6 +2413,27 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // -------- retrieval: hybrid lexical+vector RRF fusion --------------
+    // The standard hybrid-retrieval merge: BM25 top-20 against the
+    // ("dup","spark") bag fused with cosine top-20 against doc 0's
+    // embedding via reciprocal-rank fusion. Contributions are
+    // integer-scaled (1e12 div (60+rank)) so the fused sum is order-
+    // invariant and dialect-exact; both input rankings are the
+    // already-proven-deterministic q_bm25_topk / q_ann_cosine
+    // selections (bit-identical scores, round-first + id tiebreaks).
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val lex = TextFunctions.bm25TopK(t(s, dir, "documents"), "doc_id",
+        $"text", Seq("dup", "spark"), k = 20)
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0),
+          "vec_id", "embedding", k = 20)
+        .select($"c_id".as("doc_id"), $"rank")
+      Corpus.rrfFuse(Seq(lex.select($"doc_id", $"rank"), vec),
+          "doc_id", "rank", c = 60, k = 10)
+        .orderBy("rank")
+    }),
+
     // -------- dedup: canonical-URL dedup ------------------------------
     // URL canonicalization + keep-one-per-canonical — the stage
     // published web-curation stacks run before any content dedup. The
@@ -3887,6 +3946,84 @@ object SparkEntry {
        |ORDER BY id_a, tok_start_a, id_b, tok_start_b, n_tokens""".stripMargin
   }
 
+  /** q_hop_sketch oracle: the exact 2-hop ball of every node of the
+    * >=2-co-purchase graph via two UNION'd self-joins, then per node
+    * the bottom-256 md5-60-bit prefixes of the ball's members and the
+    * same kth-hash digit-fold decode + estimator arithmetic as
+    * [[kmvOracle]] (the sketch is a pure function of the ball set, so
+    * the exact-ball replay reproduces it bit-for-bit). */
+  private lazy val hopSketchOracle: String = {
+    val decode = (1 to 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${w}"
+    }.mkString(" + ")
+    s"""WITH pairs AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d FROM pairs
+       |         UNION SELECT v::VARCHAR, u::VARCHAR FROM pairs),
+       | b1 AS (SELECT DISTINCT s AS node, s AS r FROM sym
+       |         UNION SELECT s, d FROM sym),
+       | b2 AS (SELECT node, r FROM b1
+       |         UNION SELECT b1.node, sym.d FROM b1 JOIN sym ON b1.r = sym.s),
+       | hx AS (SELECT DISTINCT node, substr(md5(r), 1, 15) AS hx FROM b2),
+       | rk AS (SELECT node, hx,
+       |     row_number() OVER (PARTITION BY node ORDER BY hx) AS rn FROM hx),
+       | cnt AS (SELECT node, count(*)::BIGINT AS k0 FROM hx GROUP BY node),
+       | kth AS (SELECT node, ($decode)::BIGINT AS hk FROM rk WHERE rn = 256)
+       |SELECT cnt.node,
+       | CASE WHEN cnt.k0 < 256 THEN cnt.k0::DOUBLE
+       |   ELSE (255.0 * 1152921504606846976.0) / kth.hk::DOUBLE END AS ball_est,
+       | least(cnt.k0, 256)::BIGINT AS kept,
+       | (CASE WHEN cnt.k0 < 256 THEN 1 ELSE 0 END)::BIGINT AS exact
+       |FROM cnt LEFT JOIN kth ON cnt.node = kth.node
+       |ORDER BY cnt.node""".stripMargin
+  }
+
+  /** q_profile oracle: one SELECT per lineitem column UNION ALL'd —
+    * exact counts/distincts, numeric min/max cast to DOUBLE (pure
+    * selection of stored values), string min/max in binary collation,
+    * the timestamp column pre-cast to naive epoch seconds exactly as
+    * the query does. */
+  private lazy val profileOracle: String = {
+    val epochSd = "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)"
+    val numCols = Seq(
+      ("l_orderkey", "bigint", "l_orderkey"),
+      ("l_partkey", "bigint", "l_partkey"),
+      ("l_suppkey", "bigint", "l_suppkey"),
+      ("l_linenumber", "int", "l_linenumber"),
+      ("l_quantity", "double", "l_quantity"),
+      ("l_extendedprice", "double", "l_extendedprice"),
+      ("l_discount", "double", "l_discount"),
+      ("l_tax", "double", "l_tax"),
+      ("l_shipdate", "bigint", epochSd))
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val numSel = numCols.map { case (n, t, e) =>
+      s"""SELECT '$n' AS "column", '$t' AS dtype,
+         |  count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($e))::BIGINT AS n_nulls,
+         |  count(DISTINCT $e)::BIGINT AS n_distinct,
+         |  min($e)::DOUBLE AS min_num, max($e)::DOUBLE AS max_num,
+         |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+         |  NULL::BIGINT AS total_len
+         | FROM lineitem""".stripMargin
+    }
+    val strSel = strCols.map { n =>
+      s"""SELECT '$n' AS "column", 'string' AS dtype,
+         |  count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($n))::BIGINT AS n_nulls,
+         |  count(DISTINCT $n)::BIGINT AS n_distinct,
+         |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+         |  min($n) AS min_str, max($n) AS max_str,
+         |  sum(len($n))::BIGINT AS total_len
+         | FROM lineitem""".stripMargin
+    }
+    (numSel ++ strSel).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY \"column\"")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_substring_dedup_tok" -> substringTokOracle,
     "q_substring_dedup" -> (substringSpanCtes +
@@ -4947,6 +5084,51 @@ object SparkEntry {
         |  FROM agg)
         |SELECT doc_id, rank, bm25 FROM top WHERE rank <= 10
         |ORDER BY rank""".stripMargin,
+    // q_hybrid_rrf: the q_bm25_topk chain at k=20 + the q_ann_cosine
+    // chain for query vec 0 at k=20, fused with integer-scaled RRF
+    // (1e12 // (60+rank)) — order-invariant BIGINT sums, final
+    // (rrf_scaled DESC, doc_id) tiebreak.
+    "q_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |   FROM documents),
+        | st AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+        |   FROM d),
+        | t AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS tok
+        |   FROM d),
+        | m AS (SELECT * FROM t WHERE tok IN ('dup', 'spark')),
+        | tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+        |   FROM m GROUP BY doc_id, tok),
+        | df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        | sc AS (SELECT tf.doc_id,
+        |   ln(1 + ((SELECT n FROM st) - df.df + 0.5) / (df.df + 0.5))
+        |     * tf.tf * 2.2
+        |     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (SELECT avgdl FROM st)))
+        |     AS s
+        |  FROM tf JOIN df USING (tok)),
+        | agg AS (SELECT doc_id, round(sum(s), 6) AS bm25
+        |   FROM sc GROUP BY doc_id),
+        | lex AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        |  FROM agg) WHERE rank <= 20),
+        | vs AS (SELECT c.vec_id AS doc_id,
+        |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+        |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id = 0 AND c.vec_id <> 0),
+        | vtop AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |   row_number() OVER (ORDER BY sim DESC, doc_id) AS rank FROM vs)
+        |  WHERE rank <= 20),
+        | u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS ct FROM lex
+        |   UNION ALL
+        |   SELECT doc_id, 1000000000000 // (60 + rank) AS ct FROM vtop),
+        | f AS (SELECT doc_id, sum(ct)::BIGINT AS rrf_scaled,
+        |     count(*)::BIGINT AS n_lists FROM u GROUP BY doc_id),
+        | r AS (SELECT doc_id, rrf_scaled, n_lists,
+        |   row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS rank
+        |  FROM f)
+        |SELECT doc_id, rrf_scaled, n_lists, rank::BIGINT AS rank FROM r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_url_dedup" ->
       """WITH urls AS (SELECT doc_id,
         |   CASE doc_id % 4
@@ -6042,6 +6224,7 @@ object SparkEntry {
         | coalesce(sum(CAST(round(t * 1e12) AS BIGINT)), 0)::DOUBLE / 1e12
         |   AS modularity
         |FROM t""".stripMargin,
+    "q_hop_sketch" -> hopSketchOracle,
     "q_link_pred" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -6194,6 +6377,7 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM orders o
         |    WHERE o.o_orderkey = l.l_orderkey))
         |ORDER BY rule""".stripMargin,
+    "q_profile" -> profileOracle,
     "q_html_text" ->
       """WITH d AS (SELECT doc_id,
         |  '<html><head><title>T</title><style>p{color:red}</style><script>var x = ''</div>'';</script></head><body><h1>Head</h1><p>'

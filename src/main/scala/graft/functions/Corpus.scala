@@ -2166,4 +2166,181 @@ object Corpus {
       .where(col("cnt") > lit(thresh))
       .select(col("__k").as(out), col("cnt"))
   }
+
+  /** Reciprocal-rank fusion of N ranked lists (Cormack et al., SIGIR
+    * 2009) — the standard hybrid-retrieval merge (lexical BM25 list +
+    * vector top-k list → one ranking). Each list contributes
+    * `scale div (c + rank)` per item; an item's fused score is the
+    * sum over the lists it appears in. Contributions are INTEGER
+    * (scaled by `scale`, floor division) rather than the textbook
+    * `1/(c+rank)` double: integer sums are order- and
+    * partitioning-invariant and dialect-exact, where a float sum over
+    * a group has no deterministic add order (the scaled-BIGINT
+    * recipe; at scale=1e12 the floor error per term is < 1e-12 —
+    * far below the ~2.6e-4 gap between adjacent ranks at c=60).
+    * Final rank ties break on `id` ascending.
+    *
+    * Scale shape: a union of the (already small, ≤ per-list k) ranked
+    * lists, one sum aggregate on `id`, one row_number over the fused
+    * scores — the window sorts only the fused candidate set (≤ Σ list
+    * sizes), never the corpus. Output: (id, rrf_scaled, n_lists,
+    * rank), rank ≤ k. */
+  def rrfFuse(lists: Seq[DataFrame], id: String, rankCol: String,
+              c: Int = 60, k: Int = 10,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(c >= 0 && k >= 1 && scale >= 1, s"bad params c=$c k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = lists.map { l =>
+      l.select(col(id).as("__id"),
+        expr(s"${scale}L div (${c}L + CAST($rankCol AS BIGINT))")
+          .as("__ct"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(col("__id"))
+      .agg(sum(col("__ct")).as("rrf_scaled"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.orderBy(col("rrf_scaled").desc, col("__id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__id").as(id), col("rrf_scaled"), col("n_lists"),
+        col("rank"))
+  }
+
+  /** Single-pass per-column data profile — the pre-flight a 100 TB
+    * ingest runs before writing a table contract ([[expectationsReport]]
+    * checks DECLARED expectations; this DISCOVERS the shape). Per
+    * column: row/null counts, distinct count, numeric min/max (exact
+    * SELECTION of stored values — no arithmetic, so doubles are
+    * bit-exact cross-engine), string min/max (binary collation) and
+    * total length. Non-applicable metrics are NULL (profile temporal
+    * columns by casting to epoch first — timezone semantics stay with
+    * the caller).
+    *
+    * ONE aggregate job over the table: every metric is a partial
+    * aggregate fused into a single pass, unpivoted driver-side from
+    * one 1-row result (the [[expectationsReport]] shape). `exact`
+    * distinct uses count_distinct — Spark plans multiple distinct
+    * aggregates via Expand (rows × #profiled columns in the shuffle);
+    * the default approx tier (HLL++, rsd 1%) keeps the pass linear
+    * and is the 100 TB path. Output: (column, dtype, n_rows, n_nulls,
+    * n_distinct, min_num, max_num, min_str, max_str, total_len). */
+  def columnProfile(df: DataFrame, exact: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val numeric: Set[DataType] = Set(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType)
+    def isNum(t: DataType) = numeric.contains(t) ||
+      t.isInstanceOf[DecimalType]
+    val fields = df.schema.fields
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(f.name)
+      val dist = if (exact) count_distinct(c)
+                 else approx_count_distinct(c, 0.01)
+      Seq(
+        count(c).as(s"__nn_$i"),
+        dist.cast("long").as(s"__nd_$i")) ++
+      (if (isNum(f.dataType))
+        Seq(min(c).cast("double").as(s"__mn_$i"),
+            max(c).cast("double").as(s"__mx_$i"))
+       else Nil) ++
+      (f.dataType match {
+        case StringType => Seq(
+          min(c).as(s"__ms_$i"), max(c).as(s"__xs_$i"),
+          sum(length(c)).cast("long").as(s"__tl_$i"))
+        case _ => Nil
+      })
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs.toIndexedSeq: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      def opt(n: String, tpe: String) =
+        if (one.columns.contains(n)) col(n) else lit(null).cast(tpe)
+      struct(
+        lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        opt(s"__mn_$i", "double").as("min_num"),
+        opt(s"__mx_$i", "double").as("max_num"),
+        opt(s"__ms_$i", "string").as("min_str"),
+        opt(s"__xs_$i", "string").as("max_str"),
+        opt(s"__tl_$i", "long").as("total_len"))
+    }
+    one.select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** [[KmvAgg]] whose INPUT is a bottom-k hash array (a sketch) —
+    * merges sketches instead of raw hashes, the shape iterative
+    * sketch propagation needs (each shuffled row carries one ≤ k-long
+    * array, partial merges run map-side, memory is O(k) per group). */
+  private final class KmvMergeAgg(k: Int)
+      extends Aggregator[Seq[Long], KmvBuf, Seq[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: KmvBuf = inner.zero
+    override def reduce(b: KmvBuf, s: Seq[Long]): KmvBuf =
+      inner.merge(b, new KmvBuf(s.toArray, s.length))
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+    override def finish(b: KmvBuf): Seq[Long] = b.arr.take(b.size).toSeq
+    override def bufferEncoder: Encoder[KmvBuf] = Encoders.kryo[KmvBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Per-node h-hop neighborhood-size estimate — the HyperBall idea
+    * (Boldi & Vigna, 2013: iterate mergeable cardinality sketches
+    * along edges) on the repo's KMV/bottom-k sketch instead of
+    * HyperLogLog. ball(v, 0) = {v}; each round unions every node's
+    * sketch with its out-neighbors' sketches, so after `hops` rounds
+    * node v's sketch summarizes exactly ball(v, hops) = nodes
+    * reachable from v in ≤ hops steps (v included). The reach
+    * distribution this yields (how much of the graph each node sees
+    * in h steps) is the standard diameter/centrality pre-flight on
+    * graphs where exact BFS from every node is quadratic.
+    *
+    * Scale shape per round: one join of the sketch table to the edge
+    * list (messages carry ONE ≤ k-long array each — O(m) rows, never
+    * exploded to hashes) + one [[KmvMergeAgg]] aggregate with
+    * map-side partials (O(k) memory per node per task). `hops` is
+    * small by contract (2-4, like production HyperBall runs).
+    *
+    * Exactness (md5 tier): hashes are md5-60-bit of the node id, so
+    * each sketch — and therefore the estimate — is a PURE function of
+    * the reachable SET: partitioning/merge-order independent and
+    * SQL-replayable (expand the ball with h self-joins, bottom-k the
+    * md5 prefixes, decode the kth — the q_kmv_distinct recipe).
+    * `exact` = 1 when the ball has < k distinct nodes (the estimate
+    * IS |ball|). Output: (node, ball_est, kept, exact). */
+  def hopNeighborhoodEstimate(edges: DataFrame, src: Column, dst: Column,
+                              hops: Int, k: Int = 256,
+                              directed: Boolean = true): DataFrame = {
+    require(hops >= 1 && hops <= 8, s"hops $hops out of [1, 8]")
+    require(k >= 16, s"k $k must be >= 16 (error ~1/sqrt(k))")
+    val kmv = udaf(new KmvMergeAgg(k), ExpressionEncoder[Seq[Long]]())
+    val fwd = edges.select(src.cast("string").as("__s"),
+      dst.cast("string").as("__d"))
+    val e = (if (directed) fwd
+             else fwd.union(edges.select(dst.cast("string").as("__s"),
+               src.cast("string").as("__d")))).distinct()
+    def h(c: Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val nodes = e.select(col("__s").as("__node"))
+      .union(e.select(col("__d").as("__node"))).distinct()
+    var state = nodes.select(col("__node"),
+      array(h(col("__node"))).as("__sk"))
+    for (_ <- 1 to hops) {
+      val msgs = e.join(state, e("__d") === state("__node"))
+        .select(col("__s").as("__node"), col("__sk"))
+      state = Dedup.materializeLazily(
+        state.union(msgs).groupBy(col("__node"))
+          .agg(kmv(col("__sk")).as("__sk")))
+    }
+    val max60 = lit(1152921504606846976.0) // 2^60
+    val kept = size(col("__sk"))
+    state.select(col("__node").as("node"),
+        when(kept < k, kept.cast("double"))
+          .otherwise(lit((k - 1).toDouble) * max60 /
+            element_at(col("__sk"), k).cast("double")).as("ball_est"),
+        kept.cast("long").as("kept"),
+        (kept < k).cast("int").cast("long").as("exact"))
+  }
 }

@@ -1322,4 +1322,83 @@ class CorpusSpec extends AnyFunSuite {
       alpha = 50L).collect().head
     assert(math.abs(g2.getDouble(5)) != math.abs(got.getDouble(5)))
   }
+
+  test("rrfFuse: hand-computed integer contributions, tie-break, single-list items") {
+    val lex = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("id", "rank")
+    val vec = Seq(("b", 1L), ("a", 2L), ("d", 3L)).toDF("id", "rank")
+    val got = Corpus.rrfFuse(Seq(lex, vec), "id", "rank", c = 60, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._4)
+    val s = 1000000000000L
+    def ct(r: Long) = s / (60L + r)
+    // a: ranks 1+2 ; b: ranks 2+1 (tie with a) -> id tiebreak a before b
+    assert(got(0) == ("a", ct(1) + ct(2), 2L, 1L), got.mkString(","))
+    assert(got(1) == ("b", ct(2) + ct(1), 2L, 2L))
+    // c and d each in one list at rank 3 -> tie, id order
+    assert(got(2) == ("c", ct(3), 1L, 3L))
+    assert(got(3) == ("d", ct(3), 1L, 4L))
+    // k cuts the fused list
+    assert(Corpus.rrfFuse(Seq(lex, vec), "id", "rank", k = 2).count() == 2)
+  }
+
+  test("columnProfile: exact counts/nulls/distincts, numeric and string min/max, approx tier") {
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(-1.0), None),
+      (3L, Some(2.5), Some("cc"))).toDF("k", "x", "s")
+    val got = Corpus.columnProfile(df, exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = got("k")
+    assert(k.getString(1) == "bigint" && k.getLong(2) == 4 &&
+      k.getLong(3) == 0 && k.getLong(4) == 3)
+    assert(k.getDouble(5) == 1.0 && k.getDouble(6) == 3.0)
+    assert(k.isNullAt(7) && k.isNullAt(9)) // no string metrics
+    val x = got("x")
+    assert(x.getLong(3) == 1 && x.getLong(4) == 2) // one null, {2.5,-1.0}
+    assert(x.getDouble(5) == -1.0 && x.getDouble(6) == 2.5)
+    val st = got("s")
+    assert(st.getLong(3) == 1 && st.getLong(4) == 3)
+    assert(st.isNullAt(5) && st.getString(7) == "a" &&
+      st.getString(8) == "cc" && st.getLong(9) == 4) // b+a+cc
+    // approx tier returns plausible distincts without the Expand pass
+    val ap = Corpus.columnProfile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ap("k") >= 2 && ap("k") <= 4 && ap("s") >= 2)
+  }
+
+  test("hopNeighborhoodEstimate: exact BFS balls below k, direction, partition invariance") {
+    // path 1->2->3->4 plus 5 isolated-ish back edge 4->1 (a cycle)
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 1)).toDF("s", "d")
+    // directed, 2 hops, k large => exact ball sizes: every node sees
+    // itself + 2 successors on the 4-cycle = 3
+    val got = Corpus.hopNeighborhoodEstimate(e, col("s"), col("d"),
+        hops = 2, k = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 4)
+    got.values.foreach { case (est, kept, exact) =>
+      assert(est == 3.0 && kept == 3 && exact == 1L, got.toString) }
+    // undirected: 2 hops on the 4-cycle reaches everything
+    val und = Corpus.hopNeighborhoodEstimate(e, col("s"), col("d"),
+        hops = 2, k = 16, directed = false)
+      .collect().map(_.getDouble(1))
+    assert(und.forall(_ == 4.0), und.mkString(","))
+    // hops=1 directed: self + 1 successor
+    val h1 = Corpus.hopNeighborhoodEstimate(e, col("s"), col("d"),
+        hops = 1, k = 16).collect().map(_.getDouble(1))
+    assert(h1.forall(_ == 2.0))
+    // md5 tier: estimates are a pure function of the ball set ->
+    // bit-identical under any partitioning even ABOVE k (star graph,
+    // hub ball > k forces the estimator path)
+    val star = (1 to 40).map(i => (0, i)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.hopNeighborhoodEstimate(df, col("s"), col("d"),
+        hops = 1, k = 16).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(3))).sorted
+    val a = run(star); val b = run(star.repartition(7))
+    assert(a.sameElements(b))
+    val hub = a.find(_._1 == "0").get
+    assert(hub._3 == 0L && hub._2 > 16.0, hub.toString) // estimator path
+  }
 }
