@@ -329,7 +329,12 @@ object SparkEntry {
     "q_modularity",
     // r12 continuation: hybrid lexical+vector RRF fusion, single-pass
     // column profile (exact tier), 2-hop KMV neighborhood sketch
-    "q_hybrid_rrf", "q_profile", "q_hop_sketch")
+    "q_hybrid_rrf", "q_profile", "q_hop_sketch",
+    // r12 continuation (2): HyperBall harmonic centrality (per-hop
+    // ball estimates folded with fixed-order IEEE terms), labeled
+    // retrieval eval (P@k/recall/MRR/scaled-BIGINT NDCG), IQR outlier
+    // report (chunked-selection quartiles + one fused count pass)
+    "q_harmonic", "q_rank_eval", "q_outliers")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -862,6 +867,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: harmonic centrality (HyperBall) -------------------
+    // Per-node 2-hop harmonic centrality estimate over the same
+    // >=2-co-purchase graph: sum over hops of shell-size/hop, shells
+    // as differences of the per-hop KMV ball estimates (Boldi-Vigna's
+    // headline application). md5 tier: each per-hop estimate is a
+    // pure function of the exact ball set, and the harmonic fold is a
+    // fixed-order IEEE chain — (e1-1)/1 + (e2-e1)/2 left-associated —
+    // so the DuckDB replay (per-hop self-join balls -> bottom-256
+    // decode -> identical expression text) is hash-exact.
+    "q_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.harmonicCentralityEstimate(pairs, $"u", $"v", hops = 2,
+          k = 256, directed = false)
+        .orderBy("node")
+    }),
+
     // -------- corpus: common-neighbor link prediction ------------------
     // Adamic-Adar / Resource-Allocation scores for the non-adjacent
     // distance-2 pairs of the >=2-co-purchase graph (the q_label_prop
@@ -1000,6 +1027,18 @@ object SparkEntry {
       Corpus.exactQuantiles(t(s, dir, "lineitem"), $"l_extendedprice",
           Seq(0.01, 0.25, 0.5, 0.75, 0.99))
         .orderBy("prob")
+    }),
+
+    // -------- corpus: IQR-fence outlier report --------------------------
+    // Tukey-fence tail counts for four lineitem numeric columns —
+    // exact type-1 quartiles (chunked selection, bit-exact values),
+    // fences as one fixed-order IEEE expression of the quartiles
+    // (q1 - 1.5*(q3-q1), replayed verbatim), strict-inequality counts.
+    "q_outliers" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.numericOutlierReport(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")
     }),
 
     // -------- corpus: per-key exact quantiles --------------------------
@@ -2432,6 +2471,29 @@ object SparkEntry {
       Corpus.rrfFuse(Seq(lex.select($"doc_id", $"rank"), vec),
           "doc_id", "rank", c = 60, k = 10)
         .orderBy("rank")
+    }),
+
+    // -------- retrieval: labeled evaluation report ----------------------
+    // P@10 / recall@10 / MRR / NDCG@10 of brute-force cosine top-10
+    // for query vectors 0..2, truth = same-`label` vectors (the
+    // embeddings table's class column) — the retrieval-change gate.
+    // The system ranking is the proven-deterministic q_ann_cosine
+    // selection (raw-sim DESC, id tiebreak); metric arithmetic is
+    // exact integers to one IEEE division each, NDCG via the
+    // StrictMath-sourced scaled-BIGINT discount table shared verbatim
+    // with the oracle text (Corpus.ndcgDiscounts).
+    "q_rank_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val sys = Similarity.bruteForceTopK(emb,
+        emb.where($"vec_id".isin(0, 1, 2)), "vec_id", "embedding", k = 10)
+      val tr = emb.select($"vec_id".as("t_qid"), $"label")
+        .where($"t_qid".isin(0, 1, 2))
+        .join(emb.select($"vec_id".as("t_did"), $"label"), "label")
+        .where($"t_qid" =!= $"t_did")
+      Corpus.rankedEvalReport(sys, "q_id", "c_id", "rank",
+          tr, "t_qid", "t_did", k = 10)
+        .orderBy("qid")
     }),
 
     // -------- dedup: canonical-URL dedup ------------------------------
@@ -3980,6 +4042,130 @@ object SparkEntry {
        | (CASE WHEN cnt.k0 < 256 THEN 1 ELSE 0 END)::BIGINT AS exact
        |FROM cnt LEFT JOIN kth ON cnt.node = kth.node
        |ORDER BY cnt.node""".stripMargin
+  }
+
+  /** q_harmonic oracle: per-hop exact balls (1 and 2 self-joins), each
+    * decoded through the [[hopSketchOracle]] kth-hash recipe to its
+    * KMV estimate, then the IDENTICAL fixed-order harmonic fold
+    * `(e1 - 1.0) / 1.0 + (e2 - e1) / 2.0` (left-associated, bit-equal
+    * given bit-equal per-hop estimates). */
+  private lazy val harmonicOracle: String = {
+    val decode = (1 to 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
+      s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1) * ${w}"
+    }.mkString(" + ")
+    s"""WITH pairs AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       | sym AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d FROM pairs
+       |         UNION SELECT v::VARCHAR, u::VARCHAR FROM pairs),
+       | b1 AS (SELECT DISTINCT s AS node, s AS r FROM sym
+       |         UNION SELECT s, d FROM sym),
+       | b2 AS (SELECT node, r FROM b1
+       |         UNION SELECT b1.node, sym.d FROM b1 JOIN sym ON b1.r = sym.s),
+       | hx1 AS (SELECT DISTINCT node, substr(md5(r), 1, 15) AS hx FROM b1),
+       | hx2 AS (SELECT DISTINCT node, substr(md5(r), 1, 15) AS hx FROM b2),
+       | rk1 AS (SELECT node, hx,
+       |     row_number() OVER (PARTITION BY node ORDER BY hx) AS rn FROM hx1),
+       | rk2 AS (SELECT node, hx,
+       |     row_number() OVER (PARTITION BY node ORDER BY hx) AS rn FROM hx2),
+       | c1 AS (SELECT node, count(*)::BIGINT AS k0 FROM hx1 GROUP BY node),
+       | c2 AS (SELECT node, count(*)::BIGINT AS k0 FROM hx2 GROUP BY node),
+       | kth1 AS (SELECT node, ($decode)::BIGINT AS hk FROM rk1 WHERE rn = 256),
+       | kth2 AS (SELECT node, ($decode)::BIGINT AS hk FROM rk2 WHERE rn = 256),
+       | e1 AS (SELECT c1.node,
+       |   CASE WHEN c1.k0 < 256 THEN c1.k0::DOUBLE
+       |     ELSE (255.0 * 1152921504606846976.0) / kth1.hk::DOUBLE END AS e
+       |  FROM c1 LEFT JOIN kth1 ON c1.node = kth1.node),
+       | e2 AS (SELECT c2.node,
+       |   CASE WHEN c2.k0 < 256 THEN c2.k0::DOUBLE
+       |     ELSE (255.0 * 1152921504606846976.0) / kth2.hk::DOUBLE END AS e,
+       |   (CASE WHEN c2.k0 < 256 THEN 1 ELSE 0 END)::BIGINT AS exact
+       |  FROM c2 LEFT JOIN kth2 ON c2.node = kth2.node)
+       |SELECT e1.node,
+       | (e1.e - 1.0) / 1.0 + (e2.e - e1.e) / 2.0 AS harmonic_est,
+       | e2.e AS ball_est, e2.exact
+       |FROM e1 JOIN e2 ON e1.node = e2.node
+       |ORDER BY e1.node""".stripMargin
+  }
+
+  /** q_rank_eval oracle: the q_ann_cosine chain for query vecs 0..2 at
+    * k=10 against same-label truth; metric arithmetic replayed with
+    * the IDENTICAL integer discount/prefix tables
+    * ([[graft.functions.Corpus.ndcgDiscounts]] is the single source of
+    * truth for both engines' literals — StrictMath, so re-generating
+    * the SQL on any JVM yields the same text). */
+  private lazy val rankEvalOracle: String = {
+    val k = 10
+    val disc = graft.functions.Corpus.ndcgDiscounts(k)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val discCase = disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    val cumList = cum.mkString("[", ", ", "]")
+    s"""WITH vs AS (SELECT q.vec_id AS qid, c.vec_id AS did,
+       |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+       |                    list_transform(c.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))) AS sim
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id),
+       | sys AS (SELECT qid, did, rank FROM (SELECT qid, did,
+       |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did) AS rank
+       |  FROM vs) WHERE rank <= $k),
+       | tr AS (SELECT q.vec_id AS qid, c.vec_id AS did
+       |  FROM embeddings q JOIN embeddings c
+       |    ON c.label = q.label AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (0, 1, 2)),
+       | rel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM tr GROUP BY qid),
+       | j AS (SELECT s.qid, s.rank,
+       |   CASE WHEN t.did IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM sys s LEFT JOIN tr t ON s.qid = t.qid AND s.did = t.did),
+       | agg AS (SELECT qid, count(*)::BIGINT AS n_ret,
+       |   sum(hit)::BIGINT AS hits,
+       |   sum(CASE WHEN hit = 1 THEN (CASE rank $discCase END)
+       |       ELSE 0 END)::BIGINT AS dcg,
+       |   min(CASE WHEN hit = 1 THEN rank END) AS minr
+       |  FROM j GROUP BY qid),
+       | fin AS (SELECT agg.qid, n_ret,
+       |   coalesce(rel.n_rel, 0)::BIGINT AS n_rel, hits, dcg, minr,
+       |   CASE WHEN coalesce(rel.n_rel, 0) = 0 THEN 0
+       |     ELSE list_extract($cumList, least(rel.n_rel, $k)::INT) END AS idcg
+       |  FROM agg LEFT JOIN rel ON agg.qid = rel.qid)
+       |SELECT qid::VARCHAR AS qid, n_ret, n_rel, hits,
+       | hits::DOUBLE / $k.0 AS precision_at_k,
+       | CASE WHEN n_rel = 0 THEN 0.0
+       |   ELSE hits::DOUBLE / n_rel::DOUBLE END AS recall_at_k,
+       | CASE WHEN minr IS NULL THEN 0.0 ELSE 1.0 / minr::DOUBLE END AS rr,
+       | CASE WHEN idcg = 0 THEN 0.0
+       |   ELSE dcg::DOUBLE / idcg::DOUBLE END AS ndcg_at_k
+       |FROM fin ORDER BY qid""".stripMargin
+  }
+
+  /** q_outliers oracle: per column the q_quantiles type-1 selection
+    * recipe at p = 0.25/0.75, the VERBATIM fence expressions
+    * `q1 - 1.5 * (q3 - q1)` / `q3 + 1.5 * (q3 - q1)`, and exact
+    * strict-inequality counts — one UNION ALL block per column. */
+  private lazy val outliersOracle: String = {
+    def block(c: String): String = Seq(
+      s"x_$c AS (SELECT $c::DOUBLE AS x FROM lineitem WHERE $c IS NOT NULL)",
+      s"n_$c AS (SELECT count(*)::BIGINT AS n FROM x_$c)",
+      s"r_$c AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM x_$c)",
+      s"q_$c AS (SELECT" +
+        s" (SELECT x FROM r_$c WHERE rn = greatest(1, least((SELECT n FROM n_$c)," +
+        s" ceil(0.25 * (SELECT n FROM n_$c)::DOUBLE)::BIGINT))) AS q1," +
+        s" (SELECT x FROM r_$c WHERE rn = greatest(1, least((SELECT n FROM n_$c)," +
+        s" ceil(0.75 * (SELECT n FROM n_$c)::DOUBLE)::BIGINT))) AS q3)",
+      s"f_$c AS (SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo," +
+        s" q3 + 1.5 * (q3 - q1) AS hi FROM q_$c)",
+      s"o_$c AS (SELECT '$c' AS \"column\", (SELECT n FROM n_$c) AS n_rows," +
+        s" q1, q3, lo AS lo_fence, hi AS hi_fence," +
+        s" (SELECT count(*) FROM x_$c WHERE x < (SELECT lo FROM f_$c))::BIGINT AS n_below," +
+        s" (SELECT count(*) FROM x_$c WHERE x > (SELECT hi FROM f_$c))::BIGINT AS n_above" +
+        s" FROM f_$c)").mkString(",\n ")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    s"WITH ${cols.map(block).mkString(",\n ")}\n" +
+      cols.map(c => s"SELECT * FROM o_$c").mkString("\nUNION ALL ") +
+      "\nORDER BY \"column\""
   }
 
   /** q_profile oracle: one SELECT per lineitem column UNION ALL'd —
@@ -6225,6 +6411,9 @@ object SparkEntry {
         |   AS modularity
         |FROM t""".stripMargin,
     "q_hop_sketch" -> hopSketchOracle,
+    "q_harmonic" -> harmonicOracle,
+    "q_rank_eval" -> rankEvalOracle,
+    "q_outliers" -> outliersOracle,
     "q_link_pred" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -2313,6 +2313,22 @@ object Corpus {
   def hopNeighborhoodEstimate(edges: DataFrame, src: Column, dst: Column,
                               hops: Int, k: Int = 256,
                               directed: Boolean = true): DataFrame = {
+    val state = kmvBallStates(edges, src, dst, hops, k, directed).last
+    val kept = size(col("__sk"))
+    state.select(col("__node").as("node"),
+        kmvBallEst(k).as("ball_est"),
+        kept.cast("long").as("kept"),
+        (kept < k).cast("int").cast("long").as("exact"))
+  }
+
+  /** Shared HyperBall iteration: the sketch state AFTER each hop
+    * 1..hops (each lazily checkpointed — the loop-state recipe).
+    * State h's `__sk` summarizes exactly ball(v, h); the prelude,
+    * hashing, and per-round join/aggregate are precisely
+    * [[hopNeighborhoodEstimate]]'s documented shape. */
+  private def kmvBallStates(edges: DataFrame, src: Column, dst: Column,
+                            hops: Int, k: Int,
+                            directed: Boolean): Seq[DataFrame] = {
     require(hops >= 1 && hops <= 8, s"hops $hops out of [1, 8]")
     require(k >= 16, s"k $k must be >= 16 (error ~1/sqrt(k))")
     val kmv = udaf(new KmvMergeAgg(k), ExpressionEncoder[Seq[Long]]())
@@ -2327,20 +2343,214 @@ object Corpus {
       .union(e.select(col("__d").as("__node"))).distinct()
     var state = nodes.select(col("__node"),
       array(h(col("__node"))).as("__sk"))
+    val out = Seq.newBuilder[DataFrame]
     for (_ <- 1 to hops) {
       val msgs = e.join(state, e("__d") === state("__node"))
         .select(col("__s").as("__node"), col("__sk"))
       state = Dedup.materializeLazily(
         state.union(msgs).groupBy(col("__node"))
           .agg(kmv(col("__sk")).as("__sk")))
+      out += state
     }
+    out.result()
+  }
+
+  /** Ball-size estimate from a `__sk` bottom-k sketch column — the
+    * [[distinctCountEstimate]] decode: exact count below k, kth-hash
+    * estimator (k−1)·2⁶⁰/h₍ₖ₎ at or above. */
+  private def kmvBallEst(k: Int): Column = {
     val max60 = lit(1152921504606846976.0) // 2^60
     val kept = size(col("__sk"))
-    state.select(col("__node").as("node"),
-        when(kept < k, kept.cast("double"))
-          .otherwise(lit((k - 1).toDouble) * max60 /
-            element_at(col("__sk"), k).cast("double")).as("ball_est"),
-        kept.cast("long").as("kept"),
-        (kept < k).cast("int").cast("long").as("exact"))
+    when(kept < k, kept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * max60 /
+        element_at(col("__sk"), k).cast("double"))
+  }
+
+  /** Per-node harmonic-centrality estimate — THE application HyperBall
+    * was built for (Boldi & Vigna 2013, §5: centrality indices from
+    * per-hop ball cardinalities). Harmonic centrality of v truncated
+    * at H hops is Σ_{d=1..H} |{u : dist(v,u) = d}| / d; the per-hop
+    * shell sizes come as differences of the [[kmvBallStates]] ball
+    * estimates: H(v) ≈ Σ_h (est_h − est_{h−1}) / h with est_0 = 1
+    * (the node itself). Truncation at small H is standard practice —
+    * distant nodes contribute O(1/d) and real web/social graphs have
+    * tiny effective diameters.
+    *
+    * Every term is ≥ 0 by construction: ball sketches only GROW hop
+    * over hop, so below k the exact count is non-decreasing, and at
+    * or above k the kth-smallest hash is non-increasing — the
+    * estimator (k−1)·2⁶⁰/h₍ₖ₎ is monotone non-decreasing across hops
+    * (including the exact→estimator transition, since the estimator
+    * is ≥ k−1 ≥ any below-k count it replaces).
+    *
+    * Exactness (md5 tier): each est_h is a pure function of the
+    * ball SET (partitioning/merge-order independent), and the
+    * harmonic fold is a FIXED-ORDER chain of IEEE ops —
+    * ((e1−1)/1 + (e2−e1)/2) + … left-associated — identical in any
+    * engine given bit-equal est_h, so the q_hop_sketch replay extends
+    * hash-exactly. Scale shape: the [[hopNeighborhoodEstimate]] loop
+    * (one edge join + one KMV-merge aggregate per hop, messages carry
+    * ONE ≤ k-long array) plus `hops` narrow self-joins of the per-hop
+    * (node, est) tables — `hops` is 2-4 by contract.
+    * Output: (node, harmonic_est, ball_est, exact); `exact` = 1 when
+    * the FINAL ball (hence every ball) held < k members. */
+  def harmonicCentralityEstimate(edges: DataFrame, src: Column, dst: Column,
+                                 hops: Int, k: Int = 256,
+                                 directed: Boolean = true): DataFrame = {
+    val states = kmvBallStates(edges, src, dst, hops, k, directed)
+    val ests = states.zipWithIndex.map { case (st, i) =>
+      st.select(col("__node"), kmvBallEst(k).as(s"__e${i + 1}"))
+    }
+    val fin = states.last.select(col("__node"),
+      size(col("__sk")).as("__kept"))
+    val joined = (ests :+ fin).reduce(_.join(_, "__node"))
+    val terms = (1 to hops).map { h =>
+      val prev = if (h == 1) lit(1.0) else col(s"__e${h - 1}")
+      (col(s"__e$h") - prev) / lit(h.toDouble)
+    }
+    joined.select(col("__node").as("node"),
+      terms.reduce(_ + _).as("harmonic_est"),
+      col(s"__e$hops").as("ball_est"),
+      (col("__kept") < k).cast("int").cast("long").as("exact"))
+  }
+
+  /** Scaled-integer NDCG discount table: disc(i) = round(scale /
+    * log₂(i+1)) for ranks 1..k, via StrictMath (bit-reproducible on
+    * every JVM by spec — the table is the SINGLE source of truth for
+    * both the operator's literals and the generated oracle SQL, so
+    * libm variation can never split them). disc(1) = scale exactly.
+    * At scale=1e12 the floor error per term is < 1e-12 relative —
+    * orders below any meaningful NDCG difference. */
+  def ndcgDiscounts(k: Int, scale: Long = 1000000000000L): Seq[Long] =
+    (1 to k).map(i => math.round(
+      scale.toDouble * StrictMath.log(2.0) / StrictMath.log(i + 1.0)))
+
+  /** Ranked-retrieval evaluation report — the gate a retrieval change
+    * (new ANN index, fused ranking, BM25 tweak) runs against labeled
+    * truth before shipping: per query, precision@k, recall@k,
+    * reciprocal rank, and binary-relevance NDCG@k.
+    *
+    * Exactness: hit/relevant counts are exact integers; precision,
+    * recall, and RR are ONE IEEE division of exact integers each.
+    * NDCG rides the scaled-BIGINT recipe — per-rank discounts are the
+    * [[ndcgDiscounts]] integer table (embedded as literals), so DCG
+    * is an order-invariant integer SUM with one final division by the
+    * ideal prefix sum cum(min(n_rel, k)); at scale=1e12 the cumulative
+    * table tops out ~6e12 ≪ 2⁵³, so the closing long→double casts are
+    * exact. Queries with no relevant docs report recall/NDCG = 0;
+    * queries with no retrieved hit report RR = 0.
+    *
+    * Scale shape: `ranked` is already ≤ k rows per query by contract
+    * (a top-k output); one broadcast-or-shuffle left join against the
+    * distinct truth pairs, one per-query aggregate, one ≤ |queries|-row
+    * join to the relevant counts. The report covers queries PRESENT in
+    * `ranked` (a system that returns nothing for a query is audited
+    * upstream by comparing query sets). Output: (qid, n_ret, n_rel,
+    * hits, precision_at_k, recall_at_k, rr, ndcg_at_k). */
+  def rankedEvalReport(ranked: DataFrame, qid: String, docId: String,
+                       rankCol: String, truth: DataFrame, tQid: String,
+                       tDocId: String, k: Int,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k $k out of [1, 1000]")
+    val disc = ndcgDiscounts(k, scale)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    val discArr = array(disc.map(lit): _*)
+    val cumArr = array(cum.map(lit): _*)
+    val sys = ranked.select(col(qid).cast("string").as("__q"),
+        col(docId).cast("string").as("__d"),
+        col(rankCol).cast("long").as("__r"))
+      .where(col("__r") <= k)
+    val tr = truth.select(col(tQid).cast("string").as("__q"),
+      col(tDocId).cast("string").as("__d")).distinct()
+    val relCnt = tr.groupBy(col("__q")).agg(count(lit(1)).as("__nrel"))
+    val perQ = sys.join(tr.withColumn("__hit", lit(1)),
+        Seq("__q", "__d"), "left")
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("__nret"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("__hits"),
+        sum(when(col("__hit") === 1,
+            element_at(discArr, col("__r").cast("int")))
+          .otherwise(0L)).as("__dcg"),
+        min(when(col("__hit") === 1, col("__r"))).as("__minr"))
+    val nrel = coalesce(col("__nrel"), lit(0L))
+    val idcg = when(nrel === 0, lit(0L))
+      .otherwise(element_at(cumArr, least(nrel, lit(k.toLong)).cast("int")))
+    perQ.join(relCnt, Seq("__q"), "left")
+      .select(col("__q").as("qid"),
+        col("__nret").as("n_ret"),
+        nrel.as("n_rel"),
+        col("__hits").as("hits"),
+        (col("__hits").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+        when(nrel === 0, lit(0.0))
+          .otherwise(col("__hits").cast("double") / nrel.cast("double"))
+          .as("recall_at_k"),
+        when(col("__minr").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__minr").cast("double")).as("rr"),
+        when(idcg === 0L, lit(0.0))
+          .otherwise(col("__dcg").cast("double") / idcg.cast("double"))
+          .as("ndcg_at_k"))
+  }
+
+  /** Per-column IQR-fence outlier report — the numeric-hygiene
+    * pre-flight next to [[columnProfile]] (which discovers shape; this
+    * flags tail mass): per column, exact type-1 quartiles, Tukey
+    * fences q1 − f·IQR / q3 + f·IQR, and exact counts strictly
+    * outside them.
+    *
+    * Exactness: quartiles are [[exactQuantiles]] SELECTION (bit-exact
+    * stored values, no interpolation); each fence is one fixed-order
+    * IEEE expression of the two quartiles (replayed verbatim by the
+    * oracle); outlier counts are exact integers against those fence
+    * literals. Scale shape: per column one chunked-selection quantile
+    * pass (NO single-task global sort — the [[exactQuantiles]] shape;
+    * its driver fold is ≤ 2 rows per column), then ONE fused
+    * all-columns aggregate pass for the counts (the [[columnProfile]]
+    * shape). `cols` is small by contract (a table's numeric columns).
+    * All-null columns report NULL fences and zero counts.
+    * Output: (column, n_rows, q1, q3, lo_fence, hi_fence, n_below,
+    * n_above), one row per requested column. */
+  def numericOutlierReport(df: DataFrame, cols: Seq[String],
+                           factor: Double = 1.5): DataFrame = {
+    require(cols.nonEmpty, "numericOutlierReport needs columns")
+    val fences: Seq[(String, Option[(Double, Double, Double, Double)])] =
+      cols.map { c =>
+        val qs = exactQuantiles(df, col(c), Seq(0.25, 0.75))
+          .select(col("prob"), col("value")).collect()
+          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        if (qs.isEmpty) (c, None)
+        else {
+          val q1 = qs(0.25); val q3 = qs(0.75)
+          // fixed-order fence arithmetic — the oracle replays exactly
+          // `q1 - f * (q3 - q1)` / `q3 + f * (q3 - q1)`
+          (c, Some((q1, q3, q1 - factor * (q3 - q1),
+            q3 + factor * (q3 - q1))))
+        }
+      }
+    val aggs = fences.flatMap { case (c, f) =>
+      val x = col(c).cast("double")
+      val base = sum(when(x.isNotNull, 1L).otherwise(0L)).as(s"__n_$c")
+      f match {
+        case Some((_, _, lo, hi)) => Seq(base,
+          sum(when(x < lit(lo), 1L).otherwise(0L)).as(s"__b_$c"),
+          sum(when(x > lit(hi), 1L).otherwise(0L)).as(s"__a_$c"))
+        case None => Seq(base)
+      }
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fences.map { case (c, f) =>
+      val (q1, q3, lo, hi, nb, na) = f match {
+        case Some((q1, q3, lo, hi)) =>
+          (lit(q1), lit(q3), lit(lo), lit(hi),
+            col(s"__b_$c"), col(s"__a_$c"))
+        case None =>
+          val nd = lit(null).cast("double")
+          (nd, nd, nd, nd, lit(0L), lit(0L))
+      }
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        q1.as("q1"), q3.as("q3"), lo.as("lo_fence"), hi.as("hi_fence"),
+        nb.as("n_below"), na.as("n_above"))
+    }
+    one.select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
+      .select(col("__p.*"))
   }
 }

@@ -1401,4 +1401,88 @@ class CorpusSpec extends AnyFunSuite {
     val hub = a.find(_._1 == "0").get
     assert(hub._3 == 0L && hub._2 > 16.0, hub.toString) // estimator path
   }
+
+  test("harmonicCentralityEstimate: star/chain closed forms, estimator invariance") {
+    // undirected star, 6 leaves, balls < k => exact tier:
+    // center: ball1 = 7 -> (7-1)/1 + (7-7)/2 = 6
+    // leaf:   ball1 = 2, ball2 = 7 -> 1 + 5/2 = 3.5
+    val star = (1 to 6).map(i => (0, i)).toDF("s", "d")
+    val got = Corpus.harmonicCentralityEstimate(star, col("s"), col("d"),
+        hops = 2, k = 64, directed = false)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("0") == ((6.0, 7.0, 1L)), got.toString)
+    (1 to 6).foreach(i => assert(got(i.toString) == ((3.5, 7.0, 1L))))
+    // directed chain a->b->c: harmonic(a) = 1 + 1/2, (b) = 1, (c) = 0
+    val chain = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    val ch = Corpus.harmonicCentralityEstimate(chain, col("s"), col("d"),
+        hops = 2, k = 16).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ch == Map("a" -> 1.5, "b" -> 1.0, "c" -> 0.0), ch.toString)
+    // above-k estimator path: each per-hop estimate is a pure function
+    // of the ball set => bit-identical across partitionings; ball
+    // monotonicity makes every term (hence the sum) non-negative
+    val big = (1 to 40).map(i => (0, i)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.harmonicCentralityEstimate(df, col("s"), col("d"),
+          hops = 2, k = 16, directed = false).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(3))).sorted
+    val a = run(big); val b = run(big.repartition(5))
+    assert(a.sameElements(b))
+    assert(a.forall(_._2 >= 0.0), a.mkString(","))
+  }
+
+  test("rankedEvalReport: hand metrics, perfect ranking, zero-truth and no-hit edges") {
+    val disc = Corpus.ndcgDiscounts(3)
+    val cum = disc.scanLeft(0L)(_ + _).tail
+    // q1: truth {a,b,c}, ranked [a, x, b]; q2: perfect top-3, n_rel=4;
+    // q3: no truth rows at all; q4: truth exists but no hits
+    val ranked = Seq(
+      ("q1", "a", 1L), ("q1", "x", 2L), ("q1", "b", 3L),
+      ("q2", "a", 1L), ("q2", "b", 2L), ("q2", "c", 3L),
+      ("q3", "a", 1L),
+      ("q4", "x", 1L), ("q4", "y", 2L)).toDF("q", "d", "r")
+    val truth = Seq(
+      ("q1", "a"), ("q1", "b"), ("q1", "c"),
+      ("q2", "a"), ("q2", "b"), ("q2", "c"), ("q2", "d"),
+      ("q4", "z")).toDF("tq", "td")
+    val got = Corpus.rankedEvalReport(ranked, "q", "d", "r",
+        truth, "tq", "td", k = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q1 = got("q1")
+    assert(q1.getLong(1) == 3 && q1.getLong(2) == 3 && q1.getLong(3) == 2)
+    assert(q1.getDouble(4) == 2.0 / 3.0 && q1.getDouble(5) == 2.0 / 3.0)
+    assert(q1.getDouble(6) == 1.0) // first hit at rank 1
+    val dcg1 = disc(0) + disc(2)   // hits at ranks 1 and 3
+    assert(q1.getDouble(7) == dcg1.toDouble / cum(2).toDouble)
+    val q2 = got("q2") // all top-3 relevant, idcg = cum(3) => exactly 1
+    assert(q2.getDouble(7) == 1.0 && q2.getDouble(4) == 1.0 &&
+      q2.getDouble(5) == 0.75 && q2.getDouble(6) == 1.0)
+    val q3 = got("q3")
+    assert(q3.getLong(2) == 0 && q3.getDouble(5) == 0.0 &&
+      q3.getDouble(6) == 0.0 && q3.getDouble(7) == 0.0)
+    val q4 = got("q4")
+    assert(q4.getLong(2) == 1 && q4.getLong(3) == 0 &&
+      q4.getDouble(6) == 0.0 && q4.getDouble(7) == 0.0)
+    // discount table: disc(1) = scale exactly, strictly decreasing
+    assert(disc.head == 1000000000000L &&
+      disc == disc.sorted(Ordering[Long].reverse))
+  }
+
+  test("numericOutlierReport: exact quartiles, Tukey fences, planted outliers, all-null column") {
+    // sorted: -100,1..8,100 (n=10); q1 = rank ceil(2.5)=3 -> 2,
+    // q3 = rank ceil(7.5)=8 -> 7; fences 2-1.5*5 = -5.5, 7+1.5*5 = 14.5
+    val df = ((1 to 8).map(_.toDouble) ++ Seq(-100.0, 100.0))
+      .map(x => (x, Option.empty[Double])).toDF("x", "z")
+    val got = Corpus.numericOutlierReport(df, Seq("x", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = got("x")
+    assert(x.getLong(1) == 10 && x.getDouble(2) == 2.0 &&
+      x.getDouble(3) == 7.0)
+    assert(x.getDouble(4) == -5.5 && x.getDouble(5) == 14.5)
+    assert(x.getLong(6) == 1 && x.getLong(7) == 1)
+    val z = got("z") // all-null: NULL fences, zero counts
+    assert(z.getLong(1) == 0 && z.isNullAt(2) && z.isNullAt(5) &&
+      z.getLong(6) == 0 && z.getLong(7) == 0)
+  }
 }
