@@ -2216,13 +2216,21 @@ object Corpus {
     * columns by casting to epoch first — timezone semantics stay with
     * the caller).
     *
-    * ONE aggregate job over the table: every metric is a partial
-    * aggregate fused into a single pass, unpivoted driver-side from
-    * one 1-row result (the [[expectationsReport]] shape). `exact`
-    * distinct uses count_distinct — Spark plans multiple distinct
-    * aggregates via Expand (rows × #profiled columns in the shuffle);
-    * the default approx tier (HLL++, rsd 1%) keeps the pass linear
-    * and is the 100 TB path. Output: (column, dtype, n_rows, n_nulls,
+    * ONE aggregate job over the table for everything non-distinct:
+    * every metric is a partial aggregate fused into a single pass,
+    * unpivoted driver-side from one 1-row result (the
+    * [[expectationsReport]] shape). Distinct counts: the default
+    * approx tier (HLL++, rsd 1%) fuses into that same pass and is
+    * the 100 TB path; `exact` runs ONE NARROW count_distinct job per
+    * column instead (parquet column pruning — each scans one column;
+    * driver folds #columns scalars into literals). Measured at sf0.1
+    * (tools/ProfileProbe): fusing 11 exact count_distincts into the
+    * single pass makes Catalyst plan an Expand (rows × #columns
+    * through one wide shuffle) at 22-27 s, vs 1.8 s base + 3-4 s of
+    * per-column jobs for the split form — 4.5× — while the unpivoted
+    * single-job alternative (distinct over (column, value-as-string)
+    * pairs) sat at 4.2 s and loses type fidelity.
+    * Output: (column, dtype, n_rows, n_nulls,
     * n_distinct, min_num, max_num, min_str, max_str, total_len). */
   def columnProfile(df: DataFrame, exact: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2231,13 +2239,19 @@ object Corpus {
     def isNum(t: DataType) = numeric.contains(t) ||
       t.isInstanceOf[DecimalType]
     val fields = df.schema.fields
+    // exact tier: per-column single-distinct jobs (no Expand; each
+    // reads ONE column). Bounded driver fold — one scalar per column.
+    val exactDist: Map[String, Long] =
+      if (!exact) Map.empty
+      else fields.map(f => f.name ->
+        df.select(col(f.name)).agg(count_distinct(col(f.name)))
+          .head().getLong(0)).toMap
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
-      val dist = if (exact) count_distinct(c)
-                 else approx_count_distinct(c, 0.01)
-      Seq(
-        count(c).as(s"__nn_$i"),
-        dist.cast("long").as(s"__nd_$i")) ++
+      Seq(count(c).as(s"__nn_$i")) ++
+      (if (exact) Nil
+       else Seq(approx_count_distinct(c, 0.01)
+         .cast("long").as(s"__nd_$i"))) ++
       (if (isNum(f.dataType))
         Seq(min(c).cast("double").as(s"__mn_$i"),
             max(c).cast("double").as(s"__mx_$i"))
@@ -2258,7 +2272,8 @@ object Corpus {
         lit(f.dataType.simpleString).as("dtype"),
         col("__n").as("n_rows"),
         (col("__n") - col(s"__nn_$i")).as("n_nulls"),
-        col(s"__nd_$i").as("n_distinct"),
+        (if (exact) lit(exactDist(f.name)) else col(s"__nd_$i"))
+          .as("n_distinct"),
         opt(s"__mn_$i", "double").as("min_num"),
         opt(s"__mx_$i", "double").as("max_num"),
         opt(s"__ms_$i", "string").as("min_str"),
