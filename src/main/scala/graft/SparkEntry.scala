@@ -334,7 +334,11 @@ object SparkEntry {
     // ball estimates folded with fixed-order IEEE terms), labeled
     // retrieval eval (P@k/recall/MRR/scaled-BIGINT NDCG), IQR outlier
     // report (chunked-selection quartiles + one fused count pass)
-    "q_harmonic", "q_rank_eval", "q_outliers")
+    "q_harmonic", "q_rank_eval", "q_outliers",
+    // r12 continuation (3): integer MAD spike report (one count
+    // aggregate + two selections), snapshot profile drift (two
+    // profile passes + one full-outer join)
+    "q_spike", "q_profile_drift")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -729,6 +733,36 @@ object SparkEntry {
         .withColumn("l_shipdate", expr(
           "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', l_shipdate)"))
       Corpus.columnProfile(li, exact = true).orderBy("column")
+    }),
+
+    // -------- corpus: event-rate spike report (median + MAD) -----------
+    // Hourly event counts flagged against median + 3*MAD — the robust
+    // traffic-anomaly gate. ALL-integer arithmetic end to end (counts,
+    // type-1 median/MAD selections, long threshold) — zero float ops,
+    // hash-exact with no margin analysis.
+    "q_spike" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.spikeReport(t(s, dir, "events"), unix_timestamp($"ts"),
+          windowSec = 3600L)
+        .orderBy("window_start")
+    }),
+
+    // -------- corpus: profile drift between snapshots -------------------
+    // Schema + stats drift across a ship-date split of lineitem, with
+    // one column dropped and one added across the "schema change" —
+    // all three status branches exercised. Exact-tier counts/distincts
+    // (per-column single-distinct jobs); null fractions are one IEEE
+    // division of exact longs.
+    "q_profile_drift" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val pivot = expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+      val before = li.where($"l_shipdate" < pivot)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_tax")
+      val after = li.where($"l_shipdate" >= pivot)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_returnflag")
+      Corpus.profileDrift(before, after, exact = true).orderBy("column")
     }),
 
     // -------- corpus: HITS hub/authority centrality -------------------
@@ -4168,6 +4202,66 @@ object SparkEntry {
       "\nORDER BY \"column\""
   }
 
+  /** q_spike oracle: hourly counts, the q_quantiles type-1 selection
+    * for the median and the MAD (both over BIGINTs — the whole chain
+    * is integer arithmetic), threshold med + 3*mad, strict flag. */
+  private lazy val spikeOracle: String = {
+    val rank = "greatest(1, least((SELECT n FROM nn)," +
+      " ceil(0.5 * (SELECT n FROM nn)::DOUBLE)::BIGINT))"
+    s"""WITH c AS (SELECT e - e % 3600 AS w, count(*)::BIGINT AS cnt
+       |   FROM (SELECT epoch_us(ts)//1000000 AS e FROM events) GROUP BY 1),
+       | nn AS (SELECT count(*)::BIGINT AS n FROM c),
+       | m AS (SELECT cnt AS med FROM
+       |   (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM c)
+       |   WHERE rn = $rank),
+       | d AS (SELECT abs(cnt - (SELECT med FROM m)) AS dv FROM c),
+       | md AS (SELECT dv AS mad FROM
+       |   (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d)
+       |   WHERE rn = $rank)
+       |SELECT w AS window_start, cnt,
+       | (SELECT med FROM m) AS median_cnt, (SELECT mad FROM md) AS mad,
+       | ((SELECT med FROM m) + 3 * (SELECT mad FROM md)) AS threshold,
+       | (CASE WHEN cnt > (SELECT med FROM m) + 3 * (SELECT mad FROM md)
+       |   THEN 1 ELSE 0 END)::BIGINT AS is_spike
+       |FROM c ORDER BY w""".stripMargin
+  }
+
+  /** q_profile_drift oracle: per-side per-column exact
+    * counts/nulls/distincts (the columnProfile recipe minus min/max —
+    * the drift report doesn't carry them), full-outer joined on the
+    * column name; dtype strings are the Spark simpleString literals. */
+  private lazy val profileDriftOracle: String = {
+    def side(alias: String, cols: Seq[(String, String)]) =
+      cols.map { case (c, dt) =>
+        s"SELECT '$c' AS col, '$dt' AS dt, count(*)::BIGINT AS n_rows," +
+          s" (count(*) - count($c))::BIGINT AS n_nulls," +
+          s" count(DISTINCT $c)::BIGINT AS nd FROM $alias"
+      }.mkString("\n   UNION ALL ")
+    val oldCols = Seq("l_orderkey" -> "bigint", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_tax" -> "double")
+    val newCols = Seq("l_orderkey" -> "bigint", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_returnflag" -> "string")
+    s"""WITH o AS (SELECT l_orderkey, l_quantity, l_extendedprice, l_tax
+       |   FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+       | n AS (SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+       |   FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+       | po AS (${side("o", oldCols)}),
+       | pn AS (${side("n", newCols)})
+       |SELECT coalesce(po.col, pn.col) AS "column",
+       | CASE WHEN po.col IS NULL THEN 'added'
+       |      WHEN pn.col IS NULL THEN 'dropped'
+       |      ELSE 'kept' END AS status,
+       | po.dt AS dtype_old, pn.dt AS dtype_new,
+       | po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+       | CASE WHEN po.n_rows = 0 THEN 0.0
+       |   ELSE po.n_nulls::DOUBLE / po.n_rows::DOUBLE END AS null_frac_old,
+       | CASE WHEN pn.n_rows = 0 THEN 0.0
+       |   ELSE pn.n_nulls::DOUBLE / pn.n_rows::DOUBLE END AS null_frac_new,
+       | po.nd AS n_distinct_old, pn.nd AS n_distinct_new
+       |FROM po FULL OUTER JOIN pn ON po.col = pn.col
+       |ORDER BY "column"""".stripMargin
+  }
+
   /** q_profile oracle: one SELECT per lineitem column UNION ALL'd —
     * exact counts/distincts, numeric min/max cast to DOUBLE (pure
     * selection of stored values), string min/max in binary collation,
@@ -6414,6 +6508,8 @@ object SparkEntry {
     "q_harmonic" -> harmonicOracle,
     "q_rank_eval" -> rankEvalOracle,
     "q_outliers" -> outliersOracle,
+    "q_spike" -> spikeOracle,
+    "q_profile_drift" -> profileDriftOracle,
     "q_link_pred" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -2568,4 +2568,85 @@ object Corpus {
     one.select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
       .select(col("__p.*"))
   }
+
+  /** Event-rate spike report — the ingest/traffic anomaly gate: count
+    * events per fixed window, then flag windows whose count exceeds
+    * median + mult·MAD (median absolute deviation — the robust
+    * location/scale pair; a mean/stddev z-score would let one huge
+    * spike inflate σ and mask its neighbors).
+    *
+    * EVERYTHING is integer arithmetic: window starts are
+    * t − pmod(t, w) on epoch seconds, counts are exact longs, the
+    * median and MAD are type-1 SELECTIONS over integers
+    * ([[exactQuantiles]] — values round-trip doubles exactly below
+    * 2⁵³), and the threshold med + mult·mad is a long — zero float
+    * ops end to end, so the oracle replay is hash-exact with no
+    * margin analysis at all. Timestamps are non-negative by contract
+    * (pmod flooring = the oracle's `%` on positive ints).
+    *
+    * Scale shape: ONE count aggregate over the events (map-side
+    * partials), then two chunked selections + the flag projection on
+    * the counts table, whose size is time-range/window — bounded and
+    * tiny relative to the input (the [[exactQuantiles]] driver fold
+    * is ≤ 2 rows). Output: (window_start, cnt, median_cnt, mad,
+    * threshold, is_spike) — one row per non-empty window. */
+  def spikeReport(df: DataFrame, tsEpoch: Column, windowSec: Long,
+                  mult: Long = 3L): DataFrame = {
+    require(windowSec >= 1, s"windowSec $windowSec must be >= 1")
+    require(mult >= 1, s"mult $mult must be >= 1")
+    val t = tsEpoch.cast("long")
+    val counts = Dedup.materializeLazily(
+      df.select((t - pmod(t, lit(windowSec))).as("__w"))
+        .where(col("__w").isNotNull)
+        .groupBy(col("__w")).agg(count(lit(1)).as("cnt")))
+    val med = exactQuantiles(counts, col("cnt"), Seq(0.5))
+      .select(col("value")).head().getDouble(0).toLong
+    val mad = exactQuantiles(
+        counts.select(abs(col("cnt") - lit(med)).as("__d")),
+        col("__d"), Seq(0.5))
+      .select(col("value")).head().getDouble(0).toLong
+    val thresh = med + mult * mad
+    counts.select(col("__w").as("window_start"), col("cnt"),
+      lit(med).as("median_cnt"), lit(mad).as("mad"),
+      lit(thresh).as("threshold"),
+      (col("cnt") > lit(thresh)).cast("int").cast("long").as("is_spike"))
+  }
+
+  /** Schema/statistics drift report between two snapshots — the
+    * cross-ingest monitor next to [[columnProfile]] (which profiles
+    * ONE snapshot): per column name, presence status
+    * (added/dropped/kept), dtypes, row counts, null fractions, and
+    * distinct counts from both sides.
+    *
+    * Exactness: counts and distincts come straight from
+    * [[columnProfile]] (exact tier = per-column single-distinct
+    * jobs); each null fraction is ONE IEEE division of exact longs
+    * (0.0 for an empty side, NULL for an absent column — NULL
+    * arithmetic propagates identically in any engine). Scale shape:
+    * two profile passes + one full-outer join of two ≤ #columns-row
+    * tables. Output: (column, status, dtype_old, dtype_new,
+    * n_rows_old, n_rows_new, null_frac_old, null_frac_new,
+    * n_distinct_old, n_distinct_new). */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   exact: Boolean = false): DataFrame = {
+    val po = columnProfile(oldDf, exact).select(col("column"),
+      col("dtype").as("__dt_o"), col("n_rows").as("__nr_o"),
+      col("n_nulls").as("__nn_o"), col("n_distinct").as("__nd_o"))
+    val pn = columnProfile(newDf, exact).select(col("column"),
+      col("dtype").as("__dt_n"), col("n_rows").as("__nr_n"),
+      col("n_nulls").as("__nn_n"), col("n_distinct").as("__nd_n"))
+    def frac(nn: Column, nr: Column) =
+      when(nr === 0, lit(0.0)).otherwise(nn.cast("double") / nr.cast("double"))
+    po.join(pn, Seq("column"), "full_outer")
+      .select(col("column"),
+        when(col("__dt_o").isNull, lit("added"))
+          .when(col("__dt_n").isNull, lit("dropped"))
+          .otherwise(lit("kept")).as("status"),
+        col("__dt_o").as("dtype_old"), col("__dt_n").as("dtype_new"),
+        col("__nr_o").as("n_rows_old"), col("__nr_n").as("n_rows_new"),
+        frac(col("__nn_o"), col("__nr_o")).as("null_frac_old"),
+        frac(col("__nn_n"), col("__nr_n")).as("null_frac_new"),
+        col("__nd_o").as("n_distinct_old"),
+        col("__nd_n").as("n_distinct_new"))
+  }
 }

@@ -1485,4 +1485,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(z.getLong(1) == 0 && z.isNullAt(2) && z.isNullAt(5) &&
       z.getLong(6) == 0 && z.getLong(7) == 0)
   }
+
+  test("spikeReport: planted window counts, integer median/MAD, strict flag") {
+    // windows of 10 s with counts 1, 2, 2, 3, 100:
+    // median = 3rd of sorted counts = 2; |d| sorted = 0,0,1,1,98 ->
+    // MAD = 1; threshold = 2 + 3*1 = 5 -> only the 100-window flags
+    val ts = Seq(0L) ++ Seq(10L, 11L) ++ Seq(20L, 21L) ++
+      Seq(30L, 31L, 32L) ++ (0 until 100).map(i => 40L + i % 10)
+    val got = Corpus.spikeReport(ts.toDF("t"), col("t"), windowSec = 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.size == 5)
+    assert(got(0L) == ((1L, 2L, 1L, 5L, 0L)), got.toString)
+    assert(got(10L) == ((2L, 2L, 1L, 5L, 0L)))
+    assert(got(30L) == ((3L, 2L, 1L, 5L, 0L)))
+    assert(got(40L) == ((100L, 2L, 1L, 5L, 1L))) // the spike
+    // integer end to end: identical under any partitioning
+    val rep = Corpus.spikeReport(ts.toDF("t").repartition(7), col("t"),
+      windowSec = 10L).collect().map(_.toSeq).sortBy(_.head.toString)
+    val base = Corpus.spikeReport(ts.toDF("t"), col("t"), windowSec = 10L)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(rep.sameElements(base))
+  }
+
+  test("profileDrift: added/dropped/kept statuses, null fractions, distincts") {
+    val before = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
+      .toDF("a", "b")
+    val after = Seq((1L, Some(1.5)), (3L, None), (3L, None), (4L, Some(2.5)))
+      .toDF("a", "c")
+    val got = Corpus.profileDrift(before, after, exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3)
+    val a = got("a")
+    assert(a.getString(1) == "kept" && a.getString(2) == "bigint" &&
+      a.getString(3) == "bigint")
+    assert(a.getLong(4) == 3 && a.getLong(5) == 4)
+    assert(a.getDouble(6) == 0.0 && a.getDouble(7) == 0.0)
+    assert(a.getLong(8) == 2 && a.getLong(9) == 3)
+    val b = got("b")
+    assert(b.getString(1) == "dropped" && b.isNullAt(3) &&
+      b.isNullAt(5) && b.isNullAt(7) && b.isNullAt(9))
+    assert(b.getDouble(6) == 1.0 / 3.0 && b.getLong(8) == 2)
+    val c = got("c")
+    assert(c.getString(1) == "added" && c.isNullAt(2) && c.isNullAt(4))
+    assert(c.getDouble(7) == 0.5 && c.getLong(9) == 2)
+  }
 }
