@@ -338,7 +338,10 @@ object SparkEntry {
     // r12 continuation (3): integer MAD spike report (one count
     // aggregate + two selections), snapshot profile drift (two
     // profile passes + one full-outer join)
-    "q_spike", "q_profile_drift")
+    "q_spike", "q_profile_drift",
+    // r12 continuation (4): TextRank keyword centrality (pair
+    // projection + the pageRank machinery on the token graph)
+    "q_textrank")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -699,6 +702,25 @@ object SparkEntry {
       Corpus.pageRank(t(s, dir, "lineitem"),
           concat(lit("o"), $"l_orderkey".cast("string")),
           concat(lit("p"), $"l_partkey".cast("string")),
+          iters = 3)
+        .orderBy("node")
+    }),
+
+    // -------- text: TextRank keyword scores ----------------------------
+    // PageRank over the adjacent-token co-occurrence graph (both
+    // directions, multi-edges = weights) — the corpus keyword/salience
+    // signal. Same per-round round(12) unrolled-CTE recipe as
+    // q_pagerank. Boundary-risk profile (r12, DuckDB replay of every
+    // pre-round value on this 31-node token graph): per-round minima
+    // 3.7e-13/1.4e-15/2.3e-14/4.4e-15 at sf0.01 and
+    // 3.7e-13/1.6e-14/1.0e-15/2.2e-14 at sf0.1 — the tightest
+    // (1.0e-15) is ~290 ulps of rank ≈ 0.03, two orders above the
+    // few-ulp cross-engine window (sums here are <= 31 terms);
+    // vocabulary is Zipf-stable so the margin doesn't shrink with
+    // corpus growth the way node-count graphs do.
+    "q_textrank" -> ((s, dir) => {
+      import s.implicits._
+      TextFunctions.textRankKeywords(t(s, dir, "documents"), $"text",
           iters = 3)
         .orderBy("node")
     }),
@@ -6449,6 +6471,46 @@ object SparkEntry {
     "q_pagerank" ->
       """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
         |     'p' || l_partkey::VARCHAR AS d FROM lineitem),
+        | nodes AS (SELECT DISTINCT n FROM
+        |   (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        | deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e GROUP BY s),
+        | r0 AS (SELECT n AS nd, round(1.0/(SELECT n FROM nn), 12) AS r FROM nodes),
+        | d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r0.nd)),
+        | c1 AS (SELECT e.d AS nd, sum(r0.r / deg.deg) AS cin
+        |   FROM e JOIN r0 ON e.s = r0.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r1 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c1.cin, 0)
+        |     + (SELECT dm FROM d1)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c1 ON nodes.n = c1.nd),
+        | d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r1.nd)),
+        | c2 AS (SELECT e.d AS nd, sum(r1.r / deg.deg) AS cin
+        |   FROM e JOIN r1 ON e.s = r1.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r2 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c2.cin, 0)
+        |     + (SELECT dm FROM d2)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c2 ON nodes.n = c2.nd),
+        | d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r2.nd)),
+        | c3 AS (SELECT e.d AS nd, sum(r2.r / deg.deg) AS cin
+        |   FROM e JOIN r2 ON e.s = r2.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r3 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c3.cin, 0)
+        |     + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c3 ON nodes.n = c3.nd)
+        |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
+    // q_textrank: the q_pagerank unrolled chain verbatim, edges =
+    // adjacent-token pairs in both directions (multi-edges kept —
+    // they ARE the co-occurrence weights)
+    "q_textrank" ->
+      """WITH dd AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |     x -> len(x) > 0) AS toks FROM documents),
+        | ii AS (SELECT toks, unnest(range(1, len(toks))) AS pos
+        |   FROM dd WHERE len(toks) >= 2),
+        | p AS (SELECT toks[pos] AS a, toks[pos+1] AS b FROM ii),
+        | e AS (SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p),
         | nodes AS (SELECT DISTINCT n FROM
         |   (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
         | nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),

@@ -2364,4 +2364,33 @@ object TextFunctions {
   def packTokens(df: DataFrame, id: Column, text: Column,
                  charBudget: Long): DataFrame =
     chunkUnits(df, id, text, "\\s+", charBudget)(t => length(t))
+
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    * the word co-occurrence graph — adjacent-token pairs, both
+    * directions (TextRank's graph is undirected), MULTI-edges kept so
+    * co-occurrence frequency acts as edge weight exactly as in the
+    * weighted formulation ([[graft.functions.Corpus.pageRank]]'s
+    * per-edge r/deg contributions sum once per occurrence). The
+    * standard corpus-level keyword/salience signal.
+    *
+    * Scale shape: one zero-join columnar projection emits the pair
+    * list (a `transform` over index `sequence` — docs shorter than 2
+    * tokens are filtered BEFORE the sequence so it can never run
+    * descending), then the [[graft.functions.Corpus.pageRank]]
+    * machinery (edge table never re-shuffled across rounds, per-round
+    * round(12) → unrolled-CTE oracle). Vocabulary is Zipf-small
+    * relative to the corpus, so the rank state always fits the
+    * broadcast guard. Output: (node = token, rank). */
+  def textRankKeywords(df: DataFrame, text: Column,
+                       iters: Int = 3): DataFrame = {
+    val d = df.select(tokens(text).as("__tk"))
+      .where(size(col("__tk")) >= 2)
+    val pairs = d.select(explode(expr(
+        "transform(sequence(1, size(__tk) - 1)," +
+          " i -> struct(__tk[i-1] AS a, __tk[i] AS b))")).as("__p"))
+      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val und = pairs.union(
+      pairs.select(col("__b").as("__a"), col("__a").as("__b")))
+    Corpus.pageRank(und, col("__a"), col("__b"), iters)
+  }
 }

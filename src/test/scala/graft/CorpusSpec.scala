@@ -1509,6 +1509,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(rep.sameElements(base))
   }
 
+  test("textRankKeywords: hub word ranks highest, mass conserves, short docs drop") {
+    import graft.functions.TextFunctions
+    // "the" is adjacent to every other word; "rare" appears once at
+    // an edge; a 1-token doc contributes no pairs (and must not crash)
+    val docs = Seq(
+      "the cat sat on the mat",
+      "the dog ate the cat",
+      "rare the",
+      "solo").toDF("text")
+    val got = TextFunctions.textRankKeywords(docs, col("text"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!got.contains("solo"), got.toString)
+    val hub = got("the")
+    got.foreach { case (w, r) => if (w != "the")
+      assert(r < hub, s"$w=$r vs the=$hub") }
+    assert(got("rare") == got.values.min)
+    // undirected multigraph PageRank conserves total mass (to the
+    // per-round 1e-12 rounding: |nodes| * 3 rounds * 5e-13 bound)
+    assert(math.abs(got.values.sum - 1.0) < got.size * 3 * 5e-13)
+    // deterministic under repartitioning (round-collapsed fp order)
+    val rep = TextFunctions.textRankKeywords(docs.repartition(5),
+      col("text"), iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rep == got)
+  }
+
   test("profileDrift: added/dropped/kept statuses, null fractions, distincts") {
     val before = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
       .toDF("a", "b")
