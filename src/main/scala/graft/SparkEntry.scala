@@ -340,8 +340,9 @@ object SparkEntry {
     // profile passes + one full-outer join)
     "q_spike", "q_profile_drift",
     // r12 continuation (4): TextRank keyword centrality (pair
-    // projection + the pageRank machinery on the token graph)
-    "q_textrank")
+    // projection + the pageRank machinery on the token graph),
+    // greedy conversion funnel, weekly cohort retention
+    "q_textrank", "q_funnel", "q_retention")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -767,6 +768,30 @@ object SparkEntry {
       Corpus.spikeReport(t(s, dir, "events"), unix_timestamp($"ts"),
           windowSec = 3600L)
         .orderBy("window_start")
+    }),
+
+    // -------- events: ordered conversion funnel -------------------------
+    // view -> click -> purchase within a 1-day window of the first
+    // view, greedy first-occurrence chain (the standard funnel
+    // semantics). Epoch-microsecond longs and exact counts end to end.
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.funnelReport(t(s, dir, "events"), $"user_id", $"ts",
+          $"event_type", Seq("view", "click", "purchase"),
+          maxSpanSec = 86400L)
+        .orderBy("step")
+    }),
+
+    // -------- events: cohort retention matrix ----------------------------
+    // Daily cohorts (first active day) x day offsets — the retention
+    // grid (weekly periods degenerate on this uniformly-active
+    // synthetic corpus: one cohort, full retention; daily gives 2
+    // cohorts x 59 non-trivial cells). All-integer floors and counts.
+    "q_retention" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.retentionMatrix(t(s, dir, "events"), $"user_id", $"ts",
+          periodSec = 86400L)
+        .orderBy("cohort_start", "offset")
     }),
 
     // -------- corpus: profile drift between snapshots -------------------
@@ -6572,6 +6597,39 @@ object SparkEntry {
     "q_outliers" -> outliersOracle,
     "q_spike" -> spikeOracle,
     "q_profile_drift" -> profileDriftOracle,
+    // q_funnel: greedy first-occurrence chain per user — each step a
+    // join back to the typed events with a strictly-after + 1-day-of-
+    // first-step window, min per user; all epoch-µs integers
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS et,
+        |     epoch_us(ts) AS t FROM events),
+        | s1 AS (SELECT u, min(t) AS t1, min(t) AS tp FROM e
+        |   WHERE et = 'view' GROUP BY u),
+        | s2 AS (SELECT e.u, min(s1.t1) AS t1, min(e.t) AS tp
+        |   FROM e JOIN s1 ON e.u = s1.u
+        |   WHERE e.et = 'click' AND e.t > s1.tp
+        |     AND e.t <= s1.t1 + 86400000000 GROUP BY e.u),
+        | s3 AS (SELECT e.u, min(s2.t1) AS t1, min(e.t) AS tp
+        |   FROM e JOIN s2 ON e.u = s2.u
+        |   WHERE e.et = 'purchase' AND e.t > s2.tp
+        |     AND e.t <= s2.t1 + 86400000000 GROUP BY e.u)
+        |SELECT 1::BIGINT AS step, 'view' AS event_type,
+        |   (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |UNION ALL SELECT 2::BIGINT, 'click',
+        |   (SELECT count(*) FROM s2)::BIGINT
+        |UNION ALL SELECT 3::BIGINT, 'purchase',
+        |   (SELECT count(*) FROM s3)::BIGINT
+        |ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH up AS (SELECT DISTINCT user_id::VARCHAR AS u,
+        |     e - e % 86400000000 AS p
+        |   FROM (SELECT user_id, epoch_us(ts) AS e FROM events)),
+        | co AS (SELECT u, min(p) AS cp FROM up GROUP BY u)
+        |SELECT (co.cp // 1000000)::BIGINT AS cohort_start,
+        | ((up.p - co.cp) // 86400000000)::BIGINT AS "offset",
+        | count(*)::BIGINT AS n_users
+        |FROM up JOIN co ON up.u = co.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_link_pred" ->
       """WITH pairs AS (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v

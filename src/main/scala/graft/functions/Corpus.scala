@@ -2627,6 +2627,86 @@ object Corpus {
     * tables. Output: (column, status, dtype_old, dtype_new,
     * n_rows_old, n_rows_new, null_frac_old, null_frac_new,
     * n_distinct_old, n_distinct_new). */
+  /** Ordered-funnel report — the product-analytics conversion count:
+    * per user, the GREEDY first-occurrence chain (t₁ = first step-1
+    * event; tᵢ = first step-i event strictly after tᵢ₋₁, and within
+    * `maxSpanSec` of t₁ when set), then users-reaching-step counts.
+    * Greedy-first is the industry-standard funnel semantics
+    * (Amplitude/Mixpanel "conversion window from first step"); it is
+    * deterministic and exact for the unbounded window, and the
+    * DECLARED contract for bounded ones (a later first event could in
+    * principle complete a window the earliest one misses — funnels
+    * accept that by definition; document, don't search).
+    *
+    * Exactness: every comparison is on epoch-MICROSECOND longs and
+    * every output an exact count — zero float ops, hash-exact.
+    * Scale shape: one narrow (user, type, µs) projection; per step
+    * ONE equi-join on user of the prior frontier (≤ users rows)
+    * against the type-filtered events + a min aggregate — steps are
+    * ≤ 8 by contract, the frontier only shrinks, and AQE broadcasts
+    * it once it fits. Output: (step, event_type, n_users), step
+    * 1-based, n_users non-increasing. */
+  def funnelReport(df: DataFrame, user: Column, ts: Column,
+                   eventType: Column, steps: Seq[String],
+                   maxSpanSec: Long = -1L): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps size ${steps.size} out of [1, 8]")
+    val ev = df.select(user.cast("string").as("__u"),
+      eventType.cast("string").as("__e"),
+      unix_micros(ts.cast("timestamp")).as("__t"))
+    val base = ev.where(col("__e") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__t")).as("__t1"))
+      .select(col("__u"), col("__t1"), col("__t1").as("__tp"))
+    val frontiers = steps.tail.scanLeft(base) { (prev, step) =>
+      val nxt = ev.where(col("__e") === step)
+        .select(col("__u").as("__nu"), col("__t"))
+      val within =
+        if (maxSpanSec < 0) lit(true)
+        else col("__t") <= col("__t1") + lit(maxSpanSec * 1000000L)
+      prev.join(nxt, col("__u") === col("__nu") &&
+          col("__t") > col("__tp") && within)
+        .groupBy(col("__u"))
+        .agg(min(col("__t1")).as("__t1"), min(col("__t")).as("__tp"))
+        .select(col("__u"), col("__t1"), col("__tp"))
+    }
+    frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("step"),
+          lit(steps(i)).as("event_type"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort-retention matrix — per signup-period cohort, how many
+    * users were active again k periods later (the week-over-week
+    * retention grid every ingest/product dashboard carries). Period =
+    * floor(epoch_sec / periodSec); a user's cohort is their FIRST
+    * active period; every (user, period) activity row contributes to
+    * cell (cohort, period − cohort).
+    *
+    * Exactness: all-integer (period floors on non-negative epochs,
+    * distinct/count aggregates) — hash-exact, no margins. Scale
+    * shape: one distinct over (user, period) pairs (map-side
+    * partials), one min-per-user aggregate, one user-keyed join back,
+    * one count aggregate — no window, no self-join of raw events.
+    * Output: (cohort_start, offset, n_users), cohort_start = epoch
+    * seconds of the cohort period's floor, offset ≥ 0; offset 0 row =
+    * cohort size. */
+  def retentionMatrix(df: DataFrame, user: Column, ts: Column,
+                      periodSec: Long): DataFrame = {
+    require(periodSec >= 1, s"periodSec $periodSec must be >= 1")
+    val t = unix_micros(ts.cast("timestamp"))
+    val up = df.select(user.cast("string").as("__u"),
+        (t - pmod(t, lit(periodSec * 1000000L))).as("__p"))
+      .where(col("__u").isNotNull && col("__p").isNotNull)
+      .distinct()
+    val cohort = up.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+    up.join(cohort, "__u")
+      .groupBy((col("__c") / lit(1000000L)).cast("long").as("cohort_start"),
+        ((col("__p") - col("__c")) / lit(periodSec * 1000000L))
+          .cast("long").as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def profileDrift(oldDf: DataFrame, newDf: DataFrame,
                    exact: Boolean = false): DataFrame = {
     val po = columnProfile(oldDf, exact).select(col("column"),

@@ -1535,6 +1535,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("funnelReport: greedy strictly-after chain, conversion window, non-starters drop") {
+    // u1 completes in order; u2's purchase precedes its click (greedy
+    // strictly-after rejects it); u3 stops at view; u4 never views;
+    // u5 completes but its purchase lands outside a 100 s window
+    val ev = Seq(
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 30L),
+      ("u2", "view", 10L), ("u2", "purchase", 15L), ("u2", "click", 20L),
+      ("u3", "view", 10L),
+      ("u4", "click", 5L), ("u4", "purchase", 6L),
+      ("u5", "view", 0L), ("u5", "click", 1L), ("u5", "purchase", 150L))
+      .toDF("u", "e", "sec").withColumn("ts", to_timestamp(col("sec")))
+    def run(span: Long) =
+      Corpus.funnelReport(ev, col("u"), col("ts"), col("e"),
+          Seq("view", "click", "purchase"), maxSpanSec = span)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+    val unbounded = run(-1L)
+    assert(unbounded.toSeq == Seq((1L, "view", 4L), (2L, "click", 3L),
+      (3L, "purchase", 2L)), unbounded.mkString(","))
+    val windowed = run(100L) // u5's purchase at t1+150 falls out
+    assert(windowed.toSeq == Seq((1L, "view", 4L), (2L, "click", 3L),
+      (3L, "purchase", 1L)), windowed.mkString(","))
+  }
+
+  test("retentionMatrix: first-active cohorts, offset cells, same-period dedup") {
+    val day = 86400L
+    val ev = Seq(
+      ("u1", 0L), ("u1", 100L), ("u1", day), ("u1", 3 * day), // dup day 0
+      ("u2", day + 5L),
+      ("u3", 50L), ("u3", day + 50L))
+      .toDF("u", "sec").withColumn("ts", to_timestamp(col("sec")))
+    val got = Corpus.retentionMatrix(ev, col("u"), col("ts"), day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 2L, (0L, 3L) -> 1L,
+      (day, 0L) -> 1L), got.toString)
+  }
+
   test("profileDrift: added/dropped/kept statuses, null fractions, distincts") {
     val before = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
       .toDF("a", "b")
