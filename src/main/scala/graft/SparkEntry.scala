@@ -342,7 +342,10 @@ object SparkEntry {
     // r12 continuation (4): TextRank keyword centrality (pair
     // projection + the pageRank machinery on the token graph),
     // greedy conversion funnel, weekly cohort retention
-    "q_textrank", "q_funnel", "q_retention")
+    "q_textrank", "q_funnel", "q_retention",
+    // r12 continuation (5): CUSUM level shifts (chunked prefix
+    // sum/min), per-key alpha=1/2 EWMA (exact-halving fold)
+    "q_cusum", "q_ewma")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -780,6 +783,30 @@ object SparkEntry {
           $"event_type", Seq("view", "click", "purchase"),
           maxSpanSec = 86400L)
         .orderBy("step")
+    }),
+
+    // -------- events: CUSUM level-shift detection ------------------------
+    // Sustained-drift complement to q_spike: CUSUM of hourly-count
+    // deviations from median+1*MAD, decision threshold 4*MAD. The
+    // recursion rides the prefix identity s = P - min(0, running min P)
+    // — chunked windows, all-integer, hash-exact.
+    "q_cusum" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.cusumShifts(t(s, dir, "events"), unix_timestamp($"ts"),
+          windowSec = 3600L)
+        .orderBy("window_start")
+    }),
+
+    // -------- events: per-key EWMA (alpha = 1/2) -------------------------
+    // Per-user engagement level: the alpha=1/2 smoother whose every
+    // fold step is one addition + one exact halving — bit-reproducible
+    // cross-engine (DuckDB list_reduce replays the identical op
+    // sequence over the identically-sorted (ts, event_id) order).
+    "q_ewma" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.ewmaByKey(t(s, dir, "events"), Seq($"user_id"), $"value",
+          Seq(unix_micros($"ts"), $"event_id"))
+        .orderBy("user_id")
     }),
 
     // -------- events: cohort retention matrix ----------------------------
@@ -6597,6 +6624,51 @@ object SparkEntry {
     "q_outliers" -> outliersOracle,
     "q_spike" -> spikeOracle,
     "q_profile_drift" -> profileDriftOracle,
+    // q_cusum: the spikeOracle median/MAD CTEs + windowed prefix
+    // sum/min replaying the max(0, ...) recursion via
+    // s = P - least(0, running min P); every value a BIGINT
+    "q_cusum" -> {
+      val rank = "greatest(1, least((SELECT n FROM nn)," +
+        " ceil(0.5 * (SELECT n FROM nn)::DOUBLE)::BIGINT))"
+      s"""WITH c AS (SELECT e - e % 3600 AS w, count(*)::BIGINT AS cnt
+         |   FROM (SELECT epoch_us(ts)//1000000 AS e FROM events) GROUP BY 1),
+         | nn AS (SELECT count(*)::BIGINT AS n FROM c),
+         | m AS (SELECT cnt AS med FROM
+         |   (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM c)
+         |   WHERE rn = $rank),
+         | d AS (SELECT abs(cnt - (SELECT med FROM m)) AS dv FROM c),
+         | md AS (SELECT dv AS mad FROM
+         |   (SELECT dv, row_number() OVER (ORDER BY dv) AS rn FROM d)
+         |   WHERE rn = $rank),
+         | dev AS (SELECT w, cnt,
+         |   cnt - ((SELECT med FROM m) + 1 * (SELECT mad FROM md)) AS dv
+         |  FROM c),
+         | p AS (SELECT w, cnt, sum(dv) OVER (ORDER BY w)::BIGINT AS pp
+         |  FROM dev),
+         | s AS (SELECT w, cnt,
+         |   (pp - least(0, min(pp) OVER (ORDER BY w)))::BIGINT AS cu
+         |  FROM p)
+         |SELECT w AS window_start, cnt,
+         | (SELECT med FROM m) AS median_cnt, (SELECT mad FROM md) AS mad,
+         | cu AS cusum, (4 * (SELECT mad FROM md))::BIGINT AS threshold,
+         | (CASE WHEN cu > 4 * (SELECT mad FROM md) THEN 1 ELSE 0
+         |   END)::BIGINT AS is_shift
+         |FROM s ORDER BY w""".stripMargin
+    },
+    // q_ewma: identical (ts, event_id, value) struct sort + the
+    // identical (x + acc)/2.0 fold via list_reduce (acc-first lambda,
+    // probed) — every step IEEE-exact, so ewma is bit-equal
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id,
+        |   {'t': epoch_us(ts), 'i': event_id, 'v': value} AS s
+        |  FROM events WHERE value IS NOT NULL),
+        | g AS (SELECT user_id, list_sort(list(s)) AS arr FROM e
+        |  GROUP BY user_id),
+        | v AS (SELECT user_id, list_transform(arr, x -> x.v) AS vals
+        |  FROM g)
+        |SELECT user_id, len(vals)::BIGINT AS n,
+        | list_reduce(vals, (acc, x) -> (x + acc) / 2.0) AS ewma
+        |FROM v ORDER BY user_id""".stripMargin,
     // q_funnel: greedy first-occurrence chain per user — each step a
     // join back to the typed events with a strictly-after + 1-day-of-
     // first-step window, min per user; all epoch-µs integers

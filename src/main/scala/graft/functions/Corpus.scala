@@ -2599,17 +2599,130 @@ object Corpus {
       df.select((t - pmod(t, lit(windowSec))).as("__w"))
         .where(col("__w").isNotNull)
         .groupBy(col("__w")).agg(count(lit(1)).as("cnt")))
+    val (med, mad) = medianAndMad(counts)
+    val thresh = med + mult * mad
+    counts.select(col("__w").as("window_start"), col("cnt"),
+      lit(med).as("median_cnt"), lit(mad).as("mad"),
+      lit(thresh).as("threshold"),
+      (col("cnt") > lit(thresh)).cast("int").cast("long").as("is_spike"))
+  }
+
+  /** Integer median and MAD of a `cnt` column — the robust
+    * location/scale pair shared by [[spikeReport]] and [[cusumShifts]]
+    * (two [[exactQuantiles]] type-1 selections; exact longs). */
+  private def medianAndMad(counts: DataFrame): (Long, Long) = {
     val med = exactQuantiles(counts, col("cnt"), Seq(0.5))
       .select(col("value")).head().getDouble(0).toLong
     val mad = exactQuantiles(
         counts.select(abs(col("cnt") - lit(med)).as("__d")),
         col("__d"), Seq(0.5))
       .select(col("value")).head().getDouble(0).toLong
-    val thresh = med + mult * mad
-    counts.select(col("__w").as("window_start"), col("cnt"),
+    (med, mad)
+  }
+
+  /** CUSUM level-shift detection over fixed event-count windows — the
+    * drift complement to [[spikeReport]] (which flags POINT anomalies;
+    * CUSUM accumulates small sustained deviations until they cross a
+    * decision threshold — Page 1954). Reference = window-count median,
+    * allowance = `slackMads`·MAD, decision threshold = `multMads`·MAD:
+    * sᵢ = max(0, sᵢ₋₁ + (cntᵢ − med − slack)), flag when sᵢ > h.
+    *
+    * The recursion is computed WITHOUT sequential state via the
+    * classic prefix identity s_i = P_i − min(0, min_{j≤i} P_j) with
+    * P = prefix sum of deviations — both prefix terms ride the
+    * [[prCurve]] chunked-window recipe aligned to window order
+    * (per-chunk windows + one ≤ chunks-row driver fold each for the
+    * sum offsets and the exclusive running-min offsets): no
+    * single-partition window at any scale. ALL-integer end to end
+    * (counts, selections, prefix sums) — hash-exact.
+    * Output: (window_start, cnt, median_cnt, mad, cusum, threshold,
+    * is_shift), one row per non-empty window. */
+  def cusumShifts(df: DataFrame, tsEpoch: Column, windowSec: Long,
+                  slackMads: Long = 1L, multMads: Long = 4L,
+                  chunks: Int = 256): DataFrame = {
+    require(windowSec >= 1, s"windowSec $windowSec must be >= 1")
+    require(slackMads >= 0 && multMads >= 1 && chunks >= 1,
+      s"bad params slackMads=$slackMads multMads=$multMads chunks=$chunks")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = tsEpoch.cast("long")
+    val counts = Dedup.materializeLazily(
+      df.select((t - pmod(t, lit(windowSec))).as("__w"))
+        .where(col("__w").isNotNull)
+        .groupBy(col("__w")).agg(count(lit(1)).as("cnt")))
+    val st = counts.agg(min(col("__w")), max(col("__w"))).head()
+    if (st.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+        .toDF("window_start", "cnt", "median_cnt", "mad", "cusum",
+          "threshold", "is_shift")
+    val (med, mad) = medianAndMad(counts)
+    val slack = slackMads * mad
+    val thr = multMads * mad
+    val withC = scoreChunks(
+      counts.withColumn("__dev", col("cnt") - lit(med + slack))
+        .withColumn("__s", col("__w").cast("double")),
+      st.getLong(0).toDouble, st.getLong(1).toDouble, chunks,
+      descending = false)
+    val Seq(offD) = chunkPrefixOffsets(withC, Seq("__dev"))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = Dedup.materializeLazily(
+      withC.withColumn("__p", sum(col("__dev")).over(w) + offD))
+    // exclusive running-min offsets per chunk (the chunkPrefixOffsets
+    // shape with min instead of sum; Long.MaxValue = empty prefix)
+    val perMin = p.groupBy(col("__chunk")).agg(min(col("__p")).as("__m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MaxValue
+    val offs = perMin.map { case (c, m) =>
+      val o = (c, acc); acc = math.min(acc, m); o
+    }
+    val offMin = element_at(
+      map(offs.flatMap { case (c, o) => Seq(lit(c), lit(o)) }
+        .toIndexedSeq: _*), col("__chunk"))
+    val runMin = least(lit(0L), min(col("__p")).over(w), offMin)
+    p.select(col("__w").as("window_start"), col("cnt"),
       lit(med).as("median_cnt"), lit(mad).as("mad"),
-      lit(thresh).as("threshold"),
-      (col("cnt") > lit(thresh)).cast("int").cast("long").as("is_spike"))
+      (col("__p") - runMin).as("cusum"), lit(thr).as("threshold"),
+      ((col("__p") - runMin) > lit(thr)).cast("int").cast("long")
+        .as("is_shift"))
+  }
+
+  /** Per-key exponentially-weighted moving average at α = 1/2 — the
+    * "current level" smoother (per-user engagement, per-source rate).
+    * α is PINNED to 1/2 by design: each fold step is one addition and
+    * one exact halving, s ← (x + s)/2 — both IEEE-exact in every
+    * engine (the mixByTemperature α=0.5 precedent), so the result is
+    * bit-reproducible cross-engine with NO margin analysis, where a
+    * general α would multiply by an inexact (1−α) each step.
+    *
+    * Determinism requires a total order: `order` columns must be
+    * unique per key by contract (e.g. ts + event id) — the fold runs
+    * over sort_array of (order..., value) structs, so the op sequence
+    * is fixed regardless of partitioning. Per-key cardinality is the
+    * scale bound (one in-memory array per key — the
+    * [[exactQuantilesBy]] contract; audit with [[keySkewReport]]).
+    * NULL values are dropped; NULL keys are real groups. Output:
+    * (keys..., n, ewma). */
+  def ewmaByKey(df: DataFrame, keys: Seq[Column], value: Column,
+                order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "ewmaByKey needs at least one order column")
+    val v = df.select((keys :+ value.cast("double").as("__x")) ++
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }: _*)
+      .where(col("__x").isNotNull)
+    val keyNames = v.columns.take(keys.size).toIndexedSeq
+    val st = struct((order.indices.map(i => col(s"__o$i")) :+
+      col("__x").as("__v")): _*)
+    v.groupBy(keyNames.map(col): _*)
+      .agg(sort_array(collect_list(st)).as("__arr"))
+      .select((keyNames.map(col) :+
+        size(col("__arr")).cast("long").as("n") :+
+        aggregate(
+          transform(slice(col("__arr"), lit(2),
+            greatest(lit(0), size(col("__arr")) - 1)),
+            s => s.getField("__v")),
+          element_at(col("__arr"), 1).getField("__v"),
+          (acc, x) => (x + acc) / lit(2.0)).as("ewma")): _*)
   }
 
   /** Schema/statistics drift report between two snapshots — the

@@ -1573,6 +1573,54 @@ class CorpusSpec extends AnyFunSuite {
       (day, 0L) -> 1L), got.toString)
   }
 
+  test("cusumShifts: planted level shift, prefix identity == sequential fold, invariance") {
+    // 10 baseline windows alternating 9/11 events, then 10 windows of
+    // 14: med = 11, mad = 2, slack = 2, threshold = 8; the sustained
+    // +1 deviations accumulate and flag late-shift windows
+    val counts = (0 until 10).map(i => if (i % 2 == 0) 9 else 11) ++
+      Seq.fill(10)(14)
+    val ts = counts.zipWithIndex.flatMap { case (c, w) =>
+      (0 until c).map(_ => w * 10L)
+    }
+    val got = Corpus.cusumShifts(ts.toDF("t"), col("t"), windowSec = 10L)
+      .orderBy("window_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 20)
+    assert(got.head._3 == 11L && got.head._4 == 2L && got.head._6 == 8L)
+    // sequential reference: s = max(0, s + (cnt - med - slack))
+    var s = 0L
+    val ref = counts.map { c =>
+      s = math.max(0L, s + (c - 11L - 2L)); s
+    }
+    assert(got.map(_._5).toSeq == ref, got.map(_._5).mkString(","))
+    assert(got.map(_._7).toSeq == ref.map(v => if (v > 8L) 1L else 0L))
+    assert(got.count(_._7 == 1L) > 0)
+    // integer end to end: identical under repartitioning and tiny chunks
+    val rep = Corpus.cusumShifts(ts.toDF("t").repartition(7), col("t"),
+      windowSec = 10L, chunks = 3).orderBy("window_start").collect()
+      .map(_.toSeq)
+    assert(rep.sameElements(got.map(p => Seq(p._1, p._2, p._3, p._4,
+      p._5, p._6, p._7))))
+  }
+
+  test("ewmaByKey: alpha=1/2 fold over the declared order, null drop, invariance") {
+    // key a: values 1,2,3 in ts order -> ((1+2)/2 + 3)/2 = 2.25;
+    // rows arrive shuffled; a null value is dropped; key b singleton
+    val df = Seq(
+      ("a", 30L, Some(3.0)), ("a", 10L, Some(1.0)), ("a", 20L, Some(2.0)),
+      ("a", 15L, None), ("b", 5L, Some(7.5))).toDF("k", "t", "v")
+    val got = Corpus.ewmaByKey(df, Seq(col("k")), col("v"),
+        Seq(col("t"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("a") == ((3L, 2.25)), got.toString)
+    assert(got("b") == ((1L, 7.5)))
+    val rep = Corpus.ewmaByKey(df.repartition(5), Seq(col("k")),
+      col("v"), Seq(col("t"))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rep == got)
+  }
+
   test("profileDrift: added/dropped/kept statuses, null fractions, distincts") {
     val before = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
       .toDF("a", "b")
