@@ -344,8 +344,9 @@ object SparkEntry {
     // greedy conversion funnel, weekly cohort retention
     "q_textrank", "q_funnel", "q_retention",
     // r12 continuation (5): CUSUM level shifts (chunked prefix
-    // sum/min), per-key alpha=1/2 EWMA (exact-halving fold)
-    "q_cusum", "q_ewma")
+    // sum/min), per-key alpha=1/2 EWMA (exact-halving fold), Markov
+    // transition matrix, dHash scene-cut detection
+    "q_cusum", "q_ewma", "q_transitions", "q_scene_cuts")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -807,6 +808,38 @@ object SparkEntry {
       Corpus.ewmaByKey(t(s, dir, "events"), Seq($"user_id"), $"value",
           Seq(unix_micros($"ts"), $"event_id"))
         .orderBy("user_id")
+    }),
+
+    // -------- events: state-transition matrix -----------------------------
+    // First-order Markov summary of per-user event-type sequences —
+    // exact (from, to) counts + one-division row probabilities over
+    // the (ts, event_id)-ordered streams.
+    "q_transitions" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.transitionMatrix(t(s, dir, "events"), $"user_id",
+          Seq(unix_micros($"ts"), $"event_id"), $"event_type")
+        .orderBy("from_state", "to_state")
+    }),
+
+    // -------- multimodal: scene-cut detection ----------------------------
+    // Shot boundaries via consecutive-frame dHash distance: each
+    // payload opens with one 128-byte block repeated 3x (one "shot" —
+    // frames 0..2 fingerprint identically, hamming 0) before the
+    // natural text resumes (a hard cut, ~bits/2 apart). All-integer
+    // kernel + bit_count, replayed via the q_media_dhash recipe.
+    "q_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .where(length($"text") >= 384)
+      val vids = docs.select($"doc_id", concat(
+        substring($"text", 1, 128), substring($"text", 1, 128),
+        substring($"text", 1, 128),
+        $"text".substr(lit(129), length($"text"))).as("vt"))
+      val media = Multimodal.fromBinary(s, vids, "doc_id",
+        encode($"vt", "UTF-8"), "video")
+      Multimodal.sceneCutReport(media, "media_id", $"content",
+          chunk = 64, stride = 2, threshold = 8)
+        .orderBy("media_id", "frame_idx")
     }),
 
     // -------- events: cohort retention matrix ----------------------------
@@ -6669,6 +6702,58 @@ object SparkEntry {
         |SELECT user_id, len(vals)::BIGINT AS n,
         | list_reduce(vals, (acc, x) -> (x + acc) / 2.0) AS ewma
         |FROM v ORDER BY user_id""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
+        |   epoch_us(ts) AS t, event_id AS i FROM events
+        |  WHERE event_type IS NOT NULL),
+        | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
+        |   AS p FROM e),
+        | c AS (SELECT p AS f, s AS tos, count(*)::BIGINT AS cnt FROM l
+        |  WHERE p IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT f, sum(cnt)::BIGINT AS n FROM c GROUP BY f)
+        |SELECT c.f AS from_state, c.tos AS to_state, c.cnt,
+        | c.cnt::DOUBLE / tot.n::DOUBLE AS prob
+        |FROM c JOIN tot ON c.f = tot.f
+        |ORDER BY 1, 2""".stripMargin,
+    // q_scene_cuts: the q_media_dhash frame/fingerprint replay + one
+    // lag per media; all-integer hamming and flags
+    "q_scene_cuts" ->
+      """WITH base AS (SELECT doc_id AS media_id,
+        |   substr(text, 1, 128) || substr(text, 1, 128) ||
+        |   substr(text, 1, 128) || substr(text, 129) AS t
+        |  FROM documents WHERE length(text) >= 384),
+        | fr AS (SELECT media_id,
+        |   unnest(generate_series(0, greatest(length(t)//128 - 1, 0))) AS fidx,
+        |   t FROM base),
+        | fb AS (SELECT media_id, fidx, substr(t, fidx*128 + 1, 64) AS f
+        |  FROM fr),
+        | b0 AS (SELECT media_id, fidx, length(f) AS n,
+        |   unnest(generate_series(1, length(f))) AS p, f
+        |  FROM fb WHERE length(f) > 0),
+        | by AS (SELECT media_id, fidx, n, ((p - 1) * 61) // n AS cell,
+        |   unicode(substr(f, p, 1)) AS bv FROM b0),
+        | cells AS (SELECT media_id, fidx, cell, sum(bv)::BIGINT AS cs,
+        |   count(*)::BIGINT AS cl FROM by GROUP BY media_id, fidx, cell),
+        | adj AS (SELECT a.media_id, a.fidx,
+        |   CASE WHEN a.cs * coalesce(b.cl, 0) > coalesce(b.cs, 0) * a.cl
+        |        THEN (1::BIGINT << a.cell) ELSE 0 END AS bit
+        |  FROM cells a LEFT JOIN cells b
+        |    ON a.media_id = b.media_id AND a.fidx = b.fidx
+        |   AND b.cell = a.cell + 1
+        |  WHERE a.cell < 60),
+        | f AS (SELECT media_id, fidx, sum(bit)::BIGINT AS fp FROM adj
+        |  GROUP BY media_id, fidx
+        |  UNION ALL
+        |  SELECT media_id, fidx, 0::BIGINT FROM fb WHERE length(f) = 0),
+        | l AS (SELECT media_id, fidx, fp,
+        |   lag(fp) OVER (PARTITION BY media_id ORDER BY fidx) AS pfp
+        |  FROM f)
+        |SELECT media_id::VARCHAR AS media_id, fidx::BIGINT AS frame_idx,
+        | bit_count(xor(fp, pfp))::BIGINT AS hamming,
+        | (CASE WHEN bit_count(xor(fp, pfp)) > 8 THEN 1 ELSE 0
+        |   END)::BIGINT AS is_cut
+        |FROM l WHERE pfp IS NOT NULL
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // q_funnel: greedy first-occurrence chain per user — each step a
     // join back to the typed events with a strictly-after + 1-day-of-
     // first-step window, min per user; all epoch-µs integers

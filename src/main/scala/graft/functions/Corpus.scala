@@ -2688,6 +2688,41 @@ object Corpus {
         .as("is_shift"))
   }
 
+  /** First-order state-transition matrix over per-key ordered event
+    * sequences — the Markov-chain summary behind session-flow and
+    * bot-detection analyses ("what follows what"): for every key,
+    * consecutive state pairs in `order` order, aggregated to global
+    * (from, to) counts and row-conditional probabilities.
+    *
+    * Exactness: transition counts are exact integers; each
+    * probability is ONE IEEE division of two exact longs (the
+    * containment convention). `order` columns must be unique per key
+    * by contract (ts + event id). NULL states drop their row (the
+    * transitions through it splice — document, don't guess); NULL
+    * keys are real groups. Scale: one per-key window (the sessionize
+    * shape — Spark's spilling sort) + one (from, to) aggregate whose
+    * cardinality is |states|², tiny by contract.
+    * Output: (from_state, to_state, cnt, prob). */
+  def transitionMatrix(df: DataFrame, key: Column, order: Seq[Column],
+                       state: Column): DataFrame = {
+    require(order.nonEmpty, "transitionMatrix needs order columns")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select((Seq(key.cast("string").as("__k"),
+        state.cast("string").as("__s")) ++
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }): _*)
+      .where(col("__s").isNotNull)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    val c = v.withColumn("__p", lag(col("__s"), 1).over(w))
+      .where(col("__p").isNotNull)
+      .groupBy(col("__p").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("from_state")).agg(sum(col("cnt")).as("__n"))
+    c.join(tot, "from_state")
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        (col("cnt").cast("double") / col("__n").cast("double")).as("prob"))
+  }
+
   /** Per-key exponentially-weighted moving average at α = 1/2 — the
     * "current level" smoother (per-user engagement, per-source rate).
     * α is PINNED to 1/2 by design: each fold step is one addition and

@@ -247,6 +247,42 @@ object Multimodal {
         min(col("hamming")).as("min_hamming"))
   }
 
+  /** Scene-cut detection — the shot-boundary pass a video-curation
+    * pipeline runs before per-scene sampling/dedup: consecutive
+    * sampled frames whose gradient fingerprints sit farther than
+    * `threshold` Hamming bits apart mark a boundary (within a shot,
+    * consecutive frames are near-identical → distance ~0; across a
+    * hard cut the fingerprint is uncorrelated → ~bits/2).
+    * [[frameSample]] → per-frame [[dHash]] → one per-media lag.
+    *
+    * Exactness: fingerprints are the exact integer dHash kernel and
+    * the distance is bit_count(xor) — all-integer, hash-exact against
+    * the q_media_dhash replay recipe. Scale: payload bytes never
+    * shuffle (frames project map-side); ONE per-media window ordered
+    * by frame index — frames-per-media is bounded by payload size /
+    * (chunk·stride) by construction. Output: (media_id, frame_idx,
+    * hamming, is_cut) — one row per frame AFTER its media's first. */
+  def sceneCutReport(df: DataFrame, id: String, content: Column,
+                     chunk: Int = 64, stride: Int = 2,
+                     threshold: Int = 8, bits: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val framed = frameSample(
+      df.select(col(id).cast("string").as("__mid"), content.as("__content")),
+      chunk, stride, "__content")
+    val keyed = framed
+      .select(col("__mid"), posexplode(col("frames")).as(Seq("__fidx", "__fb")))
+      .select(col("__mid"), col("__fidx"), dHash(col("__fb"), bits).as("__fp"))
+    val w = Window.partitionBy(col("__mid")).orderBy(col("__fidx"))
+    keyed.withColumn("__pfp", lag(col("__fp"), 1).over(w))
+      .where(col("__pfp").isNotNull)
+      .select(col("__mid").as("media_id"),
+        col("__fidx").cast("long").as("frame_idx"),
+        bit_count(col("__fp").bitwiseXOR(col("__pfp"))).cast("long")
+          .as("hamming"),
+        (bit_count(col("__fp").bitwiseXOR(col("__pfp"))) > threshold)
+          .cast("int").cast("long").as("is_cut"))
+  }
+
   /** Build a media table from any binary-bearing source (here: text
     * bytes as stand-in payloads, for test determinism). */
   def fromBinary(spark: SparkSession, src: DataFrame, id: String, bin: Column, kind: String): DataFrame =

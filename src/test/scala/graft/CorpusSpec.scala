@@ -1621,6 +1621,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("transitionMatrix: planted sequences, row probabilities, null-state splice") {
+    val ev = Seq(
+      ("u1", 1L, Some("A")), ("u1", 2L, Some("B")), ("u1", 3L, Some("A")),
+      ("u1", 4L, Some("C")),
+      ("u2", 1L, Some("B")), ("u2", 2L, Some("A")),
+      ("u3", 1L, Some("A")), ("u3", 2L, None), ("u3", 3L, Some("B")))
+      .toDF("u", "t", "s")
+    val got = Corpus.transitionMatrix(ev, col("u"), Seq(col("t")), col("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // u3's null event splices: A -> B counted across it
+    assert(got == Map(
+      ("A", "B") -> ((2L, 2.0 / 3.0)), ("A", "C") -> ((1L, 1.0 / 3.0)),
+      ("B", "A") -> ((2L, 1.0))), got.toString)
+  }
+
+  test("sceneCutReport: identical frames read hamming 0, a hard cut flags") {
+    import graft.functions.Multimodal
+    // chunk=64, stride=2: frames at byte offsets 0/128/256. Payload =
+    // block A twice then block B: frames 0,1 identical (no cut),
+    // frame 2 is an uncorrelated pattern (cut)
+    val a = "x" * 128
+    val b = "ab" * 32 + "." * 64
+    val df = Seq((7L, a + a + b)).toDF("media_id", "payload")
+    val got = Multimodal.sceneCutReport(
+        df.select(col("media_id"), encode(col("payload"), "UTF-8").as("content")),
+        "media_id", col("content"), chunk = 64, stride = 2, threshold = 8)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 2, got.mkString(","))
+    assert(got(0) == ((1L, 0L, 0L)), got.mkString(",")) // same shot
+    val (idx, ham, cut) = got(1)
+    assert(idx == 2L && ham > 8L && cut == 1L, got.mkString(","))
+  }
+
   test("profileDrift: added/dropped/kept statuses, null fractions, distincts") {
     val before = Seq((1L, Some("x")), (2L, None), (2L, Some("y")))
       .toDF("a", "b")
