@@ -346,7 +346,10 @@ object SparkEntry {
     // r12 continuation (5): CUSUM level shifts (chunked prefix
     // sum/min), per-key alpha=1/2 EWMA (exact-halving fold), Markov
     // transition matrix, dHash scene-cut detection
-    "q_cusum", "q_ewma", "q_transitions", "q_scene_cuts")
+    "q_cusum", "q_ewma", "q_transitions", "q_scene_cuts",
+    // r12 continuation (6): per-key heavy hitters (keyed MG sketch +
+    // exact recount)
+    "q_heavy_by")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1236,6 +1239,19 @@ object SparkEntry {
         .where(length($"token") > 0)
       Corpus.heavyHitters(toks, $"token", k = 100, out = "token")
         .orderBy("token")
+    }),
+
+    // -------- corpus: per-key heavy hitters ---------------------------
+    // Tokens with count > n_lang/40 per language — the grouped twin
+    // (per-key MG sketch narrows work, exact recount + integer
+    // cross-multiplied threshold decide; no division anywhere).
+    "q_heavy_by" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"lang", explode(TextFunctions.tokens($"text")).as("tok"))
+      Corpus.heavyHittersBy(toks, $"lang", $"tok", k = 40,
+          keyOut = "lang", out = "token")
+        .orderBy("lang", "token")
     }),
 
     // -------- text: multi-phrase blocklist scan (Aho-Corasick) --------
@@ -6705,6 +6721,17 @@ object SparkEntry {
         |SELECT user_id, len(vals)::BIGINT AS n,
         | list_reduce(vals, (acc, x) -> (x + acc) / 2.0) AS ewma
         |FROM v ORDER BY user_id""".stripMargin,
+    "q_heavy_by" ->
+      """WITH t AS (SELECT lang, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |   FROM documents),
+        | n AS (SELECT lang, count(*)::BIGINT AS n FROM t GROUP BY lang),
+        | c AS (SELECT lang, tok, count(*)::BIGINT AS cnt FROM t
+        |   GROUP BY lang, tok)
+        |SELECT c.lang, c.tok AS token, c.cnt
+        |FROM c JOIN n ON c.lang = n.lang
+        |WHERE c.cnt * 40 > n.n
+        |ORDER BY c.lang, token""".stripMargin,
     "q_transitions" ->
       """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events

@@ -2167,6 +2167,42 @@ object Corpus {
       .select(col("__k").as(out), col("cnt"))
   }
 
+  /** Per-key heavy hitters — the grouped twin of [[heavyHitters]]
+    * ("which tokens dominate each source/domain"): per key, every
+    * item with frequency strictly above n_key/k, found via a per-key
+    * Misra-Gries sketch then EXACTLY recounted. The MG survival
+    * guarantee holds per group under any merge order, so the sketch
+    * only ever narrows WORK (candidate rows), never results — the
+    * output is the exact `GROUP BY key, item HAVING cnt·k > n_key`
+    * set regardless of partitioning. The threshold compares by
+    * integer cross-multiplication (cnt·k > n) — no division at all.
+    *
+    * Scale shape: one keyed MG aggregate (≤ k−1 counters per key per
+    * task), candidate (key, item) pairs join back as a filter, one
+    * exact recount aggregate on candidate rows only. NULL items drop;
+    * NULL keys are real groups (the candidate join is null-safe
+    * `<=>` — the exactQuantilesBy lesson). Output:
+    * (keyOut, out, cnt). */
+  def heavyHittersBy(df: DataFrame, key: Column, item: Column, k: Int,
+                     keyOut: String = "key",
+                     out: String = "item"): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val keyed = df.select(key.cast("string").as("__k"),
+        item.cast("string").as("__i"))
+      .where(col("__i").isNotNull)
+    val mg = udaf(new MisraGriesAgg(k), Encoders.STRING)
+    val cands = keyed.groupBy(col("__k"))
+      .agg(mg(col("__i")).as("__cand"), count(lit(1)).as("__n"))
+      .select(col("__k").as("__ck"), col("__n"),
+        explode(col("__cand")).as("__ci"))
+    keyed.join(cands,
+        col("__k") <=> col("__ck") && col("__i") === col("__ci"))
+      .groupBy(col("__k"), col("__i"))
+      .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__n"))
+      .where(col("cnt") * k > col("__n"))
+      .select(col("__k").as(keyOut), col("__i").as(out), col("cnt"))
+  }
+
   /** Reciprocal-rank fusion of N ranked lists (Cormack et al., SIGIR
     * 2009) — the standard hybrid-retrieval merge (lexical BM25 list +
     * vector top-k list → one ranking). Each list contributes

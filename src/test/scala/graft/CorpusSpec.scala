@@ -1621,6 +1621,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("heavyHittersBy: exact per-key threshold, strict boundary, saturation, null key") {
+    // key A: n=100, k=10 -> hitter iff cnt*10 > 100. x(11) passes,
+    // y(10) sits EXACTLY on the boundary and must not; 79 singleton
+    // items saturate the 9-counter MG summary (work-narrowing only)
+    val a = Seq.fill(11)("x") ++ Seq.fill(10)("y") ++
+      (1 to 79).map(i => s"s$i")
+    val rows = a.map(i => (Some("A"), i)) ++
+      Seq.fill(3)((Some("B"), "z")) ++
+      Seq.fill(2)((Option.empty[String], "w"))
+    val df = rows.toDF("k", "i")
+    val got = Corpus.heavyHittersBy(df, col("k"), col("i"), k = 10)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2))).toSet
+    assert(got == Set((Some("A"), "x", 11L), (Some("B"), "z", 3L),
+      (None, "w", 2L)), got.toString)
+    // partitioning cannot change the exact recount
+    val rep = Corpus.heavyHittersBy(df.repartition(7), col("k"),
+      col("i"), k = 10).collect().map(r => (Option(r.getString(0)),
+        r.getString(1), r.getLong(2))).toSet
+    assert(rep == got)
+  }
+
   test("transitionMatrix: planted sequences, row probabilities, null-state splice") {
     val ev = Seq(
       ("u1", 1L, Some("A")), ("u1", 2L, Some("B")), ("u1", 3L, Some("A")),
