@@ -348,8 +348,8 @@ object SparkEntry {
     // transition matrix, dHash scene-cut detection
     "q_cusum", "q_ewma", "q_transitions", "q_scene_cuts",
     // r12 continuation (6): per-key heavy hitters (keyed MG sketch +
-    // exact recount)
-    "q_heavy_by")
+    // exact recount), Benford digit audit, HHI concentration
+    "q_heavy_by", "q_benford", "q_concentration")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1171,6 +1171,26 @@ object SparkEntry {
       Corpus.exactQuantiles(t(s, dir, "lineitem"), $"l_extendedprice",
           Seq(0.01, 0.25, 0.5, 0.75, 0.99))
         .orderBy("prob")
+    }),
+
+    // -------- corpus: Benford first-digit audit --------------------------
+    // Leading-digit distribution of l_extendedprice vs the Benford
+    // expectation with per-digit chi^2 terms — digits extract from the
+    // decimal string repr (no libm on the data path; any correct repr
+    // preserves the first significant digit), expectations ride the
+    // StrictMath literal table shared with the oracle text.
+    "q_benford" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.benfordReport(t(s, dir, "lineitem"), $"l_extendedprice")
+        .orderBy("digit")
+    }),
+
+    // -------- corpus: key-concentration index ----------------------------
+    // Herfindahl-Hirschman index of the documents source mix — exact
+    // decimal(38,0) sum of squared counts to ONE final division.
+    "q_concentration" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.herfindahlIndex(t(s, dir, "documents"), $"source")
     }),
 
     // -------- corpus: IQR-fence outlier report --------------------------
@@ -6721,6 +6741,38 @@ object SparkEntry {
         |SELECT user_id, len(vals)::BIGINT AS n,
         | list_reduce(vals, (acc, x) -> (x + acc) / 2.0) AS ewma
         |FROM v ORDER BY user_id""".stripMargin,
+    // q_benford: digit from the decimal string repr; expectations and
+    // chi^2 terms replay the IDENTICAL fixed-order expressions over
+    // the shared StrictMath literal table (Corpus.benfordProbs)
+    "q_benford" -> {
+      val pvals = graft.functions.Corpus.benfordProbs.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH v AS (SELECT regexp_extract(
+         |     (l_extendedprice::DOUBLE)::VARCHAR, '[1-9]') AS d
+         |   FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         | o AS (SELECT d::INT AS digit, count(*)::BIGINT AS observed
+         |   FROM v WHERE d <> '' GROUP BY 1),
+         | n AS (SELECT coalesce(sum(observed), 0)::BIGINT AS n FROM o),
+         | p(digit, p) AS (VALUES $pvals)
+         |SELECT p.digit::BIGINT AS digit,
+         | coalesce(o.observed, 0)::BIGINT AS observed,
+         | (SELECT n FROM n)::DOUBLE * p.p AS expected,
+         | CASE WHEN (SELECT n FROM n) = 0 THEN 0.0 ELSE
+         |  ((coalesce(o.observed, 0)::DOUBLE - (SELECT n FROM n)::DOUBLE * p.p)
+         |   * (coalesce(o.observed, 0)::DOUBLE - (SELECT n FROM n)::DOUBLE * p.p))
+         |  / ((SELECT n FROM n)::DOUBLE * p.p) END AS chi2_term
+         |FROM p LEFT JOIN o ON p.digit = o.digit
+         |ORDER BY digit""".stripMargin
+    },
+    "q_concentration" ->
+      """WITH per AS (SELECT source::VARCHAR AS k, count(*)::BIGINT AS c
+        |   FROM documents GROUP BY 1)
+        |SELECT count(*)::BIGINT AS n_keys,
+        | coalesce(sum(c), 0)::BIGINT AS n_rows,
+        | CASE WHEN coalesce(sum(c), 0) = 0 THEN 0.0
+        |   ELSE sum(c * c)::DOUBLE / (sum(c)::DOUBLE * sum(c)::DOUBLE)
+        |   END AS hhi
+        |FROM per""".stripMargin,
     "q_heavy_by" ->
       """WITH t AS (SELECT lang, unnest(list_filter(
         |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok

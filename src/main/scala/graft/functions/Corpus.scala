@@ -2167,6 +2167,75 @@ object Corpus {
       .select(col("__k").as(out), col("cnt"))
   }
 
+  /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9, via
+    * StrictMath — bit-reproducible on every JVM, so the literals the
+    * operator embeds and the generated oracle text agree exactly (the
+    * [[ndcgDiscounts]] single-source-of-truth trick). */
+  def benfordProbs: Seq[Double] =
+    (1 to 9).map(d => StrictMath.log10(1.0 + 1.0 / d))
+
+  /** Benford first-significant-digit audit — the numeric-forgery /
+    * synthetic-data smell test: observed counts per leading digit vs
+    * the Benford expectation, with per-digit χ² terms.
+    *
+    * The digit extracts from the value's DECIMAL STRING repr (first
+    * '[1-9]' match) — engines format doubles differently in the tail
+    * but any correct repr preserves the first significant digit, and
+    * this avoids a libm log10 on the data path entirely. Zeros/NULLs
+    * drop. Expected counts and χ² terms are fixed-order IEEE
+    * expressions of (exact long n_d, total n, [[benfordProbs]]
+    * literal) — identical text replayed by the oracle, bit-exact.
+    * Scale: ONE count aggregate over a 9-value key (map-side
+    * partials), a 9-row literal join. Output:
+    * (digit, observed, expected, chi2_term), 9 rows (absent digits
+    * report observed = 0). */
+  def benfordReport(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(regexp_extract(value.cast("double").cast("string"),
+        "[1-9]", 0).as("__d"))
+      .where(col("__d") =!= "")
+    val obs = d.groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val digits = broadcast((1 to 9).map(i => i -> benfordProbs(i - 1))
+      .toDF("digit", "__p"))
+    val tot = obs.agg(coalesce(sum(col("observed")), lit(0L))).head().getLong(0)
+    digits.join(obs, Seq("digit"), "left")
+      .select(col("digit").cast("long").as("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        (lit(tot.toDouble) * col("__p")).as("expected"),
+        {
+          val o = coalesce(col("observed"), lit(0L)).cast("double")
+          val e = lit(tot.toDouble) * col("__p")
+          when(lit(tot) === 0L, lit(0.0))
+            .otherwise((o - e) * (o - e) / e)
+        }.as("chi2_term"))
+  }
+
+  /** Herfindahl-Hirschman concentration of a key distribution — the
+    * one-number mix audit ("is this corpus 90% one domain?"):
+    * HHI = Σ (c_i/n)², 1/|keys| (uniform) .. 1 (single key).
+    * Σ c_i² runs in decimal(38,0) (hub counts square past long range
+    * at corpus scale — the degreeAssortativity recipe) to ONE final
+    * double division; the decimal→double converts round
+    * deterministically (IEEE nearest) in any engine. One per-key
+    * count + one 3-scalar aggregate. NULL keys are a real group.
+    * Output: one row (n_keys, n_rows, hhi). */
+  def herfindahlIndex(df: DataFrame, key: Column): DataFrame = {
+    val per = df.select(key.cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    per.agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        coalesce(sum(col("__c").cast("decimal(38,0)") *
+          col("__c").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+          .as("__ss"))
+      .select(col("n_keys"), col("__n").as("n_rows"),
+        when(col("__n") === 0L, lit(0.0))
+          .otherwise(col("__ss").cast("double") /
+            (col("__n").cast("double") * col("__n").cast("double")))
+          .as("hhi"))
+  }
+
   /** Per-key heavy hitters — the grouped twin of [[heavyHitters]]
     * ("which tokens dominate each source/domain"): per key, every
     * item with frequency strictly above n_key/k, found via a per-key

@@ -1621,6 +1621,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("benfordReport: string-repr digits, literal expectations, absent digits") {
+    val df = Seq(Some(1.5), Some(19.0), Some(0.02), Some(999.0),
+      Some(-3.3), Some(0.0), None).toDF("x")
+    val got = Corpus.benfordReport(df, col("x")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got.size == 9)
+    val p = Corpus.benfordProbs
+    // digits: 1.5->1, 19->1, 0.02->2, 999->9, -3.3->3; 0/null drop
+    assert(got(1L)._1 == 2 && got(2L)._1 == 1 && got(3L)._1 == 1 &&
+      got(9L)._1 == 1, got.toString)
+    assert(got(4L)._1 == 0) // absent digit still reported
+    assert(got(1L)._2 == 5.0 * p.head)
+    val e4 = 5.0 * p(3)
+    assert(got(4L)._3 == (0.0 - e4) * (0.0 - e4) / e4)
+    assert(got.values.map(_._1).sum == 5L)
+  }
+
+  test("herfindahlIndex: single-key 1.0, uniform 1/k, empty zero") {
+    val one = Corpus.herfindahlIndex(Seq("a", "a", "a").toDF("k"),
+      col("k")).head()
+    assert(one.getLong(0) == 1 && one.getLong(1) == 3 &&
+      one.getDouble(2) == 1.0)
+    val uni = Corpus.herfindahlIndex(
+      Seq("a", "a", "b", "b", "c", "c", "d", "d").toDF("k"),
+      col("k")).head()
+    assert(uni.getLong(0) == 4 && uni.getDouble(2) == 0.25)
+    val empty = Corpus.herfindahlIndex(
+      Seq.empty[String].toDF("k"), col("k")).head()
+    assert(empty.getLong(0) == 0 && empty.getDouble(2) == 0.0)
+  }
+
   test("heavyHittersBy: exact per-key threshold, strict boundary, saturation, null key") {
     // key A: n=100, k=10 -> hitter iff cnt*10 > 100. x(11) passes,
     // y(10) sits EXACTLY on the boundary and must not; 79 singleton
