@@ -1001,11 +1001,8 @@ object SparkEntry {
     "q_hop_sketch" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-      val pairs = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-            $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      val pairs = Corpus.coOccurrenceEdges(li, $"l_orderkey",
+        $"l_partkey", minCount = 2L)
       Corpus.hopNeighborhoodEstimate(pairs, $"u", $"v", hops = 2,
           k = 256, directed = false)
         .orderBy("node")
@@ -1023,11 +1020,8 @@ object SparkEntry {
     "q_harmonic" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-      val pairs = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-            $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      val pairs = Corpus.coOccurrenceEdges(li, $"l_orderkey",
+        $"l_partkey", minCount = 2L)
       Corpus.harmonicCentralityEstimate(pairs, $"u", $"v", hops = 2,
           k = 256, directed = false)
         .orderBy("node")

@@ -2167,6 +2167,27 @@ object Corpus {
       .select(col("__k").as(out), col("cnt"))
   }
 
+  /** Item co-occurrence edges from a (group, item) relation — the
+    * bipartite projection every co-purchase / co-click / co-citation
+    * graph starts from: unordered item pairs sharing a group, with
+    * the shared-group count as weight, optionally support-thresholded.
+    * ONE self-equi-join on the group key + one pair aggregate; the
+    * output volume Σ C(group size, 2) is the projection's inherent
+    * cost — at 100 TB cap pathological groups UPSTREAM (a
+    * celebrity-sized group is a cross-join seed; audit group sizes
+    * with [[keySkewReport]] first). minCount ≥ 2 is the standard
+    * noise floor. Output: (u, v, w), u < v in the item type's order. */
+  def coOccurrenceEdges(df: DataFrame, group: Column, item: Column,
+                        minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val base = df.select(group.as("__g"), item.as("__i"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("u"), col("b.__i").as("v"))
+      .agg(count(lit(1)).as("w"))
+    if (minCount > 1) pairs.where(col("w") >= minCount) else pairs
+  }
+
   /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9, via
     * StrictMath — bit-reproducible on every JVM, so the literals the
     * operator embeds and the generated oracle text agree exactly (the

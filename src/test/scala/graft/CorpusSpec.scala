@@ -1621,6 +1621,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("coOccurrenceEdges: unordered weighted pairs, min support, ordering") {
+    val df = Seq((1, "b"), (1, "a"), (1, "c"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "b")).toDF("g", "i")
+    val got = Corpus.coOccurrenceEdges(df, col("g"), col("i"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "b") -> 3L, ("a", "c") -> 1L,
+      ("b", "c") -> 1L), got.toString)
+    val thr = Corpus.coOccurrenceEdges(df, col("g"), col("i"),
+      minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(thr.toSeq == Seq(("a", "b", 3L)))
+  }
+
   test("benfordReport: string-repr digits, literal expectations, absent digits") {
     val df = Seq(Some(1.5), Some(19.0), Some(0.02), Some(999.0),
       Some(-3.3), Some(0.0), None).toDF("x")
