@@ -2169,8 +2169,17 @@ object Corpus {
 
   /** Item co-occurrence edges from a (group, item) relation — the
     * bipartite projection every co-purchase / co-click / co-citation
-    * graph starts from: unordered item pairs sharing a group, with
-    * the shared-group count as weight, optionally support-thresholded.
+    * graph starts from: unordered item pairs sharing a group, with a
+    * co-occurrence weight, optionally support-thresholded.
+    *
+    * Weight semantics: by default w counts co-occurrence INSTANCES —
+    * a group holding u m times and v n times contributes m·n (the
+    * self-join product, matching the established co-purchase
+    * oracles, where a part appearing on two line items of one order
+    * weighs double). Pass `distinctItems = true` to dedupe
+    * (group, item) first, making w exactly the number of DISTINCT
+    * shared groups.
+    *
     * ONE self-equi-join on the group key + one pair aggregate; the
     * output volume Σ C(group size, 2) is the projection's inherent
     * cost — at 100 TB cap pathological groups UPSTREAM (a
@@ -2178,9 +2187,11 @@ object Corpus {
     * with [[keySkewReport]] first). minCount ≥ 2 is the standard
     * noise floor. Output: (u, v, w), u < v in the item type's order. */
   def coOccurrenceEdges(df: DataFrame, group: Column, item: Column,
-                        minCount: Long = 1L): DataFrame = {
+                        minCount: Long = 1L,
+                        distinctItems: Boolean = false): DataFrame = {
     require(minCount >= 1, s"minCount $minCount must be >= 1")
-    val base = df.select(group.as("__g"), item.as("__i"))
+    val raw = df.select(group.as("__g"), item.as("__i"))
+    val base = if (distinctItems) raw.distinct() else raw
     val pairs = base.as("a").join(base.as("b"),
         col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
       .groupBy(col("a.__i").as("u"), col("b.__i").as("v"))
@@ -2216,8 +2227,11 @@ object Corpus {
     val d = df.select(regexp_extract(value.cast("double").cast("string"),
         "[1-9]", 0).as("__d"))
       .where(col("__d") =!= "")
-    val obs = d.groupBy(col("__d").cast("int").as("digit"))
-      .agg(count(lit(1)).as("observed"))
+    // materialized: the 9-row aggregate feeds both the total head()
+    // and the returned join — without it the corpus scans twice
+    val obs = Dedup.materializeLazily(
+      d.groupBy(col("__d").cast("int").as("digit"))
+        .agg(count(lit(1)).as("observed")))
     val digits = broadcast((1 to 9).map(i => i -> benfordProbs(i - 1))
       .toDF("digit", "__p"))
     val tot = obs.agg(coalesce(sum(col("observed")), lit(0L))).head().getLong(0)
@@ -2355,7 +2369,11 @@ object Corpus {
     * through one wide shuffle) at 22-27 s, vs 1.8 s base + 3-4 s of
     * per-column jobs for the split form — 4.5× — while the unpivoted
     * single-job alternative (distinct over (column, value-as-string)
-    * pairs) sat at 4.2 s and loses type fidelity.
+    * pairs) sat at 4.2 s and loses type fidelity. CAVEAT: the exact
+    * tier re-executes `df`'s plan once per column — ideal on a
+    * source-backed table (each job scans ONE pruned column) but a
+    * derived/joined input recomputes upstream work #columns times:
+    * persist such inputs first, or stay on the approx tier.
     * Output: (column, dtype, n_rows, n_nulls,
     * n_distinct, min_num, max_num, min_str, max_str, total_len). */
   def columnProfile(df: DataFrame, exact: Boolean = false): DataFrame = {
@@ -2597,9 +2615,14 @@ object Corpus {
     val cum = disc.scanLeft(0L)(_ + _).tail
     val discArr = array(disc.map(lit): _*)
     val cumArr = array(cum.map(lit): _*)
+    // ranks are 1-based BY CONTRACT (the discount table indexes from
+    // 1) — a 0-based rank column fails fast instead of silently
+    // shifting every discount by one position
     val sys = ranked.select(col(qid).cast("string").as("__q"),
         col(docId).cast("string").as("__d"),
-        col(rankCol).cast("long").as("__r"))
+        when(col(rankCol).cast("long") < 1L,
+            raise_error(lit("rankedEvalReport: ranks must be 1-based")))
+          .otherwise(col(rankCol).cast("long")).as("__r"))
       .where(col("__r") <= k)
     val tr = truth.select(col(tQid).cast("string").as("__q"),
       col(tDocId).cast("string").as("__d")).distinct()
@@ -2721,10 +2744,16 @@ object Corpus {
     require(windowSec >= 1, s"windowSec $windowSec must be >= 1")
     require(mult >= 1, s"mult $mult must be >= 1")
     val t = tsEpoch.cast("long")
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = Dedup.materializeLazily(
       df.select((t - pmod(t, lit(windowSec))).as("__w"))
         .where(col("__w").isNotNull)
         .groupBy(col("__w")).agg(count(lit(1)).as("cnt")))
+    if (counts.agg(count(lit(1))).head().getLong(0) == 0L)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("window_start", "cnt", "median_cnt", "mad", "threshold",
+          "is_spike")
     val (med, mad) = medianAndMad(counts)
     val thresh = med + mult * mad
     counts.select(col("__w").as("window_start"), col("cnt"),
@@ -2886,21 +2915,6 @@ object Corpus {
           (acc, x) => (x + acc) / lit(2.0)).as("ewma")): _*)
   }
 
-  /** Schema/statistics drift report between two snapshots — the
-    * cross-ingest monitor next to [[columnProfile]] (which profiles
-    * ONE snapshot): per column name, presence status
-    * (added/dropped/kept), dtypes, row counts, null fractions, and
-    * distinct counts from both sides.
-    *
-    * Exactness: counts and distincts come straight from
-    * [[columnProfile]] (exact tier = per-column single-distinct
-    * jobs); each null fraction is ONE IEEE division of exact longs
-    * (0.0 for an empty side, NULL for an absent column — NULL
-    * arithmetic propagates identically in any engine). Scale shape:
-    * two profile passes + one full-outer join of two ≤ #columns-row
-    * tables. Output: (column, status, dtype_old, dtype_new,
-    * n_rows_old, n_rows_new, null_frac_old, null_frac_new,
-    * n_distinct_old, n_distinct_new). */
   /** Ordered-funnel report — the product-analytics conversion count:
     * per user, the GREEDY first-occurrence chain (t₁ = first step-1
     * event; tᵢ = first step-i event strictly after tᵢ₋₁, and within
@@ -2981,6 +2995,21 @@ object Corpus {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Schema/statistics drift report between two snapshots — the
+    * cross-ingest monitor next to [[columnProfile]] (which profiles
+    * ONE snapshot): per column name, presence status
+    * (added/dropped/kept), dtypes, row counts, null fractions, and
+    * distinct counts from both sides.
+    *
+    * Exactness: counts and distincts come straight from
+    * [[columnProfile]] (exact tier = per-column single-distinct
+    * jobs); each null fraction is ONE IEEE division of exact longs
+    * (0.0 for an empty side, NULL for an absent column — NULL
+    * arithmetic propagates identically in any engine). Scale shape:
+    * two profile passes + one full-outer join of two ≤ #columns-row
+    * tables. Output: (column, status, dtype_old, dtype_new,
+    * n_rows_old, n_rows_new, null_frac_old, null_frac_new,
+    * n_distinct_old, n_distinct_new). */
   def profileDrift(oldDf: DataFrame, newDf: DataFrame,
                    exact: Boolean = false): DataFrame = {
     val po = columnProfile(oldDf, exact).select(col("column"),

@@ -3,10 +3,13 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev probe: where do q_profile's ~20 s go, and which exact-distinct
-  * shape is fastest at sf0.1?
-  *   A. current — ONE fused aggregate with 11 count_distincts
-  *      (Catalyst plans multi-distinct via Expand: rows × #columns)
+/** Dev probe: where do q_profile's exact-tier seconds go, and which
+  * exact-distinct shape is fastest at sf0.1?
+  *   A. shipped exact tier — was ONE fused aggregate with 11
+  *      count_distincts (Catalyst Expand: rows × #columns; 22-27 s,
+  *      bench/profileprobe_r12.txt); since the r12 rework it IS the
+  *      split form (base pass + per-column jobs), so A ≈ E + C now —
+  *      rerunning this probe validates the shipped tier, not Expand
   *   B. approx tier (HLL) — the 100 TB default, as a floor
   *   C. per-column count_distinct jobs (11 narrow scans, parquet
   *      column pruning; driver collects 11 scalars)
@@ -35,7 +38,7 @@ object ProfileProbe {
     val cols = li.columns.toSeq
     for (round <- 1 to 2) {
       println(s"--- round $round ---")
-      time("A. exact fused (Expand)")(
+      time("A. shipped exact tier")(
         graft.functions.Corpus.columnProfile(li, exact = true)
           .write.format("noop").mode("overwrite").save())
       time("B. approx fused (HLL)")(

@@ -1467,6 +1467,13 @@ class CorpusSpec extends AnyFunSuite {
     // discount table: disc(1) = scale exactly, strictly decreasing
     assert(disc.head == 1000000000000L &&
       disc == disc.sorted(Ordering[Long].reverse))
+    // 0-based ranks violate the 1-based contract and fail FAST
+    // rather than silently shifting every discount
+    val zero = Seq(("q1", "a", 0L), ("q1", "b", 1L)).toDF("q", "d", "r")
+    intercept[Exception] {
+      Corpus.rankedEvalReport(zero, "q", "d", "r", truth, "tq", "td",
+        k = 3).collect()
+    }
   }
 
   test("numericOutlierReport: exact quartiles, Tukey fences, planted outliers, all-null column") {
@@ -1507,6 +1514,11 @@ class CorpusSpec extends AnyFunSuite {
     val base = Corpus.spikeReport(ts.toDF("t"), col("t"), windowSec = 10L)
       .collect().map(_.toSeq).sortBy(_.head.toString)
     assert(rep.sameElements(base))
+    // empty / all-null input: empty report, not a crash
+    assert(Corpus.spikeReport(Seq.empty[Long].toDF("t"), col("t"),
+      windowSec = 10L).count() == 0)
+    assert(Corpus.spikeReport(Seq(Option.empty[Long]).toDF("t"),
+      col("t"), windowSec = 10L).count() == 0)
   }
 
   test("textRankKeywords: hub word ranks highest, mass conserves, short docs drop") {
@@ -1633,6 +1645,13 @@ class CorpusSpec extends AnyFunSuite {
       minCount = 2L).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(thr.toSeq == Seq(("a", "b", 3L)))
+    // repeated (group, item) rows: default weight = instance product
+    // (2 a's x 1 b = 2); distinctItems = distinct shared groups (1)
+    val dup = Seq((1, "a"), (1, "a"), (1, "b")).toDF("g", "i")
+    assert(Corpus.coOccurrenceEdges(dup, col("g"), col("i"))
+      .head().getLong(2) == 2L)
+    assert(Corpus.coOccurrenceEdges(dup, col("g"), col("i"),
+      distinctItems = true).head().getLong(2) == 1L)
   }
 
   test("benfordReport: string-repr digits, literal expectations, absent digits") {
