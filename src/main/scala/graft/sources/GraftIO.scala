@@ -154,6 +154,43 @@ object GraftIO {
     writeNamed(df.sparkSession, path, prefix, suffix, namingFn, cleanupGlob)(
       staging => writeJsonFile(df, staging, numShards, compression))
 
+  // ---------------- CSV / ORC (builtin warehouse formats) --------------
+
+  /** CSV read with the common knobs (header, delimiter, explicit or
+    * inferred schema). Prefer an explicit schema at scale: inference
+    * is an extra full pass over the files. */
+  def readCsv(spark: SparkSession, path: String,
+              header: Boolean = true, delimiter: String = ",",
+              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header)
+      .option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", true))(s => r.schema(s)).csv(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String,
+               header: Boolean = true, delimiter: String = ",",
+               numShards: Int = 0,
+               compression: Option[String] = None,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val shaped = if (numShards > 0) df.coalesce(numShards) else df
+    val w = shaped.write.mode(mode).option("header", header)
+      .option("delimiter", delimiter)
+    compression.fold(w)(c => w.option("compression", c)).csv(path)
+  }
+
+  /** ORC read/write — Spark-builtin columnar format with the same
+    * pushdown/pruning behavior as parquet (vectorized reader,
+    * predicate pushdown, column pruning). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               numShards: Int = 0,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val shaped = if (numShards > 0) df.coalesce(numShards) else df
+    shaped.write.mode(mode).orc(path)
+  }
+
   // ---------------- parquet / tables (warehouse analog) ----------------
 
   def readParquet(spark: SparkSession, path: String): DataFrame =

@@ -221,6 +221,42 @@ class IOSpec extends AnyFunSuite {
     assert(back.select("id").collect().map(_.getString(0)).toSet == Set("a", "b"))
   }
 
+  test("csv round-trip: header, custom delimiter, explicit vs inferred schema") {
+    val dir = tmp() + "/c"
+    val df = Seq(("a", 1L, 2.5), ("b", 2L, -1.0)).toDF("id", "n", "x")
+    GraftIO.writeCsv(df, dir, delimiter = "|", numShards = 1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType)))
+    val explicit = GraftIO.readCsv(spark, dir, delimiter = "|",
+      schema = Some(schema))
+    assert(explicit.schema == schema)
+    assert(explicit.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSet == Set(("a", 1L, 2.5), ("b", 2L, -1.0)))
+    // inferred schema reads the same VALUES (types may widen)
+    val inferred = GraftIO.readCsv(spark, dir, delimiter = "|")
+    assert(inferred.count() == 2 &&
+      inferred.columns.toSeq == Seq("id", "n", "x"))
+  }
+
+  test("orc round-trip preserves schema and values") {
+    val dir = tmp() + "/o"
+    val df = Seq(("a", 1L, 2.5), ("b", 2L, -1.0)).toDF("id", "n", "x")
+    GraftIO.writeOrc(df, dir, numShards = 1)
+    val back = GraftIO.readOrc(spark, dir)
+    // file reads widen nullability — names/types are the contract
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSet == Set(("a", 1L, 2.5), ("b", 2L, -1.0)))
+    // pushdown parity with parquet: a filtered scan reads fine
+    assert(GraftIO.readOrc(spark, dir).where($"n" === 2L).count() == 1)
+  }
+
   test("parseJsonCol columnar from_json") {
     val df = Seq("""{"k": 7}""").toDF("props")
     val out = GraftIO.parseJsonCol(df, $"props",
