@@ -2881,10 +2881,12 @@ object Corpus {
   /** Per-key exponentially-weighted moving average at α = 1/2 — the
     * "current level" smoother (per-user engagement, per-source rate).
     * α is PINNED to 1/2 by design: each fold step is one addition and
-    * one exact halving, s ← (x + s)/2 — both IEEE-exact in every
-    * engine (the mixByTemperature α=0.5 precedent), so the result is
-    * bit-reproducible cross-engine with NO margin analysis, where a
-    * general α would multiply by an inexact (1−α) each step.
+    * one EXACT halving, s ← (x + s)/2 (the mixByTemperature α=0.5
+    * precedent) — the smoothing itself introduces zero rounding
+    * error. (A general α would still be cross-engine deterministic —
+    * same literal, same fixed-order ops — just no longer exact; if a
+    * caller needs one, add it as a variant, don't widen this
+    * contract.)
     *
     * Determinism requires a total order: `order` columns must be
     * unique per key by contract (e.g. ts + event id) — the fold runs
