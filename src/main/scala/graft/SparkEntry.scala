@@ -349,7 +349,9 @@ object SparkEntry {
     "q_cusum", "q_ewma", "q_transitions", "q_scene_cuts",
     // r12 continuation (6): per-key heavy hitters (keyed MG sketch +
     // exact recount), Benford digit audit, HHI concentration
-    "q_heavy_by", "q_benford", "q_concentration")
+    "q_heavy_by", "q_benford", "q_concentration",
+    // r12 continuation (7): per-user sequence-surprise anomaly score
+    "q_surprise")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -822,6 +824,18 @@ object SparkEntry {
       Corpus.transitionMatrix(t(s, dir, "events"), $"user_id",
           Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("from_state", "to_state")
+    }),
+
+    // -------- events: per-user sequence-surprise score --------------------
+    // Average log-probability of each user's event transitions under
+    // the global Markov matrix fitted on the same stream — the
+    // behavioral anomaly scorer on top of q_transitions. ln rides the
+    // q_bigram_logprob round(6) recipe.
+    "q_surprise" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.sequenceSurprise(t(s, dir, "events"), $"user_id",
+          Seq(unix_micros($"ts"), $"event_id"), $"event_type")
+        .orderBy("key")
     }),
 
     // -------- multimodal: scene-cut detection ----------------------------
@@ -6791,6 +6805,22 @@ object SparkEntry {
         | c.cnt::DOUBLE / tot.n::DOUBLE AS prob
         |FROM c JOIN tot ON c.f = tot.f
         |ORDER BY 1, 2""".stripMargin,
+    "q_surprise" ->
+      """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
+        |   epoch_us(ts) AS t, event_id AS i FROM events
+        |  WHERE event_type IS NOT NULL),
+        | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
+        |   AS p FROM e),
+        | pr AS (SELECT p, s, count(*)::BIGINT AS c FROM l
+        |  WHERE p IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT p, sum(c)::BIGINT AS n FROM pr GROUP BY p),
+        | pp AS (SELECT pr.p, pr.s, pr.c::DOUBLE / tot.n::DOUBLE AS prob
+        |  FROM pr JOIN tot ON pr.p = tot.p),
+        | j AS (SELECT l.u, pp.prob FROM l
+        |  JOIN pp ON l.p = pp.p AND l.s = pp.s)
+        |SELECT u AS key, count(*)::BIGINT AS n_transitions,
+        | round(avg(ln(prob)), 6) AS avg_logprob
+        |FROM j GROUP BY u ORDER BY key""".stripMargin,
     // q_scene_cuts: the q_media_dhash frame/fingerprint replay + one
     // lag per media; all-integer hamming and flags
     "q_scene_cuts" ->

@@ -2860,7 +2860,21 @@ object Corpus {
     * Output: (from_state, to_state, cnt, prob). */
   def transitionMatrix(df: DataFrame, key: Column, order: Seq[Column],
                        state: Column): DataFrame = {
-    require(order.nonEmpty, "transitionMatrix needs order columns")
+    val c = transitionPairs(df, key, order, state)
+      .groupBy(col("__p").as("from_state"), col("__s").as("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy(col("from_state")).agg(sum(col("cnt")).as("__n"))
+    c.join(tot, "from_state")
+      .select(col("from_state"), col("to_state"), col("cnt"),
+        (col("cnt").cast("double") / col("__n").cast("double")).as("prob"))
+  }
+
+  /** Shared lag stage for the Markov family: per-key consecutive
+    * (prev `__p`, current `__s`) state pairs in the declared order
+    * (NULL states dropped BEFORE the lag — transitions splice). */
+  private def transitionPairs(df: DataFrame, key: Column,
+                              order: Seq[Column], state: Column): DataFrame = {
+    require(order.nonEmpty, "transition ops need order columns")
     import org.apache.spark.sql.expressions.Window
     val v = df.select((Seq(key.cast("string").as("__k"),
         state.cast("string").as("__s")) ++
@@ -2868,14 +2882,42 @@ object Corpus {
       .where(col("__s").isNotNull)
     val w = Window.partitionBy(col("__k"))
       .orderBy(order.indices.map(i => col(s"__o$i")): _*)
-    val c = v.withColumn("__p", lag(col("__s"), 1).over(w))
+    v.withColumn("__p", lag(col("__s"), 1).over(w))
       .where(col("__p").isNotNull)
-      .groupBy(col("__p").as("from_state"), col("__s").as("to_state"))
-      .agg(count(lit(1)).as("cnt"))
-    val tot = c.groupBy(col("from_state")).agg(sum(col("cnt")).as("__n"))
-    c.join(tot, "from_state")
-      .select(col("from_state"), col("to_state"), col("cnt"),
-        (col("cnt").cast("double") / col("__n").cast("double")).as("prob"))
+      .select(col("__k"), col("__p"), col("__s"))
+  }
+
+  /** Per-key sequence-surprise score — the behavioral anomaly signal
+    * ("does this user's event stream look like everyone else's?"):
+    * average log-probability of the key's observed transitions under
+    * the GLOBAL first-order [[transitionMatrix]] fitted on the same
+    * data. Low scores = sequences full of globally-rare transitions
+    * (bots, replay attacks, broken instrumentation); a key with
+    * fewer than 2 events has no transitions and drops.
+    *
+    * Exactness: the q_bigram_logprob recipe — probabilities are one
+    * IEEE division of exact counts; each ln is libm (1-ulp
+    * cross-engine wobble at most) and the per-key average rounds to
+    * 6 decimals, collapsing fp order far below score scale. Every
+    * observed pair exists in the global table BY CONSTRUCTION (fitted
+    * on the same pairs), so the join is total. Scale shape: the ONE
+    * per-key lag window (shared stage), one |states|²-bounded
+    * aggregate, one broadcast-sized probability join back, one
+    * per-key average. Output: (key, n_transitions, avg_logprob). */
+  def sequenceSurprise(df: DataFrame, key: Column, order: Seq[Column],
+                       state: Column): DataFrame = {
+    val pairs = Dedup.materializeLazily(
+      transitionPairs(df, key, order, state))
+    val c = pairs.groupBy(col("__p"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = c.groupBy(col("__p")).agg(sum(col("__c")).as("__n"))
+    val probs = c.join(tot, "__p")
+      .select(col("__p"), col("__s"),
+        (col("__c").cast("double") / col("__n").cast("double")).as("__pr"))
+    pairs.join(probs, Seq("__p", "__s"))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg(log(col("__pr"))), 6).as("avg_logprob"))
   }
 
   /** Per-key exponentially-weighted moving average at α = 1/2 — the

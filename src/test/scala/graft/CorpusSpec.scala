@@ -1725,6 +1725,27 @@ class CorpusSpec extends AnyFunSuite {
       ("B", "A") -> ((2L, 1.0))), got.toString)
   }
 
+  test("sequenceSurprise: rare transitions score lower, driver reference, singletons drop") {
+    // global matrix: from A -> {B: 4/5, C: 1/5}; from B -> {A: 1.0}
+    val ev = Seq(
+      ("u1", 1L, "A"), ("u1", 2L, "B"), ("u1", 3L, "A"), ("u1", 4L, "B"),
+      ("u1", 5L, "A"),
+      ("u2", 1L, "A"), ("u2", 2L, "B"), ("u2", 3L, "A"), ("u2", 4L, "B"),
+      ("u3", 1L, "A"), ("u3", 2L, "C"),
+      ("u4", 1L, "A")).toDF("u", "t", "s")
+    val got = Corpus.sequenceSurprise(ev, col("u"), Seq(col("t")),
+        col("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains("u4"), got.toString) // no transitions
+    def ref(ps: Seq[Double]) = BigDecimal(ps.map(math.log).sum / ps.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("u1") == ((4L, ref(Seq(0.8, 1.0, 0.8, 1.0)))), got.toString)
+    assert(got("u2") == ((3L, ref(Seq(0.8, 1.0, 0.8)))))
+    assert(got("u3") == ((1L, ref(Seq(0.2)))))
+    // the anomalous sequence scores strictly lowest
+    assert(got("u3")._2 < got("u2")._2 && got("u2")._2 < got("u1")._2)
+  }
+
   test("sceneCutReport: identical frames read hamming 0, a hard cut flags") {
     import graft.functions.Multimodal
     // chunk=64, stride=2: frames at byte offsets 0/128/256. Payload =
