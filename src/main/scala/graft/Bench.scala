@@ -101,6 +101,18 @@ object Bench {
     // v2 tier: never-timed families, separate total — the headline
     // `value` stays the frozen 22-query series for comparability
     val resultsV2 = runsOf(SparkEntry.benchQueriesV2)
+    // v3 tier (r13): ONE pass over every census query not in a timed
+    // tier — coverage, not a series; a regression anywhere in the 226
+    // is now visible round-over-round. Runs LAST so it can't perturb
+    // the comparable tiers; released per-query so dedup-family
+    // checkpoint blocks never accumulate across ~100 queries.
+    val namesV3 = SparkEntry.benchQueriesV3
+    val resultsV3: Seq[(String, Double)] = namesV3.map { n =>
+      val d = runOnce(n)
+      graft.functions.Dedup.releaseMaterialized(spark)
+      n -> d
+    }
+    val totalV3 = resultsV3.map(_._2).sum
     val total = results.map(r => median(r._2)).sum
     val totalV2 = resultsV2.map(r => median(r._2)).sum
     val totalMin = results.map(_._2.min).sum
@@ -111,17 +123,43 @@ object Bench {
     // for series continuity, but the failure is named — a totals diff
     // must never read a crash as a speedup
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val queriesV3Json =
+      resultsV3.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results, median)},""" +
       s""""total_v2":$totalV2,"queries_v2":${json(resultsV2, median)},""" +
       s""""total_min":$totalMin,"mins":${json(results, _.min)},""" +
       s""""total_min_b2b":$totalMinB2b,"mins_b2b":${json(resultsB2b, _.min)},""" +
       s""""total_min_v2":$totalMinV2,"mins_v2":${json(resultsV2, _.min)},""" +
+      s""""total_v3":$totalV3,"n_v3":${namesV3.size},"queries_v3":$queriesV3Json,""" +
       s""""iters":$iters,"runs":${jsonRuns(results)},"runs_v2":${jsonRuns(resultsV2)},""" +
       s""""failed":$failedJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt sets run/outputStrategy) AND a file
     // copy, so the driver can parse either way.
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // COMPACT summary printed LAST (r13, r12 verdict item 1): the
+    // driver captures only a ~2000-char stdout tail, so the full line
+    // above (≈10 KB with 226 benched queries) never parses —
+    // BENCH_r11/r12.json both carry "parsed": null. This final line is
+    // the same contract shape ({"metric","value","unit","queries","sf"})
+    // with values rounded to 1 ms and per-query detail only for the
+    // frozen 22-query headline tier (≤ ~1.2 KB total); the full detail
+    // lives in the line above and in bench_out.json.
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val summaryQueries =
+      results.map { case (k, v) => "\"" + k + "\":" + r3(median(v)) }.mkString("{", ",", "}")
+    // failed[] is [] on a healthy run; bound it so a mass failure can't
+    // push the summary line itself past the tail capture
+    val failedSummary =
+      if (failed.size <= 8) failedJson
+      else (failed.take(8).map("\"" + _ + "\"") :+ s""""(+${failed.size - 8} more)"""")
+        .mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$summaryQueries,""" +
+      s""""total_min":${r3(totalMin)},"total_min_b2b":${r3(totalMinB2b)},""" +
+      s""""total_v2":${r3(totalV2)},"total_min_v2":${r3(totalMinV2)},"n_v2":${resultsV2.size},""" +
+      s""""total_v3":${r3(totalV3)},"n_v3":${namesV3.size},""" +
+      s""""iters":$iters,"failed":$failedSummary,"sf":"$sfDir","detail":"bench_out.json"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -353,6 +353,17 @@ object SparkEntry {
     // r12 continuation (7): per-user sequence-surprise anomaly score
     "q_surprise")
 
+  /** Third bench tier (r13): every census query not already in a timed
+    * tier, run ONCE per round with the noop sink. DERIVED, never
+    * hand-maintained — a new query is timed by default, so a perf
+    * regression anywhere in the board is visible round-over-round
+    * (closes the r12 verdict's 99-query blind spot). One iteration by
+    * design: the statistic is coarse (cold noop wall), census-complete
+    * coverage is the point; anything that needs a real series gets
+    * promoted to [[benchQueriesV2]]. */
+  def benchQueriesV3: Seq[String] =
+    (queries.keySet -- benchQueries -- benchQueriesV2).toSeq.sorted
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -------- aggregation: combine per-key, sum/mean/min/max/count ----
@@ -716,6 +727,35 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: WEIGHTED PageRank over the co-purchase graph ----
+    // The r12-verdict weighted-edge contract exercised end-to-end: the
+    // >=2-shared-order co-purchase graph keeps its shared-order COUNT
+    // as the edge weight (both directions), so a 5-shared-order link
+    // carries 5x the rank mass of the threshold link — integer Σw
+    // degrees, contribution = (r/Σw)·w, the same per-round round(12)
+    // unrolled-CTE recipe. Weighted ≡ w-replicated multigraph is
+    // spec-asserted in CorpusSpec. Boundary profile (r13, DuckDB
+    // replay of every pre-round raw value, both SFs): min distance of
+    // raw×1e12 to a .5 HALF_UP boundary = 2.0e-4 grid units at sf0.01
+    // (1892 nodes × 3 rounds) / 1.2e-3 at sf0.1 (6155 nodes) — i.e.
+    // ≥ 2.0e-16 absolute ≈ 7e3+ ulps of the 1e-4..2e-3 rank values,
+    // the q_pagerank safety band (cross-engine wobble is ≤ few ulps).
+    "q_pagerank_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      val sym = pairs.select($"u".cast("string").as("s"),
+          $"v".cast("string").as("d"), $"w")
+        .unionByName(pairs.select($"v".cast("string").as("s"),
+          $"u".cast("string").as("d"), $"w"))
+      Corpus.pageRank(sym, $"s", $"d", iters = 3, weight = $"w")
+        .orderBy("node")
+    }),
+
     // -------- text: TextRank keyword scores ----------------------------
     // PageRank over the adjacent-token co-occurrence graph (both
     // directions, multi-edges = weights) — the corpus keyword/salience
@@ -1003,6 +1043,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("w")).where($"w" >= 2)
       val labels = Corpus.labelPropagation(pairs, $"u", $"v", iters = 3)
       Corpus.modularity(pairs, $"u", $"v", labels)
+    }),
+
+    // -------- corpus: WEIGHTED label-propagation communities -----------
+    // Votes = Σ shared-order count instead of neighbor count — a
+    // 50-shared-order co-purchase link out-votes five threshold links.
+    // Still all-integer with the byte-order tie-break: NO rounding
+    // anywhere, so the 3 rounds unroll into the same chained CTEs with
+    // sum(w) for count(*). Weighted ≡ w-replicated is spec-asserted.
+    "q_label_prop_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.labelPropagationWeighted(pairs, $"u", $"v", $"w", iters = 3)
+        .orderBy("node")
+    }),
+
+    // -------- corpus: weighted modularity of the weighted partition ----
+    // Newman-Girvan Q generalized to integer weights (W, W_c, S_c all
+    // exact Σw longs) over the WEIGHTED LPA labels — the
+    // community-quality audit for the weighted detection path. Same
+    // scaled-BIGINT fold as q_modularity.
+    "q_modularity_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      val labels = Corpus.labelPropagationWeighted(pairs, $"u", $"v", $"w",
+        iters = 3)
+      Corpus.modularityWeighted(pairs, $"u", $"v", $"w", labels)
     }),
 
     // -------- corpus: 2-hop neighborhood size (HyperBall/KMV) ----------
@@ -3227,6 +3303,57 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // -------- similarity: ANN recall evaluation (r12 verdict item 4) --
+    // rankedEvalReport wired to the ANN tiers: ground truth = exact
+    // brute-force cosine top-10, candidates = each index's top-10 over
+    // the SUPPLIED deterministic artifacts (the q_ann_pq codebook /
+    // q_cluster_sample centroid conventions — PQ codebooks and IVF
+    // centroids are sub-slices/rows of the first-16 normalized corpus
+    // vectors, SQ8 bounds are a plain min/max aggregate, all
+    // SQL-derivable), so the ENTIRE recall computation replays in
+    // DuckDB. Per tier ONE row: micro recall@10 = Σhits/Σtruth — both
+    // exact integer sums through rankedEvalReport, ONE final IEEE
+    // division (no mean-of-doubles anywhere). brute is the harness
+    // control (recall exactly 1.0 by construction); ivf4 probes 4 of
+    // 16 supplied-centroid lists (genuinely approximate); trained-tier
+    // recall floors (k-means PQ/OPQ, reranked SQ8/IVF) stay pinned in
+    // SimilaritySpec via the same rankedEvalReport composition.
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val k = 10
+      val queries = emb.where($"vec_id" < 10)
+      val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k)
+      val truth = brute.select($"q_id", $"c_id")
+      val vd = transform($"embedding", _.cast("double"))
+      val n = emb.select($"vec_id",
+        transform(vd, x => x / sqrt(Similarity.dotFused(vd, vd))).as("embedding"))
+      val cbRows = n.where($"vec_id" < 16).orderBy("vec_id")
+        .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
+      val cb = Array.tabulate(8)(j => cbRows.map(_.slice(j * 8, (j + 1) * 8)))
+      val pq = Similarity.pqDecodedTopK(n, n.where($"vec_id" < 10), "vec_id",
+        "embedding", cb, k)
+      val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
+      val sq8 = Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+        mins, maxs, k)
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        cbRows, nprobe = 4, k = k)
+      def recallOf(tier: String, ranked: DataFrame) =
+        Corpus.rankedEvalReport(ranked, "q_id", "c_id", "rank",
+            truth, "q_id", "c_id", k)
+          .agg(count(lit(1)).as("n_queries"),
+            sum($"hits").as("hits"), sum($"n_rel").as("n_truth"))
+          .select(lit(tier).as("tier"), $"n_queries", $"hits", $"n_truth",
+            ($"hits".cast("double") / $"n_truth".cast("double"))
+              .as("recall_at_k"))
+      recallOf("brute", brute)
+        .unionByName(recallOf("ivf4", ivf))
+        .unionByName(recallOf("pq", pq))
+        .unionByName(recallOf("sq8", sq8))
+        .orderBy("tier")
+    }),
+
     // -------- similarity: margin-based top-k (bitext-mining score) ----
     // The Artetxe & Schwenk ratio margin: cosine normalized by both
     // sides' kAvg-neighborhood averages (cancels hub vectors).
@@ -3863,6 +3990,31 @@ object SparkEntry {
       |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
       |   FROM c3) WHERE rn = 1)""".stripMargin
 
+  /** WEIGHTED twin of [[lpaChainCtes]] (r13): votes are Σ edge weight
+    * (`sum(w)` for `count(*)`), weights = the shared-order counts the
+    * unweighted chain throws away. Still all-integer with the same
+    * byte-order tie-break — no rounding anywhere. Yields CTEs `pairs`
+    * (u, v, w), `symw` (s, d, w), and `l3` = (nd, lbl). */
+  private lazy val lpaWeightedChainCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (SELECT symw.s AS nd, l${i - 1}.lbl AS lbl,
+         |       sum(symw.w)::BIGINT AS c
+         |       FROM symw JOIN l${i - 1} ON symw.d = l${i - 1}.nd GROUP BY 1, 2),
+         | l$i AS (SELECT nd, lbl FROM (SELECT nd, lbl,
+         |     row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+         |   FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""pairs AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::BIGINT AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       | symw AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d, w FROM pairs
+       |          UNION ALL SELECT v::VARCHAR, u::VARCHAR, w FROM pairs),
+       | l0 AS (SELECT DISTINCT s AS nd, s AS lbl FROM symw),
+       | $rounds""".stripMargin
+  }
+
   /** q_source_overlap oracle: per-source bottom-256 sketches of the
     * distinct 5-gram md5-60-bit hashes, each pair's union bottom-256
     * re-ranked per pair, the same digit-fold kth decode and the same
@@ -4362,8 +4514,12 @@ object SparkEntry {
   private lazy val spikeOracle: String = {
     val rank = "greatest(1, least((SELECT n FROM nn)," +
       " ceil(0.5 * (SELECT n FROM nn)::DOUBLE)::BIGINT))"
+    // NULL ts rows are DROPPED to mirror spikeReport's isNotNull
+    // window filter (explicit contract, not data-dependent — r12
+    // ADVICE)
     s"""WITH c AS (SELECT e - e % 3600 AS w, count(*)::BIGINT AS cnt
-       |   FROM (SELECT epoch_us(ts)//1000000 AS e FROM events) GROUP BY 1),
+       |   FROM (SELECT epoch_us(ts)//1000000 AS e FROM events
+       |         WHERE ts IS NOT NULL) GROUP BY 1),
        | nn AS (SELECT count(*)::BIGINT AS n FROM c),
        | m AS (SELECT cnt AS med FROM
        |   (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM c)
@@ -6019,6 +6175,92 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, c_id, round(adot, 6) AS adot, rk::INT AS rank FROM r
         |WHERE rk <= 5 ORDER BY q_id, rank""".stripMargin,
+    // q_ann_recall: the q_ann_cosine / q_ann_pq / q_ann_sq8 score
+    // recipes at k=10 plus a supplied-centroid IVF replay (assignment
+    // = argmax normalized dot over the first-16 rows, ties to the
+    // smallest centroid id — array_position semantics; probes = top-4
+    // lists under the same order); recall = exact hit counts against
+    // the brute-force truth, ONE division per tier
+    "q_ann_recall" ->
+      """WITH n AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+        |  FROM embeddings),
+        | ts AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(q.v, c.v) AS sim
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | truth AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        |   FROM ts) WHERE rk <= 10),
+        | cbj AS (SELECT n.vec_id AS code, r.j,
+        |   list_slice(n.v, r.j * 8 + 1, r.j * 8 + 8) AS cw
+        |  FROM n, (SELECT unnest(range(0, 8)) AS j) r WHERE n.vec_id < 16),
+        | sc AS (SELECT c.vec_id, b.j, b.code, b.cw,
+        |   list_dot_product(list_slice(c.v, b.j * 8 + 1, b.j * 8 + 8), b.cw)
+        |     - 0.5 * list_dot_product(b.cw, b.cw) AS s
+        |  FROM n c CROSS JOIN cbj b),
+        | enc AS (SELECT vec_id, j, cw FROM (
+        |   SELECT vec_id, j, cw,
+        |     row_number() OVER (PARTITION BY vec_id, j ORDER BY s DESC, code) AS rr
+        |   FROM sc) t WHERE rr = 1),
+        | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rec FROM enc GROUP BY vec_id),
+        | ps AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(q.v, c.rec) AS adot
+        |  FROM n q, rec c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        | pq AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, c_id) AS rk
+        |   FROM ps) WHERE rk <= 10),
+        | u AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+        |   unnest(embedding)::DOUBLE AS x FROM embeddings),
+        | b AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY pos),
+        | d AS (SELECT u.vec_id, u.pos,
+        |   CASE WHEN mx = mn THEN mn
+        |        ELSE mn + (least(greatest(floor((x - mn) * 256 / (mx - mn)), 0),
+        |                         255) + 0.5) * (mx - mn) / 256
+        |   END AS dx
+        |  FROM u JOIN b ON u.pos = b.pos),
+        | dl AS (SELECT vec_id, list(dx ORDER BY pos) AS dec FROM d GROUP BY vec_id),
+        | qraw AS (SELECT vec_id, list(x ORDER BY pos) AS qv FROM u
+        |  WHERE vec_id < 10 GROUP BY vec_id),
+        | ss AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   list_dot_product(q.qv, c.dec) AS adot
+        |  FROM qraw q, dl c WHERE c.vec_id <> q.vec_id),
+        | sq8 AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adot DESC, c_id) AS rk
+        |   FROM ss) WHERE rk <= 10),
+        | cents AS (SELECT vec_id AS cid, v FROM n WHERE vec_id < 16),
+        | asg AS (SELECT c_id, cid FROM (
+        |   SELECT c.vec_id AS c_id, ct.cid,
+        |     row_number() OVER (PARTITION BY c.vec_id
+        |       ORDER BY list_dot_product(c.v, ct.v) DESC, ct.cid) AS rr
+        |   FROM n c, cents ct) WHERE rr = 1),
+        | prb AS (SELECT q_id, cid FROM (
+        |   SELECT q.vec_id AS q_id, ct.cid,
+        |     row_number() OVER (PARTITION BY q.vec_id
+        |       ORDER BY list_dot_product(q.v, ct.v) DESC, ct.cid) AS rr
+        |   FROM n q, cents ct WHERE q.vec_id < 10) WHERE rr <= 4),
+        | ivs AS (SELECT p.q_id, a.c_id,
+        |   list_dot_product(q.v, c.v) AS sim
+        |  FROM prb p JOIN asg a ON p.cid = a.cid
+        |   JOIN n q ON q.vec_id = p.q_id JOIN n c ON c.vec_id = a.c_id
+        |  WHERE a.c_id <> p.q_id),
+        | ivf AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        |   FROM ivs) WHERE rk <= 10),
+        | rep AS (SELECT 'brute' AS tier, q_id, c_id FROM truth
+        |   UNION ALL SELECT 'ivf4', q_id, c_id FROM ivf
+        |   UNION ALL SELECT 'pq', q_id, c_id FROM pq
+        |   UNION ALL SELECT 'sq8', q_id, c_id FROM sq8),
+        | relcnt AS (SELECT q_id, count(*)::BIGINT AS nrel FROM truth GROUP BY q_id),
+        | hit AS (SELECT rep.tier, rep.q_id,
+        |   sum(CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits
+        |  FROM rep LEFT JOIN truth t
+        |    ON rep.q_id = t.q_id AND rep.c_id = t.c_id
+        |  GROUP BY rep.tier, rep.q_id)
+        |SELECT hit.tier, count(*)::BIGINT AS n_queries,
+        | sum(hit.hits)::BIGINT AS hits, sum(relcnt.nrel)::BIGINT AS n_truth,
+        | sum(hit.hits)::DOUBLE / sum(relcnt.nrel)::DOUBLE AS recall_at_k
+        |FROM hit JOIN relcnt ON hit.q_id = relcnt.q_id
+        |GROUP BY hit.tier ORDER BY tier""".stripMargin,
     "q_ann_margin" ->
       """WITH s AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |   list_dot_product(list_transform(q.embedding::DOUBLE[], x -> x / sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
@@ -6633,6 +6875,50 @@ object SparkEntry {
         |     + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS r
         |   FROM nodes LEFT JOIN c3 ON nodes.n = c3.nd)
         |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
+    // q_pagerank_weighted: the q_pagerank unrolled chain with Σw
+    // degrees and (r/deg)·w contributions — weights are the
+    // co-purchase shared-order counts; least/greatest canonicalization
+    // never fires (u < v numerically and both directions are emitted
+    // explicitly), dangling CTEs evaluate 0 on this symmetric graph
+    // (kept for formula parity with the operator)
+    "q_pagerank_weighted" ->
+      """WITH pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::BIGINT AS w
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | e AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d, w FROM pairs
+        |       UNION ALL SELECT v::VARCHAR, u::VARCHAR, w FROM pairs),
+        | nodes AS (SELECT DISTINCT n FROM
+        |   (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+        | nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        | deg AS (SELECT s, sum(w)::DOUBLE AS deg FROM e GROUP BY s),
+        | r0 AS (SELECT n AS nd, round(1.0/(SELECT n FROM nn), 12) AS r FROM nodes),
+        | d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r0.nd)),
+        | c1 AS (SELECT e.d AS nd, sum(r0.r / deg.deg * e.w) AS cin
+        |   FROM e JOIN r0 ON e.s = r0.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r1 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c1.cin, 0)
+        |     + (SELECT dm FROM d1)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c1 ON nodes.n = c1.nd),
+        | d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r1.nd)),
+        | c2 AS (SELECT e.d AS nd, sum(r1.r / deg.deg * e.w) AS cin
+        |   FROM e JOIN r1 ON e.s = r1.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r2 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c2.cin, 0)
+        |     + (SELECT dm FROM d2)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c2 ON nodes.n = c2.nd),
+        | d3 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |   WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r2.nd)),
+        | c3 AS (SELECT e.d AS nd, sum(r2.r / deg.deg * e.w) AS cin
+        |   FROM e JOIN r2 ON e.s = r2.nd JOIN deg ON e.s = deg.s GROUP BY e.d),
+        | r3 AS (SELECT nodes.n AS nd,
+        |   round(0.15/(SELECT n FROM nn) + 0.85*(coalesce(c3.cin, 0)
+        |     + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS r
+        |   FROM nodes LEFT JOIN c3 ON nodes.n = c3.nd)
+        |SELECT nd AS node, r AS rank FROM r3 ORDER BY node""".stripMargin,
     // q_textrank: the q_pagerank unrolled chain verbatim, edges =
     // adjacent-token pairs in both directions (multi-edges kept —
     // they ARE the co-occurrence weights)
@@ -6698,6 +6984,35 @@ object SparkEntry {
         | coalesce(sum(CAST(round(t * 1e12) AS BIGINT)), 0)::DOUBLE / 1e12
         |   AS modularity
         |FROM t""".stripMargin,
+    "q_label_prop_weighted" ->
+      s"""WITH $lpaWeightedChainCtes
+        |SELECT nd AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin,
+    // q_modularity_weighted: the weighted chain + weighted Q —
+    // W = Σw, S_c = Σ incident w, W_c = Σ intra w; same fixed-order
+    // per-community term and ×1e12 scaled-BIGINT fold as q_modularity.
+    // least/greatest canonicalization never fires (pairs are u < v
+    // unique), so ew = pairs verbatim.
+    "q_modularity_weighted" ->
+      s"""WITH $lpaWeightedChainCtes,
+        | ew AS (SELECT u::VARCHAR AS x, v::VARCHAR AS y, w FROM pairs),
+        | mm AS (SELECT sum(w)::BIGINT AS m FROM ew),
+        | dg AS (SELECT s AS n, sum(w)::BIGINT AS d FROM symw GROUP BY s),
+        | mc AS (SELECT la.lbl AS c, sum(ew.w)::BIGINT AS mc FROM ew
+        |   JOIN l3 la ON ew.x = la.nd JOIN l3 lb ON ew.y = lb.nd
+        |   WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+        | dcx AS (SELECT l3.lbl AS c, sum(dg.d)::BIGINT AS dc
+        |   FROM dg JOIN l3 ON dg.n = l3.nd GROUP BY l3.lbl),
+        | t AS (SELECT dcx.c,
+        |    coalesce(mc.mc, 0)::DOUBLE / (SELECT m FROM mm)::DOUBLE
+        |    - (dcx.dc::DOUBLE / (2 * (SELECT m FROM mm))::DOUBLE)
+        |      * (dcx.dc::DOUBLE / (2 * (SELECT m FROM mm))::DOUBLE) AS t
+        |  FROM dcx LEFT JOIN mc ON dcx.c = mc.c)
+        |SELECT (SELECT m FROM mm) AS m_weight,
+        | count(*)::BIGINT AS n_communities,
+        | coalesce(sum(CAST(round(t * 1e12) AS BIGINT)), 0)::BIGINT AS q_scaled,
+        | coalesce(sum(CAST(round(t * 1e12) AS BIGINT)), 0)::DOUBLE / 1e12
+        |   AS modularity
+        |FROM t""".stripMargin,
     "q_hop_sketch" -> hopSketchOracle,
     "q_harmonic" -> harmonicOracle,
     "q_rank_eval" -> rankEvalOracle,
@@ -6711,7 +7026,8 @@ object SparkEntry {
       val rank = "greatest(1, least((SELECT n FROM nn)," +
         " ceil(0.5 * (SELECT n FROM nn)::DOUBLE)::BIGINT))"
       s"""WITH c AS (SELECT e - e % 3600 AS w, count(*)::BIGINT AS cnt
-         |   FROM (SELECT epoch_us(ts)//1000000 AS e FROM events) GROUP BY 1),
+         |   FROM (SELECT epoch_us(ts)//1000000 AS e FROM events
+         |         WHERE ts IS NOT NULL) GROUP BY 1),
          | nn AS (SELECT count(*)::BIGINT AS n FROM c),
          | m AS (SELECT cnt AS med FROM
          |   (SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM c)
@@ -6789,7 +7105,7 @@ object SparkEntry {
         | c AS (SELECT lang, tok, count(*)::BIGINT AS cnt FROM t
         |   GROUP BY lang, tok)
         |SELECT c.lang, c.tok AS token, c.cnt
-        |FROM c JOIN n ON c.lang = n.lang
+        |FROM c JOIN n ON c.lang IS NOT DISTINCT FROM n.lang
         |WHERE c.cnt * 40 > n.n
         |ORDER BY c.lang, token""".stripMargin,
     "q_transitions" ->
@@ -6886,7 +7202,8 @@ object SparkEntry {
     "q_retention" ->
       """WITH up AS (SELECT DISTINCT user_id::VARCHAR AS u,
         |     e - e % 86400000000 AS p
-        |   FROM (SELECT user_id, epoch_us(ts) AS e FROM events)),
+        |   FROM (SELECT user_id, epoch_us(ts) AS e FROM events
+        |         WHERE user_id IS NOT NULL AND ts IS NOT NULL)),
         | co AS (SELECT u, min(p) AS cp FROM up GROUP BY u)
         |SELECT (co.cp // 1000000)::BIGINT AS cohort_start,
         | ((up.p - co.cp) // 86400000000)::BIGINT AS "offset",

@@ -907,9 +907,30 @@ object Corpus {
     rows <= maxRows.toDouble &&
       rows * (avgKeyChars + 48.0) <= maxStateBroadcastBytes
 
+  /** Integer edge-weight guard shared by the weighted graph ops: a
+    * weight-w edge means EXACTLY w parallel edges, so weights are
+    * longs >= 1 BY CONTRACT — NULL or < 1 fails fast (the
+    * rankedEvalReport raise_error convention) instead of silently
+    * deleting edges or minting negative rank mass / negative votes.
+    * Integer weights keep every exactness recipe intact: weighted
+    * degrees and votes stay exact long sums. */
+  private def weightGuard(weight: Column, op: String): Column = {
+    val w = weight.cast("long")
+    when(w.isNull || w < 1L,
+      raise_error(lit(s"$op: edge weights must be integers >= 1")))
+      .otherwise(w)
+  }
+
+  /** Weighted-edge contract (r12 verdict item 6): `weight` defaults to
+    * 1 (bit-identical to the historical multigraph form — ×1.0 is an
+    * IEEE no-op); an explicit integer weight-w edge contributes
+    * exactly like w parallel edges (weighted out-degree = Σw, each
+    * edge's contribution = rank/Σw · w), spec-asserted against the
+    * replicated multigraph form. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 3, damping: Double = 0.85,
-               maxBroadcastNodes: Long = 8000000L): DataFrame = {
+               maxBroadcastNodes: Long = 8000000L,
+               weight: Column = lit(1L)): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
     require(damping >= 0 && damping <= 1, s"damping $damping outside [0,1]")
     // materializeLazily branches to a RELIABLE checkpoint when the
@@ -918,7 +939,8 @@ object Corpus {
     // too: it is consumed twice per round, and rebuilding the edge
     // aggregation 2·iters times was a review catch
     val e = Dedup.materializeLazily(
-      edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"))
+      edges.select(src.cast("string").as("__s"), dst.cast("string").as("__d"),
+          weightGuard(weight, "pageRank").as("__wt"))
         .where(col("__s").isNotNull && col("__d").isNotNull))
     val nodes = Dedup.materializeLazily(
       e.select(col("__s").as("__n")).union(e.select(col("__d").as("__n")))
@@ -928,7 +950,7 @@ object Corpus {
     val n = nstats.getLong(0).toDouble
     require(n > 0, "pageRank needs at least one non-null edge")
     val outdeg = Dedup.materializeLazily(
-      e.groupBy("__s").agg(count(lit(1)).as("__deg")))
+      e.groupBy("__s").agg(sum(col("__wt")).as("__deg")))
     val hinted: DataFrame => DataFrame =
       if (stateBroadcastOk(n, nstats.getDouble(1), maxBroadcastNodes))
         df => broadcast(df)
@@ -941,7 +963,11 @@ object Corpus {
         .agg(coalesce(sum(col("__r")), lit(0.0))).head().getDouble(0)
       val contribs = e.join(hinted(ranks), col("__s") === col("__n"))
         .join(hinted(outdeg), "__s")
-        .select(col("__d").as("__n"), (col("__r") / col("__deg")).as("__c"))
+        .select(col("__d").as("__n"),
+          // (r / Σw) · w — with the default weight 1 the ×1.0 is an
+          // IEEE no-op, so the historical unweighted values are
+          // bit-identical (q_pagerank/q_textrank margins untouched)
+          (col("__r") / col("__deg") * col("__wt")).as("__c"))
         .groupBy("__n").agg(sum(col("__c")).as("__in"))
       ranks = Dedup.materializeLazily(
         nodes.join(hinted(contribs), Seq("__n"), "left")
@@ -1115,6 +1141,23 @@ object Corpus {
       .select(least(col("__a"), col("__b")).as("__u"),
         greatest(col("__a"), col("__b")).as("__v"))
       .distinct()
+
+  /** Weighted twin of [[canonicalEdges]]: self-loops dropped, the two
+    * directions merged, and duplicate/parallel rows' weights SUMMED —
+    * so an edge row (u, v, w) means exactly the same graph as w copies
+    * of (u, v, 1), however the caller splits or orients them (the r12
+    * weighted-edge contract; weights are integers ≥ 1 via
+    * [[weightGuard]], so weighted degrees/votes stay exact longs).
+    * Output: (__u, __v, __w), __u < __v. */
+  private def canonicalEdgesWeighted(edges: DataFrame, src: Column,
+                                     dst: Column, weight: Column): DataFrame =
+    edges.select(src.cast("string").as("__a"), dst.cast("string").as("__b"),
+        weightGuard(weight, "weighted graph op").as("__w0"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"), col("__w0"))
+      .groupBy(col("__u"), col("__v")).agg(sum(col("__w0")).as("__w"))
 
   /** (__n, __d) undirected degree per node of a canonical edge list. */
   private def degreeTable(e0: DataFrame): DataFrame =
@@ -1345,6 +1388,48 @@ object Corpus {
           .as("modularity"))
   }
 
+  /** Weighted Newman-Girvan modularity — [[modularity]] with edge
+    * multiplicity generalized to integer weights: W = Σw over the
+    * canonical (merged) edges, W_c = intra-community weight, S_c =
+    * weighted degree sum; Q = Σ_c [W_c/W − (S_c/2W)²]. Weights SUM
+    * over merged duplicate/direction rows, so (u, v, w) ≡ w parallel
+    * (u, v, 1) rows exactly (spec-asserted). Exactness recipe
+    * unchanged: all sums are exact longs, each community term is the
+    * identical fixed-order IEEE expression in both engines, and the
+    * community fold rides the ×1e12 scaled-BIGINT sum. Output one row:
+    * (m_weight, n_communities, q_scaled, modularity). */
+  def modularityWeighted(edges: DataFrame, src: Column, dst: Column,
+                         weight: Column, labels: DataFrame): DataFrame = {
+    val lab = Dedup.materializeLazily(labels.select(
+      col(labels.columns(0)).cast("string").as("__n"),
+      col(labels.columns(1)).cast("string").as("__l"))
+      .where(col("__n").isNotNull && col("__l").isNotNull))
+    val e0 = Dedup.materializeLazily(
+      canonicalEdgesWeighted(edges, src, dst, weight))
+    val m = e0.agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
+    require(m > 0, "modularityWeighted needs at least one non-loop edge")
+    val deg = e0.select(col("__u").as("__n"), col("__w"))
+      .union(e0.select(col("__v").as("__n"), col("__w")))
+      .groupBy(col("__n")).agg(sum(col("__w")).as("__d"))
+    val mc = e0
+      .join(lab.select(col("__n").as("__u"), col("__l").as("__lu")), "__u")
+      .join(lab.select(col("__n").as("__v"), col("__l").as("__lv")), "__v")
+      .where(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("__c")).agg(sum(col("__w")).as("__mc"))
+    val dc = deg.join(lab, Seq("__n"))
+      .groupBy(col("__l").as("__c")).agg(sum(col("__d")).as("__dc"))
+    val frac = col("__dc").cast("double") / lit(2.0 * m)
+    val term = coalesce(col("__mc"), lit(0L)).cast("double") /
+      lit(m.toDouble) - frac * frac
+    dc.join(mc, Seq("__c"), "left")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(round(term * lit(1e12)).cast("long")).as("__qs"))
+      .select(lit(m).as("m_weight"), col("n_communities"),
+        coalesce(col("__qs"), lit(0L)).as("q_scaled"),
+        (coalesce(col("__qs"), lit(0L)).cast("double") / lit(1e12))
+          .as("modularity"))
+  }
+
   /** Average neighbor degree per node (Barrat et al. 2004) — the
     * per-node assortativity signal: a low-degree node whose neighbors
     * are all hubs (high value) is periphery; a hub whose neighbors
@@ -1553,6 +1638,54 @@ object Corpus {
     while (it < iters) {
       val votes = sym.join(hinted(labels), col("__d") === col("__n"))
         .groupBy(col("__s"), col("__lbl")).agg(count(lit(1)).as("__c"))
+      labels = Dedup.materializeLazily(
+        votes.groupBy(col("__s"))
+          .agg(min(struct((-col("__c")).as("__negc"),
+            col("__lbl").as("__winner"))).as("__m"))
+          .select(col("__s").as("__n"),
+            col("__m").getField("__winner").as("__lbl")))
+      it += 1
+    }
+    labels.select(col("__n").as("node"), col("__lbl").as("label"))
+  }
+
+  /** Weighted label propagation — [[labelPropagation]] with votes =
+    * Σ edge weight instead of neighbor count (the natural consumer of
+    * [[coOccurrenceEdges]]' instance-count weights: a 50-shared-order
+    * co-purchase link should out-vote five 2-shared-order ones).
+    * Weights are integers ≥ 1 and SUM over merged duplicate/direction
+    * rows ([[canonicalEdgesWeighted]]), so (u, v, w) ≡ w parallel
+    * (u, v, 1) rows exactly — spec-asserted against the replicated
+    * form. Votes stay exact longs and ties break on the label's byte
+    * order, so the whole operator keeps the unweighted form's
+    * NO-rounding determinism and unrolls into the same chained-CTE
+    * oracle with `count(*)` swapped for `sum(w)` (q_label_prop_weighted).
+    * Same per-round shapes: one broadcast-guarded state join + two
+    * partial-aggregated aggregates, lazily checkpointed state. */
+  def labelPropagationWeighted(edges: DataFrame, src: Column, dst: Column,
+                               weight: Column, iters: Int = 3,
+                               maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e0 = Dedup.materializeLazily(
+      canonicalEdgesWeighted(edges, src, dst, weight))
+    val sym = Dedup.materializeLazily(
+      e0.select(col("__u").as("__s"), col("__v").as("__d"), col("__w"))
+        .union(e0.select(col("__v").as("__s"), col("__u").as("__d"),
+          col("__w"))))
+    var labels = Dedup.materializeLazily(
+      sym.select(col("__s").as("__n")).distinct()
+        .select(col("__n"), col("__n").as("__lbl")))
+    val nstats = labels.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    val hinted: DataFrame => DataFrame =
+      if (stateBroadcastOk(nstats.getLong(0).toDouble,
+          2.0 * nstats.getDouble(1), maxBroadcastNodes))
+        df => broadcast(df)
+      else df => df
+    var it = 0
+    while (it < iters) {
+      val votes = sym.join(hinted(labels), col("__d") === col("__n"))
+        .groupBy(col("__s"), col("__lbl")).agg(sum(col("__w")).as("__c"))
       labels = Dedup.materializeLazily(
         votes.groupBy(col("__s"))
           .agg(min(struct((-col("__c")).as("__negc"),
@@ -2331,10 +2464,16 @@ object Corpus {
     require(lists.nonEmpty, "need at least one ranked list")
     require(c >= 0 && k >= 1 && scale >= 1, s"bad params c=$c k=$k")
     import org.apache.spark.sql.expressions.Window
+    // ranks are 1-based BY CONTRACT (same as rankedEvalReport): a
+    // 0-based list silently inflates its contributions (and rank = -c
+    // divides by zero) — fail fast instead of skewing the fusion
     val contribs = lists.map { l =>
-      l.select(col(id).as("__id"),
-        expr(s"${scale}L div (${c}L + CAST($rankCol AS BIGINT))")
-          .as("__ct"))
+      val r = when(col(rankCol).cast("long") < 1L,
+          raise_error(lit("rrfFuse: ranks must be 1-based")))
+        .otherwise(col(rankCol).cast("long"))
+      l.select(col(id).as("__id"), r.as("__r1b"))
+        .select(col("__id"),
+          expr(s"${scale}L div (${c}L + __r1b)").as("__ct"))
     }.reduce(_ unionByName _)
     val fused = contribs.groupBy(col("__id"))
       .agg(sum(col("__ct")).as("rrf_scaled"),
@@ -2369,11 +2508,19 @@ object Corpus {
     * through one wide shuffle) at 22-27 s, vs 1.8 s base + 3-4 s of
     * per-column jobs for the split form — 4.5× — while the unpivoted
     * single-job alternative (distinct over (column, value-as-string)
-    * pairs) sat at 4.2 s and loses type fidelity. CAVEAT: the exact
-    * tier re-executes `df`'s plan once per column — ideal on a
-    * source-backed table (each job scans ONE pruned column) but a
-    * derived/joined input recomputes upstream work #columns times:
-    * persist such inputs first, or stay on the approx tier.
+    * pairs) sat at 4.2 s and loses type fidelity.
+    *
+    * Exact tier is EAGER by contract (it runs Spark jobs at call
+    * time — one fused pass + one narrow job per column — and returns
+    * a driver-local result; #columns × 10 scalars, bounded by
+    * construction). On a DERIVED input (join/aggregate/generate
+    * anywhere in the plan) it materializes the projected input ONCE
+    * (lazy checkpoint folded into the fused pass, released before
+    * returning) so the per-column jobs rescan cached blocks instead
+    * of recomputing the caller's plan #columns times (r12 verdict);
+    * a plain project/filter-over-scan input skips the
+    * materialization and keeps the per-column parquet pruning — at
+    * 100 TB a pruned single-column scan beats caching the full table.
     * Output: (column, dtype, n_rows, n_nulls,
     * n_distinct, min_num, max_num, min_str, max_str, total_len). */
   def columnProfile(df: DataFrame, exact: Boolean = false): DataFrame = {
@@ -2383,17 +2530,12 @@ object Corpus {
     def isNum(t: DataType) = numeric.contains(t) ||
       t.isInstanceOf[DecimalType]
     val fields = df.schema.fields
-    // exact tier: per-column single-distinct jobs (no Expand; each
-    // reads ONE column). Bounded driver fold — one scalar per column.
-    val exactDist: Map[String, Long] =
-      if (!exact) Map.empty
-      else fields.map(f => f.name ->
-        df.select(col(f.name)).agg(count_distinct(col(f.name)))
-          .head().getLong(0)).toMap
-    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+    // fused single-pass aggregates for everything non-distinct; the
+    // approx tier fuses its HLL distinct estimate into the same pass
+    def fusedAggs(withApprox: Boolean) = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
       Seq(count(c).as(s"__nn_$i")) ++
-      (if (exact) Nil
+      (if (!withApprox) Nil
        else Seq(approx_count_distinct(c, 0.01)
          .cast("long").as(s"__nd_$i"))) ++
       (if (isNum(f.dataType))
@@ -2407,25 +2549,77 @@ object Corpus {
         case _ => Nil
       })
     }
-    val one = df.agg(count(lit(1)).as("__n"), aggs.toIndexedSeq: _*)
-    val rows = fields.zipWithIndex.map { case (f, i) =>
-      def opt(n: String, tpe: String) =
-        if (one.columns.contains(n)) col(n) else lit(null).cast(tpe)
-      struct(
-        lit(f.name).as("column"),
-        lit(f.dataType.simpleString).as("dtype"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__nn_$i")).as("n_nulls"),
-        (if (exact) lit(exactDist(f.name)) else col(s"__nd_$i"))
-          .as("n_distinct"),
-        opt(s"__mn_$i", "double").as("min_num"),
-        opt(s"__mx_$i", "double").as("max_num"),
-        opt(s"__ms_$i", "string").as("min_str"),
-        opt(s"__xs_$i", "string").as("max_str"),
-        opt(s"__tl_$i", "long").as("total_len"))
+    if (!exact) {
+      val one = df.agg(count(lit(1)).as("__n"),
+        fusedAggs(withApprox = true).toIndexedSeq: _*)
+      val rows = fields.zipWithIndex.map { case (f, i) =>
+        def opt(n: String, tpe: String) =
+          if (one.columns.contains(n)) col(n) else lit(null).cast(tpe)
+        struct(
+          lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("dtype"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$i")).as("n_nulls"),
+          col(s"__nd_$i").as("n_distinct"),
+          opt(s"__mn_$i", "double").as("min_num"),
+          opt(s"__mx_$i", "double").as("max_num"),
+          opt(s"__ms_$i", "string").as("min_str"),
+          opt(s"__xs_$i", "string").as("max_str"),
+          opt(s"__tl_$i", "long").as("total_len"))
+      }
+      one.select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
+        .select(col("__p.*"))
+    } else {
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+      import org.apache.spark.sql.graft.Bridge
+      val spark = df.sparkSession
+      // a project/filter-over-scan plan stays direct: each per-column
+      // job reaches the source with ONE column in ReadSchema. Anything
+      // wider (join/agg/generate/union/window) gets materialized once.
+      val prunableScan = df.queryExecution.optimizedPlan
+        .collect { case n => n }
+        .forall(n => n.children.isEmpty ||
+          n.isInstanceOf[LProject] || n.isInstanceOf[LFilter])
+      // scoped release: only blocks created HERE are swept, so a
+      // caller's unconsumed dedup-family checkpoints are untouched
+      val (one, exactDist) = Bridge.withMaterializedScope(spark) {
+        val base =
+          if (prunableScan) df
+          else Dedup.materializeLazily(
+            df.select(fields.map(f => col(f.name)).toIndexedSeq: _*))
+        // fused pass FIRST: the lazy checkpoint materializes inside a
+        // job we run anyway; the per-column jobs then rescan the cache
+        val oneRow = base.agg(count(lit(1)).as("__n"),
+          fusedAggs(withApprox = false).toIndexedSeq: _*).head()
+        val dist: Map[String, Long] = fields.map(f => f.name ->
+          base.select(col(f.name)).agg(count_distinct(col(f.name)))
+            .head().getLong(0)).toMap
+        (oneRow, dist)
+      }
+      val oneCols = one.schema.fieldNames.toSet
+      val rows = fields.zipWithIndex.map { case (f, i) =>
+        def opt(n: String, tpe: String): Column =
+          if (!oneCols.contains(n)) lit(null).cast(tpe)
+          else one.getAs[Any](n) match {
+            case null => lit(null).cast(tpe)
+            case v    => lit(v)
+          }
+        struct(
+          lit(f.name).as("column"),
+          lit(f.dataType.simpleString).as("dtype"),
+          lit(one.getAs[Long]("__n")).as("n_rows"),
+          lit(one.getAs[Long]("__n") - one.getAs[Long](s"__nn_$i")).as("n_nulls"),
+          lit(exactDist(f.name)).as("n_distinct"),
+          opt(s"__mn_$i", "double").as("min_num"),
+          opt(s"__mx_$i", "double").as("max_num"),
+          opt(s"__ms_$i", "string").as("min_str"),
+          opt(s"__xs_$i", "string").as("max_str"),
+          opt(s"__tl_$i", "long").as("total_len"))
+      }
+      spark.range(1)
+        .select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
+        .select(col("__p.*"))
     }
-    one.select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
-      .select(col("__p.*"))
   }
 
   /** [[KmvAgg]] whose INPUT is a bottom-k hash array (a sketch) —
@@ -3047,7 +3241,11 @@ object Corpus {
     *
     * Exactness: counts and distincts come straight from
     * [[columnProfile]] (exact tier = per-column single-distinct
-    * jobs); each null fraction is ONE IEEE division of exact longs
+    * jobs). NOTE `exact = true` is EAGER: it runs Spark jobs for BOTH
+    * snapshots at call time (columnProfile's documented exact-tier
+    * contract — derived inputs are materialized once per side and
+    * released, so upstream plans are never recomputed per column);
+    * each null fraction is ONE IEEE division of exact longs
     * (0.0 for an empty side, NULL for an absent column — NULL
     * arithmetic propagates identically in any engine). Scale shape:
     * two profile passes + one full-outer join of two ≤ #columns-row

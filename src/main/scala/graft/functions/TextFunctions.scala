@@ -339,16 +339,44 @@ object TextFunctions {
     * sorted. Emitting values (not positions) makes the fingerprint set
     * independent of the window tie-break rule — the property that lets
     * the md5 twin oracle-check exactly; position-carrying variants add
-    * the rightmost-min rule on top (unit-spec'd, not oracled). */
+    * the rightmost-min rule on top (unit-spec'd, not oracled).
+    *
+    * Rides the [[graft.plans.WinnowAnchors]] deque kernel (one O(len)
+    * pass; value set = distinct anchor hashes — an anchor exists
+    * exactly where a window's min site changes, so the hash-value sets
+    * coincide). The original columnar form
+    * (`transform(starts, s => array_min(slice(hashes, s, w)))`)
+    * re-evaluated the ENTIRE per-gram hash array once per window start
+    * — Catalyst inlines the `hashes` expression into the outer
+    * lambda, the CLAUDE.md CollapseProject hazard — i.e. O(len²) gram
+    * hashes per document; caught by the r13 census bench tier
+    * (q_winnow 202 s → sub-second at sf0.01). Short docs keep the
+    * columnar clamp semantics: 1 ≤ sites < w emits the single min
+    * over all grams (slice truncation made that ONE window); the
+    * kernel itself returns empty below w sites. */
   private def winnowSet(text: Column, k: Int, w: Int,
-                        gramHash: Column => Column): Column = {
+                        md5Tier: Boolean): Column = {
+    import org.apache.spark.sql.graft.Bridge
     val nh = length(text) - (k - 1)  // number of k-grams
-    val hashes = transform(sequence(lit(1), greatest(nh, lit(1))),
-      i => gramHash(text.substr(i, lit(k))))
-    val starts = sequence(lit(1), greatest(nh - (w - 1), lit(1)))
-    val sel = transform(starts, s => array_min(slice(hashes, s, lit(w))))
-    when(nh >= 1, array_sort(array_distinct(sel)))
-      .otherwise(array().cast("array<bigint>"))
+    def gramHash(g: Column): Column =
+      if (md5Tier) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else xxhash64(g)
+    // one-window pass for w = 1 (every gram its own window) and the
+    // short-doc clamp: a single O(len) transform, no sliding window
+    def allGramHashes =
+      transform(sequence(lit(1), greatest(nh, lit(1))),
+        i => gramHash(text.substr(i, lit(k))))
+    if (w == 1)
+      when(nh >= 1, array_sort(array_distinct(allGramHashes)))
+        .otherwise(array().cast("array<bigint>"))
+    else {
+      val anchors = Bridge.column(
+        graft.plans.WinnowAnchors(Bridge.expression(text), k, w, md5Tier))
+      when(nh >= w,
+          array_sort(array_distinct(transform(anchors, a => a.getField("h")))))
+        .when(nh >= 1, array(array_min(allGramHashes)))
+        .otherwise(array().cast("array<bigint>"))
+    }
   }
 
   /** Winnowing fingerprints (Schleimer et al. — the MOSS algorithm):
@@ -362,7 +390,7 @@ object TextFunctions {
     * [[graft.functions.Dedup.winnowingSharedPairs]]. */
   def winnowingFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
-    winnowSet(text, k, w, g => xxhash64(g))
+    winnowSet(text, k, w, md5Tier = false)
   }
 
   /** Oracle twin of [[winnowingFingerprints]]: 60-bit md5-prefix gram
@@ -372,8 +400,7 @@ object TextFunctions {
     * differential testing matters. */
   def winnowingFingerprintsByMd5(text: Column, k: Int = 5, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"k $k and w $w must be >= 1")
-    winnowSet(text, k, w,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    winnowSet(text, k, w, md5Tier = true)
   }
 
   /** Split a token array into fixed-size chunks with overlap — the

@@ -82,6 +82,27 @@ object ProfileProbe {
           .collect()
         println(s"  rows=${r.length}")
       }
+      // r13 addendum: DERIVED (joined) input — the exact tier now
+      // materializes non-prunable inputs once (scoped release), so the
+      // per-column jobs rescan cached blocks instead of recomputing
+      // the join per column (the r12 verdict item 5 footgun)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val derived = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("net_price"),
+          col("o_orderstatus"))
+      val dcols = derived.columns.toSeq
+      time("G. shipped exact tier on DERIVED input (join upstream)")(
+        graft.functions.Corpus.columnProfile(derived, exact = true)
+          .write.format("noop").mode("overwrite").save())
+      time("H. pre-r13 shape on derived: per-column join recompute x" +
+          dcols.size) {
+        dcols.foreach { c =>
+          derived.select(col(c)).agg(count_distinct(col(c))).head()
+        }
+      }
     }
     spark.stop()
   }

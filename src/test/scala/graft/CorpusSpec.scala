@@ -428,6 +428,78 @@ class CorpusSpec extends AnyFunSuite {
     assert(re == orig)
   }
 
+  test("weighted graph contract: weight-w edge == w parallel edges " +
+      "(pageRank / labelPropagationWeighted / modularityWeighted)") {
+    // asymmetric weights so the weighted result actually differs from
+    // the unweighted one; includes a duplicate weighted row (weights
+    // must SUM under canonicalization) and both edge orientations
+    val wEdges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("d", "a", 5L), ("a", "d", 2L), ("b", "d", 1L), ("b", "d", 1L))
+    val we = wEdges.toDF("s", "d", "w")
+    val replicated = wEdges.flatMap { case (s, d, w) =>
+      Seq.fill(w.toInt)((s, d, 1L)) }.toDF("s", "d", "w")
+
+    // pageRank: weighted == the replicated MULTIGRAPH under the plain
+    // (historically unweighted) form — directed, duplicates count
+    val prW = Corpus.pageRank(we, col("s"), col("d"), iters = 3,
+        weight = col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prM = Corpus.pageRank(replicated, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prW == prM, s"weighted=$prW multigraph=$prM")
+    // and it differs from ignoring the weights (the contract bites)
+    val prU = Corpus.pageRank(we, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(prW != prU)
+
+    // labelPropagationWeighted: weighted == replicated weight-1 form,
+    // and == the unweighted op when every weight is 1 (simple graph)
+    val lpW = Corpus.labelPropagationWeighted(we, col("s"), col("d"),
+        col("w"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val lpR = Corpus.labelPropagationWeighted(replicated, col("s"),
+        col("d"), col("w"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lpW == lpR, s"weighted=$lpW replicated=$lpR")
+    val simple = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("s", "d")
+    val lp1 = Corpus.labelPropagationWeighted(simple, col("s"), col("d"),
+        lit(1L), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val lp0 = Corpus.labelPropagation(simple, col("s"), col("d"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lp1 == lp0)
+
+    // modularityWeighted: weighted == replicated weight-1 form under a
+    // fixed partition; == unweighted modularity values at weight 1
+    val labels = Seq(("a", "x"), ("b", "x"), ("c", "y"), ("d", "y"))
+      .toDF("node", "label")
+    def modRow(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val mW = modRow(Corpus.modularityWeighted(we, col("s"), col("d"),
+      col("w"), labels))
+    val mR = modRow(Corpus.modularityWeighted(replicated, col("s"),
+      col("d"), col("w"), labels))
+    assert(mW == mR, s"weighted=$mW replicated=$mR")
+    val m1 = modRow(Corpus.modularityWeighted(simple, col("s"), col("d"),
+      lit(1L), labels))
+    val m0 = modRow(Corpus.modularity(simple, col("s"), col("d"), labels))
+    assert(m1 == m0)
+
+    // contract violations fail LOUDLY: zero / negative / null weights
+    val bad = Seq(("a", "b", 0L)).toDF("s", "d", "w")
+    intercept[Exception] {
+      Corpus.pageRank(bad, col("s"), col("d"), weight = col("w")).collect()
+    }
+    val nullW = Seq(("a", "b", Option.empty[Long])).toDF("s", "d", "w")
+    intercept[Exception] {
+      Corpus.labelPropagationWeighted(nullW, col("s"), col("d"),
+        col("w")).collect()
+    }
+  }
+
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
     val df = Seq(
       (1L, 1, "a", 5.0),
@@ -1339,6 +1411,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3) == ("d", ct(3), 1L, 4L))
     // k cuts the fused list
     assert(Corpus.rrfFuse(Seq(lex, vec), "id", "rank", k = 2).count() == 2)
+    // ranks are 1-based BY CONTRACT (r12 ADVICE): a 0-based or
+    // negative list fails fast instead of silently inflating its
+    // contributions (and rank = -c would divide by zero)
+    val zeroBased = Seq(("a", 0L), ("b", 1L)).toDF("id", "rank")
+    intercept[Exception] {
+      Corpus.rrfFuse(Seq(lex, zeroBased), "id", "rank").collect()
+    }
   }
 
   test("columnProfile: exact counts/nulls/distincts, numeric and string min/max, approx tier") {

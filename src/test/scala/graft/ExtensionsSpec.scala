@@ -2150,6 +2150,58 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("winnowSet kernel rewrite == original columnar value-set form (both tiers, clamp, w=1)") {
+    // the EXACT pre-r13 columnar form, kept here as the reference: it
+    // re-evaluated the whole per-gram hash array once per window start
+    // (O(len²) gram hashes/doc — the q_winnow 202 s finding), which is
+    // why production moved onto the WinnowAnchors kernel
+    def columnarRef(text: org.apache.spark.sql.Column, k: Int, w: Int,
+        byMd5: Boolean): org.apache.spark.sql.Column = {
+      def gramHash(g: org.apache.spark.sql.Column) =
+        if (byMd5) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+        else xxhash64(g)
+      val nh = length(text) - (k - 1)
+      val hashes = transform(sequence(lit(1), greatest(nh, lit(1))),
+        i => gramHash(text.substr(i, lit(k))))
+      val starts = sequence(lit(1), greatest(nh - (w - 1), lit(1)))
+      val sel = transform(starts, s => array_min(slice(hashes, s, lit(w))))
+      when(nh >= 1, array_sort(array_distinct(sel)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val fixture = Seq(
+      (1L, "abc abc abc abc abc abc abc"),             // periodic ties
+      (2L, "emoji 😀 accents éàü across grams 😀😀 end"), // code points
+      (3L, "tiny"), (4L, ""), (5L, "x" * 30),          // clamp/empty/runs
+      (6L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("id", "text")
+    // (3,8) puts several docs in the 1 <= grams < w clamp branch;
+    // (4,1) exercises the w=1 every-gram path
+    for (byMd5 <- Seq(false, true);
+         (k, w) <- Seq((5, 4), (10, 8), (3, 8), (4, 1), (2, 2))) {
+      def fp(c: org.apache.spark.sql.Column) =
+        if (byMd5) TextFunctions.winnowingFingerprintsByMd5(c, k, w)
+        else TextFunctions.winnowingFingerprints(c, k, w)
+      val got = fixture.select($"id", fp($"text").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = fixture.select($"id", columnarRef($"text", k, w, byMd5).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"byMd5=$byMd5 k=$k w=$w")
+    }
+    // randomized small-alphabet docs manufacture hash ties and runs
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(200 + seed)
+      val docs = (1L to 8L).map { i =>
+        i -> (1 to 5 + rnd.nextInt(120)).map(_ => "ab "(rnd.nextInt(3))).mkString
+      }.toDF("id", "text")
+      val got = docs.select($"id",
+          TextFunctions.winnowingFingerprints($"text", 4, 5).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val want = docs.select($"id", columnarRef($"text", 4, 5, byMd5 = false).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("winnowingSharedPairs: planted overlap found, stop-fingerprint cap drops viral grams") {
     val planted = "zqxvbnmlkjhgfdsa"
     val viral = "common boiler plate line here"
