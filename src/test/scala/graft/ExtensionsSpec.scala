@@ -1685,6 +1685,59 @@ class SimilaritySpec extends AnyFunSuite {
     recon.unpersist()
   }
 
+  test("rankedEvalReport composes the ANN recall gate for the TRAINED tiers") {
+    // r12 verdict item 4, spec side: the oracled q_ann_recall covers
+    // the supplied-artifact tiers; the TRAINED tiers (k-means PQ,
+    // reranked SQ8, trained IVF) gate here through the SAME
+    // rankedEvalReport composition — micro recall@10 = Σhits/Σn_rel,
+    // exact integers until one division. Deterministic (fixed seeds).
+    import graft.functions.Corpus
+    val k = 10
+    val queries = emb.where($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k)
+    val truth = brute.select($"q_id", $"c_id")
+    def recallOf(ranked: org.apache.spark.sql.DataFrame): Double = {
+      val r = Corpus.rankedEvalReport(ranked, "q_id", "c_id", "rank",
+          truth, "q_id", "c_id", k)
+        .agg(sum($"hits"), sum($"n_rel")).head()
+      r.getLong(0).toDouble / r.getLong(1).toDouble
+    }
+    assert(recallOf(brute) == 1.0) // harness control: truth vs itself
+    // trained PQ with exact re-rank (the production recall tier)
+    val n = emb.select($"vec_id",
+      transform($"embedding", x => x / sqrt(aggregate(
+        zip_with($"embedding", $"embedding", (a, b) => (a * b).cast("double")),
+        lit(0.0), _ + _))).as("embedding")).cache()
+    val qn = n.where($"vec_id" < 10)
+    val truthN = Similarity.bruteForceTopK(n, qn, "vec_id", "embedding", k)
+      .select($"q_id", $"c_id")
+    def recallOfN(ranked: org.apache.spark.sql.DataFrame): Double = {
+      val r = Corpus.rankedEvalReport(ranked, "q_id", "c_id", "rank",
+          truthN, "q_id", "c_id", k)
+        .agg(sum($"hits"), sum($"n_rel")).head()
+      r.getLong(0).toDouble / r.getLong(1).toDouble
+    }
+    val cbn = Similarity.trainPqCodebooks(n, "embedding", m = 16, ksub = 32,
+      iters = 3)
+    val pqRr = recallOfN(Similarity.pqAdcTopKReranked(n, qn, "vec_id",
+      "embedding", cbn, k = k))
+    assert(pqRr >= 0.75, s"re-ranked PQ recall@10 collapsed: $pqRr")
+    // reranked SQ8 (8-bit quantization + exact re-rank)
+    val (mins, maxs) = Similarity.trainSq8Bounds(emb, "embedding")
+    val sq8Rr = recallOf(Similarity.sq8TopKReranked(emb, queries, "vec_id",
+      "embedding", mins, maxs, k = k))
+    assert(sq8Rr >= 0.9, s"re-ranked SQ8 recall@10 collapsed: $sq8Rr")
+    // trained IVF probing half the lists
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", k = 8,
+      iters = 3)
+    val ivfR = recallOf(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", cents, nprobe = 4, k = k))
+    assert(ivfR >= 0.5, s"IVF nprobe=4/8 recall@10 collapsed: $ivfR")
+    info(f"recall@10: pq_rerank=$pqRr%.2f sq8_rerank=$sq8Rr%.2f ivf4of8=$ivfR%.2f")
+    n.unpersist()
+  }
+
   test("ivfPqTopK with nprobe = kLists equals exhaustive pqAdcTopK; recall sane") {
     val cb = Similarity.trainPqCodebooks(emb, "embedding", m = 8, ksub = 16, iters = 3)
     val coarse = Similarity.trainIvfCentroids(emb, "embedding", k = 4, iters = 3)
