@@ -369,13 +369,21 @@ object Dedup {
     val toks = split(col(text), " ")
     val tail = greatest(size(toks) - off, lit(0))
     val nBlocks = call_function("div", tail + lit(b - 1), lit(b))
-    // Block expression stays INLINE in the explode — aliasing a
-    // generator child re-evaluates the kernel 3x (see decontaminateBy).
-    // The off>0 guard avoids sequence(0,-1) (which would DESCEND) on
-    // docs shorter than the offset; off=0 always has >= 1 block
-    // (split("") is [""]).
-    val carved = transform(sequence(lit(0L), greatest(nBlocks, lit(1L)) - 1),
-      j => array_join(slice(toks, (j * b + off + 1).cast("int"), lit(b)), " "))
+    // Block carving rides the plans.SpaceBlocks kernel (one byte scan;
+    // blocks are raw substrings between token boundaries): the earlier
+    // columnar transform captured the computed `toks` split inside its
+    // lambda, and interpreted HOFs re-evaluate captured children per
+    // element — one full re-split per BLOCK, O(len²/b) per doc (the
+    // r13 winnowSet mechanism; kernel equality spec'd in DedupSpec).
+    // Stays INLINE in the explode — aliasing a generator child
+    // re-evaluates it 3x (see decontaminateBy). The off>0 guard below
+    // mirrors the old sequence(0,-1) protection for docs shorter than
+    // the offset; off=0 always has >= 1 block (split("") is [""]).
+    val carved = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.plans.SpaceBlocks(
+        Bridge.expression(col(text)), b, off))
+    }
     val blocksArr =
       if (off == 0) carved
       else when(nBlocks > lit(0L), carved).otherwise(array().cast("array<string>"))
@@ -1692,9 +1700,17 @@ object Dedup {
     val survivors = materializeOnce(hPre)
     val ids = survivors.select(col("id_a").as("__cid"))
       .union(survivors.select(col("id_b").as("__cid"))).distinct()
+    // gram-string sets ride the plans.TokenShingles kernel: the
+    // composable tokenShingles(toks(text), n) captures the computed
+    // split+filter inside its slice lambda — interpreted HOFs
+    // re-tokenize the doc once per gram position, O(len²) per
+    // surviving doc (the r13 winnowSet mechanism)
     val sets = df.join(ids, col(id) === col("__cid"), "left_semi")
-      .select(col(id).as("__s_id"),
-        tokenShingles(toks(col(text)), n).as("__set"))
+      .select(col(id).as("__s_id"), {
+        import org.apache.spark.sql.graft.Bridge
+        Bridge.column(graft.plans.TokenShingles(
+          Bridge.expression(col(text)), n)).as("__set")
+      })
     val withA = survivors.join(sets, col("id_a") === col("__s_id"))
       .select(col("id_a"), col("id_b"), col("__set").as("__set_a"))
     withA.join(sets, col("id_b") === col("__s_id"))

@@ -214,6 +214,82 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenShingles kernel == columnar array_distinct gram strings (drop-in twin)") {
+    // r13: the string-emitting sibling of TokenShingleHashes — same
+    // tokenizer, grams emitted in FIRST-OCCURRENCE order to match
+    // array_distinct exactly (array equality, not set equality)
+    import org.apache.spark.sql.graft.Bridge
+    def kernel(c: org.apache.spark.sql.Column, n: Int) =
+      Bridge.column(graft.plans.TokenShingles(Bridge.expression(c), n))
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld déjà vu 日本語 テキスト",
+      "a\tb\ncd\fe\rf  g   h",
+      "  leading and trailing  ",
+      "one two", "solo", "", "   \t\n ",
+      "rep rep rep rep rep rep",
+      "b a b a b a c"  // first-occurrence order differs from sorted
+    ).toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      df.select(kernel($"text", n).as("k"),
+          Dedup.tokenShingles(TextFunctions.tokens($"text"), n).as("c"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+        }
+    }
+    // randomized small-alphabet docs (gram collisions, empty runs)
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 12).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => "ab \t"(rnd.nextInt(4))).mkString)
+      .toDF("text")
+    docs.select(kernel($"text", 3).as("k"),
+        Dedup.tokenShingles(TextFunctions.tokens($"text"), 3).as("c"))
+      .collect().foreach(r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("SpaceBlocks kernel == columnar split/slice/array_join carving (drop-in twin)") {
+    import org.apache.spark.sql.graft.Bridge
+    def kernel(c: org.apache.spark.sql.Column, b: Int, off: Int) =
+      Bridge.column(graft.plans.SpaceBlocks(Bridge.expression(c), b, off))
+    // the EXACT pre-r13 columnar form from stripAlignedPass
+    def columnar(c: org.apache.spark.sql.Column, b: Int, off: Int) = {
+      val toks = split(c, " ")
+      val tail = greatest(size(toks) - off, lit(0))
+      val nBlocks = call_function("div", tail + lit(b - 1), lit(b))
+      transform(sequence(lit(0L), greatest(nBlocks, lit(1L)) - 1),
+        j => array_join(slice(toks, (j * b + off + 1).cast("int"), lit(b)), " "))
+    }
+    val df = Seq(
+      "a b c d e f g h i j",
+      "one",
+      "",                       // split("") = [""] → one block ""
+      "  double  spaces  keep  empties  ",  // empty tokens preserved
+      "héllo wörld déjà vu 日本語 テキスト again and more tokens here",
+      "trailing space ",
+      " leading space"
+    ).toDF("text")
+    for ((b, off) <- Seq((3, 0), (3, 1), (4, 2), (1, 0), (5, 7), (2, 50))) {
+      df.select(kernel($"text", b, off).as("k"),
+          columnar($"text", b, off).as("c"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"b=$b off=$off text-case mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        }
+    }
+    // randomized: tiny alphabet with space runs
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 12).map(_ =>
+      (1 to rnd.nextInt(80)).map(_ => "ab  "(rnd.nextInt(4))).mkString)
+      .toDF("text")
+    for ((b, off) <- Seq((3, 0), (4, 1), (2, 2))) {
+      docs.select(kernel($"text", b, off).as("k"),
+          columnar($"text", b, off).as("c"))
+        .collect().foreach(r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"b=$b off=$off"))
+    }
+  }
+
   test("contaminationReport: per-bench counts and worst overlap; clean tasks report zero") {
     val prompt = "what is the capital of france answer in one word"
     val docs = Seq(
