@@ -3746,6 +3746,81 @@ object SparkEntry {
       Multimodal.mediaNearDupPairs(media, "media_id", $"content",
           maxDist = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // -------- graph: k-truss edge cohesion (2 fixed peel rounds) -------
+    // The edge-level sibling of q_kcore: on the mod-4-sampled
+    // co-purchase part graph (7,249 edges at sf0.01) k=5 peels
+    // 7,249 → 3,526 → 1,663 — a real multi-round cascade, not a
+    // decorative loop (probed r13; the ≥2-shared-order graph empties
+    // at k=4, the raw graph barely peels, and the mod-3 variant costs
+    // 11 s of DuckDB triangle enumeration vs ~3 s here). Supports are exact
+    // integers — zero rounding anywhere; the oracle unrolls both
+    // rounds + the final support pass into chained CTEs with
+    // string-canonical a<b<c triangle enumeration (support counts are
+    // a pure function of the edge set, so the oracle needs no degree
+    // orientation).
+    "q_ktruss" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+        .where($"l_partkey" % 4 === 0)
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      Corpus.kTruss(pairs, $"u", $"v", k = 5, iters = 2)
+        .orderBy("u", "v")
+    }),
+
+    // -------- eval: inter-annotator agreement (Cohen's kappa) ---------
+    // "Does source predict lang?" — annotator A = the document's lang
+    // column, annotator B = its source's majority lang (argmax =
+    // min(struct(-cnt, lang)), the LPA tie-break, replayed as a
+    // row_number argmax). kappa ≈ 0.026 at sf0.01: near-chance, the
+    // honest answer on this synthetic corpus — and exactly the
+    // marginal-chance inflation that raw po = 0.436 hides. All-integer
+    // counts and decimal(38,0) chance mass down to three one-shot
+    // divisions (operands exact under 2^53 — see agreementReport).
+    "q_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val maj = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .groupBy($"source").agg(min(struct(-$"c", $"lang")).as("m"))
+        .select($"source", $"m.lang".as("maj_lang"))
+      Corpus.agreementReport(docs.join(maj, "source"), $"lang", $"maj_lang")
+    }),
+
+    // -------- privacy: k-anonymity audit ------------------------------
+    // QI = (nation, segment, acctbal/2000 bucket) at k=5: 623 groups /
+    // 1,500 customers, 83% of rows below k at sf0.01 — the mixed
+    // re-identifiability answer that exercises every output column
+    // (the 2-QI variant is all-safe, a /100 bucket all-unsafe; probed
+    // r13). All-integer counts to one pct division; the bucket is one
+    // IEEE division by the same literal + floor in both engines.
+    "q_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.kAnonymityReport(t(s, dir, "customer"),
+        Seq($"c_nationkey", $"c_mktsegment", floor($"c_acctbal" / 2000.0)),
+        k = 5)
+    }),
+
+    // -------- events: autocorrelation of daily counts per type --------
+    // Seasonality probe at lags 1..7 over 30 daily buckets per event
+    // type (day = epoch-ns div 86400e9 — pure integer division, no
+    // timezone, no float). The n²-scaled mean-clearing identity
+    // (n·x−S products) keeps numerator/denominator exact
+    // decimal(38,0)/HUGEINT sums in both engines; acf is ONE final
+    // division of exact operands (see Corpus.autocorrelation).
+    "q_acf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Corpus.autocorrelation(daily, $"day", $"cnt", maxLag = 7,
+          keys = Seq($"event_type"))
+        .withColumnRenamed("key0", "event_type")
+        .orderBy("event_type", "lag")
     }))
 
   /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
@@ -4091,6 +4166,42 @@ object SparkEntry {
        |    AS est_distinct
        |FROM c LEFT JOIN kth ON c.key = kth.key
        |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q_ktruss oracle: 2 peel rounds + the final support pass unrolled
+    * into chained CTEs. Triangles are enumerated once each on the
+    * string-canonical edge set (a < b < c in byte order — the Spark
+    * side's degree orientation enumerates the same triangle set, and
+    * support counts are a pure function of the edge set). Integer
+    * supports: no fp anywhere, hash-exact. */
+  private lazy val kTrussOracle: String = {
+    def round(i: Int): String = {
+      val p = i - 1
+      s""" t$i AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e$p e1
+         |   JOIN e$p e2 ON e2.u = e1.u AND e2.v > e1.v
+         |   JOIN e$p e3 ON e3.u = e1.v AND e3.v = e2.v),
+         | s$i AS (SELECT u, v, count(*) AS c FROM (
+         |   SELECT a AS u, b AS v FROM t$i UNION ALL
+         |   SELECT a, c FROM t$i UNION ALL
+         |   SELECT b, c FROM t$i) GROUP BY u, v)""".stripMargin
+    }
+    val peels = (1 to 2).map { i =>
+      round(i) + s""",
+         | e$i AS (SELECT e.u, e.v FROM e${i - 1} e LEFT JOIN s$i s
+         |   ON e.u = s.u AND e.v = s.v WHERE coalesce(s.c, 0) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+       |   WHERE l_partkey % 4 = 0),
+       | e0 AS (SELECT DISTINCT
+       |     least(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS u,
+       |     greatest(a.l_partkey::VARCHAR, b.l_partkey::VARCHAR) AS v
+       |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |     AND a.l_partkey < b.l_partkey),
+       |$peels,
+       |${round(3)}
+       |SELECT e.u, e.v, coalesce(s.c, 0)::BIGINT AS support
+       |FROM e2 e LEFT JOIN s3 s ON e.u = s.u AND e.v = s.v
+       |ORDER BY e.u, e.v""".stripMargin
   }
 
   /** q_kcore oracle: the 3 peel rounds unrolled into chained CTEs
@@ -4615,6 +4726,68 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_ktruss" -> kTrussOracle,
+    "q_agreement" ->
+      """WITH m0 AS (SELECT source, lang, count(*) AS c
+        |   FROM documents GROUP BY 1, 2),
+        | maj AS (SELECT source, lang AS maj_lang FROM (
+        |   SELECT source, lang, row_number() OVER (
+        |     PARTITION BY source ORDER BY c DESC, lang) AS rn FROM m0)
+        |   WHERE rn = 1),
+        | v AS (SELECT d.lang AS a, m.maj_lang AS b
+        |   FROM documents d JOIN maj m ON d.source = m.source
+        |   WHERE d.lang IS NOT NULL AND m.maj_lang IS NOT NULL),
+        | cells AS (SELECT a, b, count(*) AS c FROM v GROUP BY 1, 2),
+        | tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS n,
+        |     coalesce(sum(CASE WHEN a = b THEN c END), 0)::BIGINT AS agree
+        |   FROM cells),
+        | rowm AS (SELECT a, sum(c) AS ra FROM cells GROUP BY a),
+        | colm AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+        | ch AS (SELECT coalesce(sum(ra::HUGEINT * cb::HUGEINT), 0) AS s
+        |   FROM rowm JOIN colm ON rowm.a = colm.b)
+        |SELECT n AS n_rows, agree AS n_agree,
+        | CASE WHEN n = 0 THEN 0.0 ELSE agree::DOUBLE / n::DOUBLE END AS po,
+        | CASE WHEN n = 0 THEN 0.0
+        |   ELSE s::DOUBLE / (n::DOUBLE * n::DOUBLE) END AS pe,
+        | CASE WHEN (n::HUGEINT * n::HUGEINT - s) = 0 THEN 0.0
+        |   ELSE (agree::HUGEINT * n::HUGEINT - s)::DOUBLE
+        |     / (n::HUGEINT * n::HUGEINT - s)::DOUBLE END AS kappa
+        |FROM tot, ch""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |     floor(c_acctbal / 2000.0) AS qb, count(*) AS c
+        |   FROM customer GROUP BY 1, 2, 3)
+        |SELECT 5 AS k, coalesce(sum(c), 0)::BIGINT AS n_rows,
+        | count(*)::BIGINT AS n_groups,
+        | coalesce(min(c), 0)::BIGINT AS min_group_size,
+        | coalesce(sum(CASE WHEN c < 5 THEN c END), 0)::BIGINT AS rows_below_k,
+        | coalesce(sum(CASE WHEN c < 5 THEN 1 END), 0)::BIGINT
+        |   AS groups_below_k,
+        | CASE WHEN coalesce(sum(c), 0) = 0 THEN 0.0
+        |   ELSE coalesce(sum(CASE WHEN c < 5 THEN c END), 0)::DOUBLE
+        |     / sum(c)::DOUBLE END AS pct_below_k
+        |FROM g""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | tot AS (SELECT event_type, count(*) AS n, sum(cnt) AS sx
+        |   FROM daily GROUP BY 1),
+        | d AS (SELECT daily.event_type, day,
+        |     (cnt::HUGEINT * n::HUGEINT - sx::HUGEINT) AS dd
+        |   FROM daily JOIN tot USING (event_type)),
+        | den AS (SELECT event_type, sum(dd * dd) AS dn FROM d GROUP BY 1),
+        | num AS (SELECT a.event_type, b.day - a.day AS lg,
+        |     sum(a.dd * b.dd) AS nm, count(*) AS n_pairs
+        |   FROM d a JOIN d b ON a.event_type = b.event_type
+        |     AND b.day - a.day BETWEEN 1 AND 7
+        |   GROUP BY 1, 2)
+        |SELECT num.event_type, lg::BIGINT AS "lag",
+        | n_pairs::BIGINT AS n_pairs,
+        | CASE WHEN dn = 0 THEN 0.0 ELSE nm::DOUBLE / dn::DOUBLE END AS acf
+        |FROM num JOIN den USING (event_type)
+        |ORDER BY event_type, "lag"""".stripMargin,
     "q_substring_dedup_tok" -> substringTokOracle,
     "q_substring_dedup" -> (substringSpanCtes +
       """

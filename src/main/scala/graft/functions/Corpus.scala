@@ -3274,4 +3274,271 @@ object Corpus {
         col("__nd_o").as("n_distinct_old"),
         col("__nd_n").as("n_distinct_new"))
   }
+
+  /** Per-edge triangle support over a canonical edge set — the shared
+    * stage of the k-truss family. Triangles are enumerated once each
+    * via the degree-acyclic orientation (the [[triangleCountsIntersect]]
+    * machinery): for oriented edge (f, t) every common out-neighbor w
+    * closes exactly one triangle {f, t, w}, found here as
+    * `array_intersect` of the two sorted adjacency arrays (kept INLINE
+    * in the generator — the aliased-generator-child hazard). Each
+    * triangle then credits its THREE canonical edges, so row volume
+    * after the joins is 3 × triangles, never Σ outdeg². Adjacency
+    * broadcasts under the usual row+byte guard with the shuffled O(m)
+    * fallback. Output: (__u, __v, __sup) for edges in ≥ 1 triangle. */
+  private def trussSupport(e: DataFrame,
+                           maxBroadcastAdjacency: Long): DataFrame = {
+    val oriented = orientFromCanonical(e, degreeTable(e))
+    val adj = oriented.groupBy(col("__f"))
+      .agg(sort_array(collect_list(col("__t"))).as("__ns"))
+    val estats = oriented.agg(count(lit(1)),
+      coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))).head()
+    val small = stateBroadcastOk(estats.getLong(0).toDouble,
+      estats.getDouble(1), maxBroadcastAdjacency)
+    def hinted(df: DataFrame) = if (small) broadcast(df) else df
+    val tri = oriented
+      .join(hinted(adj.select(col("__f").as("__jf"), col("__ns").as("__nf"))),
+        col("__f") === col("__jf"))
+      .join(hinted(adj.select(col("__f").as("__jt"), col("__ns").as("__nt"))),
+        col("__t") === col("__jt"))
+      .select(col("__f"), col("__t"),
+        explode(array_intersect(col("__nf"), col("__nt"))).as("__w"))
+    tri.select(explode(array(
+        struct(least(col("__f"), col("__t")).as("__eu"),
+          greatest(col("__f"), col("__t")).as("__ev")),
+        struct(least(col("__f"), col("__w")).as("__eu"),
+          greatest(col("__f"), col("__w")).as("__ev")),
+        struct(least(col("__t"), col("__w")).as("__eu"),
+          greatest(col("__t"), col("__w")).as("__ev")))).as("__e"))
+      .select(col("__e.__eu").as("__u"), col("__e.__ev").as("__v"))
+      .groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__sup"))
+  }
+
+  /** Fixed-iteration k-truss peel (Cohen 2008) — the edge-level
+    * cohesion filter one notch stronger than [[kCore]]: each round
+    * drops every edge in fewer than k−2 triangles, so survivors sit in
+    * blocks where RELATIONSHIPS (not just members) are mutually
+    * reinforced — the community-core / link-ring signature degree
+    * counts miss (a star passes any k-core-ish degree test but has
+    * zero triangles). Fixed `iters` is the bounded oracle tier (the
+    * [[kCore]] contract — each round only shrinks the edge set, and at
+    * convergence-within-iters it IS the k-truss); supports are exact
+    * integers, so the whole peel unrolls into chained CTEs and
+    * hash-matches a DuckDB replay with zero rounding anywhere.
+    *
+    * Scale shape per round: one degree aggregate + orientation join
+    * (O(m)), one adjacency aggregate, two guarded-broadcast joins, one
+    * 3×triangles explode + (u,v) count aggregate, one left-join filter
+    * back onto the O(m) edge set — never Σ outdeg² rows. Edges
+    * materialize lazily per round (the components-loop recipe). Input
+    * edges are canonicalized (self-loops dropped, directions/duplicates
+    * merged). Output: (u, v, support) over the surviving edge set,
+    * support recomputed on the FINAL graph (it may sit below k−2 when
+    * `iters` truncated the peel — peel to fixpoint via
+    * [[kTrussConverged]]). */
+  def kTruss(edges: DataFrame, src: Column, dst: Column, k: Int,
+             iters: Int = 2, maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
+    require(k >= 3, s"k $k must be >= 3 (k-2 triangles per edge)")
+    require(iters >= 1, s"iters $iters must be >= 1")
+    var e = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    var it = 0
+    while (it < iters) {
+      e = Dedup.materializeLazily(kTrussPeelRound(e, k, maxBroadcastAdjacency))
+      it += 1
+    }
+    kTrussOut(e, maxBroadcastAdjacency)
+  }
+
+  private def kTrussPeelRound(e: DataFrame, k: Int,
+                              maxBroadcastAdjacency: Long): DataFrame =
+    e.join(trussSupport(e, maxBroadcastAdjacency), Seq("__u", "__v"), "left")
+      .where(coalesce(col("__sup"), lit(0L)) >= lit((k - 2).toLong))
+      .select(col("__u"), col("__v"))
+
+  private def kTrussOut(e: DataFrame,
+                        maxBroadcastAdjacency: Long): DataFrame =
+    e.join(trussSupport(e, maxBroadcastAdjacency), Seq("__u", "__v"), "left")
+      .select(col("__u").as("u"), col("__v").as("v"),
+        coalesce(col("__sup"), lit(0L)).as("support"))
+
+  /** [[kTruss]] peeled to FIXPOINT with early exit — the form to run
+    * at 100 TB (the [[kCoreConverged]] recipe): the surviving-edge
+    * count is monotone non-increasing and free on state the next round
+    * materializes anyway, so an unchanged count proves every surviving
+    * edge already has support ≥ k−2 — the k-truss fixpoint. Adds audit
+    * columns `converged` / `rounds`. Declared driver-looped form:
+    * spec'd by fixpoint equality on planted peel cascades, no oracle
+    * (the fixed-iteration [[kTruss]] is the oracle tier). */
+  def kTrussConverged(edges: DataFrame, src: Column, dst: Column, k: Int,
+                      maxIters: Int = 50,
+                      maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
+    require(k >= 3, s"k $k must be >= 3 (k-2 triangles per edge)")
+    require(maxIters >= 1, s"maxIters $maxIters must be >= 1")
+    var e = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    var prev = e.count()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      e = Dedup.materializeLazily(kTrussPeelRound(e, k, maxBroadcastAdjacency))
+      val n = e.count()
+      if (n == prev) converged = true
+      prev = n
+      it += 1
+    }
+    kTrussOut(e, maxBroadcastAdjacency)
+      .withColumn("converged", lit(converged))
+      .withColumn("rounds", lit(it))
+  }
+
+  /** Inter-annotator agreement — observed agreement and Cohen's kappa
+    * (Cohen 1960) between two label columns: the standard check before
+    * trusting ANY labeling process (two quality classifiers, a model
+    * vs. a heuristic, two human raters), since raw agreement is
+    * inflated by marginal chance (two raters who both say "en" 95% of
+    * the time agree 90.5% by luck alone — kappa subtracts exactly
+    * that). Rows where either label is NULL are dropped (an
+    * abstention, not a label — document, don't guess).
+    *
+    * Exactness (the scaled-BIGINT discipline, here with NO scaling
+    * needed): everything is exact integer/decimal(38,0) arithmetic —
+    * n, the agreement count A, and the chance mass S = Σ_l rowmarg_l ×
+    * colmarg_l — down to three final one-shot IEEE divisions:
+    * po = A/n, pe = S/n², kappa = (A·n − S)/(n² − S). Both engines
+    * convert the exact operands and divide once, so results are
+    * bit-identical whenever the operands sit under 2^53 (n ≤ ~9.4e7
+    * for n²; round the outputs past that — the [[herfindahlIndex]]
+    * caveat). pe = 1 (denominator 0, e.g. both columns constant) →
+    * kappa 0.0 by declared convention.
+    *
+    * Scale shape: ONE full scan into the (a, b) contingency aggregate
+    * (map-side partials; |labels|² cells, tiny by contract), lazily
+    * materialized; margins, totals, and S all derive from the cell
+    * table — the caller's plan executes exactly once (the
+    * columnProfile lesson). Output single row: (n_rows, n_agree, po,
+    * pe, kappa). */
+  def agreementReport(df: DataFrame, a: Column, b: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = Dedup.materializeLazily(
+      df.select(a.cast("string").as("__a"), b.cast("string").as("__b"))
+        .where(col("__a").isNotNull && col("__b").isNotNull)
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c")))
+    val rowm = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ra"))
+    val colm = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val tot = cells.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("__n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .as("__agree"))
+    val chance = rowm.join(colm, col("__a") === col("__b"))
+      .agg(coalesce(sum(dec(col("__ra")) * dec(col("__cb"))),
+        lit(0L).cast("decimal(38,0)")).as("__s"))
+    val num = dec(col("__agree")) * dec(col("__n")) - col("__s")
+    val den = dec(col("__n")) * dec(col("__n")) - col("__s")
+    tot.crossJoin(chance).select(
+      col("__n").as("n_rows"), col("__agree").as("n_agree"),
+      when(col("__n") === 0L, lit(0.0))
+        .otherwise(col("__agree").cast("double") / col("__n").cast("double"))
+        .as("po"),
+      when(col("__n") === 0L, lit(0.0))
+        .otherwise(col("__s").cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double"))).as("pe"),
+      when(den === lit(0L).cast("decimal(38,0)"), lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double")).as("kappa"))
+  }
+
+  /** k-anonymity audit (Sweeney 2002) — the privacy gate a
+    * training-data release runs next to PII redaction: group rows by
+    * the quasi-identifier columns and measure how much of the corpus
+    * sits in groups smaller than k (each such row is re-identifiable
+    * by joining the QIs against an external table). NULL QI values
+    * form real groups (both engines group NULLs — matching semantics
+    * by construction); all-integer counts down to the single pct
+    * division. Scale shape: one partial-aggregated groupBy on the QI
+    * tuple + one scalar fold over the (≤ #groups)-row table. Output
+    * single row: (k, n_rows, n_groups, min_group_size, rows_below_k,
+    * groups_below_k, pct_below_k). */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[Column], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityReport needs quasi-identifier columns")
+    require(k >= 2, s"k $k must be >= 2")
+    val g = df.groupBy(quasi.zipWithIndex.map { case (q, i) =>
+        q.cast("string").as(s"__q$i") }: _*)
+      .agg(count(lit(1)).as("__c"))
+    g.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(min(col("__c")), lit(0L)).as("min_group_size"),
+        coalesce(sum(when(col("__c") < k, col("__c"))), lit(0L))
+          .as("rows_below_k"),
+        coalesce(sum(when(col("__c") < k, lit(1L))), lit(0L))
+          .as("groups_below_k"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("min_group_size"), col("rows_below_k"), col("groups_below_k"),
+        when(col("n_rows") === 0L, lit(0.0))
+          .otherwise(col("rows_below_k").cast("double") /
+            col("n_rows").cast("double")).as("pct_below_k"))
+  }
+
+  /** Sample autocorrelation at lags 1..maxLag over integer-indexed
+    * integer-valued series (per key) — the seasonality detector next
+    * to [[spikeReport]]/[[cusumShifts]] (a daily-count series with
+    * acf(7) ≫ acf(1..6) has weekly structure; a near-zero tail means
+    * white noise). Uses the standard estimator with the SERIES mean
+    * and variance: acf(L) = Σ_t (x_t−x̄)(x_{t+L}−x̄) / Σ_t (x_t−x̄)².
+    *
+    * Exactness: multiplying through by n² clears the mean without ever
+    * forming it — n²(x_t−x̄)(x_{t+L}−x̄) = (n·x_t−S)(n·x_{t+L}−S) with
+    * S = Σx, EXACT integers in decimal(38,0) — so numerator and
+    * denominator are partitioning-independent exact sums and acf is
+    * ONE final IEEE division (operands bit-identical cross-engine;
+    * the decimal→double converts are exact under 2^53 and
+    * correctly-rounded above — the agreementReport caveat). Constant
+    * series (den = 0) → acf 0.0 by declared convention.
+    *
+    * Contract: `t` is an integer index, unique per key (pre-aggregate
+    * to one row per (key, t) — e.g. day number = epoch_µs div 86400e6);
+    * `value` integer-valued (counts/sums — cast truncates). Lag-L
+    * pairs are rows exactly L index units apart; index gaps simply
+    * contribute no pair, and lags with zero pairs emit no row
+    * (document, don't invent). NULL keys drop (an unkeyable series
+    * row — filtered explicitly, mirrored in oracles). Scale shape: the series table
+    * materializes once (it is usually derived); one explode to
+    * maxLag rows per point + ONE equi-join on (key, t+lag) — never a
+    * range/cross join — then partial-aggregated sums. Output:
+    * (keys..., lag, n_pairs, acf). */
+  def autocorrelation(df: DataFrame, t: Column, value: Column, maxLag: Int,
+                      keys: Seq[Column] = Nil): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000, s"maxLag $maxLag out of [1, 1000]")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val v = Dedup.materializeLazily(df.select(
+        keys.zipWithIndex.map { case (c, i) => c.cast("string").as(s"__k$i") } ++
+          Seq(t.cast("long").as("__t"), value.cast("long").as("__x")): _*)
+      .where(keys.indices.map(i => col(s"__k$i").isNotNull)
+        .foldLeft(col("__t").isNotNull && col("__x").isNotNull)(_ && _)))
+    val kcols = keyNames.map(col)
+    val tot = v.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"))
+    val d = Dedup.materializeLazily(v.join(tot, keyNames, "inner")
+      .select(kcols ++ Seq(col("__t"),
+        (dec(col("__x")) * dec(col("__n")) - dec(col("__sx"))).as("__d")): _*))
+    val den = d.groupBy(kcols: _*)
+      .agg(sum(col("__d") * col("__d")).as("__den"))
+    val aSide = d.select(kcols ++ Seq(col("__t"), col("__d").as("__da")): _*)
+      .select(col("*"),
+        explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)).as("__lag"))
+    val bSide = d.select(
+      keyNames.map(n => col(n).as(s"__b$n")) ++
+        Seq(col("__t").as("__tb"), col("__d").as("__db")): _*)
+    val joined = aSide.join(bSide,
+      keyNames.map(n => col(n) === col(s"__b$n"))
+        .foldLeft(col("__t") + col("__lag") === col("__tb"))(_ && _))
+    val num = joined.groupBy(kcols :+ col("__lag"): _*)
+      .agg(sum(col("__da") * col("__db")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+    num.join(den, keyNames, "inner")
+      .select(keys.indices.map(i => col(s"__k$i").as(s"key$i")) ++ Seq(
+        col("__lag").as("lag"), col("n_pairs"),
+        when(col("__den") === lit(0L).cast("decimal(38,0)"), lit(0.0))
+          .otherwise(col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf")): _*)
+  }
 }

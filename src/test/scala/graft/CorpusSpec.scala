@@ -1866,4 +1866,186 @@ class CorpusSpec extends AnyFunSuite {
     assert(c.getString(1) == "added" && c.isNullAt(2) && c.isNullAt(4))
     assert(c.getDouble(7) == 0.5 && c.getLong(9) == 2)
   }
+
+  test("kTruss: hand graphs, driver brute peel equality, converged fixpoint, hygiene") {
+    def run(edges: Seq[(String, String)], k: Int, iters: Int,
+            parts: Int = 3): Map[(String, String), Long] =
+      Corpus.kTruss(edges.toDF("s", "d").repartition(parts),
+          col("s"), col("d"), k = k, iters = iters)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // K4 + pendant triangle on (3,4) + pendant edge: k=4 peels the
+    // triangle (support 1) and the pendant (0); K4 survives, final
+    // support 2 on every edge
+    val k4 = for { a <- Seq("1", "2", "3", "4"); b <- Seq("1", "2", "3", "4")
+                   if a < b } yield (a, b)
+    val g = k4 ++ Seq(("3", "5"), ("4", "5"), ("5", "6"))
+    assert(run(g, k = 4, iters = 1) == k4.map(e => e -> 2L).toMap)
+    // k=5: round 1 keeps only (3,4) (pre-peel support 3), round 2
+    // empties (its recomputed support is 0)
+    assert(run(g, k = 5, iters = 2).isEmpty)
+    // driver brute-force peel reference on a random graph (node ids
+    // generated in string order, matching canonicalEdges)
+    val rnd = new scala.util.Random(17)
+    val nodes = (1 to 20).map(_.toString)
+    val redges = for { a <- nodes; b <- nodes
+                       if a < b && rnd.nextDouble() < 0.25 } yield (a, b)
+    def support(es: Set[(String, String)]): Map[(String, String), Long] = {
+      val nbr = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (n, s) => n -> s.map(_._2).toSet }
+      es.map { case (u, v) => (u, v) -> (nbr(u) & nbr(v)).size.toLong }.toMap
+    }
+    def peel(es0: Set[(String, String)], k: Int, iters: Int) = {
+      var es = es0
+      for (_ <- 1 to iters) {
+        val sp = support(es); es = es.filter(e => sp(e) >= k - 2)
+      }
+      es
+    }
+    val es0 = redges.toSet
+    for (k <- Seq(3, 4, 5); iters <- Seq(1, 2, 3)) {
+      val want = peel(es0, k, iters)
+      val wantS = support(want)
+      assert(run(redges, k, iters, parts = 7) ==
+        want.map(e => e -> wantS(e)).toMap, s"k=$k iters=$iters")
+    }
+    // converged form: fixpoint equality with a long fixed peel,
+    // audit columns, and the fixpoint property support >= k-2
+    val conv = Corpus.kTrussConverged(redges.toDF("s", "d"),
+        col("s"), col("d"), k = 4, maxIters = 30)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getBoolean(3), r.getInt(4)))
+    val fixWant = peel(es0, 4, 30)
+    assert(conv.map(_._1).toSet == fixWant)
+    assert(conv.forall(_._3))
+    assert(conv.forall(t => support(fixWant)(t._1) == t._2))
+    assert(support(fixWant).values.forall(_ >= 2L))
+    val convK4 = Corpus.kTrussConverged(k4.toDF("s", "d"),
+      col("s"), col("d"), k = 4, maxIters = 10).collect()
+    assert(convK4.length == 6 &&
+      convK4.forall(r => r.getLong(2) == 2L && r.getBoolean(3)))
+    // dup/reversed/self-loop hygiene rides the canonical edge pass
+    val noisy = g ++ g.map(_.swap) ++ Seq(("1", "1"))
+    assert(run(noisy, k = 4, iters = 1) == run(g, k = 4, iters = 1))
+  }
+
+  test("agreementReport: hand kappa, perfect/constant/empty edges, null drops") {
+    // cells aa=3 ab=1 ba=2 bb=4: n=10 A=7, rowm (4,6), colm (5,5),
+    // S=50 -> po .7, pe .5, kappa (70-50)/(100-50) = .4
+    val df = (Seq.fill(3)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(2)(("b", "a")) ++ Seq.fill(4)(("b", "b"))).toDF("x", "y")
+    val r = Corpus.agreementReport(df, col("x"), col("y")).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 7L)
+    assert(r.getDouble(2) == 0.7 && r.getDouble(3) == 0.5 &&
+      r.getDouble(4) == 0.4)
+    // NULL on either side drops the row (abstention, not a label)
+    val withNull = df.union(Seq(("a", null), (null, "b"))
+      .asInstanceOf[Seq[(String, String)]].toDF("x", "y"))
+    assert(Corpus.agreementReport(withNull, col("x"), col("y"))
+      .collect()(0).getLong(0) == 10L)
+    // perfect agreement
+    assert(Corpus.agreementReport(
+      Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("x", "y"),
+      col("x"), col("y")).collect()(0).getDouble(4) == 1.0)
+    // both constant: pe = 1 -> kappa 0 by declared convention
+    val rc = Corpus.agreementReport(Seq(("a", "a"), ("a", "a")).toDF("x", "y"),
+      col("x"), col("y")).collect()(0)
+    assert(rc.getDouble(2) == 1.0 && rc.getDouble(4) == 0.0)
+    // empty input: one zero row
+    val re = Corpus.agreementReport(Seq.empty[(String, String)].toDF("x", "y"),
+      col("x"), col("y")).collect()(0)
+    assert(re.getLong(0) == 0L && re.getDouble(2) == 0.0 &&
+      re.getDouble(4) == 0.0)
+  }
+
+  test("kAnonymityReport: hand counts, k boundary, NULL QI groups, empty") {
+    val df = (Seq.fill(3)(("us", "A")) ++ Seq.fill(2)(("de", "B")) ++
+      Seq(("fr", "C")) ++ Seq.fill(2)((null: String, "A"))).toDF("c", "s")
+    // groups 3,2,1,2 (the NULL-country pair is a REAL group)
+    val r = Corpus.kAnonymityReport(df, Seq(col("c"), col("s")), k = 3)
+      .collect()(0)
+    assert(r.getInt(0) == 3 && r.getLong(1) == 8L && r.getLong(2) == 4L &&
+      r.getLong(3) == 1L)
+    assert(r.getLong(4) == 5L && r.getLong(5) == 3L &&
+      r.getDouble(6) == 5.0 / 8.0)
+    // a group of exactly k is NOT below k
+    val r2 = Corpus.kAnonymityReport(df, Seq(col("c"), col("s")), k = 2)
+      .collect()(0)
+    assert(r2.getLong(4) == 1L && r2.getLong(5) == 1L)
+    // empty input: one zero row
+    val re = Corpus.kAnonymityReport(
+      Seq.empty[(String, String)].toDF("c", "s"), Seq(col("c")), k = 5)
+      .collect()(0)
+    assert(re.getLong(1) == 0L && re.getLong(2) == 0L &&
+      re.getDouble(6) == 0.0)
+  }
+
+  test("autocorrelation: brute reference, gap, constant, unkeyed, invariance") {
+    val rnd = new scala.util.Random(29)
+    // keyed series; key b has a GAP at t=17 (lag pairs through it drop)
+    val rows = for { k <- Seq("a", "b"); t <- 0 until 40
+                     if !(k == "b" && t == 17) }
+      yield (k, t.toLong, rnd.nextInt(100).toLong)
+    def brute(xs: Seq[(Long, Long)], maxLag: Int): Map[Long, (Long, Double)] = {
+      val n = xs.size; val sx = xs.map(_._2).sum
+      val d = xs.map { case (t, x) => t -> (BigInt(x) * n - sx) }.toMap
+      val den = d.values.map(v => v * v).sum
+      (1 to maxLag).flatMap { lag =>
+        val prods = d.keys.toSeq.filter(t => d.contains(t + lag))
+          .map(t => d(t) * d(t + lag))
+        if (prods.isEmpty) None
+        else Some(lag.toLong -> ((prods.size.toLong,
+          if (den == 0) 0.0 else prods.sum.toDouble / den.toDouble)))
+      }.toMap
+    }
+    for (parts <- Seq(1, 6)) {
+      val got = Corpus.autocorrelation(
+          rows.toDF("k", "t", "x").repartition(parts),
+          col("t"), col("x"), maxLag = 5, keys = Seq(col("k")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      for (k <- Seq("a", "b")) {
+        val want = brute(rows.filter(_._1 == k).map(t => (t._2, t._3)), 5)
+        val gotK = got.collect { case ((kk, lag), v) if kk == k => lag -> v }
+        assert(gotK.toMap == want, s"key=$k parts=$parts")
+      }
+    }
+    // the gap is real: key b lag-1 pair count is 37 (39 points,
+    // two consecutive pairs severed at t=17), key a is 39
+    val gotPairs = Corpus.autocorrelation(rows.toDF("k", "t", "x"),
+        col("t"), col("x"), maxLag = 1, keys = Seq(col("k")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(gotPairs == Map("a" -> 39L, "b" -> 37L))
+    // constant series: den 0 -> acf 0.0 at every lag
+    val const = (0 until 10).map(t => ("c", t.toLong, 7L))
+    val rc = Corpus.autocorrelation(const.toDF("k", "t", "x"),
+        col("t"), col("x"), maxLag = 3, keys = Seq(col("k")))
+      .collect().map(r => r.getDouble(3))
+    assert(rc.length == 3 && rc.forall(_ == 0.0))
+    // unkeyed global form
+    val seriesA = rows.filter(_._1 == "a").map(t => (t._2, t._3))
+    val gotG = Corpus.autocorrelation(seriesA.toDF("t", "x"),
+        col("t"), col("x"), maxLag = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotG == brute(seriesA, 4))
+    // NULL key / t / x rows drop
+    val noisy = rows.toDF("k", "t", "x").union(
+      Seq((null: String, 0L, 5L), ("a", 0L, 5L), ("b", 1L, 1L))
+        .toDF("k", "t", "x")
+        .select(col("k"),
+          when(col("t") === 0L && col("k") === "a", lit(null)).otherwise(col("t")).as("t"),
+          when(col("k") === "b", lit(null)).otherwise(col("x")).as("x")))
+    val gotN = Corpus.autocorrelation(noisy, col("t"), col("x"),
+        maxLag = 5, keys = Seq(col("k")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    for (k <- Seq("a", "b")) {
+      val want = brute(rows.filter(_._1 == k).map(t => (t._2, t._3)), 5)
+      assert(gotN.collect { case ((kk, lag), v) if kk == k => lag -> v }
+        .toMap == want, s"noisy key=$k")
+    }
+  }
 }
