@@ -3821,6 +3821,52 @@ object SparkEntry {
           keys = Seq($"event_type"))
         .withColumnRenamed("key0", "event_type")
         .orderBy("event_type", "lag")
+    }),
+
+    // -------- events: frequent 3-step sequences -----------------------
+    // The order-2 Markov extension of q_transitions: per-user
+    // (prev2, prev1, current) event-type trigrams through ONE window
+    // with two lags (the q_transitions ordering contract: µs ts +
+    // event_id). Exact integer supports.
+    "q_seq_trigrams" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.sequenceTrigrams(t(s, dir, "events"), $"user_id",
+          Seq(unix_micros($"ts"), $"event_id"), $"event_type")
+        .orderBy("step_1", "step_2", "step_3")
+    }),
+
+    // -------- events: Mann-Kendall trend per type ----------------------
+    // "Is the daily volume drifting?" over the q_acf daily series: S =
+    // Σ sign-of-comparison over time-ordered pairs (PURE comparisons —
+    // no float arithmetic anywhere) and tau-a = S / C(n,2), one final
+    // division of exact longs.
+    "q_trend" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Corpus.mannKendallTrend(daily, $"day", $"cnt",
+          keys = Seq($"event_type"))
+        .withColumnRenamed("key0", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // -------- join: bloom semi-join reduction --------------------------
+    // Lineitems of high-value orders via the explicit bloom prefilter +
+    // exact semi-join (output EQUALS the plain semi-join — the oracle
+    // replays WHERE EXISTS); the aggregate keeps the gate row-stable.
+    // sum_qty is exact: quantities are integral doubles, cast per-row.
+    "q_bloom_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      val hi = t(s, dir, "orders").where($"o_totalprice" > 200000.0)
+        .select($"o_orderkey")
+      Grouping.bloomSemiJoin(t(s, dir, "lineitem"), $"l_orderkey",
+          hi, $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity".cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
     }))
 
   /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
@@ -4726,6 +4772,44 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_seq_trigrams" ->
+      """WITH e AS (SELECT user_id::VARCHAR AS k, event_type AS s,
+        |   epoch_us(ts) AS t, event_id AS i FROM events
+        |  WHERE event_type IS NOT NULL),
+        | l AS (SELECT k, s,
+        |   lag(s, 1) OVER (PARTITION BY k ORDER BY t, i) AS p1,
+        |   lag(s, 2) OVER (PARTITION BY k ORDER BY t, i) AS p2
+        |  FROM e)
+        |SELECT p2 AS step_1, p1 AS step_2, s AS step_3,
+        | count(*)::BIGINT AS support
+        |FROM l WHERE p2 IS NOT NULL AND p1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+        | p AS (SELECT a.event_type,
+        |     sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS s
+        |   FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |     AND a.day < b.day
+        |   GROUP BY 1)
+        |SELECT n.event_type, n.n::BIGINT AS n,
+        | coalesce(p.s, 0)::BIGINT AS s_stat,
+        | CASE WHEN n.n < 2 THEN 0.0
+        |   ELSE coalesce(p.s, 0)::DOUBLE
+        |     / ((n.n * (n.n - 1))::DOUBLE / 2.0) END AS tau
+        |FROM n LEFT JOIN p USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        | sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 200000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ktruss" -> kTrussOracle,
     "q_agreement" ->
       """WITH m0 AS (SELECT source, lang, count(*) AS c

@@ -3541,4 +3541,83 @@ object Corpus {
           .otherwise(col("__num").cast("double") / col("__den").cast("double"))
           .as("acf")): _*)
   }
+
+  /** Frequent length-3 state sequences over per-key ordered events —
+    * the order-2 extension of [[transitionMatrix]] (a first-order
+    * matrix can't see that view→click→purchase and view→click→abandon
+    * diverge at the THIRD step; funnels, bot loops, and navigation
+    * mining all live at this depth). Counts are exact integers.
+    * Semantics match the Markov family exactly: NULL states drop
+    * BEFORE the lag (transitions splice), `order` columns unique per
+    * key by contract, NULL keys are real groups. Scale: ONE per-key
+    * window (the sessionize spilling-sort shape — no arrays, no
+    * collect_list) with two lags + one (s₁,s₂,s₃) aggregate whose
+    * cardinality is ≤ |states|³, tiny by contract. Output:
+    * (step_1, step_2, step_3, support), support ≥ `minSupport`. */
+  def sequenceTrigrams(df: DataFrame, key: Column, order: Seq[Column],
+                       state: Column, minSupport: Long = 1L): DataFrame = {
+    require(order.nonEmpty, "sequenceTrigrams needs order columns")
+    require(minSupport >= 1L, s"minSupport $minSupport must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select((Seq(key.cast("string").as("__k"),
+        state.cast("string").as("__s")) ++
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }): _*)
+      .where(col("__s").isNotNull)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(order.indices.map(i => col(s"__o$i")): _*)
+    v.withColumn("__p1", lag(col("__s"), 1).over(w))
+      .withColumn("__p2", lag(col("__s"), 2).over(w))
+      .where(col("__p2").isNotNull && col("__p1").isNotNull)
+      .groupBy(col("__p2").as("step_1"), col("__p1").as("step_2"),
+        col("__s").as("step_3"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
+  /** Mann-Kendall trend test statistic per key — the nonparametric
+    * "is this series drifting?" answer next to [[cusumShifts]] (which
+    * finds WHERE a shift happened; this asks WHETHER a monotone trend
+    * exists, robust to outliers and any monotone transform):
+    * S = Σ_{i<j} sign(x_j − x_i) over time-ordered pairs, and
+    * Kendall's tau-a = S / C(n,2). Signs are pure COMPARISONS (no
+    * subtraction, no float arithmetic), so S is an exact integer
+    * under any value type and tau is ONE final IEEE division of exact
+    * longs — hash-exact cross-engine. Ties contribute 0 (tau-a by
+    * declared design; tau-b's tie correction needs a sqrt — add as a
+    * variant if ever needed, don't widen this contract).
+    *
+    * Scale: pairs are inherent to the statistic — C(n,2) per key via
+    * one key-equi self-join (never a cross join); per-key series
+    * length is the bound (the [[exactQuantilesBy]] contract: daily/
+    * hourly rollups, audit with [[keySkewReport]]). Keys with n < 2
+    * emit s_stat 0, tau 0.0. NULL key/t/x rows drop. `t` unique per
+    * key by contract. Output: (keys…, n, s_stat, tau). */
+  def mannKendallTrend(df: DataFrame, t: Column, value: Column,
+                       keys: Seq[Column] = Nil): DataFrame = {
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val v = Dedup.materializeLazily(df.select(
+        keys.zipWithIndex.map { case (c, i) => c.cast("string").as(s"__k$i") } ++
+          Seq(t.cast("long").as("__t"), value.cast("double").as("__x")): _*)
+      .where(keys.indices.map(i => col(s"__k$i").isNotNull)
+        .foldLeft(col("__t").isNotNull && col("__x").isNotNull)(_ && _)))
+    val kcols = keyNames.map(col)
+    val n = v.groupBy(kcols: _*).agg(count(lit(1)).as("n"))
+    val b = v.select(keyNames.map(c => col(c).as(s"__b$c")) ++
+      Seq(col("__t").as("__tb"), col("__x").as("__xb")): _*)
+    val pairs = v.join(b,
+      keyNames.map(c => col(c) === col(s"__b$c"))
+        .foldLeft(col("__t") < col("__tb"))(_ && _))
+    val s = pairs.groupBy(kcols: _*)
+      .agg(sum(when(col("__xb") > col("__x"), 1L)
+        .when(col("__xb") < col("__x"), -1L)
+        .otherwise(0L)).as("s_stat"))
+    n.join(s, keyNames, "left")
+      .select(keys.indices.map(i => col(s"__k$i").as(s"key$i")) ++ Seq(
+        col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        when(col("n") < 2L, lit(0.0))
+          .otherwise(coalesce(col("s_stat"), lit(0L)).cast("double") /
+            (col("n") * (col("n") - 1L) / lit(2L)).cast("double"))
+          .as("tau")): _*)
+  }
 }

@@ -286,6 +286,81 @@ object Grouping {
     sl.join(ol, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Bloom-filter semi-join reduction — keep `df` rows whose `key`
+    * appears in `keys` (EXACT `IN`-subquery semantics) while letting
+    * most non-matching rows die at the SCAN instead of entering the
+    * join exchange. The niche vs plain semi-join: a key side too big
+    * to broadcast as a hash relation (Spark then sort-merge-shuffles
+    * BOTH sides) still fits as a Bloom filter at ~10 bits/key, so the
+    * big side's exchange carries only candidate rows (true matches +
+    * the fpp tail). Complementary to Spark's automatic runtime bloom
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`), which only fires
+    * under planner thresholds — this form is explicit and guaranteed.
+    *
+    * Mechanism (the [[graft.functions.Dedup.dedupAgainstSnapshot]]
+    * recipe, key-generic): keys reduce to distinct string-cast values,
+    * xxhash64 to longs, fold into a driver Bloom
+    * (`stat.bloomFilter` — EAGER, one job at call time; the
+    * columnProfile eager-tier convention), probed per row by the
+    * codegen'd `BloomFilterMightContain` expression (not a UDF); the
+    * surviving candidates then exact-semi-join the distinct key set,
+    * killing false positives — output EQUALS the plain semi-join under
+    * any fpp. NULL keys never match (equality join semantics).
+    * `expectedItems` < 0 auto-sizes from the true distinct-key count
+    * (one extra cheap job; a fixed guess embeds a bloom literal
+    * proportional to the GUESS in every task). */
+  def bloomSemiJoin(df: DataFrame, key: Column, keys: DataFrame,
+                    keysKey: Column, expectedItems: Long = -1L,
+                    fpp: Double = 0.03): DataFrame = {
+    val (might, kd) = bloomProbe(key, keys, keysKey, expectedItems, fpp)
+    df.where(might).join(kd, key.cast("string") === col("__gk"), "left_semi")
+  }
+
+  /** Anti twin of [[bloomSemiJoin]]: keep `df` rows whose `key` is NOT
+    * in `keys`. The Bloom's no-false-negative guarantee works in
+    * reverse: a row the filter rejects is DEFINITELY absent and passes
+    * immediately without ever joining; only might-contain candidates
+    * (true matches + fpp tail) enter the exact anti-join. `df` is
+    * scanned twice (two complementary filters — the
+    * stripRepeatedBlocks recomputation-over-materialization
+    * convention; both scans are pushdown-pruned on a parquet source).
+    * NULL keys: never "in" the key set, so they pass — matching
+    * Spark's LEFT ANTI null semantics on an equality condition. */
+  def bloomAntiJoin(df: DataFrame, key: Column, keys: DataFrame,
+                    keysKey: Column, expectedItems: Long = -1L,
+                    fpp: Double = 0.03): DataFrame = {
+    val (might, kd) = bloomProbe(key, keys, keysKey, expectedItems, fpp)
+    df.where(!might).unionByName(
+      df.where(might)
+        .join(kd, key.cast("string") === col("__gk"), "left_anti"))
+  }
+
+  /** Shared bloom construction: (codegen might-contain probe column,
+    * lazily-materialized distinct string-cast key frame `__gk`). */
+  private def bloomProbe(key: Column, keys: DataFrame, keysKey: Column,
+                         expectedItems: Long,
+                         fpp: Double): (Column, DataFrame) = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp out of (0, 1)")
+    require(expectedItems != 0L,
+      "expectedItems must be > 0 (sized) or < 0 (auto-size)")
+    val kd = graft.functions.Dedup.materializeLazily(
+      keys.select(keysKey.cast("string").as("__gk"))
+        .where(keysKey.isNotNull).distinct())
+    val expected =
+      if (expectedItems > 0L) expectedItems
+      else math.max(kd.count(), 1L)
+    val bloom = kd.select(xxhash64(col("__gk")).as("__bh"))
+      .stat.bloomFilter("__bh", expected, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bytes)
+    import org.apache.spark.sql.graft.Bridge
+    val might = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(lit(bytes.toByteArray)),
+        Bridge.expression(xxhash64(key.cast("string")))))
+    (might, kd)
+  }
+
   /** Set ops (core.clj:1823-1861). */
   def unionDistinct(dfs: Seq[DataFrame]): DataFrame = concat(dfs).distinct()
   def intersectDistinct(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)

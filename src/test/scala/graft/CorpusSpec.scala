@@ -2048,4 +2048,79 @@ class CorpusSpec extends AnyFunSuite {
         .toMap == want, s"noisy key=$k")
     }
   }
+
+  test("sequenceTrigrams: hand sequences, null splice, minSupport, invariance") {
+    def df(rows: Seq[(String, Long, String)]) = rows.toDF("k", "o", "s")
+    def run(rows: Seq[(String, Long, String)], minSup: Long = 1L,
+            parts: Int = 3): Map[(String, String, String), Long] =
+      Corpus.sequenceTrigrams(df(rows).repartition(parts),
+          col("k"), Seq(col("o")), col("s"), minSupport = minSup)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getLong(3)).toMap
+    // [a,b,c,a,b] -> (a,b,c), (b,c,a), (c,a,b)
+    val u1 = Seq("a", "b", "c", "a", "b").zipWithIndex
+      .map { case (s, i) => ("u1", i.toLong, s) }
+    assert(run(u1) == Map(("a", "b", "c") -> 1L, ("b", "c", "a") -> 1L,
+      ("c", "a", "b") -> 1L))
+    // two users accumulate support; minSupport filters
+    val u2 = Seq("a", "b", "c").zipWithIndex
+      .map { case (s, i) => ("u2", i.toLong, s) }
+    assert(run(u1 ++ u2).apply(("a", "b", "c")) == 2L)
+    assert(run(u1 ++ u2, minSup = 2L) == Map(("a", "b", "c") -> 2L))
+    // NULL state splices (dropped BEFORE the lag): [a, null, b, c]
+    // yields trigram (a, b, c)
+    val spliced = Seq(("u", 0L, "a"), ("u", 1L, null: String),
+      ("u", 2L, "b"), ("u", 3L, "c"))
+    assert(run(spliced) == Map(("a", "b", "c") -> 1L))
+    // sequences shorter than 3 emit nothing; partition invariance
+    assert(run(u2.take(2)).isEmpty)
+    assert(run(u1 ++ u2, parts = 7) == run(u1 ++ u2, parts = 1))
+  }
+
+  test("mannKendallTrend: monotone/constant/tie cases, brute reference, unkeyed") {
+    def run(rows: Seq[(String, Long, Long)],
+            parts: Int = 3): Map[String, (Long, Long, Double)] =
+      Corpus.mannKendallTrend(rows.toDF("k", "t", "x").repartition(parts),
+          col("t"), col("x"), keys = Seq(col("k")))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val inc = (0 until 10).map(i => ("inc", i.toLong, i.toLong * 2))
+    val dec = (0 until 10).map(i => ("dec", i.toLong, 100L - i))
+    val const = (0 until 10).map(i => ("const", i.toLong, 7L))
+    val single = Seq(("one", 0L, 5L))
+    val got = run(inc ++ dec ++ const ++ single)
+    assert(got("inc") == ((10L, 45L, 1.0)))
+    assert(got("dec") == ((10L, -45L, -1.0)))
+    assert(got("const") == ((10L, 0L, 0.0)))
+    assert(got("one") == ((1L, 0L, 0.0)))
+    // ties contribute 0 (tau-a): [1, 1, 2] -> pairs (=,<,<) -> S=2,
+    // tau = 2/3
+    val tied = Seq(("t", 0L, 1L), ("t", 1L, 1L), ("t", 2L, 2L))
+    assert(run(tied)("t") == ((3L, 2L, 2.0 / 3.0)))
+    // brute reference on a random keyed series + partition invariance
+    val rnd = new scala.util.Random(31)
+    val rand = for { k <- Seq("a", "b"); t <- 0 until 25 }
+      yield (k, t.toLong, rnd.nextInt(10).toLong)
+    def brute(xs: Seq[Long]): (Long, Double) = {
+      val s = (for { i <- xs.indices; j <- xs.indices if i < j }
+        yield java.lang.Long.compare(xs(j), xs(i)).sign.toLong).sum
+      (s, s.toDouble / (xs.size.toLong * (xs.size - 1) / 2).toDouble)
+    }
+    for (parts <- Seq(1, 6)) {
+      val g = run(rand, parts)
+      for (k <- Seq("a", "b")) {
+        val xs = rand.filter(_._1 == k).sortBy(_._2).map(_._3)
+        val (s, tau) = brute(xs)
+        assert(g(k) == ((25L, s, tau)), s"key=$k parts=$parts")
+      }
+    }
+    // unkeyed global form
+    val xsA = rand.filter(_._1 == "a").map(t => (t._2, t._3))
+    val (sG, tauG) = brute(xsA.sortBy(_._1).map(_._2))
+    val rg = Corpus.mannKendallTrend(xsA.toDF("t", "x"), col("t"), col("x"))
+      .collect()(0)
+    assert((rg.getLong(0), rg.getLong(1), rg.getDouble(2)) == ((25L, sG, tauG)))
+  }
 }

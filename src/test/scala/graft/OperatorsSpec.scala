@@ -343,6 +343,58 @@ class GroupingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Grouping.saltedJoin(left, right, Seq("k"), 8, "full"))
   }
 
+  test("bloomSemiJoin/bloomAntiJoin: exact join semantics at any fpp, codegen probe, nulls") {
+    val rnd = new scala.util.Random(41)
+    val big = (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(9))) ++
+      Seq((0L, -1)) // and a null key below
+    val bigDf = big.toDF("k", "v").union(
+      Seq((0L, -2)).toDF("k", "v")
+        .select(lit(null).cast("long").as("k"), col("v")))
+    val keys = (0 to 119 by 3).map(i => Tuple1(i.toLong))
+    val keysDf = keys.toDF("gk").union(
+      Seq(Tuple1(0L)).toDF("gk").select(lit(null).cast("long").as("gk")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.get(0)), r.getInt(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val plainSemi = rows(bigDf.join(keysDf,
+      bigDf("k") === keysDf("gk"), "left_semi"))
+    val plainAnti = rows(bigDf.join(keysDf,
+      bigDf("k") === keysDf("gk"), "left_anti"))
+    // a sky-high fpp floods the exact stage with false positives and
+    // the output must not move; fpp 0.5 exercises the probe pruning too
+    for (fpp <- Seq(0.5, 0.9)) {
+      val semi = Grouping.bloomSemiJoin(bigDf, col("k"), keysDf, col("gk"),
+        fpp = fpp)
+      val anti = Grouping.bloomAntiJoin(bigDf, col("k"), keysDf, col("gk"),
+        fpp = fpp)
+      assert(rows(semi) == plainSemi, s"semi fpp=$fpp")
+      assert(rows(anti) == plainAnti, s"anti fpp=$fpp")
+      // the NULL-key row dies in semi, survives anti (equality semantics)
+      assert(!rows(semi).keySet.exists(_._1.isEmpty))
+      assert(rows(anti).keySet.exists(_._1.isEmpty))
+    }
+    // the probe is the codegen'd catalyst expression, visible in the
+    // plan on a non-foldable (file) input — over a local relation
+    // ConvertToLocalRelation evaluates the filter at optimize time
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ords = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"))
+    val planSemi = Grouping.bloomSemiJoin(li, col("l_orderkey"), ords,
+      col("o_orderkey"))
+    assert(planSemi.queryExecution.executedPlan.toString
+      .contains("might_contain"), "bloom probe missing from plan")
+    assert(planSemi.count() ==
+      li.join(ords, li("l_orderkey") === ords("o_orderkey"), "left_semi")
+        .count())
+    // sized form matches; degenerate expectedItems rejected
+    assert(rows(Grouping.bloomSemiJoin(bigDf, col("k"), keysDf, col("gk"),
+      expectedItems = 64L)) == plainSemi)
+    intercept[IllegalArgumentException](Grouping.bloomSemiJoin(
+      bigDf, col("k"), keysDf, col("gk"), expectedItems = 0L))
+    intercept[IllegalArgumentException](Grouping.bloomSemiJoin(
+      bigDf, col("k"), keysDf, col("gk"), fpp = 1.0))
+  }
+
   test("groupByKey collects values (core.clj:926-935)") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
     val g = Grouping.groupByKey(df, "k")
