@@ -3867,6 +3867,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum($"l_quantity".cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // -------- events: trailing 7-day active users (exact WAU) ----------
+    // Distinct users active in the 7 days ending at each day — the
+    // explode-to-trailing-windows exact form (no sliding-HLL); leading
+    // partial windows emitted, windows run to the max observed day.
+    // All-integer.
+    "q_rolling_active" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
+      Corpus.rollingDistinctCount(ev, $"day", $"user_id", window = 7)
+        .orderBy("t")
+    }),
+
+    // -------- events: Holt linear smoothing of daily volumes ----------
+    // Trend-aware level/trend/one-step-forecast per event type over
+    // the shared daily series — α = β = ½ pinned, every fold step a
+    // fixed-order exact halving, replayed bit-identically in DuckDB
+    // via list_reduce over [level, trend] list states (the q_ewma
+    // acc-first recipe with a 2-state accumulator).
+    "q_holt" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Corpus.holtLinearByKey(daily, Seq($"event_type"), $"cnt", Seq($"day"))
+        .orderBy("event_type")
+    }),
+
+    // -------- events: time-to-convert quantiles -------------------------
+    // Per user: first 'view', then first 'purchase' strictly after it
+    // (the q_funnel greedy-first contract); the view→purchase delay
+    // distribution in exact µs through the chunked-selection
+    // exactQuantiles — pure integer comparisons and selection, zero
+    // value arithmetic.
+    "q_time_to_convert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type", unix_micros($"ts").as("tu"))
+        .where($"user_id".isNotNull)
+      val v1 = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"tu").as("t1"))
+      val delays = ev.where($"event_type" === "purchase")
+        .join(v1, "user_id").where($"tu" > $"t1")
+        .groupBy($"user_id").agg(min($"tu").as("tp"), min($"t1").as("t1"))
+        .select(($"tp" - $"t1").as("d"))
+      Corpus.exactQuantiles(delays, $"d", Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("prob")
     }))
 
   /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
@@ -4772,6 +4822,52 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |     user_id::VARCHAR AS uid
+        |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        | mx AS (SELECT max(day) AS m FROM du),
+        | w AS (SELECT du.day + g.i AS t, du.uid
+        |   FROM du CROSS JOIN generate_series(0, 6) g(i))
+        |SELECT t::BIGINT AS t, count(DISTINCT uid)::BIGINT AS n_active
+        |FROM w, mx WHERE t <= mx.m GROUP BY t ORDER BY t""".stripMargin,
+    "q_holt" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | s AS (SELECT event_type, list(cnt::DOUBLE ORDER BY day) AS vs,
+        |     count(*) AS n FROM daily GROUP BY 1),
+        | f AS (SELECT event_type, n,
+        |   list_reduce(list_transform(vs, x -> [x, NULL::DOUBLE]),
+        |     (acc, e) -> CASE WHEN acc[2] IS NULL
+        |       THEN [e[1], e[1] - acc[1]]
+        |       ELSE [(e[1] + (acc[1] + acc[2]))/2,
+        |             (((e[1] + (acc[1] + acc[2]))/2 - acc[1]) + acc[2])/2]
+        |       END) AS st
+        |   FROM s)
+        |SELECT event_type, n::BIGINT AS n, st[1] AS level,
+        | coalesce(st[2], 0.0) AS trend,
+        | st[1] + coalesce(st[2], 0.0) AS forecast
+        |FROM f ORDER BY event_type""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu
+        |   FROM events WHERE user_id IS NOT NULL),
+        | v1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | tp AS (SELECT ev.user_id, min(ev.tu) AS tp, min(v1.t1) AS t1
+        |   FROM ev JOIN v1 USING (user_id)
+        |   WHERE ev.event_type = 'purchase' AND ev.tu > v1.t1 GROUP BY 1),
+        | v AS (SELECT (tp - t1)::DOUBLE AS x FROM tp),
+        | nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        | q(p) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+        | k AS (SELECT p::DOUBLE AS prob,
+        |     greatest(1, least((SELECT n FROM nn),
+        |       ceil(p::DOUBLE * (SELECT n FROM nn)::DOUBLE)::BIGINT)) AS rank
+        |   FROM q),
+        | o AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+        |SELECT k.prob, o.x AS value, k.rank FROM k JOIN o ON o.rn = k.rank
+        |ORDER BY prob""".stripMargin,
     "q_seq_trigrams" ->
       """WITH e AS (SELECT user_id::VARCHAR AS k, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events

@@ -3574,6 +3574,98 @@ object Corpus {
       .where(col("support") >= minSupport)
   }
 
+  /** Trailing-window distinct count per period — the WAU/MAU family
+    * ("distinct users active in the 7 days ending at each day"),
+    * EXACT (no sliding-HLL approximation): each distinct
+    * (key, period, id) row is exploded to the `window` trailing
+    * windows it contributes to, then one count_distinct per window
+    * end. Pre-dedup bounds the explode at `window` × the distinct
+    * activity table (NOT raw events), and the final aggregate dedups
+    * map-side. Output windows run to each key's max observed period;
+    * leading PARTIAL windows are emitted (standard dashboard
+    * semantics — the first w−1 periods cover shorter spans); gap
+    * periods inside the range appear with the actives of their
+    * trailing span. All-integer. `t` is an integer period index
+    * (e.g. epoch-day); NULL key/t/id rows drop. Output:
+    * (keys…, t, n_active) — t is the window END. */
+  def rollingDistinctCount(df: DataFrame, t: Column, id: Column,
+                           window: Int,
+                           keys: Seq[Column] = Nil): DataFrame = {
+    require(window >= 1 && window <= 366, s"window $window out of [1, 366]")
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val kcols = keyNames.map(col)
+    val v = df.select(
+        keys.zipWithIndex.map { case (c, i) => c.cast("string").as(s"__k$i") } ++
+          Seq(t.cast("long").as("__t"), id.cast("string").as("__id")): _*)
+      .where(keys.indices.map(i => col(s"__k$i").isNotNull)
+        .foldLeft(col("__t").isNotNull && col("__id").isNotNull)(_ && _))
+      .distinct()
+    val mx = v.groupBy(kcols: _*).agg(max(col("__t")).as("__mx"))
+    v.select(kcols ++ Seq(col("__t"), col("__id"),
+        explode(sequence(lit(0L), lit((window - 1).toLong))).as("__off")): _*)
+      .select(kcols ++ Seq((col("__t") + col("__off")).as("__te"),
+        col("__id")): _*)
+      .join(mx, keyNames, "inner")
+      .where(col("__te") <= col("__mx"))
+      .groupBy(kcols :+ col("__te"): _*)
+      .agg(count_distinct(col("__id")).as("n_active"))
+      .select(keys.indices.map(i => col(s"__k$i").as(s"key$i")) ++
+        Seq(col("__te").as("t"), col("n_active")): _*)
+  }
+
+  /** Per-key Holt linear (double-exponential) smoothing at
+    * α = β = 1/2 — the trend-aware upgrade of [[ewmaByKey]] (an EWMA
+    * lags a trending series forever; Holt carries an explicit trend
+    * state and its one-step forecast is level + trend). Pinned
+    * α = β = 1/2 by the ewma convention: every fold step is
+    * additions/subtractions and EXACT halvings in a FIXED order, so
+    * the result is bit-identical cross-engine (DuckDB replays the
+    * identical fold via list_reduce over [level, trend] list states).
+    * Init (Hyndman): l₁ = x₁, b₁ = x₂ − x₁ — at α = β = 1/2 the first
+    * update then collapses to l₂ = x₂, b₂ = x₂ − x₁, which is what
+    * the NULL-trend first fold step computes. n = 1 keys emit
+    * trend 0.
+    *
+    * Contract and scale shape are [[ewmaByKey]]'s exactly: `order`
+    * unique per key, one in-memory array per key (audit with
+    * [[keySkewReport]]), NULL values drop, NULL keys are real groups.
+    * Output: (keys…, n, level, trend, forecast) with
+    * forecast = level + trend. */
+  def holtLinearByKey(df: DataFrame, keys: Seq[Column], value: Column,
+                      order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "holtLinearByKey needs at least one order column")
+    val v = df.select((keys :+ value.cast("double").as("__x")) ++
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }: _*)
+      .where(col("__x").isNotNull)
+    val keyNames = v.columns.take(keys.size).toIndexedSeq
+    val st = struct((order.indices.map(i => col(s"__o$i")) :+
+      col("__x").as("__v")): _*)
+    val init = struct(
+      element_at(col("__arr"), 1).getField("__v").as("l"),
+      lit(null).cast("double").as("b"))
+    val folded = aggregate(
+      transform(slice(col("__arr"), lit(2),
+        greatest(lit(0), size(col("__arr")) - 1)),
+        s => s.getField("__v")),
+      init,
+      (acc, x) => {
+        val l = acc.getField("l")
+        val b = acc.getField("b")
+        val nl = (x + (l + b)) / lit(2.0)
+        val nb = ((nl - l) + b) / lit(2.0)
+        when(b.isNull, struct(x.as("l"), (x - l).as("b")))
+          .otherwise(struct(nl.as("l"), nb.as("b")))
+      })
+    v.groupBy(keyNames.map(col): _*)
+      .agg(sort_array(collect_list(st)).as("__arr"))
+      .select((keyNames.map(col) :+
+        size(col("__arr")).cast("long").as("n") :+
+        folded.getField("l").as("level") :+
+        coalesce(folded.getField("b"), lit(0.0)).as("trend") :+
+        (folded.getField("l") +
+          coalesce(folded.getField("b"), lit(0.0))).as("forecast")): _*)
+  }
+
   /** Mann-Kendall trend test statistic per key — the nonparametric
     * "is this series drifting?" answer next to [[cusumShifts]] (which
     * finds WHERE a shift happened; this asks WHETHER a monotone trend

@@ -2123,4 +2123,81 @@ class CorpusSpec extends AnyFunSuite {
       .collect()(0)
     assert((rg.getLong(0), rg.getLong(1), rg.getDouble(2)) == ((25L, sG, tauG)))
   }
+
+  test("rollingDistinctCount: hand windows, within-day dedup, keys, window=1, invariance") {
+    def run(rows: Seq[(Long, String)], w: Int,
+            parts: Int = 3): Map[Long, Long] =
+      Corpus.rollingDistinctCount(rows.toDF("d", "u").repartition(parts),
+          col("d"), col("u"), window = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // days 1:{a}, 2:{b,a}, 4:{c}; window 3 -> the DuckDB prototype case:
+    // gap day 3 emitted from trailing contributions, partial window at 1
+    val rows = Seq((1L, "a"), (2L, "b"), (2L, "a"), (4L, "c"))
+    assert(run(rows, w = 3) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+    // duplicate (day, id) rows never double-count; window caps at max day
+    assert(run(rows ++ rows, w = 3) == run(rows, w = 3))
+    // window=1 is per-day distinct (gap day emits nothing)
+    assert(run(rows, w = 1) == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+    // an id active on several days counts once per window
+    assert(run(Seq((1L, "a"), (2L, "a"), (3L, "a")), w = 3) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // keyed form: keys independent, each capped at its OWN max day
+    val keyed = Seq(("s1", 1L, "a"), ("s1", 2L, "b"), ("s2", 1L, "a"))
+    val gotK = Corpus.rollingDistinctCount(keyed.toDF("k", "d", "u"),
+        col("d"), col("u"), window = 2, keys = Seq(col("k")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotK == Map(("s1", 1L) -> 1L, ("s1", 2L) -> 2L, ("s2", 1L) -> 1L))
+    // invariance + null drops
+    assert(run(rows, w = 3, parts = 7) == run(rows, w = 3, parts = 1))
+    val withNull = rows.toDF("d", "u").union(
+      Seq((9L, "x")).toDF("d", "u").select(col("d"), lit(null).cast("string").as("u")))
+    assert(Corpus.rollingDistinctCount(withNull, col("d"), col("u"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == run(rows, 3))
+  }
+
+  test("holtLinearByKey: hand fold, short series, driver reference, invariance") {
+    def run(rows: Seq[(String, Long, Double)],
+            parts: Int = 3): Map[String, (Long, Double, Double, Double)] =
+      Corpus.holtLinearByKey(rows.toDF("k", "o", "x").repartition(parts),
+          Seq(col("k")), col("x"), Seq(col("o")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    // hand fold (the DuckDB prototype case): [3,5,4,8] ->
+    // (5,2) -> (5.5,1.25) -> (7.375,1.5625)
+    val h = Seq("h" -> 3.0, "h" -> 5.0, "h" -> 4.0, "h" -> 8.0)
+      .zipWithIndex.map { case ((k, x), i) => (k, i.toLong, x) }
+    assert(run(h)("h") == ((4L, 7.375, 1.5625, 8.9375)))
+    // n=1: level = x, trend 0; n=2: level = x2, trend = x2-x1
+    assert(run(Seq(("a", 0L, 5.0)))("a") == ((1L, 5.0, 0.0, 5.0)))
+    assert(run(Seq(("b", 0L, 3.0), ("b", 1L, 7.0)))("b") ==
+      ((2L, 7.0, 4.0, 11.0)))
+    // driver fold reference (identical op order -> bit-equal doubles)
+    val rnd = new scala.util.Random(37)
+    val series = (0 until 30).map(i => ("r", i.toLong, rnd.nextInt(50).toDouble))
+    def ref(xs: Seq[Double]): (Double, Double) = {
+      var l = xs.head; var b = Double.NaN; var first = true
+      for (x <- xs.tail) {
+        if (first) { b = x - l; l = x; first = false }
+        else {
+          val nl = (x + (l + b)) / 2.0
+          val nb = ((nl - l) + b) / 2.0
+          l = nl; b = nb
+        }
+      }
+      (l, if (first) 0.0 else b)
+    }
+    val (rl, rb) = ref(series.map(_._3))
+    for (parts <- Seq(1, 6)) {
+      val got = run(series, parts)("r")
+      assert(got == ((30L, rl, rb, rl + rb)), s"parts=$parts")
+    }
+    // NULL values drop
+    val withNull = series.toDF("k", "o", "x").union(
+      Seq(("r", 99L, 0.0)).toDF("k", "o", "x")
+        .select(col("k"), col("o"), lit(null).cast("double").as("x")))
+    assert(Corpus.holtLinearByKey(withNull, Seq(col("k")), col("x"),
+        Seq(col("o"))).collect()(0).getDouble(2) == rl)
+  }
 }
