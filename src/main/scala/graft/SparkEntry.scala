@@ -3917,6 +3917,17 @@ object SparkEntry {
         .select(($"tp" - $"t1").as("d"))
       Corpus.exactQuantiles(delays, $"d", Seq(0.25, 0.5, 0.75, 0.9))
         .orderBy("prob")
+    }),
+
+    // -------- corpus: Gini inequality of rows per key -------------------
+    // Gini of lineitem rows per part — the whole-distribution
+    // inequality audit next to q_concentration's HHI. The doubled
+    // rank-sum over DISTINCT count values stays integral (no /2);
+    // one final division; the oracle's row_number replay is exact
+    // because tie order cannot move Σ i·x.
+    "q_gini" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.giniIndex(t(s, dir, "lineitem"), $"l_partkey")
     }))
 
   /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
@@ -4822,6 +4833,17 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_gini" ->
+      """WITH per AS (SELECT l_partkey, count(*) AS x FROM lineitem
+        |   GROUP BY 1),
+        | o AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM per),
+        | t AS (SELECT sum(x::HUGEINT * i::HUGEINT) AS r,
+        |     count(*) AS n, sum(x) AS s FROM o)
+        |SELECT n::BIGINT AS n_keys, s::BIGINT AS n_rows,
+        | CASE WHEN s = 0 OR n = 0 THEN 0.0
+        |   ELSE (2*r - (n + 1)::HUGEINT * s::HUGEINT)::DOUBLE
+        |     / (n::HUGEINT * s::HUGEINT)::DOUBLE END AS gini
+        |FROM t""".stripMargin,
     "q_rolling_active" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |     user_id::VARCHAR AS uid

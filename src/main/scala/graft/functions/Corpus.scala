@@ -3574,6 +3574,63 @@ object Corpus {
       .where(col("support") >= minSupport)
   }
 
+  /** Gini coefficient of the per-key row distribution — the
+    * inequality audit next to [[herfindahlIndex]] (HHI asks "how
+    * concentrated are the top keys"; Gini asks "how unequal is the
+    * WHOLE distribution" — a corpus where every domain contributes
+    * equally scores 0, one domain owning everything scores → 1).
+    * Estimator: G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·S) / (n·S) over
+    * ascending-sorted per-key counts — tie order cannot matter
+    * (equal values × any rank permutation sum identically), so no
+    * tiebreak is needed and the oracle's row_number replay is exact.
+    *
+    * Exactness: the doubled rank-sum 2R = Σ_v v·(2·cnt_v·C_prev +
+    * cnt_v·(cnt_v+1)) over DISTINCT count values v stays integral in
+    * decimal(38,0) (no /2 anywhere); G is ONE final IEEE division of
+    * exact operands. Scale shape: one per-key count aggregate, one
+    * distinct-value aggregate (cardinality = #distinct counts, small
+    * by nature), then the prCurve chunked-prefix recipe — value-range
+    * chunks + driver exclusive offsets + a per-chunk window — so
+    * there is NO single-partition window and NO global sort. Eager
+    * (driver stats reads — the exactQuantiles convention). Output
+    * single row: (n_keys, n_rows, gini). */
+  def giniIndex(df: DataFrame, key: Column, chunks: Int = 256): DataFrame = {
+    require(chunks >= 1, s"chunks $chunks must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val per = df.select(key.cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__x"))
+    val perV = Dedup.materializeLazily(per.groupBy(col("__x").as("__v"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__x")).as("__mass")))
+    val stats = perV.agg(
+      min(col("__v").cast("double")), max(col("__v").cast("double")),
+      coalesce(sum(col("__cnt")), lit(0L)),
+      coalesce(sum(col("__mass")), lit(0L))).head()
+    if (stats.isNullAt(0))
+      return df.sparkSession.range(1).select(lit(0L).as("n_keys"),
+        lit(0L).as("n_rows"), lit(0.0).as("gini"))
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val n = stats.getLong(2)
+    val s = stats.getLong(3)
+    val withC = scoreChunks(perV.withColumn("__s", col("__v").cast("double")),
+      lo, hi, chunks, descending = false)
+    val Seq(off) = chunkPrefixOffsets(withC, Seq("__cnt"))
+    val w = Window.partitionBy(col("__chunk")).orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cPrev = sum(col("__cnt")).over(w) + off - col("__cnt")
+    val twoR = withC
+      .withColumn("__term", dec(col("__v")) *
+        (lit(2).cast("decimal(38,0)") * dec(col("__cnt")) * dec(cPrev) +
+          dec(col("__cnt")) * (dec(col("__cnt")) + lit(1).cast("decimal(38,0)"))))
+      .agg(coalesce(sum(col("__term")), lit(0L).cast("decimal(38,0)"))
+        .as("__2r"))
+    val num = col("__2r") - (dec(lit(n)) + lit(1).cast("decimal(38,0)")) * dec(lit(s))
+    twoR.select(lit(n).as("n_keys"), lit(s).as("n_rows"),
+      (if (s == 0L || n == 0L) lit(0.0)
+       else num.cast("double") / (dec(lit(n)) * dec(lit(s))).cast("double"))
+        .as("gini"))
+  }
+
   /** Trailing-window distinct count per period — the WAU/MAU family
     * ("distinct users active in the 7 days ending at each day"),
     * EXACT (no sliding-HLL approximation): each distinct

@@ -80,11 +80,26 @@ object Dedup {
     when(size(array_union(a, b)) === 0, lit(0.0))
       .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
-  /** Exact all-pairs n-gram Jaccard near-dup detection, optionally
-    * blocked by a column to bound the quadratic term. Oracle-friendly;
-    * the 100 TB path is [[minhashLshPairs]]. */
+  /** Exact n-gram Jaccard near-dup pairs, optionally blocked by a
+    * column (only same-block pairs compared). Since r13 this DELEGATES
+    * to the [[jaccardPairsExact]] prefix-filter machinery — the naive
+    * blocked all-pairs form this name shipped with measured 284 s at
+    * sf0.1 once the census bench tier finally timed it (within-block
+    * all-pairs is quadratic in block size, and "blocks small by
+    * contract" did not hold for a source column); output is UNCHANGED
+    * (differential-spec'd against the retained naive form). */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
-                        threshold: Double, blockBy: Option[String] = None): DataFrame = {
+                        threshold: Double, blockBy: Option[String] = None): DataFrame =
+    jaccardPairsExact(df, id, text, n, threshold, blockBy = blockBy)
+
+  /** The pre-r13 naive blocked all-pairs form of [[ngramJaccardPairs]],
+    * retained as the differential-spec reference (DedupSpec asserts
+    * output equality with the prefix-filter delegate). Quadratic in
+    * block size — never on a production path. */
+  private[graft] def ngramJaccardPairsAllPairs(df: DataFrame, id: String,
+                                               text: String, n: Int,
+                                               threshold: Double,
+                                               blockBy: Option[String] = None): DataFrame = {
     val withSh = df.select(Seq(col(id).as("__id"), charShingles(col(text), n).as("__sh")) ++
       blockBy.map(c => col(c).as("__blk")): _*)
     val l = withSh.select(Seq(col("__id").as("id_a"), col("__sh").as("sh_a")) ++
@@ -1761,10 +1776,17 @@ object Dedup {
     * from ranking/prefixes — the stop-gram cap for viral boilerplate
     * (the [[ngramContainmentPairs]] convention: loss is recall only,
     * observable by re-running uncapped; leave 0 on oracle paths).
-    * Docs with null text never pair; `id` values must be unique. */
+    * `blockBy` (r13) restricts output to same-block pairs by carrying
+    * the block through the prefix-join KEY — candidate fan-out becomes
+    * Σ per-block prefix-df (strictly ≤ the unblocked volume) and the
+    * verify stages are untouched; gram ranking stays GLOBAL (any fixed
+    * total order is prefix-complete, and a per-block order would buy
+    * nothing). Docs with null text never pair; `id` values must be
+    * unique. */
   def jaccardPairsExact(df: DataFrame, id: String, text: String,
                         n: Int = 5, threshold: Double = 0.9,
-                        maxDocFreq: Long = 0): DataFrame = {
+                        maxDocFreq: Long = 0,
+                        blockBy: Option[String] = None): DataFrame = {
     require(n >= 1, s"n $n must be >= 1")
     require(threshold > 0 && threshold <= 1,
       s"threshold $threshold outside (0,1]")
@@ -1778,10 +1800,12 @@ object Dedup {
     // only ADD candidates (stage-2 drops them), and the one-gram
     // slack below absorbs a within-pair collision at a boundary.
     val sets_h = materializeLazily(df
-      .select(col(id).as("__jid"), shingleHashes(col(text), n).as("__hs"))
+      .select(Seq(col(id).as("__jid"), shingleHashes(col(text), n).as("__hs")) ++
+        blockBy.map(c => col(c).as("__blk")): _*)
       .where(col("__hs").isNotNull))
-    val g = sets_h.select(col("__jid"), size(col("__hs")).as("__n"),
-      explode(col("__hs")).as("__g"))
+    val g = sets_h.select(Seq(col("__jid"), size(col("__hs")).as("__n"),
+      explode(col("__hs")).as("__g")) ++
+      blockBy.map(_ => col("__blk")): _*)
     val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
                else dfreq
@@ -1791,12 +1815,14 @@ object Dedup {
         Window.partitionBy(col("__jid")).orderBy(col("__df"), col("__g"))))
     val pref = ranked.where(col("__r") <=
         col("__n") - floor(lit(threshold) * col("__n")).cast("int") + lit(1))
-      .select(col("__jid"), col("__n"), col("__g"))
-    val pa = pref.select(col("__jid").as("id_a"), col("__n").as("__na"),
-      col("__g"))
-    val pb = pref.select(col("__jid").as("id_b"), col("__n").as("__nb"),
-      col("__g"))
-    val cand = materializeOnce(pa.join(pb, Seq("__g"))
+      .select(Seq(col("__jid"), col("__n"), col("__g")) ++
+        blockBy.map(_ => col("__blk")): _*)
+    val joinKeys = Seq("__g") ++ blockBy.map(_ => "__blk")
+    val pa = pref.select(Seq(col("__jid").as("id_a"), col("__n").as("__na"),
+      col("__g")) ++ blockBy.map(_ => col("__blk")): _*)
+    val pb = pref.select(Seq(col("__jid").as("id_b"), col("__n").as("__nb"),
+      col("__g")) ++ blockBy.map(_ => col("__blk")): _*)
+    val cand = materializeOnce(pa.join(pb, joinKeys)
       .where(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")).cast("double") >=
           lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))

@@ -2200,4 +2200,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.holtLinearByKey(withNull, Seq(col("k")), col("x"),
         Seq(col("o"))).collect()(0).getDouble(2) == rl)
   }
+
+  test("giniIndex: closed forms, brute reference, chunk invariance, empty") {
+    def mk(counts: Seq[Int]): org.apache.spark.sql.DataFrame =
+      counts.zipWithIndex
+        .flatMap { case (c, k) => Seq.fill(c)(s"k$k") }
+        .toDF("key")
+    def run(counts: Seq[Int], chunks: Int = 256): (Long, Long, Double) = {
+      val r = Corpus.giniIndex(mk(counts).repartition(4), col("key"),
+        chunks = chunks).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // perfectly equal -> 0; single key -> 0
+    assert(run(Seq(4, 4, 4, 4)) == ((4L, 16L, 0.0)))
+    assert(run(Seq(7)) == ((1L, 7L, 0.0)))
+    // hand case [1, 3]: R = 1 + 6 = 7, G = (14 - 12)/8 = 0.25
+    assert(run(Seq(1, 3)) == ((2L, 4L, 0.25)))
+    // brute reference (BigInt, same exact operands -> identical double)
+    val rnd = new scala.util.Random(43)
+    val counts = Seq.fill(60)(1 + rnd.nextInt(40))
+    def brute(cs: Seq[Int]): Double = {
+      val sorted = cs.sorted.map(BigInt(_))
+      val n = BigInt(cs.size)
+      val s = sorted.sum
+      val r = sorted.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      ((2 * r - (n + 1) * s).toDouble / (n * s).toDouble)
+    }
+    val want = brute(counts)
+    assert(run(counts)._3 == want)
+    // chunk-count invariance (1 chunk = one plain window; 7 = ragged)
+    assert(run(counts, chunks = 1)._3 == want)
+    assert(run(counts, chunks = 7)._3 == want)
+    // empty input -> one zero row
+    assert(run(Seq.empty) == ((0L, 0L, 0.0)))
+  }
 }

@@ -74,7 +74,10 @@ class DedupSpec extends AnyFunSuite {
       (5L until 30L).map(i => (i, randDoc(10 + rnd.nextInt(50))))
     val df = fixture.toDF("id", "s").repartition(7)
     for (t <- Seq(0.5, 0.8, 0.9)) {
-      val want = Dedup.ngramJaccardPairs(df, "id", "s", 5, t)
+      // reference = the retained naive all-pairs form (ngramJaccardPairs
+      // itself DELEGATES to the prefix machinery since r13 — using it
+      // here would compare the operator to itself)
+      val want = Dedup.ngramJaccardPairsAllPairs(df, "id", "s", 5, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       val got = Dedup.jaccardPairsExact(df, "id", "s", 5, t)
@@ -83,6 +86,26 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want, s"t=$t: missing=${(want -- got).take(5)} " +
         s"extra=${(got -- want).take(5)}")
     }
+    // blocked form: delegate == naive, blocks honored (only same-block
+    // pairs), and the block key rides the prefix JOIN (cross-block
+    // docs sharing every gram never pair)
+    val blocked = fixture.map { case (i, s0) =>
+      (i, s0, if (i % 2 == 0) "b0" else "b1")
+    }.toDF("id", "s", "blk").repartition(5)
+    for (t <- Seq(0.5, 0.9)) {
+      val wantB = Dedup.ngramJaccardPairsAllPairs(blocked, "id", "s", 5, t,
+          blockBy = Some("blk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val gotB = Dedup.ngramJaccardPairs(blocked, "id", "s", 5, t,
+          blockBy = Some("blk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotB == wantB, s"blocked t=$t")
+      assert(gotB.forall { case (a, b, _) => (a % 2) == (b % 2) })
+    }
+    val crossTwins = Seq((1L, "p q r s t u", "x"), (2L, "p q r s t u", "y"))
+      .toDF("id", "s", "blk")
+    assert(Dedup.ngramJaccardPairs(crossTwins, "id", "s", 5, 0.9,
+      blockBy = Some("blk")).count() == 0)
     // exact threshold boundary with integral t*n (the fp-hazard corner):
     // grams("abcdefgh", 5) = 4, grams("abcdef", 5) = 2 shared -> J = 0.5
     // exactly, and t*max = 0.5*4 = 2 = min exactly
@@ -774,7 +797,7 @@ class DedupSpec extends AnyFunSuite {
     val got = lsh.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(exact.subsetOf(got.keySet)) // full recall on true near-dups
     // estimate within ~0.15 of exact for the engineered pair
-    val trueJ = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.0)
+    val trueJ = Dedup.ngramJaccardPairsAllPairs(docs, "id", "text", 3, 0.0)
       .where($"id_a" === 1 && $"id_b" === 2).head().getDouble(2)
     assert(math.abs(got((1L, 2L)) - trueJ) < 0.15)
   }
