@@ -861,8 +861,10 @@ object SparkEntry {
     // the (ts, event_id)-ordered streams.
     "q_transitions" -> ((s, dir) => {
       import s.implicits._
-      Corpus.transitionMatrix(t(s, dir, "events"), $"user_id",
-          Seq(unix_micros($"ts"), $"event_id"), $"event_type")
+      // ts pinned non-null (the q_seq_trigrams NULLS FIRST/LAST
+      // window-order divergence — same fix class, r13 review)
+      Corpus.transitionMatrix(t(s, dir, "events").where($"ts".isNotNull),
+          $"user_id", Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("from_state", "to_state")
     }),
 
@@ -873,8 +875,9 @@ object SparkEntry {
     // q_bigram_logprob round(6) recipe.
     "q_surprise" -> ((s, dir) => {
       import s.implicits._
-      Corpus.sequenceSurprise(t(s, dir, "events"), $"user_id",
-          Seq(unix_micros($"ts"), $"event_id"), $"event_type")
+      // ts pinned non-null (the q_seq_trigrams window-order fix class)
+      Corpus.sequenceSurprise(t(s, dir, "events").where($"ts".isNotNull),
+          $"user_id", Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("key")
     }),
 
@@ -3267,16 +3270,16 @@ object SparkEntry {
     // kernelized production tier (pqAdcTopKReranked) stays covered by
     // the SimilaritySpec exact-on-reconstruction property + pinned
     // tools/PqProbe recall floors, and stays timed in Bench via
-    // benchOverrides. Normalization casts each element to double
-    // BEFORE multiplying (the SQL's x::DOUBLE form) — float-multiply-
-    // then-widen would diverge from the oracle. The per-element norm
-    // recompute inside the lambda is bounded (64 els × 500 rows).
+    // benchOverrides. Normalization rides the one-pass L2Normalize
+    // kernel (casts each element to double BEFORE multiplying, the
+    // SQL's x::DOUBLE form — float-multiply-then-widen would diverge
+    // from the oracle; bit-equal to the historical per-element-norm
+    // HOF, spec-asserted).
     "q_ann_pq" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val vd = transform($"embedding", _.cast("double"))
       val n = emb.select($"vec_id",
-        transform(vd, x => x / sqrt(Similarity.dotFused(vd, vd))).as("embedding"))
+        Similarity.l2NormalizeFused($"embedding").as("embedding"))
       val cbRows = n.where($"vec_id" < 16).orderBy("vec_id")
         .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
       val cb = Array.tabulate(8)(j => cbRows.map(_.slice(j * 8, (j + 1) * 8)))
@@ -3326,9 +3329,8 @@ object SparkEntry {
       val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
         "embedding", k)
       val truth = brute.select($"q_id", $"c_id")
-      val vd = transform($"embedding", _.cast("double"))
       val n = emb.select($"vec_id",
-        transform(vd, x => x / sqrt(Similarity.dotFused(vd, vd))).as("embedding"))
+        Similarity.l2NormalizeFused($"embedding").as("embedding"))
       val cbRows = n.where($"vec_id" < 16).orderBy("vec_id")
         .select($"embedding").collect().map(_.getSeq[Double](0).toArray)
       val cb = Array.tabulate(8)(j => cbRows.map(_.slice(j * 8, (j + 1) * 8)))
@@ -3830,7 +3832,11 @@ object SparkEntry {
     // event_id). Exact integer supports.
     "q_seq_trigrams" -> ((s, dir) => {
       import s.implicits._
-      Corpus.sequenceTrigrams(t(s, dir, "events"), $"user_id",
+      // ts pinned non-null: a NULL order value sorts NULLS FIRST in a
+      // Spark window but NULLS LAST under DuckDB's lag — filter it on
+      // BOTH sides rather than leaning on the data
+      Corpus.sequenceTrigrams(
+          t(s, dir, "events").where($"ts".isNotNull), $"user_id",
           Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("step_1", "step_2", "step_3")
     }),
@@ -3890,7 +3896,12 @@ object SparkEntry {
     // acc-first recipe with a 2-state accumulator).
     "q_holt" -> ((s, dir) => {
       import s.implicits._
+      // NULL type/ts pinned out explicitly — holtLinearByKey keeps
+      // NULL keys as real groups by contract, so the oracle's
+      // IS NOT NULL filters must be mirrored here, not left to the
+      // data (the r12 null-semantics advice)
       val daily = t(s, dir, "events")
+        .where($"event_type".isNotNull && $"ts".isNotNull)
         .groupBy($"event_type",
           expr("ts_ns div 86400000000000").as("day"))
         .agg(count(lit(1)).as("cnt"))
@@ -4893,7 +4904,7 @@ object SparkEntry {
     "q_seq_trigrams" ->
       """WITH e AS (SELECT user_id::VARCHAR AS k, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events
-        |  WHERE event_type IS NOT NULL),
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
         | l AS (SELECT k, s,
         |   lag(s, 1) OVER (PARTITION BY k ORDER BY t, i) AS p1,
         |   lag(s, 2) OVER (PARTITION BY k ORDER BY t, i) AS p2
@@ -7486,7 +7497,7 @@ object SparkEntry {
     "q_transitions" ->
       """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events
-        |  WHERE event_type IS NOT NULL),
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
         | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
         |   AS p FROM e),
         | c AS (SELECT p AS f, s AS tos, count(*)::BIGINT AS cnt FROM l
@@ -7499,7 +7510,7 @@ object SparkEntry {
     "q_surprise" ->
       """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events
-        |  WHERE event_type IS NOT NULL),
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
         | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
         |   AS p FROM e),
         | pr AS (SELECT p, s, count(*)::BIGINT AS c FROM l

@@ -916,7 +916,11 @@ object Corpus {
     * degrees and votes stay exact long sums. */
   private def weightGuard(weight: Column, op: String): Column = {
     val w = weight.cast("long")
-    when(w.isNull || w < 1L,
+    // the round-trip inequality (w =!= weight) catches the whole
+    // non-integer class — cast("long") would otherwise TRUNCATE 2.7
+    // to 2 silently while the error message claims integers-only
+    // (r13 review); integer-typed weights compare equal for free
+    when(w.isNull || w < 1L || w =!= weight,
       raise_error(lit(s"$op: edge weights must be integers >= 1")))
       .otherwise(w)
   }
@@ -3378,15 +3382,30 @@ object Corpus {
     var prev = e.count()
     var it = 0
     var converged = false
+    // each round's support is materialized so the CONVERGED round's
+    // support — already computed on the final edge set — is reused
+    // for the output instead of re-running the whole triangle
+    // enumeration (the operator's dominant cost; r13 review)
+    var lastSup: DataFrame = null
     while (it < maxIters && !converged) {
-      e = Dedup.materializeLazily(kTrussPeelRound(e, k, maxBroadcastAdjacency))
-      val n = e.count()
-      if (n == prev) converged = true
+      lastSup = Dedup.materializeLazily(
+        trussSupport(e, maxBroadcastAdjacency))
+      val kept = Dedup.materializeLazily(
+        e.join(lastSup, Seq("__u", "__v"), "left")
+          .where(coalesce(col("__sup"), lit(0L)) >= lit((k - 2).toLong))
+          .select(col("__u"), col("__v")))
+      val n = kept.count()
+      if (n == prev) converged = true else e = kept
       prev = n
       it += 1
     }
-    kTrussOut(e, maxBroadcastAdjacency)
-      .withColumn("converged", lit(converged))
+    val out =
+      if (converged)
+        e.join(lastSup, Seq("__u", "__v"), "left")
+          .select(col("__u").as("u"), col("__v").as("v"),
+            coalesce(col("__sup"), lit(0L)).as("support"))
+      else kTrussOut(e, maxBroadcastAdjacency)
+    out.withColumn("converged", lit(converged))
       .withColumn("rounds", lit(it))
   }
 

@@ -29,6 +29,15 @@ object Similarity {
   def cosineFused(a: Column, b: Column): Column =
     Bridge.column(VS(Bridge.expression(a), Bridge.expression(b), "cosine"))
 
+  /** One-pass L2 normalization to array<double> — bit-equal to
+    * `transform(v, x => x / sqrt(dotFused(v, v)))` but O(d) per row:
+    * that HOF form re-evaluates the captured norm (and a computed `v`)
+    * once per ELEMENT (interpreted HOF, the r13 hazard). Zero vectors
+    * produce NaN elements where the HOF form under ANSI THROWS —
+    * the one deliberate difference (spec-asserted). */
+  def l2NormalizeFused(v: Column): Column =
+    Bridge.column(graft.plans.L2Normalize(Bridge.expression(v)))
+
   /** Dot product of two numeric array columns (cast to double).
     * Composable built-in form; see [[dotFused]] for the fused hot path. */
   def dot(a: Column, b: Column): Column =

@@ -336,10 +336,18 @@ object Grouping {
   }
 
   /** Shared bloom construction: (codegen might-contain probe column,
-    * lazily-materialized distinct string-cast key frame `__gk`). */
+    * lazily-materialized distinct string-cast key frame `__gk`).
+    * Size-guarded (r13 review): the serialized filter rides the plan
+    * as a LITERAL in every task binary and is built on the driver, so
+    * above `maxFilterBytes` (default 64 MB ≈ 45M keys at fpp 0.03)
+    * the probe degrades to `lit(true)` — the join silently becomes
+    * the plain exact semi/anti join Catalyst would have planned
+    * anyway (always correct; the stateBroadcastOk fallback
+    * convention). Estimated size uses the standard optimal-bits
+    * formula −n·ln(p)/ln²2. */
   private def bloomProbe(key: Column, keys: DataFrame, keysKey: Column,
-                         expectedItems: Long,
-                         fpp: Double): (Column, DataFrame) = {
+                         expectedItems: Long, fpp: Double,
+                         maxFilterBytes: Long = 64L << 20): (Column, DataFrame) = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp $fpp out of (0, 1)")
     require(expectedItems != 0L,
       "expectedItems must be > 0 (sized) or < 0 (auto-size)")
@@ -349,6 +357,9 @@ object Grouping {
     val expected =
       if (expectedItems > 0L) expectedItems
       else math.max(kd.count(), 1L)
+    val estBytes =
+      (-expected * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
+    if (estBytes > maxFilterBytes) return (lit(true), kd)
     val bloom = kd.select(xxhash64(col("__gk")).as("__bh"))
       .stat.bloomFilter("__bh", expected, fpp)
     val bytes = new java.io.ByteArrayOutputStream()

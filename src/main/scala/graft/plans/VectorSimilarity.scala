@@ -92,3 +92,65 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** One-pass L2 normalization of a float/double vector to
+  * array<double>. Replaces the interpreted-HOF form
+  * `transform(v, x => x / sqrt(dotFused(v, v)))`, whose CAPTURED child
+  * re-evaluates the norm — and any computed child `v` — once per
+  * element, O(d²) per row (the r13 wave-3 hazard, caught in review at
+  * the q_ann_pq/q_ann_recall normalization sites). Bit-equal to that
+  * form by construction: the same index-order sum-of-squares
+  * accumulation, one sqrt, the same per-element division
+  * (spec-asserted bit-equal in SimilaritySpec). One DELIBERATE
+  * difference: a zero vector yields IEEE 0/0 = NaN elements, where
+  * the HOF form under ANSI mode THROWS (Divide's divideByZeroError
+  * fires even for doubles) — normalization of a degenerate vector
+  * should degrade, not kill the job (spec-asserted). */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array of float or double, got ${t.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    L2Normalize.normalize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.L2Normalize.normalize($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  def normalize(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val u = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      ss += u * u; i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val u = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = u / norm; i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

@@ -1334,6 +1334,44 @@ class SimilaritySpec extends AnyFunSuite {
     (4L, Array(-1.0f, 0.0f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("l2NormalizeFused: bit-equal to the historical HOF form, float+double, zero vec") {
+    // the HOF reference this kernel replaced (O(d²) per row — the
+    // interpreted-HOF captured-expression hazard)
+    def hofForm(c: org.apache.spark.sql.Column) = {
+      val vd = transform(c, _.cast("double"))
+      transform(vd, x => x / sqrt(Similarity.dotFused(vd, vd)))
+    }
+    val rnd = new scala.util.Random(47)
+    val data = (0L until 50L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = data.toDF("id", "v").repartition(5)
+    def bits(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits).toSeq)
+      .toMap
+    val got = bits(df.select(col("id"),
+      Similarity.l2NormalizeFused(col("v")).as("n")))
+    val want = bits(df.select(col("id"), hofForm(col("v")).as("n")))
+    assert(got == want)
+    // double input too (no float cast on either path)
+    val dd = data.map { case (i, a) => (i, a.map(_.toDouble)) }
+      .toDF("id", "v")
+    assert(bits(dd.select(col("id"),
+        Similarity.l2NormalizeFused(col("v")).as("n"))) ==
+      bits(dd.select(col("id"), hofForm(col("v")).as("n"))))
+    // zero vector: the kernel gives IEEE 0/0 = NaN; the HOF form under
+    // ANSI mode THROWS (Divide divideByZeroError) — the kernel's
+    // behavior is the deliberate improvement, asserted here
+    val zdf = Seq((0L, Array.fill(4)(0.0f))).toDF("id", "v")
+    val z = zdf.select(Similarity.l2NormalizeFused(col("v")).as("n"))
+      .collect()(0).getSeq[Double](0)
+    assert(z.forall(_.isNaN))
+    intercept[Exception](
+      zdf.select(hofForm(col("v")).as("n")).collect())
+  }
+
   test("bruteForceTopK exact ranking") {
     val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
