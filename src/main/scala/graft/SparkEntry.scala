@@ -3939,6 +3939,18 @@ object SparkEntry {
     "q_gini" -> ((s, dir) => {
       import s.implicits._
       Corpus.giniIndex(t(s, dir, "lineitem"), $"l_partkey")
+    }),
+
+    // -------- privacy: l-diversity audit --------------------------------
+    // The homogeneity companion to q_k_anonymity: QI = (nation,
+    // segment), sensitive = the acctbal/2000 bucket — a group can be
+    // k-anonymous yet disclose the bucket if all members share it.
+    // All-integer to one pct division.
+    "q_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.lDiversityReport(t(s, dir, "customer"),
+        Seq($"c_nationkey", $"c_mktsegment"),
+        floor($"c_acctbal" / 2000.0), l = 4)
     }))
 
   /** Deterministic ±1 (Rademacher) hyperplanes for q_ann_lsh's
@@ -4855,6 +4867,22 @@ object SparkEntry {
         |   ELSE (2*r - (n + 1)::HUGEINT * s::HUGEINT)::DOUBLE
         |     / (n::HUGEINT * s::HUGEINT)::DOUBLE END AS gini
         |FROM t""".stripMargin,
+    "q_l_diversity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |     count(*) AS c,
+        |     count(DISTINCT floor(c_acctbal / 2000.0)) AS d
+        |   FROM customer GROUP BY 1, 2)
+        |SELECT 4 AS l, coalesce(sum(c), 0)::BIGINT AS n_rows,
+        | count(*)::BIGINT AS n_groups,
+        | coalesce(min(d), 0)::BIGINT AS min_distinct_sensitive,
+        | coalesce(sum(CASE WHEN d < 4 THEN c END), 0)::BIGINT
+        |   AS rows_below_l,
+        | coalesce(sum(CASE WHEN d < 4 THEN 1 END), 0)::BIGINT
+        |   AS groups_below_l,
+        | CASE WHEN coalesce(sum(c), 0) = 0 THEN 0.0
+        |   ELSE coalesce(sum(CASE WHEN d < 4 THEN c END), 0)::DOUBLE
+        |     / sum(c)::DOUBLE END AS pct_below_l
+        |FROM g""".stripMargin,
     "q_rolling_active" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |     user_id::VARCHAR AS uid

@@ -3593,6 +3593,44 @@ object Corpus {
       .where(col("support") >= minSupport)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    * gate to [[kAnonymityReport]]: k-anonymity alone fails when a
+    * QI group is large but HOMOGENEOUS in the sensitive attribute
+    * (everyone in the group shares one salary bucket → joining the
+    * QIs still discloses it). Distinct l-diversity: every QI group
+    * must contain ≥ l distinct sensitive values. NULL QI values form
+    * real groups (the kAnonymityReport contract); NULL sensitive
+    * values do NOT count toward diversity (count_distinct ignores
+    * them in both engines — an unknown value protects nobody), so an
+    * all-NULL-sensitive group scores 0 distinct. All-integer to one
+    * pct division. Scale shape: one partial-aggregated groupBy on
+    * (QI, count_distinct sensitive) + one scalar fold. Output single
+    * row: (l, n_rows, n_groups, min_distinct_sensitive,
+    * rows_below_l, groups_below_l, pct_below_l). */
+  def lDiversityReport(df: DataFrame, quasi: Seq[Column],
+                       sensitive: Column, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "lDiversityReport needs quasi-identifier columns")
+    require(l >= 2, s"l $l must be >= 2")
+    val g = df.groupBy(quasi.zipWithIndex.map { case (q, i) =>
+        q.cast("string").as(s"__q$i") }: _*)
+      .agg(count(lit(1)).as("__c"),
+        count_distinct(sensitive.cast("string")).as("__d"))
+    g.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        coalesce(min(col("__d")), lit(0L)).as("min_distinct_sensitive"),
+        coalesce(sum(when(col("__d") < l, col("__c"))), lit(0L))
+          .as("rows_below_l"),
+        coalesce(sum(when(col("__d") < l, lit(1L))), lit(0L))
+          .as("groups_below_l"))
+      .select(lit(l).as("l"), col("n_rows"), col("n_groups"),
+        col("min_distinct_sensitive"), col("rows_below_l"),
+        col("groups_below_l"),
+        when(col("n_rows") === 0L, lit(0.0))
+          .otherwise(col("rows_below_l").cast("double") /
+            col("n_rows").cast("double")).as("pct_below_l"))
+  }
+
   /** Gini coefficient of the per-key row distribution — the
     * inequality audit next to [[herfindahlIndex]] (HHI asks "how
     * concentrated are the top keys"; Gini asks "how unequal is the

@@ -1980,6 +1980,36 @@ class CorpusSpec extends AnyFunSuite {
       re.getDouble(6) == 0.0)
   }
 
+  test("lDiversityReport: homogeneous groups flagged, NULL sensitive ignored, boundary") {
+    // group us: 3 rows, 2 distinct sensitive; de: 2 rows both 'x'
+    // (homogeneous); fr: 2 rows, sensitive NULL + 'y' -> 1 distinct
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "b"),
+      ("de", "x"), ("de", "x"),
+      ("fr", null: String), ("fr", "y")).toDF("c", "s")
+    val r = Corpus.lDiversityReport(df, Seq(col("c")), col("s"), l = 2)
+      .collect()(0)
+    assert(r.getInt(0) == 2 && r.getLong(1) == 7L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 1L) // min distinct (de and fr both 1)
+    assert(r.getLong(4) == 4L && r.getLong(5) == 2L) // de + fr below
+    assert(r.getDouble(6) == 4.0 / 7.0)
+    // a group with exactly l distinct is NOT below; all-NULL group
+    // scores 0 distinct
+    val ok = Corpus.lDiversityReport(df.where(col("c") === "us"),
+      Seq(col("c")), col("s"), l = 2).collect()(0)
+    assert(ok.getLong(5) == 0L && ok.getDouble(6) == 0.0)
+    val allNull = Seq(("g", null: String), ("g", null: String))
+      .toDF("c", "s")
+    val rn = Corpus.lDiversityReport(allNull, Seq(col("c")), col("s"), l = 2)
+      .collect()(0)
+    assert(rn.getLong(3) == 0L && rn.getLong(4) == 2L)
+    // empty input
+    val remp = Corpus.lDiversityReport(
+      Seq.empty[(String, String)].toDF("c", "s"), Seq(col("c")), col("s"), 2)
+      .collect()(0)
+    assert(remp.getLong(1) == 0L && remp.getDouble(6) == 0.0)
+  }
+
   test("autocorrelation: brute reference, gap, constant, unkeyed, invariance") {
     val rnd = new scala.util.Random(29)
     // keyed series; key b has a GAP at t=17 (lag pairs through it drop)
