@@ -19,6 +19,31 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- load context (r14, r13 verdict item 1) ----------------------
+    // Two consecutive driver benches were load-skewed (r13 medians
+    // 1.7x mins, five phantom regressions) and the artifact couldn't
+    // say so. Stamp (a) /proc/loadavg at start+end and (b) the
+    // wall-time of one FIXED data-independent calibration query at
+    // start+end, so a reader can separate real drift from a busy box.
+    // README "Bench noise" documents the decision rule: quote
+    // round-over-round deltas only when calib_start/calib_end are
+    // within ~1.3x of the clean-box reference recorded there.
+    def loadAvg1m(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // fixed CPU-bound work spread over every core: 6e9 xxhash64
+      // rows from range() (~2 s warm on the clean box — long enough
+      // that scheduler noise doesn't dominate) — no files, no shuffle
+      // beyond the final 1-row aggregate, identical every round by
+      // construction. bit_xor, not sum: an ANSI long sum overflows
+      spark.range(0L, 6000000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS h")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // benchOverrides first: r10 converted three queries to supplied-
     // artifact oracle tiers; the bench keeps timing the trained
     // production tiers under the same names for series comparability
@@ -30,6 +55,14 @@ object Bench {
     catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // calibration runs AFTER the warmup (JVM/codegen startup must not
+    // pollute it) and before any timed tier; repeated at the very end.
+    // One discarded run first: the calibration plan's own codegen
+    // compile (~3.5 s, one-time) must not make calib_start read 2x
+    // calib_end on every healthy run
+    calibrate()
+    val loadStart = loadAvg1m()
+    val calibStart = calibrate()
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       // lookup inside the try: a stale name in a bench tier must land
@@ -119,6 +152,11 @@ object Bench {
     val totalMinV2 = resultsV2.map(_._2.min).sum
     val resultsB2b = SparkEntry.benchQueries.map(n => n -> runsB2b(n))
     val totalMinB2b = resultsB2b.map(_._2.min).sum
+    val loadEnd = loadAvg1m()
+    val calibEnd = calibrate()
+    val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""calib_start":${math.rint(calibStart * 1000) / 1000},""" +
+      s""""calib_end":${math.rint(calibEnd * 1000) / 1000}"""
     // a failed query's (partial) duration stays in its per-query slot
     // for series continuity, but the failure is named — a totals diff
     // must never read a crash as a speedup
@@ -132,7 +170,7 @@ object Bench {
       s""""total_min_v2":$totalMinV2,"mins_v2":${json(resultsV2, _.min)},""" +
       s""""total_v3":$totalV3,"n_v3":${namesV3.size},"queries_v3":$queriesV3Json,""" +
       s""""iters":$iters,"runs":${jsonRuns(results)},"runs_v2":${jsonRuns(resultsV2)},""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s"""$loadJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // stdout (unprefixed — build.sbt sets run/outputStrategy) AND a file
     // copy, so the driver can parse either way.
     println(line)
@@ -158,6 +196,7 @@ object Bench {
       s""""total_min":${r3(totalMin)},"total_min_b2b":${r3(totalMinB2b)},""" +
       s""""total_v2":${r3(totalV2)},"total_min_v2":${r3(totalMinV2)},"n_v2":${resultsV2.size},""" +
       s""""total_v3":${r3(totalV3)},"n_v3":${namesV3.size},""" +
+      s"""$loadJson,""" +
       s""""iters":$iters,"failed":$failedSummary,"sf":"$sfDir","detail":"bench_out.json"}"""
     println(summary)
     spark.stop()

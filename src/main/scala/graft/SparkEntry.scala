@@ -351,7 +351,12 @@ object SparkEntry {
     // exact recount), Benford digit audit, HHI concentration
     "q_heavy_by", "q_benford", "q_concentration",
     // r12 continuation (7): per-user sequence-surprise anomaly score
-    "q_surprise")
+    "q_surprise",
+    // r14 (r13 verdict item 3): the five v3 heavies promoted into the
+    // min-of-3 series so their round-over-round deltas are
+    // load-insensitive (a single v3 iteration is one noisy sample)
+    "q_label_prop_weighted", "q_modularity_weighted", "q_ngram_jaccard",
+    "q_dedup_survivors", "q_ktruss")
 
   /** Third bench tier (r13): every census query not already in a timed
     * tier, run ONCE per round with the noop sink. DERIVED, never
@@ -861,9 +866,12 @@ object SparkEntry {
     // the (ts, event_id)-ordered streams.
     "q_transitions" -> ((s, dir) => {
       import s.implicits._
-      // ts pinned non-null (the q_seq_trigrams NULLS FIRST/LAST
-      // window-order divergence — same fix class, r13 review)
-      Corpus.transitionMatrix(t(s, dir, "events").where($"ts".isNotNull),
+      // ts + event_id pinned non-null (the q_seq_trigrams NULLS
+      // FIRST/LAST window-order divergence — same fix class; event_id
+      // added r14, advice item)
+      Corpus.transitionMatrix(
+          t(s, dir, "events")
+            .where($"ts".isNotNull && $"event_id".isNotNull),
           $"user_id", Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("from_state", "to_state")
     }),
@@ -875,8 +883,11 @@ object SparkEntry {
     // q_bigram_logprob round(6) recipe.
     "q_surprise" -> ((s, dir) => {
       import s.implicits._
-      // ts pinned non-null (the q_seq_trigrams window-order fix class)
-      Corpus.sequenceSurprise(t(s, dir, "events").where($"ts".isNotNull),
+      // ts + event_id pinned non-null (the q_seq_trigrams window-order
+      // fix class; event_id added r14, advice item)
+      Corpus.sequenceSurprise(
+          t(s, dir, "events")
+            .where($"ts".isNotNull && $"event_id".isNotNull),
           $"user_id", Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("key")
     }),
@@ -1082,6 +1093,26 @@ object SparkEntry {
       val labels = Corpus.labelPropagationWeighted(pairs, $"u", $"v", $"w",
         iters = 3)
       Corpus.modularityWeighted(pairs, $"u", $"v", $"w", labels)
+    }),
+
+    // -------- corpus: Louvain-style greedy modularity communities ------
+    // One-level local-move phase over the weighted co-purchase graph:
+    // 3 synchronous sweeps, each node to the best-gain candidate
+    // community. Gains are EXACT decimal(38,0)/HUGEINT integers
+    // (g = 2W·k_in − k_i·(Σtot − [own]·k_i)); ties keep the current
+    // community, else the label byte order — NO rounding anywhere, so
+    // the sweeps unroll into chained CTEs and hash-match exactly.
+    // Q(louvain) ≥ Q(LPA) is spec-gated (CorpusSpec).
+    "q_louvain" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.louvainCommunities(pairs, $"u", $"v", $"w", sweeps = 3)
+        .orderBy("node")
     }),
 
     // -------- corpus: 2-hop neighborhood size (HyperBall/KMV) ----------
@@ -3786,7 +3817,13 @@ object SparkEntry {
     "q_agreement" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val maj = docs.groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      // lang pinned non-null in the majority vote: min(struct(-c, lang))
+      // sorts a NULL lang FIRST on a count tie while the oracle's
+      // row_number (DuckDB NULLS LAST) picks the non-NULL one — the
+      // same NULL-asymmetry class as the q_seq_trigrams window fix;
+      // filter on BOTH sides rather than leaning on the data (r14)
+      val maj = docs.where($"lang".isNotNull)
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
         .groupBy($"source").agg(min(struct(-$"c", $"lang")).as("m"))
         .select($"source", $"m.lang".as("maj_lang"))
       Corpus.agreementReport(docs.join(maj, "source"), $"lang", $"maj_lang")
@@ -3832,11 +3869,13 @@ object SparkEntry {
     // event_id). Exact integer supports.
     "q_seq_trigrams" -> ((s, dir) => {
       import s.implicits._
-      // ts pinned non-null: a NULL order value sorts NULLS FIRST in a
-      // Spark window but NULLS LAST under DuckDB's lag — filter it on
-      // BOTH sides rather than leaning on the data
+      // ts AND event_id pinned non-null: a NULL order value sorts
+      // NULLS FIRST in a Spark window but NULLS LAST under DuckDB's
+      // lag — filter BOTH order columns on BOTH sides rather than
+      // leaning on the data (event_id added r14, advice item)
       Corpus.sequenceTrigrams(
-          t(s, dir, "events").where($"ts".isNotNull), $"user_id",
+          t(s, dir, "events")
+            .where($"ts".isNotNull && $"event_id".isNotNull), $"user_id",
           Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("step_1", "step_2", "step_3")
     }),
@@ -4217,6 +4256,50 @@ object SparkEntry {
        | symw AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d, w FROM pairs
        |          UNION ALL SELECT v::VARCHAR, u::VARCHAR, w FROM pairs),
        | l0 AS (SELECT DISTINCT s AS nd, s AS lbl FROM symw),
+       | $rounds""".stripMargin
+  }
+
+  /** q_louvain oracle: the [[lpaWeightedChainCtes]] graph CTEs + 3
+    * unrolled synchronous Louvain sweeps. Every gain is a HUGEINT
+    * (2W·k_in − k_i·(Σtot − [own]·k_i)) — pure integer compares, the
+    * tie rule replayed with window maxes (keep own community when it
+    * attains the max, else min label among the max-gain candidates). */
+  private lazy val louvainChainCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      val p = i - 1
+      s"""st$i AS (SELECT l$p.c AS c, sum(kk.k)::HUGEINT AS tot
+         |   FROM l$p JOIN kk ON l$p.nd = kk.n GROUP BY 1),
+         | ki$i AS (SELECT symw.s AS nd, l$p.c AS cd, sum(symw.w)::HUGEINT AS kin
+         |   FROM symw JOIN l$p ON symw.d = l$p.nd GROUP BY 1, 2),
+         | cd$i AS (SELECT nd, cd, max(kin)::HUGEINT AS kin FROM (
+         |     SELECT nd, cd, kin FROM ki$i
+         |     UNION ALL SELECT nd, c, 0::HUGEINT FROM l$p) GROUP BY 1, 2),
+         | g$i AS (SELECT cd$i.nd, cd$i.cd, l$p.c AS own,
+         |     2::HUGEINT * (SELECT w2 FROM ww) * cd$i.kin
+         |     - kk.k::HUGEINT * (st$i.tot -
+         |         CASE WHEN cd$i.cd = l$p.c THEN kk.k::HUGEINT
+         |              ELSE 0::HUGEINT END) AS g
+         |   FROM cd$i JOIN l$p ON cd$i.nd = l$p.nd
+         |     JOIN kk ON cd$i.nd = kk.n
+         |     JOIN st$i ON cd$i.cd = st$i.c),
+         | r$i AS (SELECT nd, cd, own, g,
+         |     row_number() OVER (PARTITION BY nd ORDER BY g DESC, cd ASC) AS rn,
+         |     max(CASE WHEN cd = own THEN g END) OVER (PARTITION BY nd) AS gown,
+         |     max(g) OVER (PARTITION BY nd) AS gmax
+         |   FROM g$i),
+         | l$i AS (SELECT nd, CASE WHEN gown = gmax THEN own ELSE cd END AS c
+         |   FROM r$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    s"""pairs AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::BIGINT AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       | symw AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d, w FROM pairs
+       |          UNION ALL SELECT v::VARCHAR, u::VARCHAR, w FROM pairs),
+       | kk AS (SELECT s AS n, sum(w)::BIGINT AS k FROM symw GROUP BY 1),
+       | ww AS (SELECT sum(w)::HUGEINT AS w2 FROM pairs),
+       | l0 AS (SELECT n AS nd, n AS c FROM kk),
        | $rounds""".stripMargin
   }
 
@@ -4932,7 +5015,8 @@ object SparkEntry {
     "q_seq_trigrams" ->
       """WITH e AS (SELECT user_id::VARCHAR AS k, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
         | l AS (SELECT k, s,
         |   lag(s, 1) OVER (PARTITION BY k ORDER BY t, i) AS p1,
         |   lag(s, 2) OVER (PARTITION BY k ORDER BY t, i) AS p2
@@ -4970,7 +5054,7 @@ object SparkEntry {
     "q_ktruss" -> kTrussOracle,
     "q_agreement" ->
       """WITH m0 AS (SELECT source, lang, count(*) AS c
-        |   FROM documents GROUP BY 1, 2),
+        |   FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
         | maj AS (SELECT source, lang AS maj_lang FROM (
         |   SELECT source, lang, row_number() OVER (
         |     PARTITION BY source ORDER BY c DESC, lang) AS rn FROM m0)
@@ -7401,6 +7485,9 @@ object SparkEntry {
     "q_label_prop_weighted" ->
       s"""WITH $lpaWeightedChainCtes
         |SELECT nd AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin,
+    "q_louvain" ->
+      s"""WITH $louvainChainCtes
+        |SELECT nd AS node, c AS community FROM l3 ORDER BY node""".stripMargin,
     // q_modularity_weighted: the weighted chain + weighted Q —
     // W = Σw, S_c = Σ incident w, W_c = Σ intra w; same fixed-order
     // per-community term and ×1e12 scaled-BIGINT fold as q_modularity.
@@ -7525,7 +7612,8 @@ object SparkEntry {
     "q_transitions" ->
       """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
         | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
         |   AS p FROM e),
         | c AS (SELECT p AS f, s AS tos, count(*)::BIGINT AS cnt FROM l
@@ -7538,7 +7626,8 @@ object SparkEntry {
     "q_surprise" ->
       """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
         |   epoch_us(ts) AS t, event_id AS i FROM events
-        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
         | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
         |   AS p FROM e),
         | pr AS (SELECT p, s, count(*)::BIGINT AS c FROM l

@@ -915,9 +915,15 @@ object Corpus {
     * Integer weights keep every exactness recipe intact: weighted
     * degrees and votes stay exact long sums. */
   private def weightGuard(weight: Column, op: String): Column = {
-    val w = weight.cast("long")
+    // try_cast, not cast: under ANSI mode cast("long") THROWS on
+    // NaN/Infinity/out-of-range doubles before the guard's raise_error
+    // can fire, surfacing an opaque CAST_INVALID_INPUT instead of the
+    // operator's message — try_cast nulls those classes so w.isNull
+    // routes EVERY invalid weight through the uniform error (r14
+    // advice item)
+    val w = weight.try_cast("long")
     // the round-trip inequality (w =!= weight) catches the whole
-    // non-integer class — cast("long") would otherwise TRUNCATE 2.7
+    // non-integer class — a long cast would otherwise TRUNCATE 2.7
     // to 2 silently while the error message claims integers-only
     // (r13 review); integer-typed weights compare equal for free
     when(w.isNull || w < 1L || w =!= weight,
@@ -1699,6 +1705,121 @@ object Corpus {
       it += 1
     }
     labels.select(col("__n").as("node"), col("__lbl").as("label"))
+  }
+
+  /** One-level Louvain-style modularity optimization (Blondel et al.
+    * 2008, the local-move phase; no graph coarsening) — the
+    * modularity-ASCENDING community detector next to
+    * [[labelPropagationWeighted]] (LPA is vote-based and blind to Q;
+    * on weighted co-purchase graphs greedy gain moves find strictly
+    * better partitions — spec-gated Q(louvain) ≥ Q(LPA)).
+    *
+    * Each of `sweeps` SYNCHRONOUS rounds moves every node to the
+    * candidate community (its neighbors' communities ∪ its own) with
+    * the best modularity gain. Evaluating node i against community c
+    * with i notionally removed from its own community, the standard
+    * gain comparison reduces (constant terms dropped) to maximizing
+    *   g(c) = 2W·k_{i,in}(c) − k_i·(Σtot(c) − [c = own]·k_i)
+    * which is EXACT integer arithmetic in decimal(38,0) (weights are
+    * integers ≥ 1 via [[weightGuard]]; W = Σw, k_i = weighted degree,
+    * Σtot(c) = Σ k over members, k_{i,in}(c) = Σ w(i,j) for j ∈ c).
+    * Ties keep the CURRENT community when it attains the max, else
+    * break on community-label byte order. Synchronous sweeps suffer
+    * the classic SINGLETON SWAP (two mutually-best singletons move
+    * into each other's label forever — traced on a two-triangle
+    * graph: period-2, communities never form); the standard
+    * symmetry-break is the minimum-label heuristic (Lu, Halappanavar
+    * & Kalyanaraman 2015, Grappolo): a node in a SINGLETON community
+    * may move to another SINGLETON community only when the target
+    * label is byte-order SMALLER — such candidates are excluded
+    * before the argmax (the smaller-label node attracts, the larger
+    * one waits one sweep). Fully deterministic, NO rounding anywhere,
+    * so fixed sweeps unroll into chained CTEs with HUGEINT gains and
+    * the oracle hash-matches exactly.
+    *
+    * Scale shape per sweep (the [[labelPropagationWeighted]] shapes):
+    * one broadcast-guarded state join + three partial-aggregated
+    * aggregates (Σtot, k_in, per-node argmax); state lazily
+    * checkpointed. Synchronous moves mean Σtot is one sweep stale —
+    * the standard parallel-Louvain tradeoff (fixed sweeps bound it;
+    * the Q gate is asserted empirically in spec). Output:
+    * (node, community). */
+  def louvainCommunities(edges: DataFrame, src: Column, dst: Column,
+                         weight: Column = lit(1L), sweeps: Int = 3,
+                         maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(sweeps >= 1, s"sweeps $sweeps must be >= 1")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val e0 = Dedup.materializeLazily(
+      canonicalEdgesWeighted(edges, src, dst, weight))
+    val sym = Dedup.materializeLazily(
+      e0.select(col("__u").as("__s"), col("__v").as("__d"), col("__w"))
+        .union(e0.select(col("__v").as("__s"), col("__u").as("__d"),
+          col("__w"))))
+    // weighted degree k_i (exact long) + total weight W (driver scalar)
+    val kTab = Dedup.materializeLazily(
+      sym.groupBy(col("__s").as("__n")).agg(sum(col("__w")).as("__k")))
+    val w2 = e0.agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
+    require(w2 > 0, "louvainCommunities needs at least one non-loop edge")
+    var labels = Dedup.materializeLazily(
+      kTab.select(col("__n"), col("__n").as("__c")))
+    val nstats = labels.agg(count(lit(1)),
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    val hinted: DataFrame => DataFrame =
+      if (stateBroadcastOk(nstats.getLong(0).toDouble,
+          2.0 * nstats.getDouble(1), maxBroadcastNodes))
+        df => broadcast(df)
+      else df => df
+    var it = 0
+    while (it < sweeps) {
+      // Σtot + community size in ONE aggregate (size drives the
+      // singleton-swap exclusion below)
+      val stot = labels.join(kTab, Seq("__n"))
+        .groupBy(col("__c")).agg(sum(col("__k")).as("__tot"),
+          count(lit(1)).as("__sz"))
+      // k_in per (node, neighbor community) — one shuffle on node
+      val kin = sym.join(hinted(labels.select(col("__n").as("__d"),
+          col("__c").as("__cd"))), Seq("__d"))
+        .groupBy(col("__s").as("__n"), col("__cd"))
+        .agg(sum(col("__w")).as("__kin"))
+      // candidates = neighbor communities ∪ own (own always present,
+      // k_in(own) = 0 when no neighbor shares it); a duplicate own row
+      // carries the true k_in — max() keeps it over the 0 seed
+      val cand = kin
+        .union(labels.select(col("__n"), col("__c").as("__cd"),
+          lit(0L).as("__kin")))
+        .groupBy(col("__n"), col("__cd")).agg(max(col("__kin")).as("__kin"))
+      val gains = cand
+        .join(hinted(labels.select(col("__n"), col("__c").as("__own"))),
+          Seq("__n"))
+        .join(kTab, Seq("__n"))
+        .join(stot.select(col("__c").as("__cd"), col("__tot"), col("__sz")),
+          Seq("__cd"))
+        .join(stot.select(col("__c").as("__own"), col("__sz").as("__szo")),
+          Seq("__own"))
+        // minimum-label singleton rule: a singleton node never chases
+        // a LARGER-labeled singleton (kills the mutual-swap cycle; the
+        // own row has __cd === __own and is never excluded)
+        .where(!(col("__szo") === 1L && col("__sz") === 1L &&
+          col("__cd") > col("__own")))
+        .select(col("__n"), col("__cd"), col("__own"),
+          // 2W in decimal BEFORE the multiply — a driver-side 2*w2
+          // long could silently wrap at the extreme
+          (dec(lit(w2)) * lit(2).cast("decimal(38,0)") * dec(col("__kin")) -
+            dec(col("__k")) *
+            (dec(col("__tot")) -
+              when(col("__cd") === col("__own"), dec(col("__k")))
+                .otherwise(dec(lit(0L))))).as("__g"))
+      labels = Dedup.materializeLazily(gains
+        .groupBy(col("__n"), col("__own"))
+        .agg(min(struct((-col("__g")).as("__negg"),
+            col("__cd").as("__cand"))).as("__m"),
+          max(when(col("__cd") === col("__own"), col("__g"))).as("__gown"))
+        .select(col("__n"),
+          when(col("__gown") === -col("__m").getField("__negg"), col("__own"))
+            .otherwise(col("__m").getField("__cand")).as("__c")))
+      it += 1
+    }
+    labels.select(col("__n").as("node"), col("__c").as("community"))
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport vector

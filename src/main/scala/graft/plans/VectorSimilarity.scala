@@ -105,11 +105,25 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
   * difference: a zero vector yields IEEE 0/0 = NaN elements, where
   * the HOF form under ANSI mode THROWS (Divide's divideByZeroError
   * fires even for doubles) — normalization of a degenerate vector
-  * should degrade, not kill the job (spec-asserted). */
+  * should degrade, not kill the job (spec-asserted). Null ELEMENTS
+  * (legal whenever the input type carries containsNull=true, which
+  * every parquet-read array does): a null element contributes 0 to
+  * the sum of squares and propagates as a null output element —
+  * dataType mirrors the child's containsNull, and the null-aware
+  * loop only runs when the child's type admits nulls, so the
+  * null-free hot path is untouched (r14 advice item: the previous
+  * code read getFloat/getDouble unguarded, yielding garbage on
+  * UnsafeArrayData / NPE on GenericArrayData). */
 case class L2Normalize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = childContainsNull)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "l2_normalize"
 
@@ -125,19 +139,30 @@ case class L2Normalize(child: Expression)
   }
 
   protected override def nullSafeEval(input: Any): Any =
-    L2Normalize.normalize(input.asInstanceOf[ArrayData], isFloat)
+    L2Normalize.normalize(input.asInstanceOf[ArrayData], isFloat,
+      childContainsNull)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.L2Normalize.normalize($c, $isFloat)")
+      c => s"graft.plans.L2Normalize.normalize($c, $isFloat, $childContainsNull)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object L2Normalize {
-  def normalize(v: ArrayData, isFloat: Boolean): ArrayData = {
+  def normalize(v: ArrayData, isFloat: Boolean,
+                mayContainNull: Boolean): ArrayData = {
     val n = v.numElements()
+    // null-aware path only when the TYPE admits nulls AND the value
+    // actually has one — parquet-read vectors carry containsNull=true
+    // with no actual nulls, and they stay on the primitive loop
+    if (mayContainNull) {
+      var hasNull = false
+      var i = 0
+      while (i < n && !hasNull) { hasNull = v.isNullAt(i); i += 1 }
+      if (hasNull) return normalizeNullAware(v, isFloat)
+    }
     var ss = 0.0
     var i = 0
     while (i < n) {
@@ -150,6 +175,31 @@ object L2Normalize {
     while (i < n) {
       val u = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       out(i) = u / norm; i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  // null element => contributes 0 to the norm, null in the output
+  private def normalizeNullAware(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val u = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        ss += u * u
+      }
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val u = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = u / norm
+      }
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -498,6 +498,79 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.labelPropagationWeighted(nullW, col("s"), col("d"),
         col("w")).collect()
     }
+    // r14 advice: NaN / Infinity / out-of-long-range doubles must hit
+    // the guard's UNIFORM message, not an opaque ANSI cast error
+    // (weightGuard uses try_cast so these classes null out first)
+    for (w <- Seq(Double.NaN, Double.PositiveInfinity, 1.0e19, 2.7)) {
+      val badD = Seq(("a", "b", w)).toDF("s", "d", "w")
+      val e = intercept[Exception] {
+        Corpus.pageRank(badD, col("s"), col("d"), weight = col("w"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("edge weights must be integers")),
+        s"weight $w: ${msgs(e)}")
+    }
+  }
+
+  test("louvainCommunities: one sweep matches the brute gain argmax; Q >= Q(LPA)") {
+    // two weighted triangles bridged by one weak edge — the textbook
+    // two-community graph
+    val edges = Seq(
+      ("a", "b", 3L), ("b", "c", 3L), ("a", "c", 3L),
+      ("x", "y", 3L), ("y", "z", 3L), ("x", "z", 3L),
+      ("c", "x", 1L)).toDF("s", "d", "w")
+    // brute replica of ONE synchronous sweep from singleton communities
+    val adj: Map[String, Map[String, Long]] = {
+      val sym = Seq(("a","b",3L),("b","c",3L),("a","c",3L),("x","y",3L),
+        ("y","z",3L),("x","z",3L),("c","x",1L))
+        .flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+      sym.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(e => e._2 -> e._3).toMap }
+    }
+    val k = adj.map { case (n, m) => n -> m.values.sum }
+    val w2 = 16L // sum of weights
+    def gain(i: String, c: String, comm: Map[String, String]): Long = {
+      val kin = adj(i).filter { case (j, _) => comm(j) == c }.values.sum
+      val tot = comm.collect { case (n, cc) if cc == c => k(n) }.sum
+      2L * w2 * kin - k(i) * (tot - (if (comm(i) == c) k(i) else 0L))
+    }
+    val comm0 = adj.keys.map(n => n -> n).toMap
+    val expected1 = adj.keys.map { i =>
+      val cands = (adj(i).keySet.map(comm0) + comm0(i)).toSeq
+      val gs = cands.map(c => c -> gain(i, c, comm0)).toMap
+      val gmax = gs.values.max
+      val own = comm0(i)
+      i -> (if (gs(own) == gmax) own
+            else gs.filter(_._2 == gmax).keys.min)
+    }.toMap
+    val got1 = Corpus.louvainCommunities(edges, col("s"), col("d"),
+        col("w"), sweeps = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got1 == expected1, s"got=$got1 expected=$expected1")
+    // after 3 sweeps the two triangles resolve to two communities
+    val got3 = Corpus.louvainCommunities(edges, col("s"), col("d"),
+        col("w"), sweeps = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set(got3("a"), got3("b"), got3("c")).size == 1)
+    assert(Set(got3("x"), got3("y"), got3("z")).size == 1)
+    assert(got3("a") != got3("x"))
+    // modularity gate: Q(louvain) >= Q(LPA) on the same weighted graph
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Corpus.modularityWeighted(edges, col("s"), col("d"), col("w"), labels)
+        .head().getDouble(3)
+    val qLouvain = q(Corpus.louvainCommunities(edges, col("s"), col("d"),
+      col("w"), sweeps = 3))
+    val qLpa = q(Corpus.labelPropagationWeighted(edges, col("s"), col("d"),
+      col("w"), iters = 3))
+    assert(qLouvain >= qLpa, s"qLouvain=$qLouvain qLpa=$qLpa")
+    // weight-1 default = the unweighted multigraph contract
+    val simple = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "d")
+    val one = Corpus.louvainCommunities(simple, col("s"), col("d"))
+      .collect().map(_.getString(1)).toSet
+    assert(one.size == 1) // one triangle folds to one community
   }
 
   test("expectationsReport + refIntegrityViolations count every rule's violations") {

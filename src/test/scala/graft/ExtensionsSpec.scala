@@ -1372,6 +1372,28 @@ class SimilaritySpec extends AnyFunSuite {
       zdf.select(hofForm(col("v")).as("n")).collect())
   }
 
+  test("l2NormalizeFused: null elements contribute 0 and propagate (r14 advice)") {
+    // parquet-read vectors carry containsNull=true; a value with an
+    // actual null element must not yield garbage/NPE — defined
+    // semantics: null contributes 0 to the norm, stays null in output
+    val df = Seq((0L, Seq[java.lang.Double](3.0, null, 4.0)),
+                 (1L, Seq[java.lang.Double](1.0, 2.0, 2.0)))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        Similarity.l2NormalizeFused(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Double](1))
+      .toMap
+    assert(got(0L)(0) == 3.0 / 5.0 && got(0L)(1) == null
+      && got(0L)(2) == 4.0 / 5.0)
+    // null-free rows through the SAME (containsNull=true) plan stay
+    // bit-equal to the primitive path
+    assert(got(1L).map(_.toDouble) == Seq(1.0 / 3.0, 2.0 / 3.0, 2.0 / 3.0))
+    // whole-null input still propagates null (nullIntolerant)
+    val nn = Seq((0L, null: Seq[java.lang.Double])).toDF("id", "v")
+      .select(Similarity.l2NormalizeFused(col("v")).as("n")).collect()
+    assert(nn(0).isNullAt(0))
+  }
+
   test("bruteForceTopK exact ranking") {
     val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
