@@ -3843,6 +3843,20 @@ object SparkEntry {
         k = 5)
     }),
 
+    // -------- privacy: t-closeness audit -------------------------------
+    // Completes the triad: EMD of each (nation, segment) group's
+    // acctbal-bucket distribution against the population's, over the
+    // ordered /2000 buckets. Every prefix deviation is an exact
+    // HUGEINT (cum scaled by n_g·N); the above-t count compares
+    // cross-multiplied, max_emd is one division per group of exact
+    // operands. t = 0.15 splits the board at both SFs.
+    "q_t_closeness" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.tClosenessReport(t(s, dir, "customer"),
+        Seq($"c_nationkey", $"c_mktsegment"),
+        floor($"c_acctbal" / 2000.0), t = 0.15)
+    }),
+
     // -------- events: autocorrelation of daily counts per type --------
     // Seasonality probe at lags 1..7 over 30 daily buckets per event
     // type (day = epoch-ns div 86400e9 — pure integer division, no
@@ -4261,13 +4275,16 @@ object SparkEntry {
 
   /** q_louvain oracle: the [[lpaWeightedChainCtes]] graph CTEs + 3
     * unrolled synchronous Louvain sweeps. Every gain is a HUGEINT
-    * (2W·k_in − k_i·(Σtot − [own]·k_i)) — pure integer compares, the
-    * tie rule replayed with window maxes (keep own community when it
-    * attains the max, else min label among the max-gain candidates). */
+    * (2W·k_in − k_i·(Σtot − [own]·k_i)) — pure integer compares; the
+    * minimum-label singleton rule drops singleton→larger-singleton
+    * candidates before ranking, and the tie rule is replayed with
+    * window maxes (keep own community when it attains the max, else
+    * min label among the max-gain candidates). */
   private lazy val louvainChainCtes: String = {
     val rounds = (1 to 3).map { i =>
       val p = i - 1
-      s"""st$i AS (SELECT l$p.c AS c, sum(kk.k)::HUGEINT AS tot
+      s"""st$i AS (SELECT l$p.c AS c, sum(kk.k)::HUGEINT AS tot,
+         |     count(*)::BIGINT AS sz
          |   FROM l$p JOIN kk ON l$p.nd = kk.n GROUP BY 1),
          | ki$i AS (SELECT symw.s AS nd, l$p.c AS cd, sum(symw.w)::HUGEINT AS kin
          |   FROM symw JOIN l$p ON symw.d = l$p.nd GROUP BY 1, 2),
@@ -4276,12 +4293,13 @@ object SparkEntry {
          |     UNION ALL SELECT nd, c, 0::HUGEINT FROM l$p) GROUP BY 1, 2),
          | g$i AS (SELECT cd$i.nd, cd$i.cd, l$p.c AS own,
          |     2::HUGEINT * (SELECT w2 FROM ww) * cd$i.kin
-         |     - kk.k::HUGEINT * (st$i.tot -
+         |     - kk.k::HUGEINT * (stc.tot -
          |         CASE WHEN cd$i.cd = l$p.c THEN kk.k::HUGEINT
          |              ELSE 0::HUGEINT END) AS g
          |   FROM cd$i JOIN l$p ON cd$i.nd = l$p.nd
          |     JOIN kk ON cd$i.nd = kk.n
-         |     JOIN st$i ON cd$i.cd = st$i.c),
+         |     JOIN st$i stc ON cd$i.cd = stc.c
+         |   WHERE NOT (stc.sz = 1 AND cd$i.cd > l$p.c)),
          | r$i AS (SELECT nd, cd, own, g,
          |     row_number() OVER (PARTITION BY nd ORDER BY g DESC, cd ASC) AS rn,
          |     max(CASE WHEN cd = own THEN g END) OVER (PARTITION BY nd) AS gown,
@@ -5092,6 +5110,47 @@ object SparkEntry {
         |   ELSE coalesce(sum(CASE WHEN c < 5 THEN c END), 0)::DOUBLE
         |     / sum(c)::DOUBLE END AS pct_below_k
         |FROM g""".stripMargin,
+    // q_t_closeness: per-group ordered-EMD replay — the same scaled
+    // HUGEINT prefix deviations (cum·n_g·N), cross-multiplied above-t
+    // compare, one exact division inside max(); QI attach null-safe
+    // (IS NOT DISTINCT FROM, mirroring the Spark <=>)
+    "q_t_closeness" ->
+      """WITH base AS (SELECT c_nationkey::VARCHAR AS q0,
+        |     c_mktsegment::VARCHAR AS q1,
+        |     CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS s FROM customer),
+        | cells AS (SELECT q0, q1, s, count(*)::BIGINT AS gc FROM base
+        |   WHERE s IS NOT NULL GROUP BY 1, 2, 3),
+        | grp AS (SELECT q0, q1, sum(gc)::BIGINT AS ng FROM cells
+        |   GROUP BY 1, 2),
+        | vals AS (SELECT s, sum(gc)::BIGINT AS gv FROM cells GROUP BY 1),
+        | mm AS (SELECT count(*)::BIGINT AS m,
+        |     coalesce(sum(gv), 0)::BIGINT AS n FROM vals),
+        | grid AS (SELECT g.q0, g.q1, g.ng, v.s,
+        |     (coalesce(c.gc, 0)::HUGEINT * (SELECT n FROM mm)::HUGEINT
+        |      - v.gv::HUGEINT * g.ng::HUGEINT) AS diff
+        |   FROM grp g CROSS JOIN vals v
+        |   LEFT JOIN cells c ON c.q0 IS NOT DISTINCT FROM g.q0
+        |     AND c.q1 IS NOT DISTINCT FROM g.q1 AND c.s = v.s),
+        | cum AS (SELECT q0, q1, ng,
+        |     abs(sum(diff) OVER (PARTITION BY q0, q1 ORDER BY s)) AS ab
+        |   FROM grid),
+        | pg AS (SELECT q0, q1, ng, sum(ab) AS emds FROM cum
+        |   GROUP BY 1, 2, 3),
+        | sc AS (SELECT ng, emds,
+        |     (ng::HUGEINT * (SELECT n FROM mm)::HUGEINT *
+        |      ((SELECT m FROM mm) - 1)::HUGEINT) AS scale FROM pg)
+        |SELECT 0.15::DOUBLE AS t, (SELECT n FROM mm) AS n_rows,
+        | 0::BIGINT AS n_null_sensitive,
+        | count(*)::BIGINT AS n_groups, (SELECT m FROM mm) AS n_values,
+        | max(emds::DOUBLE / scale::DOUBLE) AS max_emd,
+        | coalesce(sum(CASE WHEN emds::DOUBLE > 0.15 * scale::DOUBLE
+        |   THEN 1 END), 0)::BIGINT AS groups_above_t,
+        | coalesce(sum(CASE WHEN emds::DOUBLE > 0.15 * scale::DOUBLE
+        |   THEN ng END), 0)::BIGINT AS rows_above_t,
+        | coalesce(sum(CASE WHEN emds::DOUBLE > 0.15 * scale::DOUBLE
+        |   THEN ng END), 0)::DOUBLE / (SELECT n FROM mm)::DOUBLE
+        |   AS pct_rows_above_t
+        |FROM sc""".stripMargin,
     "q_acf" ->
       """WITH daily AS (SELECT event_type,
         |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt

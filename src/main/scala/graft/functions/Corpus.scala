@@ -1725,17 +1725,21 @@ object Corpus {
     * Σtot(c) = Σ k over members, k_{i,in}(c) = Σ w(i,j) for j ∈ c).
     * Ties keep the CURRENT community when it attains the max, else
     * break on community-label byte order. Synchronous sweeps suffer
-    * the classic SINGLETON SWAP (two mutually-best singletons move
-    * into each other's label forever — traced on a two-triangle
-    * graph: period-2, communities never form); the standard
-    * symmetry-break is the minimum-label heuristic (Lu, Halappanavar
-    * & Kalyanaraman 2015, Grappolo): a node in a SINGLETON community
-    * may move to another SINGLETON community only when the target
-    * label is byte-order SMALLER — such candidates are excluded
-    * before the argmax (the smaller-label node attracts, the larger
-    * one waits one sweep). Fully deterministic, NO rounding anywhere,
-    * so fixed sweeps unroll into chained CTEs with HUGEINT gains and
-    * the oracle hash-matches exactly.
+    * the classic SWAP/CHASE cycles (two mutually-best singletons move
+    * into each other's label forever; and a node chases a singleton
+    * community whose sole member is simultaneously leaving — both
+    * traced as period-2 cycles on a two-triangle graph). The
+    * symmetry-break is a strengthened minimum-label heuristic (after
+    * Lu, Halappanavar & Kalyanaraman 2015's singleton minimum-label
+    * rule, widened from singleton→singleton to any→singleton after
+    * the chase cycle survived the narrow form): a node may move into
+    * a SINGLETON community only when that community's label is
+    * byte-order SMALLER than the node's CURRENT community label —
+    * larger-labeled singleton candidates are excluded before the
+    * argmax (the smaller-label side attracts; the larger waits a
+    * sweep). Fully deterministic, NO rounding anywhere, so fixed
+    * sweeps unroll into chained CTEs with HUGEINT gains and the
+    * oracle hash-matches exactly.
     *
     * Scale shape per sweep (the [[labelPropagationWeighted]] shapes):
     * one broadcast-guarded state join + three partial-aggregated
@@ -1794,13 +1798,11 @@ object Corpus {
         .join(kTab, Seq("__n"))
         .join(stot.select(col("__c").as("__cd"), col("__tot"), col("__sz")),
           Seq("__cd"))
-        .join(stot.select(col("__c").as("__own"), col("__sz").as("__szo")),
-          Seq("__own"))
-        // minimum-label singleton rule: a singleton node never chases
-        // a LARGER-labeled singleton (kills the mutual-swap cycle; the
-        // own row has __cd === __own and is never excluded)
-        .where(!(col("__szo") === 1L && col("__sz") === 1L &&
-          col("__cd") > col("__own")))
+        // strengthened minimum-label rule: nobody joins a
+        // LARGER-labeled singleton community (kills the mutual swap
+        // AND the chase-a-departing-node relay; the own row has
+        // __cd === __own, never strictly greater, so it survives)
+        .where(!(col("__sz") === 1L && col("__cd") > col("__own")))
         .select(col("__n"), col("__cd"), col("__own"),
           // 2W in decimal BEFORE the multiply — a driver-side 2*w2
           // long could silently wrap at the extreme
@@ -3750,6 +3752,106 @@ object Corpus {
         when(col("n_rows") === 0L, lit(0.0))
           .otherwise(col("rows_below_l").cast("double") /
             col("n_rows").cast("double")).as("pct_below_l"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — completes
+    * the privacy triad next to [[kAnonymityReport]] /
+    * [[lDiversityReport]]: a QI group can pass l-diversity (many
+    * distinct sensitive values) while its sensitive DISTRIBUTION
+    * still leaks (90% of one salary bucket where the population holds
+    * 10%). For an ORDERED sensitive attribute the Earth Mover's
+    * Distance with unit adjacent-step cost is the normalized sum of
+    * absolute prefix deviations: EMD(P_g, P) = Σ_j |Σ_{v≤j} (g_v/n_g −
+    * G_v/N)| / (m−1) over the m GLOBAL distinct values.
+    *
+    * Exactness: scale each prefix term by n_g·N — cum_j = Σ_{v≤j}
+    * (g_v·N − G_v·n_g), EXACT decimal(38,0)/HUGEINT integers — so
+    * EMD is ONE final division of exact operands per group, and the
+    * `groups_above_t` count compares cross-multiplied
+    * (Σ|cum| vs t·n_g·N·(m−1), one identical IEEE multiply+compare in
+    * both engines — no division boundary anywhere near the count).
+    *
+    * Contract: `sensitive` is integer-valued (bucket it first —
+    * floor(x/width); cast truncates), since the ordering must be the
+    * VALUE order in both engines (a string cast would sort "10" <
+    * "2"). NULL sensitive rows are EXCLUDED from the distributions
+    * (an unknown value has no position in the ordered domain; NULL
+    * leakage is [[lDiversityReport]]'s job) and reported as
+    * `n_null_sensitive`. NULL QI values form real groups (the
+    * kAnonymityReport contract). m = 1 (or 0) defines EMD = 0.
+    *
+    * Scale shape: one (QI, value) cell aggregate; the value grid
+    * joins BROADCAST (m = #distinct buckets, small by contract);
+    * the prefix window partitions by GROUP over m rows — never a
+    * single-partition window; one scalar fold. Output single row:
+    * (t, n_rows, n_null_sensitive, n_groups, n_values, max_emd,
+    * groups_above_t, rows_above_t, pct_rows_above_t). */
+  def tClosenessReport(df: DataFrame, quasi: Seq[Column],
+                       sensitive: Column, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "tClosenessReport needs quasi-identifier columns")
+    require(t > 0 && t < 1, s"t $t outside (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val qNames = quasi.indices.map(i => s"__q$i")
+    val base = df.select(quasi.zipWithIndex.map { case (q, i) =>
+      q.cast("string").as(s"__q$i") } :+ sensitive.cast("long").as("__s"): _*)
+    val nNull = base.where(col("__s").isNull).count()
+    val cells = Dedup.materializeLazily(
+      base.where(col("__s").isNotNull)
+        .groupBy(qNames.map(col) :+ col("__s"): _*)
+        .agg(count(lit(1)).as("__gc")))
+    val groups = cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__gc")).as("__ng"))
+    val vals = cells.groupBy(col("__s")).agg(sum(col("__gc")).as("__gv"))
+    val stats = vals.agg(count(lit(1)), coalesce(sum(col("__gv")), lit(0L)))
+      .head()
+    val m = stats.getLong(0)
+    val bigN = stats.getLong(1)
+    if (m <= 1L || bigN == 0L) {
+      val ng = groups.agg(count(lit(1)),
+        coalesce(sum(col("__ng")), lit(0L))).head()
+      return df.sparkSession.range(1).select(lit(t).as("t"),
+        lit(bigN).as("n_rows"), lit(nNull).as("n_null_sensitive"),
+        lit(ng.getLong(0)).as("n_groups"), lit(m).as("n_values"),
+        lit(0.0).as("max_emd"), lit(0L).as("groups_above_t"),
+        lit(0L).as("rows_above_t"), lit(0.0).as("pct_rows_above_t"))
+    }
+    // declared broadcast cross join: m = #distinct sensitive buckets,
+    // small by contract — the value grid, not a data-path cartesian.
+    // Cell attach is NULL-SAFE on the QIs (<=> — NULL QI values form
+    // real groups and a plain equi-join would zero their cells, the
+    // exactQuantilesBy r11 fix class)
+    val cellsR = cells.select(qNames.map(n => col(n).as(s"__c$n")) :+
+      col("__s").as("__cs") :+ col("__gc"): _*)
+    val grid = groups.crossJoin(broadcast(vals.select(col("__s"), col("__gv"))))
+      .join(cellsR, qNames.map(n => col(n) <=> col(s"__c$n"))
+        .foldLeft(col("__s") === col("__cs"))(_ && _), "left")
+      .select(qNames.map(col) :+ col("__ng") :+ col("__s") :+
+        (dec(coalesce(col("__gc"), lit(0L))) * dec(lit(bigN)) -
+          dec(col("__gv")) * dec(col("__ng"))).as("__diff"): _*)
+    val w = Window.partitionBy(qNames.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the m-th prefix is exactly 0 (both distributions sum to 1), so
+    // summing all m |cum| terms equals the first m−1 — no slice needed
+    val perGroup = grid
+      .withColumn("__cum", sum(col("__diff")).over(w))
+      .groupBy(qNames.map(col) :+ col("__ng"): _*)
+      .agg(sum(abs(col("__cum"))).as("__emds"))
+    val scaleOf = dec(col("__ng")) * dec(lit(bigN)) * dec(lit(m - 1L))
+    val above = col("__emds").cast("double") >
+      lit(t) * scaleOf.cast("double")
+    perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        max(col("__emds").cast("double") / scaleOf.cast("double"))
+          .as("max_emd"),
+        coalesce(sum(when(above, lit(1L))), lit(0L)).as("groups_above_t"),
+        coalesce(sum(when(above, col("__ng"))), lit(0L)).as("rows_above_t"))
+      .select(lit(t).as("t"), lit(bigN).as("n_rows"),
+        lit(nNull).as("n_null_sensitive"), col("n_groups"),
+        lit(m).as("n_values"), col("max_emd"), col("groups_above_t"),
+        col("rows_above_t"),
+        (col("rows_above_t").cast("double") / lit(bigN.toDouble))
+          .as("pct_rows_above_t"))
   }
 
   /** Gini coefficient of the per-key row distribution — the

@@ -538,11 +538,16 @@ class CorpusSpec extends AnyFunSuite {
       2L * w2 * kin - k(i) * (tot - (if (comm(i) == c) k(i) else 0L))
     }
     val comm0 = adj.keys.map(n => n -> n).toMap
+    def commSize(c: String, comm: Map[String, String]) =
+      comm.values.count(_ == c)
     val expected1 = adj.keys.map { i =>
-      val cands = (adj(i).keySet.map(comm0) + comm0(i)).toSeq
+      val own = comm0(i)
+      // strengthened minimum-label rule: nobody joins a larger-labeled
+      // SINGLETON community
+      val cands = (adj(i).keySet.map(comm0) + own).toSeq.filter(c =>
+        !(commSize(c, comm0) == 1 && c > own))
       val gs = cands.map(c => c -> gain(i, c, comm0)).toMap
       val gmax = gs.values.max
-      val own = comm0(i)
       i -> (if (gs(own) == gmax) own
             else gs.filter(_._2 == gmax).keys.min)
     }.toMap
@@ -571,6 +576,46 @@ class CorpusSpec extends AnyFunSuite {
     val one = Corpus.louvainCommunities(simple, col("s"), col("d"))
       .collect().map(_.getString(1)).toSet
     assert(one.size == 1) // one triangle folds to one community
+  }
+
+  test("tClosenessReport: hand-computed ordered EMDs, NULL QI group, NULL sensitive excluded") {
+    // groups A(0,0,0,0 + one NULL sensitive), B(0,1,2,2), C(0,0,1,2),
+    // NULL-QI(1,1); N=14, G=(7,4,3), m=3
+    // EMD_A = (|28|+|12|)/112 = 40/112 = 5/14      (above t=0.3)
+    // EMD_B = (14+16)/112 = 30/112                  (below)
+    // EMD_C = (0+2)/112 = 2/112                     (below)
+    // EMD_null = (14+6)/56 = 20/56 = 5/14           (above)
+    val rows = Seq(
+      Some("A") -> Some(0L), Some("A") -> Some(0L), Some("A") -> Some(0L),
+      Some("A") -> Some(0L), Some("A") -> None,
+      Some("B") -> Some(0L), Some("B") -> Some(1L), Some("B") -> Some(2L),
+      Some("B") -> Some(2L),
+      Some("C") -> Some(0L), Some("C") -> Some(0L), Some("C") -> Some(1L),
+      Some("C") -> Some(2L),
+      None -> Some(1L), None -> Some(1L))
+    val df = rows.map { case (q, s) => (q.orNull, s.map(Long.box).orNull) }
+      .toDF("q", "s")
+    val r = Corpus.tClosenessReport(df, Seq(col("q")), col("s"), t = 0.3)
+      .head()
+    assert(r.getLong(1) == 14L)   // n_rows (non-null sensitive)
+    assert(r.getLong(2) == 1L)    // n_null_sensitive
+    assert(r.getLong(3) == 4L)    // n_groups (NULL QI is a real group)
+    assert(r.getLong(4) == 3L)    // n_values
+    assert(math.abs(r.getDouble(5) - 5.0 / 14.0) < 1e-12) // max_emd
+    assert(r.getLong(6) == 2L)    // groups_above_t (A and the NULL group)
+    assert(r.getLong(7) == 6L)    // rows_above_t
+    assert(math.abs(r.getDouble(8) - 6.0 / 14.0) < 1e-12)
+    // identical distributions in every group => every EMD is 0
+    val flat = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L))
+      .toDF("q", "s")
+    val r0 = Corpus.tClosenessReport(flat, Seq(col("q")), col("s"), t = 0.3)
+      .head()
+    assert(r0.getDouble(5) == 0.0 && r0.getLong(6) == 0L)
+    // single global value (m = 1) => EMD defined 0, no division by m-1
+    val one = Seq(("A", 5L), ("B", 5L)).toDF("q", "s")
+    val r1 = Corpus.tClosenessReport(one, Seq(col("q")), col("s"), t = 0.3)
+      .head()
+    assert(r1.getLong(4) == 1L && r1.getDouble(5) == 0.0)
   }
 
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
