@@ -1115,6 +1115,18 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: market-basket association rules ------------------
+    // Directed pairwise rules over order baskets: distinct-order
+    // supports, confidence = one exact-long division, lift multiplied
+    // in decimal(38,0) before its one division. minPairSupport 3
+    // keeps the board meaningful at both SFs.
+    "q_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.associationRules(t(s, dir, "lineitem"), $"l_orderkey",
+          $"l_partkey", minPairSupport = 3L)
+        .orderBy("antecedent", "consequent")
+    }),
+
     // -------- corpus: 2-hop neighborhood size (HyperBall/KMV) ----------
     // Per-node |ball(v, 2)| estimate over the >=2-co-purchase graph
     // (undirected): iterate KMV sketches along edges — the
@@ -3105,6 +3117,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // -------- dedup: exact basket-similarity join (array Jaccard) ------
+    // Which orders share >= 20% of their parts — jaccardPairsExact
+    // generalized to an arbitrary array column (r13 verdict item 6):
+    // same PPJoin prefix pigeonhole over per-element xxhash64 keys,
+    // TRUE distinct-element sets verify survivors, so the oracle can
+    // replay as the brute shared-element join (exact at any scale; at
+    // t=0.2 the prefix IS the whole set, the honest cost of a low
+    // threshold — candidates are still Σ per-element df², never N²).
+    "q_basket_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val baskets = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(array_sort(collect_set($"l_partkey")).as("items"))
+      Dedup.jaccardPairsExactArray(baskets, "l_orderkey", "items",
+          threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // -------- dedup: cross-source duplication matrix ------------------
     // The curation audit "which sources duplicate each other": the
     // verified LSH pair set (≡ exact 5-gram Jaccard >= 0.9) with each
@@ -3843,6 +3873,19 @@ object SparkEntry {
         k = 5)
     }),
 
+    // -------- corpus: per-source K-S distribution drift ----------------
+    // Which sources' length distributions drifted from the corpus:
+    // D = max |CDF_g − CDF| over /512 length buckets — the
+    // prefix-deviation grid with max for Σ; one exact division per
+    // source.
+    "q_ks_drift" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.ksDriftReport(t(s, dir, "documents"), Seq($"source"),
+          expr("length(text) div 512"))
+        .withColumnRenamed("key0", "source")
+        .orderBy("source")
+    }),
+
     // -------- privacy: t-closeness audit -------------------------------
     // Completes the triad: EMD of each (nation, segment) group's
     // acctbal-bucket distribution against the population's, over the
@@ -3892,6 +3935,23 @@ object SparkEntry {
             .where($"ts".isNotNull && $"event_id".isNotNull), $"user_id",
           Seq(unix_micros($"ts"), $"event_id"), $"event_type")
         .orderBy("step_1", "step_2", "step_3")
+    }),
+
+    // -------- events: view→purchase cross-correlation ------------------
+    // Do purchases follow views by k days? CCF at lags 0..7 over the
+    // wide daily series — the acf n²-scaled identity on both sides,
+    // one correctly-rounded sqrt (IEEE-exact cross-engine, unlike
+    // pow/ln) and one division.
+    "q_ccf" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .where($"ts".isNotNull && $"event_type".isNotNull)
+        .groupBy(expr("ts_ns div 86400000000000").as("day"))
+        .agg(
+          sum(when($"event_type" === "view", 1L).otherwise(0L)).as("xv"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("yv"))
+      Corpus.crossCorrelation(daily, $"day", $"xv", $"yv", maxLag = 7)
+        .orderBy("lag")
     }),
 
     // -------- events: Mann-Kendall trend per type ----------------------
@@ -3959,6 +4019,25 @@ object SparkEntry {
           expr("ts_ns div 86400000000000").as("day"))
         .agg(count(lit(1)).as("cnt"))
       Corpus.holtLinearByKey(daily, Seq($"event_type"), $"cnt", Seq($"day"))
+        .orderBy("event_type")
+    }),
+
+    // -------- events: Holt-Winters seasonal smoothing ------------------
+    // The seasonal completion of q_holt over the same daily series:
+    // additive weekly component (period 7 — the q_acf seasonality
+    // answer), α = β = γ = ½. Init = first-season mean (one IEEE
+    // division) + x_j − l seasonals; every fold step fixed-order
+    // halvings → bit-identical to DuckDB's list_reduce replay with an
+    // (m+2)-element [l, b, s_1..s_7] LIST accumulator.
+    "q_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .where($"event_type".isNotNull && $"ts".isNotNull)
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Corpus.holtWintersByKey(daily, Seq($"event_type"), $"cnt",
+          Seq($"day"), period = 7)
         .orderBy("event_type")
     }),
 
@@ -5012,6 +5091,36 @@ object SparkEntry {
         | coalesce(st[2], 0.0) AS trend,
         | st[1] + coalesce(st[2], 0.0) AS forecast
         |FROM f ORDER BY event_type""".stripMargin,
+    // q_holt_winters: the q_holt list_reduce recipe with an (m+2)-list
+    // accumulator [l, b, s1..s7]; init list prepended as the fold's
+    // first element (acc-first 2-arg form), elements as singleton
+    // lists; nl recomputed inline where needed — identical IEEE
+    // expression both times, so the bits can't diverge
+    "q_holt_winters" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | s AS (SELECT event_type, list(cnt::DOUBLE ORDER BY day) AS vs,
+        |     count(*) AS n FROM daily GROUP BY 1),
+        | ini AS (SELECT event_type, n, vs,
+        |     list_reduce(vs[1:7], (a, b) -> a + b) / 7.0 AS l0
+        |   FROM s WHERE n >= 7),
+        | f AS (SELECT event_type, n,
+        |   list_reduce(
+        |     list_prepend(
+        |       [l0, 0.0] || list_transform(vs[1:7], x -> x - l0),
+        |       list_transform(vs[8:], x -> [x])),
+        |     (a, e) -> [
+        |        ((e[1] - a[3]) + (a[1] + a[2])) / 2.0,
+        |        ((((e[1] - a[3]) + (a[1] + a[2])) / 2.0 - a[1]) + a[2]) / 2.0
+        |       ] || a[4:] ||
+        |       [((e[1] - ((e[1] - a[3]) + (a[1] + a[2])) / 2.0) + a[3]) / 2.0]
+        |   ) AS st
+        |   FROM ini)
+        |SELECT event_type, n::BIGINT AS n, st[1] AS level, st[2] AS trend,
+        | st[3] AS seasonal_next, st[1] + st[2] + st[3] AS forecast
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_time_to_convert" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu
         |   FROM events WHERE user_id IS NOT NULL),
@@ -5043,6 +5152,35 @@ object SparkEntry {
         | count(*)::BIGINT AS support
         |FROM l WHERE p2 IS NOT NULL AND p1 IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q_ccf: the q_acf HUGEINT identity on two series + one sqrt
+    // (correctly rounded per IEEE-754 in both engines) + one division
+    "q_ccf" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |     sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |       AS xv,
+        |     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+        |       AS yv
+        |   FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |   GROUP BY 1),
+        | tot AS (SELECT count(*) AS n, sum(xv) AS sx, sum(yv) AS sy
+        |   FROM daily),
+        | d AS (SELECT day,
+        |     (xv::HUGEINT * (SELECT n FROM tot)::HUGEINT
+        |       - (SELECT sx FROM tot)::HUGEINT) AS dx,
+        |     (yv::HUGEINT * (SELECT n FROM tot)::HUGEINT
+        |       - (SELECT sy FROM tot)::HUGEINT) AS dy
+        |   FROM daily),
+        | den AS (SELECT sum(dx * dx) AS dxx, sum(dy * dy) AS dyy FROM d),
+        | num AS (SELECT b.day - a.day AS lag, sum(a.dx * b.dy) AS nm,
+        |     count(*)::BIGINT AS n_pairs
+        |   FROM d a JOIN d b ON b.day - a.day BETWEEN 0 AND 7
+        |   GROUP BY 1)
+        |SELECT lag, n_pairs,
+        | CASE WHEN (SELECT dxx FROM den) = 0 OR (SELECT dyy FROM den) = 0
+        |   THEN 0.0
+        |   ELSE nm::DOUBLE / sqrt((SELECT dxx FROM den)::DOUBLE
+        |     * (SELECT dyy FROM den)::DOUBLE) END AS ccf
+        |FROM num ORDER BY lag""".stripMargin,
     "q_trend" ->
       """WITH daily AS (SELECT event_type,
         |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
@@ -5151,6 +5289,30 @@ object SparkEntry {
         |   THEN ng END), 0)::DOUBLE / (SELECT n FROM mm)::DOUBLE
         |   AS pct_rows_above_t
         |FROM sc""".stripMargin,
+    // q_ks_drift: the t-closeness grid replay with max|cum| for
+    // Σ|cum| and no (m−1) factor
+    "q_ks_drift" ->
+      """WITH base AS (SELECT source::VARCHAR AS q0,
+        |     (length(text) // 512)::BIGINT AS s FROM documents),
+        | cells AS (SELECT q0, s, count(*)::BIGINT AS gc FROM base
+        |   WHERE s IS NOT NULL GROUP BY 1, 2),
+        | grp AS (SELECT q0, sum(gc)::BIGINT AS ng FROM cells GROUP BY 1),
+        | vals AS (SELECT s, sum(gc)::BIGINT AS gv FROM cells GROUP BY 1),
+        | mm AS (SELECT count(*)::BIGINT AS m,
+        |     coalesce(sum(gv), 0)::BIGINT AS n FROM vals),
+        | grid AS (SELECT g.q0, g.ng, v.s,
+        |     (coalesce(c.gc, 0)::HUGEINT * (SELECT n FROM mm)::HUGEINT
+        |      - v.gv::HUGEINT * g.ng::HUGEINT) AS diff
+        |   FROM grp g CROSS JOIN vals v
+        |   LEFT JOIN cells c ON c.q0 IS NOT DISTINCT FROM g.q0
+        |     AND c.s = v.s),
+        | cum AS (SELECT q0, ng,
+        |     abs(sum(diff) OVER (PARTITION BY q0 ORDER BY s)) AS ab
+        |   FROM grid),
+        | pg AS (SELECT q0, ng, max(ab) AS dmax FROM cum GROUP BY 1, 2)
+        |SELECT q0 AS source, ng AS n, dmax::DOUBLE /
+        |  (ng::HUGEINT * (SELECT n FROM mm)::HUGEINT)::DOUBLE AS d_stat
+        |FROM pg ORDER BY source""".stripMargin,
     "q_acf" ->
       """WITH daily AS (SELECT event_type,
         |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
@@ -6621,6 +6783,22 @@ object SparkEntry {
         |     JOIN sh b ON ix5.dst = b.doc_id)
         |SELECT src AS id_a, dst AS id_b, round(j, 6) AS jaccard
         |FROM ej WHERE j >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // q_basket_jaccard: brute shared-element join replay — exact
+    // (pairs sharing zero elements can't reach any positive
+    // threshold, so the equi-join on elements IS the candidate
+    // universe); same one-division j and round(6) as q_jaccard_exact
+    "q_basket_jaccard" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS e
+        |   FROM lineitem),
+        | sz AS (SELECT oid, count(*)::BIGINT AS n FROM it GROUP BY 1),
+        | pr AS (SELECT a.oid AS ia, b.oid AS ib, count(*)::BIGINT AS i
+        |   FROM it a JOIN it b ON a.e = b.e AND a.oid < b.oid
+        |   GROUP BY 1, 2),
+        | j AS (SELECT ia, ib, i::DOUBLE / (sa.n + sb.n - i) AS jac
+        |   FROM pr JOIN sz sa ON pr.ia = sa.oid
+        |     JOIN sz sb ON pr.ib = sb.oid)
+        |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin,
     "q_dup_matrix" ->
       s"""WITH $nearDupEdges5g09,
         | p AS (SELECT da.source AS sa, db.source AS sb
@@ -7547,6 +7725,24 @@ object SparkEntry {
     "q_louvain" ->
       s"""WITH $louvainChainCtes
         |SELECT nd AS node, c AS community FROM l3 ORDER BY node""".stripMargin,
+    // q_assoc_rules: distinct (order, part) baskets; directed pairs
+    // from one self-join; HUGEINT lift product before one division
+    "q_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey::VARCHAR AS g,
+        |     l_partkey::VARCHAR AS i FROM lineitem),
+        | nn AS (SELECT count(DISTINCT g)::BIGINT AS n FROM it),
+        | su AS (SELECT i, count(*)::BIGINT AS s FROM it GROUP BY 1),
+        | pr AS (SELECT a.i AS ia, b.i AS ib, count(*)::BIGINT AS w
+        |   FROM it a JOIN it b ON a.g = b.g AND a.i <> b.i
+        |   GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pr.ia AS antecedent, pr.ib AS consequent,
+        | pr.w AS pair_support, sa.s AS antecedent_support,
+        | sb.s AS consequent_support, (SELECT n FROM nn) AS n_groups,
+        | pr.w::DOUBLE / sa.s::DOUBLE AS confidence,
+        | (pr.w::HUGEINT * (SELECT n FROM nn)::HUGEINT)::DOUBLE
+        |   / (sa.s::HUGEINT * sb.s::HUGEINT)::DOUBLE AS lift
+        |FROM pr JOIN su sa ON pr.ia = sa.i JOIN su sb ON pr.ib = sb.i
+        |ORDER BY antecedent, consequent""".stripMargin,
     // q_modularity_weighted: the weighted chain + weighted Q —
     // W = Σw, S_c = Σ incident w, W_c = Σ intra w; same fixed-order
     // per-community term and ×1e12 scaled-BIGINT fold as q_modularity.

@@ -2459,6 +2459,51 @@ object Corpus {
     if (minCount > 1) pairs.where(col("w") >= minCount) else pairs
   }
 
+  /** Pairwise association rules over a (group, item) relation — the
+    * market-basket completion of [[coOccurrenceEdges]]: every
+    * DIRECTED rule a→b with distinct-group supports,
+    * confidence = P(b | a) and lift = P(a,b) / (P(a)·P(b)). Pairwise
+    * only (2-itemsets) by declared design — the exact, one-join tier;
+    * longer itemsets grow combinatorially and SHOULD be a deliberate
+    * second call over a filtered item set.
+    *
+    * Exactness: all supports are distinct-group longs; confidence is
+    * ONE division of exact longs; lift multiplies in decimal(38,0)
+    * BEFORE its one division (w·N up to ~1e20 at corpus scale —
+    * longs would overflow; the WordPiece r10 lesson). Items compare
+    * as their string casts (mirror in oracles).
+    *
+    * Scale shape: one distinct, one group-key self-join (the
+    * coOccurrenceEdges projection — audit group sizes with
+    * [[keySkewReport]] first), two broadcast-sized support joins.
+    * Output: (antecedent, consequent, pair_support,
+    * antecedent_support, consequent_support, n_groups, confidence,
+    * lift), both orientations of every surviving pair. */
+  def associationRules(df: DataFrame, group: Column, item: Column,
+                       minPairSupport: Long = 2L): DataFrame = {
+    require(minPairSupport >= 1, s"minPairSupport $minPairSupport must be >= 1")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = Dedup.materializeLazily(
+      df.select(group.cast("string").as("__g"), item.cast("string").as("__i"))
+        .where(col("__g").isNotNull && col("__i").isNotNull).distinct())
+    val nB = base.select(col("__g")).distinct().count()
+    val isup = base.groupBy(col("__i")).agg(count(lit(1)).as("__si"))
+    val pairs = coOccurrenceEdges(base, col("__g"), col("__i"),
+      minCount = minPairSupport) // base pre-deduped => distinct-group w
+    val dir = pairs.select(col("u").as("__a"), col("v").as("__b"), col("w"))
+      .union(pairs.select(col("v").as("__a"), col("u").as("__b"), col("w")))
+    dir
+      .join(isup.select(col("__i").as("__a"), col("__si").as("__sa")), "__a")
+      .join(isup.select(col("__i").as("__b"), col("__si").as("__sb")), "__b")
+      .select(col("__a").as("antecedent"), col("__b").as("consequent"),
+        col("w").as("pair_support"), col("__sa").as("antecedent_support"),
+        col("__sb").as("consequent_support"), lit(nB).as("n_groups"),
+        (col("w").cast("double") / col("__sa").cast("double"))
+          .as("confidence"),
+        ((dec(col("w")) * dec(lit(nB))).cast("double") /
+          (dec(col("__sa")) * dec(col("__sb"))).cast("double")).as("lift"))
+  }
+
   /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9, via
     * StrictMath — bit-reproducible on every JVM, so the literals the
     * operator embeds and the generated oracle text agree exactly (the
@@ -3684,6 +3729,70 @@ object Corpus {
           .as("acf")): _*)
   }
 
+  /** Cross-correlation function of two integer series per key at lags
+    * 0..maxLag — the lead/lag detector next to [[autocorrelation]]
+    * ("do purchases follow views by k days?"): r_L = Σ_t (x_t−x̄)
+    * (y_{t+L}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²), computed with the acf
+    * n²-scaled mean-clearing identity so numerator and BOTH
+    * denominator sums are EXACT decimal(38,0) (the n² factors
+    * cancel between num and √(den·den)). The one libm call is sqrt —
+    * IEEE-754 requires correctly-rounded sqrt, so unlike pow/ln it is
+    * bit-identical cross-engine; num/√(dx·dy) stacks one multiply,
+    * one sqrt, one division of identical operands. Zero-variance
+    * side → ccf 0.0 by convention.
+    *
+    * Contracts as [[autocorrelation]]: `t` integer and unique per
+    * key, BOTH values integer-valued on the same row (build the wide
+    * series first), gaps contribute no pair, lags with zero pairs
+    * emit no row, NULL keys/t/values drop. Lag 0 included (the
+    * instant-correlation row). Scale: series materializes once, one
+    * explode to maxLag+1 rows + ONE equi-join on (key, t+lag).
+    * Output: (keys…, lag, n_pairs, ccf). */
+  def crossCorrelation(df: DataFrame, t: Column, x: Column, y: Column,
+                       maxLag: Int, keys: Seq[Column] = Nil): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 1000, s"maxLag $maxLag out of [0, 1000]")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val v = Dedup.materializeLazily(df.select(
+        keys.zipWithIndex.map { case (c, i) => c.cast("string").as(s"__k$i") } ++
+          Seq(t.cast("long").as("__t"), x.cast("long").as("__x"),
+            y.cast("long").as("__y")): _*)
+      .where(keys.indices.map(i => col(s"__k$i").isNotNull)
+        .foldLeft(col("__t").isNotNull && col("__x").isNotNull &&
+          col("__y").isNotNull)(_ && _)))
+    val kcols = keyNames.map(col)
+    val tot = v.groupBy(kcols: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"))
+    val d = Dedup.materializeLazily(v.join(tot, keyNames, "inner")
+      .select(kcols ++ Seq(col("__t"),
+        (dec(col("__x")) * dec(col("__n")) - dec(col("__sx"))).as("__dx"),
+        (dec(col("__y")) * dec(col("__n")) - dec(col("__sy"))).as("__dy")): _*))
+    val den = d.groupBy(kcols: _*)
+      .agg(sum(col("__dx") * col("__dx")).as("__dxx"),
+        sum(col("__dy") * col("__dy")).as("__dyy"))
+    val aSide = d.select(kcols ++ Seq(col("__t"), col("__dx").as("__da")): _*)
+      .select(col("*"),
+        explode(array((0 to maxLag).map(l => lit(l.toLong)): _*)).as("__lag"))
+    val bSide = d.select(
+      keyNames.map(n => col(n).as(s"__b$n")) ++
+        Seq(col("__t").as("__tb"), col("__dy").as("__db")): _*)
+    val joined = aSide.join(bSide,
+      keyNames.map(n => col(n) === col(s"__b$n"))
+        .foldLeft(col("__t") + col("__lag") === col("__tb"))(_ && _))
+    val num = joined.groupBy(kcols :+ col("__lag"): _*)
+      .agg(sum(col("__da") * col("__db")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+    num.join(den, keyNames, "inner")
+      .select(keys.indices.map(i => col(s"__k$i").as(s"key$i")) ++ Seq(
+        col("__lag").as("lag"), col("n_pairs"),
+        when(col("__dxx") === lit(0L).cast("decimal(38,0)") ||
+            col("__dyy") === lit(0L).cast("decimal(38,0)"), lit(0.0))
+          .otherwise(col("__num").cast("double") /
+            sqrt(col("__dxx").cast("double") * col("__dyy").cast("double")))
+          .as("ccf")): _*)
+  }
+
   /** Frequent length-3 state sequences over per-key ordered events —
     * the order-2 extension of [[transitionMatrix]] (a first-order
     * matrix can't see that view→click→purchase and view→click→abandon
@@ -3790,51 +3899,20 @@ object Corpus {
                        sensitive: Column, t: Double): DataFrame = {
     require(quasi.nonEmpty, "tClosenessReport needs quasi-identifier columns")
     require(t > 0 && t < 1, s"t $t outside (0,1)")
-    import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
     val qNames = quasi.indices.map(i => s"__q$i")
-    val base = df.select(quasi.zipWithIndex.map { case (q, i) =>
-      q.cast("string").as(s"__q$i") } :+ sensitive.cast("long").as("__s"): _*)
-    val nNull = base.where(col("__s").isNull).count()
-    val cells = Dedup.materializeLazily(
-      base.where(col("__s").isNotNull)
-        .groupBy(qNames.map(col) :+ col("__s"): _*)
-        .agg(count(lit(1)).as("__gc")))
-    val groups = cells.groupBy(qNames.map(col): _*)
-      .agg(sum(col("__gc")).as("__ng"))
-    val vals = cells.groupBy(col("__s")).agg(sum(col("__gc")).as("__gv"))
-    val stats = vals.agg(count(lit(1)), coalesce(sum(col("__gv")), lit(0L)))
-      .head()
-    val m = stats.getLong(0)
-    val bigN = stats.getLong(1)
-    if (m <= 1L || bigN == 0L) {
-      val ng = groups.agg(count(lit(1)),
-        coalesce(sum(col("__ng")), lit(0L))).head()
+    val (gridOpt, m, bigN, nNull, nGroupsEmpty) =
+      prefixDeviationGrid(df, quasi, sensitive)
+    if (gridOpt.isEmpty) {
       return df.sparkSession.range(1).select(lit(t).as("t"),
         lit(bigN).as("n_rows"), lit(nNull).as("n_null_sensitive"),
-        lit(ng.getLong(0)).as("n_groups"), lit(m).as("n_values"),
+        lit(nGroupsEmpty).as("n_groups"), lit(m).as("n_values"),
         lit(0.0).as("max_emd"), lit(0L).as("groups_above_t"),
         lit(0L).as("rows_above_t"), lit(0.0).as("pct_rows_above_t"))
     }
-    // declared broadcast cross join: m = #distinct sensitive buckets,
-    // small by contract — the value grid, not a data-path cartesian.
-    // Cell attach is NULL-SAFE on the QIs (<=> — NULL QI values form
-    // real groups and a plain equi-join would zero their cells, the
-    // exactQuantilesBy r11 fix class)
-    val cellsR = cells.select(qNames.map(n => col(n).as(s"__c$n")) :+
-      col("__s").as("__cs") :+ col("__gc"): _*)
-    val grid = groups.crossJoin(broadcast(vals.select(col("__s"), col("__gv"))))
-      .join(cellsR, qNames.map(n => col(n) <=> col(s"__c$n"))
-        .foldLeft(col("__s") === col("__cs"))(_ && _), "left")
-      .select(qNames.map(col) :+ col("__ng") :+ col("__s") :+
-        (dec(coalesce(col("__gc"), lit(0L))) * dec(lit(bigN)) -
-          dec(col("__gv")) * dec(col("__ng"))).as("__diff"): _*)
-    val w = Window.partitionBy(qNames.map(col): _*).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the m-th prefix is exactly 0 (both distributions sum to 1), so
     // summing all m |cum| terms equals the first m−1 — no slice needed
-    val perGroup = grid
-      .withColumn("__cum", sum(col("__diff")).over(w))
+    val perGroup = gridOpt.get
       .groupBy(qNames.map(col) :+ col("__ng"): _*)
       .agg(sum(abs(col("__cum"))).as("__emds"))
     val scaleOf = dec(col("__ng")) * dec(lit(bigN)) * dec(lit(m - 1L))
@@ -3852,6 +3930,90 @@ object Corpus {
         col("rows_above_t"),
         (col("rows_above_t").cast("double") / lit(bigN.toDouble))
           .as("pct_rows_above_t"))
+  }
+
+  /** Shared per-group ordered prefix-deviation grid behind
+    * [[tClosenessReport]] (Σ|cum| = EMD) and [[ksDriftReport]]
+    * (max|cum| = K-S D): one (group, value) cell aggregate, a
+    * BROADCAST value-grid cross join (m = #distinct integer values,
+    * small by contract), a NULL-SAFE cell attach (<=> — NULL group
+    * keys form real groups, the exactQuantilesBy r11 fix class), and
+    * one per-group window over m rows computing
+    * cum_j = Σ_{v≤j} (g_v·N − G_v·n_g) in EXACT decimal(38,0).
+    * Returns (grid with __q…/__ng/__s/__cum, m, N, n_null,
+    * n_groups-for-the-degenerate-path); grid is None when m ≤ 1 or
+    * N = 0 (every deviation is 0 by definition). */
+  private def prefixDeviationGrid(df: DataFrame, keys: Seq[Column],
+      value: Column): (Option[DataFrame], Long, Long, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val qNames = keys.indices.map(i => s"__q$i")
+    val base = df.select(keys.zipWithIndex.map { case (q, i) =>
+      q.cast("string").as(s"__q$i") } :+ value.cast("long").as("__s"): _*)
+    val nNull = base.where(col("__s").isNull).count()
+    val cells = Dedup.materializeLazily(
+      base.where(col("__s").isNotNull)
+        .groupBy(qNames.map(col) :+ col("__s"): _*)
+        .agg(count(lit(1)).as("__gc")))
+    val groups = cells.groupBy(qNames.map(col): _*)
+      .agg(sum(col("__gc")).as("__ng"))
+    val vals = cells.groupBy(col("__s")).agg(sum(col("__gc")).as("__gv"))
+    val stats = vals.agg(count(lit(1)), coalesce(sum(col("__gv")), lit(0L)))
+      .head()
+    val m = stats.getLong(0)
+    val bigN = stats.getLong(1)
+    if (m <= 1L || bigN == 0L) {
+      val ng = groups.agg(count(lit(1))).head().getLong(0)
+      return (None, m, bigN, nNull, ng)
+    }
+    val cellsR = cells.select(qNames.map(n => col(n).as(s"__c$n")) :+
+      col("__s").as("__cs") :+ col("__gc"): _*)
+    val grid = groups.crossJoin(broadcast(vals.select(col("__s"), col("__gv"))))
+      .join(cellsR, qNames.map(n => col(n) <=> col(s"__c$n"))
+        .foldLeft(col("__s") === col("__cs"))(_ && _), "left")
+      .select(qNames.map(col) :+ col("__ng") :+ col("__s") :+
+        (dec(coalesce(col("__gc"), lit(0L))) * dec(lit(bigN)) -
+          dec(col("__gv")) * dec(col("__ng"))).as("__diff"): _*)
+    val w = Window.partitionBy(qNames.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (Some(grid.withColumn("__cum", sum(col("__diff")).over(w))),
+      m, bigN, nNull, 0L)
+  }
+
+  /** Per-group two-sample Kolmogorov–Smirnov drift scan — "which
+    * sources' value distributions have drifted from the corpus":
+    * D_g = max_j |CDF_g(j) − CDF(j)| of each group against the WHOLE
+    * population over the ordered integer value grid (the
+    * [[tClosenessReport]] machinery with max|cum| for Σ|cum| — EMD
+    * integrates total distributional distance, K-S flags the single
+    * worst crossing, the classic drift alarm). Exactness: D_g is ONE
+    * division of the exact max|cum| by n_g·N. Same contracts:
+    * integer-valued `value` (bucket first), NULL values excluded,
+    * NULL group keys are real groups. m ≤ 1 → every D = 0. Output:
+    * (keys…, n, d_stat), one row per group. */
+  def ksDriftReport(df: DataFrame, keys: Seq[Column],
+                    value: Column): DataFrame = {
+    require(keys.nonEmpty, "ksDriftReport needs group key columns")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val qNames = keys.indices.map(i => s"__q$i")
+    val outKeys = keys.indices.map(i => col(s"__q$i").as(s"key$i"))
+    val (gridOpt, _, bigN, _, _) = prefixDeviationGrid(df, keys, value)
+    if (gridOpt.isEmpty) {
+      // degenerate domain: rebuild the group list so every group still
+      // reports (with D = 0 by definition)
+      val base = df.select(keys.zipWithIndex.map { case (q, i) =>
+        q.cast("string").as(s"__q$i") } :+ value.cast("long").as("__s"): _*)
+      return base.where(col("__s").isNotNull)
+        .groupBy(qNames.map(col): _*).agg(count(lit(1)).as("n"))
+        .select(outKeys :+ col("n") :+ lit(0.0).as("d_stat"): _*)
+    }
+    gridOpt.get
+      .groupBy(qNames.map(col) :+ col("__ng"): _*)
+      .agg(max(abs(col("__cum"))).as("__dmax"))
+      .select(outKeys :+ col("__ng").as("n") :+
+        (col("__dmax").cast("double") /
+          (dec(col("__ng")) * dec(lit(bigN))).cast("double"))
+          .as("d_stat"): _*)
   }
 
   /** Gini coefficient of the per-key row distribution — the
@@ -4001,6 +4163,84 @@ object Corpus {
         coalesce(folded.getField("b"), lit(0.0)).as("trend") :+
         (folded.getField("l") +
           coalesce(folded.getField("b"), lit(0.0))).as("forecast")): _*)
+  }
+
+  /** Holt-Winters additive SEASONAL smoothing at α = β = γ = ½ — the
+    * completion [[holtLinearByKey]] and the q_acf seasonality
+    * detector beg for: level + trend + an m-period additive seasonal
+    * component (pick `period` from the acf peak, e.g. 7 for daily
+    * series with weekly structure).
+    *
+    * Recurrences (Hyndman & Athanasopoulos, additive form), all
+    * halvings: l_t = ((x_t − s_{t−m}) + (l + b))/2,
+    * b_t = ((l_t − l) + b)/2, s_t = ((x_t − l_t) + s_{t−m})/2.
+    * Init (simple convention, documented): l = mean of the first
+    * season (ONE division by m — identical IEEE op in both engines),
+    * b = 0, s_j = x_j − l for j = 1..m; the fold starts at t = m+1.
+    * Every operation is IEEE +,−,/ in a FIXED order, so the fold is
+    * bit-identical cross-engine and the DuckDB replay rides the
+    * [[ewmaByKey]] list_reduce recipe with an (m+2)-element LIST
+    * accumulator [l, b, s_1..s_m] (acc-first, singleton-list
+    * elements — the q_holt convention).
+    *
+    * Contract: per-key series bounded (the sorted-fold shape —
+    * collect_list per key; daily/hourly rollups, audit with
+    * [[keySkewReport]]); `order` columns non-null by contract; keys
+    * with n < `period` points are DROPPED (no season can be seeded —
+    * documented, not invented). Fold-lambda bodies reference only
+    * acc/element (no captured computed children — the interpreted-HOF
+    * hazard); the seasonal init captures the MATERIALIZED `__l0`
+    * attribute, O(1) per element. Output: (keys…, n, level, trend,
+    * seasonal_next, forecast) where seasonal_next is the factor due
+    * at t+1 and forecast = level + trend + seasonal_next. */
+  def holtWintersByKey(df: DataFrame, keys: Seq[Column], value: Column,
+                       order: Seq[Column], period: Int): DataFrame = {
+    require(order.nonEmpty, "holtWintersByKey needs at least one order column")
+    require(period >= 2 && period <= 366,
+      s"period $period outside [2, 366]")
+    val m = period
+    val v = df.select((keys :+ value.cast("double").as("__x")) ++
+        order.zipWithIndex.map { case (o, i) => o.as(s"__o$i") }: _*)
+      .where(col("__x").isNotNull)
+    val keyNames = v.columns.take(keys.size).toIndexedSeq
+    val st = struct((order.indices.map(i => col(s"__o$i")) :+
+      col("__x").as("__v")): _*)
+    val grouped = v.groupBy(keyNames.map(col): _*)
+      .agg(sort_array(collect_list(st)).as("__arr"))
+      .where(size(col("__arr")) >= m)
+      .withColumn("__vals", transform(col("__arr"), _.getField("__v")))
+      .withColumn("__l0",
+        aggregate(slice(col("__vals"), 1, m), lit(0.0), (a, x) => a + x) /
+          lit(m.toDouble))
+    val init = struct(
+      col("__l0").as("l"), lit(0.0).as("b"),
+      transform(slice(col("__vals"), 1, m), x => x - col("__l0")).as("s"))
+    val folded = aggregate(
+      slice(col("__vals"), lit(m + 1),
+        greatest(lit(0), size(col("__vals")) - m)),
+      init,
+      (acc, x) => {
+        val l = acc.getField("l")
+        val b = acc.getField("b")
+        val s = acc.getField("s")
+        val sOld = element_at(s, 1)
+        val nl = ((x - sOld) + (l + b)) / lit(2.0)
+        val nb = ((nl - l) + b) / lit(2.0)
+        val ns = ((x - nl) + sOld) / lit(2.0)
+        struct(nl.as("l"), nb.as("b"),
+          concat(slice(s, 2, m - 1), array(ns)).as("s"))
+      })
+    // materialize the fold ONCE — referencing the aggregate expression
+    // from four output columns would re-run the whole fold 4x per row
+    // (multi-referenced attribute => CollapseProject keeps it)
+    grouped.withColumn("__hw", folded)
+      .select((keyNames.map(col) :+
+        size(col("__arr")).cast("long").as("n") :+
+        col("__hw").getField("l").as("level") :+
+        col("__hw").getField("b").as("trend") :+
+        element_at(col("__hw").getField("s"), 1).as("seasonal_next") :+
+        (col("__hw").getField("l") + col("__hw").getField("b") +
+          element_at(col("__hw").getField("s"), 1)).as("forecast")): _*)
   }
 
   /** Mann-Kendall trend test statistic per key — the nonparametric

@@ -1790,7 +1790,6 @@ object Dedup {
     require(n >= 1, s"n $n must be >= 1")
     require(threshold > 0 && threshold <= 1,
       s"threshold $threshold outside (0,1]")
-    import org.apache.spark.sql.expressions.Window
     // candidate stage runs entirely on fused 64-bit shingle hashes
     // (no gram-string explode, narrow 8-byte shuffle keys — the
     // ngramContainmentPairs recipe; the first cut ranked gram STRINGS
@@ -1803,6 +1802,55 @@ object Dedup {
       .select(Seq(col(id).as("__jid"), shingleHashes(col(text), n).as("__hs")) ++
         blockBy.map(c => col(c).as("__blk")): _*)
       .where(col("__hs").isNotNull))
+    jaccardPairsCore(df, id, sets_h, charShingles(col(text), n),
+      threshold, maxDocFreq, blockBy)
+  }
+
+  /** [[jaccardPairsExact]] generalized to an ARBITRARY array column —
+    * itemset / tag / basket similarity join (which orders share ≥ t
+    * of their parts, which documents share ≥ t of their tags) without
+    * round-tripping the set through fake text. Same machinery, same
+    * guarantees: candidates from the AllPairs/PPJoin rarest-prefix
+    * pigeonhole over per-element xxhash64 keys, hash-prefilter with
+    * one-collision slack, TRUE distinct-element sets (cast to string)
+    * re-verify the survivors — recall complete, precision exact.
+    * Output: (id_a, id_b, jaccard) with distinct-element Jaccard ≥
+    * `threshold`, id_a < id_b, jaccard rounded to 6. Rows with
+    * null/EMPTY item arrays never pair (an empty set has no defined
+    * Jaccard); elements compare as their string casts (mirror any
+    * oracle with the same cast). */
+  def jaccardPairsExactArray(df: DataFrame, id: String, items: String,
+                             threshold: Double = 0.5,
+                             maxDocFreq: Long = 0,
+                             blockBy: Option[String] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold $threshold outside (0,1]")
+    // element hash set: xxhash64 per element, distinct AFTER hashing
+    // (a collision merges two elements — exactly the within-doc
+    // collision class the stage-1 slack absorbs). The lambda hashes
+    // its own variable — no captured computed child, no HOF hazard.
+    val sets_h = materializeLazily(df
+      .select(Seq(col(id).as("__jid"),
+        array_distinct(transform(col(items), e => xxhash64(e))).as("__hs")) ++
+        blockBy.map(c => col(c).as("__blk")): _*)
+      .where(col("__hs").isNotNull && size(col("__hs")) > 0))
+    jaccardPairsCore(df, id, sets_h,
+      array_distinct(transform(col(items), _.cast("string"))),
+      threshold, maxDocFreq, blockBy)
+  }
+
+  /** Shared PPJoin core of [[jaccardPairsExact]] /
+    * [[jaccardPairsExactArray]]: `sets_h` = MATERIALIZED (__jid, __hs
+    * 64-bit hash set, optional __blk); `trueSet` = the exact
+    * string-set expression evaluated against `df` for the stage-2
+    * re-verify. See jaccardPairsExact's Scaladoc for the
+    * completeness/slack proofs — they hold for any hash-set/true-set
+    * pair where hashing is per-element. */
+  private def jaccardPairsCore(df: DataFrame, id: String,
+                               sets_h: DataFrame, trueSet: Column,
+                               threshold: Double, maxDocFreq: Long,
+                               blockBy: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = sets_h.select(Seq(col("__jid"), size(col("__hs")).as("__n"),
       explode(col("__hs")).as("__g")) ++
       blockBy.map(_ => col("__blk")): _*)
@@ -1850,7 +1898,7 @@ object Dedup {
     val ids = survivors.select(col("id_a").as("__cid"))
       .union(survivors.select(col("id_b").as("__cid"))).distinct()
     val sets = df.join(ids, col(id) === col("__cid"), "left_semi")
-      .select(col(id).as("__s_id"), charShingles(col(text), n).as("__set"))
+      .select(col(id).as("__s_id"), trueSet.as("__set"))
     val withA = survivors.join(sets, col("id_a") === col("__s_id"))
       .select(col("id_a"), col("id_b"), col("__set").as("__set_a"))
     withA.join(sets, col("id_b") === col("__s_id"))

@@ -618,6 +618,149 @@ class CorpusSpec extends AnyFunSuite {
     assert(r1.getLong(4) == 1L && r1.getDouble(5) == 0.0)
   }
 
+  test("holtWintersByKey: bit-equal to a driver fold replica; n < period dropped") {
+    val m = 7
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- Seq("a", "b"); t <- 0 until 20)
+      yield (k, t.toLong, rnd.nextInt(100).toLong)
+    val short = Seq(("c", 0L, 5L), ("c", 1L, 6L)) // n=2 < m -> dropped
+    val df = (rows ++ short).toDF("k", "t", "x")
+    def replica(xs: Seq[Double]): (Double, Double, Double) = {
+      var l = xs.take(m).foldLeft(0.0)(_ + _) / m.toDouble
+      var b = 0.0
+      var s = xs.take(m).map(_ - l).toVector
+      for (x <- xs.drop(m)) {
+        val sOld = s.head
+        val nl = ((x - sOld) + (l + b)) / 2.0
+        val nb = ((nl - l) + b) / 2.0
+        val ns = ((x - nl) + sOld) / 2.0
+        l = nl; b = nb; s = s.tail :+ ns
+      }
+      (l, b, s.head)
+    }
+    val got = Corpus.holtWintersByKey(df, Seq(col("k")), col("x"),
+        Seq(col("t")), period = m)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.keySet == Set("a", "b")) // "c" dropped (n < period)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    for (k <- Seq("a", "b")) {
+      val xs = rows.filter(_._1 == k).sortBy(_._2).map(_._3.toDouble)
+      val (l, b, sn) = replica(xs)
+      val (n, gl, gb, gsn, gf) = got(k)
+      assert(n == 20L)
+      assert(bits(gl) == bits(l), s"$k level $gl vs $l")
+      assert(bits(gb) == bits(b), s"$k trend $gb vs $b")
+      assert(bits(gsn) == bits(sn), s"$k seasonal $gsn vs $sn")
+      assert(bits(gf) == bits(l + b + sn))
+    }
+    // n == period exactly: fold is empty, init is the answer
+    val justM = (0 until m).map(t => ("d", t.toLong, (t * 3 + 1).toLong))
+      .toDF("k", "t", "x")
+    val gd = Corpus.holtWintersByKey(justM, Seq(col("k")), col("x"),
+      Seq(col("t")), period = m).head()
+    val xs = (0 until m).map(t => (t * 3 + 1).toDouble)
+    val l0 = xs.foldLeft(0.0)(_ + _) / m.toDouble
+    assert(bits(gd.getDouble(2)) == bits(l0))
+    assert(gd.getDouble(3) == 0.0)
+    assert(bits(gd.getDouble(4)) == bits(xs.head - l0))
+  }
+
+  test("ksDriftReport: hand-computed per-group D; NULL group real, NULL value excluded") {
+    // A(0,0,1,+null), B(1,1,2), C(0,1,2), NULL-group(0,0); N=11,
+    // G=(5,4,2): D_A=7/33, D_B=15/33, D_C=5/33, D_null=12/22
+    val rows = Seq(
+      Some("A") -> Some(0L), Some("A") -> Some(0L), Some("A") -> Some(1L),
+      Some("A") -> None,
+      Some("B") -> Some(1L), Some("B") -> Some(1L), Some("B") -> Some(2L),
+      Some("C") -> Some(0L), Some("C") -> Some(1L), Some("C") -> Some(2L),
+      None -> Some(0L), None -> Some(0L))
+    val df = rows.map { case (q, s) => (q.orNull, s.map(Long.box).orNull) }
+      .toDF("q", "s")
+    val got = Corpus.ksDriftReport(df, Seq(col("q")), col("s"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet ==
+      Set(Some("A"), Some("B"), Some("C"), None: Option[String]))
+    assert(got(Some("A"))._1 == 3L
+      && math.abs(got(Some("A"))._2 - 7.0 / 33.0) < 1e-12)
+    assert(math.abs(got(Some("B"))._2 - 15.0 / 33.0) < 1e-12)
+    assert(math.abs(got(Some("C"))._2 - 5.0 / 33.0) < 1e-12)
+    assert(got(None)._1 == 2L
+      && math.abs(got(None)._2 - 12.0 / 22.0) < 1e-12)
+    // single global value: every D = 0, every group still reports
+    val one = Seq(("A", 5L), ("B", 5L)).toDF("q", "s")
+    val g1 = Corpus.ksDriftReport(one, Seq(col("q")), col("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(g1 == Map("A" -> 0.0, "B" -> 0.0))
+  }
+
+  test("associationRules: hand-computed supports/confidence/lift; in-basket dups collapse") {
+    // baskets: g1={a,b,c} (a listed twice), g2={a,b}, g3={a,b,d},
+    // g4={c,d}, g5={c,d}; N=5; supports a=b=c=d=3; pair support >= 2
+    // keeps {a,b} (3) and {c,d} (2)
+    val rows = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "c"),
+      ("g2", "a"), ("g2", "b"),
+      ("g3", "a"), ("g3", "b"), ("g3", "d"),
+      ("g4", "c"), ("g4", "d"),
+      ("g5", "c"), ("g5", "d"))
+    val df = rows.toDF("g", "i")
+    val got = Corpus.associationRules(df, col("g"), col("i"),
+        minPairSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("c", "d"), ("d", "c")))
+    assert(got(("a", "b")) == ((3L, 3L, 3L, 5L, 1.0, 5.0 / 3.0)))
+    assert(got(("b", "a")) == ((3L, 3L, 3L, 5L, 1.0, 5.0 / 3.0)))
+    assert(got(("c", "d")) == ((2L, 3L, 3L, 5L, 2.0 / 3.0, 10.0 / 9.0)))
+    assert(got(("d", "c")) == ((2L, 3L, 3L, 5L, 2.0 / 3.0, 10.0 / 9.0)))
+  }
+
+  test("crossCorrelation: bit-equal to a driver replica; zero-variance guard; gaps drop pairs") {
+    val rnd = new scala.util.Random(13)
+    // key "a": contiguous days; key "b": a gap at t=7 (pairs drop)
+    val rows = (for (k <- Seq("a", "b"); t <- 0 until 15
+                     if !(k == "b" && t == 7))
+      yield (k, t.toLong, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("k", "t", "x", "y")
+    val got = Corpus.crossCorrelation(df, col("t"), col("x"), col("y"),
+        maxLag = 3, keys = Seq(col("k")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    for (k <- Seq("a", "b")) {
+      val series = rows.filter(_._1 == k)
+      val n = BigInt(series.size)
+      val sx = series.map(r => BigInt(r._3)).sum
+      val sy = series.map(r => BigInt(r._4)).sum
+      val dx = series.map(r => r._2 -> (BigInt(r._3) * n - sx)).toMap
+      val dy = series.map(r => r._2 -> (BigInt(r._4) * n - sy)).toMap
+      val dxx = dx.values.map(v => v * v).sum
+      val dyy = dy.values.map(v => v * v).sum
+      for (lag <- 0L to 3L) {
+        val ts = dx.keySet.filter(t0 => dy.contains(t0 + lag))
+        val num = ts.toSeq.map(t0 => dx(t0) * dy(t0 + lag)).sum
+        val want = num.toDouble /
+          math.sqrt(dxx.toDouble * dyy.toDouble)
+        val (np, ccf) = got((k, lag))
+        assert(np == ts.size, s"$k lag $lag n_pairs")
+        assert(bits(ccf) == bits(want), s"$k lag $lag: $ccf vs $want")
+      }
+    }
+    // key "b" lag 1: the gap at t=7 kills pairs (6,7) and (7,8)
+    assert(got(("b", 1L))._1 == 12L)
+    // zero-variance y => ccf 0.0 at every lag
+    val const = (0 until 10).map(t => ("c", t.toLong, t.toLong, 5L))
+      .toDF("k", "t", "x", "y")
+    val gz = Corpus.crossCorrelation(const, col("t"), col("x"), col("y"),
+        maxLag = 2, keys = Seq(col("k")))
+      .collect().map(_.getDouble(3))
+    assert(gz.nonEmpty && gz.forall(_ == 0.0))
+  }
+
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
     val df = Seq(
       (1L, 1, "a", 5.0),

@@ -120,6 +120,51 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairsExact(twins, "id", "s", 5, 0.9).count() == 1)
   }
 
+  test("jaccardPairsExactArray == driver brute distinct-element Jaccard; empties never pair") {
+    val rnd = new scala.util.Random(11)
+    // small element pool + duplicate elements in-row (distinctness must
+    // bite) + an empty array + a null array
+    val rows: Seq[(Long, Seq[Integer])] =
+      (0L until 40L).map(i => i -> Seq.fill(2 + rnd.nextInt(6))(
+        Integer.valueOf(rnd.nextInt(25)))) ++
+      Seq(100L -> Seq.empty[Integer], 101L -> null)
+    val df = rows.toDF("id", "items").repartition(5)
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val sets = rows.collect { case (i, xs) if xs != null && xs.nonEmpty =>
+        i -> xs.map(_.toInt).toSet }
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        i = (sa & sb).size
+        u = (sa | sb).size
+        j = i.toDouble / u.toDouble if j >= t
+      } yield (ia, ib, math.rint(j * 1e6) / 1e6)).toSet
+    }
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val got = graft.functions.Dedup.jaccardPairsExactArray(df, "id",
+          "items", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = brute(t)
+      assert(got == want, s"t=$t missing=${(want -- got).take(5)} " +
+        s"extra=${(got -- want).take(5)}")
+    }
+    // identical baskets under the stop-element cap: df 2 > 1 -> dropped
+    // (recall-only loss, the jaccardPairsExact contract)
+    val twins = Seq(1L -> Seq(7, 8, 9), 2L -> Seq(7, 8, 9))
+      .toDF("id", "items")
+    assert(graft.functions.Dedup.jaccardPairsExactArray(twins, "id",
+      "items", 0.9, maxDocFreq = 1).count() == 0)
+    assert(graft.functions.Dedup.jaccardPairsExactArray(twins, "id",
+      "items", 0.9).count() == 1)
+    // blockBy rides the join key: cross-block twins never pair
+    val blocked = Seq((1L, Seq(1, 2, 3), "u"), (2L, Seq(1, 2, 3), "v"),
+        (3L, Seq(1, 2, 3), "u")).toDF("id", "items", "blk")
+    val gotB = graft.functions.Dedup.jaccardPairsExactArray(blocked, "id",
+        "items", 0.9, blockBy = Some("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotB == Set((1L, 3L)))
+  }
+
   test("editDistancePairs: SymSpell blocking complete vs brute force; code-point deletes") {
     // brute-force Levenshtein for the reference side
     def lev(a: String, b: String): Int = {
