@@ -3873,6 +3873,18 @@ object SparkEntry {
         k = 5)
     }),
 
+    // -------- text: RAKE keyword extraction -----------------------------
+    // Corpus-wide RAKE (Rose et al. 2010): phrases between
+    // punctuation/stopword delimiters, word score deg/freq, phrase
+    // score = position-ordered fold of word scores (no
+    // partition-order double sum). The delimiter regex is ONE shared
+    // literal with the oracle (Corpus.rakeDelimiterPattern).
+    "q_rake" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.rakeKeywords(t(s, dir, "documents"), $"text", minCount = 3L)
+        .orderBy("phrase")
+    }),
+
     // -------- corpus: per-source K-S distribution drift ----------------
     // Which sources' length distributions drifted from the corpus:
     // D = max |CDF_g − CDF| over /512 length buckets — the
@@ -3998,6 +4010,34 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
       Corpus.rollingDistinctCount(ev, $"day", $"user_id", window = 7)
+        .orderBy("t")
+    }),
+
+    // -------- events: burstiness (index of dispersion) -----------------
+    // Fano factor of the daily volumes per event type: variance/mean
+    // = (n·Σx² − S²)/(S·(n−1)), ONE division of exact decimal(38,0)
+    // operands (no intermediate mean anywhere).
+    "q_dispersion" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .where($"event_type".isNotNull && $"ts".isNotNull)
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Corpus.dispersionIndex(daily, $"cnt", keys = Seq($"event_type"))
+        .withColumnRenamed("key0", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // -------- events: DAU/WAU stickiness series ------------------------
+    // Exact daily stickiness over the q_rolling_active machinery —
+    // dau and the 7-day rolling active base from one distinct
+    // activity table, one exact division per day.
+    "q_stickiness" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
+      Corpus.stickinessRatio(ev, $"day", $"user_id", window = 7)
         .orderBy("t")
     }),
 
@@ -4398,6 +4438,38 @@ object SparkEntry {
        | ww AS (SELECT sum(w)::HUGEINT AS w2 FROM pairs),
        | l0 AS (SELECT n AS nd, n AS c FROM kk),
        | $rounds""".stripMargin
+  }
+
+  /** q_rake oracle: the identical delimiter regex literal
+    * ([[graft.functions.Corpus.rakeDelimiterPattern]] — the
+    * ndcgDiscounts single-source trick), generate_series word
+    * explode, and a position-ordered list_reduce for the phrase sum
+    * (Spark's fold starts at 0.0; 0.0 + x ≡ x for the positive word
+    * scores, so the init-less DuckDB fold is bit-identical). */
+  private lazy val rakeOracle: String = {
+    val pat = graft.functions.Corpus.rakeDelimiterPattern()
+    s"""WITH ph0 AS (SELECT string_split(
+       |    regexp_replace(lower(text), '$pat', '§', 'g'), '§') AS ps
+       |  FROM documents),
+       | ph1 AS (SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS p
+       |   FROM (SELECT unnest(ps) AS p FROM ph0)),
+       | phx AS (SELECT p, len(string_split(p, ' ')) AS l FROM ph1
+       |   WHERE len(p) > 0),
+       | w0 AS (SELECT p, l, unnest(generate_series(1, l)) AS pos
+       |   FROM phx),
+       | w AS (SELECT p, l, pos, string_split(p, ' ')[pos] AS wd FROM w0),
+       | wsc AS (SELECT wd, sum(l)::DOUBLE / count(*)::DOUBLE AS sc
+       |   FROM w GROUP BY 1),
+       | pc AS (SELECT p, count(*)::BIGINT AS n_occurrences FROM phx
+       |   GROUP BY 1 HAVING count(*) >= 3),
+       | pw0 AS (SELECT p, unnest(generate_series(1,
+       |     len(string_split(p, ' ')))) AS pos FROM pc),
+       | pws AS (SELECT p, pos, string_split(p, ' ')[pos] AS wd FROM pw0),
+       | sc AS (SELECT pws.p, list(wsc.sc ORDER BY pws.pos) AS lst
+       |   FROM pws JOIN wsc ON pws.wd = wsc.wd GROUP BY 1)
+       |SELECT pc.p AS phrase, pc.n_occurrences,
+       | round(list_reduce(sc.lst, (a, b) -> a + b), 6) AS score
+       |FROM pc JOIN sc ON pc.p = sc.p ORDER BY phrase""".stripMargin
   }
 
   /** q_source_overlap oracle: per-source bottom-256 sketches of the
@@ -5072,6 +5144,38 @@ object SparkEntry {
         |   FROM du CROSS JOIN generate_series(0, 6) g(i))
         |SELECT t::BIGINT AS t, count(DISTINCT uid)::BIGINT AS n_active
         |FROM w, mx WHERE t <= mx.m GROUP BY t ORDER BY t""".stripMargin,
+    "q_dispersion" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |     sum(cnt::HUGEINT) AS s, sum(cnt::HUGEINT * cnt::HUGEINT) AS ss
+        |   FROM daily GROUP BY 1)
+        |SELECT event_type, n, s::DOUBLE / n::DOUBLE AS mean,
+        | CASE WHEN n < 2 OR s = 0 THEN 0.0
+        |   ELSE (n::HUGEINT * ss - s * s)::DOUBLE
+        |     / (s * (n::HUGEINT - 1))::DOUBLE END AS dispersion
+        |FROM a ORDER BY event_type""".stripMargin,
+    // q_stickiness: the q_rolling_active replay twice (window 7 and
+    // window 1) + one exact division per day
+    "q_stickiness" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |     user_id::VARCHAR AS uid
+        |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        | mx AS (SELECT max(day) AS m FROM du),
+        | w AS (SELECT du.day + g.i AS t, du.uid
+        |   FROM du CROSS JOIN generate_series(0, 6) g(i)),
+        | wau AS (SELECT t::BIGINT AS t, count(DISTINCT uid)::BIGINT AS wa
+        |   FROM w, mx WHERE t <= mx.m GROUP BY t),
+        | dau AS (SELECT day::BIGINT AS t, count(DISTINCT uid)::BIGINT AS da
+        |   FROM du GROUP BY 1)
+        |SELECT wau.t, coalesce(dau.da, 0)::BIGINT AS dau,
+        | wau.wa AS rolling_active,
+        | CASE WHEN wau.wa = 0 THEN 0.0
+        |   ELSE coalesce(dau.da, 0)::DOUBLE / wau.wa::DOUBLE END
+        |   AS stickiness
+        |FROM wau LEFT JOIN dau ON wau.t = dau.t ORDER BY wau.t""".stripMargin,
     "q_holt" ->
       """WITH daily AS (SELECT event_type,
         |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
@@ -5289,6 +5393,7 @@ object SparkEntry {
         |   THEN ng END), 0)::DOUBLE / (SELECT n FROM mm)::DOUBLE
         |   AS pct_rows_above_t
         |FROM sc""".stripMargin,
+    "q_rake" -> rakeOracle,
     // q_ks_drift: the t-closeness grid replay with max|cum| for
     // Σ|cum| and no (m−1) factor
     "q_ks_drift" ->

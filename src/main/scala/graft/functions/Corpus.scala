@@ -2504,6 +2504,80 @@ object Corpus {
           (dec(col("__sa")) * dec(col("__sb"))).cast("double")).as("lift"))
   }
 
+  /** RAKE stopword list (Rose et al. 2010 use a full SMART list; this
+    * is the compact high-frequency English core — a PARAMETER, swap
+    * per corpus). Kept sorted so the alternation the pattern builds is
+    * reproducible. */
+  val rakeStopwords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "can",
+    "could", "for", "from", "had", "has", "have", "he", "i", "in",
+    "is", "it", "not", "of", "on", "or", "she", "that", "the", "they",
+    "this", "to", "was", "we", "were", "will", "with", "would", "you")
+
+  /** The RAKE phrase-delimiter regex over LOWERCASED text: any
+    * punctuation run, or any stopword as a whole word. ONE shared
+    * literal: the operator applies it via Spark regexp_replace and
+    * the oracle interpolates the SAME string into DuckDB's
+    * regexp_replace (Java regex and RE2 agree on this subset — ascii
+    * classes, \b on \w boundaries, non-capturing alternation; no $
+    * anchors, the codeSignals lesson). */
+  def rakeDelimiterPattern(stopwords: Seq[String] = rakeStopwords): String =
+    "[^a-z0-9\\s]+|\\b(?:" + stopwords.mkString("|") + ")\\b"
+
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+    * Rose et al. 2010) aggregated corpus-wide: candidate phrases =
+    * maximal runs between punctuation/stopword delimiters; word
+    * score = deg(w)/freq(w) where freq counts occurrences and deg
+    * sums the lengths of phrases containing w; phrase score = Σ of
+    * its words' scores.
+    *
+    * Determinism: freq/deg are exact longs; each word score is ONE
+    * division of exact operands; the phrase sum folds in WORD
+    * POSITION order via the sorted-array fold (a plain double sum
+    * would be partition-order-dependent), so both engines add the
+    * identical doubles in the identical order. round(6) rides the
+    * q_bigram_logprob precedent. Scale: two explodes + two
+    * aggregates + one broadcast-sized word-score join; no windows.
+    * Output: (phrase, n_occurrences, score) for phrases with ≥
+    * `minCount` occurrences. */
+  def rakeKeywords(df: DataFrame, text: Column, minCount: Long = 2L,
+                   stopwords: Seq[String] = rakeStopwords): DataFrame = {
+    require(minCount >= 1, s"minCount $minCount must be >= 1")
+    val sep = "§"
+    val pat = rakeDelimiterPattern(stopwords)
+    val phrasesArr = filter(
+      transform(split(regexp_replace(lower(text), pat, sep), sep),
+        p => trim(regexp_replace(p, "\\s+", " "))),
+      p => length(p) > 0)
+    // phw feeds BOTH the word stats and the phrase counts — carve the
+    // phrases once, not twice
+    val phw = Dedup.materializeLazily(
+      df.select(explode(phrasesArr).as("__p"))
+        .select(col("__p"), size(split(col("__p"), " ")).as("__len")))
+    val words = phw.select(col("__p"), col("__len"),
+      posexplode(split(col("__p"), " ")).as(Seq("__pos", "__w")))
+    val wstats = words.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"),
+        (col("__deg").cast("double") / col("__freq").cast("double"))
+          .as("__wsc"))
+    val pcount = phw.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= minCount)
+    val pw = pcount.select(col("__p"),
+      posexplode(split(col("__p"), " ")).as(Seq("__pos", "__w")))
+    val scored = pw.join(wstats, Seq("__w"))
+      .groupBy(col("__p"))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__wsc"))))
+        .as("__arr"))
+      .select(col("__p"),
+        aggregate(col("__arr"), lit(0.0),
+          (a, x) => a + x.getField("__wsc")).as("__score"))
+    pcount.join(scored, Seq("__p"))
+      .select(col("__p").as("phrase"), col("n_occurrences"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9, via
     * StrictMath — bit-reproducible on every JVM, so the literals the
     * operator embeds and the generated oracle text agree exactly (the
@@ -3727,6 +3801,70 @@ object Corpus {
         when(col("__den") === lit(0L).cast("decimal(38,0)"), lit(0.0))
           .otherwise(col("__num").cast("double") / col("__den").cast("double"))
           .as("acf")): _*)
+  }
+
+  /** Index of dispersion (variance-to-mean ratio, the Fano factor) of
+    * an integer value per key — the burstiness audit next to
+    * [[spikeReport]] ("are this type's daily volumes Poisson-ish
+    * (≈ 1), regular (< 1), or bursty (> 1)?"). Algebra keeps it ONE
+    * division of exact operands: sample variance / mean =
+    * (n·Σx² − S²) / (S·(n−1)) with S = Σx — every sum exact
+    * decimal(38,0), no intermediate mean, partitioning-independent.
+    * mean = S/n is a second independent exact division. Conventions:
+    * n < 2 or S = 0 → dispersion 0.0 (undefined ratio degrades, the
+    * constant-series acf convention). NULL keys/values drop. Input is
+    * the PRE-AGGREGATED series (counts per (key, period) — the q_acf
+    * daily contract). Scale: one partial-aggregated groupBy, nothing
+    * else. Output: (keys…, n, mean, dispersion). */
+  def dispersionIndex(df: DataFrame, value: Column,
+                      keys: Seq[Column] = Nil): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val v = df.select(
+        keys.zipWithIndex.map { case (c, i) => c.cast("string").as(s"__k$i") } :+
+          value.cast("long").as("__x"): _*)
+      .where(keys.indices.map(i => col(s"__k$i").isNotNull)
+        .foldLeft(col("__x").isNotNull)(_ && _))
+    v.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(dec(col("__x"))).as("__s"),
+        sum(dec(col("__x")) * dec(col("__x"))).as("__ss"))
+      .select(keys.indices.map(i => col(s"__k$i").as(s"key$i")) ++ Seq(
+        col("n"),
+        (col("__s").cast("double") / col("n").cast("double")).as("mean"),
+        when(col("n") < 2L || col("__s") === lit(0L).cast("decimal(38,0)"),
+            lit(0.0))
+          .otherwise(
+            (dec(col("n")) * col("__ss") - col("__s") * col("__s"))
+              .cast("double") /
+            (col("__s") * (dec(col("n")) - lit(1L).cast("decimal(38,0)")))
+              .cast("double"))
+          .as("dispersion")): _*)
+  }
+
+  /** DAU/WAU stickiness ratio — "what fraction of the rolling active
+    * base was active TODAY": the engagement series product teams
+    * watch next to [[rollingDistinctCount]] (which supplies both
+    * sides EXACTLY — no sliding-HLL). One pass builds the distinct
+    * activity table; the window-1 (daily) and window-w counts join on
+    * the period; stickiness is ONE division of exact longs per day.
+    * Conventions from rollingDistinctCount: leading partial windows
+    * emitted, periods run to the max observed; a period with no
+    * activity still appears (dau = 0 via the left join — every window
+    * end exists in the w-day series). Output:
+    * (t, dau, rolling_active, stickiness). */
+  def stickinessRatio(df: DataFrame, t: Column, id: Column,
+                      window: Int = 7): DataFrame = {
+    require(window >= 2, s"window $window must be >= 2 (1 is just DAU)")
+    val wau = rollingDistinctCount(df, t, id, window)
+      .select(col("t"), col("n_active").as("rolling_active"))
+    val dau = rollingDistinctCount(df, t, id, window = 1)
+      .select(col("t"), col("n_active").as("dau"))
+    wau.join(dau, Seq("t"), "left")
+      .select(col("t"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("rolling_active"),
+        when(col("rolling_active") === 0L, lit(0.0))
+          .otherwise(coalesce(col("dau"), lit(0L)).cast("double") /
+            col("rolling_active").cast("double")).as("stickiness"))
   }
 
   /** Cross-correlation function of two integer series per key at lags

@@ -761,6 +761,69 @@ class CorpusSpec extends AnyFunSuite {
     assert(gz.nonEmpty && gz.forall(_ == 0.0))
   }
 
+  test("dispersionIndex: hand Fano factors; constant/underdispersed/bursty; guards") {
+    // key a: constant 5,5,5 -> var 0, dispersion 0; key b: 1,9 ->
+    // mean 5, var 32, F = 6.4; key c: single point -> 0 by convention
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("b", 1L), ("b", 9L),
+      ("c", 7L)).toDF("k", "x")
+    val got = Corpus.dispersionIndex(df, col("x"), keys = Seq(col("k")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((3L, 5.0, 0.0)))
+    assert(got("b")._1 == 2L && got("b")._2 == 5.0
+      && math.abs(got("b")._3 - 6.4) < 1e-12)
+    assert(got("c") == ((1L, 7.0, 0.0)))
+    // all-zero series: S = 0 guard (ratio undefined -> 0.0, no throw)
+    val z = Corpus.dispersionIndex(Seq(("z", 0L), ("z", 0L)).toDF("k", "x"),
+      col("x"), keys = Seq(col("k"))).head()
+    assert(z.getDouble(3) == 0.0)
+  }
+
+  test("stickinessRatio: hand DAU/WAU series incl. gap day and partial windows") {
+    // users: u1 active day 0,1; u2 active day 0; u3 active day 3
+    // (gap at day 2). window=3 trailing.
+    val df = Seq((0L, "u1"), (0L, "u2"), (1L, "u1"), (3L, "u3"),
+      (0L, "u1")) // dup row collapses
+      .toDF("d", "u")
+    val got = Corpus.stickinessRatio(df, col("d"), col("u"), window = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // day 0: dau 2, rolling {u1,u2} = 2; day 1: dau 1, rolling 2;
+    // day 2: dau 0, rolling(0..2) {u1,u2} = 2; day 3: dau 1,
+    // rolling(1..3) {u1,u3} = 2
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    assert(got(1L) == ((1L, 2L, 0.5)))
+    assert(got(2L) == ((0L, 2L, 0.0)))
+    assert(got(3L) == ((1L, 2L, 0.5)))
+  }
+
+  test("rakeKeywords: hand-computed word degrees and phrase scores") {
+    // "deep learning of the deep models. deep learning, it wins!"
+    // phrases: "deep learning" x2, "deep models", "wins" ("it" is the
+    // delimiter before wins — a stopword only SPLITS; adjacent
+    // non-stopwords stay one phrase)
+    // freq: deep 3, learning 2, models 1, wins 1
+    // deg:  deep 6, learning 4, models 2, wins 1
+    // wsc:  deep 2.0, learning 2.0, models 2.0, wins 1.0
+    val df = Seq(
+      "Deep learning of the deep models. Deep learning, it wins!")
+      .toDF("text")
+    val got = Corpus.rakeKeywords(df, col("text"), minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "deep learning" -> ((2L, 4.0)),
+      "deep models" -> ((1L, 4.0)),
+      "wins" -> ((1L, 1.0))), got.toString)
+    // minCount filters singletons
+    val g3 = Corpus.rakeKeywords(df, col("text"), minCount = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(g3 == Set("deep learning"))
+    // stopword-only / punctuation-only text yields no phrases
+    assert(Corpus.rakeKeywords(Seq("the and of... to!").toDF("text"),
+      col("text"), minCount = 1L).count() == 0L)
+  }
+
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
     val df = Seq(
       (1L, 1, "a", 5.0),
