@@ -3265,6 +3265,20 @@ object SparkEntry {
     }),
 
     // -------- similarity search: brute-force cosine top-k -------------
+    // -------- similarity: farthest-first diverse exemplars -------------
+    // Gonzalez k-center traversal over the embeddings — the
+    // diverse-seed picker for labeling/eval sets. Seed = min id; each
+    // round argmaxes the running min cosine distance (exact doubles —
+    // the green cosine-oracle family's fold; min over doubles is
+    // order-independent, so the oracle can min over the whole
+    // selected set per round).
+    "q_ffc" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.farthestFirstCenters(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 6)
+        .orderBy("rank")
+    }),
+
     "q_ann_cosine" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -4440,6 +4454,47 @@ object SparkEntry {
        | $rounds""".stripMargin
   }
 
+  /** q_ffc oracle: k−1 unrolled farthest-first rounds over the
+    * normalized embeddings (the q_ann_cosine list_dot_product
+    * recipe). Each round: one `least` fold step per survivor + an
+    * (md DESC, fid) LIMIT 1 argmax — the exact replay of Spark's
+    * min(struct(−md, id)). */
+  private lazy val ffcOracle: String = {
+    val k = 6
+    val rounds = (2 to k).map { i =>
+      val p = i - 1
+      val dPrev = if (p == 1) "d1" else s"d$p"
+      s"""s$i AS (SELECT fid AS cid, md FROM $dPrev
+         |   ORDER BY md DESC, fid LIMIT 1)""".stripMargin +
+        (if (i < k)
+          s""",
+             | d${i} AS (SELECT d.fid, d.v,
+             |     least(d.md, 1.0 - list_dot_product(d.v, c.v)) AS md
+             |   FROM $dPrev d JOIN norm c ON c.fid = (SELECT cid FROM s$i)
+             |   WHERE d.fid <> (SELECT cid FROM s$i))""".stripMargin
+         else "")
+    }.mkString(",\n ")
+    val arms = (2 to k).map { i =>
+      s"UNION ALL SELECT $i, cid, round(md, 6) FROM s$i"
+    }.mkString("\n")
+    s"""WITH norm AS (SELECT vec_id::VARCHAR AS fid,
+       |    list_transform(embedding::DOUBLE[], x -> x /
+       |      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+       |      AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |    AND len(embedding) > 0
+       |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       | s1 AS (SELECT min(fid) AS cid FROM norm),
+       | d1 AS (SELECT n.fid, n.v, 1.0 - list_dot_product(n.v, c.v) AS md
+       |   FROM norm n JOIN norm c ON c.fid = (SELECT cid FROM s1)
+       |   WHERE n.fid <> (SELECT cid FROM s1)),
+       | $rounds
+       |SELECT * FROM (
+       |SELECT 1 AS rank, (SELECT cid FROM s1) AS center_id,
+       |  0.0::DOUBLE AS min_dist
+       |$arms) ORDER BY rank""".stripMargin
+  }
+
   /** q_rake oracle: the identical delimiter regex literal
     * ([[graft.functions.Corpus.rakeDelimiterPattern]] — the
     * ndcgDiscounts single-source trick), generate_series word
@@ -5394,6 +5449,7 @@ object SparkEntry {
         |   AS pct_rows_above_t
         |FROM sc""".stripMargin,
     "q_rake" -> rakeOracle,
+    "q_ffc" -> ffcOracle,
     // q_ks_drift: the t-closeness grid replay with max|cum| for
     // Σ|cum| and no (m−1) factor
     "q_ks_drift" ->

@@ -38,6 +38,81 @@ object Similarity {
   def l2NormalizeFused(v: Column): Column =
     Bridge.column(graft.plans.L2Normalize(Bridge.expression(v)))
 
+  /** Farthest-first traversal (Gonzalez 1985 k-center 2-approx) over
+    * an embedding column — the DIVERSE-subset selector next to the
+    * ANN family ("give me k maximally spread exemplars", the
+    * dedup-aware seed picker for labeling/eval sets). Seed = the
+    * byte-order MIN id; each round adds the candidate with the
+    * LARGEST cosine distance to its nearest selected center
+    * (tie-break min id).
+    *
+    * Determinism: distances are 1 − dot over kernel-normalized
+    * vectors — the identical index-order fold both engines run in the
+    * green cosine-oracle family, so the raw doubles are bit-identical
+    * and the argmax needs no margin; the per-round running min uses
+    * `least`, and min over doubles is exactly order-independent, so
+    * the oracle may take min over the whole selected set at once.
+    * Zero vectors are EXCLUDED (their normalization is NaN, which
+    * poisons least/argmax differently per engine — documented, the
+    * l2NormalizeFused degradation note).
+    *
+    * Scale shape: the k-means recipe — k driver rounds, each ONE
+    * scan updating a lazily-materialized (id, vec, min_dist) state
+    * against the single newest center shipped as a broadcast literal;
+    * no state ever collects beyond the k picked rows. k ≤ 256 by
+    * contract. Output: (rank, center_id, min_dist) in pick order,
+    * seed min_dist = 0.0 by convention, min_dist rounded to 6. */
+  def farthestFirstCenters(df: DataFrame, id: String, vec: String,
+                           k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"k $k outside [1, 256]")
+    val spark = df.sparkSession
+    import graft.functions.Dedup.materializeLazily
+    val base = materializeLazily(df
+      .where(col(vec).isNotNull && size(col(vec)) > 0 &&
+        dotFused(col(vec), col(vec)) > 0)
+      .select(col(id).cast("string").as("__fid"),
+        l2NormalizeFused(col(vec)).as("__v")))
+    val seed = base.orderBy(col("__fid")).limit(1)
+      .select(col("__fid"), col("__v")).collect()
+    require(seed.nonEmpty, "farthestFirstCenters needs at least one nonzero vector")
+    val seedId = seed(0).getString(0)
+    val seedVec = seed(0).getSeq[Double](1)
+    val picked = scala.collection.mutable.ListBuffer[(Int, String, Double)](
+      (1, seedId, 0.0))
+    var lastVec: Seq[Double] = seedVec
+    var lastId: String = seedId
+    var state: DataFrame = null
+    var r = 2
+    while (r <= k) {
+      val dNew = lit(1.0) - dotFused(col("__v"), typedlit(lastVec))
+      state =
+        if (state == null)
+          materializeLazily(base.where(col("__fid") =!= lastId)
+            .select(col("__fid"), col("__v"), dNew.as("__md")))
+        else
+          materializeLazily(state.where(col("__fid") =!= lastId)
+            .select(col("__fid"), col("__v"),
+              least(col("__md"), dNew).as("__md")))
+      val top = state
+        .agg(min(struct((-col("__md")).as("__nd"), col("__fid").as("__i"),
+          col("__v").as("__tv"))).as("__m"))
+        .select(col("__m.__nd"), col("__m.__i"), col("__m.__tv"))
+        .collect()
+      if (top.isEmpty || top(0).isNullAt(0)) {
+        r = k + 1 // fewer than k distinct vectors — stop with what exists
+      } else {
+        lastId = top(0).getString(1)
+        lastVec = top(0).getSeq[Double](2)
+        picked += ((r, lastId, -top(0).getDouble(0)))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "center_id", "min_dist")
+      .select(col("rank"), col("center_id"),
+        round(col("min_dist"), 6).as("min_dist"))
+  }
+
   /** Dot product of two numeric array columns (cast to double).
     * Composable built-in form; see [[dotFused]] for the fused hot path. */
   def dot(a: Column, b: Column): Column =

@@ -1439,6 +1439,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nn(0).isNullAt(0))
   }
 
+  test("farthestFirstCenters: greedy replica order + dists; zero vectors excluded") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 0.0f, 0.0f)),
+      ("b", Array(0.95f, 0.05f, 0.0f)),   // near a
+      ("c", Array(0.0f, 1.0f, 0.0f)),
+      ("d", Array(0.0f, 0.0f, 1.0f)),
+      ("e", Array(-1.0f, 0.0f, 0.0f)),
+      ("z", Array(0.0f, 0.0f, 0.0f)))     // zero vector -> excluded
+    val df = vecs.toDF("vid", "emb")
+    def norm(v: Array[Float]): Array[Double] = {
+      var ss = 0.0; v.foreach(x => ss += x.toDouble * x.toDouble)
+      val n = math.sqrt(ss); v.map(_.toDouble / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // driver greedy replica
+    val nm = vecs.filter(_._2.exists(_ != 0f))
+      .map { case (i, v) => i -> norm(v) }.toMap
+    var sel = List("a")
+    var md = (nm.keySet - "a").map(i =>
+      i -> (1.0 - dot(nm(i), nm("a")))).toMap
+    val replica = scala.collection.mutable.ListBuffer(("a", 0.0))
+    while (sel.size < 4 && md.nonEmpty) {
+      val best = md.toSeq.sortBy { case (i, d) => (-d, i) }.head
+      replica += ((best._1, best._2))
+      sel = best._1 :: sel
+      md = (md - best._1).map { case (i, d) =>
+        i -> math.min(d, 1.0 - dot(nm(i), nm(best._1))) }
+    }
+    val got = Similarity.farthestFirstCenters(df, "vid", "emb", k = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(_._2).toSeq == replica.map(_._1).toSeq,
+      s"order: ${got.toSeq} vs $replica")
+    got.zip(replica).foreach { case ((_, _, gd), (_, wd)) =>
+      assert(math.abs(gd - wd) < 1e-9, s"$gd vs $wd")
+    }
+    // e (opposite of a) must be picked immediately after the seed
+    assert(got(1)._2 == "e" && math.abs(got(1)._3 - 2.0) < 1e-9)
+    // z never appears; k beyond the population stops early
+    val all = Similarity.farthestFirstCenters(df, "vid", "emb", k = 20)
+      .collect().map(_.getString(1))
+    assert(!all.contains("z") && all.length == 5)
+  }
+
   test("bruteForceTopK exact ranking") {
     val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
