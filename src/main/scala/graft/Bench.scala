@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** The ONE definition of the bench load-context probes — Bench stamps
+  * them into its JSON lines and tools/CalibProbe re-measures the
+  * clean-box reference; a drifting copy would silently invalidate the
+  * README "Bench noise" decision rule (r14 self-review: the prose
+  * describing the query had already drifted while the two code copies
+  * still agreed). */
+object BenchCalibration {
+  def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Fixed CPU-bound work spread over every core: 6e9 xxhash64 rows
+    * from range() (~2 s warm on the clean box — long enough that
+    * scheduler noise doesn't dominate) — no files, no shuffle beyond
+    * the final 1-row aggregate, identical every round by
+    * construction. bit_xor, not sum: an ANSI long sum overflows. */
+  def calibrate(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 6000000000L, 1L, cpus)
+      .selectExpr("bit_xor(xxhash64(id)) AS h")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+}
+
 /** Benchmark main: runs the headline queries (SparkEntry.benchQueries)
   * against SPARK_GRAFT_SF_DIR with a noop sink (full materialization,
   * no write cost) and prints one JSON line for the driver.
@@ -28,22 +54,8 @@ object Bench {
     // README "Bench noise" documents the decision rule: quote
     // round-over-round deltas only when calib_start/calib_end are
     // within ~1.3x of the clean-box reference recorded there.
-    def loadAvg1m(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      // fixed CPU-bound work spread over every core: 6e9 xxhash64
-      // rows from range() (~2 s warm on the clean box — long enough
-      // that scheduler noise doesn't dominate) — no files, no shuffle
-      // beyond the final 1-row aggregate, identical every round by
-      // construction. bit_xor, not sum: an ANSI long sum overflows
-      spark.range(0L, 6000000000L, 1L, cpus.toInt)
-        .selectExpr("bit_xor(xxhash64(id)) AS h")
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def loadAvg1m(): Double = BenchCalibration.loadAvg1m()
+    def calibrate(): Double = BenchCalibration.calibrate(spark, cpus.toInt)
     // benchOverrides first: r10 converted three queries to supplied-
     // artifact oracle tiers; the bench keeps timing the trained
     // production tiers under the same names for series comparability

@@ -4463,7 +4463,7 @@ object SparkEntry {
     val k = 6
     val rounds = (2 to k).map { i =>
       val p = i - 1
-      val dPrev = if (p == 1) "d1" else s"d$p"
+      val dPrev = s"d$p"
       s"""s$i AS (SELECT fid AS cid, md FROM $dPrev
          |   ORDER BY md DESC, fid LIMIT 1)""".stripMargin +
         (if (i < k)

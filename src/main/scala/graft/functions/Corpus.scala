@@ -2518,11 +2518,16 @@ object Corpus {
     * punctuation run, or any stopword as a whole word. ONE shared
     * literal: the operator applies it via Spark regexp_replace and
     * the oracle interpolates the SAME string into DuckDB's
-    * regexp_replace (Java regex and RE2 agree on this subset — ascii
-    * classes, \b on \w boundaries, non-capturing alternation; no $
-    * anchors, the codeSignals lesson). */
+    * regexp_replace. The whitespace class is EXPLICIT
+    * ([ \t\n\f\r]), never \s: Java's \s includes U+000B (vertical
+    * tab) while RE2's does not — with \s a VT would be in-phrase
+    * whitespace for Spark but a delimiter for DuckDB (the codeSignals
+    * ';$' cross-engine class, caught again in the r14 self-review).
+    * With VT excluded from the allowed set it is a DELIMITER in both
+    * engines, and the downstream \s+ collapse only ever sees
+    * characters the two engines agree on. */
   def rakeDelimiterPattern(stopwords: Seq[String] = rakeStopwords): String =
-    "[^a-z0-9\\s]+|\\b(?:" + stopwords.mkString("|") + ")\\b"
+    "[^a-z0-9 \\t\\n\\f\\r]+|\\b(?:" + stopwords.mkString("|") + ")\\b"
 
   /** RAKE keyword extraction (Rapid Automatic Keyword Extraction,
     * Rose et al. 2010) aggregated corpus-wide: candidate phrases =
@@ -3844,20 +3849,27 @@ object Corpus {
   /** DAU/WAU stickiness ratio — "what fraction of the rolling active
     * base was active TODAY": the engagement series product teams
     * watch next to [[rollingDistinctCount]] (which supplies both
-    * sides EXACTLY — no sliding-HLL). One pass builds the distinct
-    * activity table; the window-1 (daily) and window-w counts join on
-    * the period; stickiness is ONE division of exact longs per day.
-    * Conventions from rollingDistinctCount: leading partial windows
-    * emitted, periods run to the max observed; a period with no
-    * activity still appears (dau = 0 via the left join — every window
-    * end exists in the w-day series). Output:
-    * (t, dau, rolling_active, stickiness). */
+    * sides EXACTLY — no sliding-HLL). The raw input is scanned and
+    * deduplicated ONCE (materialized distinct activity table — r14
+    * self-review: the first cut let each window pass re-scan and
+    * re-distinct the raw events); the window-1 (daily) and window-w
+    * counts join on the period; stickiness is ONE division of exact
+    * longs per day. Conventions from rollingDistinctCount: leading
+    * partial windows emitted, periods run to the max observed; a
+    * quiet day within `window` of some activity appears with dau = 0,
+    * but a day in an all-quiet stretch LONGER than the window is
+    * covered by no trailing activity window and is absent (document,
+    * don't invent). Output: (t, dau, rolling_active, stickiness). */
   def stickinessRatio(df: DataFrame, t: Column, id: Column,
                       window: Int = 7): DataFrame = {
     require(window >= 2, s"window $window must be >= 2 (1 is just DAU)")
-    val wau = rollingDistinctCount(df, t, id, window)
+    val act = Dedup.materializeLazily(
+      df.select(t.cast("long").as("__at"), id.cast("string").as("__aid"))
+        .where(col("__at").isNotNull && col("__aid").isNotNull)
+        .distinct())
+    val wau = rollingDistinctCount(act, col("__at"), col("__aid"), window)
       .select(col("t"), col("n_active").as("rolling_active"))
-    val dau = rollingDistinctCount(df, t, id, window = 1)
+    val dau = rollingDistinctCount(act, col("__at"), col("__aid"), window = 1)
       .select(col("t"), col("n_active").as("dau"))
     wau.join(dau, Seq("t"), "left")
       .select(col("t"), coalesce(col("dau"), lit(0L)).as("dau"),
@@ -4082,13 +4094,17 @@ object Corpus {
     * n_groups-for-the-degenerate-path); grid is None when m ≤ 1 or
     * N = 0 (every deviation is 0 by definition). */
   private def prefixDeviationGrid(df: DataFrame, keys: Seq[Column],
-      value: Column): (Option[DataFrame], Long, Long, Long, Long) = {
+      value: Column,
+      needNullCount: Boolean = true): (Option[DataFrame], Long, Long, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     def dec(c: Column) = c.cast("decimal(38,0)")
     val qNames = keys.indices.map(i => s"__q$i")
     val base = df.select(keys.zipWithIndex.map { case (q, i) =>
       q.cast("string").as(s"__q$i") } :+ value.cast("long").as("__s"): _*)
-    val nNull = base.where(col("__s").isNull).count()
+    // the null count is a FULL extra scan — only run it for callers
+    // that report it (t-closeness; K-S discards it — r14 self-review)
+    val nNull = if (needNullCount) base.where(col("__s").isNull).count()
+                else 0L
     val cells = Dedup.materializeLazily(
       base.where(col("__s").isNotNull)
         .groupBy(qNames.map(col) :+ col("__s"): _*)
@@ -4135,7 +4151,8 @@ object Corpus {
     def dec(c: Column) = c.cast("decimal(38,0)")
     val qNames = keys.indices.map(i => s"__q$i")
     val outKeys = keys.indices.map(i => col(s"__q$i").as(s"key$i"))
-    val (gridOpt, _, bigN, _, _) = prefixDeviationGrid(df, keys, value)
+    val (gridOpt, _, bigN, _, _) =
+      prefixDeviationGrid(df, keys, value, needNullCount = false)
     if (gridOpt.isEmpty) {
       // degenerate domain: rebuild the group list so every group still
       // reports (with D = 0 by definition)

@@ -1817,8 +1817,13 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) with distinct-element Jaccard ≥
     * `threshold`, id_a < id_b, jaccard rounded to 6. Rows with
     * null/EMPTY item arrays never pair (an empty set has no defined
-    * Jaccard); elements compare as their string casts (mirror any
-    * oracle with the same cast). */
+    * Jaccard); NULL ELEMENTS are dropped before anything else
+    * (array_compact — SQL semantics: an unknown value matches
+    * nothing; without the compact, xxhash64(null) = the seed and
+    * array_intersect's NULL = NULL would both count nulls as a
+    * shared element, diverging from any SQL-replay oracle — r14
+    * self-review); remaining elements compare as their string casts
+    * (mirror any oracle with the same cast). */
   def jaccardPairsExactArray(df: DataFrame, id: String, items: String,
                              threshold: Double = 0.5,
                              maxDocFreq: Long = 0,
@@ -1831,11 +1836,12 @@ object Dedup {
     // its own variable — no captured computed child, no HOF hazard.
     val sets_h = materializeLazily(df
       .select(Seq(col(id).as("__jid"),
-        array_distinct(transform(col(items), e => xxhash64(e))).as("__hs")) ++
+        array_distinct(transform(array_compact(col(items)),
+          e => xxhash64(e))).as("__hs")) ++
         blockBy.map(c => col(c).as("__blk")): _*)
       .where(col("__hs").isNotNull && size(col("__hs")) > 0))
     jaccardPairsCore(df, id, sets_h,
-      array_distinct(transform(col(items), _.cast("string"))),
+      array_distinct(transform(array_compact(col(items)), _.cast("string"))),
       threshold, maxDocFreq, blockBy)
   }
 

@@ -154,18 +154,17 @@ object L2Normalize {
   def normalize(v: ArrayData, isFloat: Boolean,
                 mayContainNull: Boolean): ArrayData = {
     val n = v.numElements()
-    // null-aware path only when the TYPE admits nulls AND the value
-    // actually has one — parquet-read vectors carry containsNull=true
-    // with no actual nulls, and they stay on the primitive loop
-    if (mayContainNull) {
-      var hasNull = false
-      var i = 0
-      while (i < n && !hasNull) { hasNull = v.isNullAt(i); i += 1 }
-      if (hasNull) return normalizeNullAware(v, isFloat)
-    }
+    // null detection FUSED into the accumulation loop (r14 review: a
+    // separate pre-scan cost every parquet-read vector — they all
+    // carry containsNull=true — an extra O(d) pass on the ANN hot
+    // path); mayContainNull is a codegen-time constant, so the
+    // null-free type keeps the branch-free loop, and a rare actual
+    // null bails to the boxed path before any output is built
     var ss = 0.0
     var i = 0
     while (i < n) {
+      if (mayContainNull && v.isNullAt(i))
+        return normalizeNullAware(v, isFloat)
       val u = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       ss += u * u; i += 1
     }

@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: measure the Bench calibration query (the fixed
-  * data-independent `sum(xxhash64(id))` over a 1.5e9-row range) a few
-  * times on THIS box, to (re)establish the clean-box reference used by
+  * data-independent `bit_xor(xxhash64(id))` over a 6e9-row range —
+  * graft.BenchCalibration, the single shared definition) a few times
+  * on THIS box, to (re)establish the clean-box reference used by
   * README's "Bench noise" decision rule. Run on an idle machine. */
 object CalibProbe {
   def main(args: Array[String]): Unit = {
@@ -15,18 +16,9 @@ object CalibProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def loadAvg1m(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      // MUST stay textually in sync with Bench.calibrate()
-      spark.range(0L, 6000000000L, 1L, cpus.toInt)
-        .selectExpr("bit_xor(xxhash64(id)) AS h")
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def loadAvg1m(): Double = graft.BenchCalibration.loadAvg1m()
+    def calibrate(): Double =
+      graft.BenchCalibration.calibrate(spark, cpus.toInt)
     val n = if (args.nonEmpty) args(0).toInt else 5
     println(s"loadavg(1m)=${loadAvg1m()}")
     val times = (1 to n).map { i =>

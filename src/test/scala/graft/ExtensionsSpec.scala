@@ -148,6 +148,18 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want, s"t=$t missing=${(want -- got).take(5)} " +
         s"extra=${(got -- want).take(5)}")
     }
+    // NULL elements drop BEFORE anything (SQL semantics — an unknown
+    // value matches nothing): rows sharing only nulls never pair, and
+    // nulls don't count toward set sizes
+    val nulls = Seq(
+      200L -> Seq[Integer](1, null, null),
+      201L -> Seq[Integer](2, null),
+      202L -> Seq[Integer](1, null)).toDF("id", "items")
+    val gotN = graft.functions.Dedup.jaccardPairsExactArray(nulls, "id",
+        "items", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(gotN == Set((200L, 202L, 1.0)), gotN.toString)
     // identical baskets under the stop-element cap: df 2 > 1 -> dropped
     // (recall-only loss, the jaccardPairsExact contract)
     val twins = Seq(1L -> Seq(7, 8, 9), 2L -> Seq(7, 8, 9))
