@@ -3873,6 +3873,28 @@ object SparkEntry {
       Corpus.agreementReport(docs.join(maj, "source"), $"lang", $"maj_lang")
     }),
 
+    // -------- quality: Fleiss' kappa over multi-line orders ------------
+    // Multi-rater chance-corrected agreement: items = orders (>= 2
+    // lineitems), ratings = each lineitem's returnflag. Per-item P_i
+    // exact-division terms ride the x1e12 scaled-BIGINT fold
+    // (structural grid margin >= 1/(2 n(n-1)) >> ulp(1e12)); P_e one
+    // HUGEINT division; kappa identical fixed-order IEEE both engines.
+    "q_fleiss" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.fleissKappaReport(t(s, dir, "lineitem"), $"l_orderkey",
+        $"l_returnflag")
+    }),
+
+    // -------- corpus: Simpson label diversity per source ---------------
+    // 1 - sum n_j(n_j-1)/(n(n-1)) — the without-replacement form keeps
+    // everything integral to ONE division per source.
+    "q_simpson" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.simpsonDiversityBy(t(s, dir, "documents"), $"source", $"lang")
+        .withColumnRenamed("key", "source")
+        .orderBy("source")
+    }),
+
     // -------- privacy: k-anonymity audit ------------------------------
     // QI = (nation, segment, acctbal/2000 bucket) at k=5: 623 groups /
     // 1,500 customers, 83% of rows below k at sf0.01 — the mixed
@@ -5393,6 +5415,41 @@ object SparkEntry {
         |   ELSE (agree::HUGEINT * n::HUGEINT - s)::DOUBLE
         |     / (n::HUGEINT * n::HUGEINT - s)::DOUBLE END AS kappa
         |FROM tot, ch""".stripMargin,
+    // q_fleiss: per-item exact-division terms -> round(.*1e12) BIGINT
+    // sum; marginals over KEPT items only; the final kappa arithmetic
+    // is the verbatim op order of the Spark driver fold
+    "q_fleiss" ->
+      """WITH cells AS (SELECT l_orderkey::VARCHAR AS i, l_returnflag AS l,
+        |     count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+        | it AS (SELECT i, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS sq
+        |   FROM cells GROUP BY 1 HAVING sum(c) >= 2),
+        | ia AS (SELECT count(*)::BIGINT AS ni, sum(n)::BIGINT AS nr,
+        |     sum(CAST(round((sq - n)::DOUBLE / (n * (n - 1))::DOUBLE * 1e12)
+        |       AS BIGINT))::BIGINT AS ps FROM it),
+        | mg AS (SELECT cells.l, sum(cells.c)::HUGEINT AS cj FROM cells
+        |   JOIN it ON cells.i = it.i GROUP BY 1),
+        | ma AS (SELECT count(*)::BIGINT AS nl, sum(cj * cj) AS pen,
+        |     sum(cj) AS r FROM mg)
+        |SELECT ia.ni AS n_items, ia.nr AS n_ratings, ma.nl AS n_labels,
+        | ia.ps::DOUBLE / 1e12 / ia.ni::DOUBLE AS p_bar,
+        | ma.pen::DOUBLE / (ma.r * ma.r)::DOUBLE AS p_e,
+        | CASE WHEN 1.0 - ma.pen::DOUBLE / (ma.r * ma.r)::DOUBLE = 0.0
+        |   THEN 0.0
+        |   ELSE (ia.ps::DOUBLE / 1e12 / ia.ni::DOUBLE
+        |     - ma.pen::DOUBLE / (ma.r * ma.r)::DOUBLE)
+        |     / (1.0 - ma.pen::DOUBLE / (ma.r * ma.r)::DOUBLE) END AS kappa
+        |FROM ia, ma""".stripMargin,
+    "q_simpson" ->
+      """WITH cells AS (SELECT source::VARCHAR AS k, lang AS l,
+        |     count(*)::BIGINT AS c FROM documents
+        |   WHERE lang IS NOT NULL GROUP BY 1, 2)
+        |SELECT k AS source, sum(c)::BIGINT AS n,
+        | count(*)::BIGINT AS n_labels,
+        | CASE WHEN sum(c) < 2 THEN 0.0
+        |   ELSE 1.0 - sum(c::HUGEINT * (c::HUGEINT - 1))::DOUBLE
+        |     / (sum(c)::HUGEINT * (sum(c)::HUGEINT - 1))::DOUBLE END
+        |   AS simpson
+        |FROM cells GROUP BY 1 ORDER BY source""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
         |     floor(c_acctbal / 2000.0) AS qb, count(*) AS c

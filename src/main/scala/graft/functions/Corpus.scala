@@ -3743,6 +3743,105 @@ object Corpus {
             col("n_rows").cast("double")).as("pct_below_k"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971, variable raters per item) — the
+    * MULTI-rater generalization of [[agreementReport]]'s Cohen kappa:
+    * chance-corrected agreement when every item carries n_i ≥ 2
+    * categorical ratings (annotation quality control at corpus
+    * scale). P_i = (Σ_j n_ij² − n_i)/(n_i(n_i−1)); P̄ = mean P_i;
+    * P_e = Σ_j (C_j/R)²; κ = (P̄ − P_e)/(1 − P_e).
+    *
+    * Exactness: each P_i is ONE division of exact longs; the item
+    * mean rides the ×1e12 scaled-BIGINT fold (the modularity recipe —
+    * a raw double sum over items would be partition-order-dependent).
+    * Grid safety: P_i·1e12 has fractional part m/(n(n−1)) whose
+    * distance to the .5 boundary is ≥ 1/(2·n(n−1)) grid units — for
+    * per-item rating counts in the contract range that is ≥ ~1e-2,
+    * versus ulp(1e12) ≈ 1.2e-4: two orders clear, no re-profiling
+    * needed as data grows (the PR/AUC structural-margin argument).
+    * P_e is one division of exact decimal(38,0) operands (ΣC_j² over
+    * R²); κ's final arithmetic is the identical fixed-order IEEE
+    * expression in both engines. Items with n_i < 2 are EXCLUDED
+    * everywhere (single-rating items carry no agreement signal —
+    * their marginals would bias P_e; documented). 1 − P_e = 0 (every
+    * kept rating one label) → κ = 0.0 by convention. Scale: two
+    * partial-aggregated groupBys + scalar folds. Output single row:
+    * (n_items, n_ratings, n_labels, p_bar, p_e, kappa). */
+  def fleissKappaReport(df: DataFrame, item: Column,
+                        label: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = Dedup.materializeLazily(
+      df.select(item.cast("string").as("__i"),
+          label.cast("string").as("__l"))
+        .where(col("__i").isNotNull && col("__l").isNotNull)
+        .groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__c")))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .where(col("__n") >= 2L)
+    val pTerm = (col("__sq") - col("__n")).cast("double") /
+      (col("__n") * (col("__n") - 1L)).cast("double")
+    val itAgg = items.agg(count(lit(1)).as("__ni"),
+        coalesce(sum(col("__n")), lit(0L)).as("__nr"),
+        coalesce(sum(round(pTerm * lit(1e12)).cast("long")), lit(0L))
+          .as("__ps"))
+      .head()
+    val nItems = itAgg.getLong(0)
+    val nRatings = itAgg.getLong(1)
+    val pScaled = itAgg.getLong(2)
+    val spark = df.sparkSession
+    if (nItems == 0L)
+      return spark.range(1).select(lit(0L).as("n_items"),
+        lit(0L).as("n_ratings"), lit(0L).as("n_labels"),
+        lit(0.0).as("p_bar"), lit(0.0).as("p_e"), lit(0.0).as("kappa"))
+    val marg = cells.join(items.select(col("__i")), Seq("__i"), "left_semi")
+      .groupBy(col("__l")).agg(sum(col("__c")).as("__cj"))
+    val mAgg = marg.agg(count(lit(1)),
+        coalesce(sum(dec(col("__cj")) * dec(col("__cj"))),
+          lit(0L).cast("decimal(38,0)")),
+        coalesce(sum(dec(col("__cj"))), lit(0L).cast("decimal(38,0)")))
+      .head()
+    val nLabels = mAgg.getLong(0)
+    val peNum = mAgg.getDecimal(1)
+    val r = mAgg.getDecimal(2)
+    // identical fixed-order IEEE ops replayed verbatim by the oracle
+    val pBar = pScaled.toDouble / 1e12 / nItems.toDouble
+    val pe = new java.math.BigDecimal(peNum.toString).doubleValue() /
+      new java.math.BigDecimal(r.multiply(r).toString).doubleValue()
+    val kappa = if (1.0 - pe == 0.0) 0.0 else (pBar - pe) / (1.0 - pe)
+    spark.range(1).select(lit(nItems).as("n_items"),
+      lit(nRatings).as("n_ratings"), lit(nLabels).as("n_labels"),
+      lit(pBar).as("p_bar"), lit(pe).as("p_e"), lit(kappa).as("kappa"))
+  }
+
+  /** Simpson diversity index per key — "how concentrated are this
+    * source's labels": 1 − Σ_j n_j(n_j−1)/(n(n−1)), the probability
+    * two draws WITHOUT replacement differ (the unbiased finite-sample
+    * form, so the numerator/denominator are EXACT integers and the
+    * index is ONE division — zero float arithmetic anywhere before
+    * it). 0 = monoculture, → 1 = maximally diverse. NULL labels drop
+    * (an unknown label diversifies nothing — the l-diversity
+    * convention); NULL keys are real groups; keys with n < 2 report
+    * 0.0 (no pair to draw). One cell aggregate + one keyed fold.
+    * Output: (keys…, n, n_labels, simpson). */
+  def simpsonDiversityBy(df: DataFrame, key: Column,
+                         label: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.select(key.cast("string").as("__k"),
+        label.cast("string").as("__l"))
+      .where(col("__l").isNotNull)
+      .groupBy(col("__k"), col("__l")).agg(count(lit(1)).as("__c"))
+    cells.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("n_labels"),
+        sum(dec(col("__c")) * (dec(col("__c")) -
+          lit(1L).cast("decimal(38,0)"))).as("__same"))
+      .select(col("__k").as("key"), col("__n").as("n"), col("n_labels"),
+        when(col("__n") < 2L, lit(0.0))
+          .otherwise(lit(1.0) - col("__same").cast("double") /
+            (dec(col("__n")) * (dec(col("__n")) -
+              lit(1L).cast("decimal(38,0)"))).cast("double"))
+          .as("simpson"))
+  }
+
   /** Sample autocorrelation at lags 1..maxLag over integer-indexed
     * integer-valued series (per key) — the seasonality detector next
     * to [[spikeReport]]/[[cusumShifts]] (a daily-count series with

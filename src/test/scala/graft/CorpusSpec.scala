@@ -824,6 +824,49 @@ class CorpusSpec extends AnyFunSuite {
       col("text"), minCount = 1L).count() == 0L)
   }
 
+  test("fleissKappaReport: hand-computed variable-n kappa; singletons excluded; degenerates") {
+    // i1: A,A,B (P=1/3); i2: A,A (P=1); i3: B,B,B,B (P=1);
+    // i4: single C -> EXCLUDED from items AND marginals.
+    // kept marginals A=4, B=5, R=9 -> Pe = 41/81.
+    val df = Seq(
+      ("i1", "A"), ("i1", "A"), ("i1", "B"),
+      ("i2", "A"), ("i2", "A"),
+      ("i3", "B"), ("i3", "B"), ("i3", "B"), ("i3", "B"),
+      ("i4", "C")).toDF("it", "lb")
+    val r = Corpus.fleissKappaReport(df, col("it"), col("lb")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L && r.getLong(2) == 2L)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val ps = math.rint((5.0 - 3.0) / 6.0 * 1e12).toLong + 2000000000000L
+    val pbar = ps.toDouble / 1e12 / 3.0
+    val pe = 41.0 / 81.0
+    assert(bits(r.getDouble(3)) == bits(pbar))
+    assert(bits(r.getDouble(4)) == bits(pe))
+    assert(bits(r.getDouble(5)) == bits((pbar - pe) / (1.0 - pe)))
+    // perfect agreement on ONE label: Pe = 1 -> kappa 0.0 by convention
+    val one = Seq(("a", "X"), ("a", "X"), ("b", "X"), ("b", "X"))
+      .toDF("it", "lb")
+    val r1 = Corpus.fleissKappaReport(one, col("it"), col("lb")).head()
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) == 1.0
+      && r1.getDouble(5) == 0.0)
+    // all singletons -> empty report row
+    val sing = Seq(("a", "X"), ("b", "Y")).toDF("it", "lb")
+    val r0 = Corpus.fleissKappaReport(sing, col("it"), col("lb")).head()
+    assert(r0.getLong(0) == 0L && r0.getDouble(5) == 0.0)
+  }
+
+  test("simpsonDiversityBy: hand indices; NULL labels drop; n<2 guard") {
+    val df = Seq(
+      ("A", "en"), ("A", "en"), ("A", "en"), ("A", "fr"),
+      ("B", "en"), ("B", "en"),
+      ("C", "de"), ("C", null)).toDF("src", "lg")
+    val got = Corpus.simpsonDiversityBy(df, col("src"), col("lg"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("A") == ((4L, 2L, 1.0 - 6.0 / 12.0)))
+    assert(got("B") == ((2L, 1L, 0.0))) // monoculture: 1 - 2/2
+    assert(got("C") == ((1L, 1L, 0.0))) // null dropped, n<2 guard
+  }
+
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
     val df = Seq(
       (1L, 1, "a", 5.0),
