@@ -4049,6 +4049,40 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // -------- events: per-day churn/retention flows --------------------
+    // Who of yesterday's actives came back / left / is new — one
+    // distinct activity table, one full-outer self-join, ALL integer.
+    "q_churn" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts_ns div 86400000000000").as("day"))
+      Corpus.churnReport(ev, $"day", $"user_id").orderBy("t")
+    }),
+
+    // -------- text: type-token ratio per source -------------------------
+    // Lexical richness: token/type/hapax counts, TTR and hapax
+    // fraction each one exact division.
+    "q_ttr" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.ttrReport(t(s, dir, "documents"), $"source", $"text")
+        .withColumnRenamed("key", "source")
+        .orderBy("source")
+    }),
+
+    // -------- events: per-state transition entropy ----------------------
+    // How predictable is the next event from each state: the
+    // transitionMatrix chain's H(s) = -sum p ln p folded in to-state
+    // order (the q_surprise ln + round(6) recipe; 0.0 - sum keeps
+    // zero-entropy states at +0.0).
+    "q_markov_entropy" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.markovEntropyByState(
+          t(s, dir, "events")
+            .where($"ts".isNotNull && $"event_id".isNotNull),
+          $"user_id", Seq(unix_micros($"ts"), $"event_id"), $"event_type")
+        .orderBy("from_state")
+    }),
+
     // -------- events: burstiness (index of dispersion) -----------------
     // Fano factor of the daily volumes per event type: variance/mean
     // = (n·Σx² − S²)/(S·(n−1)), ONE division of exact decimal(38,0)
@@ -5221,6 +5255,51 @@ object SparkEntry {
         |   FROM du CROSS JOIN generate_series(0, 6) g(i))
         |SELECT t::BIGINT AS t, count(DISTINCT uid)::BIGINT AS n_active
         |FROM w, mx WHERE t <= mx.m GROUP BY t ORDER BY t""".stripMargin,
+    "q_churn" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS t,
+        |     user_id::VARCHAR AS uid
+        |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        | pv AS (SELECT t + 1 AS t, uid FROM du),
+        | j AS (SELECT coalesce(c.t, p.t) AS t, c.uid AS cid, p.uid AS pid
+        |   FROM du c FULL OUTER JOIN pv p ON c.t = p.t AND c.uid = p.uid)
+        |SELECT t::BIGINT AS t, count(cid)::BIGINT AS n_active,
+        | count(CASE WHEN pid IS NULL THEN 1 END)::BIGINT AS n_new,
+        | count(CASE WHEN cid IS NOT NULL AND pid IS NOT NULL THEN 1 END)
+        |   ::BIGINT AS n_retained,
+        | count(CASE WHEN cid IS NULL THEN 1 END)::BIGINT AS n_churned
+        |FROM j GROUP BY 1 ORDER BY t""".stripMargin,
+    "q_ttr" ->
+      """WITH tk AS (SELECT source::VARCHAR AS k, unnest(list_filter(
+        |     string_split_regex(text, '\s+'), x -> len(x) > 0)) AS w
+        |   FROM documents),
+        | cells AS (SELECT k, w, count(*)::BIGINT AS c FROM tk
+        |   GROUP BY 1, 2)
+        |SELECT k AS source, sum(c)::BIGINT AS n_tokens,
+        | count(*)::BIGINT AS n_types,
+        | coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)::BIGINT AS n_hapax,
+        | count(*)::DOUBLE / sum(c)::DOUBLE AS ttr,
+        | coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)::DOUBLE
+        |   / count(*)::DOUBLE AS hapax_frac
+        |FROM cells GROUP BY 1 ORDER BY source""".stripMargin,
+    // q_markov_entropy: the q_transitions lag/prob CTEs + a to-state-
+    // ordered list_reduce fold of p*ln(p); 0.0 - sum mirrors Spark
+    "q_markov_entropy" ->
+      """WITH e AS (SELECT user_id::VARCHAR AS u, event_type AS s,
+        |   epoch_us(ts) AS t, event_id AS i FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        | l AS (SELECT u, s, lag(s) OVER (PARTITION BY u ORDER BY t, i)
+        |   AS p FROM e),
+        | c AS (SELECT p AS f, s AS tos, count(*)::BIGINT AS cnt FROM l
+        |  WHERE p IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT f, sum(cnt)::BIGINT AS n FROM c GROUP BY f),
+        | pr AS (SELECT c.f, c.tos, c.cnt::DOUBLE / tot.n::DOUBLE AS p
+        |   FROM c JOIN tot ON c.f = tot.f),
+        | ag AS (SELECT f, list(p * ln(p) ORDER BY tos) AS lst FROM pr
+        |   GROUP BY 1)
+        |SELECT ag.f AS from_state, tot.n AS n_transitions,
+        | round(0.0 - list_reduce(ag.lst, (a, b) -> a + b), 6) AS entropy
+        |FROM ag JOIN tot ON ag.f = tot.f ORDER BY from_state""".stripMargin,
     "q_dispersion" ->
       """WITH daily AS (SELECT event_type,
         |     epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS cnt

@@ -3945,6 +3945,84 @@ object Corpus {
           .as("dispersion")): _*)
   }
 
+  /** Per-period churn/retention flows — the dashboard companion to
+    * [[stickinessRatio]]: for each period t, who of period t−1's
+    * actives came back (retained), left (churned), or is new. ONE
+    * distinct activity table, one full-outer self-join on
+    * (period+1, id), one keyed aggregate — ALL integer. A period
+    * appears when it or its predecessor had activity (churn is
+    * defined against t−1's cohort; an all-quiet t still reports its
+    * churn row). Output: (t, n_active, n_new, n_retained,
+    * n_churned). */
+  def churnReport(df: DataFrame, t: Column, id: Column): DataFrame = {
+    val act = Dedup.materializeLazily(
+      df.select(t.cast("long").as("__t"), id.cast("string").as("__id"))
+        .where(col("__t").isNotNull && col("__id").isNotNull)
+        .distinct())
+    val cur = act.select(col("__t"), col("__id").as("__cid"))
+    val prev = act.select((col("__t") + 1L).as("__t"),
+      col("__id").as("__pid"))
+    cur.join(prev, cur("__t") === prev("__t") &&
+        col("__cid") === col("__pid"), "full_outer")
+      .select(coalesce(cur("__t"), prev("__t")).as("__tt"),
+        col("__cid"), col("__pid"))
+      .groupBy(col("__tt"))
+      .agg(count(col("__cid")).as("n_active"),
+        count(when(col("__pid").isNull, lit(1))).as("n_new"),
+        count(when(col("__cid").isNotNull && col("__pid").isNotNull,
+          lit(1))).as("n_retained"),
+        count(when(col("__cid").isNull, lit(1))).as("n_churned"))
+      .select(col("__tt").as("t"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_churned"))
+  }
+
+  /** Type-token ratio + hapax fraction per key — the classic lexical
+    * richness/health signals ("is this source boilerplate or varied
+    * prose"): n_tokens = whitespace-token occurrences, n_types =
+    * distinct tokens, n_hapax = tokens seen exactly once; TTR and the
+    * hapax fraction are each ONE division of exact longs. One
+    * (key, token) cell aggregate + one keyed fold. NULL keys are real
+    * groups. Output: (key, n_tokens, n_types, n_hapax, ttr,
+    * hapax_frac). */
+  def ttrReport(df: DataFrame, key: Column, text: Column): DataFrame = {
+    val cells = df.select(key.cast("string").as("__k"),
+        explode(TextFunctions.tokens(text)).as("__w"))
+      .groupBy(col("__k"), col("__w")).agg(count(lit(1)).as("__c"))
+    cells.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("__c") === 1L, lit(1L))), lit(0L))
+          .as("n_hapax"))
+      .select(col("__k").as("key"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_frac"))
+  }
+
+  /** Per-state next-event entropy of the [[transitionMatrix]] chain —
+    * "how predictable is behavior FROM this state" (H ≈ 0 = a
+    * deterministic funnel step, high H = a branching point). H(s) =
+    * −Σ_t p_st·ln(p_st) folded in TO-STATE byte order via the
+    * sorted-array fold (a partition-order double sum would be
+    * nondeterministic); each p is an exact-long division, ln rides
+    * the q_bigram_logprob/q_surprise round(6) recipe, and the final
+    * negation is `0.0 − Σ` so a zero-entropy state emits +0.0, never
+    * −0.0 (engines/print layers disagree on the sign bit). Output:
+    * (from_state, n_transitions, entropy). */
+  def markovEntropyByState(df: DataFrame, key: Column, order: Seq[Column],
+                           state: Column): DataFrame = {
+    val tm = transitionMatrix(df, key, order, state)
+    tm.groupBy(col("from_state"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_transitions"),
+        sort_array(collect_list(struct(col("to_state"), col("prob"))))
+          .as("__arr"))
+      .select(col("from_state"), col("n_transitions"),
+        round(lit(0.0) - aggregate(col("__arr"), lit(0.0),
+          (a, x) => a + x.getField("prob") * log(x.getField("prob"))), 6)
+          .as("entropy"))
+  }
+
   /** DAU/WAU stickiness ratio — "what fraction of the rolling active
     * base was active TODAY": the engagement series product teams
     * watch next to [[rollingDistinctCount]] (which supplies both

@@ -867,6 +867,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(got("C") == ((1L, 1L, 0.0))) // null dropped, n<2 guard
   }
 
+  test("churnReport: hand flows incl. an all-quiet day that still reports its churn") {
+    // day0 {u1,u2}; day1 {u1,u3}; day2 quiet; day3 {u4}
+    val df = Seq((0L, "u1"), (0L, "u2"), (1L, "u1"), (1L, "u3"),
+      (3L, "u4"), (0L, "u1")).toDF("d", "u") // dup collapses
+    val got = Corpus.churnReport(df, col("d"), col("u"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == ((2L, 2L, 0L, 0L)))
+    assert(got(1L) == ((2L, 1L, 1L, 1L))) // u3 new, u1 retained, u2 churned
+    assert(got(2L) == ((0L, 0L, 0L, 2L))) // quiet day: both churn
+    assert(got(3L) == ((1L, 1L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 1L))) // u4 churns off the end
+    assert(got.size == 5)
+  }
+
+  test("ttrReport: hand token/type/hapax counts") {
+    val df = Seq(("A", "a b  a c"), ("B", "x x x")).toDF("src", "txt")
+    val got = Corpus.ttrReport(df, col("src"), col("txt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got("A") == ((4L, 3L, 2L, 3.0 / 4.0, 2.0 / 3.0)))
+    assert(got("B") == ((3L, 1L, 0L, 1.0 / 3.0, 0.0)))
+  }
+
+  test("markovEntropyByState: ln2 branch, +0.0 deterministic state") {
+    // u1: a,b,a,c -> a→b, b→a, a→c: H(a) = ln 2, H(b) = exactly +0.0
+    val df = Seq(("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"),
+      ("u1", 4L, "c")).toDF("u", "t", "s")
+    val got = Corpus.markovEntropyByState(df, col("u"), Seq(col("t")),
+        col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a")._1 == 2L)
+    assert(math.abs(got("a")._2 - math.log(2.0)) < 1e-6)
+    assert(got("b") == ((1L, 0.0)))
+    // sign bit: +0.0, never -0.0 (0.0 - Σ guards it)
+    assert(java.lang.Double.doubleToRawLongBits(got("b")._2) == 0L)
+  }
+
   test("expectationsReport + refIntegrityViolations count every rule's violations") {
     val df = Seq(
       (1L, 1, "a", 5.0),
