@@ -105,6 +105,7 @@ object Bench {
         graft.functions.Dedup.releaseMaterialized(spark)
         r
       }.toMap
+    val loadAfterB2b = loadAvg1m()
     // Iterations are INTERLEAVED round-robin across BOTH tiers
     // (q1..qN, q1..qN, q1..qN), not 3 back-to-back runs per query:
     // back-to-back runs share whatever transient machine load hits
@@ -127,6 +128,7 @@ object Bench {
       }
       allNames.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
+    val loadAfterInterleaved = loadAvg1m()
     def runsOf(names: Seq[String]): Seq[(String, Seq[Double])] =
       names.map(n => n -> runsByName(n))
     def median(xs: Seq[Double]): Double = {
@@ -166,7 +168,13 @@ object Bench {
     val totalMinB2b = resultsB2b.map(_._2.min).sum
     val loadEnd = loadAvg1m()
     val calibEnd = calibrate()
+    // load_tiers: loadavg AFTER [b2b, interleaved, v3] — the start/end
+    // calibration pair only BRACKETS the run; the first r14 artifact
+    // pair read clean while a mid-run load bump inflated ONLY the
+    // interleaved tier (+31% total_min, b2b flat) — these three stamps
+    // localize which tier a bump hit
     val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""load_tiers":[$loadAfterB2b,$loadAfterInterleaved,$loadEnd],""" +
       s""""calib_start":${math.rint(calibStart * 1000) / 1000},""" +
       s""""calib_end":${math.rint(calibEnd * 1000) / 1000}"""
     // a failed query's (partial) duration stays in its per-query slot
