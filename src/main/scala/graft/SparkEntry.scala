@@ -3157,6 +3157,31 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    // -------- dedup: per-source duplication rate ------------------------
+    // What fraction of each source participates in ANY verified
+    // near-dup pair — the one number that ranks sources by dedup
+    // budget (q_dup_matrix says who duplicates WHOM; this says how
+    // much of each feed is redundant at all). Exact integers to one
+    // division per source.
+    "q_dup_rate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairsVerified(docs, "doc_id", "text",
+        n = 5, k = 128, bands = 16, minEstJaccard = 0.7, minJaccard = 0.9,
+        maxBucketSize = 0)
+      val duped = pairs.select($"id_a".as("doc_id"))
+        .union(pairs.select($"id_b".as("doc_id"))).distinct()
+        .withColumn("__d", lit(1L))
+      docs.join(duped, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"__d"), lit(0L)).as("n_duped"))
+        .select($"source", $"n_docs", $"n_duped",
+          ($"n_duped".cast("double") / $"n_docs".cast("double"))
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
     // -------- dedup: near-dup clusters via connected components -------
     // Verified LSH pairs (≡ the exact 5-gram Jaccard >= 0.9 set by the
     // exact-verify stage) → min-label components; oracle is a
@@ -7096,6 +7121,19 @@ object SparkEntry {
         |     JOIN sz sb ON pr.ib = sb.oid)
         |SELECT ia AS id_a, ib AS id_b, round(jac, 6) AS jaccard
         |FROM j WHERE jac >= 0.2 ORDER BY 1, 2""".stripMargin,
+    // q_dup_rate: the exact >=0.9 pair set (shared prefix-filtered
+    // block), distinct involved docs, one division per source
+    "q_dup_rate" ->
+      s"""WITH $nearDupEdges5g09,
+        | dd AS (SELECT DISTINCT d FROM
+        |   (SELECT src AS d FROM e UNION ALL SELECT dst FROM e))
+        |SELECT doc.source, count(*)::BIGINT AS n_docs,
+        | coalesce(sum(CASE WHEN dd.d IS NOT NULL THEN 1 END), 0)::BIGINT
+        |   AS n_duped,
+        | coalesce(sum(CASE WHEN dd.d IS NOT NULL THEN 1 END), 0)::DOUBLE
+        |   / count(*)::DOUBLE AS dup_rate
+        |FROM documents doc LEFT JOIN dd ON doc.doc_id = dd.d
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     "q_dup_matrix" ->
       s"""WITH $nearDupEdges5g09,
         | p AS (SELECT da.source AS sa, db.source AS sb
