@@ -106,6 +106,14 @@ object Bench {
         r
       }.toMap
     val loadAfterB2b = loadAvg1m()
+    // calib_tiers (r15, completing r14's load_tiers): one ~1-2 s
+    // calibration AFTER each tier. The start/end bracket pair provably
+    // missed a mid-run load bump (r14 final-state run: b2b flat,
+    // interleaved +31%, BOTH bracket calibrations clean), and
+    // 1-minute loadavg is a lagging EMA — a direct wall-time probe at
+    // each tier boundary localizes which tier a bump hit at
+    // negligible cost. README "Bench noise" documents the rule.
+    val calibAfterB2b = calibrate()
     // Iterations are INTERLEAVED round-robin across BOTH tiers
     // (q1..qN, q1..qN, q1..qN), not 3 back-to-back runs per query:
     // back-to-back runs share whatever transient machine load hits
@@ -129,6 +137,7 @@ object Bench {
       allNames.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
     val loadAfterInterleaved = loadAvg1m()
+    val calibAfterInterleaved = calibrate()
     def runsOf(names: Seq[String]): Seq[(String, Seq[Double])] =
       names.map(n => n -> runsByName(n))
     def median(xs: Seq[Double]): Double = {
@@ -173,10 +182,12 @@ object Bench {
     // pair read clean while a mid-run load bump inflated ONLY the
     // interleaved tier (+31% total_min, b2b flat) — these three stamps
     // localize which tier a bump hit
+    def r3c(x: Double): Double = math.rint(x * 1000) / 1000
     val loadJson = s""""load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""load_tiers":[$loadAfterB2b,$loadAfterInterleaved,$loadEnd],""" +
-      s""""calib_start":${math.rint(calibStart * 1000) / 1000},""" +
-      s""""calib_end":${math.rint(calibEnd * 1000) / 1000}"""
+      s""""calib_start":${r3c(calibStart)},""" +
+      s""""calib_tiers":[${r3c(calibAfterB2b)},${r3c(calibAfterInterleaved)},${r3c(calibEnd)}],""" +
+      s""""calib_end":${r3c(calibEnd)}"""
     // a failed query's (partial) duration stays in its per-query slot
     // for series continuity, but the failure is named — a totals diff
     // must never read a crash as a speedup

@@ -3751,8 +3751,11 @@ object Corpus {
     * P_e = Σ_j (C_j/R)²; κ = (P̄ − P_e)/(1 − P_e).
     *
     * Exactness: each P_i is ONE division of exact longs; the item
-    * mean rides the ×1e12 scaled-BIGINT fold (the modularity recipe —
-    * a raw double sum over items would be partition-order-dependent).
+    * mean rides the ×1e12 scaled fold (the modularity recipe — a raw
+    * double sum over items would be partition-order-dependent), but
+    * ACCUMULATED in decimal(38,0)/HUGEINT, not BIGINT: terms reach
+    * 1e12 and item count grows with the data, so a long sum would
+    * ANSI-overflow at ~9.2e6 kept items (r14 advice item).
     * Grid safety: P_i·1e12 has fractional part m/(n(n−1)) whose
     * distance to the .5 boundary is ≥ 1/(2·n(n−1)) grid units — for
     * per-item rating counts in the contract range that is ≥ ~1e-2,
@@ -3780,14 +3783,18 @@ object Corpus {
       .where(col("__n") >= 2L)
     val pTerm = (col("__sq") - col("__n")).cast("double") /
       (col("__n") * (col("__n") - 1L)).cast("double")
+    // scaled P_i terms accumulate in decimal(38,0), NOT long: each
+    // term is up to 1e12, so a LongType sum overflows (ANSI throw) at
+    // ~9.2e6 kept items — and item count grows with the DATA, unlike
+    // the modularity recipe where terms are per-community (r14 advice)
     val itAgg = items.agg(count(lit(1)).as("__ni"),
         coalesce(sum(col("__n")), lit(0L)).as("__nr"),
-        coalesce(sum(round(pTerm * lit(1e12)).cast("long")), lit(0L))
-          .as("__ps"))
+        coalesce(sum(round(pTerm * lit(1e12)).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("__ps"))
       .head()
     val nItems = itAgg.getLong(0)
     val nRatings = itAgg.getLong(1)
-    val pScaled = itAgg.getLong(2)
+    val pScaled = itAgg.getDecimal(2)
     val spark = df.sparkSession
     if (nItems == 0L)
       return spark.range(1).select(lit(0L).as("n_items"),
@@ -3804,7 +3811,10 @@ object Corpus {
     val peNum = mAgg.getDecimal(1)
     val r = mAgg.getDecimal(2)
     // identical fixed-order IEEE ops replayed verbatim by the oracle
-    val pBar = pScaled.toDouble / 1e12 / nItems.toDouble
+    // (HUGEINT→DOUBLE and BigDecimal→double are both round-to-nearest
+    // on the same exact integer — identical beyond 2^53 too)
+    val pBar = new java.math.BigDecimal(pScaled.toString).doubleValue() /
+      1e12 / nItems.toDouble
     val pe = new java.math.BigDecimal(peNum.toString).doubleValue() /
       new java.math.BigDecimal(r.multiply(r).toString).doubleValue()
     val kappa = if (1.0 - pe == 0.0) 0.0 else (pBar - pe) / (1.0 - pe)
@@ -3980,10 +3990,14 @@ object Corpus {
     * richness/health signals ("is this source boilerplate or varied
     * prose"): n_tokens = whitespace-token occurrences, n_types =
     * distinct tokens, n_hapax = tokens seen exactly once; TTR and the
-    * hapax fraction are each ONE division of exact longs. One
-    * (key, token) cell aggregate + one keyed fold. NULL keys are real
-    * groups. Output: (key, n_tokens, n_types, n_hapax, ttr,
-    * hapax_frac). */
+    * hapax fraction are each ONE division of exact longs. BY
+    * DEFINITION HERE hapax_frac = n_hapax / n_types (share of the
+    * VOCABULARY that is singleton) — the literature also uses
+    * n_hapax / n_tokens; both the Spark side and the q_ttr oracle
+    * compute the /n_types form, so a future edit must change BOTH or
+    * neither (r14 advice doc item). One (key, token) cell aggregate +
+    * one keyed fold. NULL keys are real groups. Output: (key,
+    * n_tokens, n_types, n_hapax, ttr, hapax_frac). */
   def ttrReport(df: DataFrame, key: Column, text: Column): DataFrame = {
     val cells = df.select(key.cast("string").as("__k"),
         explode(TextFunctions.tokens(text)).as("__w"))

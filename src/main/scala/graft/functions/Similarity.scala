@@ -54,7 +54,12 @@ object Similarity {
     * the oracle may take min over the whole selected set at once.
     * Zero vectors are EXCLUDED (their normalization is NaN, which
     * poisons least/argmax differently per engine — documented, the
-    * l2NormalizeFused degradation note).
+    * l2NormalizeFused degradation note). Null-ELEMENT vectors are
+    * excluded by the same filter: dotFused is null-aware (r15 — a
+    * null element nulls the result, list_dot_product semantics), so
+    * `dotFused(v, v) > 0` is NULL on both engines and the row drops;
+    * previously the kernel read the null slot as garbage and could
+    * diverge from the oracle's exclusion (r14 advice item).
     *
     * Scale shape: the k-means recipe — k driver rounds, each ONE
     * scan updating a lazily-materialized (id, vec, min_dist) state

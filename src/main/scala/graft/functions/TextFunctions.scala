@@ -12,7 +12,16 @@ object TextFunctions {
 
   import org.apache.spark.sql.{DataFrame => DF}
 
-  /** Whitespace tokens (empty tokens dropped). */
+  /** Whitespace tokens (empty tokens dropped).
+    *
+    * CROSS-ENGINE CONTRACT (r14 advice): Java's `\s` matches U+000B
+    * (vertical tab) — RE2's (DuckDB's) does NOT, the same char-class
+    * divergence rakeDelimiterPattern dodges with an explicit class.
+    * ~15 oracles replay this tokenizer with DuckDB `\s+`, which is
+    * only sound because the test corpus contains no VT (asserted by
+    * CorpusSpec's no-VT gate); a NEW oracle over text that may carry
+    * VT must either pre-strip U+000B on both sides or use an explicit
+    * shared class, not inherit this pairing. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 

@@ -19,6 +19,19 @@ import org.apache.spark.sql.types._
   *
   * metric: "dot" → Σ aᵢbᵢ; "cosine" → Σ aᵢbᵢ / (‖a‖‖b‖) (0.0 when a
   * norm is zero). Accepts array<float> or array<double> on both sides.
+  *
+  * Null ELEMENTS (legal whenever an input type carries
+  * containsNull=true — every parquet-read array does): a null element
+  * inside the fused range [0, min(len)) makes the RESULT null,
+  * matching SQL list_dot_product / the `aggregate`-based composable
+  * form, where any null product nulls the whole fold (r14 advice
+  * item: the previous code read getFloat/getDouble unguarded on the
+  * null slot — garbage on UnsafeArrayData — so e.g.
+  * `dotFused(v, v) > 0` could PASS a null-element vector on the
+  * Spark side while the oracle's list_dot_product excluded it). Same
+  * fused-detection pattern as [[L2Normalize]]: the check is guarded
+  * by each child's codegen-time containsNull constant, so null-free
+  * types keep the branch-free loop.
   */
 case class VectorSimilarity(left: Expression, right: Expression, metric: String)
     extends BinaryExpression {
@@ -26,10 +39,20 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"vector_$metric"
+  // a null ELEMENT can null the result even when both array columns
+  // themselves are non-nullable — without this, codegen's isNull slot
+  // would be the FalseLiteral and the bail assignment wouldn't compile
+  override def nullable: Boolean =
+    super.nullable || sideContainsNull(left) || sideContainsNull(right)
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
     case _ => None
+  }
+
+  private def sideContainsNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -50,9 +73,11 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val lf = leftIsFloat; val rf = rightIsFloat
+    val lcn = sideContainsNull(left); val rcn = sideContainsNull(right)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if ((lcn && x.isNullAt(i)) || (rcn && y.isNullAt(i))) return null
       val u = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val v = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += u * v; nx += u * u; ny += v * v; i += 1
@@ -77,16 +102,48 @@ case class VectorSimilarity(left: Expression, right: Expression, metric: String)
         else
           s"""double $d = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
              |${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;""".stripMargin
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $u = (double) $x.$getL($i);
-         |  double $v = (double) $y.$getR($i);
-         |  $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
-         |}
-         |$finish
-       """.stripMargin
+      // containsNull is a codegen-time CONSTANT per side: when both
+      // sides are null-free the original branch-free loop is emitted
+      // VERBATIM (no dead `ev.isNull = true` either — with
+      // non-nullable children that slot is the false literal and the
+      // assignment wouldn't compile). A detected null element nulls
+      // the whole result (list_dot_product semantics; the L2Normalize
+      // fused-detection pattern).
+      val lcn = sideContainsNull(left); val rcn = sideContainsNull(right)
+      val nullCheck =
+        (if (lcn) Seq(s"$x.isNullAt($i)") else Nil) ++
+          (if (rcn) Seq(s"$y.isNullAt($i)") else Nil)
+      val nullBail = ctx.freshName("hasNullElem")
+      if (nullCheck.isEmpty)
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $u = (double) $x.$getL($i);
+           |  double $v = (double) $y.$getR($i);
+           |  $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
+           |}
+           |$finish
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |boolean $nullBail = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (${nullCheck.mkString(" || ")}) {
+           |    $nullBail = true; break;
+           |  }
+           |  double $u = (double) $x.$getL($i);
+           |  double $v = (double) $y.$getR($i);
+           |  $dot += $u * $v; $nx += $u * $u; $ny += $v * $v;
+           |}
+           |if ($nullBail) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  $finish
+           |}
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -2671,4 +2671,18 @@ class CorpusSpec extends AnyFunSuite {
     // empty input -> one zero row
     assert(run(Seq.empty) == ((0L, 0L, 0.0)))
   }
+
+  test("corpus no-VT gate: the \\s-vs-RE2 oracle pairing's standing assumption") {
+    // ~15 oracles replay TextFunctions.tokens (Java \s+) with DuckDB
+    // \s+ (RE2); Java's \s includes U+000B, RE2's does not. That
+    // pairing is sound ONLY while the corpus carries no vertical tab —
+    // assert it, so a testdata regeneration that introduces VT fails
+    // loudly here instead of as a silent oracle hash divergence
+    // (r14 advice item; tokens() Scaladoc documents the contract).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val vt = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(col("text").contains("\u000B")).count()
+      assert(vt == 0L, s"$sf documents contain U+000B — the \\s oracle pairing is no longer sound")
+    }
+  }
 }

@@ -1451,6 +1451,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nn(0).isNullAt(0))
   }
 
+  test("dotFused/cosineFused: null ELEMENT nulls the result (r15, list_dot_product semantics)") {
+    // the r14 advice item: the kernel previously read the null slot
+    // unguarded (garbage on UnsafeArrayData), so dotFused(v,v) > 0
+    // could PASS a null-element vector the oracle's list_dot_product
+    // excluded (farthestFirstCenters divergence class)
+    val df = Seq(
+        (0L, Seq[java.lang.Double](3.0, null, 4.0)),
+        (1L, Seq[java.lang.Double](1.0, 2.0, 2.0)))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        Similarity.dotFused(col("v"), col("v")).as("d"),
+        Similarity.cosineFused(col("v"), col("v")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (r.isNullAt(1), r.isNullAt(2), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+      .toMap
+    assert(got(0L)._1 && got(0L)._2)                 // null element -> null
+    assert(!got(1L)._1 && got(1L)._3 == 9.0)         // clean row unaffected
+    // the filter consequence: > 0 on a null result is NULL -> row drops,
+    // matching the DuckDB list_dot_product(...) > 0 oracle exclusion
+    assert(df.where(Similarity.dotFused(col("v"), col("v")) > 0).count() == 1L)
+    // interpreted path agrees with codegen (eval via literal-free fold)
+    val interp = df.select(col("id"),
+        Similarity.dotFused(col("v"), col("v")).as("d"))
+      .where(col("id") === 0L).selectExpr("d IS NULL").collect()
+    assert(interp(0).getBoolean(0))
+  }
+
   test("farthestFirstCenters: greedy replica order + dists; zero vectors excluded") {
     val vecs = Seq(
       ("a", Array(1.0f, 0.0f, 0.0f)),
@@ -1495,6 +1522,17 @@ class SimilaritySpec extends AnyFunSuite {
     val all = Similarity.farthestFirstCenters(df, "vid", "emb", k = 20)
       .collect().map(_.getString(1))
     assert(!all.contains("z") && all.length == 5)
+    // null-ELEMENT vectors are excluded too (r15: dotFused(v,v) > 0
+    // is NULL under the null-aware kernel, matching the oracle's
+    // list_dot_product exclusion — the r14 advice divergence class)
+    val withNull = Seq(
+        ("a", Seq[java.lang.Double](1.0, 0.0, 0.0)),
+        ("c", Seq[java.lang.Double](0.0, 1.0, 0.0)),
+        ("n", Seq[java.lang.Double](5.0, null, 0.0)))
+      .toDF("vid", "emb")
+    val got2 = Similarity.farthestFirstCenters(withNull, "vid", "emb", k = 3)
+      .collect().map(_.getString(1))
+    assert(got2.toSeq == Seq("a", "c"))
   }
 
   test("bruteForceTopK exact ranking") {
