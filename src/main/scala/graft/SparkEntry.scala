@@ -1115,6 +1115,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: multi-level Louvain (coarsening phase) -----------
+    // The full two-phase method (r14 verdict item 1): level-1 local
+    // move, communities collapse to super-nodes (exact integer
+    // bookkeeping — super-edge = Σ inter-community w, coarse degree =
+    // member-degree sum, W invariant), 3 coarse sweeps, labels mapped
+    // back. The monotone guard compares S(P) = Σ(4W·in − tot²) as
+    // exact integers and keeps level 1 unless strictly improved, so
+    // Q(multi) ≥ Q(one-level) by construction; the oracle replays the
+    // guard as one HUGEINT CASE.
+    "q_louvain_multi" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.louvainMultiLevel(pairs, $"u", $"v", $"w", sweeps = 3,
+          levels = 2)
+        .orderBy("node")
+    }),
+
     // -------- corpus: market-basket association rules ------------------
     // Directed pairwise rules over order baskets: distinct-order
     // supports, confidence = one exact-long division, lift multiplied
@@ -4510,45 +4532,92 @@ object SparkEntry {
     * candidates before ranking, and the tie rule is replayed with
     * window maxes (keep own community when it attains the max, else
     * min label among the max-gain candidates). */
-  private lazy val louvainChainCtes: String = {
-    val rounds = (1 to 3).map { i =>
-      val p = i - 1
-      s"""st$i AS (SELECT l$p.c AS c, sum(kk.k)::HUGEINT AS tot,
+  /** One parameterized Louvain sweep-round CTE chain (r15): `p`
+    * prefixes every per-round CTE name, `symT`/`kkT` name the
+    * symmetric-edge and degree tables, labels init from `${p}l0`.
+    * `ww` (total weight) is SHARED across levels — W is invariant
+    * under coarsening. p = "" reproduces the original q_louvain
+    * names (st1…l3); the coarse level uses p = "b" over symb/kkb. */
+  private def louvainRoundCtes(sweeps: Int, p: String, symT: String,
+                               kkT: String): String =
+    (1 to sweeps).map { i =>
+      val L = s"${p}l${i - 1}"
+      s"""${p}st$i AS (SELECT $L.c AS c, sum($kkT.k)::HUGEINT AS tot,
          |     count(*)::BIGINT AS sz
-         |   FROM l$p JOIN kk ON l$p.nd = kk.n GROUP BY 1),
-         | ki$i AS (SELECT symw.s AS nd, l$p.c AS cd, sum(symw.w)::HUGEINT AS kin
-         |   FROM symw JOIN l$p ON symw.d = l$p.nd GROUP BY 1, 2),
-         | cd$i AS (SELECT nd, cd, max(kin)::HUGEINT AS kin FROM (
-         |     SELECT nd, cd, kin FROM ki$i
-         |     UNION ALL SELECT nd, c, 0::HUGEINT FROM l$p) GROUP BY 1, 2),
-         | g$i AS (SELECT cd$i.nd, cd$i.cd, l$p.c AS own,
-         |     2::HUGEINT * (SELECT w2 FROM ww) * cd$i.kin
-         |     - kk.k::HUGEINT * (stc.tot -
-         |         CASE WHEN cd$i.cd = l$p.c THEN kk.k::HUGEINT
+         |   FROM $L JOIN $kkT ON $L.nd = $kkT.n GROUP BY 1),
+         | ${p}ki$i AS (SELECT $symT.s AS nd, $L.c AS cd, sum($symT.w)::HUGEINT AS kin
+         |   FROM $symT JOIN $L ON $symT.d = $L.nd GROUP BY 1, 2),
+         | ${p}cd$i AS (SELECT nd, cd, max(kin)::HUGEINT AS kin FROM (
+         |     SELECT nd, cd, kin FROM ${p}ki$i
+         |     UNION ALL SELECT nd, c, 0::HUGEINT FROM $L) GROUP BY 1, 2),
+         | ${p}g$i AS (SELECT ${p}cd$i.nd, ${p}cd$i.cd, $L.c AS own,
+         |     2::HUGEINT * (SELECT w2 FROM ww) * ${p}cd$i.kin
+         |     - $kkT.k::HUGEINT * (stc.tot -
+         |         CASE WHEN ${p}cd$i.cd = $L.c THEN $kkT.k::HUGEINT
          |              ELSE 0::HUGEINT END) AS g
-         |   FROM cd$i JOIN l$p ON cd$i.nd = l$p.nd
-         |     JOIN kk ON cd$i.nd = kk.n
-         |     JOIN st$i stc ON cd$i.cd = stc.c
-         |   WHERE NOT (stc.sz = 1 AND cd$i.cd > l$p.c)),
-         | r$i AS (SELECT nd, cd, own, g,
+         |   FROM ${p}cd$i JOIN $L ON ${p}cd$i.nd = $L.nd
+         |     JOIN $kkT ON ${p}cd$i.nd = $kkT.n
+         |     JOIN ${p}st$i stc ON ${p}cd$i.cd = stc.c
+         |   WHERE NOT (stc.sz = 1 AND ${p}cd$i.cd > $L.c)),
+         | ${p}r$i AS (SELECT nd, cd, own, g,
          |     row_number() OVER (PARTITION BY nd ORDER BY g DESC, cd ASC) AS rn,
          |     max(CASE WHEN cd = own THEN g END) OVER (PARTITION BY nd) AS gown,
          |     max(g) OVER (PARTITION BY nd) AS gmax
-         |   FROM g$i),
-         | l$i AS (SELECT nd, CASE WHEN gown = gmax THEN own ELSE cd END AS c
-         |   FROM r$i WHERE rn = 1)""".stripMargin
+         |   FROM ${p}g$i),
+         | ${p}l$i AS MATERIALIZED (SELECT nd, CASE WHEN gown = gmax THEN own ELSE cd END AS c
+         |   FROM ${p}r$i WHERE rn = 1)""".stripMargin
     }.mkString(",\n ")
-    s"""pairs AS (
+
+  private lazy val louvainChainCtes: String =
+    s"""pairs AS MATERIALIZED (
        |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::BIGINT AS w
        |  FROM lineitem a JOIN lineitem b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-       | symw AS (SELECT u::VARCHAR AS s, v::VARCHAR AS d, w FROM pairs
+       | symw AS MATERIALIZED (SELECT u::VARCHAR AS s, v::VARCHAR AS d, w FROM pairs
        |          UNION ALL SELECT v::VARCHAR, u::VARCHAR, w FROM pairs),
-       | kk AS (SELECT s AS n, sum(w)::BIGINT AS k FROM symw GROUP BY 1),
+       | kk AS MATERIALIZED (SELECT s AS n, sum(w)::BIGINT AS k FROM symw GROUP BY 1),
        | ww AS (SELECT sum(w)::HUGEINT AS w2 FROM pairs),
        | l0 AS (SELECT n AS nd, n AS c FROM kk),
-       | $rounds""".stripMargin
+       | ${louvainRoundCtes(3, "", "symw", "kk")}""".stripMargin
+
+  /** q_louvain_multi oracle (r15): the level-1 chain, then the exact
+    * coarsening bookkeeping (inter-community super-edges canonical on
+    * labels; coarse degree = member-degree sum; W shared), 3 coarse
+    * rounds (prefix b), the label map-back, and the MONOTONE GUARD
+    * replayed as S(P) = Σ_c (4W·in_c − tot_c²) in HUGEINT for both
+    * partitions with one CASE choosing the emitted labels —
+    * S/(4W²) = Q exactly, so the comparison is pure integers. */
+  private lazy val louvainMultiChainCtes: String = {
+    def sCte(name: String, lab: String): String =
+      s"""$name AS (SELECT coalesce(sum(
+         |     4::HUGEINT * (SELECT w2 FROM ww) * t.inw - t.tot * t.tot),
+         |     0::HUGEINT) AS s
+         |   FROM (SELECT tt.c, tt.tot, coalesce(ii.inw, 0::HUGEINT) AS inw
+         |     FROM (SELECT $lab.c AS c, sum(kk.k)::HUGEINT AS tot
+         |         FROM $lab JOIN kk ON $lab.nd = kk.n GROUP BY 1) tt
+         |     LEFT JOIN (SELECT lu.c AS c, sum(p.w)::HUGEINT AS inw
+         |         FROM pairs p
+         |         JOIN $lab lu ON p.u::VARCHAR = lu.nd
+         |         JOIN $lab lv ON p.v::VARCHAR = lv.nd
+         |         WHERE lu.c = lv.c GROUP BY 1) ii ON tt.c = ii.c) t)"""
+        .stripMargin
+    s"""$louvainChainCtes,
+       | ce AS (SELECT lu.c AS cu, lv.c AS cv, p.w FROM pairs p
+       |   JOIN l3 lu ON p.u::VARCHAR = lu.nd
+       |   JOIN l3 lv ON p.v::VARCHAR = lv.nd),
+       | se AS MATERIALIZED (SELECT least(cu, cv) AS su, greatest(cu, cv) AS sv,
+       |     sum(w)::BIGINT AS w FROM ce WHERE cu <> cv GROUP BY 1, 2),
+       | symb AS MATERIALIZED (SELECT su AS s, sv AS d, w FROM se
+       |          UNION ALL SELECT sv, su, w FROM se),
+       | kkb AS MATERIALIZED (SELECT l3.c AS n, sum(kk.k)::BIGINT AS k
+       |   FROM l3 JOIN kk ON l3.nd = kk.n GROUP BY 1),
+       | bl0 AS (SELECT n AS nd, n AS c FROM kkb),
+       | ${louvainRoundCtes(3, "b", "symb", "kkb")},
+       | mapped AS MATERIALIZED (SELECT l3.nd AS nd, bl3.c AS c
+       |   FROM l3 JOIN bl3 ON l3.c = bl3.nd),
+       | ${sCte("sone", "l3")},
+       | ${sCte("smulti", "mapped")}""".stripMargin
   }
 
   /** q_ffc oracle: k−1 unrolled farthest-first rounds over the
@@ -8079,6 +8148,13 @@ object SparkEntry {
     "q_louvain" ->
       s"""WITH $louvainChainCtes
         |SELECT nd AS node, c AS community FROM l3 ORDER BY node""".stripMargin,
+    "q_louvain_multi" ->
+      s"""WITH $louvainMultiChainCtes
+        |SELECT l3.nd AS node,
+        | CASE WHEN (SELECT s FROM smulti) > (SELECT s FROM sone)
+        |   THEN m.c ELSE l3.c END AS community
+        |FROM l3 JOIN mapped m ON l3.nd = m.nd
+        |ORDER BY node""".stripMargin,
     // q_assoc_rules: distinct (order, part) baskets; directed pairs
     // from one self-join; HUGEINT lift product before one division
     "q_assoc_rules" ->

@@ -1752,7 +1752,6 @@ object Corpus {
                          weight: Column = lit(1L), sweeps: Int = 3,
                          maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(sweeps >= 1, s"sweeps $sweeps must be >= 1")
-    def dec(c: Column) = c.cast("decimal(38,0)")
     val e0 = Dedup.materializeLazily(
       canonicalEdgesWeighted(edges, src, dst, weight))
     val sym = Dedup.materializeLazily(
@@ -1764,6 +1763,26 @@ object Corpus {
       sym.groupBy(col("__s").as("__n")).agg(sum(col("__w")).as("__k")))
     val w2 = e0.agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
     require(w2 > 0, "louvainCommunities needs at least one non-loop edge")
+    louvainSweepLoop(sym, kTab, w2, sweeps, maxBroadcastNodes)
+      .select(col("__n").as("node"), col("__c").as("community"))
+  }
+
+  /** The shared local-move engine behind [[louvainCommunities]] and
+    * [[louvainMultiLevel]]: `sweeps` synchronous best-gain sweeps over
+    * a SYMMETRIC inter-node edge table (`__s`,`__d`,`__w` — self-loops
+    * must already be EXCLUDED; they never contribute k_in) against a
+    * degree table (`__n`,`__k`) and total weight `w2`. At a COARSE
+    * level the degree table carries the super-node's FULL weighted
+    * degree including 2× its internal (self-loop) weight, while the
+    * symmetric table carries only inter-super-node edges — the
+    * self-loop weight is community-invariant (it moves WITH the node),
+    * so it cancels in the gain COMPARISON but must appear in k_i and
+    * Σtot, which is exactly this split of inputs. Labels initialize to
+    * identity. Returns (__n, __c). */
+  private def louvainSweepLoop(sym: DataFrame, kTab: DataFrame, w2: Long,
+                               sweeps: Int,
+                               maxBroadcastNodes: Long): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
     var labels = Dedup.materializeLazily(
       kTab.select(col("__n"), col("__n").as("__c")))
     val nstats = labels.agg(count(lit(1)),
@@ -1821,7 +1840,144 @@ object Corpus {
             .otherwise(col("__m").getField("__cand")).as("__c")))
       it += 1
     }
-    labels.select(col("__n").as("node"), col("__c").as("community"))
+    labels
+  }
+
+  /** Multi-level Louvain (Blondel et al. 2008, the FULL two-phase
+    * method): [[louvainCommunities]] is explicitly the local-move
+    * phase only; this adds the COARSENING phase where Louvain's real
+    * quality comes from — after each level's sweeps, communities
+    * collapse to super-nodes and the local move re-runs on the coarse
+    * graph, merging whole communities that one-level moves (one node
+    * at a time, each meeting the singleton-label guard) cannot.
+    *
+    * Coarsening is EXACT integer bookkeeping, so the unrolled-CTE
+    * oracle recipe extends unchanged: super-edge weight = Σ
+    * inter-community edge weight (canonical least/greatest on the
+    * community labels); super-node degree = Σ member degrees (each
+    * internal edge contributes 2w — the self-loop convention — and
+    * each boundary edge w, so the MEMBER-DEGREE SUM is the correct
+    * coarse k_i with no separate self-loop table); total weight W is
+    * INVARIANT under coarsening (computed once). The self-loop weight
+    * itself never enters k_in — it moves with the super-node, cancels
+    * in the gain comparison, and is therefore deliberately absent
+    * from the symmetric edge table ([[louvainSweepLoop]]'s input
+    * split). Communities with no external edge simply have no
+    * candidates and stay put.
+    *
+    * Labels map back through every level (node → c₁ → c₂ → …), so the
+    * output community ids are level-1 community labels = node ids —
+    * byte-order determinism end to end, NO rounding anywhere, exact
+    * decimal(38,0)/HUGEINT gains at every level.
+    *
+    * MONOTONE GUARD: synchronous sweeps do not guarantee the
+    * sequential method's monotone modularity (a coarse-level label
+    * chase can end mid-flight worse than it started), so each coarse
+    * level's mapped-back partition is ACCEPTED only if it STRICTLY
+    * improves S(P) = Σ_c (4W·in_c − tot_c²) on the ORIGINAL graph —
+    * S/(4W²) = Q exactly, and S is pure decimal(38,0) integer
+    * arithmetic, so the guard is deterministic and replayable as one
+    * oracle CASE. A rejected level keeps the previous labels and
+    * stops (re-running the same sweeps would re-derive the identical
+    * rejected candidate). Q(multi) ≥ Q(one-level) is therefore a
+    * THEOREM of the construction; ≥ Q(LPA) stays the empirical
+    * spec gate inherited from [[louvainCommunities]].
+    *
+    * Scale shape: level 1 is [[louvainCommunities]]'s shapes; each
+    * coarsening is two label joins + one partial-aggregated groupBy
+    * on the (much smaller) community pair set, the guard is two more
+    * label joins + scalar folds, and every later level runs on a
+    * graph at most as large as the community count — strictly
+    * cheaper per level. levels ≤ 4 by contract (real corpora
+    * converge by 2-3). Output: (node, community). */
+  def louvainMultiLevel(edges: DataFrame, src: Column, dst: Column,
+                        weight: Column = lit(1L), sweeps: Int = 3,
+                        levels: Int = 2,
+                        maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(sweeps >= 1, s"sweeps $sweeps must be >= 1")
+    require(levels >= 1 && levels <= 4, s"levels $levels outside [1, 4]")
+    val e0 = Dedup.materializeLazily(
+      canonicalEdgesWeighted(edges, src, dst, weight))
+    val sym0 = Dedup.materializeLazily(
+      e0.select(col("__u").as("__s"), col("__v").as("__d"), col("__w"))
+        .union(e0.select(col("__v").as("__s"), col("__u").as("__d"),
+          col("__w"))))
+    var kTab = Dedup.materializeLazily(
+      sym0.groupBy(col("__s").as("__n")).agg(sum(col("__w")).as("__k")))
+    // W is invariant under coarsening: every original edge lands in
+    // exactly one super-edge or one community self-loop
+    val w2 = e0.agg(coalesce(sum(col("__w")), lit(0L))).head().getLong(0)
+    require(w2 > 0, "louvainMultiLevel needs at least one non-loop edge")
+    val kTab0 = kTab
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // S(P) = Σ_c (4W·in_c − tot_c²) over the ORIGINAL graph — exact
+    // decimal(38,0); S/(4W²) = Q, so integer compares order partitions
+    // by modularity with zero rounding anywhere
+    def sOf(lab: DataFrame): java.math.BigDecimal = {
+      val inTab = e0
+        .join(lab.select(col("__n").as("__u"), col("__c").as("__cu")),
+          Seq("__u"))
+        .join(lab.select(col("__n").as("__v"), col("__c").as("__cv")),
+          Seq("__v"))
+        .where(col("__cu") === col("__cv"))
+        .groupBy(col("__cu").as("__c")).agg(sum(col("__w")).as("__in"))
+      val totTab = lab.join(kTab0, Seq("__n"))
+        .groupBy(col("__c")).agg(sum(col("__k")).as("__tot"))
+      totTab.join(inTab, Seq("__c"), "left")
+        .select((dec(lit(4L)) * dec(lit(w2)) *
+          dec(coalesce(col("__in"), lit(0L))) -
+          dec(col("__tot")) * dec(col("__tot"))).as("__s"))
+        .agg(coalesce(sum(col("__s")), lit(0L).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    }
+    // node → community-so-far; starts as the level-1 result. curLab
+    // is the SAME partition expressed on the current (coarse) node
+    // space — the one the next coarsening must join against
+    var mapping = Dedup.materializeLazily(
+      louvainSweepLoop(sym0, kTab, w2, sweeps, maxBroadcastNodes))
+    var curLab = mapping
+    var sCur = if (levels > 1) sOf(mapping) else null
+    var curEdges = e0
+    var lvl = 2
+    var stopped = false
+    while (lvl <= levels && !stopped) {
+      val asU = curLab.select(col("__n").as("__u"), col("__c").as("__cu"))
+      val asV = curLab.select(col("__n").as("__v"), col("__c").as("__cv"))
+      val ce = curEdges.join(asU, Seq("__u")).join(asV, Seq("__v"))
+      // inter-community super-edges, canonical on the labels
+      val se = Dedup.materializeLazily(
+        ce.where(col("__cu") =!= col("__cv"))
+          .select(least(col("__cu"), col("__cv")).as("__u"),
+            greatest(col("__cu"), col("__cv")).as("__v"), col("__w"))
+          .groupBy(col("__u"), col("__v")).agg(sum(col("__w")).as("__w")))
+      val sym2 = Dedup.materializeLazily(
+        se.select(col("__u").as("__s"), col("__v").as("__d"), col("__w"))
+          .union(se.select(col("__v").as("__s"), col("__u").as("__d"),
+            col("__w"))))
+      // coarse degree = Σ member degrees (internal edges count twice
+      // by construction — both endpoints are members)
+      val kTab2 = Dedup.materializeLazily(
+        curLab.join(kTab, Seq("__n"))
+          .groupBy(col("__c").as("__n")).agg(sum(col("__k")).as("__k")))
+      val lab2 = louvainSweepLoop(sym2, kTab2, w2, sweeps, maxBroadcastNodes)
+      val cand = Dedup.materializeLazily(
+        mapping.select(col("__n"), col("__c").as("__c1"))
+          .join(lab2.select(col("__n").as("__c1"), col("__c")), Seq("__c1"))
+          .select(col("__n"), col("__c")))
+      val sCand = sOf(cand)
+      // monotone guard: STRICT improvement or keep-and-stop — the
+      // same sweeps from the kept labels would re-derive the same
+      // rejected candidate, so continuing is pure waste
+      if (sCand.compareTo(sCur) > 0) {
+        mapping = cand
+        curLab = lab2
+        sCur = sCand
+        curEdges = se
+        kTab = kTab2
+      } else stopped = true
+      lvl += 1
+    }
+    mapping.select(col("__n").as("node"), col("__c").as("community"))
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport vector

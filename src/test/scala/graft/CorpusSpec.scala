@@ -578,6 +578,74 @@ class CorpusSpec extends AnyFunSuite {
     assert(one.size == 1) // one triangle folds to one community
   }
 
+  test("louvainMultiLevel: coarsening merges whole communities one-level moves cannot; Q chain; round-trip") {
+    // ring of 10 triangles bridged by single edges — the resolution-
+    // limit graph: with c cliques, merging ADJACENT cliques beats
+    // one-clique-per-community iff c > 8 (Q1 = 3/4 − 1/c vs
+    // Q2 = 7/8 − 2/c for pair-merges), and no SINGLE node move from
+    // the clique partition improves Q — so level 1 stops at one
+    // community per triangle and only the coarsened level can merge.
+    // labeling matters for the DETERMINISTIC level-1 trace: bridges
+    // connect each clique's MAX node (i9—(i+1)9), so in sweep 1 every
+    // non-min node's within-clique move (gain 76/72) beats the only
+    // allowed cross-clique candidate (gain 64) and each min node i0
+    // has only larger-labeled singleton candidates (all blocked) —
+    // level 1 lands exactly on the 10 triangles and is stable
+    val c = 10
+    val edges = (0 until c).flatMap { i =>
+      val (a, b, x) = (f"n${i}%02d0", f"n${i}%02d1", f"n${i}%02d9")
+      val nxt = f"n${(i + 1) % c}%02d9"
+      Seq((a, b), (b, x), (a, x), (x, nxt))
+    }.toDF("s", "d")
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Corpus.modularityWeighted(edges, col("s"), col("d"), lit(1L), labels)
+        .head().getDouble(3)
+    val oneLv = Corpus.louvainCommunities(edges, col("s"), col("d"),
+      sweeps = 3)
+    val one = oneLv.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // level 1 resolves exactly the 10 triangles
+    assert(one.values.toSet.size == c)
+    val multiDf = Corpus.louvainMultiLevel(edges, col("s"), col("d"),
+      sweeps = 5, levels = 2)
+    val multi = multiDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // round-trip/containment: multi is a COARSENING of level 1 — every
+    // level-1 community maps entirely into one multi community
+    val lift = one.keys.groupBy(one).map { case (c1, nodes) =>
+      c1 -> nodes.map(multi).toSet }
+    assert(lift.values.forall(_.size == 1), s"split community: $lift")
+    // the coarse level actually merged cliques
+    assert(multi.values.toSet.size < c)
+    // Q chain: Q(multi) > Q(one-level) >= Q(LPA), computed on the
+    // ORIGINAL graph (strict: pair-merges beat the clique partition
+    // at c = 10 by construction)
+    val qMulti = q(multiDf); val qOne = q(oneLv)
+    val qLpa = q(Corpus.labelPropagationWeighted(edges, col("s"), col("d"),
+      lit(1L), iters = 3))
+    assert(qMulti > qOne, s"qMulti=$qMulti qOne=$qOne multi=$multi")
+    assert(qOne >= qLpa, s"qOne=$qOne qLpa=$qLpa")
+    // levels = 1 is bit-identical to the one-level operator
+    val lv1 = Corpus.louvainMultiLevel(edges, col("s"), col("d"),
+        sweeps = 3, levels = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lv1 == one)
+    // community ids remain node ids (labels map back through levels)
+    assert(multi.values.toSet.subsetOf(one.keys.toSet))
+    // monotone guard: on the 2-triangle graph merging the triangles
+    // would REDUCE Q (2W·1 − 19·19 < 0 — no coarse move even offers a
+    // gain), so levels=2 must return exactly the one-level labels
+    val two = Seq(
+      ("a", "b", 3L), ("b", "c", 3L), ("a", "c", 3L),
+      ("x", "y", 3L), ("y", "z", 3L), ("x", "z", 3L),
+      ("c", "x", 1L)).toDF("s", "d", "w")
+    val twoOne = Corpus.louvainCommunities(two, col("s"), col("d"),
+      col("w"), sweeps = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val twoMulti = Corpus.louvainMultiLevel(two, col("s"), col("d"),
+      col("w"), sweeps = 3, levels = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(twoMulti == twoOne)
+  }
+
   test("tClosenessReport: hand-computed ordered EMDs, NULL QI group, NULL sensitive excluded") {
     // groups A(0,0,0,0 + one NULL sensitive), B(0,1,2,2), C(0,0,1,2),
     // NULL-QI(1,1); N=14, G=(7,4,3), m=3
