@@ -706,6 +706,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -------- embeddings: silhouette cluster-quality audit -------------
+    // Simplified silhouette over the supplied-centroid assignment (the
+    // q_cluster_sample deterministic tier): a/b = cosine distance to
+    // nearest/second-nearest centroid, s = (b−a)/max(a,b), per-cluster
+    // mean on the ×1e12 scaled-decimal fold, min/max exact. Distances
+    // ride the kernel-normalized bit-identical cosine family, so both
+    // engines round the SAME raw double; the only divergence channel
+    // is Spark's shortest-repr HALF_UP vs DuckDB's raw-double rounding
+    // at a .5 grid boundary (profiled min margin 1.9e-5 grid units at
+    // sf0.1 — sub-repr, so a single-unit flip is possible), which
+    // moves the mean by ≤ 1e-12/n: three orders below the compare's
+    // 1e-9 canon. Bounded-impact by construction, not margin-gated.
+    "q_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.where($"vec_id" < 3).orderBy("vec_id")
+        .select(transform($"embedding", _.cast("double")).as("e"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.silhouetteReport(emb, "embedding", cents)
+        .orderBy("cluster")
+    }),
+
     // -------- corpus: link-graph PageRank (domain-centrality signal) --
     // Fixed 3-iteration PageRank over the order→part bipartite edges —
     // parts are all dangling, so the dangling-mass redistribution is
@@ -8000,6 +8022,35 @@ object SparkEntry {
         |     ORDER BY md5(a.vec_id::VARCHAR || '42'), a.vec_id) AS rk
         |  FROM a)
         |SELECT vec_id, cluster FROM k WHERE rk <= 160 ORDER BY vec_id""".stripMargin,
+    // q_silhouette: the q_cluster_sample normalization/argmin replay
+    // extended to KEEP both top distances; mean on the HUGEINT scaled
+    // fold (terms up to 1e12 × data-sized clusters — BIGINT would
+    // overflow, the q_fleiss class); min/max raw (bit-identical
+    // family)
+    "q_silhouette" ->
+      """WITH c AS (SELECT (vec_id + 1)::INT AS cid,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cn
+        |  FROM embeddings WHERE vec_id < 3),
+        | base AS (SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[], x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS nv
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        | d AS (SELECT b.vec_id, c.cid, 1.0 - list_dot_product(b.nv, c.cn) AS d
+        |   FROM base b CROSS JOIN c),
+        | r AS (SELECT vec_id, cid, d,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+        |   FROM d),
+        | ab AS (SELECT r1.vec_id, r1.cid AS cluster, r1.d AS a, r2.d AS b
+        |   FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id
+        |   WHERE r1.rn = 1 AND r2.rn = 2),
+        | sv AS (SELECT cluster,
+        |     CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+        |          ELSE (b - a) / greatest(a, b) END AS s FROM ab)
+        |SELECT cluster, count(*)::BIGINT AS n,
+        | sum(CAST(round(s * 1e12) AS HUGEINT))::DOUBLE / 1e12
+        |   / count(*)::DOUBLE AS mean_silhouette,
+        | min(s) AS min_silhouette, max(s) AS max_silhouette
+        |FROM sv GROUP BY 1 ORDER BY cluster""".stripMargin,
     "q_pagerank" ->
       """WITH e AS (SELECT 'o' || l_orderkey::VARCHAR AS s,
         |     'p' || l_partkey::VARCHAR AS d FROM lineitem),

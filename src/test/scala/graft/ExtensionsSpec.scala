@@ -1535,6 +1535,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got2.toSeq == Seq("a", "c"))
   }
 
+  test("silhouetteReport: brute replica, boundary s=0, unused centroid absent, k=1, exclusions") {
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0)) // nothing lands near the 3rd
+    val data = Seq(
+      (0L, Seq[java.lang.Double](0.9, 0.1, 0.0)),   // cluster 1
+      (1L, Seq[java.lang.Double](1.0, 0.05, 0.0)),  // cluster 1
+      (2L, Seq[java.lang.Double](0.1, 1.0, 0.0)),   // cluster 2
+      (3L, Seq[java.lang.Double](1.0, 1.0, 0.0)),   // exact boundary: a=b -> s=0
+      (4L, Seq[java.lang.Double](0.0, 0.0, 0.0)),   // zero vector -> excluded
+      (5L, Seq[java.lang.Double](1.0, null, 0.0)))  // null element -> excluded
+    val df = data.toDF("id", "v")
+    val got = Similarity.silhouetteReport(df, "v", cents)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // brute replica (same index-order folds)
+    def norm(v: Seq[Double]) = {
+      var ss = 0.0; v.foreach(x => ss += x * x); val n = math.sqrt(ss)
+      v.map(_ / n)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val nc = cents.map(c => norm(c.toSeq))
+    val rows = data.take(4).map { case (_, v) =>
+      val nv = norm(v.map(_.toDouble))
+      val ds = nc.zipWithIndex.map { case (c, i) => (1.0 - dot(nv, c), i + 1) }
+        .sortBy(identity)
+      val (a, b) = (ds(0)._1, ds(1)._1)
+      val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      (ds(0)._2, s)
+    }
+    val byCluster = rows.groupBy(_._1).map { case (c, ss) =>
+      val vals = ss.map(_._2)
+      val mean = vals.map(s => math.rint(s * 1e12).toLong).sum.toDouble /
+        1e12 / vals.size
+      c -> (vals.size.toLong, mean, vals.min, vals.max)
+    }
+    assert(got == byCluster, s"got=$got want=$byCluster")
+    // boundary vector (1,1,0): equidistant -> tie-break cluster 1, s=0
+    assert(rows(3)._1 == 1 && rows(3)._2 == 0.0)
+    // unused centroid 3 absent; zero/null-element vectors excluded
+    assert(!got.contains(3) && got(1)._1 == 3L && got(2)._1 == 1L)
+    // k = 1: every row reports s = 0.0 (no "other" cluster)
+    val k1 = Similarity.silhouetteReport(df, "v", Array(Array(1.0, 0.0, 0.0)))
+      .collect()
+    assert(k1.length == 1 && k1(0).getLong(1) == 4L
+      && k1(0).getDouble(2) == 0.0 && k1(0).getDouble(4) == 0.0)
+  }
+
   test("bruteForceTopK exact ranking") {
     val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
       .collect().map(r => (r.getLong(1), r.getInt(3)))
