@@ -4201,6 +4201,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -------- events: forecast-accuracy evaluation (MASE/sMAPE) --------
+    // Closes the time-series loop (r14 verdict item 4): hold out the
+    // last 7 days of each event-type daily series, forecast them with
+    // Holt linear fit on the train window (ŷ_{t} = level + k·trend),
+    // and score with forecastEvalReport — MAE/sMAPE over the holdout,
+    // MASE against the in-sample lag-7 seasonal-naive. Every mean is
+    // a t-ordered fixed-order IEEE fold; no rounding anywhere.
+    "q_forecast_eval" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .where($"event_type".isNotNull && $"ts".isNotNull)
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val mx = daily.groupBy($"event_type").agg(max($"day").as("mxd"))
+      val train = daily.join(mx, Seq("event_type"))
+        .where($"day" <= $"mxd" - 7).select($"event_type", $"day", $"cnt")
+      val tmx = train.groupBy($"event_type").agg(max($"day").as("tmax"))
+      val holt = Corpus.holtLinearByKey(train, Seq($"event_type"), $"cnt",
+        Seq($"day"))
+      val fc = daily.join(mx, Seq("event_type"))
+        .where($"day" > $"mxd" - 7)
+        .select($"event_type", $"day")
+        .join(holt.select($"event_type", $"level", $"trend"),
+          Seq("event_type"))
+        .join(tmx, Seq("event_type"))
+        .select($"event_type", $"day",
+          ($"level" + ($"day" - $"tmax").cast("double") * $"trend")
+            .as("yhat"))
+      Corpus.forecastEvalReport(daily, fc, Seq("event_type"), "day",
+          "cnt", "yhat", period = 7)
+        .orderBy("event_type")
+    }),
+
     // -------- events: Holt-Winters seasonal smoothing ------------------
     // The seasonal completion of q_holt over the same daily series:
     // additive weekly component (period 7 — the q_acf seasonality
@@ -5483,6 +5517,72 @@ object SparkEntry {
         | coalesce(st[2], 0.0) AS trend,
         | st[1] + coalesce(st[2], 0.0) AS forecast
         |FROM f ORDER BY event_type""".stripMargin,
+    // q_forecast_eval: the q_holt list_reduce fold on the TRAIN window
+    // (last 7 days held out), horizon forecasts level + k·trend, then
+    // the evaluator replay — every mean a t-ordered list_reduce of
+    // terms ≥ +0.0 (init 0.0 + first ≡ first exactly), one division
+    // per statistic, MASE = mae / sn_mae with the 0/NULL guard
+    "q_forecast_eval" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | mx AS (SELECT event_type, max(day) AS mxd FROM daily GROUP BY 1),
+        | train AS (SELECT d.event_type, d.day, d.cnt FROM daily d
+        |   JOIN mx ON d.event_type = mx.event_type
+        |   WHERE d.day <= mx.mxd - 7),
+        | tmx AS (SELECT event_type, max(day) AS tmax FROM train GROUP BY 1),
+        | s AS (SELECT event_type, list(cnt::DOUBLE ORDER BY day) AS vs
+        |   FROM train GROUP BY 1),
+        | f AS (SELECT event_type,
+        |   list_reduce(list_transform(vs, x -> [x, NULL::DOUBLE]),
+        |     (acc, e) -> CASE WHEN acc[2] IS NULL
+        |       THEN [e[1], e[1] - acc[1]]
+        |       ELSE [(e[1] + (acc[1] + acc[2]))/2,
+        |             (((e[1] + (acc[1] + acc[2]))/2 - acc[1]) + acc[2])/2]
+        |       END) AS st
+        |   FROM s),
+        | fc AS (SELECT d.event_type, d.day,
+        |     f.st[1] + (d.day - tmx.tmax)::DOUBLE * coalesce(f.st[2], 0.0) AS p
+        |   FROM daily d
+        |   JOIN mx ON d.event_type = mx.event_type
+        |   JOIN f ON d.event_type = f.event_type
+        |   JOIN tmx ON d.event_type = tmx.event_type
+        |   WHERE d.day > mx.mxd - 7),
+        | hj AS (SELECT fc.event_type, fc.day AS t, fc.p, d.cnt::DOUBLE AS y
+        |   FROM fc JOIN daily d
+        |     ON fc.event_type = d.event_type AND fc.day = d.day),
+        | hagg AS (SELECT event_type, min(t) AS h0, count(*)::BIGINT AS nh,
+        |     list([p, y] ORDER BY t) AS pl FROM hj GROUP BY 1),
+        | hstat AS (SELECT event_type, h0, nh,
+        |     list_reduce(list_transform(pl, e -> abs(e[1] - e[2])),
+        |       (a, x) -> a + x) / nh::DOUBLE AS mae,
+        |     list_reduce(list_transform(pl,
+        |       e -> CASE WHEN abs(e[1]) + abs(e[2]) = 0.0 THEN 0.0
+        |            ELSE 2.0 * abs(e[1] - e[2]) / (abs(e[1]) + abs(e[2]))
+        |            END), (a, x) -> a + x) / nh::DOUBLE AS smape
+        |   FROM hagg),
+        | trn AS (SELECT d.event_type, d.day, d.cnt::DOUBLE AS y
+        |   FROM daily d JOIN hstat h
+        |     ON d.event_type = h.event_type AND d.day < h.h0),
+        | ntr AS (SELECT event_type, count(*)::BIGINT AS n_train
+        |   FROM trn GROUP BY 1),
+        | lagp AS (SELECT c.event_type, c.day, abs(c.y - p.y) AS e
+        |   FROM trn c JOIN trn p
+        |     ON c.event_type = p.event_type AND c.day = p.day + 7),
+        | snagg AS (SELECT event_type, count(*)::BIGINT AS c,
+        |     list(e ORDER BY day) AS el FROM lagp GROUP BY 1),
+        | snstat AS (SELECT event_type,
+        |     list_reduce(el, (a, x) -> a + x) / c::DOUBLE AS sn_mae
+        |   FROM snagg)
+        |SELECT h.event_type, coalesce(n.n_train, 0)::BIGINT AS n_train,
+        | h.nh AS n_holdout, h.mae, h.smape, s2.sn_mae,
+        | CASE WHEN s2.sn_mae IS NULL OR s2.sn_mae = 0.0 THEN NULL
+        |   ELSE h.mae / s2.sn_mae END AS mase
+        |FROM hstat h
+        |LEFT JOIN ntr n ON h.event_type = n.event_type
+        |LEFT JOIN snstat s2 ON h.event_type = s2.event_type
+        |ORDER BY h.event_type""".stripMargin,
     // q_holt_winters: the q_holt list_reduce recipe with an (m+2)-list
     // accumulator [l, b, s1..s7]; init list prepended as the fold's
     // first element (acc-first 2-arg form), elements as singleton

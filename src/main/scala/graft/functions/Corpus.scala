@@ -4745,6 +4745,117 @@ object Corpus {
           element_at(col("__hw").getField("s"), 1)).as("forecast")): _*)
   }
 
+  /** Forecast-accuracy evaluator (MAE / sMAPE / MASE) — closes the
+    * time-series loop the way rankedEvalReport closed ANN's (r14
+    * verdict item 4): [[holtLinearByKey]] / [[holtWintersByKey]] and
+    * the naive baselines produce forecasts; this scores any
+    * (key, t, prediction) table against the actual series on a
+    * holdout the caller defines by what they put in `forecasts`.
+    *
+    * Per key: the holdout is the joined (forecast, actual) rows; the
+    * TRAIN window is every actual strictly before the key's FIRST
+    * forecast time. MAE = mean |ŷ−y| over the holdout; sMAPE = mean
+    * 2|ŷ−y|/(|ŷ|+|y|) (the [0,2] fraction form — multiply by 100
+    * yourself; both-zero points contribute 0); MASE (Hyndman &
+    * Koehler 2006) = MAE / mean in-sample one-step SEASONAL-NAIVE
+    * error |y_t − y_{t−period}| over train pairs at exact lag
+    * `period` (an explode-free EQUI join on t−period, the q_acf
+    * shape) — < 1 beats the seasonal-naive baseline. NULL when no
+    * train lag pair exists or the denominator is exactly 0 (a
+    * perfectly periodic train series — undefined, not invented).
+    *
+    * Determinism: every mean rides a t-ORDERED array fold of exact
+    * fixed-order IEEE ops (sorted collect per key; |·| and the sMAPE
+    * division are per-element, then one division per statistic —
+    * bit-identical to DuckDB's list_reduce replay; init 0.0 + first
+    * term ≡ first term exactly since terms are ≥ +0.0). No rounding
+    * anywhere. Per-key series bounded by the [[holtLinearByKey]]
+    * contract (daily/hourly rollups; audit with [[keySkewReport]]).
+    * NULL keys are real groups (null-safe joins); NULL t/values/
+    * predictions drop; `t` unique per key by contract.
+    *
+    * Scale shape: two per-key aggregates + one lag equi-join + one
+    * holdout equi-join, all partial-aggregated; nothing all-pairs.
+    * Output: (keys…, n_train, n_holdout, mae, smape, sn_mae, mase). */
+  def forecastEvalReport(actuals: DataFrame, forecasts: DataFrame,
+                         keys: Seq[String], t: String, value: String,
+                         pred: String, period: Int): DataFrame = {
+    require(keys.nonEmpty, "forecastEvalReport needs at least one key column")
+    require(period >= 1 && period <= 366, s"period $period outside [1, 366]")
+    val kc = keys.map(k => s"__k_$k")
+    def prep(df: DataFrame, vcol: String, out: String) = df.select(
+        keys.map(k => col(k).cast("string").as(s"__k_$k")) ++
+          Seq(col(t).cast("long").as("__t"),
+            col(vcol).cast("double").as(out)): _*)
+      .where(col("__t").isNotNull && col(out).isNotNull)
+    val a = Dedup.materializeLazily(prep(actuals, value, "__y"))
+    val f = prep(forecasts, pred, "__p")
+    // alias-based references: every join below touches the same key
+    // columns on both sides (two are SELF-joins), so df-apply column
+    // refs would be ambiguous
+    def kj(la: String, ra: String, extra: Column): Column =
+      kc.map(k => col(s"$la.$k") <=> col(s"$ra.$k")).reduce(_ && _) && extra
+    // holdout: forecasts joined to their actuals, folded in t order
+    val j = f.as("f").join(a.as("aa"),
+        kj("f", "aa", col("f.__t") === col("aa.__t")))
+      .select(kc.map(k => col(s"f.$k")) ++
+        Seq(col("f.__t").as("__t"), col("f.__p").as("__p"),
+          col("aa.__y").as("__y")): _*)
+    val hold = j.groupBy(kc.map(col): _*)
+      .agg(min(col("__t")).as("__h0"),
+        sort_array(collect_list(struct(col("__t"), col("__p"), col("__y"))))
+          .as("__arr"))
+    val aeSum = aggregate(col("__arr"), lit(0.0),
+      (acc, e) => acc + abs(e.getField("__p") - e.getField("__y")))
+    val smSum = aggregate(col("__arr"), lit(0.0),
+      (acc, e) => acc +
+        when(abs(e.getField("__p")) + abs(e.getField("__y")) === 0.0,
+          lit(0.0))
+          .otherwise(lit(2.0) * abs(e.getField("__p") - e.getField("__y")) /
+            (abs(e.getField("__p")) + abs(e.getField("__y")))))
+    val hh = hold.select(kc.map(col) ++ Seq(col("__h0"),
+      size(col("__arr")).cast("long").as("n_holdout"),
+      (aeSum / size(col("__arr")).cast("double")).as("mae"),
+      (smSum / size(col("__arr")).cast("double")).as("smape")): _*)
+    // train = actuals strictly before the key's first forecast time;
+    // seasonal-naive one-step errors at EXACT lag `period`
+    val tr = a.as("t1").join(hh.as("h1"),
+        kj("t1", "h1", col("t1.__t") < col("h1.__h0")))
+      .select(kc.map(k => col(s"t1.$k")) ++
+        Seq(col("t1.__t").as("__t"), col("t1.__y").as("__y")): _*)
+    val trM = Dedup.materializeLazily(tr)
+    val lagged = trM.as("c").join(
+        trM.select(kc.map(col) ++ Seq((col("__t") + period.toLong).as("__t"),
+          col("__y").as("__yl")): _*).as("p"),
+        kj("c", "p", col("c.__t") === col("p.__t")))
+      .select(kc.map(k => col(s"c.$k")) ++
+        Seq(col("c.__t").as("__t"),
+          abs(col("c.__y") - col("p.__yl")).as("__e")): _*)
+    val sn = lagged.groupBy(kc.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__e"))))
+        .as("__earr"))
+      .select(kc.map(col) ++ Seq(
+        size(col("__earr")).cast("long").as("__c"),
+        (aggregate(col("__earr"), lit(0.0),
+          (acc, e) => acc + e.getField("__e")) /
+          size(col("__earr")).cast("double")).as("sn_mae")): _*)
+    val nTrain = trM.groupBy(kc.map(col): _*)
+      .agg(count(lit(1)).as("n_train"))
+    val joined = hh.as("h")
+      .join(nTrain.as("nt"), kc.map(k => col(s"h.$k") <=> col(s"nt.$k"))
+        .reduce(_ && _), "left")
+      .join(sn.as("s"), kc.map(k => col(s"h.$k") <=> col(s"s.$k"))
+        .reduce(_ && _), "left")
+    joined.select(
+      keys.map(k => col(s"h.__k_$k").as(k)) ++
+        Seq(coalesce(col("nt.n_train"), lit(0L)).as("n_train"),
+          col("h.n_holdout"), col("h.mae"), col("h.smape"),
+          col("s.sn_mae"),
+          when(col("s.sn_mae").isNull || col("s.sn_mae") === 0.0,
+            lit(null).cast("double"))
+            .otherwise(col("h.mae") / col("s.sn_mae")).as("mase")): _*)
+  }
+
   /** Mann-Kendall trend test statistic per key — the nonparametric
     * "is this series drifting?" answer next to [[cusumShifts]] (which
     * finds WHERE a shift happened; this asks WHETHER a monotone trend

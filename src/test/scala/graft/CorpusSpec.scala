@@ -2740,6 +2740,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(Seq.empty) == ((0L, 0L, 0.0)))
   }
 
+  test("forecastEvalReport: hand-computed MAE/sMAPE/MASE; degenerate guards") {
+    import graft.functions.Corpus
+    // key A: train t=1..8 (values 10,12,14,16,10,12,14,16 — period-4
+    // seasonal), holdout t=9,10 actual (10,12), forecasts (11, 15)
+    val actuals = (Seq((1L, 10.0), (2L, 12.0), (3L, 14.0), (4L, 16.0),
+        (5L, 10.0), (6L, 12.0), (7L, 14.0), (8L, 16.0),
+        (9L, 10.0), (10L, 12.0)).map { case (t, y) => ("A", t, y) } ++
+      // key B: constant train -> sn_mae = 0 -> mase NULL; perfect
+      // zero forecast at a zero actual -> smape both-zero term = 0
+      Seq(("B", 1L, 5.0), ("B", 2L, 5.0), ("B", 3L, 5.0), ("B", 4L, 5.0),
+        ("B", 5L, 5.0), ("B", 6L, 0.0)) ++
+      // key C: train too short for lag 4 -> no lag pair -> mase NULL
+      Seq(("C", 1L, 3.0), ("C", 2L, 7.0)))
+      .toDF("k", "t", "y")
+    val fcs = Seq(("A", 9L, 11.0), ("A", 10L, 15.0),
+      ("B", 6L, 0.0), ("C", 2L, 7.0)).toDF("k", "t", "p")
+    val got = Corpus.forecastEvalReport(actuals, fcs, Seq("k"), "t", "y",
+        "p", period = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) == 8L && a.getLong(2) == 2L)
+    // mae = (|11-10| + |15-12|)/2 = 2.0
+    assert(a.getDouble(3) == 2.0)
+    // smape = (2*1/21 + 2*3/27)/2
+    assert(math.abs(a.getDouble(4) - (2.0 / 21 + 6.0 / 27) / 2) < 1e-15)
+    // sn_mae over lag-4 train pairs t=5..8: all |diff| = 0 -> 0.0 ->
+    // mase NULL (perfectly periodic train, undefined not invented)
+    assert(a.getDouble(5) == 0.0 && a.isNullAt(6))
+    val b = got("B")
+    // both-zero holdout point: smape term 0, mae 0; constant train ->
+    // sn_mae 0 -> mase NULL
+    assert(b.getLong(1) == 5L && b.getLong(2) == 1L)
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == 0.0)
+    assert(b.getDouble(5) == 0.0 && b.isNullAt(6))
+    val cc = got("C")
+    // no lag pair at all -> sn_mae NULL, mase NULL; n_train counts
+    // rows before the first forecast time
+    assert(cc.getLong(1) == 1L && cc.getLong(2) == 1L)
+    assert(cc.getDouble(3) == 0.0 && cc.isNullAt(5) && cc.isNullAt(6))
+    // key with forecasts matching no actual rows -> absent
+    val fcs2 = Seq(("Z", 9L, 1.0)).toDF("k", "t", "p")
+    assert(Corpus.forecastEvalReport(actuals, fcs2, Seq("k"), "t", "y",
+      "p", period = 4).count() == 0L)
+  }
+
   test("corpus no-VT gate: the \\s-vs-RE2 oracle pairing's standing assumption") {
     // ~15 oracles replay TextFunctions.tokens (Java \s+) with DuckDB
     // \s+ (RE2); Java's \s includes U+000B, RE2's does not. That
