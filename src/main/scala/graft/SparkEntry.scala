@@ -1159,6 +1159,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: sampled betweenness centrality (Brandes subset) --
+    // Depth-3 truncated Brandes from the 8 byte-order-smallest nodes
+    // of the co-purchase graph: exact HUGEINT path counts, δ folds in
+    // w byte order, per-node seed fold in seed byte order, no
+    // rounding anywhere — unrolls into chained CTEs and hash-matches.
+    "q_betweenness" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      val nodes = pairs.select($"u".cast("string").as("n"))
+        .union(pairs.select($"v".cast("string").as("n"))).distinct()
+      val seeds = nodes.orderBy("n").limit(8)
+      Corpus.betweennessCentrality(pairs, $"u", $"v", seeds, depth = 3)
+        .orderBy("node")
+    }),
+
     // -------- corpus: market-basket association rules ------------------
     // Directed pairwise rules over order baskets: distinct-order
     // supports, confidence = one exact-long division, lift multiplied
@@ -4674,6 +4694,67 @@ object SparkEntry {
        |   FROM l3 JOIN bl3 ON l3.c = bl3.nd),
        | ${sCte("sone", "l3")},
        | ${sCte("smulti", "mapped")}""".stripMargin
+  }
+
+  /** q_betweenness oracle (r15): depth-3 truncated Brandes from 8
+    * fixed seeds, fully unrolled — forward rounds keep (seed, v,
+    * dist, sig::HUGEINT) with NOT EXISTS novelty checks; pred = one
+    * three-way equi-join; backward rounds fold
+    * (sv/sw)·(1+δ) in w byte order via list_reduce (init = first
+    * term ≡ Spark's 0.0 + term for terms ≥ +0.0); the final per-node
+    * fold runs in seed byte order with own-seed contributions CASEd
+    * to 0.0 (the Brandes w ≠ s exclusion, zeroed not filtered). */
+  private lazy val betweennessCtes: String = {
+    val depth = 3
+    val fwd = (1 to depth).map { dd =>
+      val p = dd - 1
+      s"""ex$dd AS (SELECT f.seed, e.b AS v, sum(f.sig) AS sig
+         |   FROM f$p f JOIN syme e ON f.v = e.a GROUP BY 1, 2),
+         | f$dd AS MATERIALIZED (SELECT ex.seed, ex.v, $dd AS dist,
+         |     ex.sig::HUGEINT AS sig
+         |   FROM ex$dd ex WHERE NOT EXISTS (SELECT 1 FROM stt$p s
+         |     WHERE s.seed = ex.seed AND s.v = ex.v)),
+         | stt$dd AS MATERIALIZED (SELECT * FROM stt$p
+         |   UNION ALL SELECT * FROM f$dd)""".stripMargin
+    }.mkString(",\n ")
+    val bwd = (0 until depth).reverse.map { lv =>
+      s"""nd$lv AS (SELECT p.seed, p.pv AS v,
+         |     list_reduce(list((p.sv::DOUBLE / p.sw::DOUBLE) * (1.0 + d.del)
+         |       ORDER BY p.w), (a, x) -> a + x) AS del
+         |   FROM pred p JOIN dl${lv + 1} d
+         |     ON p.seed = d.seed AND p.w = d.v
+         |   WHERE p.pd = $lv GROUP BY 1, 2),
+         | dl$lv AS MATERIALIZED (SELECT * FROM nd$lv
+         |   UNION ALL SELECT s.seed, s.v, 0.0 AS del FROM stt$depth s
+         |   WHERE s.dist = $lv AND NOT EXISTS (SELECT 1 FROM nd$lv n
+         |     WHERE n.seed = s.seed AND n.v = s.v))""".stripMargin
+    }.mkString(",\n ")
+    val allLevels = (0 to depth).map(lv => s"SELECT * FROM dl$lv")
+      .mkString(" UNION ALL ")
+    s"""bp AS MATERIALIZED (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       | syme AS MATERIALIZED (SELECT u::VARCHAR AS a, v::VARCHAR AS b FROM bp
+       |          UNION ALL SELECT v::VARCHAR, u::VARCHAR FROM bp),
+       | bseeds AS MATERIALIZED (SELECT DISTINCT a AS n FROM syme
+       |   ORDER BY n LIMIT 8),
+       | f0 AS (SELECT n AS seed, n AS v, 0 AS dist, 1::HUGEINT AS sig
+       |   FROM bseeds),
+       | stt0 AS (SELECT * FROM f0),
+       | $fwd,
+       | pred AS MATERIALIZED (SELECT a.seed, a.v AS pv, a.dist AS pd,
+       |     a.sig AS sv, b.v AS w, b.sig AS sw
+       |   FROM stt$depth a JOIN syme e ON a.v = e.a
+       |   JOIN stt$depth b ON b.seed = a.seed AND b.v = e.b
+       |     AND b.dist = a.dist + 1),
+       | dl$depth AS (SELECT seed, v, 0.0 AS del FROM stt$depth
+       |   WHERE dist = $depth),
+       | $bwd,
+       | allc AS (SELECT seed, v,
+       |     CASE WHEN v = seed THEN 0.0 ELSE del END AS del
+       |   FROM ($allLevels))""".stripMargin
   }
 
   /** q_ffc oracle: k−1 unrolled farthest-first rounds over the
@@ -8299,6 +8380,12 @@ object SparkEntry {
     "q_louvain" ->
       s"""WITH $louvainChainCtes
         |SELECT nd AS node, c AS community FROM l3 ORDER BY node""".stripMargin,
+    "q_betweenness" ->
+      s"""WITH $betweennessCtes
+        |SELECT v AS node,
+        | list_reduce(list(del ORDER BY seed), (a, x) -> a + x)
+        |   AS betweenness
+        |FROM allc GROUP BY 1 ORDER BY node""".stripMargin,
     "q_louvain_multi" ->
       s"""WITH $louvainMultiChainCtes
         |SELECT l3.nd AS node,

@@ -1529,6 +1529,141 @@ object Corpus {
     * nodes cannot appear (degree 0 has no edge). Input edges are
     * canonicalized (self-loops dropped, directions/duplicates
     * merged). */
+  /** Sampled betweenness centrality (Brandes 2001 restricted to a
+    * seed subset, depth-bounded) — the "who sits on the paths" signal
+    * missing next to PageRank/HITS/harmonic/k-core (r14 verdict
+    * item 7): exact betweenness is all-pairs; the standard practical
+    * estimator (Brandes & Pich 2007) accumulates dependencies from k
+    * fixed sources only. Seeds = the FIRST column of `seeds`, cast to
+    * string, distinct, intersected with the graph's nodes; k ≤ 64 by
+    * contract. BFS is DEPTH-bounded (fixed `depth` rounds, the
+    * pageRank fixed-iteration convention) — paths longer than `depth`
+    * don't contribute; on small-diameter co-occurrence graphs depth
+    * 3-4 covers nearly all shortest paths (document, don't pretend
+    * exactness).
+    *
+    * Forward phase: one frontier-expansion round per depth over the
+    * symmetric edge set, keyed (seed, node) — σ (shortest-path
+    * counts) accumulate as EXACT decimal(38,0) (path counts grow
+    * multiplicatively; longs could overflow on dense graphs).
+    * Backward phase: the Brandes dependency recurrence δ(v) =
+    * Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ_w) over the shortest-path DAG
+    * (pred table = one state⋈edges⋈state join), one round per depth
+    * level in REVERSE — each δ is a w-byte-ORDERED array fold of
+    * fixed-order IEEE terms (σ ratios are exact-integer divisions,
+    * bit-identical cross-engine; init 0.0 + term ≡ term exactly since
+    * terms ≥ +0.0), and the final per-node score folds the per-seed
+    * dependencies in seed byte order — NO rounding anywhere, so the
+    * whole computation unrolls into chained CTEs and hash-matches.
+    *
+    * Scale shape: every round is equi-joins + partial-aggregated
+    * groupBys on (seed, node) keys — state ≤ k×|V| rows, per-node
+    * fold arrays bounded by out-degree (succ lists) and k (seed
+    * fold). Nothing all-pairs. Output: (node, betweenness) over
+    * nodes REACHED by some seed within `depth` (seeds themselves
+    * score their pass-through roles like any node; unreached nodes
+    * are absent — document, don't invent zeros). */
+  def betweennessCentrality(edges: DataFrame, src: Column, dst: Column,
+                            seeds: DataFrame, depth: Int = 3,
+                            maxBroadcastNodes: Long = 8000000L): DataFrame = {
+    require(depth >= 1 && depth <= 6, s"depth $depth outside [1, 6]")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    val sym = Dedup.materializeLazily(
+      e0.select(col("__u").as("__a"), col("__v").as("__b"))
+        .union(e0.select(col("__v").as("__a"), col("__u").as("__b"))))
+    val nodes = sym.select(col("__a").as("__n")).distinct()
+    val sd = Dedup.materializeLazily(
+      seeds.select(col(seeds.columns.head).cast("string").as("__seed"))
+        .where(col("__seed").isNotNull).distinct()
+        .join(nodes.select(col("__n").as("__seed")), Seq("__seed"),
+          "left_semi"))
+    val nSeeds = sd.count()
+    require(nSeeds >= 1 && nSeeds <= 64,
+      s"betweennessCentrality seed count $nSeeds outside [1, 64]")
+    // forward BFS: state (seed, v, dist, sigma)
+    var state = Dedup.materializeLazily(
+      sd.select(col("__seed"), col("__seed").as("__v"),
+        lit(0).as("__dist"), dec(lit(1L)).as("__sig")))
+    var frontier = state
+    var d = 1
+    while (d <= depth) {
+      val expanded = frontier
+        .join(sym, frontier("__v") === sym("__a"))
+        .groupBy(col("__seed"), col("__b").as("__nv"))
+        .agg(sum(col("__sig")).as("__sig"))
+        .select(col("__seed"), col("__nv").as("__v"), col("__sig"))
+      val novel = Dedup.materializeLazily(
+        expanded.join(state.select(col("__seed"), col("__v")),
+            Seq("__seed", "__v"), "left_anti")
+          .select(col("__seed"), col("__v"), lit(d).as("__dist"),
+            col("__sig")))
+      state = Dedup.materializeLazily(state.union(novel))
+      frontier = novel
+      d += 1
+    }
+    // shortest-path DAG: pred edge (v at dist p) -> (w at dist p+1),
+    // one explicit three-way equi-join (seed, edge endpoint, depth+1)
+    val swT = state.select(col("__seed").as("__ws"), col("__v").as("__w"),
+      col("__dist").as("__wd"), col("__sig").as("__sw"))
+    val pred = Dedup.materializeLazily(
+      state.select(col("__seed"), col("__v").as("__pv"),
+          col("__dist").as("__pd"), col("__sig").as("__sv"))
+        .join(sym, col("__pv") === col("__a"))
+        .join(swT, col("__seed") === col("__ws") &&
+          col("__b") === col("__w") &&
+          col("__wd") === col("__pd") + 1)
+        .select(col("__seed"), col("__pv"), col("__pd"), col("__sv"),
+          col("__w"), col("__sw")))
+    // backward accumulation, one round per level in reverse; delta
+    // holds ONLY the previous (deeper) level between rounds. The
+    // deepest level's zeros ARE contributions — those nodes were
+    // reached and must appear in the output (bc possibly 0.0)
+    var delta = Dedup.materializeLazily(
+      state.where(col("__dist") === depth)
+        .select(col("__seed"), col("__v"), lit(0.0).as("__del")))
+    val contribs = scala.collection.mutable.ListBuffer[DataFrame](delta)
+    var lvl = depth - 1
+    while (lvl >= 0) {
+      val nd = pred.where(col("__pd") === lvl)
+        .join(delta.select(col("__seed"), col("__v").as("__w"),
+          col("__del")), Seq("__seed", "__w"))
+        .select(col("__seed"), col("__pv"), col("__w"),
+          ((col("__sv").cast("double") / col("__sw").cast("double")) *
+            (lit(1.0) + col("__del"))).as("__term"))
+        .groupBy(col("__seed"), col("__pv"))
+        .agg(sort_array(collect_list(struct(col("__w"), col("__term"))))
+          .as("__arr"))
+        .select(col("__seed"), col("__pv").as("__v"),
+          aggregate(col("__arr"), lit(0.0),
+            (acc, x) => acc + x.getField("__term")).as("__del"))
+      val zerod = state.where(col("__dist") === lvl)
+        .join(nd.select(col("__seed"), col("__v")), Seq("__seed", "__v"),
+          "left_anti")
+        .select(col("__seed"), col("__v"), lit(0.0).as("__del"))
+      delta = Dedup.materializeLazily(nd.union(zerod))
+      contribs += delta
+      lvl -= 1
+    }
+    // bc(v) = Σ_s δ_s(v) for v ≠ s, folded in seed byte order — the
+    // Brandes "if w ≠ s" exclusion: the recurrence DOES compute a
+    // (large) δ_s(s) at dist 0, which is the dependency of s on its
+    // own paths and never counts; s's genuine betweenness accrues
+    // under OTHER seeds' accumulations. ZEROED rather than filtered:
+    // a seed reached only by itself still belongs in the output
+    // (bc 0.0), and +0.0 terms are exact identities in the fold
+    val all = contribs.reduce(_ union _)
+      .select(col("__seed"), col("__v"),
+        when(col("__v") === col("__seed"), lit(0.0))
+          .otherwise(col("__del")).as("__del"))
+    all.groupBy(col("__v"))
+      .agg(sort_array(collect_list(struct(col("__seed"), col("__del"))))
+        .as("__sarr"))
+      .select(col("__v").as("node"),
+        aggregate(col("__sarr"), lit(0.0),
+          (acc, x) => acc + x.getField("__del")).as("betweenness"))
+  }
+
   def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
             iters: Int = 3, maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")

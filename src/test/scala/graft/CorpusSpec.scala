@@ -2740,6 +2740,81 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(Seq.empty) == ((0L, 0L, 0.0)))
   }
 
+  test("betweennessCentrality: brute Brandes replica on planted graphs; truncation; split paths") {
+    import graft.functions.Corpus
+    // driver reference: truncated Brandes from the given seeds
+    def brute(edges: Seq[(String, String)], seeds: Seq[String],
+              depth: Int): Map[String, Double] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      val bc = scala.collection.mutable.Map[String, Double]()
+        .withDefaultValue(0.0)
+      for (s <- seeds.sorted if adj.contains(s)) {
+        val dist = scala.collection.mutable.Map(s -> 0)
+        val sig = scala.collection.mutable.Map(s -> BigInt(1))
+        var frontier = Set(s)
+        var d = 0
+        while (d < depth && frontier.nonEmpty) {
+          val nxt = scala.collection.mutable.Map[String, BigInt]()
+          for (v <- frontier; u <- adj(v) if !dist.contains(u))
+            nxt(u) = nxt.getOrElse(u, BigInt(0)) + sig(v)
+          nxt.foreach { case (u, sg) => dist(u) = d + 1; sig(u) = sg }
+          frontier = nxt.keySet.toSet
+          d += 1
+        }
+        val delta = scala.collection.mutable.Map[String, Double]()
+          .withDefaultValue(0.0)
+        val maxd = if (dist.isEmpty) 0 else dist.values.max
+        for (lv <- (maxd - 1) to 0 by -1;
+             v <- dist.filter(_._2 == lv).keys) {
+          val succs = adj(v).filter(u => dist.get(u).contains(lv + 1))
+            .toSeq.sorted
+          delta(v) = succs.foldLeft(0.0)((acc, u) =>
+            acc + (sig(v).toDouble / sig(u).toDouble) * (1.0 + delta(u)))
+        }
+        for (v <- dist.keys if v != s) bc(v) = bc(v) + delta(v)
+      }
+      dist2map(bc, seeds, adj, depth)
+    }
+    // reachable-node domain: only nodes some seed reached appear
+    def dist2map(bc: scala.collection.mutable.Map[String, Double],
+                 seeds: Seq[String],
+                 adj: Map[String, Set[String]],
+                 depth: Int): Map[String, Double] = {
+      val reached = scala.collection.mutable.Set[String]()
+      for (s <- seeds if adj.contains(s)) {
+        var f = Set(s); reached += s
+        for (_ <- 1 to depth) {
+          f = f.flatMap(adj).diff(reached.toSet); reached ++= f
+        }
+      }
+      reached.map(v => v -> bc(v)).toMap
+    }
+    def run(edges: Seq[(String, String)], seeds: Seq[String],
+            depth: Int): Map[String, Double] =
+      Corpus.betweennessCentrality(edges.toDF("s", "d"), col("s"), col("d"),
+          seeds.toDF("n"), depth = depth)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // path graph, all seeds, full depth: interior nodes carry the load
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val gotP = run(path, Seq("a", "b", "c", "d", "e"), 4)
+    val wantP = brute(path, Seq("a", "b", "c", "d", "e"), 4)
+    assert(gotP == wantP, s"got=$gotP want=$wantP")
+    assert(gotP("c") == 8.0 && gotP("b") == 6.0 && gotP("a") == 0.0)
+    // star: hub carries every leaf pair (ordered) = 4*3
+    val star = Seq(("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"))
+    val gotS = run(star, Seq("h", "x1", "x2", "x3", "x4"), 2)
+    assert(gotS == brute(star, Seq("h", "x1", "x2", "x3", "x4"), 2))
+    assert(gotS("h") == 12.0 && gotS("x1") == 0.0)
+    // depth truncation: seed a, depth 2 on the path — d, e invisible
+    val gotT = run(path, Seq("a"), 2)
+    assert(gotT == Map("a" -> 0.0, "b" -> 1.0, "c" -> 0.0))
+    // split shortest paths: diamond a-b-d / a-c-d, seed a
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+    val gotD = run(diamond, Seq("a"), 2)
+    assert(gotD == Map("a" -> 0.0, "b" -> 0.5, "c" -> 0.5, "d" -> 0.0))
+  }
+
   test("forecastEvalReport: hand-computed MAE/sMAPE/MASE; degenerate guards") {
     import graft.functions.Corpus
     // key A: train t=1..8 (values 10,12,14,16,10,12,14,16 — period-4
