@@ -1349,29 +1349,56 @@ object Similarity {
     * `__model` directory, so a restart queries with ZERO training
     * jobs. `residual = true` (default) trains/encodes per-list
     * residual codes ([[ivfPqResidualTopK]]); false = raw codes.
-    * Returns the trained (coarse, codebooks). */
+    *
+    * `opq = true` (r14 verdict item 8, composing the two r9/r10
+    * artifacts that never met): [[trainOpqRotation]] learns the
+    * orthogonal rotation FIRST, then the whole build — coarse
+    * quantizer, codebooks (residual or raw), encoding — runs in the
+    * ROTATED space (the IVF-OPQ composition of Ge et al. 2013: the
+    * rotation comes from the non-residual alternation, the standard
+    * practical simplification; codebooks are RETRAINED in the rotated
+    * space so the persisted pair is consistent). The rotation matrix
+    * persists beside the other artifacts and probe-time queries are
+    * rotated on load — rotation is orthogonal, so cosine/L2 probe
+    * semantics are unchanged. meta grows a second flag long;
+    * pre-existing length-1 metas still load (no-OPQ default).
+    * Returns the trained (coarse, codebooks) — both in the rotated
+    * space when opq. */
   def buildIvfPqIndex(corpus: DataFrame, id: String, vec: String, path: String,
                       kLists: Int, m: Int, ksub: Int,
                       residual: Boolean = true, iters: Int = 5,
-                      seed: Long = 42L)
+                      seed: Long = 42L, opq: Boolean = false,
+                      opqOuterIters: Int = 4)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     import graft.sources.ModelArtifacts
     val spark = corpus.sparkSession
-    val coarse = trainIvfCentroids(corpus, vec, kLists, iters, seed)
+    val rot: Option[Array[Array[Double]]] =
+      if (opq) Some(trainOpqRotation(corpus, vec, m, ksub, opqOuterIters,
+        iters, seed).rotation)
+      else None
+    val (corpusEff, vecEff) = rot match {
+      case Some(r) =>
+        (corpus.select(col(id), opqRotate(col(vec), r).as("__rv")), "__rv")
+      case None => (corpus, vec)
+    }
+    val coarse = trainIvfCentroids(corpusEff, vecEff, kLists, iters, seed)
     val cb =
-      if (residual) trainPqCodebooksResidual(corpus, vec, coarse, m, ksub, iters, seed)
-      else trainPqCodebooks(corpus, vec, m, ksub, iters, seed)
+      if (residual) trainPqCodebooksResidual(corpusEff, vecEff, coarse, m, ksub, iters, seed)
+      else trainPqCodebooks(corpusEff, vecEff, m, ksub, iters, seed)
     val assigned =
-      if (residual) residualAssigned(corpus, id, vec, coarse, cb)
-      else corpus.select(col(id).as("c_id"),
-        nearestCentroid(col(vec), coarse).as("__cid"),
-        pqEncode(col(vec), cb).as("c_codes"))
+      if (residual) residualAssigned(corpusEff, id, vecEff, coarse, cb)
+      else corpusEff.select(col(id).as("c_id"),
+        nearestCentroid(col(vecEff), coarse).as("__cid"),
+        pqEncode(col(vecEff), cb).as("c_codes"))
     assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__cid").parquet(path)
     ModelArtifacts.saveIvfCentroids(spark, s"${path}__model/coarse.bin", coarse)
     ModelArtifacts.savePqCodebooks(spark, s"${path}__model/pq.bin", cb)
+    rot.foreach(r => ModelArtifacts.saveMatrix(spark,
+      s"${path}__model/opq.bin", "opq-rotation", r))
     ModelArtifacts.saveLongVector(spark, s"${path}__model/meta.bin",
-      "ivfpq-meta", Array(if (residual) 1L else 0L))
+      "ivfpq-meta",
+      Array(if (residual) 1L else 0L, if (opq) 1L else 0L))
     (coarse, cb)
   }
 
@@ -1713,9 +1740,18 @@ object Similarity {
     import graft.sources.ModelArtifacts
     val coarse = ModelArtifacts.loadIvfCentroids(spark, s"${path}__model/coarse.bin")
     val cb = ModelArtifacts.loadPqCodebooks(spark, s"${path}__model/pq.bin")
-    val residual = ModelArtifacts.loadLongVector(spark,
-      s"${path}__model/meta.bin", "ivfpq-meta")(0) == 1L
-    pqProbeScore(spark.read.parquet(path), queries, id, vec, coarse, cb,
+    val meta = ModelArtifacts.loadLongVector(spark,
+      s"${path}__model/meta.bin", "ivfpq-meta")
+    val residual = meta(0) == 1L
+    // meta(1) = OPQ flag (r15); pre-OPQ indexes persisted length-1
+    // metas — absent means no rotation
+    val qEff =
+      if (meta.length > 1 && meta(1) == 1L) {
+        val rot = ModelArtifacts.loadMatrix(spark,
+          s"${path}__model/opq.bin", "opq-rotation")
+        queries.select(col(id), opqRotate(col(vec), rot).as(vec))
+      } else queries
+    pqProbeScore(spark.read.parquet(path), qEff, id, vec, coarse, cb,
       nprobe, k, residual)
   }
 }
