@@ -1179,6 +1179,98 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -------- corpus: per-node coreness (h-index iteration) ------------
+    // Truncated core decomposition: core0 = degree, each round the
+    // h-index of neighbors' estimates — monotone non-increasing,
+    // upper-bounds true coreness at 3 rounds. ALL integer (the
+    // h-index count form is tie-order-independent) — no margins.
+    "q_coreness" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+      Corpus.coreDecomposition(pairs, $"u", $"v", iters = 3)
+        .orderBy("node")
+    }),
+
+    // -------- events: Theil-Sen robust trend slope ---------------------
+    // The magnitude companion to q_trend's Mann-Kendall: median of all
+    // pairwise slopes of the daily series. Each slope one exact
+    // division; the median is type-1 SELECTION (an actual computed
+    // slope, no averaging) — zero additional arithmetic.
+    "q_theil_sen" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .where($"event_type".isNotNull && $"ts".isNotNull)
+        .groupBy($"event_type",
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Corpus.theilSenSlope(daily, $"day", $"cnt", Seq($"event_type"))
+        .select($"key0".as("event_type"), $"n_pairs", $"slope")
+        .orderBy("event_type")
+    }),
+
+    // -------- events: inter-event gap quantiles ------------------------
+    // p50/p90/p99 of the nanosecond gap between a user's consecutive
+    // events of each type — the arrival-process profile (session
+    // thresholds, bot detection). Gaps are exact integer lags over a
+    // fully-ordered (ts_ns, event_id) window; quantiles are pure
+    // selection. Gap magnitudes << 2^53, so the double cast in the
+    // selection machinery is exact.
+    "q_gap_stats" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_ns", $"event_id")
+      val gaps = t(s, dir, "events")
+        .where($"user_id".isNotNull && $"event_type".isNotNull &&
+          $"ts".isNotNull && $"event_id".isNotNull)
+        .select($"user_id", $"event_type", $"event_id", $"ts_ns")
+        .withColumn("__gap", $"ts_ns" - lag($"ts_ns", 1).over(w))
+        .where($"__gap".isNotNull)
+      Corpus.exactQuantilesBy(gaps, Seq($"event_type"), $"__gap",
+          Seq(0.5, 0.9, 0.99))
+        .select($"event_type", $"prob", $"value".cast("long").as("gap_ns"),
+          $"rank")
+        .orderBy("event_type", "prob")
+    }),
+
+    // -------- dedup: near-dup cluster size histogram -------------------
+    // How big do near-dup clusters get — the dedup-budget shape audit
+    // next to q_dup_rate (rate says how much; this says whether it is
+    // many pairs or a few mega-clusters, which changes the survivor
+    // strategy). All integer.
+    "q_dup_cluster_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairsVerified(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, k = 128, bands = 16, minEstJaccard = 0.7,
+        minJaccard = 0.9, maxBucketSize = 0)
+      Dedup.connectedComponents(pairs)
+        .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
+    // -------- dedup: verified-pair Jaccard histogram -------------------
+    // Where do the true similarities of verified near-dup pairs sit in
+    // [0.9, 1] — the threshold-tuning audit (a mass at 1.0 = exact
+    // dups; spread near 0.9 = the threshold is doing real work).
+    // Buckets of width 0.02 via floor(j·50) on the round(6) jaccard —
+    // j is bit-identical cross-engine, so the floor is too.
+    "q_dup_jaccard_hist" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairsVerified(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, k = 128, bands = 16, minEstJaccard = 0.7,
+        minJaccard = 0.9, maxBucketSize = 0)
+      pairs.groupBy(floor($"jaccard" * 50).cast("long").as("__b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(($"__b".cast("double") / 50).as("j_lo"), $"n_pairs")
+        .orderBy("j_lo")
+    }),
+
     // -------- corpus: market-basket association rules ------------------
     // Directed pairwise rules over order baskets: distinct-order
     // supports, confidence = one exact-long division, lift multiplied
@@ -3962,6 +4054,37 @@ object SparkEntry {
       Corpus.agreementReport(docs.join(maj, "source"), $"lang", $"maj_lang")
     }),
 
+    // -------- quality: per-class precision/recall/F1 -------------------
+    // The confusion summary beside q_agreement's kappa: actual = lang,
+    // predicted = the source's majority lang (same deterministic
+    // "classifier"). All counts exact; three divisions per class; F1
+    // in the verbatim op order both engines run.
+    "q_prf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val maj = docs.where($"lang".isNotNull)
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .groupBy($"source").agg(min(struct(-$"c", $"lang")).as("m"))
+        .select($"source", $"m.lang".as("maj_lang"))
+      Corpus.classificationReport(docs.join(maj, "source"), $"lang",
+          $"maj_lang")
+        .orderBy("label")
+    }),
+
+    // -------- quality: micro/macro classification summary --------------
+    // The one-row roll-up of q_prf: accuracy = Σtp/n exact; macro
+    // P/R/F1 folded in label byte order over the bounded class set.
+    "q_prf_summary" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val maj = docs.where($"lang".isNotNull)
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .groupBy($"source").agg(min(struct(-$"c", $"lang")).as("m"))
+        .select($"source", $"m.lang".as("maj_lang"))
+      Corpus.classificationSummary(docs.join(maj, "source"), $"lang",
+        $"maj_lang")
+    }),
+
     // -------- quality: Fleiss' kappa over multi-line orders ------------
     // Multi-rater chance-corrected agreement: items = orders (>= 2
     // lineitems), ratings = each lineitem's returnflag. Per-item P_i
@@ -5071,9 +5194,11 @@ object SparkEntry {
       |   FROM cand5 c JOIN u5 a ON c.src = a.doc_id
       |     JOIN u5 b ON c.dst = b.doc_id AND a.gr = b.gr
       |   GROUP BY c.src, c.dst),
-      | e AS (SELECT ix5.src, ix5.dst
+      | ej AS (SELECT ix5.src, ix5.dst,
+      |     round(ix5.i::DOUBLE / (len(a.sh) + len(b.sh) - ix5.i), 6) AS j
       |   FROM ix5 JOIN sh a ON ix5.src = a.doc_id JOIN sh b ON ix5.dst = b.doc_id
-      |   WHERE ix5.i::DOUBLE / (len(a.sh) + len(b.sh) - ix5.i) >= 0.9)""".stripMargin
+      |   WHERE ix5.i::DOUBLE / (len(a.sh) + len(b.sh) - ix5.i) >= 0.9),
+      | e AS (SELECT src, dst FROM ej)""".stripMargin
 
   private lazy val substringSpanCtes: String =
     """WITH d AS (SELECT doc_id, text, len(text) AS tl FROM documents),
@@ -5807,6 +5932,93 @@ object SparkEntry {
         |   ELSE (agree::HUGEINT * n::HUGEINT - s)::DOUBLE
         |     / (n::HUGEINT * n::HUGEINT - s)::DOUBLE END AS kappa
         |FROM tot, ch""".stripMargin,
+    // q_prf: the q_agreement contingency cells -> per-class margins,
+    // full-outer so predicted-only/actual-only classes keep rows;
+    // precision/recall one division each, F1 verbatim op order,
+    // zero_division=0 convention
+    "q_prf" ->
+      """WITH m0 AS (SELECT source, lang, count(*) AS c
+        |   FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        | maj AS (SELECT source, lang AS maj_lang FROM (
+        |   SELECT source, lang, row_number() OVER (
+        |     PARTITION BY source ORDER BY c DESC, lang) AS rn FROM m0)
+        |   WHERE rn = 1),
+        | v AS (SELECT d.lang AS a, m.maj_lang AS p
+        |   FROM documents d JOIN maj m ON d.source = m.source
+        |   WHERE d.lang IS NOT NULL AND m.maj_lang IS NOT NULL),
+        | cells AS (SELECT a, p, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        | act AS (SELECT a AS l, sum(c)::BIGINT AS na FROM cells GROUP BY 1),
+        | prd AS (SELECT p AS l, sum(c)::BIGINT AS np FROM cells GROUP BY 1),
+        | tpc AS (SELECT a AS l, c AS tp FROM cells WHERE a = p),
+        | base AS (SELECT coalesce(act.l, prd.l) AS l,
+        |     coalesce(na, 0)::BIGINT AS n_actual,
+        |     coalesce(np, 0)::BIGINT AS n_predicted,
+        |     coalesce(tp, 0)::BIGINT AS tp
+        |   FROM act FULL OUTER JOIN prd ON act.l = prd.l
+        |   LEFT JOIN tpc ON coalesce(act.l, prd.l) = tpc.l),
+        | pr AS (SELECT l, n_actual, n_predicted, tp,
+        |     CASE WHEN n_predicted = 0 THEN 0.0
+        |       ELSE tp::DOUBLE / n_predicted::DOUBLE END AS precision,
+        |     CASE WHEN n_actual = 0 THEN 0.0
+        |       ELSE tp::DOUBLE / n_actual::DOUBLE END AS recall
+        |   FROM base)
+        |SELECT l AS label, n_actual, n_predicted, tp, precision, recall,
+        | CASE WHEN precision + recall = 0.0 THEN 0.0
+        |   ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+        |FROM pr ORDER BY label""".stripMargin,
+    // q_prf_summary: the q_prf per-class CTEs rolled up — accuracy one
+    // exact division; macro means = label-ordered list_reduce folds
+    // (terms >= +0.0, init first term == Spark's 0.0 + term) over the
+    // bounded class set, one division each
+    "q_prf_summary" ->
+      """WITH m0 AS (SELECT source, lang, count(*) AS c
+        |   FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2),
+        | maj AS (SELECT source, lang AS maj_lang FROM (
+        |   SELECT source, lang, row_number() OVER (
+        |     PARTITION BY source ORDER BY c DESC, lang) AS rn FROM m0)
+        |   WHERE rn = 1),
+        | v AS (SELECT d.lang AS a, m.maj_lang AS p
+        |   FROM documents d JOIN maj m ON d.source = m.source
+        |   WHERE d.lang IS NOT NULL AND m.maj_lang IS NOT NULL),
+        | cells AS (SELECT a, p, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        | act AS (SELECT a AS l, sum(c)::BIGINT AS na FROM cells GROUP BY 1),
+        | prd AS (SELECT p AS l, sum(c)::BIGINT AS np FROM cells GROUP BY 1),
+        | tpc AS (SELECT a AS l, c AS tp FROM cells WHERE a = p),
+        | base AS (SELECT coalesce(act.l, prd.l) AS l,
+        |     coalesce(na, 0)::BIGINT AS n_actual,
+        |     coalesce(np, 0)::BIGINT AS n_predicted,
+        |     coalesce(tp, 0)::BIGINT AS tp
+        |   FROM act FULL OUTER JOIN prd ON act.l = prd.l
+        |   LEFT JOIN tpc ON coalesce(act.l, prd.l) = tpc.l),
+        | pr AS (SELECT l, n_actual, tp,
+        |     CASE WHEN n_predicted = 0 THEN 0.0
+        |       ELSE tp::DOUBLE / n_predicted::DOUBLE END AS precision,
+        |     CASE WHEN n_actual = 0 THEN 0.0
+        |       ELSE tp::DOUBLE / n_actual::DOUBLE END AS recall
+        |   FROM base),
+        | pf AS (SELECT l, n_actual, tp, precision, recall,
+        |     CASE WHEN precision + recall = 0.0 THEN 0.0
+        |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+        |   FROM pr),
+        | ag AS (SELECT coalesce(sum(n_actual), 0)::BIGINT AS n,
+        |     count(*)::BIGINT AS n_classes,
+        |     coalesce(sum(tp), 0)::BIGINT AS tp,
+        |     list(precision ORDER BY l) AS pl,
+        |     list(recall ORDER BY l) AS rl,
+        |     list(f1 ORDER BY l) AS fl
+        |   FROM pf)
+        |SELECT n, n_classes,
+        | CASE WHEN n = 0 THEN 0.0 ELSE tp::DOUBLE / n::DOUBLE END AS accuracy,
+        | CASE WHEN n_classes = 0 THEN 0.0
+        |   ELSE list_reduce(pl, (x, y) -> x + y) / n_classes::DOUBLE END
+        |   AS macro_precision,
+        | CASE WHEN n_classes = 0 THEN 0.0
+        |   ELSE list_reduce(rl, (x, y) -> x + y) / n_classes::DOUBLE END
+        |   AS macro_recall,
+        | CASE WHEN n_classes = 0 THEN 0.0
+        |   ELSE list_reduce(fl, (x, y) -> x + y) / n_classes::DOUBLE END
+        |   AS macro_f1
+        |FROM ag""".stripMargin,
     // q_fleiss: per-item exact-division terms -> round(.*1e12) sum
     // accumulated in HUGEINT (a BIGINT sum of up-to-1e12 terms
     // overflows at ~9.2e6 items — item count grows with the data;
@@ -7463,6 +7675,25 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
         |ORDER BY doc_id""".stripMargin,
+    // q_dup_jaccard_hist: the shared candidate block's ej (raw-j
+    // threshold, round(6) value — mirroring Spark's filter-then-round)
+    // bucketed by floor(j*50); j is bit-identical so the floor is too
+    "q_dup_jaccard_hist" ->
+      s"""WITH $nearDupEdges5g09,
+        | b AS (SELECT CAST(floor(j * 50) AS BIGINT) AS bk FROM ej)
+        |SELECT bk::DOUBLE / 50 AS j_lo, count(*)::BIGINT AS n_pairs
+        |FROM b GROUP BY 1 ORDER BY j_lo""".stripMargin,
+    "q_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $nearDupEdges5g09,
+        | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        | reach(src, dst) AS (SELECT src, dst FROM ee
+        |   UNION SELECT r.src, ee.dst FROM reach r JOIN ee ON r.dst = ee.src),
+        | comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        | cs AS (SELECT component, count(*)::BIGINT AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+        |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     "q_dedup_best" ->
       s"""WITH RECURSIVE $nearDupEdges5g09,
         | ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -8380,6 +8611,71 @@ object SparkEntry {
     "q_louvain" ->
       s"""WITH $louvainChainCtes
         |SELECT nd AS node, c AS community FROM l3 ORDER BY node""".stripMargin,
+    // q_coreness: degree init + 3 unrolled h-index rounds — h of a
+    // DESC-sorted multiset = count of positions with cv >= rn (the
+    // predicate is monotone along the sort, so ties can't move the
+    // count); pure integers end to end
+    "q_coreness" ->
+      """WITH bp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | syme AS MATERIALIZED (SELECT u::VARCHAR AS a, v::VARCHAR AS b FROM bp
+        |          UNION ALL SELECT v::VARCHAR, u::VARCHAR FROM bp),
+        | cr0 AS MATERIALIZED (SELECT a AS n, count(*)::BIGINT AS c
+        |   FROM syme GROUP BY 1),
+        | nb1 AS (SELECT e.a AS n, c.c AS cv FROM syme e JOIN cr0 c ON e.b = c.n),
+        | r1 AS (SELECT n, cv, row_number() OVER (PARTITION BY n ORDER BY cv DESC) AS rn FROM nb1),
+        | cr1 AS MATERIALIZED (SELECT n, coalesce(count(*) FILTER (WHERE cv >= rn), 0)::BIGINT AS c FROM r1 GROUP BY n),
+        | nb2 AS (SELECT e.a AS n, c.c AS cv FROM syme e JOIN cr1 c ON e.b = c.n),
+        | r2 AS (SELECT n, cv, row_number() OVER (PARTITION BY n ORDER BY cv DESC) AS rn FROM nb2),
+        | cr2 AS MATERIALIZED (SELECT n, coalesce(count(*) FILTER (WHERE cv >= rn), 0)::BIGINT AS c FROM r2 GROUP BY n),
+        | nb3 AS (SELECT e.a AS n, c.c AS cv FROM syme e JOIN cr2 c ON e.b = c.n),
+        | r3 AS (SELECT n, cv, row_number() OVER (PARTITION BY n ORDER BY cv DESC) AS rn FROM nb3),
+        | cr3 AS (SELECT n, coalesce(count(*) FILTER (WHERE cv >= rn), 0)::BIGINT AS c FROM r3 GROUP BY n)
+        |SELECT n AS node, c AS coreness FROM cr3 ORDER BY node""".stripMargin,
+    // q_theil_sen: pairwise-slope self-join + the q_quantiles_by
+    // type-1 selection replay at p=0.5
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |     epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |   GROUP BY 1, 2),
+        | p AS (SELECT a.event_type,
+        |     (b.cnt::DOUBLE - a.cnt::DOUBLE) / (b.day - a.day)::DOUBLE AS s
+        |   FROM daily a JOIN daily b
+        |     ON a.event_type = b.event_type AND b.day > a.day),
+        | n AS (SELECT event_type, count(*)::BIGINT AS n_pairs FROM p GROUP BY 1),
+        | o AS (SELECT event_type, s,
+        |     row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn FROM p),
+        | k AS (SELECT event_type, n_pairs,
+        |     greatest(1, least(n_pairs, ceil(0.5 * n_pairs::DOUBLE)::BIGINT)) AS rank
+        |   FROM n)
+        |SELECT k.event_type, k.n_pairs, o.s AS slope
+        |FROM k JOIN o ON o.event_type = k.event_type AND o.rn = k.rank
+        |ORDER BY k.event_type""".stripMargin,
+    // q_gap_stats: integer lag gaps over the fully-ordered
+    // (ts_ns, event_id) window + the q_quantiles_by selection replay
+    "q_gap_stats" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |     epoch_us(ts) * 1000 AS tns
+        |   FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |     AND ts IS NOT NULL AND event_id IS NOT NULL),
+        | g AS (SELECT event_type, tns - lag(tns) OVER (
+        |     PARTITION BY user_id, event_type ORDER BY tns, event_id) AS gap
+        |   FROM ev),
+        | v AS (SELECT event_type, gap::DOUBLE AS x FROM g WHERE gap IS NOT NULL),
+        | n AS (SELECT event_type, count(*)::BIGINT AS n FROM v GROUP BY 1),
+        | q(p) AS (VALUES (0.5), (0.9), (0.99)),
+        | k AS (SELECT n.event_type, p::DOUBLE AS prob,
+        |     greatest(1, least(n.n, ceil(p::DOUBLE * n.n::DOUBLE)::BIGINT)) AS rank
+        |   FROM n CROSS JOIN q),
+        | o AS (SELECT event_type, x,
+        |     row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn FROM v)
+        |SELECT k.event_type, k.prob, o.x::BIGINT AS gap_ns, k.rank
+        |FROM k JOIN o ON o.event_type = k.event_type AND o.rn = k.rank
+        |ORDER BY k.event_type, prob""".stripMargin,
     "q_betweenness" ->
       s"""WITH $betweennessCtes
         |SELECT v AS node,

@@ -1529,6 +1529,101 @@ object Corpus {
     * nodes cannot appear (degree 0 has no edge). Input edges are
     * canonicalized (self-loops dropped, directions/duplicates
     * merged). */
+  /** Truncated core decomposition via the h-index iteration (Lü et
+    * al. 2016) — the PER-NODE coreness companion to [[kCore]] (which
+    * answers "which nodes survive k" for ONE k; this estimates every
+    * node's own core number in one pass family): core⁰(v) = deg(v),
+    * coreᵗ⁺¹(v) = H({coreᵗ(u) : u ~ v}) where H is the h-index (the
+    * largest h with ≥ h neighbors at value ≥ h). The sequence is
+    * monotone NON-INCREASING per node and converges to the true core
+    * number; `iters` rounds give a certified UPPER BOUND (documented
+    * truncation, the pageRank fixed-iteration convention — real
+    * corpora are within 1-2 everywhere by 3-4 rounds).
+    *
+    * EVERYTHING is integer: degrees, h-indices, comparisons — zero
+    * float arithmetic, so the rounds unroll into chained CTEs and
+    * hash-match with no margins to profile. The h-index of a
+    * DESC-sorted value array is the count of positions i (1-based)
+    * with v_i ≥ i — the predicate is monotone along the sort, so the
+    * count form is exact and tie-order-independent (both engines
+    * count the same multiset).
+    *
+    * Scale shape: per round one edge⋈state equi-join + one per-node
+    * sorted-array aggregate (array bounded by DEGREE — the adjacency
+    * contract shared with [[clusteringCoefficients]]; audit with
+    * keySkewReport on degree first). Output: (node, coreness). */
+  def coreDecomposition(edges: DataFrame, src: Column, dst: Column,
+                        iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters $iters outside [1, 8]")
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    val sym = Dedup.materializeLazily(
+      e0.select(col("__u").as("__a"), col("__v").as("__b"))
+        .union(e0.select(col("__v").as("__a"), col("__u").as("__b"))))
+    var core = Dedup.materializeLazily(
+      sym.groupBy(col("__a").as("__n")).agg(count(lit(1)).as("__c")))
+    var it = 0
+    while (it < iters) {
+      val nb = sym.join(core.select(col("__n").as("__b"), col("__c")),
+          Seq("__b"))
+        .select(col("__a").as("__n"), col("__c"))
+      core = Dedup.materializeLazily(
+        nb.groupBy(col("__n"))
+          .agg(sort_array(collect_list(col("__c")), asc = false)
+            .as("__arr"))
+          .select(col("__n"),
+            size(filter(zip_with(col("__arr"),
+                sequence(lit(1L), size(col("__arr")).cast("long")),
+                (v, i) => v >= i), x => x)).cast("long").as("__c")))
+      it += 1
+    }
+    core.select(col("__n").as("node"), col("__c").as("coreness"))
+  }
+
+  /** Theil–Sen robust slope per key — the MAGNITUDE companion to
+    * [[mannKendallTrend]] (MK says WHETHER a monotone trend exists;
+    * this says HOW STEEP, robust to outliers): the median of all
+    * C(n,2) pairwise slopes (x_j − x_i)/(t_j − t_i), i < j by t.
+    * Each slope is ONE division of exact operands (value cast double,
+    * Δt an exact integer-cast double) — bit-identical cross-engine —
+    * and the median is TYPE-1 SELECTION (the [[exactQuantilesBy]]
+    * machinery: rank ⌈n/2⌉, no averaging of middles — selection picks
+    * an actual computed slope, zero further arithmetic). Pairs via
+    * one key-equi self-join (the mannKendallTrend shape, NEVER a
+    * cross join); per-key series length is the documented bound
+    * (daily/hourly rollups). Keys with n < 2 have no pair and are
+    * ABSENT. NULL key/t/x rows drop; `t` unique per key by contract.
+    * Output: (keys…, n_pairs, slope). */
+  def theilSenSlope(df: DataFrame, t: Column, value: Column,
+                    keys: Seq[Column] = Nil): DataFrame = {
+    val keyNames = keys.indices.map(i => s"__k$i")
+    val v = Dedup.materializeLazily(df.select(
+        keys.zipWithIndex.map { case (c, i) => c.cast("string").as(s"__k$i") } ++
+          Seq(t.cast("long").as("__t"), value.cast("double").as("__x")): _*)
+      .where(keys.indices.map(i => col(s"__k$i").isNotNull)
+        .foldLeft(col("__t").isNotNull && col("__x").isNotNull)(_ && _)))
+    val kcols = keyNames.map(col)
+    val b = v.select(keyNames.map(c => col(c).as(s"__b$c")) ++
+      Seq(col("__t").as("__tb"), col("__x").as("__xb")): _*)
+    val cond = keyNames.map(c => col(c) === col(s"__b$c"))
+      .foldLeft(col("__tb") > col("__t"))(_ && _)
+    // the division is GUARDED by the same predicate as the join
+    // condition: downstream isNotNull filters on __s get pushed INTO
+    // the join conjunct, where they may evaluate before `__tb > __t`
+    // on same-t candidate rows — an unguarded ANSI divide then throws
+    // on the Δt = 0 self-pair (hit by the spec; the when() makes the
+    // division conditionally evaluated wherever the predicate lands)
+    val slopes = v.join(b, cond)
+      .select(kcols :+
+        when(col("__tb") > col("__t"),
+          (col("__xb") - col("__x")) /
+            (col("__tb") - col("__t")).cast("double")).as("__s"): _*)
+    val med = exactQuantilesBy(slopes, kcols, col("__s"), Seq(0.5))
+    val n = slopes.groupBy(kcols: _*).agg(count(lit(1)).as("n_pairs"))
+    n.join(med.select(kcols :+ col("value").as("slope"): _*), keyNames)
+      .select(keys.indices.map(i => col(s"__k$i").as(s"key$i")) ++
+        Seq(col("n_pairs"), col("slope")): _*)
+  }
+
   /** Sampled betweenness centrality (Brandes 2001 restricted to a
     * seed subset, depth-bounded) — the "who sits on the paths" signal
     * missing next to PageRank/HITS/harmonic/k-core (r14 verdict
@@ -3945,6 +4040,89 @@ object Corpus {
       else kTrussOut(e, maxBroadcastAdjacency)
     out.withColumn("converged", lit(converged))
       .withColumn("rounds", lit(it))
+  }
+
+  /** Per-class precision / recall / F1 (r15) — the multi-class
+    * confusion summary next to [[agreementReport]] (kappa says HOW
+    * MUCH agreement beats chance; this says WHERE it fails, per
+    * label): one (actual, predicted) contingency scan, then per class
+    * tp / n_predicted / n_actual and three divisions. Classes
+    * appearing only among predictions (or only among actuals) still
+    * get rows (full-outer margins); the undefined-denominator cases
+    * report 0.0 (sklearn's zero_division=0 convention — a class never
+    * predicted has recall-only signal, not a crash). Rows with NULL
+    * actual OR predicted drop (a pair is required). All counts exact
+    * longs; precision/recall one division each; F1 = 2pr/(p+q) in the
+    * verbatim op order both engines run. Scale: one partial-aggregated
+    * cell scan + label-keyed joins (≤ #classes rows). Output: (label,
+    * n_actual, n_predicted, tp, precision, recall, f1). */
+  def classificationReport(df: DataFrame, actual: Column,
+                           predicted: Column): DataFrame = {
+    val cells = Dedup.materializeLazily(
+      df.select(actual.cast("string").as("__a"),
+          predicted.cast("string").as("__p"))
+        .where(col("__a").isNotNull && col("__p").isNotNull)
+        .groupBy(col("__a"), col("__p")).agg(count(lit(1)).as("__c")))
+    val act = cells.groupBy(col("__a").as("__l"))
+      .agg(sum(col("__c")).as("__na"))
+    val prd = cells.groupBy(col("__p").as("__l"))
+      .agg(sum(col("__c")).as("__np"))
+    val tp = cells.where(col("__a") === col("__p"))
+      .select(col("__a").as("__l"), col("__c").as("__tp"))
+    val base = act.join(prd, Seq("__l"), "full_outer")
+      .join(tp, Seq("__l"), "left")
+      .select(col("__l"),
+        coalesce(col("__na"), lit(0L)).as("n_actual"),
+        coalesce(col("__np"), lit(0L)).as("n_predicted"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+    // precision/recall materialized as attributes so f1 references
+    // them, not re-inlined divisions
+    base.select(col("__l"), col("n_actual"), col("n_predicted"),
+        col("tp"),
+        when(col("n_predicted") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") /
+            col("n_predicted").cast("double")).as("precision"),
+        when(col("n_actual") === 0L, lit(0.0))
+          .otherwise(col("tp").cast("double") /
+            col("n_actual").cast("double")).as("recall"))
+      .select(col("__l").as("label"), col("n_actual"),
+        col("n_predicted"), col("tp"), col("precision"), col("recall"),
+        when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).as("f1"))
+  }
+
+  /** Micro/macro roll-up of [[classificationReport]] — the one-row
+    * answer beside the per-class table: micro = accuracy = Σtp / n
+    * (for single-label multi-class, micro-P = micro-R = micro-F1 =
+    * accuracy — one exact-long division); macro = unweighted mean of
+    * the per-class precision/recall/f1 over EVERY class with a row
+    * (actual ∪ predicted, the sklearn labels convention), folded in
+    * LABEL byte order (class count is bounded by contract, terms ≥
+    * +0.0 — the fixed-order array-fold recipe, one division each).
+    * Empty input → one all-zero row. Output single row: (n,
+    * n_classes, accuracy, macro_precision, macro_recall, macro_f1). */
+  def classificationSummary(df: DataFrame, actual: Column,
+                            predicted: Column): DataFrame = {
+    val rep = classificationReport(df, actual, predicted)
+    def macroOf(field: String) =
+      when(col("n_classes") === 0L, lit(0.0))
+        .otherwise(aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField(field)) /
+          col("n_classes").cast("double"))
+    rep.agg(
+        coalesce(sum(col("n_actual")), lit(0L)).as("n"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(col("tp")), lit(0L)).as("__tp"),
+        sort_array(collect_list(struct(col("label"), col("precision"),
+          col("recall"), col("f1")))).as("__arr"))
+      .select(col("n"), col("n_classes"),
+        when(col("n") === 0L, lit(0.0))
+          .otherwise(col("__tp").cast("double") / col("n").cast("double"))
+          .as("accuracy"),
+        macroOf("precision").as("macro_precision"),
+        macroOf("recall").as("macro_recall"),
+        macroOf("f1").as("macro_f1"))
   }
 
   /** Inter-annotator agreement — observed agreement and Cohen's kappa

@@ -2740,6 +2740,123 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(Seq.empty) == ((0L, 0L, 0.0)))
   }
 
+  test("coreDecomposition: h-index iteration converges to true coreness on planted graphs; monotone") {
+    import graft.functions.Corpus
+    def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+      Corpus.coreDecomposition(edges.toDF("s", "d"), col("s"), col("d"),
+          iters = iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4 + pendant: K4 nodes coreness 3, pendant 1 — converged by 2
+    val k4p = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "p"))
+    assert(run(k4p, 2) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "p" -> 1L))
+    // path: all coreness 1 after one round
+    assert(run(Seq(("a", "b"), ("b", "c"), ("c", "d")), 1)
+      == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    // deterministic random graph: iterate-to-8 equals the brute peel
+    val rnd = new scala.util.Random(19)
+    val nodes = (0 until 24).map(i => f"n$i%02d")
+    val redges = (for (i <- nodes.indices; j <- i + 1 until nodes.size
+                       if rnd.nextDouble() < 0.22)
+      yield (nodes(i), nodes(j))).toSeq
+    def bruteCoreness(es: Seq[(String, String)]): Map[String, Long] = {
+      var alive = es.flatMap(e => Seq(e._1, e._2)).toSet
+      var cur = es
+      val core = scala.collection.mutable.Map[String, Long]()
+      var k = 1L
+      while (alive.nonEmpty) {
+        var changed = true
+        while (changed) {
+          val deg = cur.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (n, g) => n -> g.size }
+          val drop = alive.filter(n => deg.getOrElse(n, 0) < k)
+          if (drop.isEmpty) changed = false
+          else {
+            drop.foreach(n => core(n) = k - 1)
+            alive = alive -- drop
+            cur = cur.filter(e => alive(e._1) && alive(e._2))
+          }
+        }
+        k += 1
+      }
+      core.toMap
+    }
+    val want = bruteCoreness(redges)
+    assert(run(redges, 8) == want)
+    // monotone non-increasing per node between iteration budgets
+    val c2 = run(redges, 2); val c4 = run(redges, 4)
+    assert(c4.forall { case (n, c) => c <= c2(n) })
+  }
+
+  test("theilSenSlope: hand median of pairwise slopes; outlier robustness; keyed; degenerates") {
+    import graft.functions.Corpus
+    def run(rows: Seq[(String, Long, Double)]): Map[String, (Long, Double)] =
+      Corpus.theilSenSlope(rows.toDF("k", "t", "x"), col("t"), col("x"),
+          Seq(col("k")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+    // slopes of (1,1)(2,3)(3,2): [2, 0.5, -1] -> rank ceil(1.5)=2 of
+    // ascending sort -> 0.5
+    val a = run(Seq(("A", 1L, 1.0), ("A", 2L, 3.0), ("A", 3L, 2.0)))
+    assert(a("A") == ((3L, 0.5)))
+    // perfect line y=2t survives a wild outlier (robustness): 5 points
+    // on the line + 1 outlier -> 15 pairs, >= 10 have slope exactly 2,
+    // median selection rank 8 lands on 2.0
+    val line = (1L to 5L).map(t => ("B", t, 2.0 * t)) :+ (("B", 6L, 1000.0))
+    assert(run(line)("B")._2 == 2.0)
+    // single point -> no pair -> absent; NULL x drops
+    val c = run(Seq(("C", 1L, 5.0)))
+    assert(!c.contains("C"))
+    // keys independent
+    val two = run(Seq(("A", 1L, 0.0), ("A", 2L, 1.0),
+      ("B", 1L, 0.0), ("B", 2L, 3.0)))
+    assert(two("A") == ((1L, 1.0)) && two("B") == ((1L, 3.0)))
+  }
+
+  test("classificationReport: hand-computed per-class PRF; margins full-outer; NULL drop") {
+    import graft.functions.Corpus
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),       // a: tp=2, fn=1
+      ("b", "a"), ("b", "b"),                   // b: tp=1, fp to a
+      ("c", "a"),                               // c: never predicted
+      (null, "a"), ("a", null))                 // dropped
+      .toDF("y", "yhat")
+    val got = Corpus.classificationReport(rows, col("y"), col("yhat"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // a: na=3, np=4, tp=2 -> p=0.5, r=2/3, f1=2*.5*(2/3)/(.5+2/3)
+    val (pa, ra) = (0.5, 2.0 / 3)
+    assert(got("a") == ((3L, 4L, 2L, pa, ra, 2.0 * pa * ra / (pa + ra))))
+    // b: na=2, np=2, tp=1 -> p=r=f1=0.5
+    assert(got("b") == ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    // c: never predicted -> np=0, precision 0 (zero_division), f1 0
+    assert(got("c") == ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(got.size == 3)
+    // predicted-only class keeps a row (recall 0 by convention)
+    val rows2 = Seq(("x", "z")).toDF("y", "yhat")
+    val g2 = Corpus.classificationReport(rows2, col("y"), col("yhat"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(g2("z") == ((0L, 1L, 0.0, 0.0)) && g2("x") == ((1L, 0L, 0.0, 0.0)))
+    // summary roll-up: accuracy = sum tp / n; macros = label-ordered
+    // unweighted means over the same three classes
+    val sm = Corpus.classificationSummary(rows, col("y"), col("yhat"))
+      .head()
+    assert(sm.getLong(0) == 6L && sm.getLong(1) == 3L)
+    assert(sm.getDouble(2) == 3.0 / 6)
+    val f1a = 2.0 * pa * ra / (pa + ra)
+    assert(math.abs(sm.getDouble(3) - (pa + 0.5 + 0.0) / 3) < 1e-15)
+    assert(math.abs(sm.getDouble(4) - (ra + 0.5 + 0.0) / 3) < 1e-15)
+    assert(math.abs(sm.getDouble(5) - (f1a + 0.5 + 0.0) / 3) < 1e-15)
+    // empty input -> one all-zero row
+    val esm = Corpus.classificationSummary(
+      rows.where(lit(false)), col("y"), col("yhat")).head()
+    assert(esm.getLong(0) == 0L && esm.getLong(1) == 0L
+      && esm.getDouble(2) == 0.0 && esm.getDouble(5) == 0.0)
+  }
+
   test("betweennessCentrality: brute Brandes replica on planted graphs; truncation; split paths") {
     import graft.functions.Corpus
     // driver reference: truncated Brandes from the given seeds
