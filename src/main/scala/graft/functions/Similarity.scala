@@ -408,11 +408,15 @@ object Similarity {
     * item 3): before SemDeDup/cluster-balanced-sample trusts an
     * assignment, this answers "did k-means produce usable clusters".
     * Per vector: a = cosine distance to its OWN (nearest) centroid,
-    * b = distance to the second-nearest; s = (b − a)/max(a, b) ∈
-    * [−1, 1] (the Hruschka et al. simplified form — full silhouette's
-    * per-PAIR a/b is O(n²) and needs no engine at 100 TB to tell you
-    * it's unaffordable). s ≈ 1: tight, well-separated; s ≈ 0: on a
-    * boundary; the per-cluster mean is the usability number.
+    * b = distance to the second-nearest; s = (b − a)/max(a, b) (the
+    * Hruschka et al. simplified form — full silhouette's per-PAIR a/b
+    * is O(n²) and needs no engine at 100 TB to tell you it's
+    * unaffordable). The general definition ranges over [−1, 1], but
+    * HERE assignment is nearest-centroid BY CONSTRUCTION, so b ≥ a
+    * and s ∈ [0, 1] structurally (negatives only arise when scoring
+    * someone else's assignment — not this op's contract). s ≈ 1:
+    * tight, well-separated; s ≈ 0: on a boundary; the per-cluster
+    * mean is the usability number.
     *
     * Determinism (the q_ann_cosine/q_ffc green-family recipe):
     * centroids are driver-normalized with the [[l2NormalizeFused]]
