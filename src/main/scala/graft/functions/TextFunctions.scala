@@ -336,7 +336,18 @@ object TextFunctions {
     * mod 1e9+7 over the characters. Small modulus keeps every
     * intermediate well inside 63 bits so the same fold is expressible
     * in engines with checked integer arithmetic. */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    // one-pass kernel (r15): the columnar fold below seeks each code
+    // point from the string start (substring is not random-access on
+    // UTF-8) — O(len²) byte scans per document; bit-compat is
+    // spec-asserted against [[fingerprintColumnar]]
+    Bridge.column(graft.plans.Fingerprint(Bridge.expression(text)))
+  }
+
+  /** Pre-kernel columnar form — private differential reference for
+    * [[graft.plans.Fingerprint]] (bit-equal assertions). */
+  private[graft] def fingerprintColumnar(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), greatest(length(text), lit(1))),
         i => call_function("ascii", call_function("substring", text, i, lit(1))).cast("long")),
@@ -649,11 +660,31 @@ object TextFunctions {
     * `Dedup.tokenShingles`) — frequency is the point. Output:
     * (doc_id, top_ngram_frac); a doc shorter than n tokens is one
     * (short) gram → fraction 1.0. */
+  /** Per-position (NON-dedup) word n-grams of a token array — rides
+    * the [[graft.plans.TokenGrams]] kernel. The columnar HOF form
+    * ([[positionalGramsColumnar]], kept as the differential-spec
+    * reference) re-evaluates the captured `toks` EXPRESSION once per
+    * gram position when the caller passes a computed column
+    * (`tokens(text)` at every current call site) — interpreted HOFs
+    * re-tokenize the document per element, O(len²) bytes per doc (the
+    * r13 winnowSet / TokenShingles mechanism; q_top_ngram and
+    * q_top_ngrams each measured ~10 s at sf0.1 on exactly this).
+    * Bit-compat is spec-asserted (TokenGramsSpec, array equality). */
+  private def positionalGrams(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.TokenGrams(Bridge.expression(toks), n))
+  }
+
+  /** Pre-kernel HOF form — private differential reference for
+    * [[graft.plans.TokenGrams]] (bit-equal assertions). */
+  private[graft] def positionalGramsColumnar(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
   def topNgramFraction(df: org.apache.spark.sql.DataFrame, id: Column, toks: Column,
                        n: Int): org.apache.spark.sql.DataFrame = {
     val grams = df.select(id.as("doc_id"),
-      explode(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n))))).as("__g"))
+      explode(positionalGrams(toks, n)).as("__g"))
     grams.groupBy("doc_id", "__g").agg(count(lit(1)).as("__c"))
       .groupBy("doc_id")
       .agg(round(max(col("__c")).cast("double") / sum(col("__c")), 6)
@@ -680,9 +711,7 @@ object TextFunctions {
     // would force one sequence element whose slice of the empty token
     // array concat_ws's to "" — a meaningless gram in heavy-hitter output
     df.where(size(toks) >= 1)
-      .select(explode(transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n))))).as("ngram"))
+      .select(explode(positionalGrams(toks, n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
@@ -722,8 +751,7 @@ object TextFunctions {
                      n: Int): DF = {
     require(n >= 1, s"n $n must be >= 1")
     val grams = df.select(keys.map(col) :+
-        explode(transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-          i => concat_ws(" ", slice(toks, i, lit(n))))).as("__g"): _*)
+        explode(positionalGrams(toks, n)).as("__g"): _*)
     grams.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("__g")).as("n_distinct"))

@@ -294,6 +294,77 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenGrams kernel == columnar per-position gram strings (drop-in twin)") {
+    // r15: the NON-dedup (frequency-preserving) sibling of
+    // TokenShingles over a token ARRAY child — the columnar HOF form
+    // re-evaluates a computed toks per gram position (O(len²));
+    // array equality against the exact HOF expression, which encodes
+    // the 0-tokens → [""] and <n-tokens → one-short-gram contracts
+    import org.apache.spark.sql.graft.Bridge
+    def kernel(c: org.apache.spark.sql.Column, n: Int) =
+      Bridge.column(graft.plans.TokenGrams(Bridge.expression(c), n))
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "héllo wörld déjà vu 日本語 テキスト",
+      "a\tb\ncd\fe\rf  g   h",
+      "  leading and trailing  ",
+      "one two", "solo", "", "   \t\n ",
+      "rep rep rep rep rep rep",
+      "b a b a b a c"
+    ).toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      df.select(
+          kernel(TextFunctions.tokens($"text"), n).as("k"),
+          TextFunctions.positionalGramsColumnar(
+            TextFunctions.tokens($"text"), n).as("c"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+        }
+    }
+    // null ELEMENTS skip without a separator (concat_ws semantics) —
+    // unreachable from tokens(), but the kernel is array-generic
+    val withNulls = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b', NULL, 'c') AS ts " +
+      "UNION ALL SELECT array(CAST(NULL AS STRING), NULL)")
+    withNulls.select(kernel($"ts", 2).as("k"),
+        TextFunctions.positionalGramsColumnar($"ts", 2).as("c"))
+      .collect().foreach(r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // randomized small-alphabet docs (duplicate grams must KEEP their
+    // multiplicity and position order)
+    val rnd = new scala.util.Random(43)
+    val docs = (1 to 12).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => "ab \t"(rnd.nextInt(4))).mkString)
+      .toDF("text")
+    docs.select(kernel(TextFunctions.tokens($"text"), 3).as("k"),
+        TextFunctions.positionalGramsColumnar(
+          TextFunctions.tokens($"text"), 3).as("c"))
+      .collect().foreach(r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("Fingerprint kernel == columnar ascii/substring rolling fold (drop-in twin)") {
+    // r15: one-pass rolling polynomial hash; the columnar fold seeks
+    // each code point from the string start (O(len²) byte scans).
+    // Long equality incl. empty text (→ 0) and multibyte lead bytes
+    // (Spark's ascii = SIGNED first byte of the character)
+    val df = Seq(
+      "the quick brown fox", "héllo wörld déjà vu", "日本語テキスト",
+      "", " ", "a", "𝄞 clef 🎼 emoji", "mixed ascii と 漢字 1234",
+      " ", "long " * 50
+    ).toDF("text")
+    df.select(TextFunctions.fingerprint($"text").as("k"),
+        TextFunctions.fingerprintColumnar($"text").as("c"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    val rnd = new scala.util.Random(44)
+    val docs = (1 to 20).map(_ =>
+      (1 to rnd.nextInt(80)).map(_ => "abé日 \t"(rnd.nextInt(6))).mkString)
+      .toDF("text")
+    docs.select(TextFunctions.fingerprint($"text").as("k"),
+        TextFunctions.fingerprintColumnar($"text").as("c"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("TokenShingles kernel == columnar array_distinct gram strings (drop-in twin)") {
     // r13: the string-emitting sibling of TokenShingleHashes — same
     // tokenizer, grams emitted in FIRST-OCCURRENCE order to match
