@@ -1115,8 +1115,12 @@ object Corpus {
     // decides broadcast vs shuffle for the wedge + closing joins; a
     // broadcastable edge list turns the whole wedge→close→explode
     // pipeline into ONE stage with no wedge-row shuffle
-    val estats = oriented.agg(count(lit(1)),
-      coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))).head()
+    val keyWidthW =
+      if (oriented.schema("__f").dataType ==
+          org.apache.spark.sql.types.StringType)
+        coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))
+      else lit(16.0)
+    val estats = oriented.agg(count(lit(1)), keyWidthW).head()
     val small = stateBroadcastOk(estats.getLong(0).toDouble,
       estats.getDouble(1), maxBroadcastCloseEdges)
     def hinted(df: DataFrame) = if (small) broadcast(df) else df
@@ -1127,6 +1131,8 @@ object Corpus {
       .select(col("__f"), col("__b"), col("__c"))
     tris.select(explode(array(col("__f"), col("__b"), col("__c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      // long-path boundary cast (no-op on the string path)
+      .select(col("node").cast("string").as("node"), col("triangles"))
   }
 
   /** Canonicalize + degree-orient an undirected edge list (shared by
@@ -1137,7 +1143,11 @@ object Corpus {
     * degree `__dt` for the wedge form's ordering filter. */
   private def orientEdges(edges: DataFrame, src: Column,
                           dst: Column): DataFrame = {
-    val e0 = canonicalEdges(edges, src, dst)
+    // Auto key type: both triangle forms' outputs are
+    // orientation-invariant (see integralEndpoints), so the long path
+    // is sound here; callers cast `node` back to string at the output
+    // boundary
+    val e0 = canonicalEdgesAuto(edges, src, dst)
     orientFromCanonical(e0, degreeTable(e0))
   }
 
@@ -1151,6 +1161,47 @@ object Corpus {
       .select(least(col("__a"), col("__b")).as("__u"),
         greatest(col("__a"), col("__b")).as("__v"))
       .distinct()
+
+  /** True when both endpoint columns are integral — the LONG-keyed
+    * canonical path applies (r15 optimization): half the shuffle
+    * bytes and 8-byte compares through the distinct/degree/adjacency
+    * machinery vs UTF-8 strings (tools/GraphKeyProbe: 20–45% per
+    * stage on the sf0.1 co-purchase graph), with node labels cast
+    * back to string only at the output boundary — cast(long→string)
+    * produces the exact value the string path's input cast did, so
+    * outputs are unchanged (oracle-gated at both SFs).
+    *
+    * ONLY ops whose output is ORIENTATION- and PAIR-ORDER-invariant
+    * may take it: (degree, node) ranks order differently under
+    * numeric vs string node order ("10" < "9" as strings), which
+    * flips some edge orientations and least/greatest pairings —
+    * triangle counts, degrees, and neighbor sums are invariant;
+    * pair-EMITTING ops (kTruss, linkPredictionScores, modularity's
+    * label joins) keep the string path. */
+  private def integralEndpoints(edges: DataFrame, src: Column,
+                                dst: Column): Boolean = {
+    import org.apache.spark.sql.types._
+    edges.select(src, dst).schema.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
+  /** Long-keyed twin of [[canonicalEdges]] (see [[integralEndpoints]]
+    * for when it is sound). */
+  private def canonicalEdgesLong(edges: DataFrame, src: Column,
+                                 dst: Column): DataFrame =
+    edges.select(src.cast("long").as("__a"), dst.cast("long").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+
+  private def canonicalEdgesAuto(edges: DataFrame, src: Column,
+                                 dst: Column): DataFrame =
+    if (integralEndpoints(edges, src, dst)) canonicalEdgesLong(edges, src, dst)
+    else canonicalEdges(edges, src, dst)
 
   /** Weighted twin of [[canonicalEdges]]: self-loops dropped, the two
     * directions merged, and duplicate/parallel rows' weights SUMMED —
@@ -1212,6 +1263,10 @@ object Corpus {
   def triangleCountsIntersect(edges: DataFrame, src: Column, dst: Column,
                               maxBroadcastAdjacency: Long = 8000000L): DataFrame =
     intersectCore(orientEdges(edges, src, dst), maxBroadcastAdjacency)
+      // long-path boundary cast (no-op on the string path — the
+      // optimizer removes a string→string cast); values identical to
+      // the historical input-side cast
+      .select(col("node").cast("string").as("node"), col("triangles"))
 
   private def intersectCore(oriented: DataFrame,
                             maxBroadcastAdjacency: Long): DataFrame = {
@@ -1225,8 +1280,13 @@ object Corpus {
       .agg(sort_array(collect_list(col("__t"))).as("__ns"))
     // adjacency bytes ≈ oriented bytes (Σ outdeg = m entries), so the
     // broadcast guard reuses the oriented row count + endpoint widths
-    val estats = oriented.agg(count(lit(1)),
-      coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))).head()
+    // (long path: fixed 16 bytes for the two 8-byte keys)
+    val keyWidth =
+      if (oriented.schema("__f").dataType ==
+          org.apache.spark.sql.types.StringType)
+        coalesce(avg(length(col("__f")) + length(col("__t"))), lit(0.0))
+      else lit(16.0)
+    val estats = oriented.agg(count(lit(1)), keyWidth).head()
     val small = stateBroadcastOk(estats.getLong(0).toDouble,
       estats.getDouble(1), maxBroadcastAdjacency)
     def hinted(df: DataFrame) = if (small) broadcast(df) else df
@@ -1262,13 +1322,23 @@ object Corpus {
     * (node, degree, triangles, clustering_coeff). */
   def clusteringCoefficients(edges: DataFrame, src: Column, dst: Column,
                              maxBroadcastAdjacency: Long = 8000000L): DataFrame = {
-    val e0 = canonicalEdges(edges, src, dst)
-    val deg = degreeTable(e0)
+    // r15: e0 and deg are MATERIALIZED here (unlike inside
+    // triangleCountsIntersect, where every consumer sits in ONE plan
+    // and AQE stage-reuse dedups the identical agg subtrees): the
+    // final degree join lives in a SEPARATE plan beyond the oriented
+    // checkpoint boundary, so an unmaterialized deg re-ran the whole
+    // pairs-join + distinct + union + aggregate from the parquet scans
+    // — visible in the r15 before-plan as a second full
+    // scan→join→distinct subtree under the SortMergeJoin
+    // (plans/r15/q_clustering_coeff_before.txt nodes 1–26)
+    val e0 = Dedup.materializeLazily(canonicalEdgesAuto(edges, src, dst))
+    val deg = Dedup.materializeLazily(degreeTable(e0))
     val tri = intersectCore(orientFromCanonical(e0, deg), maxBroadcastAdjacency)
     val t = coalesce(col("triangles"), lit(0L))
     deg.select(col("__n").as("node"), col("__d").as("degree"))
       .join(tri, Seq("node"), "left")
-      .select(col("node"), col("degree"), t.as("triangles"),
+      .select(col("node").cast("string").as("node"), col("degree"),
+        t.as("triangles"),
         when(col("degree") >= 2,
           (t * 2).cast("double") /
             (col("degree") * (col("degree") - 1)).cast("double"))
@@ -1451,14 +1521,18 @@ object Corpus {
     * nodes cannot appear (canonical edges only). */
   def avgNeighborDegree(edges: DataFrame, src: Column,
                         dst: Column): DataFrame = {
-    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    // r15: auto key type — degrees and neighbor sums are pair-order
+    // invariant, so the long path is sound (see integralEndpoints);
+    // node label cast back to string at the output boundary
+    val e0 = Dedup.materializeLazily(canonicalEdgesAuto(edges, src, dst))
     val deg = degreeTable(e0)
     val nb = e0.select(col("__u").as("__z"), col("__v").as("__w"))
       .union(e0.select(col("__v").as("__z"), col("__u").as("__w")))
     nb.join(deg.select(col("__n").as("__w"), col("__d").as("__dw")), "__w")
       .groupBy(col("__z"))
       .agg(count(lit(1)).as("degree"), sum(col("__dw")).as("nbr_degree_sum"))
-      .select(col("__z").as("node"), col("degree"), col("nbr_degree_sum"),
+      .select(col("__z").cast("string").as("node"), col("degree"),
+        col("nbr_degree_sum"),
         (col("nbr_degree_sum").cast("double") / col("degree").cast("double"))
           .as("avg_neighbor_degree"))
   }

@@ -1514,6 +1514,11 @@ object Dedup {
     * hashes → tiny buckets). For low-width keys whose buckets grow
     * with the corpus, a streamed equi-join wins — see
     * [[simhashPairsFromFp]] for the measured trade. */
+  /** Probe-only public alias of [[pairsFromSorted]] (tools live
+    * outside the functions package). */
+  private[graft] def pairsFromSortedPublic(ids: Column): Column =
+    pairsFromSorted(ids)
+
   private[functions] def pairsFromSorted(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(filter(slice(ids, i + lit(2), size(ids) - i - lit(1)),

@@ -27,41 +27,59 @@ import org.apache.spark.unsafe.types.UTF8String
   * Σ outdeg² candidate rows all materialize and (above the broadcast
   * cap) all shuffle.
   *
-  * Arrays must be sorted by Spark's binary string order
+  * Arrays must be sorted by Spark's order for the element type
   * (`sort_array`) and duplicate-free (oriented edge lists are sets);
-  * both hold by construction in the one caller. */
+  * both hold by construction in the one caller. Element type is
+  * STRING or LONG (r15: the long-keyed canonical path halves shuffle
+  * bytes and compares 8-byte words — integral co-purchase graphs);
+  * output element type mirrors the endpoints. */
 case class TriangleContrib(first: Expression, second: Expression,
                            third: Expression, fourth: Expression)
     extends QuaternaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(third.dataType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "triangle_contrib"
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    val et = third.dataType
     def arrOk(dt: DataType): Boolean = dt match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(t, _) if t == et => true
       case _ => false
     }
-    if (!arrOk(first.dataType) || !arrOk(second.dataType))
+    if (et != StringType && et != LongType)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs two array<string> neighbor lists, got " +
-          s"${first.dataType.catalogString}, ${second.dataType.catalogString}")
-    else if (third.dataType != StringType || fourth.dataType != StringType)
+        s"$prettyName endpoints must be string or bigint, got " +
+          s"${et.catalogString}")
+    else if (fourth.dataType != et)
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs string endpoints, got " +
-          s"${third.dataType.catalogString}, ${fourth.dataType.catalogString}")
+        s"$prettyName endpoint types differ: ${et.catalogString} vs " +
+          s"${fourth.dataType.catalogString}")
+    else if (!arrOk(first.dataType) || !arrOk(second.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<${et.catalogString}> neighbor " +
+          s"lists, got ${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}")
     else TypeCheckResult.TypeCheckSuccess
   }
 
   protected override def nullSafeEval(nf: Any, nt: Any, f: Any, t: Any): Any =
-    TriangleContrib.contrib(nf.asInstanceOf[ArrayData],
-      nt.asInstanceOf[ArrayData], f.asInstanceOf[UTF8String],
-      t.asInstanceOf[UTF8String])
+    if (third.dataType == LongType)
+      TriangleContrib.contribLong(nf.asInstanceOf[ArrayData],
+        nt.asInstanceOf[ArrayData], f.asInstanceOf[Long], t.asInstanceOf[Long])
+    else
+      TriangleContrib.contrib(nf.asInstanceOf[ArrayData],
+        nt.asInstanceOf[ArrayData], f.asInstanceOf[UTF8String],
+        t.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (nf, nt, f, t) =>
-      s"graft.plans.TriangleContrib.contrib($nf, $nt, $f, $t)")
+    if (third.dataType == LongType)
+      defineCodeGen(ctx, ev, (nf, nt, f, t) =>
+        s"graft.plans.TriangleContrib.contribLong($nf, $nt, $f, $t)")
+    else
+      defineCodeGen(ctx, ev, (nf, nt, f, t) =>
+        s"graft.plans.TriangleContrib.contrib($nf, $nt, $f, $t)")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -103,6 +121,40 @@ object TriangleContrib {
         x += 1; i += 1; j += 1
       }
       else if (c < 0) i += 1
+      else j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Long-keyed twin of [[contrib]] — 8-byte compares, no UTF-8
+    * byte-wise comparison in the merge loop. */
+  def contribLong(nf: ArrayData, nt: ArrayData, f: Long, t: Long): ArrayData = {
+    val n1 = nf.numElements()
+    val n2 = nt.numElements()
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < n1 && j < n2) {
+      val a = nf.getLong(i)
+      val b = nt.getLong(j)
+      if (a == b) { k += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    if (k == 0) return empty
+    val out = new Array[Any](3 * k)
+    i = 0; j = 0
+    var x = 0
+    while (x < k) {
+      val a = nf.getLong(i)
+      val b = nt.getLong(j)
+      if (a == b) {
+        out(x) = a
+        out(k + x) = f
+        out(2 * k + x) = t
+        x += 1; i += 1; j += 1
+      }
+      else if (a < b) i += 1
       else j += 1
     }
     new GenericArrayData(out)
