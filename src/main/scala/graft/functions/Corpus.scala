@@ -2900,9 +2900,18 @@ object Corpus {
     * (group, item) first, making w exactly the number of DISTINCT
     * shared groups.
     *
-    * ONE self-equi-join on the group key + one pair aggregate; the
-    * output volume Σ C(group size, 2) is the projection's inherent
-    * cost — at 100 TB cap pathological groups UPSTREAM (a
+    * ONE shuffle (r15: the group-key SELF-JOIN form shuffled the
+    * (group, item) rows twice — once per join side; now each group
+    * collects its sorted item list once and emits pairs in place via
+    * [[Dedup.pairsFromSorted]], the LSH-bucket shape — multiset-equal
+    * output proven by `tools/PairBuildProbe` (diff 0 on both the raw
+    * and the weighted form; a<b over a sorted array ≡ the join's
+    * `a.__i < b.__i`, null groups/items pair in neither form) and
+    * 20–30% faster at sf0.1). The aggregation buffer holds one
+    * group's items (8–16 bytes each) — the same pathological-group
+    * caveat as before, now as buffer bytes instead of join fan-out;
+    * the output volume Σ C(group size, 2) remains the projection's
+    * inherent cost — at 100 TB cap pathological groups UPSTREAM (a
     * celebrity-sized group is a cross-join seed; audit group sizes
     * with [[keySkewReport]] first). minCount ≥ 2 is the standard
     * noise floor. Output: (u, v, w), u < v in the item type's order. */
@@ -2912,9 +2921,12 @@ object Corpus {
     require(minCount >= 1, s"minCount $minCount must be >= 1")
     val raw = df.select(group.as("__g"), item.as("__i"))
     val base = if (distinctItems) raw.distinct() else raw
-    val pairs = base.as("a").join(base.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
-      .groupBy(col("a.__i").as("u"), col("b.__i").as("v"))
+    val pairs = base
+      .where(col("__g").isNotNull && col("__i").isNotNull)
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__i"))).as("__is"))
+      .select(explode(Dedup.pairsFromSorted(col("__is"))).as("__p"))
+      .groupBy(col("__p.id_a").as("u"), col("__p.id_b").as("v"))
       .agg(count(lit(1)).as("w"))
     if (minCount > 1) pairs.where(col("w") >= minCount) else pairs
   }
@@ -3398,18 +3410,34 @@ object Corpus {
     val kmv = udaf(new KmvMergeAgg(k), ExpressionEncoder[Seq[Long]]())
     val fwd = edges.select(src.cast("string").as("__s"),
       dst.cast("string").as("__d"))
-    val e = (if (directed) fwd
-             else fwd.union(edges.select(dst.cast("string").as("__s"),
-               src.cast("string").as("__d")))).distinct()
+    // r15: e and nodes MATERIALIZED — each hop's state checkpoint is
+    // its own plan, so an unmaterialized e re-ran the upstream edge
+    // construction (for the co-purchase callers: the whole
+    // coOccurrenceEdges pair aggregate) from the parquet scans once
+    // per hop; the per-hop state side is broadcast under the pageRank
+    // guard (sketch rows are ≤ 8k+key bytes) so the constant edge
+    // table is never shuffled per round
+    val e = Dedup.materializeLazily(
+      (if (directed) fwd
+       else fwd.union(edges.select(dst.cast("string").as("__s"),
+         src.cast("string").as("__d")))).distinct())
     def h(c: Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-    val nodes = e.select(col("__s").as("__node"))
-      .union(e.select(col("__d").as("__node"))).distinct()
+    val nodes = Dedup.materializeLazily(
+      e.select(col("__s").as("__node"))
+        .union(e.select(col("__d").as("__node"))).distinct())
+    val nstats = nodes.agg(count(lit(1)),
+      coalesce(avg(length(col("__node"))), lit(0.0))).head()
+    val hinted: DataFrame => DataFrame =
+      if (stateBroadcastOk(nstats.getLong(0).toDouble,
+          nstats.getDouble(1) + 8.0 * k, 8000000L))
+        df => broadcast(df)
+      else df => df
     var state = nodes.select(col("__node"),
       array(h(col("__node"))).as("__sk"))
     val out = Seq.newBuilder[DataFrame]
     for (_ <- 1 to hops) {
-      val msgs = e.join(state, e("__d") === state("__node"))
+      val msgs = e.join(hinted(state), e("__d") === state("__node"))
         .select(col("__s").as("__node"), col("__sk"))
       state = Dedup.materializeLazily(
         state.union(msgs).groupBy(col("__node"))
