@@ -28,8 +28,19 @@ object Dedup {
   private def shl(v: Column, bits: Column): Column =
     call_function("shiftleft", v, bits)
 
-  /** Distinct char n-gram shingles (columnar, codegen'd). */
-  def charShingles(text: Column, n: Int): Column =
+  /** Distinct char n-gram shingles — rides the
+    * [[graft.plans.CharShingles]] one-pass kernel (r15: the columnar
+    * `substring(text, i, n)` walk seeks code-point i from the string
+    * START per call — O(len²) byte scans per doc; bit-compat
+    * spec-asserted against [[charShinglesColumnar]]). */
+  def charShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.CharShingles(Bridge.expression(text), n))
+  }
+
+  /** Pre-kernel columnar form — private differential reference for
+    * [[graft.plans.CharShingles]] (bit-equal assertions). */
+  private[graft] def charShinglesColumnar(text: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substr(text, i, n)))

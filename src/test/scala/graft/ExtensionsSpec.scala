@@ -343,6 +343,32 @@ class DedupSpec extends AnyFunSuite {
         assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("CharShingles kernel == columnar array_distinct substring walk (drop-in twin)") {
+    // r15: one-pass string-emitting sibling of ShingleHashes; the
+    // columnar walk seeks each code point from the string start.
+    // Array equality (first-occurrence dedup order), code-point safe.
+    val df = Seq(
+      "the quick brown fox", "héllo wörld déjà", "日本語テキストの断片",
+      "", "ab", "abcd", "aaaaaaa", "𝄞𝄞𝄞 clef 🎼🎼", "x",
+      "mixed ascii と漢字 and more text here"
+    ).toDF("text")
+    for (n <- Seq(1, 3, 5)) {
+      df.select(Dedup.charShingles($"text", n).as("k"),
+          Dedup.charShinglesColumnar($"text", n).as("c"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+        }
+    }
+    val rnd = new scala.util.Random(45)
+    val docs = (1 to 20).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => "abé日 "(rnd.nextInt(5))).mkString)
+      .toDF("text")
+    docs.select(Dedup.charShingles($"text", 5).as("k"),
+        Dedup.charShinglesColumnar($"text", 5).as("c"))
+      .collect().foreach(r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("Fingerprint kernel == columnar ascii/substring rolling fold (drop-in twin)") {
     // r15: one-pass rolling polynomial hash; the columnar fold seeks
     // each code point from the string start (O(len²) byte scans).
