@@ -429,6 +429,22 @@ object TextFunctions {
     * chunk may be shorter; step = size - overlap. */
   def chunkTokens(toks: Column, chunkSize: Int, overlap: Int = 0): Column = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
+    require(overlap >= 0, "overlap must be >= 0")
+    val step = chunkSize - overlap
+    // r15: strided TokenGrams kernel — the columnar HOF form
+    // re-evaluated the captured computed `toks` once per chunk
+    // (O(len²/step) bytes per doc; bit-compat spec-asserted against
+    // chunkTokensColumnar)
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.plans.TokenGrams(Bridge.expression(toks),
+      chunkSize, step))
+  }
+
+  /** Pre-kernel columnar form — private differential reference for
+    * the strided [[graft.plans.TokenGrams]] (bit-equal assertions). */
+  private[graft] def chunkTokensColumnar(toks: Column, chunkSize: Int,
+                                         overlap: Int = 0): Column = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
     val step = chunkSize - overlap
     transform(
       sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step)),

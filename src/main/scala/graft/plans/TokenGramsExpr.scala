@@ -31,27 +31,35 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - else size − n + 1 grams, each the window's tokens joined by a
   *    single 0x20 (exactly `concat_ws(" ", …)`);
   *  - null ELEMENTS are skipped without a separator (concat_ws
-  *    semantics).
+  *    semantics);
+  *  - `step` (default 1) generalizes the walk to strided chunking —
+  *    the fused form of `chunkTokens`'s
+  *    `transform(sequence(1, greatest(size(toks) - (n - step), 1), step),
+  *      i => concat_ws(" ", slice(toks, i, n)))`
+  *    (step = chunkSize − overlap; step 1 ⟺ the n-gram bound since
+  *    n − 1 = the gram overlap).
   */
-case class TokenGrams(child: Expression, n: Int) extends UnaryExpression {
+case class TokenGrams(child: Expression, n: Int, step: Int = 1)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_grams"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) if n >= 1 && step >= 1 && step <= n =>
+      TypeCheckResult.TypeCheckSuccess
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs n >= 1, got $n")
+      s"$prettyName needs n >= 1 and 1 <= step <= n, got n=$n step=$step")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs an array<string> input, got ${other.catalogString}")
   }
 
   protected override def nullSafeEval(input: Any): Any =
-    TokenGrams.grams(input.asInstanceOf[ArrayData], n)
+    TokenGrams.grams(input.asInstanceOf[ArrayData], n, step)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TokenGrams.grams($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenGrams.grams($c, $n, $step)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -62,7 +70,7 @@ object TokenGrams {
   private val SPACE = UTF8String.fromString(" ")
 
   /** Tight-loop kernel; also called from generated code. */
-  def grams(toks: ArrayData, n: Int): ArrayData = {
+  def grams(toks: ArrayData, n: Int, step: Int = 1): ArrayData = {
     val numToks = toks.numElements()
     if (numToks == 0)
       return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
@@ -74,16 +82,20 @@ object TokenGrams {
       if (!toks.isNullAt(i)) elems(i) = toks.getUTF8String(i)
       i += 1
     }
-    val windows = math.max(numToks - n + 1, 1)
+    // last valid 1-based start = max(numToks - (n - step), 1); window
+    // count = the strided sequence's length
+    val upper = math.max(numToks - (n - step), 1)
+    val windows = (upper - 1) / step + 1
     val out = new Array[Any](windows)
-    var w = 0
-    while (w < windows) {
+    var j = 0
+    while (j < windows) {
+      val w = j * step
       val end = math.min(w + n, numToks)
       // count the non-null window members to size the concat
       var parts = 0
       var k = w
       while (k < end) { if (elems(k) ne null) parts += 1; k += 1 }
-      if (parts == 0) out(w) = UTF8String.EMPTY_UTF8
+      if (parts == 0) out(j) = UTF8String.EMPTY_UTF8
       else {
         val arr = new Array[UTF8String](2 * parts - 1)
         var m = 0
@@ -95,9 +107,9 @@ object TokenGrams {
           }
           k += 1
         }
-        out(w) = UTF8String.concat(arr: _*)
+        out(j) = UTF8String.concat(arr: _*)
       }
-      w += 1
+      j += 1
     }
     new GenericArrayData(out)
   }

@@ -341,6 +341,20 @@ class DedupSpec extends AnyFunSuite {
           TextFunctions.tokens($"text"), 3).as("c"))
       .collect().foreach(r =>
         assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // strided form == chunkTokens' columnar walk (chunk boundaries,
+    // short-tail truncation, the size<=overlap one-chunk clamp)
+    val longDocs = (1 to 12).map(_ =>
+      (1 to rnd.nextInt(90)).map(_ => "abcde "(rnd.nextInt(6))).mkString)
+      .toDF("text") union df
+    for ((cs, ov) <- Seq((32, 8), (5, 2), (4, 0), (3, 2))) {
+      longDocs.select(
+          TextFunctions.chunkTokens(TextFunctions.tokens($"text"), cs, ov).as("k"),
+          TextFunctions.chunkTokensColumnar(
+            TextFunctions.tokens($"text"), cs, ov).as("c"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"cs=$cs ov=$ov")
+        }
+    }
   }
 
   test("CharShingles kernel == columnar array_distinct substring walk (drop-in twin)") {
