@@ -41,9 +41,14 @@ object SparkEntry {
     * ≡ the join's `a.l_partkey < b.l_partkey` product, duplicate
     * (order, part) rows contribute the same m·n) at ONE shuffle of
     * the (order, part) rows instead of two join sides. Every graph
-    * query's oracle re-verified at both SFs after the switch. */
+    * query's oracle re-verified at both SFs after the switch.
+    * Null-key guard (r16, ADVICE): groupBy keeps a NULL-key group
+    * where the historical self-join's null equi-join dropped the row —
+    * the filter makes the multiset equivalence unconditional (TPC-H
+    * l_orderkey/l_partkey are non-null, so output is unchanged). */
   private def coPurchasePairs(li: DataFrame): DataFrame =
-    li.groupBy(col("l_orderkey"))
+    li.where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_partkey"))).as("__is"))
       .select(explode(Dedup.pairsFromSortedPublic(col("__is"))).as("__p"))
       .select(col("__p.id_a").as("u"), col("__p.id_b").as("v"))

@@ -1220,6 +1220,28 @@ object Corpus {
         greatest(col("__a"), col("__b")).as("__v"), col("__w0"))
       .groupBy(col("__u"), col("__v")).agg(sum(col("__w0")).as("__w"))
 
+  /** Long-keyed twin of [[canonicalEdgesWeighted]] — the same
+    * soundness rule as [[canonicalEdgesLong]] (only orientation- and
+    * pair-order-INVARIANT consumers: numeric vs string least/greatest
+    * assigns {9,10} the other way round, but the merged (pair, Σw)
+    * MULTISET is identical because the groupBy key is the unordered
+    * pair either way). */
+  private def canonicalEdgesWeightedLong(edges: DataFrame, src: Column,
+                                         dst: Column, weight: Column): DataFrame =
+    edges.select(src.cast("long").as("__a"), dst.cast("long").as("__b"),
+        weightGuard(weight, "weighted graph op").as("__w0"))
+      .where(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"), col("__w0"))
+      .groupBy(col("__u"), col("__v")).agg(sum(col("__w0")).as("__w"))
+
+  private def canonicalEdgesWeightedAuto(edges: DataFrame, src: Column,
+                                         dst: Column, weight: Column): DataFrame =
+    if (integralEndpoints(edges, src, dst))
+      canonicalEdgesWeightedLong(edges, src, dst, weight)
+    else canonicalEdgesWeighted(edges, src, dst, weight)
+
   /** (__n, __d) undirected degree per node of a canonical edge list. */
   private def degreeTable(e0: DataFrame): DataFrame =
     e0.select(col("__u").as("__n"))
@@ -1629,7 +1651,12 @@ object Corpus {
   def coreDecomposition(edges: DataFrame, src: Column, dst: Column,
                         iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters $iters outside [1, 8]")
-    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    // r16: long-keyed canonical path when endpoints are integral
+    // (canonicalEdgesAuto dispatch) — sound here because every round
+    // is a per-NODE aggregate over the undirected edge SET (degrees,
+    // h-index of neighbor values): no pair order or orientation is
+    // exposed. Node labels cast back to string at the output boundary.
+    val e0 = Dedup.materializeLazily(canonicalEdgesAuto(edges, src, dst))
     val sym = Dedup.materializeLazily(
       e0.select(col("__u").as("__a"), col("__v").as("__b"))
         .union(e0.select(col("__v").as("__a"), col("__u").as("__b"))))
@@ -1650,7 +1677,8 @@ object Corpus {
                 (v, i) => v >= i), x => x)).cast("long").as("__c")))
       it += 1
     }
-    core.select(col("__n").as("node"), col("__c").as("coreness"))
+    core.select(col("__n").cast("string").as("node"),
+      col("__c").as("coreness"))
   }
 
   /** Theil–Sen robust slope per key — the MAGNITUDE companion to
@@ -1933,16 +1961,26 @@ object Corpus {
                        iters: Int = 3,
                        maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
+    // r16: long-keyed path when endpoints are integral — the per-round
+    // join and the (node, label) vote keys become 8/16-byte longs. The
+    // tie-break stays the STRING byte order: the argmax compares
+    // cast(label as string) (= exactly the value the string path
+    // carried) and casts the winner back to long, which round-trips
+    // integral labels exactly. Output boundary casts to string.
+    val longKeys = integralEndpoints(edges, src, dst)
+    val keyType = if (longKeys) "long" else "string"
+    val e0 = Dedup.materializeLazily(canonicalEdgesAuto(edges, src, dst))
     val sym = Dedup.materializeLazily(
       e0.select(col("__u").as("__s"), col("__v").as("__d"))
         .union(e0.select(col("__v").as("__s"), col("__u").as("__d"))))
     var labels = Dedup.materializeLazily(
       sym.select(col("__s").as("__n")).distinct()
         .select(col("__n"), col("__n").as("__lbl")))
+    // a label row carries two node-id-width keys (fixed 16 B on the
+    // long path — length() is string-only)
     val nstats = labels.agg(count(lit(1)),
-      coalesce(avg(length(col("__n"))), lit(0.0))).head()
-    // a label row carries two node-id-width strings
+      if (longKeys) lit(16.0)
+      else coalesce(avg(length(col("__n"))), lit(0.0))).head()
     val hinted: DataFrame => DataFrame =
       if (stateBroadcastOk(nstats.getLong(0).toDouble,
           2.0 * nstats.getDouble(1), maxBroadcastNodes))
@@ -1955,12 +1993,13 @@ object Corpus {
       labels = Dedup.materializeLazily(
         votes.groupBy(col("__s"))
           .agg(min(struct((-col("__c")).as("__negc"),
-            col("__lbl").as("__winner"))).as("__m"))
+            col("__lbl").cast("string").as("__winner"))).as("__m"))
           .select(col("__s").as("__n"),
-            col("__m").getField("__winner").as("__lbl")))
+            col("__m").getField("__winner").cast(keyType).as("__lbl")))
       it += 1
     }
-    labels.select(col("__n").as("node"), col("__lbl").as("label"))
+    labels.select(col("__n").cast("string").as("node"),
+      col("__lbl").cast("string").as("label"))
   }
 
   /** Weighted label propagation — [[labelPropagation]] with votes =
@@ -1980,8 +2019,12 @@ object Corpus {
                                weight: Column, iters: Int = 3,
                                maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
+    // r16: long-keyed path (see labelPropagation — same dispatch, same
+    // string-order tie-break via cast, same output-boundary cast)
+    val longKeys = integralEndpoints(edges, src, dst)
+    val keyType = if (longKeys) "long" else "string"
     val e0 = Dedup.materializeLazily(
-      canonicalEdgesWeighted(edges, src, dst, weight))
+      canonicalEdgesWeightedAuto(edges, src, dst, weight))
     val sym = Dedup.materializeLazily(
       e0.select(col("__u").as("__s"), col("__v").as("__d"), col("__w"))
         .union(e0.select(col("__v").as("__s"), col("__u").as("__d"),
@@ -1990,7 +2033,8 @@ object Corpus {
       sym.select(col("__s").as("__n")).distinct()
         .select(col("__n"), col("__n").as("__lbl")))
     val nstats = labels.agg(count(lit(1)),
-      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+      if (longKeys) lit(16.0)
+      else coalesce(avg(length(col("__n"))), lit(0.0))).head()
     val hinted: DataFrame => DataFrame =
       if (stateBroadcastOk(nstats.getLong(0).toDouble,
           2.0 * nstats.getDouble(1), maxBroadcastNodes))
@@ -2003,12 +2047,13 @@ object Corpus {
       labels = Dedup.materializeLazily(
         votes.groupBy(col("__s"))
           .agg(min(struct((-col("__c")).as("__negc"),
-            col("__lbl").as("__winner"))).as("__m"))
+            col("__lbl").cast("string").as("__winner"))).as("__m"))
           .select(col("__s").as("__n"),
-            col("__m").getField("__winner").as("__lbl")))
+            col("__m").getField("__winner").cast(keyType).as("__lbl")))
       it += 1
     }
-    labels.select(col("__n").as("node"), col("__lbl").as("label"))
+    labels.select(col("__n").cast("string").as("node"),
+      col("__lbl").cast("string").as("label"))
   }
 
   /** One-level Louvain-style modularity optimization (Blondel et al.
@@ -3391,7 +3436,9 @@ object Corpus {
                               directed: Boolean = true): DataFrame = {
     val state = kmvBallStates(edges, src, dst, hops, k, directed).last
     val kept = size(col("__sk"))
-    state.select(col("__node").as("node"),
+    // cast: output boundary of the long-keyed path (no-op when the
+    // node ids were strings all along)
+    state.select(col("__node").cast("string").as("node"),
         kmvBallEst(k).as("ball_est"),
         kept.cast("long").as("kept"),
         (kept < k).cast("int").cast("long").as("exact"))
@@ -3408,8 +3455,19 @@ object Corpus {
     require(hops >= 1 && hops <= 8, s"hops $hops out of [1, 8]")
     require(k >= 16, s"k $k must be >= 16 (error ~1/sqrt(k))")
     val kmv = udaf(new KmvMergeAgg(k), ExpressionEncoder[Seq[Long]]())
-    val fwd = edges.select(src.cast("string").as("__s"),
-      dst.cast("string").as("__d"))
+    // r16: LONG-keyed node ids when both endpoints are integral (the
+    // r15 canonicalEdgesAuto dispatch) — the md5 sketch hash is still
+    // taken over the STRING form (cast(long→string) = the value the
+    // string path hashed, so every sketch and estimate is unchanged;
+    // the md5-tier oracle replay depends on it), but the per-hop
+    // join/groupBy keys are 8-byte longs. Callers cast `__node` back
+    // to string at the output boundary. Sound unconditionally: every
+    // output here is a per-NODE aggregate of the undirected edge SET —
+    // no pair order or orientation is ever exposed.
+    val longKeys = integralEndpoints(edges, src, dst)
+    val keyType = if (longKeys) "long" else "string"
+    val fwd = edges.select(src.cast(keyType).as("__s"),
+      dst.cast(keyType).as("__d"))
     // r15: e and nodes MATERIALIZED — each hop's state checkpoint is
     // its own plan, so an unmaterialized e re-ran the upstream edge
     // construction (for the co-purchase callers: the whole
@@ -3419,15 +3477,18 @@ object Corpus {
     // table is never shuffled per round
     val e = Dedup.materializeLazily(
       (if (directed) fwd
-       else fwd.union(edges.select(dst.cast("string").as("__s"),
-         src.cast("string").as("__d")))).distinct())
+       else fwd.union(edges.select(dst.cast(keyType).as("__s"),
+         src.cast(keyType).as("__d")))).distinct())
     def h(c: Column) =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
     val nodes = Dedup.materializeLazily(
       e.select(col("__s").as("__node"))
         .union(e.select(col("__d").as("__node"))).distinct())
+    // length() is string-only — fixed 16-byte key width on the long
+    // path (the r15 TriangleContrib convention)
     val nstats = nodes.agg(count(lit(1)),
-      coalesce(avg(length(col("__node"))), lit(0.0))).head()
+      if (longKeys) lit(16.0)
+      else coalesce(avg(length(col("__node"))), lit(0.0))).head()
     val hinted: DataFrame => DataFrame =
       if (stateBroadcastOk(nstats.getLong(0).toDouble,
           nstats.getDouble(1) + 8.0 * k, 8000000L))
@@ -3500,7 +3561,7 @@ object Corpus {
       val prev = if (h == 1) lit(1.0) else col(s"__e${h - 1}")
       (col(s"__e$h") - prev) / lit(h.toDouble)
     }
-    joined.select(col("__node").as("node"),
+    joined.select(col("__node").cast("string").as("node"),
       terms.reduce(_ + _).as("harmonic_est"),
       col(s"__e$hops").as("ball_est"),
       (col("__kept") < k).cast("int").cast("long").as("exact"))

@@ -1525,16 +1525,16 @@ object Dedup {
     * hashes → tiny buckets). For low-width keys whose buckets grow
     * with the corpus, a streamed equi-join wins — see
     * [[simhashPairsFromFp]] for the measured trade. */
-  /** Probe-only public alias of [[pairsFromSorted]] (tools live
-    * outside the functions package). */
-  private[graft] def pairsFromSortedPublic(ids: Column): Column =
-    pairsFromSorted(ids)
-
   private[functions] def pairsFromSorted(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(filter(slice(ids, i + lit(2), size(ids) - i - lit(1)),
           b => b =!= a),
         b => struct(a.as("id_a"), b.as("id_b")))))
+
+  /** Probe-only public alias of [[pairsFromSorted]] (tools live
+    * outside the functions package). */
+  private[graft] def pairsFromSortedPublic(ids: Column): Column =
+    pairsFromSorted(ids)
 
   /** Distinct candidate pairs from banded signatures: ONE shuffle — the
     * (band, bandhash) groupBy — collecting each bucket's sorted ids,
@@ -1783,7 +1783,11 @@ object Dedup {
     * (4) candidates = prefix-key equi-join (shuffle on hash keys,
     * Σ prefix-df fan-out, never N²) under the integer length filter
     * with 1e-6 slack (absorbs the fp product for set sizes to ~1e9;
-    * slack only ADDS candidates); (5) two-stage verify: a hash-array
+    * slack only ADDS candidates) AND the PPJoin positional filter
+    * (overlap upper bound 1 + min(na−ra, nb−rb) at the matching
+    * prefix ranks must reach α = ⌈t/(1+t)·(na+nb)⌉ — recall-complete
+    * because a true pair's minimum shared gram sits in both prefixes;
+    * proof at [[jaccardCandidates]]); (5) two-stage verify: a hash-array
     * prefilter with one-collision slack, then TRUE char-shingle sets
     * for the survivors only — precision exact, recall complete, at
     * any scale (the [[ngramContainmentPairs]] staging).
@@ -1872,31 +1876,8 @@ object Dedup {
                                sets_h: DataFrame, trueSet: Column,
                                threshold: Double, maxDocFreq: Long,
                                blockBy: Option[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = sets_h.select(Seq(col("__jid"), size(col("__hs")).as("__n"),
-      explode(col("__hs")).as("__g")) ++
-      blockBy.map(_ => col("__blk")): _*)
-    val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
-               else dfreq
-    // per-doc window: partitioned by doc id — parallel, not global
-    val ranked = g.join(kept, "__g")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("__jid")).orderBy(col("__df"), col("__g"))))
-    val pref = ranked.where(col("__r") <=
-        col("__n") - floor(lit(threshold) * col("__n")).cast("int") + lit(1))
-      .select(Seq(col("__jid"), col("__n"), col("__g")) ++
-        blockBy.map(_ => col("__blk")): _*)
-    val joinKeys = Seq("__g") ++ blockBy.map(_ => "__blk")
-    val pa = pref.select(Seq(col("__jid").as("id_a"), col("__n").as("__na"),
-      col("__g")) ++ blockBy.map(_ => col("__blk")): _*)
-    val pb = pref.select(Seq(col("__jid").as("id_b"), col("__n").as("__nb"),
-      col("__g")) ++ blockBy.map(_ => col("__blk")): _*)
-    val cand = materializeOnce(pa.join(pb, joinKeys)
-      .where(col("id_a") < col("id_b") &&
-        least(col("__na"), col("__nb")).cast("double") >=
-          lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6))
-      .select(col("id_a"), col("id_b")).distinct())
+    val cand = materializeOnce(
+      jaccardCandidates(sets_h, threshold, maxDocFreq, blockBy))
     // stage 1: hash-array prefilter — a true pair's HASH Jaccard can
     // drift from the string Jaccard only via collisions (within-doc:
     // shrinks a set; cross-doc: adds a phantom intersection element);
@@ -1927,6 +1908,64 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("__set_a"), col("__set")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Candidate stage of [[jaccardPairsCore]], un-materialized —
+    * factored out (r16) so probes can explain/count the REAL candidate
+    * plan (the core eagerly checkpoints it, which hides this segment
+    * from the final frame's formatted explain). `positional` exists
+    * ONLY for the probe's with/without comparison; the core always
+    * passes the default true.
+    *
+    * Positional filter (PPJoin, Xiao et al. 2008 §3.2 — r16): at a
+    * matching prefix gram at ranks (ra, rb), every SHARED gram ≥ that
+    * gram under the total order, so overlap ≤ 1 + min(na−ra, nb−rb)
+    * (with maxDocFreq > 0 the dropped grams are all counted as
+    * potentially shared — na−ra still bounds kept-after + dropped, so
+    * the bound stays valid in capped mode). A true pair needs overlap
+    * ≥ α = ⌈t/(1+t)·(na+nb)⌉ and its MINIMUM shared gram sits in both
+    * prefixes at the minimal ranks, where the bound is tightest-valid
+    * — keeping any pair with SOME passing match row is recall-
+    * complete, and the distinct() collapses multiple matches. Same
+    * 1e-6 slack convention as the length filter (fp product for set
+    * sizes to ~1e9; slack only ADDS candidates). Candidate-volume cut
+    * only: stage-1/2 verify semantics untouched. */
+  private[graft] def jaccardCandidates(sets_h: DataFrame, threshold: Double,
+                                       maxDocFreq: Long,
+                                       blockBy: Option[String],
+                                       positional: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = sets_h.select(Seq(col("__jid"), size(col("__hs")).as("__n"),
+      explode(col("__hs")).as("__g")) ++
+      blockBy.map(_ => col("__blk")): _*)
+    val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = if (maxDocFreq > 0) dfreq.where(col("__df") <= maxDocFreq)
+               else dfreq
+    // per-doc window: partitioned by doc id — parallel, not global
+    val ranked = g.join(kept, "__g")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__jid")).orderBy(col("__df"), col("__g"))))
+    val pref = ranked.where(col("__r") <=
+        col("__n") - floor(lit(threshold) * col("__n")).cast("int") + lit(1))
+      .select(Seq(col("__jid"), col("__n"), col("__r"), col("__g")) ++
+        blockBy.map(_ => col("__blk")): _*)
+    val joinKeys = Seq("__g") ++ blockBy.map(_ => "__blk")
+    val pa = pref.select(Seq(col("__jid").as("id_a"), col("__n").as("__na"),
+      col("__r").as("__ra"), col("__g")) ++ blockBy.map(_ => col("__blk")): _*)
+    val pb = pref.select(Seq(col("__jid").as("id_b"), col("__n").as("__nb"),
+      col("__r").as("__rb"), col("__g")) ++ blockBy.map(_ => col("__blk")): _*)
+    val lengthFilter = least(col("__na"), col("__nb")).cast("double") >=
+      lit(threshold) * greatest(col("__na"), col("__nb")) - lit(1e-6)
+    val positionalFilter =
+      (lit(1) + least(col("__na") - col("__ra"),
+        col("__nb") - col("__rb"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) *
+          (col("__na").cast("double") + col("__nb").cast("double")) -
+          lit(1e-6)
+    pa.join(pb, joinKeys)
+      .where(col("id_a") < col("id_b") && lengthFilter &&
+        (if (positional) positionalFilter else lit(true)))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Delete-neighborhood of a string: every string reachable by

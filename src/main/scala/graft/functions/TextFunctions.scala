@@ -185,6 +185,24 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"))
 
   def langId(toks: Column, stopwords: Seq[(String, Seq[String])] = defaultStopwords): Column = {
+    // r16: one-pass LangVotes kernel — the columnar form ran one
+    // interpreted filter() HOF per language over the token array
+    // (bit-compat spec-asserted against langIdColumnar below). A null
+    // token array yields a null index; the columnar fold returned the
+    // FIRST language there (no candidate's null score ever strictly
+    // beats the initial) — the coalesce mirrors it.
+    import org.apache.spark.sql.graft.Bridge
+    val idx = Bridge.column(graft.plans.LangVotes(
+      Bridge.expression(toks), stopwords.map(_._2)))
+    val langs = array(stopwords.map(p => lit(p._1)): _*)
+    coalesce(element_at(langs, idx + lit(1)), lit(stopwords.head._1))
+  }
+
+  /** Pre-kernel columnar form — private differential reference for
+    * [[graft.plans.LangVotes]] (equality assertions incl. ties, null
+    * elements, null/empty arrays). */
+  private[graft] def langIdColumnar(toks: Column,
+      stopwords: Seq[(String, Seq[String])] = defaultStopwords): Column = {
     val scored = stopwords.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"), lit(lang).as("lang"))
     }
@@ -426,7 +444,13 @@ object TextFunctions {
   /** Split a token array into fixed-size chunks with overlap — the
     * standard long-document segmentation for training pipelines.
     * Chunk i covers tokens [1 + i*step, 1 + i*step + size); the tail
-    * chunk may be shorter; step = size - overlap. */
+    * chunk may be shorter; step = size - overlap.
+    *
+    * Behavior note (r15 kernel switch): negative `overlap` (step >
+    * chunkSize, gapped chunking) now throws where the old columnar
+    * form produced degenerate gapped output; no call site ever passed
+    * one — use [[chunkTokensColumnar]]'s shape directly if gapped
+    * chunking is ever wanted. */
   def chunkTokens(toks: Column, chunkSize: Int, overlap: Int = 0): Column = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
     require(overlap >= 0, "overlap must be >= 0")
@@ -983,8 +1007,14 @@ object TextFunctions {
       .select(col(id).as("__id"),
         explode(arrays_zip(shifted.as("p"), toks.as("t"))).as("__pt"))
       .select(col("__id"), col("__pt.p").as("__p"), col("__pt.t").as("__t"))
-    val bi = pairs.where(col("__p").isNotNull)
-      .groupBy("__p", "__t").agg(count(lit(1)).as("__c2"))
+    // r16: the base gram table is MATERIALIZED — every derived KN
+    // statistic (ctx, cont, scalars) and the scoring join re-ran the
+    // whole corpus explode+aggregate from the parquet scans otherwise
+    // (exchange reuse does not cross the derived-aggregate plans; the
+    // q_kneser_ney4 before-plan showed 20 parquet scans). Counts are
+    // exact integers, so the checkpoint changes no value anywhere.
+    val bi = Dedup.materializeLazily(pairs.where(col("__p").isNotNull)
+      .groupBy("__p", "__t").agg(count(lit(1)).as("__c2")))
     val ctx = bi.groupBy("__p")
       .agg(sum(col("__c2")).as("__cp"), count(lit(1)).as("__fert"))
     val cont = bi.groupBy("__t").agg(count(lit(1)).as("__cont"))
@@ -1065,11 +1095,16 @@ object TextFunctions {
         explode(arrays_zip(shift2.as("u"), shift1.as("v"), toks.as("t"))).as("__e"))
       .select(col("__id"), col("__e.u").as("__u"), col("__e.v").as("__v"),
         col("__e.t").as("__t"))
-    val tri = events.where(col("__u").isNotNull)
-      .groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3"))
+    // r16: base gram table + first continuation level MATERIALIZED —
+    // the derived-stat cascade and the scoring joins re-ran the corpus
+    // explode+aggregate from parquet otherwise (see kneserNey4's
+    // before-plan: 20 scans). Exact integer counts — no value changes.
+    val tri = Dedup.materializeLazily(events.where(col("__u").isNotNull)
+      .groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3")))
     val ctx3 = tri.groupBy("__u", "__v")
       .agg(sum(col("__c3")).as("__c3p"), count(lit(1)).as("__f3"))
-    val contBi = tri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb"))
+    val contBi = Dedup.materializeLazily(
+      tri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb")))
     val ctx2 = contBi.groupBy("__v")
       .agg(sum(col("__cb")).as("__cbp"), count(lit(1)).as("__f2"))
     val contUni = contBi.groupBy("__t").agg(count(lit(1)).as("__cu"))
@@ -1165,15 +1200,22 @@ object TextFunctions {
           shifted(1).as("v"), toks.as("t"))).as("__e"))
       .select(col("__id"), col("__e.s").as("__s"), col("__e.u").as("__u"),
         col("__e.v").as("__v"), col("__e.t").as("__t"))
-    val four = events.where(col("__s").isNotNull)
-      .groupBy("__s", "__u", "__v", "__t").agg(count(lit(1)).as("__c4"))
+    // r16: base 4-gram table + the two intermediate continuation
+    // levels MATERIALIZED — the before-plan showed 20 parquet scans /
+    // 62 exchanges: every derived stat table and every scoring join
+    // re-ran the whole corpus explode+aggregate (exchange reuse does
+    // not cross the derived-aggregate plans). All tables are exact
+    // integer counts — the checkpoint changes no value anywhere.
+    val four = Dedup.materializeLazily(events.where(col("__s").isNotNull)
+      .groupBy("__s", "__u", "__v", "__t").agg(count(lit(1)).as("__c4")))
     val ctx4 = four.groupBy("__s", "__u", "__v")
       .agg(sum(col("__c4")).as("__c4p"), count(lit(1)).as("__f4"))
-    val contTri = four.groupBy("__u", "__v", "__t")
-      .agg(count(lit(1)).as("__ct"))
+    val contTri = Dedup.materializeLazily(four.groupBy("__u", "__v", "__t")
+      .agg(count(lit(1)).as("__ct")))
     val ctx3 = contTri.groupBy("__u", "__v")
       .agg(sum(col("__ct")).as("__ctp"), count(lit(1)).as("__f3"))
-    val contBi = contTri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb"))
+    val contBi = Dedup.materializeLazily(
+      contTri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb")))
     val ctx2 = contBi.groupBy("__v")
       .agg(sum(col("__cb")).as("__cbp"), count(lit(1)).as("__f2"))
     val contUni = contBi.groupBy("__t").agg(count(lit(1)).as("__cu"))

@@ -386,8 +386,10 @@ class DedupSpec extends AnyFunSuite {
   test("Fingerprint kernel == columnar ascii/substring rolling fold (drop-in twin)") {
     // r15: one-pass rolling polynomial hash; the columnar fold seeks
     // each code point from the string start (O(len²) byte scans).
-    // Long equality incl. empty text (→ 0) and multibyte lead bytes
-    // (Spark's ascii = SIGNED first byte of the character)
+    // Long equality incl. empty text (→ 0) and multibyte characters
+    // (Spark's ascii returns the full Unicode CODE POINT of the first
+    // character — 'é'→233, '日'→26085, '𝄞'→119070 — the probed
+    // semantics the kernel mirrors; see FingerprintExpr)
     val df = Seq(
       "the quick brown fox", "héllo wörld déjà vu", "日本語テキスト",
       "", " ", "a", "𝄞 clef 🎼 emoji", "mixed ascii と 漢字 1234",
@@ -2806,6 +2808,46 @@ class TextFunctionsSpec extends AnyFunSuite {
     val got = df.select($"id", TextFunctions.langId(TextFunctions.tokens($"text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+  }
+
+  test("LangVotes kernel == columnar filter/isin fold (drop-in twin)") {
+    // r16: one-pass voting kernel; the columnar form ran one
+    // interpreted filter() HOF per language. Equality over ties
+    // (earlier list wins on equal scores — incl. the all-zero case),
+    // multi-list words ("de"/"la" sit in two lists), null elements
+    // (vote for nothing), empty arrays, empty strings, and null TEXT
+    // (null toks → the first language, the columnar fold's behavior).
+    val df = Seq(
+      "the cat sat on the mat and it is a good day",
+      "le chat est sur le tapis et les jours de la vie",
+      "der hund ist nicht das problem und die katze auch",
+      "el perro y los gatos de la casa por que",
+      "de la de la", // multi-list words only — tie fr/es, fr earlier
+      "xyzzy plugh nothing matches here", "", " ", "the", "la",
+      null.asInstanceOf[String]
+    ).toDF("text")
+    val toks = TextFunctions.tokens($"text")
+    df.select(TextFunctions.langId(toks).as("k"),
+        TextFunctions.langIdColumnar(toks).as("c"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
+    // null ELEMENTS vote for nothing in both forms
+    val arrDf = Seq(Tuple1(Seq[String]("the", null, "la", null)))
+      .toDF("toks")
+    arrDf.select(TextFunctions.langId($"toks").as("k"),
+        TextFunctions.langIdColumnar($"toks").as("c"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
+    // randomized cross-check over the default lists' vocabulary
+    val vocab = TextFunctions.defaultStopwords.flatMap(_._2) ++
+      Seq("foo", "bar", "zz")
+    val rnd = new scala.util.Random(46)
+    val rndDf = (1 to 200).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }.toDF("text")
+    val rtoks = TextFunctions.tokens($"text")
+    rndDf.select(TextFunctions.langId(rtoks).as("k"),
+        TextFunctions.langIdColumnar(rtoks).as("c"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
   }
 
   test("fused ShingleHashCounts == explode+count of charTrigrams, incl. edge shapes") {
