@@ -2565,11 +2565,18 @@ object SparkEntry {
     }),
 
     // -------- exact percentiles per group -----------------------------
+    // r16: interpolatedPercentilesBy replaces the builtin percentile
+    // aggregate (per-group value->count map build/merge/sort) with one
+    // keyed window + one group pass — BIT-compatible interpolation
+    // (Percentile.getPercentile's exact arithmetic; asserted via
+    // doubleToRawLongBits on lineitem + adversarial random data,
+    // QuantileSpec / bench/percentileprobe_r16.txt). 2.6 -> 1.6 s.
     "q_percentile" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem").groupBy($"l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      Corpus.interpolatedPercentilesBy(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+        .select($"l_returnflag",
+          round($"p0", 4).as("p50"), round($"p1", 4).as("p90"))
         .orderBy("l_returnflag")
     }),
 

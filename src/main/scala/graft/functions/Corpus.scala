@@ -2574,6 +2574,62 @@ object Corpus {
       .orderBy("prob")
   }
 
+  /** Per-key INTERPOLATED percentiles, bit-compatible with Spark's
+    * builtin exact `percentile` aggregate (r16, VERDICT item 5): the
+    * builtin builds a value→count OpenHashMap per partial task, merges
+    * the maps per group, and sorts the keys at finish — measured 2.5-
+    * 2.9 s on q_percentile at sf0.1 vs 1.6-1.7 s for this form (one
+    * keyed window + one partial-aggregated group pass;
+    * bench/percentileprobe_r16.txt). The interpolation replays
+    * Percentile.getPercentile's arithmetic EXACTLY:
+    *
+    *   position = p·(n−1);  lower = ⌊position⌋;  higher = ⌈position⌉
+    *   value    = lower == higher ? key[lower]
+    *            : (higher−position)·key[lower] + (position−lower)·key[higher]
+    *
+    * with key[i] the 0-based i-th order statistic of the double-cast
+    * values — bit-equality asserted (doubleToRawLongBits) against the
+    * builtin on lineitem and adversarial random data (odd/even n,
+    * ties, singleton groups; QuantileSpec + the probe). NULL values
+    * are skipped (the builtin's semantics); ties are safe (equal
+    * values at a rank give the same value regardless of tie order).
+    * Scale bound = [[exactQuantilesBy]]'s: one external sort per hot
+    * key — use the chunked [[exactQuantiles]] for global ranks.
+    * Output: (`key`, p0, p1, … one column per prob). */
+  def interpolatedPercentilesBy(df: DataFrame, key: String, value: String,
+                                probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "interpolatedPercentilesBy needs >= 1 prob")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(key).as("__k"), col(value).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val wn = Window.partitionBy(col("__k"))
+    val r = v.withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(wn))
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      val pos = (col("__n") - 1).cast("double") * lit(p)
+      Seq(
+        max(when(col("__rn") === floor(pos).cast("long"), col("__v")))
+          .as(s"__lo$i"),
+        max(when(col("__rn") === ceil(pos).cast("long"), col("__v")))
+          .as(s"__hi$i"))
+    }
+    val allAggs = first(col("__n")).as("__n") +: aggs
+    val g = r.groupBy(col("__k")).agg(allAggs.head, allAggs.tail: _*)
+    val outs = probs.zipWithIndex.map { case (p, i) =>
+      val pos = (col("__n") - 1).cast("double") * lit(p)
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      when(lower === higher, col(s"__lo$i"))
+        .otherwise((higher - pos) * col(s"__lo$i") +
+          (pos - lower) * col(s"__hi$i"))
+        .as(s"p$i")
+    }
+    g.select(col("__k").as(key) +: outs: _*)
+  }
+
   /** Per-key exact quantiles — the grouped twin of [[exactQuantiles]]
     * ("p95 sequence length per source/domain"). One keyed window
     * (row_number over value — Spark's spilling sort per key, the

@@ -1007,14 +1007,14 @@ object TextFunctions {
       .select(col(id).as("__id"),
         explode(arrays_zip(shifted.as("p"), toks.as("t"))).as("__pt"))
       .select(col("__id"), col("__pt.p").as("__p"), col("__pt.t").as("__t"))
-    // r16: the base gram table is MATERIALIZED — every derived KN
-    // statistic (ctx, cont, scalars) and the scoring join re-ran the
-    // whole corpus explode+aggregate from the parquet scans otherwise
-    // (exchange reuse does not cross the derived-aggregate plans; the
-    // q_kneser_ney4 before-plan showed 20 parquet scans). Counts are
-    // exact integers, so the checkpoint changes no value anywhere.
-    val bi = Dedup.materializeLazily(pairs.where(col("__p").isNotNull)
-      .groupBy("__p", "__t").agg(count(lit(1)).as("__c2")))
+    // r16 probe: materializing this gram table was measured and
+    // REJECTED — the initial plan shows 12 parquet scans, but AQE
+    // stage reuse already dedups the identical gram exchanges at
+    // runtime, so the checkpoint write only ADDED 0.3-0.4 s
+    // (bench/abprobe_textlang_r16.txt; same result for the trigram/4-gram
+    // siblings at 16/20 initial-plan scans).
+    val bi = pairs.where(col("__p").isNotNull)
+      .groupBy("__p", "__t").agg(count(lit(1)).as("__c2"))
     val ctx = bi.groupBy("__p")
       .agg(sum(col("__c2")).as("__cp"), count(lit(1)).as("__fert"))
     val cont = bi.groupBy("__t").agg(count(lit(1)).as("__cont"))
@@ -1095,16 +1095,15 @@ object TextFunctions {
         explode(arrays_zip(shift2.as("u"), shift1.as("v"), toks.as("t"))).as("__e"))
       .select(col("__id"), col("__e.u").as("__u"), col("__e.v").as("__v"),
         col("__e.t").as("__t"))
-    // r16: base gram table + first continuation level MATERIALIZED —
-    // the derived-stat cascade and the scoring joins re-ran the corpus
-    // explode+aggregate from parquet otherwise (see kneserNey4's
-    // before-plan: 20 scans). Exact integer counts — no value changes.
-    val tri = Dedup.materializeLazily(events.where(col("__u").isNotNull)
-      .groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3")))
+    // r16: gram-table materialization probed and REJECTED — AQE stage
+    // reuse already dedups the repeated gram exchanges at runtime
+    // (bench/abprobe_textlang_r16.txt; the initial-plan scan count is an
+    // artifact, not real recompute)
+    val tri = events.where(col("__u").isNotNull)
+      .groupBy("__u", "__v", "__t").agg(count(lit(1)).as("__c3"))
     val ctx3 = tri.groupBy("__u", "__v")
       .agg(sum(col("__c3")).as("__c3p"), count(lit(1)).as("__f3"))
-    val contBi = Dedup.materializeLazily(
-      tri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb")))
+    val contBi = tri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb"))
     val ctx2 = contBi.groupBy("__v")
       .agg(sum(col("__cb")).as("__cbp"), count(lit(1)).as("__f2"))
     val contUni = contBi.groupBy("__t").agg(count(lit(1)).as("__cu"))
@@ -1200,22 +1199,22 @@ object TextFunctions {
           shifted(1).as("v"), toks.as("t"))).as("__e"))
       .select(col("__id"), col("__e.s").as("__s"), col("__e.u").as("__u"),
         col("__e.v").as("__v"), col("__e.t").as("__t"))
-    // r16: base 4-gram table + the two intermediate continuation
-    // levels MATERIALIZED — the before-plan showed 20 parquet scans /
-    // 62 exchanges: every derived stat table and every scoring join
-    // re-ran the whole corpus explode+aggregate (exchange reuse does
-    // not cross the derived-aggregate plans). All tables are exact
-    // integer counts — the checkpoint changes no value anywhere.
-    val four = Dedup.materializeLazily(events.where(col("__s").isNotNull)
-      .groupBy("__s", "__u", "__v", "__t").agg(count(lit(1)).as("__c4")))
+    // r16: gram-table materialization probed and REJECTED — the
+    // initial plan shows 20 parquet scans / 62 exchanges, but AQE
+    // stage reuse already dedups the identical gram exchanges at
+    // runtime: checkpointing four/contTri/contBi measured flat on the
+    // 4-gram and trigram tiers and 0.3-0.4 s WORSE on the bigram
+    // (order-alternating TimeQ vs the pinned pre-change worktree,
+    // bench/abprobe_textlang_r16.txt)
+    val four = events.where(col("__s").isNotNull)
+      .groupBy("__s", "__u", "__v", "__t").agg(count(lit(1)).as("__c4"))
     val ctx4 = four.groupBy("__s", "__u", "__v")
       .agg(sum(col("__c4")).as("__c4p"), count(lit(1)).as("__f4"))
-    val contTri = Dedup.materializeLazily(four.groupBy("__u", "__v", "__t")
-      .agg(count(lit(1)).as("__ct")))
+    val contTri = four.groupBy("__u", "__v", "__t")
+      .agg(count(lit(1)).as("__ct"))
     val ctx3 = contTri.groupBy("__u", "__v")
       .agg(sum(col("__ct")).as("__ctp"), count(lit(1)).as("__f3"))
-    val contBi = Dedup.materializeLazily(
-      contTri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb")))
+    val contBi = contTri.groupBy("__v", "__t").agg(count(lit(1)).as("__cb"))
     val ctx2 = contBi.groupBy("__v")
       .agg(sum(col("__cb")).as("__cbp"), count(lit(1)).as("__f2"))
     val contUni = contBi.groupBy("__t").agg(count(lit(1)).as("__cu"))

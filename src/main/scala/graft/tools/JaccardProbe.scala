@@ -44,21 +44,32 @@ object JaccardProbe {
       .where(col("__hs").isNotNull && size(col("__hs")) > 0)
 
     def run(label: String, sh: org.apache.spark.sql.DataFrame,
-            t: Double): Unit = {
+            t: Double, blockBy: Option[String] = None,
+            plan: Boolean = true): Unit = {
       for (positional <- Seq(false, true)) {
-        val cand = Dedup.jaccardCandidates(sh, t, 0, None, positional)
+        val cand = Dedup.jaccardCandidates(sh, t, 0, blockBy, positional)
         val t0 = System.nanoTime()
         val n = cand.count()
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"$label positional=$positional: $n%d candidates, $dt%.2f s")
       }
-      println(s"--- $label candidate plan (positional=true) ---")
-      println(Dedup.jaccardCandidates(sh, t, 0, None, positional = true)
-        .queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+      if (plan) {
+        println(s"--- $label candidate plan (positional=true) ---")
+        println(Dedup.jaccardCandidates(sh, t, 0, blockBy, positional = true)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     run("jaccard_exact(docs,t=0.9)", sets_h, 0.9)
     run("basket(orders,t=0.2)", baskets, 0.2)
+    // q_ngram_jaccard config: 3-grams, t=0.65, blocked by source
+    val sets3 = docs
+      .select(col("doc_id").as("__jid"),
+        Dedup.shingleHashes(col("text"), 3).as("__hs"),
+        col("source").as("__blk"))
+      .where(col("__hs").isNotNull)
+    run("ngram(docs,3g,t=0.65,blk=source)", sets3, 0.65,
+      blockBy = Some("source"), plan = false)
     spark.stop()
   }
 }

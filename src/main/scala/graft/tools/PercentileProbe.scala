@@ -20,37 +20,10 @@ import org.apache.spark.sql.functions._
   * win is outside the noise band. */
 object PercentileProbe {
 
-  /** The window-form replacement — shared with SparkEntry if shipped. */
+  /** The shipped form — graft.functions.Corpus.interpolatedPercentilesBy. */
   def windowPercentiles(df: DataFrame, key: String, value: String,
-                        probs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = df.select(col(key).as("__k"), col(value).cast("double").as("__v"))
-      .where(col("__v").isNotNull)
-    val w = Window.partitionBy(col("__k")).orderBy(col("__v"))
-    val wn = Window.partitionBy(col("__k"))
-    val r = v.withColumn("__rn", row_number().over(w).cast("long") - 1)
-      .withColumn("__n", count(lit(1)).over(wn))
-    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
-      val pos = (col("__n") - 1).cast("double") * lit(p)
-      Seq(
-        max(when(col("__rn") === floor(pos).cast("long"), col("__v")))
-          .as(s"__lo$i"),
-        max(when(col("__rn") === ceil(pos).cast("long"), col("__v")))
-          .as(s"__hi$i"))
-    }
-    val allAggs = first(col("__n")).as("__n") +: aggs
-    val g = r.groupBy(col("__k")).agg(allAggs.head, allAggs.tail: _*)
-    val outs = probs.zipWithIndex.map { case (p, i) =>
-      val pos = (col("__n") - 1).cast("double") * lit(p)
-      val lower = floor(pos)
-      val higher = ceil(pos)
-      when(lower === higher, col(s"__lo$i"))
-        .otherwise((higher - pos) * col(s"__lo$i") +
-          (pos - lower) * col(s"__hi$i"))
-        .as(s"p$i")
-    }
-    g.select(col("__k") +: outs: _*)
-  }
+                        probs: Seq[Double]): DataFrame =
+    graft.functions.Corpus.interpolatedPercentilesBy(df, key, value, probs)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -106,7 +79,7 @@ object PercentileProbe {
     def windowRun() = {
       val p = windowPercentiles(li, "l_returnflag", "l_extendedprice",
         Seq(0.5, 0.9))
-      p.select(col("__k").as("l_returnflag"),
+      p.select(col("l_returnflag"),
           round(col("p0"), 4).as("p50"), round(col("p1"), 4).as("p90"))
         .orderBy("l_returnflag")
         .write.format("noop").mode("overwrite").save()

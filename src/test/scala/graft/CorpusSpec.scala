@@ -1231,6 +1231,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(gn.getDouble(2) == 7.0 && gn.getLong(3) == 2L)
   }
 
+  test("interpolatedPercentilesBy: BIT-equal to Spark's builtin percentile aggregate") {
+    // r16 (q_percentile rewrite): the window form must replay
+    // Percentile.getPercentile's interpolation arithmetic EXACTLY —
+    // compare via doubleToRawLongBits over adversarial shapes: odd and
+    // even n, heavy ties, singleton and 2-row groups, negative values,
+    // integer-boundary positions, and partition invariance.
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${i % 9}"
+      val v = if (rnd.nextBoolean()) rnd.nextInt(40).toDouble - 20
+              else rnd.nextDouble() * 1e5 - 5e4
+      (g, v)
+    } ++ Seq(("solo", 42.0), ("duo", 1.0), ("duo", 2.0),
+      ("tri", -1.0), ("tri", -1.0), ("tri", 8.0))
+    val probs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    for (parts <- Seq(1, 13)) {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val builtin = df.groupBy(col("k")).agg(
+          expr("percentile(v, 0.0)"), expr("percentile(v, 0.1)"),
+          expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"),
+          expr("percentile(v, 1.0)"))
+        .collect().map(r => r.getString(0) ->
+          (1 to 5).map(i => bits(r.getDouble(i)))).toMap
+      val win = Corpus.interpolatedPercentilesBy(df, "k", "v", probs)
+        .collect().map(r => r.getString(0) ->
+          (1 to 5).map(i => bits(r.getDouble(i)))).toMap
+      assert(builtin.keySet == win.keySet)
+      builtin.foreach { case (k, b) =>
+        assert(b == win(k), s"parts=$parts key=$k: $b vs ${win(k)}")
+      }
+    }
+    // null values are skipped like the builtin's
+    val wn = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("k", "v")
+    val got = Corpus.interpolatedPercentilesBy(wn, "k", "v", Seq(0.5)).head()
+    assert(got.getDouble(1) == 2.0)
+  }
+
   test("quantileSketchBy: value-error bound on planted distributions, exact merge invariance") {
     val gamma = 1.02
     val probs = Seq(0.25, 0.5, 0.9, 0.99, 1.0)
