@@ -1220,28 +1220,6 @@ object Corpus {
         greatest(col("__a"), col("__b")).as("__v"), col("__w0"))
       .groupBy(col("__u"), col("__v")).agg(sum(col("__w0")).as("__w"))
 
-  /** Long-keyed twin of [[canonicalEdgesWeighted]] — the same
-    * soundness rule as [[canonicalEdgesLong]] (only orientation- and
-    * pair-order-INVARIANT consumers: numeric vs string least/greatest
-    * assigns {9,10} the other way round, but the merged (pair, Σw)
-    * MULTISET is identical because the groupBy key is the unordered
-    * pair either way). */
-  private def canonicalEdgesWeightedLong(edges: DataFrame, src: Column,
-                                         dst: Column, weight: Column): DataFrame =
-    edges.select(src.cast("long").as("__a"), dst.cast("long").as("__b"),
-        weightGuard(weight, "weighted graph op").as("__w0"))
-      .where(col("__a").isNotNull && col("__b").isNotNull &&
-        col("__a") =!= col("__b"))
-      .select(least(col("__a"), col("__b")).as("__u"),
-        greatest(col("__a"), col("__b")).as("__v"), col("__w0"))
-      .groupBy(col("__u"), col("__v")).agg(sum(col("__w0")).as("__w"))
-
-  private def canonicalEdgesWeightedAuto(edges: DataFrame, src: Column,
-                                         dst: Column, weight: Column): DataFrame =
-    if (integralEndpoints(edges, src, dst))
-      canonicalEdgesWeightedLong(edges, src, dst, weight)
-    else canonicalEdgesWeighted(edges, src, dst, weight)
-
   /** (__n, __d) undirected degree per node of a canonical edge list. */
   private def degreeTable(e0: DataFrame): DataFrame =
     e0.select(col("__u").as("__n"))
@@ -1961,26 +1939,25 @@ object Corpus {
                        iters: Int = 3,
                        maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    // r16: long-keyed path when endpoints are integral — the per-round
-    // join and the (node, label) vote keys become 8/16-byte longs. The
-    // tie-break stays the STRING byte order: the argmax compares
-    // cast(label as string) (= exactly the value the string path
-    // carried) and casts the winner back to long, which round-trips
-    // integral labels exactly. Output boundary casts to string.
-    val longKeys = integralEndpoints(edges, src, dst)
-    val keyType = if (longKeys) "long" else "string"
-    val e0 = Dedup.materializeLazily(canonicalEdgesAuto(edges, src, dst))
+    // r16 probe: a long-keyed variant (labels as longs, tie-break via
+    // cast(label as string) inside the argmax, winner cast back) was
+    // measured and REJECTED — the per-VOTE-ROW long→string render in
+    // the argmax cost 10-23% on q_label_prop/q_modularity while the
+    // halved key bytes bought nothing locally (order-alternating
+    // TimeQ + two clean benches; bench/abprobe_labelprop_r16.txt).
+    // Unlike coreDecomposition/kmvBallStates (kept long — no
+    // per-element cast anywhere), the label IS the comparison value
+    // here, so the string materializes per row either way.
+    val e0 = Dedup.materializeLazily(canonicalEdges(edges, src, dst))
     val sym = Dedup.materializeLazily(
       e0.select(col("__u").as("__s"), col("__v").as("__d"))
         .union(e0.select(col("__v").as("__s"), col("__u").as("__d"))))
     var labels = Dedup.materializeLazily(
       sym.select(col("__s").as("__n")).distinct()
         .select(col("__n"), col("__n").as("__lbl")))
-    // a label row carries two node-id-width keys (fixed 16 B on the
-    // long path — length() is string-only)
     val nstats = labels.agg(count(lit(1)),
-      if (longKeys) lit(16.0)
-      else coalesce(avg(length(col("__n"))), lit(0.0))).head()
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
+    // a label row carries two node-id-width strings
     val hinted: DataFrame => DataFrame =
       if (stateBroadcastOk(nstats.getLong(0).toDouble,
           2.0 * nstats.getDouble(1), maxBroadcastNodes))
@@ -1993,13 +1970,12 @@ object Corpus {
       labels = Dedup.materializeLazily(
         votes.groupBy(col("__s"))
           .agg(min(struct((-col("__c")).as("__negc"),
-            col("__lbl").cast("string").as("__winner"))).as("__m"))
+            col("__lbl").as("__winner"))).as("__m"))
           .select(col("__s").as("__n"),
-            col("__m").getField("__winner").cast(keyType).as("__lbl")))
+            col("__m").getField("__winner").as("__lbl")))
       it += 1
     }
-    labels.select(col("__n").cast("string").as("node"),
-      col("__lbl").cast("string").as("label"))
+    labels.select(col("__n").as("node"), col("__lbl").as("label"))
   }
 
   /** Weighted label propagation — [[labelPropagation]] with votes =
@@ -2019,12 +1995,10 @@ object Corpus {
                                weight: Column, iters: Int = 3,
                                maxBroadcastNodes: Long = 8000000L): DataFrame = {
     require(iters >= 1, s"iters $iters must be >= 1")
-    // r16: long-keyed path (see labelPropagation — same dispatch, same
-    // string-order tie-break via cast, same output-boundary cast)
-    val longKeys = integralEndpoints(edges, src, dst)
-    val keyType = if (longKeys) "long" else "string"
+    // r16: long-keyed variant probed and REJECTED (see
+    // labelPropagation — same per-vote-row cast cost)
     val e0 = Dedup.materializeLazily(
-      canonicalEdgesWeightedAuto(edges, src, dst, weight))
+      canonicalEdgesWeighted(edges, src, dst, weight))
     val sym = Dedup.materializeLazily(
       e0.select(col("__u").as("__s"), col("__v").as("__d"), col("__w"))
         .union(e0.select(col("__v").as("__s"), col("__u").as("__d"),
@@ -2033,8 +2007,7 @@ object Corpus {
       sym.select(col("__s").as("__n")).distinct()
         .select(col("__n"), col("__n").as("__lbl")))
     val nstats = labels.agg(count(lit(1)),
-      if (longKeys) lit(16.0)
-      else coalesce(avg(length(col("__n"))), lit(0.0))).head()
+      coalesce(avg(length(col("__n"))), lit(0.0))).head()
     val hinted: DataFrame => DataFrame =
       if (stateBroadcastOk(nstats.getLong(0).toDouble,
           2.0 * nstats.getDouble(1), maxBroadcastNodes))
@@ -2047,13 +2020,12 @@ object Corpus {
       labels = Dedup.materializeLazily(
         votes.groupBy(col("__s"))
           .agg(min(struct((-col("__c")).as("__negc"),
-            col("__lbl").cast("string").as("__winner"))).as("__m"))
+            col("__lbl").as("__winner"))).as("__m"))
           .select(col("__s").as("__n"),
-            col("__m").getField("__winner").cast(keyType).as("__lbl")))
+            col("__m").getField("__winner").as("__lbl")))
       it += 1
     }
-    labels.select(col("__n").cast("string").as("node"),
-      col("__lbl").cast("string").as("label"))
+    labels.select(col("__n").as("node"), col("__lbl").as("label"))
   }
 
   /** One-level Louvain-style modularity optimization (Blondel et al.
